@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet table IO + keyed-upsert idioms.
+  *
+  * Mirrors the reference's three Elasticsearch index writers
+  * (solaius/data_pipeline2 `services/document_storage.py:66-84`,
+  * `services/vector_storage.py:61-67`, `services/job_storage.py:55-75`):
+  * ES "index by _id" upsert semantics become append + latest-wins
+  * window dedupe over the key columns.
+  *
+  * 100 TB posture: `latestByKey` shuffles once on the key columns —
+  * at scale, write these tables bucketed by the same keys so the
+  * window is shuffle-free; never collect to the driver.
+  */
+object Tables {
+
+  /** Read one driver table: `{dir}/{name}.parquet`.
+    *
+    * The driver's `events` table carries a parquet TIMESTAMP(NANOS)
+    * column, which Spark 4 only reads under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (as a LongType of
+    * nanos). Normalize it back to a proper TimestampType (micros,
+    * truncating — the same truncation DuckDB applies), so downstream
+    * operators see one consistent type.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer division — a double division would lose precision on
+        // epoch-nano magnitudes (> 2^53)
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** Latest-wins dedupe by key: keep the single row with the highest
+    * `version` ordering per key (the ES upsert-by-_id analogue,
+    * reference `document_storage.py:86-114` update path).
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Upsert: existing ∪ updates, then latest-wins per key. */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+             version: Seq[Column]): DataFrame =
+    latestByKey(existing.unionByName(updates), keys, version)
+
+  /** Point lookup by id (reference `document_storage.py:116-140` get path:
+    * Redis tier -> ES get). The cache tier maps to `.cache()` on the
+    * caller's side; here it is a pushed-down filter + limit 1.
+    */
+  def pointLookup(df: DataFrame, keyCol: String, id: Any): DataFrame =
+    df.filter(col(keyCol) === lit(id)).limit(1)
+}
