@@ -15,6 +15,10 @@ object Verify {
       // events.parquet has TIMESTAMP(NANOS); read as long + normalize
       // in graft.io.Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TZ-typed timestamps otherwise write INT96 (nanos), which the
+      // driver's comparator hashes differently from the oracle's
+      // microsecond timestamps.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

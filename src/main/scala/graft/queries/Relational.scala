@@ -86,8 +86,12 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // J-category: multi-way join — dims broadcast, facts shuffled
-    // (TPC-H Q5 shape; revenue per nation).
+    // J-category: multi-way join — small dims broadcast, facts shuffled
+    // (TPC-H Q5 shape; revenue per nation). customer is fact-sized
+    // (scales with the dataset) so it is NOT broadcast — AQE picks the
+    // join strategy by runtime size. Revenue is summed as exact integer
+    // hundredth-cents (round → BIGINT): representation-identical across
+    // engines, unlike DECIMAL whose arrow encoding varies by version.
     "q05_revenue_by_nation" -> ((s, dir) => {
       val c  = t(s, dir, "customer")
       val o  = t(s, dir, "orders")
@@ -95,12 +99,12 @@ object Relational {
       val n  = t(s, dir, "nation")
       val r  = t(s, dir, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
-        .agg(sum(col("l_extendedprice").cast(Dec18_2) *
-                 (lit(1) - col("l_discount").cast(Dec4_2))).cast(Dec18_4).as("revenue"),
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(10000.0))
+               .cast(LongType)).as("revenue_c4"),
              count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -201,12 +205,13 @@ object Relational {
     }),
 
     // F-category date functions (reference F11-F12): year/month/trunc/diff.
+    // Money summed as exact integer cents — see q05 note.
     "q14_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast(LongType).as("order_year"),
                  month(col("o_orderdate")).cast(LongType).as("order_month"))
         .agg(count(lit(1)).as("n_orders"),
-             sum(col("o_totalprice").cast(Dec18_2)).cast(Dec18_2).as("sum_price"),
+             sum(round(col("o_totalprice") * lit(100.0)).cast(LongType)).as("sum_price_cents"),
              min(datediff(col("o_orderdate"), lit("1995-01-01")).cast(LongType)).as("min_days"))
         .orderBy(col("order_year"), col("order_month"))
     }),
@@ -225,13 +230,18 @@ object Relational {
     }),
 
     // Event-time tumbling window (batch form of the streaming agg;
-    // ST-category extension per SURVEY §2.12).
+    // ST-category extension per SURVEY §2.12). `day` is cast to
+    // TIMESTAMP_NTZ so parquet stores INT64 micros (isAdjustedToUTC
+    // =false) — the TZ-typed window start would be written INT96/nanos,
+    // which the driver's comparator hashes differently from the
+    // oracle's naive microsecond timestamp. Money as integer cents.
     "q16_events_daily" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+        .groupBy(window(col("ts"), "1 day").getField("start")
+                   .cast(TimestampNTZType).as("day"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast(Dec18_2)).cast(Dec18_2).as("sum_value"))
+             sum(round(col("value") * lit(100.0)).cast(LongType)).as("sum_value_cents"))
         .orderBy(col("day"), col("event_type"))
     }),
 
@@ -272,12 +282,17 @@ object Relational {
 
     // Correlated-scalar shape: customers whose account balance exceeds
     // their nation's average (subquery decorrelation exercise).
+    // The comparison is done in exact integer cents — `bal > sum/cnt`
+    // becomes `bal_cents * cnt > sum_cents` — so a balance within an
+    // ulp of the average cannot flip between engines (double avg is
+    // summation-order-dependent).
     "q20_above_nation_avg" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
-        .agg(avg(col("c_acctbal")).as("nation_avg"))
-      c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
-        .filter(col("c_acctbal") > col("nation_avg"))
+        .withColumn("bal_cents", round(col("c_acctbal") * lit(100.0)).cast(LongType))
+      val nationAgg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("sum_cents"))
+      c.join(broadcast(nationAgg), col("c_nationkey") === col("nk"))
+        .filter(col("bal_cents") * col("n_cust") > col("sum_cents"))
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
     })
@@ -318,7 +333,7 @@ object Relational {
 
     "q05_revenue_by_nation" ->
       """SELECT n_name, r_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
          count(*) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -389,7 +404,7 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
          CAST(month(o_orderdate) AS BIGINT) AS order_month,
          count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
          min(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS min_days
          FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""",
 
@@ -403,7 +418,7 @@ object Relational {
 
     "q16_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
     "q17_latest_order_per_cust" ->
@@ -427,10 +442,14 @@ object Relational {
          ORDER BY user_id, event_id""",
 
     "q20_above_nation_avg" ->
-      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
-         JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM
+         (SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer) c
+         JOIN (SELECT c_nationkey AS nk, count(*) AS n_cust,
+                      sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents
                FROM customer GROUP BY c_nationkey) n ON c.c_nationkey = n.nk
-         WHERE c_acctbal > nation_avg
+         WHERE bal_cents * n_cust > sum_cents
          ORDER BY c_custkey"""
   )
 }
