@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output must reach stdout unprefixed: the driver
+// parses graft.Bench's single JSON line, and sbt's default LoggedOutput
+// decorates every line with [info]/[error], breaking that parse.
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,250 @@
+package graft.chunk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Chunking operators (reference C1–C7, SURVEY.md §2.9).
+  *
+  * The markdown and sentence chunkers are sequential folds over the
+  * document text — not expressible in relational ops — so they are pure
+  * Scala functions (unit-testable without Spark) invoked through a UDF
+  * that returns `array<struct>`; `posexplode` then flattens one document
+  * row into N chunk rows. total_chunks is `size(array)` computed BEFORE
+  * the explode, so per-document numbering costs no shuffle at all — at
+  * 100 TB the whole chunking stage stays embarrassingly parallel.
+  *
+  * Semantics reproduced exactly from solaius/data_pipeline2
+  * `services/docling_service.py`:
+  *  - markdown fold: :57-97 — heading line flushes + resets heading
+  *    context; non-heading lines accumulate until `current_size +
+  *    len(line) > chunk_size` forces a flush; text joined with '\n'.
+  *  - sentence fold: :99-171 — regex `([^.!?]+[.!?]+(?:\s+|$))`
+  *    extraction; oversize sentences word-split greedily (word cost =
+  *    len+1); sentences pack while `current + size <= chunk_size`;
+  *    QUIRK kept bug-compatible: `current_headings` is the LAST
+  *    `#`-prefixed line of the whole document (:111-114).
+  *  - fallback: :277-292 — zero chunks ⇒ single whole-document chunk
+  *    flagged `is_fallback`.
+  *  - fixed-width: `services/document_processor.py:134-144` (dead code
+  *    in the reference; kept as an operator because it is the only
+  *    oracle-expressible chunker).
+  *  - hybrid (:212-236) delegates to an external tokenizer-backed
+  *    library; re-expressed as a deterministic word-budget packer with
+  *    word overlap — documented approximation (SURVEY §7.4 risk 1).
+  */
+object Chunkers {
+
+  /** Chunk text + heading context, pre-enrichment (reference dict shape
+    * `{"text": ..., "headings": [...]}`).
+    */
+  case class RawChunk(text: String, headings: Seq[String])
+
+  object Strategy {
+    val Hybrid     = "hybrid"
+    val Markdown   = "markdown"
+    val Sentence   = "sentence"
+    val Fallback   = "fallback"
+    val FixedWidth = "fixed_width"
+    val all: Set[String] = Set(Hybrid, Markdown, Sentence, Fallback, FixedWidth)
+  }
+
+  /** C5 config validation — `docling_service.py:42-51`, tested
+    * `tests/test_chunking.py:162-171`.
+    */
+  final case class ChunkerConfig(
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50,
+      strategy: String = Strategy.Hybrid) {
+    require(chunkSize > 0, "chunk_size must be positive")
+    require(chunkOverlap >= 0, "chunk_overlap must be non-negative")
+    require(chunkOverlap < chunkSize, "chunk_overlap must be less than chunk_size")
+    require(Strategy.all.contains(strategy), s"Invalid chunking strategy: $strategy")
+  }
+
+  // ------------------------------------------------------------- pure folds
+
+  /** C2 — markdown-structure chunker (`docling_service.py:57-97`). */
+  def chunkMarkdown(content: String, chunkSize: Int): Vector[RawChunk] = {
+    val chunks = Vector.newBuilder[RawChunk]
+    var current = Vector.empty[String]
+    var currentSize = 0
+    var headings = Vector.empty[String]
+    for (line <- content.split("\n", -1)) {
+      if (line.startsWith("#")) {
+        if (current.nonEmpty) {
+          chunks += RawChunk(current.mkString("\n"), headings)
+          current = Vector.empty
+          currentSize = 0
+        }
+        headings = Vector(line.trim)
+      } else {
+        val lineSize = line.length
+        if (currentSize + lineSize > chunkSize && current.nonEmpty) {
+          chunks += RawChunk(current.mkString("\n"), headings)
+          current = Vector.empty
+          currentSize = 0
+        }
+        current = current :+ line
+        currentSize += lineSize
+      }
+    }
+    if (current.nonEmpty) chunks += RawChunk(current.mkString("\n"), headings)
+    chunks.result()
+  }
+
+  private val SentenceRe = "([^.!?]+[.!?]+(?:\\s+|$))".r
+
+  /** C3 — sentence chunker (`docling_service.py:99-171`), including the
+    * last-heading quirk and the word-split path for oversize sentences.
+    */
+  def chunkSentences(content: String, chunkSize: Int): Vector[RawChunk] = {
+    val sentences = SentenceRe.findAllMatchIn(content).map(_.group(1)).toVector
+    // QUIRK (:111-114): headings scanned once over the whole doc — every
+    // chunk carries the LAST heading, not the enclosing one.
+    val headings: Vector[String] =
+      content.split("\n", -1).filter(_.startsWith("#")).lastOption
+        .map(h => Vector(h.trim)).getOrElse(Vector.empty)
+
+    val chunks = Vector.newBuilder[RawChunk]
+    var current = Vector.empty[String]
+    var currentSize = 0
+    for (raw <- sentences; sentence = raw.trim if sentence.nonEmpty) {
+      val sentenceSize = sentence.length
+      if (sentenceSize > chunkSize) {
+        // oversize: greedy word split, word cost = len + 1 (:124-147)
+        var part = Vector.empty[String]
+        var partSize = 0
+        for (word <- sentence.split("\\s+") if word.nonEmpty) {
+          val wordSize = word.length + 1
+          if (partSize + wordSize > chunkSize && part.nonEmpty) {
+            chunks += RawChunk(part.mkString(" "), headings)
+            part = Vector.empty
+            partSize = 0
+          }
+          part = part :+ word
+          partSize += wordSize
+        }
+        if (part.nonEmpty) chunks += RawChunk(part.mkString(" "), headings)
+      } else if (currentSize + sentenceSize <= chunkSize) {
+        current = current :+ sentence
+        currentSize += sentenceSize
+      } else {
+        if (current.nonEmpty) chunks += RawChunk(current.mkString(" "), headings)
+        current = Vector(sentence)
+        currentSize = sentenceSize
+      }
+    }
+    if (current.nonEmpty) chunks += RawChunk(current.mkString(" "), headings)
+    chunks.result()
+  }
+
+  /** C1 — deterministic stand-in for the tokenizer-backed HybridChunker
+    * (`docling_service.py:212-236`): packs whitespace tokens into
+    * windows of `chunkSize` tokens with `chunkOverlap` tokens of
+    * overlap, heading context = nearest preceding heading.
+    */
+  def chunkHybrid(content: String, chunkSize: Int, chunkOverlap: Int): Vector[RawChunk] = {
+    case class Tok(text: String, heading: Option[String])
+    val toks = Vector.newBuilder[Tok]
+    var heading: Option[String] = None
+    for (line <- content.split("\n", -1)) {
+      if (line.startsWith("#")) heading = Some(line.trim)
+      else for (w <- line.split("\\s+") if w.nonEmpty) toks += Tok(w, heading)
+    }
+    val tokens = toks.result()
+    if (tokens.isEmpty) Vector.empty
+    else {
+      val step = math.max(1, chunkSize - chunkOverlap)
+      (0 until tokens.length by step).iterator
+        .map { start =>
+          val slice = tokens.slice(start, start + chunkSize)
+          RawChunk(slice.map(_.text).mkString(" "),
+                   slice.head.heading.toVector)
+        }
+        // a trailing window fully contained in the previous one adds no text
+        .foldLeft(Vector.empty[RawChunk]) { (acc, c) =>
+          if (acc.nonEmpty && acc.last.text.endsWith(c.text)) acc else acc :+ c
+        }
+    }
+  }
+
+  /** C7 — fixed-width 100-char slices (`document_processor.py:134-144`). */
+  def chunkFixedWidth(content: String, width: Int = 100): Vector[RawChunk] =
+    if (content.isEmpty) Vector.empty
+    else content.grouped(width).map(RawChunk(_, Vector.empty)).toVector
+
+  /** C4 — dispatch + fallback: a failing/empty strategy yields one
+    * whole-document chunk (`docling_service.py:277-292`).
+    */
+  def chunk(content: String, config: ChunkerConfig): (Vector[RawChunk], String, Boolean) = {
+    val attempted =
+      try config.strategy match {
+        case Strategy.Markdown   => chunkMarkdown(content, config.chunkSize)
+        case Strategy.Sentence   => chunkSentences(content, config.chunkSize)
+        case Strategy.Hybrid     => chunkHybrid(content, config.chunkSize, config.chunkOverlap)
+        case Strategy.FixedWidth => chunkFixedWidth(content)
+        case Strategy.Fallback   => Vector.empty
+      } catch { case _: Exception => Vector.empty }
+    if (attempted.isEmpty) (Vector(RawChunk(content, Vector.empty)), Strategy.Fallback, true)
+    else (attempted, config.strategy, false)
+  }
+
+  private def chunkTypeOf(strategy: String, isFallback: Boolean): String =
+    if (isFallback) "full_document"
+    else strategy match {
+      case Strategy.Hybrid     => "hybrid_chunk"
+      case Strategy.Markdown   => "markdown_chunk"
+      case Strategy.Sentence   => "sentence_chunk"
+      case Strategy.FixedWidth => "fixed_chunk"
+      case _                   => "full_document"
+    }
+
+  // -------------------------------------------------------- Spark operator
+
+  // Public (not `private`): whole-stage-codegen'd code lives outside this
+  // object and must be able to call the struct accessors.
+  case class ChunkOut(text: String, headings: Seq[String],
+                      strategy: String, fb: Boolean)
+
+  /** Chunk every row of `docs` (C6 enrichment + W1/W2 numbering).
+    *
+    * Input: any DataFrame with an id column and a text column.
+    * Output: one row per chunk with columns
+    * `(<idCol>, chunk_id, content, page_number, chunk_number,
+    * total_chunks, headings, chunk_type, strategy, is_fallback)`.
+    *
+    * chunk_id = `chunk_{i}` per document (`docling_service.py:225`);
+    * numbering via `posexplode` + `size()` — no window, no shuffle.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     config: ChunkerConfig): DataFrame = {
+    val chunkUdf = udf { (text: String) =>
+      val (cs, strategy, fb) = chunk(Option(text).getOrElse(""), config)
+      cs.map(c => ChunkOut(c.text, c.headings, strategy, fb))
+    }
+    docs
+      .withColumn("__chunks", chunkUdf(col(textCol)))
+      .withColumn("total_chunks", size(col("__chunks")))
+      .select(col(idCol), col("total_chunks"),
+              posexplode(col("__chunks")).as(Seq("__pos", "__c")))
+      .select(
+        col(idCol),
+        concat(lit("chunk_"), (col("__pos") + 1).cast("string")).as("chunk_id"),
+        col("__c.text").as("content"),
+        lit(1).as("page_number"),
+        (col("__pos") + 1).as("chunk_number"),
+        col("total_chunks"),
+        col("__c.headings").as("headings"),
+        when(col("__c.fb"), lit("full_document"))
+          .otherwise(chunkTypeCol(col("__c.strategy"))).as("chunk_type"),
+        col("__c.strategy").as("strategy"),
+        col("__c.fb").as("is_fallback"))
+  }
+
+  private def chunkTypeCol(strategy: Column): Column =
+    when(strategy === Strategy.Hybrid, "hybrid_chunk")
+      .when(strategy === Strategy.Markdown, "markdown_chunk")
+      .when(strategy === Strategy.Sentence, "sentence_chunk")
+      .when(strategy === Strategy.FixedWidth, "fixed_chunk")
+      .otherwise("full_document")
+}

@@ -1,0 +1,160 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * extension; the reference has no dedup — its only identity is the ES
+  * `_id` upsert, solaius/data_pipeline2 `services/document_storage.py:72-76`).
+  *
+  * Scale design (the 100 TB posture governs every choice here):
+  *  - exact dedup = one hash-shuffle on a 16-byte digest, never on the
+  *    full text;
+  *  - near-dup avoids the O(n²) all-pairs trap: MinHash-LSH banding
+  *    turns it into an equi-join on (band, signature) buckets — the
+  *    canonical shuffle-friendly plan; candidate verification happens
+  *    only inside buckets;
+  *  - the pairwise Jaccard verifier joins on exploded shingles, which
+  *    shuffles shingle rows — bounded by blocking (a partition key such
+  *    as source/label) exactly like production dedup pipelines block by
+  *    domain;
+  *  - hashes are md5 hex strings (same function, same encoding, in
+  *    Spark and DuckDB) so every operator is oracle-verifiable
+  *    bit-for-bit. String min == lexicographic min in both engines.
+  */
+object Dedup {
+
+  /** Word k-shingles (k consecutive whitespace tokens joined by one
+    * space), as an array column. Codegen-only: transform over a
+    * sequence of positions, `element_at` is 1-based.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+  }
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id as
+    * the canonical representative. One shuffle on the digest.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** Exact dedup applied: keep one row per distinct text (the keeper). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDuplicates(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature for one band: min over shingles of
+    * md5(band || '|' || shingle). With md5 as the random permutation
+    * family, each band salt yields an independent permutation — the
+    * standard construction, expressed entirely in hash+min so the plan
+    * is a single partial/final aggregate.
+    */
+  def minhashBand(shingleCol: Column, band: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat_ws("|", lit(band.toString), s))))
+
+  /** MinHash-LSH candidate pairs: docs sharing any (band, minhash)
+    * bucket. `blockCol` (optional) additionally partitions the corpus
+    * (e.g. by source/domain) — at 100 TB you always block.
+    *
+    * Plan shape: explode bands (nBands rows/doc) → shuffle on
+    * (band, sig) → in-bucket self-join → distinct pairs. No O(n²).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        nBands: Int = 8, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("doc"), posexplode(
+      array((0 until nBands).map(b => minhashBand(col("sh"), b)): _*)).as(Seq("band", "sig")))
+    val a = sigs.select(col("band"), col("sig"), col("doc").as("a_id"))
+    val b = sigs.select(col("band"), col("sig"), col("doc").as("b_id"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
+  /** Pairwise n-gram Jaccard within a blocking key. Output is exact
+    * integers (intersection, union) so thresholds are integer
+    * comparisons: jaccard >= 1/2  ⇔  2·inter >= union.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
+                       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("blk"), col("doc"), size(col("sh")).as("n"))
+    val exA = sh.select(col("blk"), col("doc").as("a_id"), explode(col("sh")).as("g"))
+    val exB = sh.select(col("blk"), col("doc").as("b_id"), explode(col("sh")).as("g"))
+    val inter = exA.join(exB, Seq("blk", "g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+              col("uni").cast("long").as("uni"))
+  }
+
+  /** SimHash (Charikar) signature over distinct whitespace tokens,
+    * `bits` ≤ 32 bits from the md5 hex digest: bit j votes +1 when hex
+    * digit j of md5(token) has its top bit set ('8'..'f'), else −1;
+    * signature bit j = 1 iff the vote is positive. Pure hash+agg —
+    * identical in any engine with md5.
+    */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    val toks = array_distinct(TextStats.tokens(text))
+    val perBit: Seq[Column] = (0 until bits).map { j =>
+      val votes = aggregate(
+        toks, lit(0L),
+        (acc, t) => acc + when(substring(md5(t), j + 1, 1).isInCollection(
+          Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1L).otherwise(-1L))
+      when(votes > 0, lit(1L) * (1L << j)).otherwise(0L)
+    }
+    perBit.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash signatures (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a
+    * blocking key, computed in EXACT integer arithmetic on vectors
+    * quantized to a 1e-3 grid — `cos >= t` becomes
+    * `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²` with t² = num/den, so the
+    * comparison is bit-identical across engines (no float summation
+    * order anywhere).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String,
+                            thresholdNum: Long = 81, thresholdDen: Long = 100): DataFrame = {
+    val q = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
+      // double multiply before round — float×int stays float in Spark
+      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("iv"))
+    val withNorm = q.withColumn("n2",
+      aggregate(col("iv"), lit(0L), (acc, v) => acc + v * v))
+    val a = withNorm.select(col("blk"), col("doc").as("a_id"),
+                            col("iv").as("iva"), col("n2").as("n2a"))
+    val b = withNorm.select(col("blk"), col("doc").as("b_id"),
+                            col("iv").as("ivb"), col("n2").as("n2b"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("iva"), col("ivb"), (x, y) => x * y),
+                  lit(0L), (acc, v) => acc + v))
+      // dot² can exceed int64 → compare in DECIMAL(38,0), exact
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * thresholdDen >=
+          col("n2a").cast("decimal(38,0)") * col("n2b") * thresholdNum)
+      .select(col("a_id"), col("b_id"), col("dot"))
+  }
+}

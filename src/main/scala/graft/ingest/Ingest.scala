@@ -1,0 +1,69 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion operators (reference S1–S3, P1, SURVEY.md §2.1/§2.2).
+  *
+  * The reference's upload path reads client bytes + filename +
+  * content-type (solaius/data_pipeline2 `api/routes/documents.py:26-43`),
+  * sniffs MIME from magic bytes when absent
+  * (`services/docling_service.py:53-55`), rewrites `.txt` → `.md`
+  * (:188-191), base64-encodes content for storage
+  * (`services/document_processor.py:50-51`), and assigns ids/status.
+  * Spark-first: the "upload" is a `binaryFile` scan over a directory —
+  * the distributed analogue of N clients POSTing files.
+  */
+object Ingest {
+
+  /** S1 — directory of raw files → (path, modificationTime, length,
+    * content:binary).
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /** S2 — MIME sniffing from magic bytes, the cases the reference's
+    * tests pin (`tests/test_docling_service.py:9-16`): `%PDF` →
+    * application/pdf, zip magic → docx-family container, else text.
+    * Pure column expressions — no UDF.
+    */
+  def detectMime(content: Column): Column =
+    when(substring(content, 1, 4) === lit("%PDF".getBytes("US-ASCII")), "application/pdf")
+      .when(substring(content, 1, 4) === lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)),
+            "application/zip")
+      .otherwise("text/plain")
+
+  /** P1 — `.txt` → `.md` filename rewrite (`docling_service.py:188-191`). */
+  def txtToMd(filename: Column): Column =
+    when(lower(filename).endsWith(".txt"),
+         concat(filename.substr(lit(1), length(filename) - 4), lit(".md")))
+      .otherwise(filename)
+
+  /** S1+S2+S3 — full ingest projection: binaryFile scan output →
+    * document rows. doc_id is content-derived (sha256 of bytes +
+    * filename) instead of the reference's uuid4
+    * (`document_processor.py:54`) so results are oracle-comparable
+    * (SURVEY §7.4 risk 5); content stored base64 like the reference
+    * (`document_processor.py:50-51`).
+    */
+  def toDocuments(binary: DataFrame, now: Column = current_timestamp()): DataFrame = {
+    val filename = regexp_extract(col("path"), "[^/]+$", 0)
+    binary.select(
+      sha2(concat(base64(col("content")), filename), 256).as("doc_id"),
+      txtToMd(filename).as("filename"),
+      detectMime(col("content")).as("content_type"),
+      // MIME-chunking stripped for cross-engine stability (RFC 4648)
+      regexp_replace(base64(col("content")), "[\\r\\n]", "").as("content_b64"),
+      lit("pending").as("status"),
+      lit("{}").as("metadata_json"),
+      now.as("created_at"),
+      now.as("updated_at"),
+      lit(null).cast("string").as("error_message"))
+  }
+
+  /** S3 — decode stored content back to text
+    * (`models/document.py:38-47` decode_content).
+    */
+  def decodeContent(contentB64: Column): Column =
+    unbase64(contentB64).cast("string")
+}

@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The real pipeline shape a 100 TB multimodal corpus needs: binary
+  * payloads never leave the executors, metadata is typed columns
+  * (prunable, pushdown-able), and decode/resize/frame-sample run
+  * per-partition over the binary column. The codec step itself
+  * (libjpeg/ffmpeg) is NOT available in this container, so decode is a
+  * clearly-marked deterministic STUB — arithmetic on the byte length
+  * and leading bytes — while everything Spark-level (schema, batch
+  * shape, partitioning, explode semantics) is real and oracle-checked.
+  */
+object Multimodal {
+
+  /** Wrap a text/binary source into the multimodal layout:
+    * (id, payload: binary, mime, byte_len). The payload column is what
+    * a real pipeline would carry for images/audio/video.
+    */
+  def toBinaryTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      graft.ingest.Ingest.detectMime(encode(col(textCol), "UTF-8")).as("mime"),
+      octet_length(col(textCol)).cast("long").as("byte_len"))
+
+  /** STUB image decode — deterministic fake dimensions derived from the
+    * payload length (a real implementation maps this over the binary
+    * column with an image codec; the Spark plumbing is identical).
+    * width  = 64 + byte_len mod 1856   (≤ 1920)
+    * height = 64 + (7·byte_len) mod 1016 (≤ 1080)
+    * n_frames (video analogue) = 1 + byte_len mod 30
+    */
+  def decodeStub(df: DataFrame): DataFrame =
+    df.withColumn("width", (lit(64) + col("byte_len") % 1856).cast("long"))
+      .withColumn("height", (lit(64) + (col("byte_len") * 7) % 1016).cast("long"))
+      .withColumn("n_frames", (lit(1) + col("byte_len") % 30).cast("long"))
+
+  /** STUB resize — aspect-preserving fit into (maxW, maxH).
+    * floor(a·b/c) on these magnitudes is exact in IEEE double (the true
+    * quotient is ≥ 1/c away from any integer it isn't equal to), and
+    * both engines evaluate it identically.
+    */
+  def resizePlan(df: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    df.withColumn("fit_w",
+        least(col("width"),
+              floor(col("width") * maxH / greatest(col("height"), lit(1))),
+              lit(maxW.toLong)).cast("long"))
+      .withColumn("fit_h",
+        least(col("height"),
+              floor(col("height") * maxW / greatest(col("width"), lit(1))),
+              lit(maxH.toLong)).cast("long"))
+
+  /** Frame sampling: one row per sampled frame index (1, 1+step, …) —
+    * the video-to-training-examples explode. At scale this is the row
+    * multiplier stage; it stays narrow (no shuffle).
+    */
+  def sampleFrames(df: DataFrame, step: Int = 5): DataFrame =
+    df.withColumn("frame_no",
+        explode(sequence(lit(1L), col("n_frames"), lit(step.toLong))))
+
+  /** STUB feature extraction — a deterministic low-dim feature vector
+    * from metadata (stand-in for a vision encoder; the downstream
+    * embedding-table contract is what matters).
+    */
+  def featureStub(df: DataFrame): DataFrame =
+    df.withColumn("features",
+      array(col("byte_len"), col("width"), col("height"), col("n_frames"),
+            col("byte_len") % 256, (col("width") * col("height")) % 9973)
+        .cast("array<long>"))
+}

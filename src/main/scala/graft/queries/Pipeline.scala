@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunkers
+import graft.chunk.Chunkers.{ChunkerConfig, Strategy}
+import graft.dedup.Dedup
+import graft.embed.Embedding
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.search.{Ann, Search}
+import graft.text.TextStats
+
+/** Document-pipeline + training-data-scale queries (SURVEY.md §2.9–§2.13
+  * operators and the 100 TB extension surface: dedup, similarity search,
+  * multimodal plumbing, text analysis).
+  *
+  * Oracle-parity rules (same as [[Relational]]):
+  *  - all hashes are md5/sha256 hex strings — identical functions exist
+  *    in DuckDB, so signatures compare bit-for-bit;
+  *  - vector math is quantized to exact integers (round(x·1000)) before
+  *    any sum — float summation order can never flip a result;
+  *  - derived ints cast to LONG; every query totally ordered.
+  *
+  * Queries whose semantics are sequential folds or hashing-trick
+  * embeddings (sentence/markdown chunkers, LSH ANN, e2e pipeline) have
+  * no SQL oracle — they are registered without `oracleSql` and the
+  * driver records a rows-only check; their exact semantics are pinned by
+  * ScalaTest specs instead.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C7 fixed-width chunker — the one oracle-expressible chunker
+    // (reference document_processor.py:134-144): exact 100-char slices.
+    "q21_chunk_fixed" -> ((s, dir) => {
+      Chunkers.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .select(col("doc_id"), col("chunk_id"), col("content"),
+                col("chunk_number").cast("long").as("chunk_number"),
+                col("total_chunks").cast("long").as("total_chunks"))
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
+    // Exact dedup: hash-group on md5(text), keeper = min id. One shuffle
+    // on a 16-byte digest regardless of document size.
+    "q22_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("text_md5"))
+    }),
+
+    // Pairwise 3-gram Jaccard within a blocking key (source) — integer
+    // threshold: jaccard >= 1/2 ⇔ 2·inter >= union.
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+        .filter(col("inter") * 2 >= col("uni"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // MinHash-LSH candidate generation: equi-join on (band, min-md5)
+    // buckets — the shuffle-friendly near-dup plan; no O(n²) anywhere.
+    "q24_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", nBands = 8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash signatures (16 bits from md5 digit votes over distinct
+    // tokens) — constant-size fingerprint per doc, map-side only.
+    "q25_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text quality signals: exact counts + the corpus-filter gate.
+    "q26_text_quality" -> ((s, dir) => {
+      TextStats.qualitySignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+                col("n_bpe_tokens"), col("n_punct"), col("n_stopwords"),
+                col("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: marker-word scores per language + argmax.
+    "q27_langid" -> ((s, dir) => {
+      TextStats.languageId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"),
+                col("score_de"), col("score_en"), col("score_es"),
+                col("score_fr"), col("score_zh"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalized-content fingerprint dedup tier.
+    "q28_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("fp"))
+    }),
+
+    // Exact top-10 by integer-quantized inner product against the
+    // vec_id=0 query vector — TakeOrderedAndProject plan, broadcast
+    // one-row query side; the brute-force similarity-search baseline.
+    "q29_knn_dot" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Ann.intVec(col("embedding")).as("iv"))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("iv").as("qv")))
+      val top = e.crossJoin(q)
+        .withColumn("dot", Ann.intDot(col("iv"), col("qv")))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("dot").desc, col("vec_id")))
+            .cast("long"))
+        .select(col("rnk"), col("vec_id"), col("dot"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Embedding near-duplicate pairs (cos >= 0.4) within a label block,
+    // exact integer cross-multiplied comparison — no float anywhere.
+    "q30_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", thresholdNum = 16, thresholdDen = 100)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Sessionization: 30-min-gap sessions per user (lag + running sum —
+    // the batch form of streaming session windows).
+    "q31_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+             min(unix_micros(col("ts"))).as("start_us"),
+             (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // Job-ledger latest-wins upsert (ES upsert-by-_id idiom, S6/ST4):
+    // events replayed as job-status updates, current state = newest row
+    // per job_id.
+    "q32_job_latest" -> ((s, dir) => {
+      val updates = t(s, dir, "events").select(
+        (col("user_id") % 50).as("job_id"),
+        when(col("event_type") === "purchase", lit("completed"))
+          .when(col("event_type") === "error", lit("failed"))
+          .when(col("event_type") === "signup", lit("queued"))
+          .otherwise(lit("running")).as("status"),
+        col("ts"), col("event_id"))
+      Tables.latestByKey(updates, Seq("job_id"), Seq(col("ts"), col("event_id")))
+        .select(col("job_id"), col("status"), unix_micros(col("ts")).as("updated_us"))
+        .orderBy(col("job_id"))
+    }),
+
+    // Multimodal metadata: binary payload column + stub decode/resize —
+    // the Spark-side plumbing (schema, typed metadata, pruning) is real.
+    "q33_multimodal_meta" -> ((s, dir) => {
+      Multimodal.resizePlan(
+          Multimodal.decodeStub(
+            Multimodal.toBinaryTable(t(s, dir, "documents"), "doc_id", "text")),
+          maxW = 256, maxH = 256)
+        .select(col("doc_id"), col("mime"), col("byte_len"), col("width"),
+                col("height"), col("n_frames"), col("fit_w"), col("fit_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling: video rows explode into one row per sampled frame.
+    "q34_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.decodeStub(
+            Multimodal.toBinaryTable(t(s, dir, "documents"), "doc_id", "text")),
+          step = 5)
+        .select(col("doc_id"), col("frame_no"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // Search-cache key (Q4/P6/F8): sha256 over int-quantized vector JSON
+    // + provider + filters + k — deterministic across engines.
+    "q35_cache_key" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Search.cacheKey(Ann.intVec(col("embedding")), lit("nomic"),
+                          lit(null).cast("string"), lit(10)).as("cache_key"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
+
+    // Full pipeline e2e: documents → sentence-chunk (C3 fold) →
+    // hashing-trick embed (E2) → cosine top-5 for an embedded query
+    // string (Q5+Q1). The flagship end-to-end slice of SURVEY §7.2.
+    "q36_pipeline_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = Chunkers.chunkDocuments(docs, "doc_id", "text",
+          ChunkerConfig(chunkSize = 200, strategy = Strategy.Sentence))
+        .withColumn("chunk_id",
+          concat(col("doc_id").cast("string"), lit("_"), col("chunk_id")))
+      val emb = Embedding.embedChunks(chunks, "nomic").toDF()
+      val qv = Embedding.embedQuery("spark query engine performance", "nomic")
+      Search.knn(emb, qv.toSeq, k = 5, provider = Some("nomic"),
+                 tieBreak = Seq(col("chunk_id")))
+        .select(col("chunk_id"), col("score"))
+    }),
+
+    // ANN via sign-random-projection LSH buckets: probe the query's
+    // bucket (+Hamming-1), score only candidates — the 1/2^planes scan.
+    "q37_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queryVec = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val bucketed = Ann.lshBuckets(e, "embedding", nPlanes = 8)
+      Ann.lshTopK(bucketed, "vec_id", "embedding", queryVec, k = 10, nPlanes = 8)
+        .orderBy(col("dot").desc, col("vec_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val Toks =
+    """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
+
+  private def shingleSql(toksExpr: String): String =
+    s"""list_transform(generate_series(1, greatest(len($toksExpr)-2, 0)),
+        i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
+
+  val oracles: Map[String, String] = Map(
+
+    "q21_chunk_fixed" ->
+      """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+                substr(text, (i-1)*100+1, 100) AS content,
+                CAST(i AS BIGINT) AS chunk_number,
+                CAST(ceil(length(text)/100.0) AS BIGINT) AS total_chunks
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_number""",
+
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY text_md5""",
+
+    "q23_ngram_jaccard" ->
+      s"""WITH sh AS (
+            SELECT source, doc_id, list_distinct(${shingleSql("toks")}) AS s
+            FROM (SELECT source, doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) * 2 >=
+                len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+          ORDER BY a_id, b_id""",
+
+    "q24_minhash_lsh" ->
+      s"""WITH sh AS (
+            SELECT doc_id, ${shingleSql("toks")} AS s
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          sigs AS (
+            SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || g)) AS sig
+            FROM sh, unnest(s) AS u(g),
+                 (SELECT unnest(generate_series(0, 7)) AS band) bb
+            GROUP BY doc_id, band)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 count(DISTINCT a.band) AS n_bands
+          FROM sigs a JOIN sigs b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY a_id, b_id""",
+
+    "q25_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($Toks)) AS tok FROM documents),
+          votes AS (
+            SELECT doc_id, j,
+                   sum(CASE WHEN strpos('89abcdef', substr(md5(tok), j+1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS v
+            FROM toks, (SELECT unnest(generate_series(0, 15)) AS j) jj
+            GROUP BY doc_id, j)
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "q26_text_quality" ->
+      s"""SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len($Toks) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+                   AS n_punct,
+                 CAST(len(list_filter($Toks,
+                   w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                      lower(w)))) AS BIGINT) AS n_stopwords,
+                 (n_tokens >= 5 AND n_chars >= 20 AND n_stopwords*100 >= n_tokens*2) AS quality_ok
+         FROM documents ORDER BY doc_id""",
+
+    "q27_langid" -> {
+      val markers = TextStats.LangMarkers.map { case (lang, ws) =>
+        s"""CAST(len(list_filter($Toks,
+             w -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], lower(w)))) AS BIGINT)
+             AS score_$lang"""
+      }.mkString(",\n")
+      // fold argmax exactly as the Spark side: strictly-greater wins
+      val langs = TextStats.LangMarkers.map(_._1)
+      val foldPred = langs.zipWithIndex.foldLeft(("'und'", "CAST(0 AS BIGINT)")) {
+        case ((bl, bs), (lang, _)) =>
+          (s"(CASE WHEN score_$lang > $bs THEN '$lang' ELSE $bl END)",
+           s"(CASE WHEN score_$lang > $bs THEN score_$lang ELSE $bs END)")
+      }._1
+      s"""SELECT doc_id, lang, $markers, $foldPred AS pred_lang
+          FROM documents ORDER BY doc_id"""
+    },
+
+    "q28_fingerprint" ->
+      """SELECT md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+                                                t -> t <> ''), ' ')) AS fp,
+                min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q29_knn_dot" ->
+      """WITH iv AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              FROM embeddings),
+          scored AS (
+            SELECT b.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+            FROM iv a, iv b WHERE a.vec_id = 0)
+          SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id, dot
+          FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    "q30_embed_neardup" ->
+      """WITH iv AS (SELECT label, vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              FROM embeddings),
+          n AS (SELECT label, vec_id, v,
+                       CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM iv)
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) > 0
+            AND CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS HUGEINT)
+                  * list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) * 100
+                >= CAST(a.n2 AS HUGEINT) * b.n2 * 16
+          ORDER BY a_id, b_id""",
+
+    "q31_sessions" ->
+      """WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+            FROM events),
+          flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM lagged),
+          sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                     AS session_no
+            FROM flagged)
+          SELECT user_id, session_no, count(*) AS n_events,
+                 CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                 CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+          FROM sess GROUP BY 1, 2 ORDER BY user_id, session_no""",
+
+    "q32_job_latest" ->
+      """SELECT job_id, status, CAST(epoch_us(ts) AS BIGINT) AS updated_us FROM (
+           SELECT user_id % 50 AS job_id,
+                  CASE WHEN event_type = 'purchase' THEN 'completed'
+                       WHEN event_type = 'error' THEN 'failed'
+                       WHEN event_type = 'signup' THEN 'queued'
+                       ELSE 'running' END AS status,
+                  ts,
+                  row_number() OVER (PARTITION BY user_id % 50
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY job_id""",
+
+    "q33_multimodal_meta" ->
+      """SELECT doc_id,
+                CASE WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+                     ELSE 'text/plain' END AS mime,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                CAST(64 + byte_len % 1856 AS BIGINT) AS width,
+                CAST(64 + (byte_len * 7) % 1016 AS BIGINT) AS height,
+                CAST(1 + byte_len % 30 AS BIGINT) AS n_frames,
+                CAST(least(width, floor(width * 256 / greatest(height, 1)), 256) AS BIGINT) AS fit_w,
+                CAST(least(height, floor(height * 256 / greatest(width, 1)), 256) AS BIGINT) AS fit_h
+         FROM documents ORDER BY doc_id""",
+
+    "q34_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_no FROM (
+           SELECT doc_id,
+                  unnest(generate_series(1, 1 + CAST(octet_length(encode(text)) AS INT) % 30, 5)) AS f
+           FROM documents)
+         ORDER BY doc_id, frame_no""",
+
+    "q35_cache_key" ->
+      """SELECT vec_id,
+                sha256(concat_ws('|',
+                  to_json(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))),
+                  'nomic', '', '10')) AS cache_key
+         FROM embeddings ORDER BY vec_id"""
+  )
+}

@@ -1,0 +1,123 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column —
+  * the scale path beyond the reference's exact brute-force kNN
+  * (solaius/data_pipeline2 `services/vector_storage.py:69-100`, which
+  * script-scores every vector).
+  *
+  * Two tiers:
+  *  - [[intDotTopK]] exact MIPS baseline in integer arithmetic
+  *    (oracle-verifiable bit-for-bit; TakeOrderedAndProject plan);
+  *  - [[lshBuckets]]/[[lshTopK]] sign-random-projection LSH: vectors
+  *    hash to a small bucket id; a query probes only its own bucket
+  *    (plus optional multi-probe neighbors). At 100 TB the bucketed
+  *    table is written partitioned by `bucket`, so a probe reads ~1/2^b
+  *    of the data — partition pruning does the work, no index server.
+  *
+  * Hyperplanes are deterministic (seeded md5 over (plane, dim)), so
+  * bucket assignment is reproducible across runs and engines.
+  */
+object Ann {
+
+  /** Quantize a float vector column to an exact integer grid (1e-3).
+    * The multiply happens in DOUBLE (float×int would stay float in
+    * Spark and round differently than the oracle's double math).
+    */
+  def intVec(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two int-vector columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k by integer-quantized inner product (MIPS baseline).
+    * Ties break on ascending id for determinism.
+    */
+  def intDotTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Float], k: Int = 10): DataFrame = {
+    val q = typedLit(queryVec.map(x => math.round(x * 1000.0).toLong))
+    embeddings
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dot"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
+    * Gaussian plane, good enough for sign-LSH and exactly reproducible.
+    */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(substring(md5(concat_ws("|", lit(plane.toString), dim.cast("string"))), 1, 1)
+           .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
+         lit(1L)).otherwise(lit(-1L))
+
+  /** Sign-random-projection bucket id over `nPlanes` hyperplanes:
+    * bit j = 1 iff Σ_d sign(j,d)·v_d > 0.
+    */
+  def lshBucket(vec: Column, nPlanes: Int = 8): Column = {
+    val iv = intVec(vec)
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(iv, sequence(lit(0), size(iv) - 1), (x, d) => x * planeSign(p, d)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Assign every vector its LSH bucket — the build side of the index.
+    * At scale: `.write.partitionBy("bucket")`.
+    */
+  def lshBuckets(embeddings: DataFrame, vecCol: String, nPlanes: Int = 8): DataFrame =
+    embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+
+  /** ANN top-k: score only vectors in the query's bucket (optionally ±
+    * Hamming-1 probes). Recall < 1 by construction; the candidate scan
+    * is ~n/2^planes rows instead of n.
+    */
+  def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Float], k: Int = 10, nPlanes: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
+    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    val qBucket = (0 until nPlanes).map { p =>
+      val proj = qIv.zipWithIndex.map { case (x, d) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$d".getBytes("UTF-8"))
+        val top = (hex(0) & 0x80) != 0
+        x * (if (top) 1L else -1L)
+      }.sum
+      if (proj > 0) 1L << p else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until nPlanes).map(p => qBucket ^ (1L << p))
+      else Seq(qBucket)
+    val q = typedLit(qIv)
+    bucketed
+      .filter(col("bucket").isInCollection(probes))
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bucket"), col("dot"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest
+    * of `centroids` (small, broadcast), partition by cell. The Spark
+    * plan: broadcast the centroid array, argmin in one pass.
+    */
+  def ivfAssign(embeddings: DataFrame, vecCol: String,
+                centroids: Seq[Seq[Float]]): DataFrame = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"),
+             intDot(intVec(col(vecCol)), typedLit(c.map(x => math.round(x * 1000.0).toLong)))
+               .as("sim"))
+    }
+    // argmax similarity = array_max over (sim, cell) structs
+    embeddings.withColumn("cell",
+      array_max(array(cells.map(s => struct(s.getField("sim").as("sim"),
+                                            s.getField("cell").as("cell"))): _*))
+        .getField("cell"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Search operators (reference Q1–Q5 + F14, SURVEY.md §2.11).
+  *
+  * The reference's kNN is an ES `script_score` brute-force scan —
+  * `cosineSimilarity(query, 'embedding') + 1.0` over every vector
+  * passing the provider term filter, size=k
+  * (solaius/data_pipeline2 `services/vector_storage.py:69-100`). The
+  * Spark expression of the same semantics: filter → cosine column →
+  * `orderBy(desc).limit(k)`, which Catalyst plans as
+  * TakeOrderedAndProject — per-partition top-k, driver merges k·P rows,
+  * never a full sort. That is the correct 100 TB plan for exact kNN.
+  *
+  * The cosine kernel is composed from codegen-friendly higher-order
+  * functions (`zip_with` + `aggregate`), not a Scala UDF — it stays
+  * inside whole-stage codegen.
+  */
+object Search {
+
+  /** F14 — cosine similarity between two array<float>/array<double>
+    * columns, computed in double precision.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+                lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** ES-parity score: cosine + 1.0 (`vector_storage.py:88`). */
+  def esScore(a: Column, b: Column): Column = cosine(a, b) + lit(1.0)
+
+  /** Q1 — exact brute-force kNN of one query vector over an embeddings
+    * DataFrame (column `embedding`), optional provider filter (P2).
+    * Returns the top-k rows with a `score` column, score-descending
+    * with `tieBreak` resolving equal scores deterministically.
+    */
+  def knn(embeddings: DataFrame, queryVec: Seq[Float], k: Int = 10,
+          provider: Option[String] = None,
+          tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val q = typedLit(queryVec)
+    val base = provider.fold(embeddings)(p =>
+      embeddings.filter(col("embedding_provider") === p))
+    base
+      .withColumn("score", esScore(col("embedding"), q))
+      .orderBy(col("score").desc +: tieBreak: _*)
+      .limit(k)
+  }
+
+  /** Q1 batch form — many query vectors at once: broadcast the queries
+    * (small side) against the embeddings scan, score, per-query top-k
+    * via window rank. One shuffle on query_id; the embeddings table is
+    * read once regardless of query count.
+    */
+  def knnBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .crossJoin(broadcast(queries.select(col("query_id"), col("query_vec"))))
+      .withColumn("score", esScore(col("embedding"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk", "query_vec")
+  }
+
+  /** Q2 — metadata filtering: conjunctive equality filters over a JSON
+    * metadata column (the README-declared surface the reference never
+    * wired into its ES query builder — implemented as declared,
+    * SURVEY §2.11 Q2).
+    */
+  def metadataFilter(df: DataFrame, metadataJsonCol: String,
+                     filters: Map[String, String]): DataFrame =
+    filters.foldLeft(df) { case (d, (k, v)) =>
+      d.filter(get_json_object(col(metadataJsonCol), s"$$.$k") === v)
+    }
+
+  /** Q3 — tokenized full-text match: any lowercase word token of the
+    * query appears in the content (ES `match` semantics without tf-idf
+    * ranking; `test_full_pipeline.py:133-139`).
+    */
+  def textMatch(df: DataFrame, contentCol: String, query: String): DataFrame = {
+    val qTokens = typedLit(
+      query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq)
+    df.filter(arrays_overlap(
+      array_distinct(filter(split(lower(col(contentCol)), "\\W+"), t => t =!= "")),
+      qTokens))
+  }
+
+  /** Q4 — deterministic search-cache key:
+    * sha256(embedding|provider|filters|k) (`services/search_cache.py:18-33`).
+    */
+  def cacheKey(queryVec: Column, provider: Column, filtersJson: Column, k: Column): Column =
+    sha2(concat_ws("|", to_json(queryVec), provider,
+                   coalesce(filtersJson, lit("")), k.cast("string")), 256)
+
+  /** Q4 — cache-aside wrapper: probe a persisted cache table by key;
+    * on miss compute via `run` and union the freshly-keyed rows. In
+    * Spark the cache tier is an ordinary table + anti-join, the same
+    * incremental-compute idiom as the embedding cache (E6).
+    */
+  def cachedSearch(cache: DataFrame, key: String, run: () => DataFrame): (DataFrame, Boolean) = {
+    val hit = cache.filter(col("cache_key") === key)
+    if (hit.limit(1).count() > 0) (hit, true)
+    else (run().withColumn("cache_key", lit(key)), false)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension per BASELINE.json; not present in the reference, which
+  * stops at chunking — solaius/data_pipeline2 `services/docling_service.py`).
+  *
+  * Every operator is pure column algebra (whole-stage codegen, no UDFs)
+  * and embarrassingly parallel — at 100 TB these run map-side only, no
+  * shuffle, and every intermediate stays columnar. Counts are exact
+  * integers so a DuckDB oracle can verify them bit-for-bit; ratios are
+  * derived single IEEE divisions (deterministic in both engines).
+  */
+object TextStats {
+
+  /** Whitespace tokens, empties dropped (both engines agree on the
+    * regex class).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish lexer tokens: letter runs | digit runs | single
+    * non-alphanumeric-non-space (the standard pre-tokenizer shape).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Minimal English-ish stopword list used by the quality score;
+    * fixed and public so the oracle can embed the same list.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Quality-signal columns: exact counts a filter can threshold on.
+    * n_chars/n_tokens/n_bpe/punct/stopword counts + the boolean gate
+    * used for corpus filtering (length and stopword-signal bounds).
+    */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_bpe_tokens", size(bpeTokens(t)).cast("long"))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, w => lower(w).isInCollection(Stopwords))).cast("long"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_chars") >= 20 &&
+        col("n_stopwords") * 100 >= col("n_tokens") * 2) // >= 2% stopwords
+  }
+
+  /** Language-ID marker profiles: per-language high-frequency function
+    * words (public linguistic knowledge). Deterministic n-gram-free
+    * heuristic: predicted = argmax language over marker hits, ties to
+    * the lexicographically first language, 'und' when nothing matches.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men"))
+
+  /** Marker-hit count for one language over the token array. */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => lower(w).isInCollection(markers))).cast("long")
+
+  /** Adds `score_<lang>` columns + `pred_lang` (argmax, lexicographic
+    * tie-break, 'und' if all scores are 0).
+    */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withScores = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", langScore(toks, markers))
+    }
+    // argmax with lexicographic tie-break = fold keeping strictly-greater
+    val pred = LangMarkers.map(_._1).foldLeft((lit("und"), lit(0L))) {
+      case ((bestLang, bestScore), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    withScores.withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — robust to case/whitespace-only edits; the cheap first tier
+    * of near-dup detection (full MinHash lives in graft.dedup).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", filter(split(lower(text), "\\s+"), t => t =!= "")))
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.Schemas.{JobStatus, JobType}
+import graft.ingest.Ingest
+import graft.io.Tables
+import graft.jobs.JobLedger
+
+class TablesJobsIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestByKey keeps exactly the newest row per key (ES upsert idiom)") {
+    val df = Seq(
+      ("d1", 1, ts("2025-01-01 00:00:00")),
+      ("d1", 2, ts("2025-01-02 00:00:00")),
+      ("d2", 3, ts("2025-01-01 00:00:00"))).toDF("id", "v", "updated_at")
+    val got = Tables.latestByKey(df, Seq("id"), Seq(col("updated_at")))
+      .select("id", "v").as[(String, Int)].collect().toMap
+    assert(got == Map("d1" -> 2, "d2" -> 3))
+  }
+
+  test("upsert = union + latest-wins") {
+    val existing = Seq(("d1", "old", ts("2025-01-01 00:00:00"))).toDF("id", "s", "updated_at")
+    val updates = Seq(("d1", "new", ts("2025-01-02 00:00:00")),
+                      ("d2", "fresh", ts("2025-01-02 00:00:00"))).toDF("id", "s", "updated_at")
+    val got = Tables.upsert(existing, updates, Seq("id"), Seq(col("updated_at")))
+      .select("id", "s").as[(String, String)].collect().toMap
+    assert(got == Map("d1" -> "new", "d2" -> "fresh"))
+  }
+
+  test("events ts normalization: nanos long → micros timestamp") {
+    val ev = Tables.load(spark, Sf001, "events")
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(ev.limit(1).count() == 1)
+  }
+
+  test("job state machine: legal path queued→running→completed sets timestamps") {
+    val j0 = JobLedger.newJob("j1", JobType.DocumentProcessing, ts("2025-01-01 00:00:00"))
+    val j1 = JobLedger.transition(j0, JobStatus.Running, ts("2025-01-01 00:01:00"))
+    assert(j1.started_at.contains(ts("2025-01-01 00:01:00")))
+    val j2 = JobLedger.transition(j1, JobStatus.Completed, ts("2025-01-01 00:02:00"))
+    assert(j2.completed_at.contains(ts("2025-01-01 00:02:00")) && j2.progress == 1.0)
+  }
+
+  test("job state machine rejects illegal transitions (ST3)") {
+    val j0 = JobLedger.newJob("j1", JobType.DocumentProcessing, ts("2025-01-01 00:00:00"))
+    val done = JobLedger.transition(
+      JobLedger.transition(j0, JobStatus.Running, ts("2025-01-01 00:01:00")),
+      JobStatus.Completed, ts("2025-01-01 00:02:00"))
+    assertThrows[IllegalArgumentException](
+      JobLedger.transition(done, JobStatus.Running, ts("2025-01-01 00:03:00")))
+    assertThrows[IllegalArgumentException](
+      JobLedger.transition(j0, JobStatus.Completed, ts("2025-01-01 00:01:00")))
+  }
+
+  test("mime detection: %PDF, zip magic, text (test_docling_service.py:9-16)") {
+    val df = Seq(
+      ("pdf", "%PDF-1.4 rest".getBytes("US-ASCII")),
+      ("zip", Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00)),
+      ("txt", "plain text".getBytes("US-ASCII"))).toDF("id", "content")
+    val got = df.select($"id", Ingest.detectMime($"content").as("mime"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("pdf" -> "application/pdf", "zip" -> "application/zip",
+                      "txt" -> "text/plain"))
+  }
+
+  test("txt→md rename only rewrites .txt (docling_service.py:188-191)") {
+    val df = Seq("notes.txt", "README.md", "Upper.TXT", "data.csv").toDF("f")
+    val got = df.select(Ingest.txtToMd($"f")).as[String].collect().toSeq
+    assert(got == Seq("notes.md", "README.md", "Upper.md", "data.csv"))
+  }
+
+  test("ingest round-trip: content base64-encoded then decoded intact (S3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    val f = new java.io.File(dir, "doc.txt")
+    java.nio.file.Files.writeString(f.toPath, "# Title\nBody text here.")
+    val docs = Ingest.toDocuments(Ingest.readBinaryDir(spark, dir.getAbsolutePath),
+                                  now = lit(ts("2025-01-01 00:00:00")))
+    val row = docs.collect().head
+    assert(row.getAs[String]("filename") == "doc.md")
+    assert(row.getAs[String]("content_type") == "text/plain")
+    assert(row.getAs[String]("status") == "pending")
+    val decoded = docs.select(Ingest.decodeContent($"content_b64")).as[String].collect().head
+    assert(decoded == "# Title\nBody text here.")
+  }
+}
