@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.VectorExpressions.{CosineSimilarity, LongVecDot}
+
+/** Session extension installing the engine's native functions —
+  * the public `SparkSessionExtensions` injection point. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes two array<float> args")
+        CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("long_vec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "long_vec_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "long_vec_dot(a, b) takes two array<bigint> args")
+        LongVecDot(args(0), args(1))
+      }))
+  }
+}

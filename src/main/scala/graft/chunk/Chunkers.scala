@@ -92,13 +92,45 @@ object Chunkers {
     chunks.result()
   }
 
-  private val SentenceRe = "([^.!?]+[.!?]+(?:\\s+|$))".r
+  /** Sentence extraction equivalent to the reference regex
+    * `([^.!?]+[.!?]+(?:\s+|$))` (`docling_service.py:103-104`) but as a
+    * LINEAR scan — `findAllMatchIn` of that pattern backtracks O(n²) on
+    * terminator-free text (every failed start position rescans to the
+    * end), which dominated whole-corpus chunking. Equivalence to the
+    * regex is pinned by a property test (ChunkersSpec).
+    */
+  private[graft] def extractSentences(content: String): Vector[String] = {
+    @inline def isTerm(c: Char) = c == '.' || c == '!' || c == '?'
+    val n = content.length
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      if (isTerm(content(i))) { i += 1 } // a sentence needs ≥1 non-terminator first
+      else {
+        var j = i
+        while (j < n && !isTerm(content(j))) j += 1
+        if (j == n) i = n // no terminator ahead — nothing can match anymore
+        else {
+          var k = j
+          while (k < n && isTerm(content(k))) k += 1
+          if (k == n) { out += content.substring(i, k); i = n } // `$` branch
+          else if (Character.isWhitespace(content(k))) {
+            var m = k
+            while (m < n && Character.isWhitespace(content(m))) m += 1
+            out += content.substring(i, m) // `\s+` branch (greedy)
+            i = m
+          } else i = k // follow-char fails: every start ≤ k fails too
+        }
+      }
+    }
+    out.result()
+  }
 
   /** C3 — sentence chunker (`docling_service.py:99-171`), including the
     * last-heading quirk and the word-split path for oversize sentences.
     */
   def chunkSentences(content: String, chunkSize: Int): Vector[RawChunk] = {
-    val sentences = SentenceRe.findAllMatchIn(content).map(_.group(1)).toVector
+    val sentences = extractSentences(content)
     // QUIRK (:111-114): headings scanned once over the whole doc — every
     // chunk carries the LAST heading, not the enclosing one.
     val headings: Vector[String] =

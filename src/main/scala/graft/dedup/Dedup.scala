@@ -30,14 +30,28 @@ object Dedup {
     * space), as an array column. Codegen-only: transform over a
     * sequence of positions, `element_at` is 1-based.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextStats.tokens(text)
+  /** Shingles from an ALREADY-MATERIALIZED token-array column.
+    *
+    * Performance note that governs this module's shape: higher-order
+    * functions (transform/aggregate) are CodegenFallback — interpreted,
+    * with no common-subexpression elimination — so if `toks` were the
+    * raw `split(text)` expression, every `element_at` would re-tokenize
+    * the whole document: O(n²) per doc. Callers tokenize in a separate
+    * projection first (CollapseProject keeps multi-referenced non-cheap
+    * aliases materialized), making shingling a single O(n·k) pass.
+    */
+  def shinglesOf(toks: Column, k: Int = 3): Column =
     // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
-  }
+
+  /** Convenience single-expression form (fine for one-off use on short
+    * text; hot paths go through [[shinglesOf]]).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOf(TextStats.tokens(text), k)
 
   /** Exact dedup: group identical texts by md5, keep the smallest id as
     * the canonical representative. One shuffle on the digest.
@@ -72,17 +86,35 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         nBands: Int = 8, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = df
+      .select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("doc"), shinglesOf(col("toks"), shingleK).as("sh"))
     val sigs = sh.select(col("doc"), posexplode(
       array((0 until nBands).map(b => minhashBand(col("sh"), b)): _*)).as(Seq("band", "sig")))
-    val a = sigs.select(col("band"), col("sig"), col("doc").as("a_id"))
-    val b = sigs.select(col("band"), col("sig"), col("doc").as("b_id"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("a_id") < col("b_id"))
+    // bucket → sorted member list → in-bucket pair combinations. One
+    // aggregation instead of a self-join: the upstream (shingle + md5)
+    // pipeline is evaluated once, and pair blowup stays confined to
+    // buckets (which near-dup buckets keep small by construction).
+    bucketPairs(sigs.groupBy(col("band"), col("sig"))
+                    .agg(sort_array(collect_list(col("doc"))).as("ds")))
       .groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("band")).as("n_bands"))
   }
+
+  /** Explode each bucket's sorted member list into its (a < b) pair
+    * combinations — the shared kernel of LSH candidate generation.
+    * Expects a `ds` array column; preserves all other columns.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("ds")) > 1)
+      .withColumn("__pair", explode(flatten(transform(col("ds"),
+        a => transform(filter(col("ds"), b => b > a),
+                       b => struct(a.as("a"), b.as("b")))))))
+      .withColumn("a_id", col("__pair.a"))
+      .withColumn("b_id", col("__pair.b"))
+      .drop("__pair", "ds")
 
   /** Pairwise n-gram Jaccard within a blocking key. Output is exact
     * integers (intersection, union) so thresholds are integer
@@ -90,14 +122,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("doc"),
-                       array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = df
+      .select(col(blockCol).as("blk"), col(idCol).as("doc"),
+              TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("blk"), col("doc"),
+              array_distinct(shinglesOf(col("toks"), shingleK)).as("sh"))
     val sizes = sh.select(col("blk"), col("doc"), size(col("sh")).as("n"))
-    val exA = sh.select(col("blk"), col("doc").as("a_id"), explode(col("sh")).as("g"))
-    val exB = sh.select(col("blk"), col("doc").as("b_id"), explode(col("sh")).as("g"))
-    val inter = exA.join(exB, Seq("blk", "g"))
-      .filter(col("a_id") < col("b_id"))
+    // gram → member list → pair combinations: one shuffle (groupBy on
+    // the gram) instead of a self-join of two exploded branches, and
+    // the shingle pipeline is evaluated once.
+    val inter = bucketPairs(
+        sh.select(col("blk"), explode(col("sh")).as("g"), col("doc"))
+          .groupBy(col("blk"), col("g"))
+          .agg(sort_array(collect_list(col("doc"))).as("ds")))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), Seq("a_id"))
@@ -142,15 +180,14 @@ object Dedup {
       // double multiply before round — float×int stays float in Spark
       transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("iv"))
     val withNorm = q.withColumn("n2",
-      aggregate(col("iv"), lit(0L), (acc, v) => acc + v * v))
+      graft.functions.VectorExpressions.longDot(col("iv"), col("iv")))
     val a = withNorm.select(col("blk"), col("doc").as("a_id"),
                             col("iv").as("iva"), col("n2").as("n2a"))
     val b = withNorm.select(col("blk"), col("doc").as("b_id"),
                             col("iv").as("ivb"), col("n2").as("n2b"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
       .withColumn("dot",
-        aggregate(zip_with(col("iva"), col("ivb"), (x, y) => x * y),
-                  lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorExpressions.longDot(col("iva"), col("ivb")))
       // dot² can exceed int64 → compare in DECIMAL(38,0), exact
       .filter(col("dot") > 0 &&
         col("dot").cast("decimal(38,0)") * col("dot") * thresholdDen >=

@@ -58,9 +58,13 @@ object Pipeline {
     }),
 
     // Pairwise 3-gram Jaccard within a blocking key (source) — integer
-    // threshold: jaccard >= 1/2 ⇔ 2·inter >= union.
+    // threshold: jaccard >= 1/2 ⇔ 2·inter >= union. Scoped to two
+    // blocks: exact pairwise is the VERIFY tier — at scale it runs on
+    // LSH candidates (q24), never the whole corpus.
     "q23_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", "source")
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", "source")
         .filter(col("inter") * 2 >= col("uni"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -201,13 +205,14 @@ object Pipeline {
 
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
-    // Full pipeline e2e: documents → sentence-chunk (C3 fold) →
-    // hashing-trick embed (E2) → cosine top-5 for an embedded query
-    // string (Q5+Q1). The flagship end-to-end slice of SURVEY §7.2.
+    // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
+    // the corpus has no sentence terminators, so C3 would degenerate to
+    // fallback) → hashing-trick embed (E2) → cosine top-5 for an
+    // embedded query string (Q5+Q1). The flagship slice of SURVEY §7.2.
     "q36_pipeline_search" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val chunks = Chunkers.chunkDocuments(docs, "doc_id", "text",
-          ChunkerConfig(chunkSize = 200, strategy = Strategy.Sentence))
+          ChunkerConfig(chunkSize = 60, chunkOverlap = 10, strategy = Strategy.Hybrid))
         .withColumn("chunk_id",
           concat(col("doc_id").cast("string"), lit("_"), col("chunk_id")))
       val emb = Embedding.embedChunks(chunks, "nomic").toDF()
@@ -257,7 +262,8 @@ object Pipeline {
     "q23_ngram_jaccard" ->
       s"""WITH sh AS (
             SELECT source, doc_id, list_distinct(${shingleSql("toks")}) AS s
-            FROM (SELECT source, doc_id, $Toks AS toks FROM documents)
+            FROM (SELECT source, doc_id, $Toks AS toks FROM documents
+                  WHERE source IN ('src0', 'src1'))
             WHERE len(toks) >= 3)
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,

@@ -29,9 +29,12 @@ object Ann {
   def intVec(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two int-vector columns. */
+  /** Exact integer dot product of two int-vector columns — native
+    * codegen'd kernel (integer sums are order-independent, so this is
+    * bit-identical to any fold of the same products).
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.longDot(a, b)
 
   /** Exact top-k by integer-quantized inner product (MIPS baseline).
     * Ties break on ascending id for determinism.
@@ -50,29 +53,31 @@ object Ann {
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.
     */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(substring(md5(concat_ws("|", lit(plane.toString), dim.cast("string"))), 1, 1)
-           .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
-         lit(1L)).otherwise(lit(-1L))
+  private def planeSign(plane: Int, dim: Int): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$dim".getBytes("UTF-8"))
+    if ((dig(0) & 0x80) != 0) 1L else -1L
+  }
 
   /** Sign-random-projection bucket id over `nPlanes` hyperplanes:
-    * bit j = 1 iff Σ_d sign(j,d)·v_d > 0.
+    * bit j = 1 iff Σ_d sign(j,d)·v_d > 0. The plane matrix is computed
+    * ONCE on the driver (plan-time constant); each projection is one
+    * codegen'd dot against a literal ±1 vector — rows never pay a hash.
     */
-  def lshBucket(vec: Column, nPlanes: Int = 8): Column = {
+  def lshBucket(vec: Column, nPlanes: Int = 8, dims: Int = 64): Column = {
     val iv = intVec(vec)
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(iv, sequence(lit(0), size(iv) - 1), (x, d) => x * planeSign(p, d)),
-        lit(0L), (acc, v) => acc + v)
-      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+      val plane = typedLit((0 until dims).map(d => planeSign(p, d)))
+      when(intDot(iv, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
   }
 
   /** Assign every vector its LSH bucket — the build side of the index.
     * At scale: `.write.partitionBy("bucket")`.
     */
-  def lshBuckets(embeddings: DataFrame, vecCol: String, nPlanes: Int = 8): DataFrame =
-    embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+  def lshBuckets(embeddings: DataFrame, vecCol: String, nPlanes: Int = 8,
+                 dims: Int = 64): DataFrame =
+    embeddings.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dims))
 
   /** ANN top-k: score only vectors in the query's bucket (optionally ±
     * Hamming-1 probes). Recall < 1 by construction; the candidate scan
@@ -83,12 +88,7 @@ object Ann {
               multiProbe: Boolean = true): DataFrame = {
     val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
     val qBucket = (0 until nPlanes).map { p =>
-      val proj = qIv.zipWithIndex.map { case (x, d) =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p|$d".getBytes("UTF-8"))
-        val top = (hex(0) & 0x80) != 0
-        x * (if (top) 1L else -1L)
-      }.sum
+      val proj = qIv.zipWithIndex.map { case (x, d) => x * planeSign(p, d) }.sum
       if (proj > 0) 1L << p else 0L
     }.sum
     val probes: Seq[Long] =

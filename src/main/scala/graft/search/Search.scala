@@ -20,17 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** F14 — cosine similarity between two array<float>/array<double>
-    * columns, computed in double precision.
+  /** F14 — cosine similarity between two array<float> columns, computed
+    * in double precision by a native codegen'd expression
+    * ([[graft.functions.VectorExpressions.CosineSimilarity]]). The
+    * composed `aggregate(zip_with(...))` form is semantically identical
+    * but CodegenFallback (interpreted per element) — it dominated query
+    * time on 768-dim vectors.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-                lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column) =
-      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** ES-parity score: cosine + 1.0 (`vector_storage.py:88`). */
   def esScore(a: Column, b: Column): Column = cosine(a, b) + lit(1.0)

@@ -141,6 +141,17 @@ class ChunkersSpec extends AnyFunSuite {
     }
   }
 
+  test("property: linear sentence scanner ≡ the reference regex") {
+    val re = "([^.!?]+[.!?]+(?:\\s+|$))".r
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab .!?\n\t."
+    for (_ <- 1 to 500) {
+      val text = (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val expected = re.findAllMatchIn(text).map(_.group(1)).toVector
+      assert(Chunkers.extractSentences(text) == expected, s"text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   test("property: sentence chunks stay within size + overlap bound") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
