@@ -203,6 +203,44 @@ object Pipeline {
         .orderBy(col("vec_id"))
     }),
 
+    // Chunk-size distribution metrics (reference A2,
+    // `utils/metrics.py:14-18,35-36`): per-ordinal count/min/max/sum/avg
+    // of chunk lengths. avg = exact long sum ÷ count (deterministic —
+    // both engines' partial sums stay integral in double range).
+    "q38_chunk_stats" -> ((s, dir) => {
+      Chunkers.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .groupBy(col("chunk_number").cast("long").as("chunk_number"))
+        .agg(count(lit(1)).as("n_chunks"),
+             min(length(col("content"))).cast("long").as("min_len"),
+             max(length(col("content"))).cast("long").as("max_len"),
+             sum(length(col("content"))).cast("long").as("sum_len"),
+             avg(length(col("content"))).as("avg_len"))
+        .orderBy(col("chunk_number"))
+    }),
+
+    // Tokenized full-text match (Q3 — ES `match` semantics without
+    // tf-idf; `test_full_pipeline.py:133-139`).
+    "q39_text_match" -> ((s, dir) => {
+      Search.textMatch(t(s, dir, "documents"), "text", "stream window")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composed curation pass — quality gate → exact dedup → per-lang
+    // corpus stats: the operators chain without materialization
+    // boundaries, exactly how a production curation DAG runs.
+    "q40_corpus_stats" -> ((s, dir) => {
+      val quality = TextStats.qualitySignals(t(s, dir, "documents"), "text")
+        .filter(col("quality_ok"))
+      val deduped = Dedup.dropExactDuplicates(quality, "doc_id", "text")
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -426,6 +464,45 @@ object Pipeline {
                   to_json(list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))),
                   'nomic', '', '10')) AS cache_key
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    "q38_chunk_stats" ->
+      """SELECT CAST(i AS BIGINT) AS chunk_number, count(*) AS n_chunks,
+                CAST(min(length(c)) AS BIGINT) AS min_len,
+                CAST(max(length(c)) AS BIGINT) AS max_len,
+                CAST(sum(length(c)) AS BIGINT) AS sum_len,
+                avg(length(c)) AS avg_len
+         FROM (SELECT substr(text, (i-1)*100+1, 100) AS c, i FROM
+                (SELECT doc_id, text,
+                        unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+                 FROM documents))
+         GROUP BY 1 ORDER BY chunk_number""",
+
+    "q39_text_match" ->
+      """SELECT doc_id FROM documents
+         WHERE list_has_any(
+           list_distinct(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')),
+           ['stream', 'window'])
+         ORDER BY doc_id""",
+
+    "q40_corpus_stats" ->
+      s"""WITH quality AS (
+            SELECT doc_id, lang, text,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len($Toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter($Toks,
+                     w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                        lower(w)))) AS BIGINT) AS n_stopwords
+            FROM documents),
+          gated AS (
+            SELECT * FROM quality
+            WHERE n_tokens >= 5 AND n_chars >= 20 AND n_stopwords*100 >= n_tokens*2),
+          keepers AS (
+            SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM gated WHERE doc_id IN (SELECT doc_id FROM keepers)
+          GROUP BY lang ORDER BY lang"""
   )
 }

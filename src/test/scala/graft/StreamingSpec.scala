@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.stream.{Inbox, StatusStream}
+import graft.stream.StatusStream.{JobState, StatusUpdate}
+
+/** Streaming operators: the file-source inbox pipeline (ST1-ST2) and
+  * the mapGroupsWithState status machine (ST3 strict variant).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("inbox: files dropped in dir flow through ingest→chunk→embed to parquet") {
+    val in = Files.createTempDirectory("graft_inbox").toFile
+    val out = Files.createTempDirectory("graft_out").toFile
+    Files.writeString(new java.io.File(in, "a.md").toPath,
+      "# Doc A\n\nFirst sentence. Second sentence!")
+    Files.writeString(new java.io.File(in, "b.md").toPath,
+      "# Doc B\n\nOther content here. More words!")
+    val q = Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath)
+    q.awaitTermination(60000) // AvailableNow terminates after draining
+    val docs = spark.read.parquet(s"$out/documents")
+    val chunks = spark.read.parquet(s"$out/chunks")
+    val emb = spark.read.parquet(s"$out/embeddings")
+    assert(docs.count() == 2)
+    assert(docs.select("status").distinct().as[String].collect().toSeq == Seq("completed"))
+    assert(chunks.count() >= 2)
+    // chunk ids are globally unique (doc-prefixed)
+    assert(chunks.select("chunk_id").distinct().count() == chunks.count())
+    assert(emb.count() == chunks.count())
+    assert(emb.select("embedding_provider").distinct().as[String].collect().toSeq == Seq("nomic"))
+  }
+
+  test("status stream: per-job state machine over micro-batches, illegal transitions dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StatusUpdate]
+    val query = StatusStream.run(mem.toDS())
+      .writeStream.format("memory").queryName("job_states")
+      .outputMode(OutputMode.Update()).start()
+
+    mem.addData(
+      StatusUpdate("j1", "running", ts("2025-01-01 00:01:00"), None),
+      StatusUpdate("j2", "cancelled", ts("2025-01-01 00:01:00"), None))
+    query.processAllAvailable()
+    mem.addData(
+      StatusUpdate("j1", "completed", ts("2025-01-01 00:02:00"), None),
+      StatusUpdate("j2", "running", ts("2025-01-01 00:02:00"), None)) // illegal: cancelled absorbs
+    query.processAllAvailable()
+
+    val states = spark.table("job_states").as[JobState].collect()
+      .groupBy(_.job_id).view.mapValues(_.maxBy(_.updated_at.getTime)).toMap
+    assert(states("j1").status == "completed")
+    assert(states("j1").started_at.contains(ts("2025-01-01 00:01:00")))
+    assert(states("j1").completed_at.contains(ts("2025-01-01 00:02:00")))
+    assert(states("j2").status == "cancelled")
+    assert(states("j2").n_transitions == 1) // illegal update did not count
+    query.stop()
+  }
+
+  test("applyUpdates fold: timestamp-ordered, terminal absorbs (pure unit)") {
+    val updates = Iterator(
+      StatusUpdate("j", "completed", ts("2025-01-01 00:03:00"), None),
+      StatusUpdate("j", "running", ts("2025-01-01 00:01:00"), None),
+      StatusUpdate("j", "failed", ts("2025-01-01 00:04:00"), Some("late"))) // after terminal
+    val st = StatusStream.applyUpdates("j", updates, None)
+    assert(st.status == "completed")
+    assert(st.error_message.isEmpty)
+    assert(st.n_transitions == 2)
+  }
+}
