@@ -72,4 +72,34 @@ object Multimodal {
       array(col("byte_len"), col("width"), col("height"), col("n_frames"),
             col("byte_len") % 256, (col("width") * col("height")) % 9973)
         .cast("array<long>"))
+
+  /** Decoded-image batch row (stub codec output shape). */
+  case class DecodedImage(id: Long, width: Int, height: Int, n_pixels: Long)
+
+  /** Batched decode over the binary column — the `mapPartitions` shape
+    * a real codec needs (amortized library init per batch, bounded
+    * batch memory), mirroring how a Python pipeline would use
+    * `mapInPandas`. The codec call itself is the STUB (deterministic
+    * arithmetic on payload bytes); everything around it — partition
+    * iteration, `grouped(batchSize)`, typed output schema — is exactly
+    * what a libjpeg/ffmpeg integration drops into.
+    */
+  def decodeBatches(df: DataFrame, idCol: String, batchSize: Int = 32)
+      : org.apache.spark.sql.Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // <-- real codec init would happen once per batch here
+          batch.iterator.map { case (id, bytes) =>
+            val n = bytes.length.toLong
+            val w = (64 + n % 1856).toInt
+            val h = (64 + (n * 7) % 1016).toInt
+            DecodedImage(id, w, h, w.toLong * h)
+          }
+        }
+      }
+  }
 }

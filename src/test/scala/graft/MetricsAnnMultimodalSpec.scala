@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunkers
+import graft.chunk.Chunkers.{ChunkerConfig, Strategy}
+import graft.metrics.Metrics
+import graft.multimodal.Multimodal
+import graft.search.Ann
+
+class MetricsAnnMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observe: chunk-size metrics ride the action (A2/A5)") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val chunks = Chunkers.chunkDocuments(docs, "doc_id", "text",
+      ChunkerConfig(strategy = Strategy.FixedWidth))
+    val obs = new Observation("chunking")
+    val (n, secs) = Metrics.timed(Metrics.observeChunkSizes(chunks, obs).count())
+    val m = obs.get
+    assert(m("n_chunks") == n)
+    assert(m("max_len").asInstanceOf[Int] <= 100)
+    assert(secs > 0)
+  }
+
+  test("counters: exact counts by dimension (A3/A4)") {
+    val runLog = Seq(("nomic", "success"), ("nomic", "success"), ("granite", "error"))
+      .toDF("provider", "status")
+    val got = Metrics.counters(runLog, "provider", "status")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("nomic", "success", 2L), ("granite", "error", 1L)))
+  }
+
+  test("ANN: LSH finds planted high-cosine neighbors; probe scans a corpus fraction") {
+    // LSH's guarantee is about HIGH-cosine pairs (near-duplicates) —
+    // plant 5 of them among 200 noise vectors and require the probe to
+    // surface them. (The driver corpus's top neighbors sit at cos≈0.3,
+    // where sign-LSH rightly degrades to scanning — that trade-off is
+    // the point of the bucket-fraction assertion below.)
+    val rnd = new scala.util.Random(42)
+    def noiseVec(): Array[Float] = Array.fill(64)((rnd.nextFloat() - 0.5f))
+    val base = (1 to 200).map(i => (i.toLong + 100, noiseVec()))
+    val query = noiseVec()
+    val planted = (1 to 5).map { i =>
+      (i.toLong, query.map(x => x + 0.05f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = (base ++ planted :+ (0L, query)).toDF("vec_id", "embedding")
+    val bucketed = Ann.lshBuckets(df, "embedding", nPlanes = 6)
+    val found = Ann.lshTopK(bucketed, "vec_id", "embedding", query.toSeq,
+                            k = 6, nPlanes = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(found.contains(0L), "query itself must be found")
+    assert((found - 0L).count(_ <= 5) >= 3, s"planted near-dups missed: $found")
+
+    // real corpus: the probe reads a fraction, not the table
+    val e = spark.read.parquet(s"$Sf01/embeddings.parquet")
+    val realBuckets = Ann.lshBuckets(e, "embedding", nPlanes = 8)
+    val qb = realBuckets.filter($"vec_id" === 7).select("bucket").head().getLong(0)
+    val probed = realBuckets.filter($"bucket" === qb).count()
+    assert(probed < e.count() / 4, s"bucket too coarse: $probed rows")
+  }
+
+  test("ivfAssign: every vector lands in a cell, cells partition the corpus") {
+    val e = spark.read.parquet(s"$Sf001/embeddings.parquet")
+    val centroids = e.filter($"vec_id".isin(0L, 1L, 2L, 3L))
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val assigned = Ann.ivfAssign(e, "embedding", centroids)
+    assert(assigned.filter($"cell".isNull).count() == 0)
+    val cells = assigned.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 4).toSet) && cells.size > 1)
+  }
+
+  test("multimodal: batched decode matches the column-expression stub") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet").limit(50)
+    val bin = Multimodal.toBinaryTable(docs, "doc_id", "text")
+    val viaExpr = Multimodal.decodeStub(bin)
+      .select($"doc_id".cast("long"), $"width").as[(Long, Long)]
+      .collect().toMap
+    val viaBatch = Multimodal.decodeBatches(bin, "doc_id")
+      .collect().map(d => d.id -> d.width.toLong).toMap
+    assert(viaBatch == viaExpr)
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(bin))
+    // every doc emits ceil(n_frames/5) sampled frames
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(Multimodal.decodeStub(bin).select($"doc_id", $"n_frames"), "doc_id")
+      .filter($"count" =!= ceil($"n_frames" / lit(5.0)).cast("long"))
+    assert(perDoc.count() == 0)
+  }
+}

@@ -64,6 +64,31 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("watermarked tumbling window emits finalized windows, drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDS().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("ev_windows")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts("2025-01-01 10:00:00"), "click"), (ts("2025-01-01 10:05:00"), "click"))
+    q.processAllAvailable()
+    mem.addData((ts("2025-01-01 11:00:00"), "view"))
+    q.processAllAvailable()
+    // watermark advances on the NEXT batch: trigger one more
+    mem.addData((ts("2025-01-01 11:30:00"), "view"))
+    q.processAllAvailable()
+    val rows = spark.table("ev_windows")
+      .select(col("window.start").cast("string"), col("event_type"), col("count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2025-01-01 10:00:00", "click", 2L)), rows.toString)
+    q.stop()
+  }
+
   test("applyUpdates fold: timestamp-ordered, terminal absorbs (pure unit)") {
     val updates = Iterator(
       StatusUpdate("j", "completed", ts("2025-01-01 00:03:00"), None),
