@@ -69,10 +69,11 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // MinHash-LSH candidate generation: equi-join on (band, min-md5)
+    // MinHash-LSH candidate generation: equi-join on (band, min-hash)
     // buckets — the shuffle-friendly near-dup plan; no O(n²) anywhere.
+    // One md5 per shingle; the digest's four 32-bit slices are the bands.
     "q24_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", nBands = 8)
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", nBands = 4)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -317,9 +318,9 @@ object Pipeline {
             FROM (SELECT doc_id, $Toks AS toks FROM documents)
             WHERE len(toks) >= 3),
           sigs AS (
-            SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || g)) AS sig
+            SELECT doc_id, band, min(substr(md5(g), band*8 + 1, 8)) AS sig
             FROM sh, unnest(s) AS u(g),
-                 (SELECT unnest(generate_series(0, 7)) AS band) bb
+                 (SELECT unnest(generate_series(0, 3)) AS band) bb
             GROUP BY doc_id, band)
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  count(DISTINCT a.band) AS n_bands
