@@ -242,6 +242,53 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // SimHash near-dup pairs: constant-size signatures, then a blocked
+    // self-join filtered by Hamming distance (bit_count of xor) —
+    // signature computation is linear, the pair test is two ALU ops.
+    "q41_simhash_pairs" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+                Dedup.simhash(col("text"), 16).as("sh"))
+      val a = sig.select(col("source"), col("doc_id").as("a_id"), col("sh").as("sha"))
+      val b = sig.select(col("source"), col("doc_id").as("b_id"), col("sh").as("shb"))
+      a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", Dedup.hamming(col("sha"), col("shb")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Exact corpus profiling: the distinct-cardinality scan a pipeline
+    // runs before choosing join strategies (at 100 TB the approximate
+    // form is approx_count_distinct — same plan shape, mergeable
+    // sketches; the exact form here is what an oracle can check).
+    "q42_profile" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        min(col("l_quantity")).cast("long").as("min_qty"),
+        max(col("l_quantity")).cast("long").as("max_qty"))
+    }),
+
+    // Vector centroid sums per label via the typed Aggregator (UDAF) —
+    // partial/final aggregation of primitive long-array buffers. Output
+    // exploded to (label, dim, s) scalar rows: arrow list types carry
+    // engine-specific element nullability that a hash compare trips on.
+    "q43_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), Ann.intVec(col("embedding")).as("iv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+             graft.functions.VectorAggregates.vecSum(64)(col("iv")).as("cs"))
+        .select(col("label"), col("n_vectors"),
+                posexplode(col("cs")).as(Seq("d0", "s")))
+        .select(col("label"), col("n_vectors"),
+                (col("d0") + 1).cast("long").as("dim"), col("s"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -504,6 +551,50 @@ object Pipeline {
                  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM gated WHERE doc_id IN (SELECT doc_id FROM keepers)
-          GROUP BY lang ORDER BY lang"""
+          GROUP BY lang ORDER BY lang""",
+
+    "q41_simhash_pairs" ->
+      s"""WITH toks AS (
+            SELECT source, doc_id, unnest(list_distinct($Toks)) AS tok FROM documents),
+          votes AS (
+            SELECT source, doc_id, j,
+                   sum(CASE WHEN strpos('89abcdef', substr(md5(tok), j+1, 1)) > 0
+                            THEN 1 ELSE -1 END) AS v
+            FROM toks, (SELECT unnest(generate_series(0, 15)) AS j) jj
+            GROUP BY source, doc_id, j),
+          sig AS (
+            SELECT source, doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+                     AS sh
+            FROM votes GROUP BY source, doc_id)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+          FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          ORDER BY a_id, b_id""",
+
+    "q42_profile" ->
+      """SELECT count(*) AS n_rows,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                CAST(min(l_quantity) AS BIGINT) AS min_qty,
+                CAST(max(l_quantity) AS BIGINT) AS max_qty
+         FROM lineitem""",
+
+    "q43_centroids" ->
+      """WITH iv AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          ex AS (
+            SELECT label, i, v[i] AS x
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii),
+          counts AS (SELECT label, count(*) AS n_vectors FROM iv GROUP BY label)
+          SELECT e.label, c.n_vectors, CAST(e.i AS BIGINT) AS dim,
+                 CAST(sum(e.x) AS BIGINT) AS s
+          FROM ex e JOIN counts c ON e.label = c.label
+          GROUP BY e.label, c.n_vectors, e.i
+          ORDER BY e.label, dim"""
   )
 }
