@@ -165,15 +165,22 @@ object Dedup {
     * identical in any engine with md5.
     */
   def simhash(text: Column, bits: Int = 16): Column = {
-    val toks = array_distinct(TextStats.tokens(text))
-    val perBit: Seq[Column] = (0 until bits).map { j =>
-      val votes = aggregate(
-        toks, lit(0L),
-        (acc, t) => acc + when(substring(md5(t), j + 1, 1).isInCollection(
-          Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1L).otherwise(-1L))
-      when(votes > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }
-    perBit.reduce(_ + _)
+    require(bits <= 32, "simhash bits come from the 32 hex digits of one md5")
+    val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // hash each token ONCE (the aggregate's input array), then fold all
+    // bit votes in a single pass — `h` below is a materialized lambda
+    // element, so no md5 is recomputed per bit.
+    val hashes = transform(array_distinct(TextStats.tokens(text)), t => md5(t))
+    val zeros = array((0 until bits).map(_ => lit(0L)): _*)
+    val votes = aggregate(hashes, zeros,
+      (acc, h) => transform(sequence(lit(0), lit(bits - 1)),
+        j => element_at(acc, j + 1) +
+          when(substring(h, j + 1, lit(1)).isInCollection(topBit), 1L).otherwise(-1L)))
+    // signature = Σ 2^j over positive votes (2^j exact in double for j<53)
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+               (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash signatures (bit_count of xor). */
