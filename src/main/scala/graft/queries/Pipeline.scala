@@ -246,15 +246,16 @@ object Pipeline {
     // self-join filtered by Hamming distance (bit_count of xor) —
     // signature computation is linear, the pair test is two ALU ops.
     "q41_simhash_pairs" -> ((s, dir) => {
+      // self-join via aliases of ONE plan: both shuffle exchanges are
+      // identical, so ReuseExchange computes the signatures once
       val sig = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
                 Dedup.simhash(col("text"), 16).as("sh"))
-      val a = sig.select(col("source"), col("doc_id").as("a_id"), col("sh").as("sha"))
-      val b = sig.select(col("source"), col("doc_id").as("b_id"), col("sh").as("shb"))
-      a.join(b, Seq("source")).filter(col("a_id") < col("b_id"))
-        .withColumn("hamming", Dedup.hamming(col("sha"), col("shb")).cast("long"))
+      sig.alias("a").join(sig.alias("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", Dedup.hamming(col("a.sh"), col("b.sh")).cast("long"))
         .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
