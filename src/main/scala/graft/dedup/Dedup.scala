@@ -186,6 +186,32 @@ object Dedup {
   /** Hamming distance between two simhash signatures (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken) over word
+    * shingles: hash each k-word shingle once (md5-hex slice), keep one
+    * minimum per window of `w` consecutive hashes, distinct per doc.
+    * Documents sharing a long-enough run share a fingerprint; near-dup
+    * joins on `fp` — the same bucket-join plan as MinHash.
+    *
+    * Plan care: the size guard is a CHEAP `size(toks)` comparison
+    * BEFORE hashing — filtering on `size(hs)` would be pushed below the
+    * projection and re-evaluate the whole hash array per row.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 3, w: Int = 4): DataFrame = {
+    val toks = df
+      .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("toks"))
+      // ≥ w windows ⇔ ≥ w+k-1... shingles = n-k+1, windows = shingles-w+1
+      .filter(size(col("toks")) >= shingleK + w - 1)
+    val hashes = toks
+      .select(col(idCol), shinglesOf(col("toks"), shingleK).as("sh"))
+      .select(col(idCol),
+              transform(col("sh"), g => substring(md5(g), 1, 8)).as("hs"))
+    hashes.select(col(idCol),
+      explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a
     * blocking key, computed in EXACT integer arithmetic on vectors
     * quantized to a 1e-3 grid — `cos >= t` becomes

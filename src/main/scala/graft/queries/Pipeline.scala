@@ -290,6 +290,14 @@ object Pipeline {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Winnowing fingerprints (rolling shingle hashes, window minima) —
+    // the content-overlap dedup tier: shared fingerprints = shared
+    // runs; near-dup then joins on fp like the MinHash bucket plan.
+    "q44_winnow" -> ((s, dir) => {
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -596,6 +604,26 @@ object Pipeline {
                  CAST(sum(e.x) AS BIGINT) AS s
           FROM ex e JOIN counts c ON e.label = c.label
           GROUP BY e.label, c.n_vectors, e.i
-          ORDER BY e.label, dim"""
+          ORDER BY e.label, dim""",
+
+    "q44_winnow" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT doc_id,
+                   list_transform(
+                     list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks WHERE len(tk) >= 6),
+          minima AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(h)-3),
+                     i -> list_min(h[i:i+3]))) AS fps
+            FROM hs)
+          SELECT doc_id, unnest(fps) AS fp FROM minima
+          ORDER BY doc_id, fp"""
   )
 }

@@ -91,4 +91,5 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", filter(split(lower(text), "\\s+"), t => t =!= "")))
+
 }
