@@ -120,4 +120,26 @@ object Ann {
                                             s.getField("cell").as("cell"))): _*))
         .getField("cell"))
   }
+
+  /** IVF probe: rank the centroids against the query on the driver
+    * (centroid list is tiny), scan only the `nprobe` nearest cells,
+    * exact-score the candidates. With the table partitioned by `cell`,
+    * partition pruning turns the probe into an nprobe/k-cells read.
+    */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              centroids: Seq[Seq[Float]], queryVec: Seq[Float],
+              k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val cIv = c.map(x => math.round(x * 1000.0).toLong)
+      (i, qIv.zip(cIv).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (i, sim) => (-sim, i) }.take(nprobe).map(_._1)
+    val q = typedLit(qIv)
+    assigned
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), col("dot"))
+  }
 }

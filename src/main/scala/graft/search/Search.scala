@@ -104,4 +104,12 @@ object Search {
     if (hit.limit(1).count() > 0) (hit, true)
     else (run().withColumn("cache_key", lit(key)), false)
   }
+
+  /** Q4 — cache invalidation (`services/search_cache.py:64-71`, Redis
+    * SCAN+DELETE by pattern): drop every cached row whose key is in
+    * `invalidKeys` — the anti-join rewrite of a keyed delete; the
+    * overwrite of `cache` with the result is the storage step.
+    */
+  def invalidateCache(cache: DataFrame, invalidKeys: DataFrame): DataFrame =
+    cache.join(invalidKeys.select(col("cache_key")), Seq("cache_key"), "left_anti")
 }

@@ -71,6 +71,27 @@ class MetricsAnnMultimodalSpec extends SparkSpec {
     assert(cells.subsetOf((0 until 4).toSet) && cells.size > 1)
   }
 
+  test("ivfTopK: probes nprobe cells, finds the query's own vector first") {
+    val e = spark.read.parquet(s"$Sf001/embeddings.parquet")
+    val centroids = e.filter($"vec_id".isin(0L, 1L, 2L, 3L))
+      .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val assigned = Ann.ivfAssign(e, "embedding", centroids)
+    val q = e.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val hits = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, q, k = 5)
+      .collect()
+    assert(hits.head.getAs[Long]("vec_id") == 0L) // self is the top hit
+    assert(hits.map(_.getAs[Int]("cell")).toSet.size <= 2) // nprobe bound
+  }
+
+  test("invalidateCache drops exactly the matching keys (set-op rewrite)") {
+    import graft.search.Search
+    val cache = Seq(("k1", "a"), ("k2", "b"), ("k3", "c")).toDF("cache_key", "result")
+    val invalid = Seq("k1", "k3").toDF("cache_key")
+    val left = Search.invalidateCache(cache, invalid)
+      .select("cache_key").as[String].collect().toSet
+    assert(left == Set("k2"))
+  }
+
   test("multimodal: batched decode matches the column-expression stub") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet").limit(50)
     val bin = Multimodal.toBinaryTable(docs, "doc_id", "text")
