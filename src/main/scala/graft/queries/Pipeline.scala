@@ -95,6 +95,9 @@ object Pipeline {
     }),
 
     // Language-ID heuristic: marker-word scores per language + argmax.
+    // (The synthetic corpus uses the same English-ish vocabulary for
+    // every `lang` value, so predictions skew 'en' — the oracle checks
+    // the computation, and the score columns expose the evidence.)
     "q27_langid" -> ((s, dir) => {
       TextStats.languageId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang"),

@@ -103,6 +103,48 @@ object Ann {
       .select(col(idCol), col("bucket"), col("dot"))
   }
 
+  /** Multi-table LSH (OR-construction): `nTables` independent sign-LSH
+    * tables of `nPlanes` bits each — a pair collides if ANY table
+    * buckets them together, so recall compounds: 1-(1-p^b)^L instead of
+    * p^b. The standard recall/scan trade for weak-similarity corpora.
+    * Build side: one bucket column per table (write partitioned by
+    * them, or union L bucketed tables).
+    */
+  def lshBucketsMulti(embeddings: DataFrame, vecCol: String,
+                      nTables: Int = 4, nPlanes: Int = 8, dims: Int = 64): DataFrame =
+    (0 until nTables).foldLeft(embeddings) { (df, t) =>
+      // plane ids offset per table → independent hyperplane sets
+      val iv = intVec(col(vecCol))
+      val bucket = (0 until nPlanes).map { p =>
+        val plane = typedLit((0 until dims).map(d => planeSign(t * nPlanes + p, d)))
+        when(intDot(iv, plane) > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      df.withColumn(s"bucket_$t", bucket)
+    }
+
+  /** Probe all tables for the query's buckets, dedupe candidates, exact
+    * top-k. Candidate set = union over tables of one bucket each.
+    */
+  def lshTopKMulti(bucketed: DataFrame, idCol: String, vecCol: String,
+                   queryVec: Seq[Float], k: Int = 10,
+                   nTables: Int = 4, nPlanes: Int = 8): DataFrame = {
+    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    def qBucket(t: Int): Long = (0 until nPlanes).map { p =>
+      val proj = qIv.zipWithIndex.map { case (x, d) => x * planeSign(t * nPlanes + p, d) }.sum
+      if (proj > 0) 1L << p else 0L
+    }.sum
+    val probe = (0 until nTables)
+      .map(t => col(s"bucket_$t") === qBucket(t))
+      .reduce(_ || _)
+    val q = typedLit(qIv)
+    bucketed
+      .filter(probe)
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dot"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), partition by cell. The Spark
     * plan: broadcast the centroid array, argmin in one pass.

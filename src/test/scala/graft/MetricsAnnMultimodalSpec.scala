@@ -61,6 +61,29 @@ class MetricsAnnMultimodalSpec extends SparkSpec {
     assert(probed < e.count() / 4, s"bucket too coarse: $probed rows")
   }
 
+  test("ANN: multi-table LSH recall dominates single-table on the same planted set") {
+    val rnd = new scala.util.Random(99)
+    def noiseVec(): Array[Float] = Array.fill(64)((rnd.nextFloat() - 0.5f))
+    val query = noiseVec()
+    val base = (1 to 300).map(i => (i.toLong + 100, noiseVec()))
+    val planted = (1 to 8).map { i =>
+      (i.toLong, query.map(x => x + 0.15f * (rnd.nextFloat() - 0.5f)))
+    }
+    val df = (base ++ planted :+ (0L, query)).toDF("vec_id", "embedding")
+    val multi = Ann.lshBucketsMulti(df, "embedding", nTables = 4, nPlanes = 8)
+    val foundMulti = Ann.lshTopKMulti(multi, "vec_id", "embedding", query.toSeq,
+                                      k = 9, nTables = 4, nPlanes = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Ann.lshBuckets(df, "embedding", nPlanes = 8)
+    val foundSingle = Ann.lshTopK(single, "vec_id", "embedding", query.toSeq,
+                                  k = 9, nPlanes = 8, multiProbe = false)
+      .select("vec_id").as[Long].collect().toSet
+    val plantedIds = (1 to 8).map(_.toLong).toSet
+    assert((foundMulti intersect plantedIds).size >= (foundSingle intersect plantedIds).size)
+    assert((foundMulti intersect plantedIds).size >= 4,
+           s"multi-table found only ${foundMulti intersect plantedIds}")
+  }
+
   test("ivfAssign: every vector lands in a cell, cells partition the corpus") {
     val e = spark.read.parquet(s"$Sf001/embeddings.parquet")
     val centroids = e.filter($"vec_id".isin(0L, 1L, 2L, 3L))
