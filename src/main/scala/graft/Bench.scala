@@ -24,7 +24,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // r01's BASELINE covers the 20 relational queries (q01-q20); the
+    // pipeline/scale extensions (q21+) are additional surface — split
+    // the subtotals so the comparable set compares directly.
+    def subtotal(p: String => Boolean) =
+      results.collect { case (k, v) if p(k) => v }.sum
+    val rel = subtotal(k => k.take(3) >= "q01" && k.take(3) <= "q20")
+    val ext = total - rel
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+            s""""subtotals":{"relational_q01_q20":$rel,"pipeline_q21_plus":$ext},""" +
+            s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
