@@ -145,6 +145,22 @@ object Ann {
       .select(col(idCol), col("dot"))
   }
 
+  /** Train the IVF coarse quantizer: k-means over the embedding column
+    * (Spark ML — distributed Lloyd's with k-means|| init, fixed seed).
+    * Returns the centroid list to feed [[ivfAssign]]/[[ivfTopK]]; at
+    * scale you train on a sample and broadcast the result.
+    */
+  def ivfTrain(embeddings: DataFrame, vecCol: String, k: Int,
+               seed: Long = 42L, maxIter: Int = 20): Seq[Seq[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), partition by cell. The Spark
     * plan: broadcast the centroid array, argmin in one pass.

@@ -115,6 +115,19 @@ class MetricsAnnMultimodalSpec extends SparkSpec {
     assert(left == Set("k2"))
   }
 
+  test("ivfTrain: k-means centroids give balanced cells and a working probe") {
+    val e = spark.read.parquet(s"$Sf001/embeddings.parquet")
+    val centroids = Ann.ivfTrain(e, "embedding", k = 8)
+    assert(centroids.size == 8 && centroids.forall(_.size == 64))
+    val assigned = Ann.ivfAssign(e, "embedding", centroids)
+    val cellSizes = assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(cellSizes.size >= 4, s"degenerate clustering: $cellSizes")
+    assert(cellSizes.values.max < e.count(), "one cell swallowed the corpus")
+    val q = e.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0)
+    val hits = Ann.ivfTopK(assigned, "vec_id", "embedding", centroids, q, k = 5, nprobe = 2)
+    assert(hits.collect().head.getAs[Long]("vec_id") == 3L)
+  }
+
   test("multimodal: batched decode matches the column-expression stub") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet").limit(50)
     val bin = Multimodal.toBinaryTable(docs, "doc_id", "text")
