@@ -301,6 +301,18 @@ object Pipeline {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Salted two-phase aggregation (hot-key mitigation): the oracle is
+    // the plain groupBy sum — salting must be result-invariant. Money
+    // in integer cents so partial-sum order can't matter.
+    "q45_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+      graft.io.Skew.saltedSum(ev, "event_type", "cents", "event_id", buckets = 16)
+        .orderBy(col("event_type"))
+    }),
+
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -627,6 +639,11 @@ object Pipeline {
                      i -> list_min(h[i:i+3]))) AS fps
             FROM hs)
           SELECT doc_id, unnest(fps) AS fp FROM minima
-          ORDER BY doc_id, fp"""
+          ORDER BY doc_id, fp""",
+
+    "q45_salted_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
