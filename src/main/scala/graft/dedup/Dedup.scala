@@ -141,18 +141,25 @@ object Dedup {
       .filter(size(col("toks")) >= shingleK)
       .select(col("blk"), col("doc"),
               array_distinct(shinglesOf(col("toks"), shingleK)).as("sh"))
-    val sizes = sh.select(col("blk"), col("doc"), size(col("sh")).as("n"))
     // gram → member list → pair combinations: one shuffle (groupBy on
     // the gram) instead of a self-join of two exploded branches, and
-    // the shingle pipeline is evaluated once.
-    val inter = bucketPairs(
-        sh.select(col("blk"), explode(col("sh")).as("g"), col("doc"))
-          .groupBy(col("blk"), col("g"))
-          .agg(sort_array(collect_list(col("doc"))).as("ds")))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc").as("b_id"), col("n").as("nb")), Seq("b_id"))
+    // the shingle pipeline is evaluated once. Each member carries its
+    // own set size through the bucket, so union needs NO re-join —
+    // (a < b) on the structs orders by doc id (first field).
+    val withN = sh.select(col("blk"), col("doc"), col("sh"), size(col("sh")).as("n"))
+    val buckets = withN
+      .select(col("blk"), explode(col("sh")).as("g"),
+              struct(col("doc"), col("n")).as("m"))
+      .groupBy(col("blk"), col("g"))
+      .agg(sort_array(collect_list(col("m"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    buckets
+      .withColumn("__pair", explode(flatten(transform(col("ds"),
+        a => transform(filter(col("ds"), b => b > a),
+                       b => struct(a.as("a"), b.as("b")))))))
+      .groupBy(col("__pair.a.doc").as("a_id"), col("__pair.b.doc").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("__pair.a.n")).as("na"), first(col("__pair.b.n")).as("nb"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
               col("uni").cast("long").as("uni"))
