@@ -66,4 +66,27 @@ object Ingest {
     */
   def decodeContent(contentB64: Column): Column =
     unbase64(contentB64).cast("string")
+
+  /** Formats the engine accepts natively (reference enumerates its
+    * supported set in `README.md:8-20`; its DoclingService raises
+    * "File format not allowed" otherwise,
+    * `tests/test_docling_service.py:52-60`).
+    */
+  val SupportedExtensions: Seq[String] = Seq("md", "txt", "markdown")
+
+  /** S9 error path — the batch-idiomatic form of the reference's
+    * ConversionError: unsupported rows are FLAGGED failed with the
+    * reference's message rather than thrown (a distributed pipeline
+    * quarantines, it doesn't abort the job for one bad file).
+    */
+  def validateFormat(docs: DataFrame): DataFrame = {
+    val ext = lower(regexp_extract(col("filename"), "\\.([^.]+)$", 1))
+    docs
+      .withColumn("status",
+        when(ext.isInCollection(SupportedExtensions), col("status"))
+          .otherwise(lit("failed")))
+      .withColumn("error_message",
+        when(ext.isInCollection(SupportedExtensions), col("error_message"))
+          .otherwise(lit("File format not allowed")))
+  }
 }

@@ -75,6 +75,17 @@ class TablesJobsIngestSpec extends SparkSpec {
     assert(got == Seq("notes.md", "README.md", "Upper.md", "data.csv"))
   }
 
+  test("unsupported format is quarantined with the reference's message (S9 error path)") {
+    val docs = Seq(
+      ("d1", "notes.md", "pending", null: String),
+      ("d2", "binary.exe", "pending", null: String))
+      .toDF("doc_id", "filename", "status", "error_message")
+    val byId = Ingest.validateFormat(docs).collect().map(r =>
+      r.getAs[String]("doc_id") -> (r.getAs[String]("status"), r.getAs[String]("error_message"))).toMap
+    assert(byId("d1") == ("pending", null))
+    assert(byId("d2") == ("failed", "File format not allowed"))
+  }
+
   test("ingest round-trip: content base64-encoded then decoded intact (S3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
     val f = new java.io.File(dir, "doc.txt")
