@@ -38,6 +38,20 @@ class StreamingSpec extends SparkSpec {
     assert(emb.select("embedding_provider").distinct().as[String].collect().toSeq == Seq("nomic"))
   }
 
+  test("inbox restart: checkpoint resumes exactly-once, no reprocessing") {
+    val in = Files.createTempDirectory("graft_inbox2").toFile
+    val out = Files.createTempDirectory("graft_out2").toFile
+    Files.writeString(new java.io.File(in, "first.md").toPath, "First doc. One sentence!")
+    Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath).awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/documents").count() == 1)
+    // drop a second file and RESTART the query on the same checkpoint
+    Files.writeString(new java.io.File(in, "second.md").toPath, "Second doc. Also here!")
+    Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath).awaitTermination(60000)
+    val docs = spark.read.parquet(s"$out/documents")
+    assert(docs.count() == 2, "second run must process ONLY the new file")
+    assert(docs.select("doc_id").distinct().count() == 2)
+  }
+
   test("status stream: per-job state machine over micro-batches, illegal transitions dropped") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StatusUpdate]
