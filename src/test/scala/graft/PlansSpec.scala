@@ -18,6 +18,10 @@ class PlansSpec extends SparkSpec {
   private def countOccurrences(plan: String, token: String): Int =
     plan.sliding(token.length).count(_ == token)
 
+  test("SparkEntry.entry: flagship query returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q02: predicates and projection push into the parquet scan") {
     val plan = planOf("q02_filter_revenue")
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
