@@ -193,6 +193,37 @@ object Dedup {
   /** Hamming distance between two simhash signatures (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact Hamming-neighbor pairs via multi-index pigeonhole: split the
+    * `bits`-bit signature into `maxHamming + 1` chunks — any pair
+    * within `maxHamming` differs in ≤ maxHamming chunks, so AT LEAST
+    * ONE chunk matches exactly. Candidates come from equi-joining on
+    * (block, chunk-id, chunk-value) buckets; the exact hamming filter
+    * then prunes false candidates. Recall is provably 1.0 — this is
+    * the all-pairs result at a fraction of the pair count.
+    */
+  def simhashPairs(sigs: DataFrame, idCol: String, sigCol: String, blockCol: String,
+                   bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = bits / nChunks
+    require(bits % nChunks == 0, s"bits=$bits must split into ${nChunks} chunks")
+    val mask = (1L << chunkBits) - 1
+    val base = sigs.select(col(blockCol).as("blk"), col(idCol).as("doc"),
+                           col(sigCol).as("sig"))
+    val chunked = base.select(col("blk"), col("doc"), col("sig"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)): _*))
+        .as(Seq("cid", "cval")))
+    bucketPairs(chunked
+        .groupBy(col("blk"), col("cid"), col("cval"))
+        .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ds")))
+      // a pair can share several chunks — dedupe before the exact test
+      .groupBy(col("a_id.doc").as("a_id"), col("b_id.doc").as("b_id"))
+      .agg(first(col("a_id.sig")).as("sa"), first(col("b_id.sig")).as("sb"))
+      .withColumn("hamming", hamming(col("sa"), col("sb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken) over word
     * shingles: hash each k-word shingle once (md5-hex slice), keep one
     * minimum per window of `w` consecutive hashes, distinct per doc.

@@ -249,16 +249,14 @@ object Pipeline {
     // self-join filtered by Hamming distance (bit_count of xor) —
     // signature computation is linear, the pair test is two ALU ops.
     "q41_simhash_pairs" -> ((s, dir) => {
-      // self-join via aliases of ONE plan: both shuffle exchanges are
-      // identical, so ReuseExchange computes the signatures once
+      // multi-index pigeonhole: hamming ≤ 3 over 4 signature chunks ⇒
+      // at least one chunk matches exactly, so candidates come from an
+      // equi-join on chunk buckets — provably the all-pairs result
+      // (the oracle IS the all-pairs form) without the O(n²) join.
       val sig = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
                 Dedup.simhash(col("text"), 16).as("sh"))
-      sig.alias("a").join(sig.alias("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", Dedup.hamming(col("a.sh"), col("b.sh")).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      Dedup.simhashPairs(sig, "doc_id", "sh", "source", bits = 16, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
