@@ -311,6 +311,29 @@ object Pipeline {
         .orderBy(col("event_type"))
     }),
 
+    // CUBE over (event_type, user bucket): all 4 grouping combinations
+    // in one pass (Expand + single shuffle) — the OLAP companion to
+    // q18's ROLLUP.
+    "q46_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+    }),
+
+    // Pivot: event_type values to columns (conditional aggregation
+    // under the hood — the same single-shuffle plan as a plain groupBy).
+    "q47_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_bucket"))
+    }),
+
     // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -642,6 +665,23 @@ object Pipeline {
     "q45_salted_agg" ->
       """SELECT event_type,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q46_cube" ->
+      """SELECT event_type, user_bucket, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value
+               FROM events)
+         GROUP BY CUBE (event_type, user_bucket)
+         ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""",
+
+    "q47_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY user_bucket"""
   )
 }
