@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -16,12 +17,26 @@ object Bench {
     // Warm the executor/codegen/parquet-reader paths once so the first
     // timed query measures the operator, not JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Median of `runs` timings per query, all within one JVM: the box is
+    // shared (driver-side tooling runs concurrently), so a single sample
+    // can be off by 2-10× — the median is the only number worth
+    // comparing across rounds. Queries rotate in the outer loop so one
+    // machine-load spike degrades one sample of many queries rather
+    // than all samples of one query.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (0 until runs).flatMap { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = samples.groupBy(_._1).map { case (name, ts) =>
+      val sorted = ts.map(_._2).sorted
+      name -> sorted(sorted.size / 2)
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // r01's BASELINE covers the 20 relational queries (q01-q20); the
@@ -31,7 +46,8 @@ object Bench {
       results.collect { case (k, v) if p(k) => v }.sum
     val rel = subtotal(k => k.take(3) >= "q01" && k.take(3) <= "q20")
     val ext = total - rel
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+            s""""queries":$qs,""" +
             s""""subtotals":{"relational_q01_q20":$rel,"pipeline_q21_plus":$ext},""" +
             s""""sf":"$sfDir"}""")
     spark.stop()

@@ -132,9 +132,20 @@ object Dedup {
   /** Pairwise n-gram Jaccard within a blocking key. Output is exact
     * integers (intersection, union) so thresholds are integer
     * comparisons: jaccard >= 1/2  ⇔  2·inter >= union.
+    *
+    * `dfCap` is the scale guard: a gram shared by n documents emits
+    * C(n,2) pairs, so one stop-gram in a million-doc block would emit
+    * ~5·10¹¹ rows. Buckets larger than `dfCap` are dropped BEFORE pair
+    * expansion — the standard document-frequency cap: a gram that
+    * common carries no near-dup signal anyway (it's a stopword phrase),
+    * and the resulting `inter` is the df-capped intersection (a lower
+    * bound on true intersection; `na`/`nb` stay full set sizes). This
+    * bounds the worst bucket at C(dfCap,2) pairs, making the plan
+    * linear in corpus size at any scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, shingleK: Int = 3): DataFrame = {
+                        blockCol: String, shingleK: Int = 3,
+                        dfCap: Int = 100): DataFrame = {
     val sh = df
       .select(col(blockCol).as("blk"), col(idCol).as("doc"),
               TextStats.tokens(col(textCol)).as("toks"))
@@ -152,7 +163,9 @@ object Dedup {
               struct(col("doc"), col("n")).as("m"))
       .groupBy(col("blk"), col("g"))
       .agg(sort_array(collect_list(col("m"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      // 2..dfCap members: singleton buckets pair nothing; hot buckets
+      // (grams common to > dfCap docs) are noise with quadratic cost.
+      .filter(size(col("ds")).between(2, dfCap))
     buckets
       .withColumn("__pair", explode(flatten(transform(col("ds"),
         a => transform(filter(col("ds"), b => b > a),

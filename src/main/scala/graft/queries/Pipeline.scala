@@ -60,11 +60,14 @@ object Pipeline {
     // Pairwise 3-gram Jaccard within a blocking key (source) — integer
     // threshold: jaccard >= 1/2 ⇔ 2·inter >= union. Scoped to two
     // blocks: exact pairwise is the VERIFY tier — at scale it runs on
-    // LSH candidates (q24), never the whole corpus.
+    // LSH candidates (q24), never the whole corpus. The dfCap drops
+    // gram buckets shared by > 20 docs before pair expansion — hot
+    // grams are stop-phrases with C(n,2) pair cost and no signal, so
+    // the plan stays linear in corpus size (mirrored in the oracle).
     "q23_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
           t(s, dir, "documents").filter(col("source").isin("src0", "src1")),
-          "doc_id", "text", "source")
+          "doc_id", "text", "source", dfCap = 20)
         .filter(col("inter") * 2 >= col("uni"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -253,10 +256,14 @@ object Pipeline {
       // at least one chunk matches exactly, so candidates come from an
       // equi-join on chunk buckets — provably the all-pairs result
       // (the oracle IS the all-pairs form) without the O(n²) join.
+      // 32-bit signatures → 8-bit chunks → 256 bucket values per chunk:
+      // random-pair collision odds drop from 1/16 to 1/256 per chunk,
+      // so bucket sizes (and the candidate pair count) stay linear at
+      // 100× the corpus where 16-bit/4-bit chunks went quadratic.
       val sig = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
-                Dedup.simhash(col("text"), 16).as("sh"))
-      Dedup.simhashPairs(sig, "doc_id", "sh", "source", bits = 16, maxHamming = 3)
+                Dedup.simhash(col("text"), 32).as("sh"))
+      Dedup.simhashPairs(sig, "doc_id", "sh", "source", bits = 32, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -390,18 +397,28 @@ object Pipeline {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY text_md5""",
 
+    // df-capped gram buckets (mirrors Dedup.ngramJaccardPairs dfCap=20):
+    // inter counts only grams shared by 2..20 docs in the block; na/nb
+    // stay full distinct-shingle counts.
     "q23_ngram_jaccard" ->
       s"""WITH sh AS (
             SELECT source, doc_id, list_distinct(${shingleSql("toks")}) AS s
             FROM (SELECT source, doc_id, $Toks AS toks FROM documents
                   WHERE source IN ('src0', 'src1'))
-            WHERE len(toks) >= 3)
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
-          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.s, b.s)) * 2 >=
-                len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+            WHERE len(toks) >= 3),
+          e AS (SELECT source, doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+          capped AS (
+            SELECT source, g FROM e GROUP BY source, g
+            HAVING count(*) BETWEEN 2 AND 20),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb
+            FROM e a
+            JOIN e b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+            JOIN capped c ON c.source = a.source AND c.g = a.g)
+          SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS inter,
+                 CAST(min(na) + min(nb) - count(*) AS BIGINT) AS uni
+          FROM p GROUP BY a_id, b_id
+          HAVING count(*) * 2 >= min(na) + min(nb) - count(*)
           ORDER BY a_id, b_id""",
 
     "q24_minhash_lsh" ->
@@ -605,7 +622,7 @@ object Pipeline {
             SELECT source, doc_id, j,
                    sum(CASE WHEN strpos('89abcdef', substr(md5(tok), j+1, 1)) > 0
                             THEN 1 ELSE -1 END) AS v
-            FROM toks, (SELECT unnest(generate_series(0, 15)) AS j) jj
+            FROM toks, (SELECT unnest(generate_series(0, 31)) AS j) jj
             GROUP BY source, doc_id, j),
           sig AS (
             SELECT source, doc_id,
