@@ -25,10 +25,12 @@ import graft.text.TextStats
   *  - derived ints cast to LONG; every query totally ordered.
   *
   * Queries whose semantics are sequential folds or hashing-trick
-  * embeddings (sentence/markdown chunkers, LSH ANN, e2e pipeline) have
+  * embeddings (sentence/markdown chunkers, the e2e pipeline q36) have
   * no SQL oracle — they are registered without `oracleSql` and the
   * driver records a rows-only check; their exact semantics are pinned by
-  * ScalaTest specs instead.
+  * ScalaTest specs instead. Even the LSH ANN probe (q37) and IVF assign
+  * (q48) are oracle-checked: their hyperplanes/centroids are plan-time
+  * constants baked into generated SQL.
   */
 object Pipeline {
 
@@ -341,7 +343,34 @@ object Pipeline {
         .orderBy(col("user_bucket"))
     }),
 
-    // --- rows-only (no SQL oracle; semantics pinned by ScalaTest) ---
+    // IVF coarse quantization (the ANN scale path's build side): assign
+    // every vector to its nearest centroid cell — at 100 TB the table
+    // is then written partitionBy("cell") and a probe reads nprobe
+    // cells via partition pruning (Ann.ivfTopK). Centroids here are
+    // per-label integer means (floor(sum/n) on the 1e-3 grid): a
+    // deterministic seeded-init analogue both engines derive exactly;
+    // the KMeans-trained variant (Ann.ivfTrain) is spec'd but its
+    // centroids are not reproducible by a SQL oracle. The collect is a
+    // k-row aggregate (k = #labels) — the broadcast-small-side pattern.
+    "q48_ivf_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e
+        .select(col("label").cast("long").as("label"),
+                Ann.intVec(col("embedding")).as("iv"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             graft.functions.VectorAggregates.vecSum(64)(col("iv")).as("cs"))
+        .orderBy(col("label"))
+        .collect()
+        .map(r => (r.getLong(0),
+                   r.getSeq[Long](2).map(x => Math.floorDiv(x, r.getLong(1)))))
+        .toSeq
+      Ann.ivfAssignInt(e, "embedding", cents)
+        .select(col("vec_id"), col("cell"), col("cdot"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- q36 is rows-only (no SQL oracle; pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
     // the corpus has no sentence terminators, so C3 would degenerate to
@@ -362,6 +391,9 @@ object Pipeline {
 
     // ANN via sign-random-projection LSH buckets: probe the query's
     // bucket (+Hamming-1), score only candidates — the 1/2^planes scan.
+    // Oracle-checked: the ±1 hyperplanes are plan-time constants
+    // (Ann.planeSigns), baked as literals into generated SQL, so bucket
+    // ids and the probe set reproduce bit-for-bit in DuckDB.
     "q37_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queryVec = e.filter(col("vec_id") === 0)
@@ -699,6 +731,62 @@ object Pipeline {
                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY 1 ORDER BY user_bucket"""
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
+
+    // per-label floor(sum/n) centroids, argmax dot with ties to the
+    // HIGHEST cell (row_number ... ORDER BY sim DESC, cell DESC) —
+    // mirrors Ann.ivfAssignInt's array_max over (sim, cell) structs.
+    "q48_ivf_assign" ->
+      """WITH iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          sums AS (
+            SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+            GROUP BY label, i),
+          counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+          cent AS (
+            SELECT s.label AS cell,
+                   list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+            FROM sums s JOIN counts c ON s.label = c.label
+            GROUP BY s.label),
+          scored AS (
+            SELECT iv.vec_id, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * cent.cv[i])) AS BIGINT) AS sim
+            FROM iv CROSS JOIN cent),
+          best AS (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+            FROM scored)
+          SELECT vec_id, cell, sim AS cdot FROM best WHERE rn = 1 ORDER BY vec_id""",
+
+    // sign-LSH: the ±1 hyperplane rows are plan-time constants shared
+    // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
+    // = Σ 2^p over positive projections, probes = query bucket plus its
+    // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    "q37_ann_lsh" -> {
+      val planes = graft.search.Ann.planeSigns(nPlanes = 8, dims = 64)
+      val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+        val lst = pl.mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             i -> v[i] * ($lst)[i])) > 0 THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      val probes = (0 until 8).map(p => s"b.bucket = xor(q.qb, ${1L << p})")
+        .mkString(" OR ")
+      s"""WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM iv),
+          q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+          SELECT vec_id, bucket,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> b.v[i] * q.qv[i])) AS BIGINT) AS dot
+          FROM b, q
+          WHERE b.bucket = q.qb OR $probes
+          ORDER BY dot DESC, vec_id LIMIT 10"""
+    }
   )
 }

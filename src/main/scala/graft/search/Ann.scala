@@ -41,13 +41,20 @@ object Ann {
     */
   def intDotTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                  queryVec: Seq[Float], k: Int = 10): DataFrame = {
-    val q = typedLit(queryVec.map(x => math.round(x * 1000.0).toLong))
+    val q = typedLit(queryVec.map(quantizeL))
     embeddings
       .withColumn("dot", intDot(intVec(col(vecCol)), q))
       .orderBy(col("dot").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("dot"))
   }
+
+  /** Driver-side analogue of [[intVec]]'s per-element quantization:
+    * HALF_UP away from zero, matching Spark's and DuckDB's `round` on
+    * doubles (`Math.round` would round -0.5 toward +∞ and diverge).
+    */
+  def quantizeL(x: Float): Long =
+    BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
@@ -58,6 +65,13 @@ object Ann {
       .digest(s"$plane|$dim".getBytes("UTF-8"))
     if ((dig(0) & 0x80) != 0) 1L else -1L
   }
+
+  /** The full ±1 hyperplane table — exposed so an external oracle (SQL
+    * generated at plan time) can bake the same literals and reproduce
+    * bucket ids bit-for-bit.
+    */
+  def planeSigns(nPlanes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until nPlanes).map(p => (0 until dims).map(d => planeSign(p, d)))
 
   /** Sign-random-projection bucket id over `nPlanes` hyperplanes:
     * bit j = 1 iff Σ_d sign(j,d)·v_d > 0. The plane matrix is computed
@@ -86,7 +100,7 @@ object Ann {
   def lshTopK(bucketed: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Float], k: Int = 10, nPlanes: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
-    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    val qIv = queryVec.map(quantizeL)
     val qBucket = (0 until nPlanes).map { p =>
       val proj = qIv.zipWithIndex.map { case (x, d) => x * planeSign(p, d) }.sum
       if (proj > 0) 1L << p else 0L
@@ -128,7 +142,7 @@ object Ann {
   def lshTopKMulti(bucketed: DataFrame, idCol: String, vecCol: String,
                    queryVec: Seq[Float], k: Int = 10,
                    nTables: Int = 4, nPlanes: Int = 8): DataFrame = {
-    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    val qIv = queryVec.map(quantizeL)
     def qBucket(t: Int): Long = (0 until nPlanes).map { p =>
       val proj = qIv.zipWithIndex.map { case (x, d) => x * planeSign(t * nPlanes + p, d) }.sum
       if (proj > 0) 1L << p else 0L
@@ -169,7 +183,7 @@ object Ann {
                 centroids: Seq[Seq[Float]]): DataFrame = {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"),
-             intDot(intVec(col(vecCol)), typedLit(c.map(x => math.round(x * 1000.0).toLong)))
+             intDot(intVec(col(vecCol)), typedLit(c.map(quantizeL)))
                .as("sim"))
     }
     // argmax similarity = array_max over (sim, cell) structs
@@ -177,6 +191,26 @@ object Ann {
       array_max(array(cells.map(s => struct(s.getField("sim").as("sim"),
                                             s.getField("cell").as("cell"))): _*))
         .getField("cell"))
+  }
+
+  /** [[ivfAssign]] over ALREADY-INTEGER centroids carrying explicit
+    * cell ids — the oracle-exact form: both engines compute the same
+    * integer dots against the same literal vectors, so assignment (and
+    * the winning dot) is bit-identical. Ties on the dot pick the
+    * HIGHEST cell id (struct array_max compares (sim, cell)
+    * lexicographically); an oracle must fold with `>=` ascending.
+    */
+  def ivfAssignInt(embeddings: DataFrame, vecCol: String,
+                   centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cells = centroids.map { case (id, c) =>
+      struct(intDot(intVec(col(vecCol)), typedLit(c)).as("sim"),
+             lit(id).as("cell"))
+    }
+    embeddings
+      .withColumn("__best", array_max(array(cells: _*)))
+      .withColumn("cell", col("__best.cell"))
+      .withColumn("cdot", col("__best.sim"))
+      .drop("__best")
   }
 
   /** IVF probe: rank the centroids against the query on the driver
@@ -187,9 +221,9 @@ object Ann {
   def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
               centroids: Seq[Seq[Float]], queryVec: Seq[Float],
               k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val qIv = queryVec.map(x => math.round(x * 1000.0).toLong)
+    val qIv = queryVec.map(quantizeL)
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      val cIv = c.map(x => math.round(x * 1000.0).toLong)
+      val cIv = c.map(quantizeL)
       (i, qIv.zip(cIv).map { case (a, b) => a * b }.sum)
     }.sortBy { case (i, sim) => (-sim, i) }.take(nprobe).map(_._1)
     val q = typedLit(qIv)
