@@ -203,6 +203,40 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** SimHash signatures for a whole table — the codegen'd bulk form of
+    * [[simhash]]: explode distinct tokens, hash each once, aggregate
+    * per-bit set-counts, signature bit j set iff 2·ones_j > n (⇔ the
+    * ±1 vote sum is positive — identical values to [[simhash]]).
+    *
+    * Why a second form: the scalar [[simhash]] folds votes with
+    * `aggregate`/`transform`, which are CodegenFallback — ~bits
+    * interpreted ops per token. Here the whole plan is whole-stage
+    * codegen (projection + one HashAggregate with `bits` conditional
+    * sums), one shuffle on the doc key — the shape that survives 100×.
+    * `keepCols` are carried through the aggregate (e.g. the blocking
+    * key for [[simhashPairs]]).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        keepCols: Seq[String] = Nil, bits: Int = 32): DataFrame = {
+    require(bits <= 32, "simhash bits come from the 32 hex digits of one md5")
+    val topBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val keep = keepCols.map(col)
+    val base = df
+      .select(col(idCol).as("doc") +: keep :+ TextStats.tokens(col(textCol)).as("toks"): _*)
+      // explode_OUTER: zero-token docs must keep their (vote-free → 0)
+      // signature, matching the scalar form
+      .select(col("doc") +: keep :+ explode_outer(array_distinct(col("toks"))).as("tok"): _*)
+      .select(col("doc") +: keep :+ md5(col("tok")).as("h"): _*)
+    val sums = (0 until bits).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(topBit), 1L)
+        .otherwise(0L)).as(s"s$j"))
+    val agg = base.groupBy(col("doc") +: keep: _*)
+      .agg(count(col("h")).as("n"), sums: _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc").as(idCol) +: keep :+ sig.as("simhash"): _*)
+  }
+
   /** Hamming distance between two simhash signatures (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

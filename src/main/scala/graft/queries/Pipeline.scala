@@ -83,10 +83,10 @@ object Pipeline {
     }),
 
     // SimHash signatures (16 bits from md5 digit votes over distinct
-    // tokens) — constant-size fingerprint per doc, map-side only.
+    // tokens) — constant-size fingerprint per doc; the codegen bulk
+    // form (explode + conditional-sum aggregate), one shuffle.
     "q25_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text", bits = 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -262,9 +262,9 @@ object Pipeline {
       // random-pair collision odds drop from 1/16 to 1/256 per chunk,
       // so bucket sizes (and the candidate pair count) stay linear at
       // 100× the corpus where 16-bit/4-bit chunks went quadratic.
-      val sig = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-                Dedup.simhash(col("text"), 32).as("sh"))
+      val sig = Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+          keepCols = Seq("source"), bits = 32)
+        .withColumnRenamed("simhash", "sh")
       Dedup.simhashPairs(sig, "doc_id", "sh", "source", bits = 32, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -368,6 +368,24 @@ object Pipeline {
       Ann.ivfAssignInt(e, "embedding", cents)
         .select(col("vec_id"), col("cell"), col("cdot"))
         .orderBy(col("vec_id"))
+    }),
+
+    // S9 — PDF conversion gate: wrap each document's text into a real
+    // single-page PDF (deterministic fixture generator), extract it
+    // back with the content-stream parser, chunk the result. The
+    // oracle chunks the ORIGINAL text — extraction must be an exact
+    // roundtrip through actual PDF syntax (escapes, streams, show
+    // ops). Malformed-PDF tolerance is pinned separately in PdfSpec.
+    "q49_pdf_roundtrip" -> ((s, dir) => {
+      val extracted = t(s, dir, "documents")
+        .select(col("doc_id"), graft.ingest.Pdf.wrap(col("text")).as("pdf"))
+        .select(col("doc_id"), graft.ingest.Pdf.extract(col("pdf")).as("text"))
+      Chunkers.chunkDocuments(extracted, "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .select(col("doc_id"), col("chunk_id"), col("content"),
+                col("chunk_number").cast("long").as("chunk_number"),
+                col("total_chunks").cast("long").as("total_chunks"))
+        .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
     // --- q36 is rows-only (no SQL oracle; pinned by ScalaTest) ---
@@ -732,6 +750,18 @@ object Pipeline {
                 CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events GROUP BY 1 ORDER BY user_bucket""",
+
+    // the oracle chunks the ORIGINAL text — identical output proves the
+    // PDF generate→extract roundtrip is exact (same SQL as q21).
+    "q49_pdf_roundtrip" ->
+      """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+                substr(text, (i-1)*100+1, 100) AS content,
+                CAST(i AS BIGINT) AS chunk_number,
+                CAST(ceil(length(text)/100.0) AS BIGINT) AS total_chunks
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_number""",
 
     // per-label floor(sum/n) centroids, argmax dot with ties to the
     // HIGHEST cell (row_number ... ORDER BY sim DESC, cell DESC) —

@@ -65,4 +65,17 @@ class LedgerSearchWinnowSpec extends SparkSpec {
       .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((fps4(1L) intersect fps4(4L)).nonEmpty, "edited doc must share prefix fingerprints")
   }
+
+  test("simhashSignatures (codegen bulk form) ≡ scalar simhash, incl. empty docs") {
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+      .union(Seq((-1L, ""), (-2L, "   "), (-3L, "one")).toDF("doc_id", "text"))
+    Seq(16, 32).foreach { bits =>
+      val scalar = docs.select($"doc_id", Dedup.simhash($"text", bits).as("sig"))
+      val bulk = Dedup.simhashSignatures(docs, "doc_id", "text", bits = bits)
+        .withColumnRenamed("simhash", "sig")
+      assert(scalar.except(bulk).count() === 0 && bulk.except(scalar).count() === 0,
+             s"forms diverge at bits=$bits")
+    }
+  }
 }
