@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *    in the reference; kept as an operator because it is the only
   *    oracle-expressible chunker).
   *  - hybrid (:212-236) delegates to an external tokenizer-backed
-  *    library; re-expressed as a deterministic word-budget packer with
-  *    word overlap — documented approximation (SURVEY §7.4 risk 1).
+  *    library; re-expressed as a deterministic packer whose budget unit
+  *    is the BPE-ish lexer token count (the same lexer TextStats uses),
+  *    with token-budgeted overlap — words stay atomic (SURVEY §7.4
+  *    risk 1, narrowed from char/word budgets to token budgets).
   */
 object Chunkers {
 
@@ -170,34 +172,76 @@ object Chunkers {
     chunks.result()
   }
 
-  /** C1 — deterministic stand-in for the tokenizer-backed HybridChunker
-    * (`docling_service.py:212-236`): packs whitespace tokens into
-    * windows of `chunkSize` tokens with `chunkOverlap` tokens of
-    * overlap, heading context = nearest preceding heading.
+  /** BPE-ish token count of one whitespace-free word: letter runs +
+    * digit runs + one per other char — the exact Scala twin of
+    * [[graft.text.TextStats.bpeTokens]]'s regex
+    * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (ASCII classes, like the regex).
+    */
+  private[graft] def bpeCount(w: String): Int = {
+    @inline def az(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    @inline def dg(c: Char) = c >= '0' && c <= '9'
+    var i = 0
+    var n = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (az(c)) { while (i < w.length && az(w.charAt(i))) i += 1; n += 1 }
+      else if (dg(c)) { while (i < w.length && dg(w.charAt(i))) i += 1; n += 1 }
+      else { n += 1; i += 1 }
+    }
+    n
+  }
+
+  /** C1 — deterministic equivalent of the tokenizer-backed
+    * HybridChunker (`docling_service.py:212-236`, which packs by HF
+    * tokenizer token count): words are atomic, each COSTS its BPE-ish
+    * token count ([[bpeCount]] — the same lexer the corpus statistics
+    * use), windows pack greedily to `chunkSize` tokens, and the next
+    * window re-opens on the longest previous-window suffix within
+    * `chunkOverlap` tokens. Heading context = nearest preceding
+    * heading. A single word costing more than `chunkSize` forms its
+    * own over-budget window (words are never split).
     */
   def chunkHybrid(content: String, chunkSize: Int, chunkOverlap: Int): Vector[RawChunk] = {
-    case class Tok(text: String, heading: Option[String])
+    case class Tok(text: String, heading: Option[String], cost: Int)
     val toks = Vector.newBuilder[Tok]
     var heading: Option[String] = None
     for (line <- content.split("\n", -1)) {
       if (line.startsWith("#")) heading = Some(line.trim)
-      else for (w <- line.split("\\s+") if w.nonEmpty) toks += Tok(w, heading)
+      else for (w <- line.split("\\s+") if w.nonEmpty) toks += Tok(w, heading, bpeCount(w))
     }
     val tokens = toks.result()
-    if (tokens.isEmpty) Vector.empty
-    else {
-      val step = math.max(1, chunkSize - chunkOverlap)
-      (0 until tokens.length by step).iterator
-        .map { start =>
-          val slice = tokens.slice(start, start + chunkSize)
-          RawChunk(slice.map(_.text).mkString(" "),
-                   slice.head.heading.toVector)
+    val n = tokens.length
+    val out = Vector.newBuilder[RawChunk]
+    var prevText: String = null
+    var start = 0
+    while (start < n) {
+      var end = start
+      var cost = 0
+      while (end < n && (end == start || cost + tokens(end).cost <= chunkSize)) {
+        cost += tokens(end).cost
+        end += 1
+      }
+      val slice = tokens.slice(start, end)
+      val text = slice.map(_.text).mkString(" ")
+      // a trailing window fully contained in the previous one adds no text
+      if (prevText == null || !prevText.endsWith(text)) {
+        out += RawChunk(text, slice.head.heading.toVector)
+        prevText = text
+      }
+      if (end >= n) start = n
+      else {
+        // overlap: longest suffix within the overlap token budget;
+        // start+1 floor guarantees forward progress
+        var s2 = end
+        var oc = 0
+        while (s2 > start + 1 && oc + tokens(s2 - 1).cost <= chunkOverlap) {
+          oc += tokens(s2 - 1).cost
+          s2 -= 1
         }
-        // a trailing window fully contained in the previous one adds no text
-        .foldLeft(Vector.empty[RawChunk]) { (acc, c) =>
-          if (acc.nonEmpty && acc.last.text.endsWith(c.text)) acc else acc :+ c
-        }
+        start = s2
+      }
     }
+    out.result()
   }
 
   /** C7 — fixed-width 100-char slices (`document_processor.py:134-144`). */

@@ -110,16 +110,27 @@ class ChunkersSpec extends AnyFunSuite {
 
   // --- hybrid (token-window approximation of C1) ---
 
-  test("hybrid: windows carry overlap and cover all tokens") {
+  test("hybrid: windows respect the BPE-token budget, overlap, cover all tokens") {
+    // each "wN" costs 2 BPE tokens (letter run + digit run)
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
     val cs = Chunkers.chunkHybrid(text, 20, 5)
     val words = cs.flatMap(_.text.split(" "))
     assert(words.toSet == (1 to 100).map(i => s"w$i").toSet)
-    // consecutive windows share `overlap` tokens
+    // budget: every window within chunkSize BPE tokens
+    assert(cs.forall(_.text.split(" ").map(Chunkers.bpeCount).sum <= 20))
+    // overlap: windows re-open on the longest suffix within 5 BPE
+    // tokens — here 2 words (cost 4; a third would cost 6)
     assert(cs.sliding(2).forall {
-      case Vector(a, b) => a.text.split(" ").takeRight(5).sameElements(b.text.split(" ").take(5))
+      case Vector(a, b) => a.text.split(" ").takeRight(2).sameElements(b.text.split(" ").take(2))
       case _            => true
     })
+  }
+
+  test("hybrid: oversize single word forms its own over-budget window; words never split") {
+    val text = "short " + ("x1" * 40) + " tail words here"
+    val cs = Chunkers.chunkHybrid(text, 10, 2)
+    assert(cs.exists(_.text == "x1" * 40), "oversize word kept atomic")
+    assert(cs.flatMap(_.text.split(" ")).toSet == text.split(" ").toSet)
   }
 
   // --- seeded property checks ---

@@ -66,6 +66,15 @@ class LedgerSearchWinnowSpec extends SparkSpec {
     assert((fps4(1L) intersect fps4(4L)).nonEmpty, "edited doc must share prefix fingerprints")
   }
 
+  test("Chunkers.bpeCount ≡ size(TextStats.bpeTokens) on gnarly words") {
+    import graft.chunk.Chunkers
+    import graft.text.TextStats
+    val words = Seq("hello", "x9y", "can't", "a-b_c", "...", "café", "123abc456", "@@@")
+    val viaCol = words.toDF("w")
+      .select(size(TextStats.bpeTokens($"w"))).as[Int].collect().toSeq
+    assert(words.map(Chunkers.bpeCount) == viaCol)
+  }
+
   test("simhashSignatures (codegen bulk form) ≡ scalar simhash, incl. empty docs") {
     val docs = spark.read.parquet(s"$Sf001/documents.parquet")
       .select($"doc_id", $"text").limit(100)
