@@ -1,0 +1,218 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Schemas.{JobRow, JobStatus, JobType}
+import graft.chunk.Chunkers
+import graft.chunk.Chunkers.{ChunkerConfig, Strategy}
+import graft.embed.Embedding
+import graft.ingest.Ingest
+import graft.io.Tables
+import graft.jobs.JobLedger
+import graft.metrics.Metrics
+import graft.search.Search
+
+/** End-to-end driver program — the Spark-app analogue of the
+  * reference's CLI + API surface (solaius/data_pipeline2
+  * `cli/main.py:14-51`, `api/routes/documents.py:26-130`):
+  *
+  * {{{
+  * graft.Main ingest <inputDir> <storeDir> [provider]
+  * graft.Main status <storeDir> <docId>
+  * graft.Main search <storeDir> <query> [provider] [k]
+  * }}}
+  *
+  * `upload` becomes a distributed `binaryFile` scan of a directory (N
+  * clients POSTing files ≡ N files in a prefix); the store is a set of
+  * parquet tables (the engine's ES/Redis analogue — at 100 TB these
+  * are bucketed tables behind a real table format, and the
+  * write-new-then-swap below is the table format's atomic commit).
+  *
+  * The ingest run is fully ledgered (jobs table: queued → running →
+  * completed/failed per document) and observed (A2/A4 metrics ride the
+  * write actions via `df.observe` — no second scan; persisted to a
+  * run-log table for A3/A5 counter queries).
+  */
+object Main {
+
+  case class IngestReport(nDocs: Long, nFailed: Long, nChunks: Long,
+                          nEmbedded: Long, observed: Map[String, Any])
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: in :: store :: rest =>
+      val spark = session()
+      val r = runIngest(spark, in, store, rest.headOption.getOrElse("nomic"),
+                        new Timestamp(System.currentTimeMillis()))
+      println(s"""{"ingested":${r.nDocs},"failed":${r.nFailed},""" +
+              s""""chunks":${r.nChunks},"embedded":${r.nEmbedded}}""")
+      spark.stop()
+    case "status" :: store :: docId :: Nil =>
+      val spark = session()
+      runStatus(spark, store, docId).foreach(println)
+      spark.stop()
+    case "search" :: store :: query :: rest =>
+      val spark = session()
+      val provider = rest.headOption.getOrElse("nomic")
+      val k = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
+      runSearch(spark, store, query, provider, k).foreach(println)
+      spark.stop()
+    case _ =>
+      System.err.println(
+        "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
+        "search <store> <query> [provider] [k]")
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // ------------------------------------------------------------------ ingest
+
+  /** The full upload→convert→ledger→chunk→embed→store pipeline, one
+    * Spark job chain, no driver-side row loops. Returns the run report
+    * with the observation metrics that rode the writes.
+    */
+  def runIngest(spark: SparkSession, inputDir: String, storeDir: String,
+                providerName: String, now: Timestamp): IngestReport = {
+    import spark.implicits._
+
+    val docs = Ingest.convertDocuments(
+      Ingest.toDocuments(Ingest.readBinaryDir(spark, inputDir), lit(now)))
+      .cache()
+
+    // ledger: queued at t, then running, then completed/failed — three
+    // appended versions per doc; latest-wins is the current state
+    // (api/routes/documents.py:44-58's background-task lifecycle).
+    val t1 = Timestamp.from(now.toInstant.plusMillis(1))
+    val t2 = Timestamp.from(now.toInstant.plusMillis(2))
+    val jobs = docs.select($"doc_id", $"status", $"error_message").as[(String, String, String)]
+      .flatMap { case (id, st, err) =>
+        val q = JobLedger.newJob(id, JobType.DocumentProcessing, now, totalItems = 1)
+        val r = JobLedger.transition(q, JobStatus.Running, t1)
+        val done =
+          if (st == "failed") JobLedger.transition(r, JobStatus.Failed, t2, Option(err))
+          else JobLedger.transition(r, JobStatus.Completed, t2).copy(processed_items = 1L)
+        Seq(q, r, done)
+      }.toDF()
+
+    val ok = docs.filter($"status" =!= "failed")
+    val chunked = Chunkers.chunkDocuments(
+        ok.select($"doc_id", $"text"), "doc_id", "text",
+        ChunkerConfig(chunkSize = 200, chunkOverlap = 20, strategy = Strategy.Hybrid))
+      .withColumn("chunk_id", concat($"doc_id", lit("_"), $"chunk_id"))
+
+    val chunkObs = new Observation("chunks")
+    val embedObs = new Observation("embeddings")
+    val chunksObserved = Metrics.observeChunkSizes(chunked, chunkObs)
+
+    val (_, tChunks) = Metrics.timed {
+      writeTable(spark, chunksObserved, storeDir, "chunks",
+                 keys = Seq("chunk_id"), version = Seq(lit(1)))
+    }
+    val embedded = Metrics.observeEmbedding(
+      Embedding.embedChunks(
+        spark.read.parquet(s"$storeDir/chunks.parquet"), providerName, now = now).toDF(),
+      embedObs)
+    val (_, tEmbed) = Metrics.timed {
+      writeTable(spark, embedded, storeDir, "embeddings",
+                 keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)))
+    }
+    writeTable(spark, docs.drop("text"), storeDir, "documents",
+               keys = Seq("doc_id"), version = Seq(col("updated_at")))
+    writeTable(spark, jobs, storeDir, "jobs",
+               keys = Seq("job_id", "status"), version = Seq(col("updated_at")))
+
+    // run-log: the observation values + stage latencies as rows — the
+    // A3/A5 counter/histogram source (utils/metrics.py parity).
+    val obs = chunkObs.get ++ Map("n_embedded" -> embedObs.get("n_embedded"),
+                                  "n_providers" -> embedObs.get("n_providers"))
+    val runLog = (obs.toSeq.map { case (m, v) =>
+        ("ingest", m, Option(v).map(_.toString.toDouble).getOrElse(0.0))
+      } ++ Seq(("chunk_write", "seconds", tChunks), ("embed_write", "seconds", tEmbed)))
+      .toDF("stage", "metric", "value")
+      .withColumn("run_at", lit(now))
+    runLog.write.mode(SaveMode.Append).parquet(s"$storeDir/runlog.parquet")
+
+    val nDocs = docs.count()
+    val nFailed = docs.filter($"status" === "failed").count()
+    docs.unpersist()
+    IngestReport(nDocs, nFailed,
+                 obs("n_chunks").toString.toLong,
+                 obs("n_embedded").toString.toLong, obs)
+  }
+
+  /** Upsert-write one store table: existing ∪ updates → latest per key
+    * → write NEW snapshot, then swap directories (the local-fs stand-in
+    * for a table-format commit; at scale this is Delta/Iceberg's job).
+    */
+  private def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
+                         name: String, keys: Seq[String],
+                         version: Seq[org.apache.spark.sql.Column]): Unit = {
+    val path = new java.io.File(s"$storeDir/$name.parquet")
+    val merged =
+      if (path.exists())
+        Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
+      else updates
+    val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (path.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(path)
+    }
+    tmp.renameTo(path)
+  }
+
+  // ------------------------------------------------------------------ status
+
+  /** `status <docId>`: current job state + stored document status
+    * (`api/routes/documents.py:59-71`). */
+  def runStatus(spark: SparkSession, storeDir: String, docId: String): Seq[String] = {
+    val job = JobLedger.status(spark.read.parquet(s"$storeDir/jobs.parquet"), docId)
+      .collect().map(r =>
+        s"""{"job_id":"${r.getString(0)}","status":"${r.getString(2)}",""" +
+        s""""progress":${r.getDouble(3)}}""").toSeq
+    val doc = Tables.pointLookup(
+        spark.read.parquet(s"$storeDir/documents.parquet"), "doc_id", docId)
+      .collect().map(r =>
+        s"""{"doc_id":"$docId","doc_status":"${r.getAs[String]("status")}"}""").toSeq
+    job ++ doc
+  }
+
+  // ------------------------------------------------------------------ search
+
+  /** `search <query>`: embed the query text, exact cosine top-k over
+    * the stored embeddings, join chunk content back
+    * (`cli/main.py:36-51` → `api/routes/documents.py:95-130`).
+    */
+  def runSearch(spark: SparkSession, storeDir: String, query: String,
+                providerName: String, k: Int): Seq[String] = {
+    val qv = Embedding.embedQuery(query, providerName)
+    val emb = spark.read.parquet(s"$storeDir/embeddings.parquet")
+    val top = Search.knn(emb, qv.toSeq, k = k, provider = Some(providerName),
+                         tieBreak = Seq(col("chunk_id")))
+    top.join(spark.read.parquet(s"$storeDir/chunks.parquet")
+               .select(col("chunk_id"), col("content")), Seq("chunk_id"))
+      .orderBy(col("score").desc, col("chunk_id"))
+      .collect().map { r =>
+        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+}

@@ -34,11 +34,16 @@ object Metrics {
       max(length(col("content"))).as("max_len"),
       avg(length(col("content"))).as("avg_len"))
 
-  /** Attach embedding-volume observation (A4 success path). */
+  /** Attach embedding-volume observation (A4 success path). DISTINCT
+    * aggregates are not allowed in observed metrics (they'd need a
+    * second shuffle inside the observation), so provider cardinality
+    * uses the mergeable HLL sketch — exact for the handful of
+    * providers any real run has.
+    */
   def observeEmbedding(embeddings: DataFrame, obs: Observation): DataFrame =
     embeddings.observe(obs,
       count(lit(1)).as("n_embedded"),
-      countDistinct(col("embedding_provider")).as("n_providers"))
+      approx_count_distinct(col("embedding_provider")).as("n_providers"))
 
   /** A5 latency: run `action`, return (result, seconds). Callers append
     * `(stage, seconds)` rows to a latency table — percentiles over that

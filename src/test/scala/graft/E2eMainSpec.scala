@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Pdf
+
+/** End-to-end driver program (cli/main.py + api/routes/documents.py
+  * contract): ingest a directory → ledgered store → status → search,
+  * with the run-log observation metrics matching a recomputation
+  * (utils/metrics.py parity — task: observe rides the write, a groupBy
+  * over the store must agree).
+  */
+class E2eMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = Timestamp.valueOf("2025-06-01 12:00:00")
+
+  private def fixtureDirs(): (String, String) = {
+    val in = Files.createTempDirectory("graft_e2e_in").toFile
+    val store = Files.createTempDirectory("graft_e2e_store").toString
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(in, name)
+      Files.write(f.toPath, bytes)
+    }
+    put("alpha.md", "# Spark\nspark query engine performance tuning guide".getBytes("UTF-8"))
+    put("beta.txt", "completely unrelated cooking recipe with butter and flour".getBytes("UTF-8"))
+    put("gamma.pdf", Pdf.minimalPdf("distributed shuffle partitioning strategies for spark"))
+    put("bad.docx", "PK not really a docx".getBytes("UTF-8"))
+    (in.toString, store)
+  }
+
+  test("ingest → ledger → status → search, metrics agree with recomputation") {
+    val (in, store) = fixtureDirs()
+    val report = Main.runIngest(spark, in, store, "nomic", now)
+
+    // 4 files in, 1 quarantined (docx), pdf + md + txt converted
+    assert(report.nDocs === 4)
+    assert(report.nFailed === 1)
+    assert(report.nChunks > 0 && report.nEmbedded === report.nChunks)
+
+    val docs = spark.read.parquet(s"$store/documents.parquet")
+    val byName = docs.select($"filename", $"status", $"error_message")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(byName("alpha.md")._1 === "pending" || byName("alpha.md")._1 === "completed")
+    assert(byName("bad.docx") === (("failed", "File format not allowed")))
+    assert(byName("gamma.pdf")._1 !== "failed", "simple PDF must convert")
+
+    // ledger: every doc's job reached a terminal state; failed doc failed
+    val jobs = spark.read.parquet(s"$store/jobs.parquet")
+    val finalStates = graft.io.Tables
+      .latestByKey(jobs, Seq("job_id"), Seq($"updated_at"))
+      .select($"job_id", $"status").as[(String, String)].collect().toMap
+    assert(finalStates.size === 4)
+    assert(finalStates.values.count(_ == "failed") === 1)
+    assert(finalStates.values.count(_ == "completed") === 3)
+
+    // status command shape: job + doc rows for a known doc id
+    val someDoc = docs.filter($"filename" === "alpha.md")
+      .select($"doc_id").as[String].head()
+    val statusLines = Main.runStatus(spark, store, someDoc)
+    assert(statusLines.exists(_.contains("\"status\":\"completed\"")))
+    assert(statusLines.exists(_.contains("\"doc_status\"")))
+
+    // observation metrics must equal a recomputation over the store
+    val chunks = spark.read.parquet(s"$store/chunks.parquet")
+    val (nC, minL, maxL) = chunks
+      .agg(count(lit(1)), min(length($"content")), max(length($"content")))
+      .as[(Long, Int, Int)].head()
+    assert(report.observed("n_chunks").toString.toLong === nC)
+    assert(report.observed("min_len").toString.toInt === minL)
+    assert(report.observed("max_len").toString.toInt === maxL)
+    val nE = spark.read.parquet(s"$store/embeddings.parquet").count()
+    assert(report.observed("n_embedded").toString.toLong === nE)
+
+    // run-log persisted the same values
+    val runlog = spark.read.parquet(s"$store/runlog.parquet")
+      .select($"metric", $"value").as[(String, Double)].collect().toMap
+    assert(runlog("n_chunks").toLong === nC)
+    assert(runlog("n_embedded").toLong === nE)
+    assert(runlog.contains("seconds") || runlog.keySet.exists(_.endsWith("seconds")) ||
+           runlog.size >= 6) // latency rows present
+
+    // search: the spark-ish query must rank a spark chunk above the recipe
+    val hits = Main.runSearch(spark, store, "spark query engine performance", "nomic", 3)
+    assert(hits.nonEmpty)
+    assert(hits.head.contains("spark"), s"top hit should be spark content: ${hits.head}")
+
+    // idempotent re-ingest: upsert keeps key cardinality stable
+    Main.runIngest(spark, in, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(10)))
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 4)
+    assert(spark.read.parquet(s"$store/chunks.parquet").count() === nC)
+    assert(spark.read.parquet(s"$store/embeddings.parquet").count() === nE)
+  }
+}
