@@ -8,6 +8,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.optimizer.excludedRules",
+              GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -23,7 +25,11 @@ object Bench {
     // comparing across rounds. Queries rotate in the outer loop so one
     // machine-load spike degrades one sample of many queries rather
     // than all samples of one query.
+    // SPARK_GRAFT_ONLY=q23,q41 — iterate on a subset without paying
+    // for the full suite (comma-separated name prefixes).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = (0 until runs).flatMap { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

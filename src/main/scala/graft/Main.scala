@@ -71,6 +71,8 @@ object Main {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.optimizer.excludedRules",
+              GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

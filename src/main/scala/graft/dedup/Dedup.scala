@@ -260,12 +260,29 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("cid", "cval")))
-    bucketPairs(chunked
-        .groupBy(col("blk"), col("cid"), col("cval"))
-        .agg(sort_array(collect_list(struct(col("doc"), col("sig")))).as("ds")))
-      // a pair can share several chunks — dedupe before the exact test
-      .groupBy(col("a_id.doc").as("a_id"), col("b_id.doc").as("b_id"))
-      .agg(first(col("a_id.sig")).as("sa"), first(col("b_id.sig")).as("sb"))
+    // candidate pairs via a chunk-bucket EQUI-JOIN rather than
+    // collect_list + in-bucket combinations (the [[bucketPairs]] path
+    // q24 uses): here the join inputs are cheap attributes — a
+    // constant-size signature, not a re-derivable hash pipeline — so
+    // the whole pair expansion stays in codegen.
+    val a = chunked.select(col("blk"), col("cid"), col("cval"),
+                           col("doc").as("a_id"), col("sig").as("sa"))
+    val b = chunked.select(col("blk"), col("cid"), col("cval"),
+                           col("doc").as("b_id"), col("sig").as("sb"))
+    // a pair surfaces once per shared chunk; rather than a distinct()
+    // (a full extra shuffle of the candidate set — measured the most
+    // expensive step), each pair is emitted ONLY from its canonical
+    // chunk: the smallest cid on which the two signatures agree. Both
+    // signatures are in hand after the join, so the canonical cid is a
+    // cheap codegen CASE and the dedupe costs zero data movement.
+    def chunkOf(sig: Column, c: Int): Column =
+      shiftright(sig, c * chunkBits).bitwiseAND(mask)
+    val canonicalCid = (0 until nChunks).foldRight(lit(-1): Column) { (c, rest) =>
+      when(chunkOf(col("sa"), c) === chunkOf(col("sb"), c), lit(c)).otherwise(rest)
+    }
+    a.join(b, Seq("blk", "cid", "cval"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("cid") === canonicalCid)
       .withColumn("hamming", hamming(col("sa"), col("sb")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))

@@ -19,6 +19,8 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.optimizer.excludedRules",
+              GraftExtensions.ExcludedOptimizerRules)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
               java.nio.file.Files.createTempDirectory("graft_wh").toString)
