@@ -388,6 +388,23 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // As-of join (point-in-time lookup): each purchase event matched to
+    // the user's most recent at-or-before click. Union + tag + running
+    // last() window — ONE shuffle on the key, linear per partition; the
+    // naive inequality join this replaces is O(|L|·|R|) per key. The
+    // oracle deliberately USES that naive LATERAL formulation, so two
+    // different algorithms must agree row-for-row.
+    "q50_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOf.joinWithGap(purchases, clicks, "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"), col("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- q36 is rows-only (no SQL oracle; pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -762,6 +779,19 @@ object Pipeline {
                       unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
                FROM documents)
          ORDER BY doc_id, chunk_number""",
+
+    // naive LATERAL top-1 formulation — intentionally a DIFFERENT
+    // algorithm from the Spark union+window plan (see q50 query note).
+    "q50_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, m.event_id AS asof_event_id,
+                CAST(epoch_us(p.ts) - epoch_us(m.ts) AS BIGINT) AS gap_us
+         FROM p LEFT JOIN LATERAL (
+           SELECT c.event_id, c.ts FROM c
+           WHERE c.user_id = p.user_id AND c.ts <= p.ts
+           ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) m ON true
+         ORDER BY p.event_id""",
 
     // per-label floor(sum/n) centroids, argmax dot with ties to the
     // HIGHEST cell (row_number ... ORDER BY sim DESC, cell DESC) —
