@@ -37,6 +37,23 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic IVF coarse centroids for q48/q51: per-label integer
+    * means, floor(sum/n) on the 1e-3 grid — exactly re-derivable by a
+    * SQL oracle (unlike KMeans-trained centroids, Ann.ivfTrain). The
+    * collect is a k-row aggregate (k = #labels): broadcast-small-side.
+    */
+  private def labelCentroids(e: DataFrame): Seq[(Long, Seq[Long])] =
+    e.select(col("label").cast("long").as("label"),
+             Ann.intVec(col("embedding")).as("iv"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           graft.functions.VectorAggregates.vecSum(64)(col("iv")).as("cs"))
+      .orderBy(col("label"))
+      .collect()
+      .map(r => (r.getLong(0),
+                 r.getSeq[Long](2).map(x => Math.floorDiv(x, r.getLong(1)))))
+      .toSeq
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,20 +371,25 @@ object Pipeline {
     // k-row aggregate (k = #labels) — the broadcast-small-side pattern.
     "q48_ivf_assign" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = e
-        .select(col("label").cast("long").as("label"),
-                Ann.intVec(col("embedding")).as("iv"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"),
-             graft.functions.VectorAggregates.vecSum(64)(col("iv")).as("cs"))
-        .orderBy(col("label"))
-        .collect()
-        .map(r => (r.getLong(0),
-                   r.getSeq[Long](2).map(x => Math.floorDiv(x, r.getLong(1)))))
-        .toSeq
-      Ann.ivfAssignInt(e, "embedding", cents)
+      Ann.ivfAssignInt(e, "embedding", labelCentroids(e))
         .select(col("vec_id"), col("cell"), col("cdot"))
         .orderBy(col("vec_id"))
+    }),
+
+    // IVF probe (the search side of q48's build): rank cells against
+    // the query on the driver, scan only the nprobe=2 nearest cells,
+    // exact-score candidates. At scale the assigned table is written
+    // partitionBy("cell"), so this probe is a partition-pruned read of
+    // 2/k-cells of the data instead of a full scan.
+    "q51_ivf_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = labelCentroids(e)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(Ann.quantizeL)
+      Ann.ivfTopKInt(Ann.ivfAssignInt(e, "embedding", cents), "vec_id", "embedding",
+                     cents, qv, k = 10, nprobe = 2)
+        .orderBy(col("dot").desc, col("vec_id"))
     }),
 
     // S9 — PDF conversion gate: wrap each document's text into a real
@@ -821,6 +843,48 @@ object Pipeline {
                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
             FROM scored)
           SELECT vec_id, cell, sim AS cdot FROM best WHERE rn = 1 ORDER BY vec_id""",
+
+    // same centroid + assignment CTEs as q48; cells ranked against the
+    // vec_id=0 query (sim DESC, cell DESC — the ivfTopKInt convention),
+    // top nprobe=2 probed, candidates exact-scored.
+    "q51_ivf_probe" ->
+      """WITH iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          sums AS (
+            SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+            GROUP BY label, i),
+          counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+          cent AS (
+            SELECT s.label AS cell,
+                   list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+            FROM sums s JOIN counts c ON s.label = c.label
+            GROUP BY s.label),
+          q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+          ranked AS (
+            SELECT cent.cell,
+                   row_number() OVER (ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * cent.cv[i])) AS BIGINT) DESC, cent.cell DESC) AS rk
+            FROM cent, q),
+          scored AS (
+            SELECT iv.vec_id, cent.cell, iv.v,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * cent.cv[i])) AS BIGINT) AS sim
+            FROM iv CROSS JOIN cent),
+          assigned AS (
+            SELECT vec_id, cell, v FROM (
+              SELECT vec_id, cell, v,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+              FROM scored) WHERE rn = 1)
+          SELECT a.vec_id, a.cell,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> a.v[i] * q.qv[i])) AS BIGINT) AS dot
+          FROM assigned a, q
+          WHERE a.cell IN (SELECT cell FROM ranked WHERE rk <= 2)
+          ORDER BY dot DESC, a.vec_id LIMIT 10""",
 
     // sign-LSH: the ±1 hyperplane rows are plan-time constants shared
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket

@@ -213,6 +213,26 @@ object Ann {
       .drop("__best")
   }
 
+  /** [[ivfTopK]] over integer centroids with explicit cell ids — the
+    * oracle-exact probe: cells ranked by integer dot (ties to the
+    * higher cell id, mirroring [[ivfAssignInt]]'s convention), the
+    * `nprobe` best scanned, candidates exact-scored.
+    */
+  def ivfTopKInt(assigned: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                 k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val probeCells = centroids.map { case (id, c) =>
+      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
+    val q = typedLit(queryVec)
+    assigned
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), col("dot"))
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,
