@@ -103,6 +103,52 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static join: micro-batches enriched against a dimension table") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // dimension side is a plain batch DF — Spark broadcasts/joins it
+    // per micro-batch; at scale this is the streaming fact ⋈ small dim
+    // pattern (dim re-read each batch, so slowly-changing dims refresh)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = mem.toDS().toDF("user_id", "amount")
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(col("segment")).agg(sum(col("amount")).as("total"))
+    val q = enriched.writeStream.format("memory").queryName("seg_totals")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData((1L, 10L), (2L, 5L), (3L, 7L)) // 3 has no dim row
+    q.processAllAvailable()
+    mem.addData((1L, 30L))
+    q.processAllAvailable()
+    val rows = spark.table("seg_totals")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rows(Some("gold")) == 40L)
+    assert(rows(Some("basic")) == 5L)
+    assert(rows(None) == 7L) // unmatched keys survive the left join
+    q.stop()
+  }
+
+  test("streaming dedup: watermarked dropDuplicates across micro-batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val deduped = mem.toDS().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_ev")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts("2025-01-01 10:00:00"), 1L), (ts("2025-01-01 10:00:30"), 1L),
+                (ts("2025-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    // same id re-sent in a later batch, still inside the watermark state
+    mem.addData((ts("2025-01-01 10:02:00"), 1L), (ts("2025-01-01 10:03:00"), 3L))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_ev").select(col("event_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"exactly-once per event_id, got $ids")
+    q.stop()
+  }
+
   test("applyUpdates fold: timestamp-ordered, terminal absorbs (pure unit)") {
     val updates = Iterator(
       StatusUpdate("j", "completed", ts("2025-01-01 00:03:00"), None),
