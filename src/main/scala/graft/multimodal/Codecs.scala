@@ -1,0 +1,170 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** REAL image/audio codecs for the multimodal operators — JDK-only
+  * (javax.imageio: PNG/JPEG/BMP/GIF; javax.sound.sampled: WAV PCM), so
+  * they run in this container with zero external libraries. Video
+  * remains on the deterministic stub path ([[Multimodal.decodeStub]]):
+  * the JDK ships no video codec.
+  *
+  * Decode tolerance mirrors the PDF contract: malformed bytes → None,
+  * never a thrown exception — a 100 TB ingest quarantines bad files.
+  *
+  * Fixture generation (solid-color PNG, ramp-PCM WAV) is deterministic
+  * from scalar parameters, so a generate→decode roundtrip is
+  * oracle-checkable: the oracle recomputes the parameters in SQL and
+  * the REAL codec must recover them exactly (PNG and PCM are
+  * lossless).
+  */
+object Codecs {
+
+  locally { System.setProperty("java.awt.headless", "true") }
+
+  /** Decoded image facts: exact dimensions + mean channel values
+    * (means of a solid-color image are the color itself).
+    */
+  case class ImageMeta(width: Int, height: Int, r: Long, g: Long, b: Long)
+
+  /** Decoded WAV facts: exact frame count, rate, channels, and the sum
+    * of absolute sample amplitudes (PCM 16-bit is lossless, so this is
+    * bit-exact against the generator's arithmetic).
+    */
+  case class AudioMeta(frames: Long, sample_rate: Long, channels: Int, sum_abs: Long)
+
+  // ------------------------------------------------------------- generate
+
+  /** Solid-color PNG, `rgb` as 0xRRGGBB. */
+  def pngSolid(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Mono 16-bit little-endian PCM WAV; sample i = ((i·37) mod 20001) − 10000
+    * — a deterministic ramp whose |·|-sum the oracle can recompute.
+    */
+  def wavRamp(nFrames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = ((i.toLong * 37) % 20001 - 10000).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------- decode
+
+  /** Real image decode; mean channels computed over every pixel. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
+    try {
+      if (bytes == null) return None
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        imageMeta(img)
+      }
+    } catch { case _: Throwable => None }
+
+  private def imageMeta(img: BufferedImage): ImageMeta = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageMeta(w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** Real resize (Graphics2D resample to exactly (targetW, targetH)),
+    * then re-decode facts from the resized pixels.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[ImageMeta] =
+    try {
+      if (bytes == null) return None
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        imageMeta(dst)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Real WAV decode (16-bit signed PCM assumed, as produced above). */
+  def decodeWav(bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      if (bytes == null) return None
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      val le = !fmt.isBigEndian
+      while (i + 1 < data.length) {
+        val lo = data(if (le) i else i + 1) & 0xff
+        val hi = data(if (le) i + 1 else i)
+        val s = ((hi << 8) | lo).toShort
+        sum += math.abs(s.toLong)
+        i += 2
+      }
+      Some(AudioMeta(frames, fmt.getSampleRate.toLong, fmt.getChannels, sum))
+    } catch { case _: Throwable => None }
+
+  // -------------------------------------------------------------- columns
+
+  /** (w, h, rgb) → PNG bytes. */
+  def pngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((w: Int, h: Int, rgb: Int) => pngSolid(w, h, rgb))
+
+  /** PNG/JPEG/BMP/GIF bytes → ImageMeta struct (null on malformed). */
+  def decodeImageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => decodeImage(b).orNull)
+
+  /** bytes × (w, h) → resized ImageMeta struct (null on malformed). */
+  def resizeImageUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h).orNull)
+
+  /** nFrames → WAV bytes. */
+  def wavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((n: Int) => wavRamp(n))
+
+  /** WAV bytes → AudioMeta struct (null on malformed). */
+  def decodeWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => decodeWav(b).orNull)
+
+  def pngOf(w: Column, h: Column, rgb: Column): Column = pngUdf(w, h, rgb)
+  def imageMetaOf(bytes: Column): Column = decodeImageUdf(bytes)
+  def resizedMetaOf(bytes: Column, w: Column, h: Column): Column =
+    resizeImageUdf(bytes, w, h)
+  def wavOf(nFrames: Column): Column = wavUdf(nFrames)
+  def audioMetaOf(bytes: Column): Column = decodeWavUdf(bytes)
+}

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * The real pipeline shape a 100 TB multimodal corpus needs: binary
   * payloads never leave the executors, metadata is typed columns
   * (prunable, pushdown-able), and decode/resize/frame-sample run
-  * per-partition over the binary column. The codec step itself
-  * (libjpeg/ffmpeg) is NOT available in this container, so decode is a
-  * clearly-marked deterministic STUB — arithmetic on the byte length
-  * and leading bytes — while everything Spark-level (schema, batch
-  * shape, partitioning, explode semantics) is real and oracle-checked.
+  * per-partition over the binary column. REAL image (PNG/JPEG/BMP/GIF
+  * via JDK ImageIO) and audio (WAV PCM via javax.sound) codecs live in
+  * [[Codecs]] and are oracle-gated by q52/q53 roundtrips; only VIDEO
+  * has no JDK codec, so the frame-count path below stays a
+  * clearly-marked deterministic STUB (arithmetic on byte length) while
+  * everything Spark-level — schema, batch shape, partitioning, explode
+  * semantics — is real and oracle-checked.
   */
 object Multimodal {
 

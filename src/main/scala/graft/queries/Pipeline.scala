@@ -427,6 +427,54 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // REAL image codec gate (JDK ImageIO — no external libs): a solid
+    // PNG is generated from per-row parameters, decoded back (exact
+    // dims + mean channels), and real-resampled to a target size. The
+    // oracle recomputes the parameters in SQL — the codec must recover
+    // them exactly (PNG is lossless; means of a solid are the color).
+    "q52_image_roundtrip" -> ((s, dir) => {
+      import graft.multimodal.Codecs
+      val w = (lit(16) + col("doc_id") % 64).cast("int")
+      val h = (lit(16) + (col("doc_id") * 7) % 48).cast("int")
+      val r = (col("doc_id") % 256).cast("int")
+      val g = ((col("doc_id") * 3) % 256).cast("int")
+      val b = ((col("doc_id") * 5) % 256).cast("int")
+      val rgb = (shiftleft(r, 16) + shiftleft(g, 8) + b).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"), h.as("h"),
+                Codecs.pngOf(w, h, rgb).as("png"))
+        .select(col("doc_id"), col("w"), col("h"), col("png"),
+                Codecs.imageMetaOf(col("png")).as("m"),
+                Codecs.resizedMetaOf(col("png"), least(col("w"), lit(16)),
+                                     least(col("h"), lit(16))).as("rz"))
+        .select(col("doc_id"),
+                col("m.width").cast("long").as("width"),
+                col("m.height").cast("long").as("height"),
+                col("m.r").as("r"), col("m.g").as("g"), col("m.b").as("b"),
+                col("rz.width").cast("long").as("fit_w"),
+                col("rz.height").cast("long").as("fit_h"),
+                col("rz.r").as("fr"), col("rz.g").as("fg"), col("rz.b").as("fb"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio codec gate (JDK javax.sound WAV PCM): ramp-PCM WAV
+    // generated per row, decoded back — frame count, rate, channels,
+    // and the |sample| sum must match the generator arithmetic the
+    // oracle recomputes (16-bit PCM is lossless).
+    "q53_wav_roundtrip" -> ((s, dir) => {
+      import graft.multimodal.Codecs
+      val n = (lit(100) + col("doc_id") % 400).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), Codecs.wavOf(n).as("wav"))
+        .select(col("doc_id"), Codecs.audioMetaOf(col("wav")).as("a"))
+        .select(col("doc_id"),
+                col("a.frames").as("frames"),
+                col("a.sample_rate").as("sample_rate"),
+                col("a.channels").cast("long").as("channels"),
+                col("a.sum_abs").as("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- q36 is rows-only (no SQL oracle; pinned by ScalaTest) ---
 
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
@@ -801,6 +849,34 @@ object Pipeline {
                       unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
                FROM documents)
          ORDER BY doc_id, chunk_number""",
+
+    // generation parameters recomputed in SQL; the Spark side must
+    // recover them through a REAL PNG encode→decode→resample cycle.
+    "q52_image_roundtrip" ->
+      """SELECT doc_id,
+                CAST(16 + doc_id % 64 AS BIGINT) AS width,
+                CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height,
+                CAST(doc_id % 256 AS BIGINT) AS r,
+                CAST((doc_id * 3) % 256 AS BIGINT) AS g,
+                CAST((doc_id * 5) % 256 AS BIGINT) AS b,
+                CAST(least(16 + doc_id % 64, 16) AS BIGINT) AS fit_w,
+                CAST(least(16 + (doc_id * 7) % 48, 16) AS BIGINT) AS fit_h,
+                CAST(doc_id % 256 AS BIGINT) AS fr,
+                CAST((doc_id * 3) % 256 AS BIGINT) AS fg,
+                CAST((doc_id * 5) % 256 AS BIGINT) AS fb
+         FROM documents ORDER BY doc_id""",
+
+    // |sample| sum of the ramp PCM: the real WAV decode must reproduce
+    // the generator arithmetic bit-for-bit.
+    "q53_wav_roundtrip" ->
+      """SELECT doc_id,
+                CAST(100 + doc_id % 400 AS BIGINT) AS frames,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(list_sum(list_transform(
+                  generate_series(0, CAST(100 + doc_id % 400 AS INT) - 1),
+                  i -> abs((i * 37) % 20001 - 10000))) AS BIGINT) AS sum_abs
+         FROM documents ORDER BY doc_id""",
 
     // naive LATERAL top-1 formulation — intentionally a DIFFERENT
     // algorithm from the Spark union+window plan (see q50 query note).

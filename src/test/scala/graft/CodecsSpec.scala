@@ -1,0 +1,71 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.multimodal.Codecs
+
+/** Real JDK codec operators: lossless roundtrips, lossy-format decode,
+  * resize, and the malformed-input tolerance contract (None, never
+  * throw — same as PDF).
+  */
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("png solid roundtrip: exact dims and channel means") {
+    val png = Codecs.pngSolid(37, 21, 0xAB40FE)
+    assert(Codecs.decodeImage(png) ===
+      Some(Codecs.ImageMeta(37, 21, 0xAB, 0x40, 0xFE)))
+  }
+
+  test("jpeg decodes (lossy: dims exact, color approximate)") {
+    System.setProperty("java.awt.headless", "true")
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40) img.setRGB(x, y, 0x808080)
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val m = Codecs.decodeImage(out.toByteArray)
+    assert(m.isDefined)
+    assert(m.get.width === 40 && m.get.height === 30)
+    assert(math.abs(m.get.r - 0x80) <= 4, s"jpeg gray drifted: ${m.get}")
+  }
+
+  test("resize of a solid image keeps the color, hits target dims") {
+    val png = Codecs.pngSolid(64, 48, 0x123456)
+    assert(Codecs.resizeImage(png, 16, 12) ===
+      Some(Codecs.ImageMeta(16, 12, 0x12, 0x34, 0x56)))
+  }
+
+  test("wav ramp roundtrip: frames, rate, channels, |sample| sum exact") {
+    val n = 250
+    val expectedSum = (0 until n).map(i => math.abs((i.toLong * 37) % 20001 - 10000)).sum
+    assert(Codecs.decodeWav(Codecs.wavRamp(n)) ===
+      Some(Codecs.AudioMeta(n.toLong, 8000L, 1, expectedSum)))
+  }
+
+  test("malformed inputs: None, never thrown") {
+    val junk: Seq[Array[Byte]] = Seq(
+      null, Array.emptyByteArray, "not an image".getBytes("UTF-8"),
+      Codecs.pngSolid(8, 8, 0).take(20), Codecs.wavRamp(100).take(10))
+    junk.foreach { b =>
+      assert(Codecs.decodeImage(b).forall(_.width > 0))
+      assert(Codecs.decodeWav(b).forall(_.frames >= 0))
+    }
+    assert(Codecs.decodeImage("x".getBytes) === None)
+    assert(Codecs.decodeWav("x".getBytes) === None)
+  }
+
+  test("column wrappers: spark roundtrip on a small table") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 20L).toDF("id")
+      .select(col("id"), Codecs.pngOf(lit(10) + (col("id") % 5).cast("int"),
+                                      lit(10), (col("id") % 256).cast("int")).as("png"))
+      .select(col("id"), Codecs.imageMetaOf(col("png")).as("m"))
+      .select(col("id"), col("m.width").as("w"), col("m.b").as("b"))
+      .as[(Long, Int, Long)].collect()
+    df.foreach { case (id, w, b) =>
+      assert(w === 10 + (id % 5).toInt)
+      assert(b === id % 256)
+    }
+  }
+}
