@@ -427,6 +427,44 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // Range join via bin bucketing: per-nation promo windows (derived
+    // deterministically from nation keys) matched to orders by
+    // order-date containment — an equi-join on (nation, 64-day bin) +
+    // exact filter instead of the unplannable inequality join. The
+    // oracle IS the naive inequality join: two algorithms must agree.
+    "q55_range_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ords = t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nation"),
+                datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+                  .cast("long").as("day"),
+                round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val windows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nation"))
+        .withColumn("wk", explode(sequence(lit(0L), lit(3L))))
+        .select(col("nation"), (col("nation") * 10 + col("wk")).as("window_id"),
+                ((col("nation") * 137 + col("wk") * 311) % 2000).as("w_start"),
+                ((col("nation") * 137 + col("wk") * 311) % 2000 + lit(20) +
+                  (col("nation") + col("wk") * 3) % 40).as("w_end"))
+      graft.operators.RangeJoin.binJoin(ords, windows, "nation", "day",
+                                        "w_start", "w_end", binWidth = 64)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("window_id"))
+    }),
+
+    // Batch kNN (the serving shape): 5 query vectors broadcast against
+    // ONE scan of the embeddings, integer-dot scored, top-3 per query
+    // via window rank — corpus read once regardless of query count.
+    "q54_knn_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), Ann.intVec(col("embedding")).as("qv"))
+      Ann.intDotTopKBatch(e, "vec_id", "embedding", queries, "qid", "qv", k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // REAL image codec gate (JDK ImageIO — no external libs): a solid
     // PNG is generated from per-row parameters, decoded back (exact
     // dims + mean channels), and real-resampled to a target size. The
@@ -849,6 +887,43 @@ object Pipeline {
                       unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
                FROM documents)
          ORDER BY doc_id, chunk_number""",
+
+    // the naive inequality-join formulation — intentionally a DIFFERENT
+    // algorithm from the Spark bin-bucketed equi-join plan.
+    "q55_range_join" ->
+      """WITH w AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS nation,
+                   CAST(n_nationkey * 10 + wk AS BIGINT) AS window_id,
+                   (n_nationkey * 137 + wk * 311) % 2000 AS w_start,
+                   (n_nationkey * 137 + wk * 311) % 2000 + 20 + (n_nationkey + wk * 3) % 40 AS w_end
+            FROM nation, (SELECT unnest(generate_series(0, 3)) AS wk) ww),
+          o AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                   date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey)
+          SELECT w.window_id, count(*) AS n_orders,
+                 CAST(sum(o.cents) AS BIGINT) AS sum_cents
+          FROM o JOIN w ON o.nation = w.nation
+                       AND o.day BETWEEN w.w_start AND w.w_end
+          GROUP BY w.window_id ORDER BY w.window_id""",
+
+    "q54_knn_batch" ->
+      """WITH iv AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id < 5),
+          scored AS (
+            SELECT q.query_id, iv.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot
+            FROM iv CROSS JOIN q),
+          r AS (SELECT query_id, vec_id, dot,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk
+                FROM scored)
+          SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 3
+          ORDER BY query_id, rnk""",
 
     // generation parameters recomputed in SQL; the Spark side must
     // recover them through a REAL PNG encode→decode→resample cycle.

@@ -56,6 +56,28 @@ object Ann {
   def quantizeL(x: Float): Long =
     BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
+  /** Exact top-k per query for a BATCH of query vectors — the serving
+    * shape: broadcast the (small) query set against one scan of the
+    * embeddings, score with the codegen integer dot, rank per query
+    * with a window. ONE pass over the corpus regardless of query
+    * count; the only shuffle is the per-query rank partition.
+    */
+  def intDotTopKBatch(embeddings: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .select(col(idCol), intVec(col(vecCol)).as("__iv"))
+      .crossJoin(broadcast(queries.select(col(queryIdCol).as("query_id"),
+                                          col(queryVecCol).as("__qv"))))
+      .withColumn("dot", intDot(col("__iv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col(idCol), col("dot"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.
