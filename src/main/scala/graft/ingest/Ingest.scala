@@ -92,25 +92,34 @@ object Ingest {
 
   /** S9 — format conversion to text (reference
     * `docling_service.py:173-295` converts to markdown; here: native
-    * text passes through, PDFs go through [[graft.ingest.Pdf]]'s
-    * content-stream extractor, everything else — and any PDF the
-    * parser cannot decode — is quarantined with the reference's error
-    * contract. Adds a `text` column; failed rows have null text.
+    * text passes through, PDFs go through [[Pdf]]'s content-stream
+    * extractor, DOCX/PPTX/XLSX through [[Office]]'s zip+XML
+    * extractors; everything else — and any file its extractor cannot
+    * decode — is quarantined with the reference's error contract.
+    * Adds a `text` column; failed rows have null text.
     */
   def convertDocuments(docs: DataFrame): DataFrame = {
     val ext = lower(regexp_extract(col("filename"), "\\.([^.]+)$", 1))
     val isText = ext.isInCollection(SupportedExtensions)
     val isPdf = col("content_type") === "application/pdf" || ext === "pdf"
+    val isDocx = ext === "docx"
+    val isPptx = ext === "pptx"
+    val isXlsx = ext === "xlsx"
+    val convertible = isPdf || isDocx || isPptx || isXlsx
+    val bytes = unbase64(col("content_b64"))
     val converted = docs.withColumn("text",
       when(isText, decodeContent(col("content_b64")))
-        .when(isPdf, graft.ingest.Pdf.extract(unbase64(col("content_b64"))))
+        .when(isPdf, Pdf.extract(bytes))
+        .when(isDocx, Office.docxTextOf(bytes))
+        .when(isPptx, Office.pptxTextOf(bytes))
+        .when(isXlsx, Office.xlsxTextOf(bytes))
         .otherwise(lit(null).cast("string")))
     converted
       .withColumn("status",
         when(col("text").isNotNull, col("status")).otherwise(lit("failed")))
       .withColumn("error_message",
         when(col("text").isNotNull, col("error_message"))
-          .when(isPdf, lit("Conversion failed"))
+          .when(convertible, lit("Conversion failed"))
           .otherwise(lit("File format not allowed")))
   }
 }

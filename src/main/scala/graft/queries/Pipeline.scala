@@ -427,6 +427,24 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // S9 — DOCX conversion gate (zip+XML via JDK): wrap each document's
+    // text into a real minimal DOCX, extract it back through the
+    // zip + DOM parser, chunk. Oracle chunks the ORIGINAL text — the
+    // roundtrip (incl. XML escaping and paragraph splits) must be
+    // byte-exact. Same contract as q49's PDF gate.
+    "q56_docx_roundtrip" -> ((s, dir) => {
+      import graft.ingest.Office
+      val extracted = t(s, dir, "documents")
+        .select(col("doc_id"), Office.docxOf(col("text")).as("docx"))
+        .select(col("doc_id"), Office.docxTextOf(col("docx")).as("text"))
+      Chunkers.chunkDocuments(extracted, "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .select(col("doc_id"), col("chunk_id"), col("content"),
+                col("chunk_number").cast("long").as("chunk_number"),
+                col("total_chunks").cast("long").as("total_chunks"))
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
     // Range join via bin bucketing: per-nation promo windows (derived
     // deterministically from nation keys) matched to orders by
     // order-date containment — an equi-join on (nation, 64-day bin) +
@@ -879,6 +897,18 @@ object Pipeline {
     // the oracle chunks the ORIGINAL text — identical output proves the
     // PDF generate→extract roundtrip is exact (same SQL as q21).
     "q49_pdf_roundtrip" ->
+      """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+                substr(text, (i-1)*100+1, 100) AS content,
+                CAST(i AS BIGINT) AS chunk_number,
+                CAST(ceil(length(text)/100.0) AS BIGINT) AS total_chunks
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_number""",
+
+    // oracle chunks the ORIGINAL text — identical output proves the
+    // DOCX generate→extract roundtrip is exact (same SQL as q21/q49).
+    "q56_docx_roundtrip" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
                 substr(text, (i-1)*100+1, 100) AS content,
                 CAST(i AS BIGINT) AS chunk_number,

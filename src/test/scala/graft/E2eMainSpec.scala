@@ -28,7 +28,7 @@ class E2eMainSpec extends SparkSpec {
     put("alpha.md", "# Spark\nspark query engine performance tuning guide".getBytes("UTF-8"))
     put("beta.txt", "completely unrelated cooking recipe with butter and flour".getBytes("UTF-8"))
     put("gamma.pdf", Pdf.minimalPdf("distributed shuffle partitioning strategies for spark"))
-    put("bad.docx", "PK not really a docx".getBytes("UTF-8"))
+    put("bad.xyz", "no extractor for this extension".getBytes("UTF-8"))
     (in.toString, store)
   }
 
@@ -45,7 +45,7 @@ class E2eMainSpec extends SparkSpec {
     val byName = docs.select($"filename", $"status", $"error_message")
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(byName("alpha.md")._1 === "pending" || byName("alpha.md")._1 === "completed")
-    assert(byName("bad.docx") === (("failed", "File format not allowed")))
+    assert(byName("bad.xyz") === (("failed", "File format not allowed")))
     assert(byName("gamma.pdf")._1 !== "failed", "simple PDF must convert")
 
     // ledger: every doc's job reached a terminal state; failed doc failed
