@@ -45,6 +45,21 @@ object Metrics {
       count(lit(1)).as("n_embedded"),
       approx_count_distinct(col("embedding_provider")).as("n_providers"))
 
+  /** A5 — latency distribution per stage over the run-log table:
+    * count / mean / p50 / p95 / max. `percentile_approx` is a
+    * mergeable sketch (exact below the accuracy threshold), so this
+    * aggregates across millions of runs with one shuffle — the
+    * scalable analogue of Prometheus histogram buckets.
+    */
+  def latencySummary(runLog: DataFrame): DataFrame =
+    runLog.filter(col("metric") === "seconds")
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"),
+           avg(col("value")).as("mean_s"),
+           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_s"),
+           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_s"),
+           max(col("value")).as("max_s"))
+
   /** A5 latency: run `action`, return (result, seconds). Callers append
     * `(stage, seconds)` rows to a latency table — percentiles over that
     * table replace the reference's Prometheus histogram buckets.

@@ -75,16 +75,19 @@ object Multimodal {
             col("byte_len") % 256, (col("width") * col("height")) % 9973)
         .cast("array<long>"))
 
-  /** Decoded-image batch row (stub codec output shape). */
-  case class DecodedImage(id: Long, width: Int, height: Int, n_pixels: Long)
+  /** Decoded-image batch row. `real` marks whether the dimensions came
+    * from the REAL codec ([[Codecs.decodeImage]]) or the deterministic
+    * fallback arithmetic (non-image payloads, e.g. text/video bytes).
+    */
+  case class DecodedImage(id: Long, width: Int, height: Int, n_pixels: Long,
+                          real: Boolean)
 
   /** Batched decode over the binary column — the `mapPartitions` shape
-    * a real codec needs (amortized library init per batch, bounded
-    * batch memory), mirroring how a Python pipeline would use
-    * `mapInPandas`. The codec call itself is the STUB (deterministic
-    * arithmetic on payload bytes); everything around it — partition
-    * iteration, `grouped(batchSize)`, typed output schema — is exactly
-    * what a libjpeg/ffmpeg integration drops into.
+    * a production codec needs (amortized per-batch init, bounded batch
+    * memory), mirroring how a Python pipeline would use `mapInPandas`.
+    * Image payloads (PNG/JPEG/BMP/GIF magic) go through the REAL JDK
+    * codec; everything else falls back to the labeled deterministic
+    * arithmetic so the batch shape stays total.
     */
   def decodeBatches(df: DataFrame, idCol: String, batchSize: Int = 32)
       : org.apache.spark.sql.Dataset[DecodedImage] = {
@@ -94,12 +97,17 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // <-- real codec init would happen once per batch here
           batch.iterator.map { case (id, bytes) =>
-            val n = bytes.length.toLong
-            val w = (64 + n % 1856).toInt
-            val h = (64 + (n * 7) % 1016).toInt
-            DecodedImage(id, w, h, w.toLong * h)
+            Codecs.decodeImage(bytes) match {
+              case Some(m) =>
+                DecodedImage(id, m.width, m.height, m.width.toLong * m.height,
+                             real = true)
+              case None => // non-image payload: deterministic fallback
+                val n = bytes.length.toLong
+                val w = (64 + n % 1856).toInt
+                val h = (64 + (n * 7) % 1016).toInt
+                DecodedImage(id, w, h, w.toLong * h, real = false)
+            }
           }
         }
       }

@@ -29,6 +29,8 @@ class E2eMainSpec extends SparkSpec {
     put("beta.txt", "completely unrelated cooking recipe with butter and flour".getBytes("UTF-8"))
     put("gamma.pdf", Pdf.minimalPdf("distributed shuffle partitioning strategies for spark"))
     put("bad.xyz", "no extractor for this extension".getBytes("UTF-8"))
+    put("delta.docx",
+        graft.ingest.Office.docxBytes("broadcast joins and shuffle partitions in spark"))
     (in.toString, store)
   }
 
@@ -36,8 +38,8 @@ class E2eMainSpec extends SparkSpec {
     val (in, store) = fixtureDirs()
     val report = Main.runIngest(spark, in, store, "nomic", now)
 
-    // 4 files in, 1 quarantined (docx), pdf + md + txt converted
-    assert(report.nDocs === 4)
+    // 5 files in, 1 quarantined (unknown ext); pdf + docx + md + txt convert
+    assert(report.nDocs === 5)
     assert(report.nFailed === 1)
     assert(report.nChunks > 0 && report.nEmbedded === report.nChunks)
 
@@ -47,15 +49,16 @@ class E2eMainSpec extends SparkSpec {
     assert(byName("alpha.md")._1 === "pending" || byName("alpha.md")._1 === "completed")
     assert(byName("bad.xyz") === (("failed", "File format not allowed")))
     assert(byName("gamma.pdf")._1 !== "failed", "simple PDF must convert")
+    assert(byName("delta.docx")._1 !== "failed", "simple DOCX must convert")
 
     // ledger: every doc's job reached a terminal state; failed doc failed
     val jobs = spark.read.parquet(s"$store/jobs.parquet")
     val finalStates = graft.io.Tables
       .latestByKey(jobs, Seq("job_id"), Seq($"updated_at"))
       .select($"job_id", $"status").as[(String, String)].collect().toMap
-    assert(finalStates.size === 4)
+    assert(finalStates.size === 5)
     assert(finalStates.values.count(_ == "failed") === 1)
-    assert(finalStates.values.count(_ == "completed") === 3)
+    assert(finalStates.values.count(_ == "completed") === 4)
 
     // status command shape: job + doc rows for a known doc id
     val someDoc = docs.filter($"filename" === "alpha.md")
@@ -82,6 +85,10 @@ class E2eMainSpec extends SparkSpec {
     assert(runlog("n_embedded").toLong === nE)
     assert(runlog.contains("seconds") || runlog.keySet.exists(_.endsWith("seconds")) ||
            runlog.size >= 6) // latency rows present
+    val lat = graft.metrics.Metrics.latencySummary(
+        spark.read.parquet(s"$store/runlog.parquet"))
+      .select($"stage", $"p50_s", $"max_s").collect()
+    assert(lat.nonEmpty && lat.forall(r => r.getDouble(1) > 0 && r.getDouble(2) >= r.getDouble(1)))
 
     // search: the spark-ish query must rank a spark chunk above the recipe
     val hits = Main.runSearch(spark, store, "spark query engine performance", "nomic", 3)
@@ -91,7 +98,7 @@ class E2eMainSpec extends SparkSpec {
     // idempotent re-ingest: upsert keeps key cardinality stable
     Main.runIngest(spark, in, store, "nomic",
                    Timestamp.from(now.toInstant.plusMillis(10)))
-    assert(spark.read.parquet(s"$store/documents.parquet").count() === 4)
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 5)
     assert(spark.read.parquet(s"$store/chunks.parquet").count() === nC)
     assert(spark.read.parquet(s"$store/embeddings.parquet").count() === nE)
   }

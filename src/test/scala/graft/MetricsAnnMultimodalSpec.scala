@@ -137,6 +137,17 @@ class MetricsAnnMultimodalSpec extends SparkSpec {
     val viaBatch = Multimodal.decodeBatches(bin, "doc_id")
       .collect().map(d => d.id -> d.width.toLong).toMap
     assert(viaBatch == viaExpr)
+    assert(Multimodal.decodeBatches(bin, "doc_id").collect().forall(!_.real),
+           "text payloads take the labeled fallback path")
+    // image payloads take the REAL codec path inside the same batch shape
+    val withPng = (1L to 10L).toDF("doc_id")
+      .select($"doc_id",
+              graft.multimodal.Codecs.pngOf(
+                (lit(20) + ($"doc_id" % 7).cast("int")), lit(15),
+                ($"doc_id" % 256).cast("int")).as("payload"))
+    val real = Multimodal.decodeBatches(withPng, "doc_id").collect()
+    assert(real.forall(_.real))
+    real.foreach(d => assert(d.width == 20 + (d.id % 7).toInt && d.height == 15))
     val frames = Multimodal.sampleFrames(Multimodal.decodeStub(bin))
     // every doc emits ceil(n_frames/5) sampled frames
     val perDoc = frames.groupBy("doc_id").count()
