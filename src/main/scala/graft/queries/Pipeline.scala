@@ -427,6 +427,16 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // Q2 — metadata filtering: conjunctive equality over a JSON
+    // metadata column (the README-declared search surface; filters
+    // compile to get_json_object predicates that sit in the scan
+    // filter, not a post-collect pass).
+    "q57_metadata_filter" -> ((s, dir) => {
+      Search.metadataFilter(t(s, dir, "events"), "props", Map("k" -> "42"))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // S9 — DOCX conversion gate (zip+XML via JDK): wrap each document's
     // text into a real minimal DOCX, extract it back through the
     // zip + DOM parser, chunk. Oracle chunks the ORIGINAL text — the
@@ -905,6 +915,11 @@ object Pipeline {
                       unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
                FROM documents)
          ORDER BY doc_id, chunk_number""",
+
+    "q57_metadata_filter" ->
+      """SELECT event_id, event_type, user_id FROM events
+         WHERE json_extract_string(props, '$.k') = '42'
+         ORDER BY event_id""",
 
     // oracle chunks the ORIGINAL text — identical output proves the
     // DOCX generate→extract roundtrip is exact (same SQL as q21/q49).
