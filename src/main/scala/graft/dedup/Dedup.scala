@@ -314,6 +314,26 @@ object Dedup {
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Deterministic hash split/sample bucket in [0, buckets): the first
+    * 8 md5 hex digits of the id as an integer, mod `buckets`.
+    * Reproducible across runs, engines, and cluster sizes — the
+    * production alternative to rand()-based sampling (which is neither
+    * reproducible nor oracle-checkable), and leakage-safe when keyed
+    * by document id (all of a doc's chunks land in the same split).
+    */
+  def hashBucket(idCol: Column, buckets: Int = 100): Column =
+    (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % buckets)
+      .cast("long")
+
+  /** Train/val/test assignment from the hash bucket: [0,80) train,
+    * [80,90) val, [90,100) test — the standard 80/10/10 deterministic
+    * split.
+    */
+  def splitAssign(idCol: Column): Column = {
+    val b = hashBucket(idCol, 100)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a
     * blocking key, computed in EXACT integer arithmetic on vectors
     * quantized to a 1e-3 grid — `cos >= t` becomes

@@ -427,6 +427,24 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // Deterministic train/val/test split + stratified hash sample: the
+    // curation primitives every training pipeline runs last. Hash
+    // buckets (md5 of the doc id) are reproducible across runs,
+    // engines, and cluster sizes — unlike rand() sampling — and
+    // keying by doc id keeps all of a document's chunks in one split
+    // (leakage-safe). Output: per-(lang, split) doc counts + the count
+    // of a deterministic 10% sample within each cell.
+    "q58_split_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("split", Dedup.splitAssign(col("doc_id")))
+        .withColumn("sampled",
+          when(Dedup.hashBucket(concat(col("doc_id"), lit("|sample")), 100) < 10, 1L)
+            .otherwise(0L))
+      d.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // Q2 — metadata filtering: conjunctive equality over a JSON
     // metadata column (the README-declared search surface; filters
     // compile to get_json_object predicates that sit in the scan
@@ -920,6 +938,20 @@ object Pipeline {
       """SELECT event_id, event_type, user_id FROM events
          WHERE json_extract_string(props, '$.k') = '42'
          ORDER BY event_id""",
+
+    // same md5-hex buckets (DuckDB casts '0x…' strings to BIGINT; Spark
+    // conv(hex,16,10) — both unsigned on 8 hex digits).
+    "q58_split_sample" ->
+      """WITH d AS (
+            SELECT lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 8) AS BIGINT) % 100 AS sb
+            FROM documents)
+          SELECT lang,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN sb < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+          FROM d GROUP BY 1, 2 ORDER BY lang, split""",
 
     // oracle chunks the ORIGINAL text — identical output proves the
     // DOCX generate→extract roundtrip is exact (same SQL as q21/q49).
