@@ -279,9 +279,16 @@ object Pipeline {
       // random-pair collision odds drop from 1/16 to 1/256 per chunk,
       // so bucket sizes (and the candidate pair count) stay linear at
       // 100× the corpus where 16-bit/4-bit chunks went quadratic.
+      // signatures materialize ONCE (localCheckpoint): the pair join
+      // references the signature table on both sides, and the broadcast
+      // build side cannot reuse the probe side's plan — without the
+      // checkpoint the whole signature aggregation runs twice. At
+      // production scale this is "write the signature table, then
+      // pair-join it" — signatures are the index artifact anyway.
       val sig = Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text",
           keepCols = Seq("source"), bits = 32)
         .withColumnRenamed("simhash", "sh")
+        .localCheckpoint()
       Dedup.simhashPairs(sig, "doc_id", "sh", "source", bits = 32, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     }),

@@ -72,4 +72,15 @@ class PlansSpec extends SparkSpec {
     // — assert we never exceed two.
     assert(countOccurrences(plan, "Exchange hashpartitioning") <= 2, plan.take(3000))
   }
+
+  test("session excludes InferFiltersFromGenerate (guards the HOF re-evaluation trap)") {
+    // the rule's inferred size()>0/isnotnull guards get alias-inlined
+    // below Generate nodes, re-evaluating interpreted HOF generator
+    // inputs (shingles, chunk UDFs) 2-3x per scan row — measured 2.7s
+    // -> 1.0s on q23 at sf0.1. Every graft session builder must carry
+    // the exclusion; this guards against a builder dropping it.
+    val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules").getOrElse("")
+    assert(excluded.contains("InferFiltersFromGenerate"),
+           s"excludedRules lost the Generate-filter exclusion: '$excluded'")
+  }
 }
