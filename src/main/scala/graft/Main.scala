@@ -125,10 +125,17 @@ object Main {
       writeTable(spark, chunksObserved, storeDir, "chunks",
                  keys = Seq("chunk_id"), version = Seq(lit(1)))
     }
-    val embedded = Metrics.observeEmbedding(
-      Embedding.embedChunks(
-        spark.read.parquet(s"$storeDir/chunks.parquet"), providerName, now = now).toDF(),
-      embedObs)
+    // cache-aside: on re-ingest only chunks without a fresh stored
+    // embedding are computed (anti-join probe — the E6 operator); the
+    // alternative recomputes the whole corpus every run.
+    val storedChunks = spark.read.parquet(s"$storeDir/chunks.parquet")
+    val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
+    val embeddedRaw =
+      if (embPath.exists())
+        Embedding.embedWithCache(storedChunks,
+          spark.read.parquet(embPath.toString), providerName, now = now)
+      else Embedding.embedChunks(storedChunks, providerName, now = now).toDF()
+    val embedded = Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",
                  keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)))

@@ -101,5 +101,10 @@ class E2eMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/documents.parquet").count() === 5)
     assert(spark.read.parquet(s"$store/chunks.parquet").count() === nC)
     assert(spark.read.parquet(s"$store/embeddings.parquet").count() === nE)
+    // and the cache-aside actually HIT: no embedding was recomputed, so
+    // every stored row still carries the FIRST run's timestamp
+    val stamps = spark.read.parquet(s"$store/embeddings.parquet")
+      .select($"created_at").distinct().as[Timestamp].collect().toSeq
+    assert(stamps === Seq(now), s"re-ingest must reuse cached embeddings, got $stamps")
   }
 }
