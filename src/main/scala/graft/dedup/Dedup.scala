@@ -334,6 +334,57 @@ object Dedup {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Distributed connected components over an undirected edge list —
+    * the dedup-CLUSTER step of a training pipeline: LSH candidate pairs
+    * (q24) → duplicate clusters → keep one canonical document per
+    * cluster. Returns `(id, comp)` where `comp` is the minimum vertex
+    * id in the component (only vertices that appear in an edge; callers
+    * left-join to assign singletons to themselves).
+    *
+    * Algorithm: min-label propagation fused with pointer jumping
+    * (`comp := min(comp, min_{u∈N(v)} comp(u))`, then `comp :=
+    * comp(comp)`) — the standard shuffle-based CC (GraphFrames/Pregel
+    * family), converging in O(log d) rounds on diameter-d components.
+    * Each round is two equi-join shuffles on vertex ids; the driver
+    * loop performs one scalar `count` action per round (never collects
+    * data) and each round's labels are materialized with
+    * `localCheckpoint` so lineage stays flat — on a cluster this is
+    * exactly the iterate-and-checkpoint loop GraphFrames runs. Dup
+    * clusters have tiny diameters in practice (near-dups of a common
+    * ancestor), so 2-3 rounds settle real corpora at any scale.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 30): DataFrame = {
+    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true) // edges are reused every round — never recompute upstream LSH
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = sym.join(labels, sym("u") === labels("id"))
+        .select(sym("v").as("id"), labels("comp").as("c"))
+        .groupBy(col("id")).agg(min(col("c")).as("nmin"))
+      val stepped = labels.select(col("id"), col("comp").as("old"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), col("old"),
+                least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"))
+      // pointer jumping: follow one parent hop (comp values are ids)
+      val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = stepped.join(parents, stepped("comp") === parents("pid"), "left")
+        .select(stepped("id"), stepped("old"),
+                least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp") =!= col("old")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("comp")) // next is already materialized
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a
     * blocking key, computed in EXACT integer arithmetic on vectors
     * quantized to a 1e-3 grid — `cos >= t` becomes
