@@ -347,20 +347,39 @@ object Dedup {
     * family), converging in O(log d) rounds on diameter-d components.
     * Each round is two equi-join shuffles on vertex ids; the driver
     * loop performs one scalar `count` action per round (never collects
-    * data) and each round's labels are materialized with
-    * `localCheckpoint` so lineage stays flat — on a cluster this is
-    * exactly the iterate-and-checkpoint loop GraphFrames runs. Dup
-    * clusters have tiny diameters in practice (near-dups of a common
-    * ancestor), so 2-3 rounds settle real corpora at any scale.
+    * data). Dup clusters have tiny diameters in practice (near-dups of
+    * a common ancestor), so 2-3 rounds settle real corpora at any scale.
+    *
+    * Materialization: each round's labels are pinned as a FLAT
+    * `LogicalRDD` (the label table appears three times in the next
+    * round's plan — msgs, stepped, parents — so an unpinned plan would
+    * triple in size per round), the previous round's storage is
+    * unpersisted as soon as the next is materialized (executor storage
+    * stays O(1) in rounds, not O(iters)), and when `checkpointDir` is
+    * given each round is also RELIABLY checkpointed — the
+    * fault-tolerant iterate-and-checkpoint loop a real cluster needs
+    * (memory-only pins die with an executor). The returned labels
+    * remain pinned; callers own that final table's lifecycle.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 30): DataFrame = {
-    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true) // edges are reused every round — never recompute upstream LSH
-    var labels = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+                          maxIters: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Pin = materialize with a flat plan and an explicit free handle.
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (checkpointDir.isDefined) rdd.checkpoint()
+      rdd.count() // eager: compute (and write the reliable checkpoint) now
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (sym, symRdd) = pin(
+      edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))))
+    var (labels, labelsRdd) = pin(
+      sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -373,16 +392,51 @@ object Dedup {
                 least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"))
       // pointer jumping: follow one parent hop (comp values are ids)
       val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = stepped.join(parents, stepped("comp") === parents("pid"), "left")
-        .select(stepped("id"), stepped("old"),
-                least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val (next, nextRdd) = pin(
+        stepped.join(parents, stepped("comp") === parents("pid"), "left")
+          .select(stepped("id"), stepped("old"),
+                  least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp")))
       converged = next.filter(col("comp") =!= col("old")).limit(1).count() == 0L
-      labels = next.select(col("id"), col("comp")) // next is already materialized
+      labelsRdd.unpersist(blocking = false) // previous round is dead once next is pinned
+      labelsRdd = nextRdd
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    symRdd.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
+  }
+
+  /** Duplicate-cluster labels for EVERY document: [[connectedComponents]]
+    * over the candidate-pair edges (e.g. [[minhashCandidates]] output),
+    * singletons self-assigned. Returns the doc table's id column plus
+    * `comp` — the canonical cluster label (min doc id in the cluster).
+    */
+  def dupClusters(docs: DataFrame, idCol: String,
+                  edges: DataFrame, aCol: String, bCol: String,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("comp"))
+  }
+
+  /** Keep-one (canonical-document) selection — the output a training
+    * pipeline actually wants from dedup: every doc labeled with its
+    * cluster and a `keep` flag that is true for exactly one doc per
+    * cluster — the highest-`scoreCol` member (quality-first retention),
+    * ties broken by smallest id for determinism. One extra shuffle on
+    * `comp` (the ranking window) past the cluster step.
+    */
+  def keepOne(docs: DataFrame, idCol: String, scoreCol: Column,
+              edges: DataFrame, aCol: String, bCol: String,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val labeled = docs.join(
+      dupClusters(docs, idCol, edges, aCol, bCol, checkpointDir), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(scoreCol.desc, col(idCol).asc)
+    labeled.withColumn("keep", row_number().over(w) === 1)
   }
 
   /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a

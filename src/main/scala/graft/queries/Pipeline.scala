@@ -597,6 +597,30 @@ object Pipeline {
       val bucketed = Ann.lshBuckets(e, "embedding", nPlanes = 8)
       Ann.lshTopK(bucketed, "vec_id", "embedding", queryVec, k = 10, nPlanes = 8)
         .orderBy(col("dot").desc, col("vec_id"))
+    }),
+
+    // Dedup CLUSTERING: q24's MinHash-LSH candidate pairs → connected
+    // components (min-label propagation + pointer jumping, O(log d)
+    // shuffle rounds) → every doc labeled with its duplicate cluster,
+    // singletons self-assigned. The pairs→clusters step a training
+    // pipeline needs between candidate generation and keep-one.
+    "q59_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+      Dedup.dupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-document selection (keep-one dedup): clusters from q59
+    // → keep the highest-quality member per cluster (score = n_chars,
+    // ties to min doc_id). The actual retention decision a 100 TB
+    // training pipeline emits; one window shuffle past the cluster step.
+    "q60_dedup_keep_one" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+      Dedup.keepOne(docs, "doc_id", col("n_chars"), pairs, "a_id", "b_id")
+        .select(col("doc_id"), col("comp"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -609,7 +633,52 @@ object Pipeline {
     s"""list_transform(generate_series(1, greatest(len($toksExpr)-2, 0)),
         i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
 
+  /** Shared q59/q60 oracle scaffold: q24's LSH candidate pairs →
+    * transitive closure via recursive CTE → min reachable id per node
+    * (≡ min-label connected components) → every document labeled,
+    * singletons self-assigned. Deliberately a DIFFERENT algorithm than
+    * the Spark side's pointer-jumping loop — the two must agree.
+    */
+  private def ccLabelsSql: String =
+    s"""sh AS (
+          SELECT doc_id, ${shingleSql("toks")} AS s
+          FROM (SELECT doc_id, $Toks AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        sigs AS (
+          SELECT doc_id, band, min(substr(md5(g), band*8 + 1, 8)) AS sig
+          FROM sh, unnest(s) AS u(g),
+               (SELECT unnest(generate_series(0, 3)) AS band) bb
+          GROUP BY doc_id, band),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sigs a JOIN sigs b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r),
+        lab AS (
+          SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS comp
+          FROM documents d
+          LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) m
+            ON m.id = d.doc_id)"""
+
   val oracles: Map[String, String] = Map(
+
+    "q59_dup_clusters" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+          SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    "q60_dedup_keep_one" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+          SELECT l.doc_id, l.comp,
+                 (row_number() OVER (PARTITION BY l.comp
+                                     ORDER BY d.n_chars DESC, l.doc_id ASC) = 1)
+                   AS keep
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+          ORDER BY l.doc_id""",
 
     "q21_chunk_fixed" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
