@@ -112,8 +112,22 @@ object Main {
       }.toDF()
 
     val ok = docs.filter($"status" =!= "failed")
+
+    // near-dup keep-one (the q59/q60 operators, wired as an ingest
+    // stage): MinHash-LSH candidates → connected components → one
+    // canonical doc per cluster (longest text, ties to min id).
+    // Duplicates stay in the documents table — status 'duplicate',
+    // metadata pointing at the kept doc — but are never chunked or
+    // embedded, so the store's training surface is already deduped.
+    val dupFlags = graft.dedup.Dedup.keepOne(
+        ok.select($"doc_id", $"text"), "doc_id", length($"text"),
+        graft.dedup.Dedup.minhashCandidates(ok, "doc_id", "text", nBands = 4),
+        "a_id", "b_id")
+      .select($"doc_id", $"comp", $"keep")
+    val kept = ok.join(dupFlags.filter($"keep"), Seq("doc_id"), "left_semi")
+
     val chunked = Chunkers.chunkDocuments(
-        ok.select($"doc_id", $"text"), "doc_id", "text",
+        kept.select($"doc_id", $"text"), "doc_id", "text",
         ChunkerConfig(chunkSize = 200, chunkOverlap = 20, strategy = Strategy.Hybrid))
       .withColumn("chunk_id", concat($"doc_id", lit("_"), $"chunk_id"))
 
@@ -140,7 +154,18 @@ object Main {
       writeTable(spark, embedded, storeDir, "embeddings",
                  keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)))
     }
-    writeTable(spark, docs.drop("text"), storeDir, "documents",
+    // duplicates point at the KEPT doc (not the cluster label — the
+    // keeper is the best-scored member, not necessarily the min id)
+    val keeperOf = dupFlags.filter($"keep").select($"comp", $"doc_id".as("kept_id"))
+    val docsOut = docs.join(dupFlags.join(keeperOf, Seq("comp")), Seq("doc_id"), "left")
+      .withColumn("status",
+        when($"keep" === false, lit("duplicate")).otherwise($"status"))
+      .withColumn("metadata_json",
+        when($"keep" === false,
+             concat(lit("{\"duplicate_of\":\""), $"kept_id", lit("\"}")))
+          .otherwise($"metadata_json"))
+      .drop("comp", "keep", "kept_id")
+    writeTable(spark, docsOut.drop("text"), storeDir, "documents",
                keys = Seq("doc_id"), version = Seq(col("updated_at")))
     writeTable(spark, jobs, storeDir, "jobs",
                keys = Seq("job_id", "status"), version = Seq(col("updated_at")))
@@ -177,14 +202,19 @@ object Main {
         Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
       else updates
     val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (path.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(path)
+    val trash = new java.io.File(s"$storeDir/$name.parquet.trash")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
+    rm(tmp); rm(trash) // leftovers from a previous crashed commit
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap-by-rename commit ordering: the live table is renamed aside,
+    // not deleted, before the new snapshot takes its place — a crash at
+    // any point leaves either the old or the new table recoverable
+    // (delete-then-rename would lose the table if the rename never ran).
+    if (path.exists()) path.renameTo(trash)
     tmp.renameTo(path)
+    rm(trash)
   }
 
   // ------------------------------------------------------------------ status

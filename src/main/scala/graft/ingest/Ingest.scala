@@ -24,13 +24,22 @@ object Ingest {
 
   /** S2 — MIME sniffing from magic bytes, the cases the reference's
     * tests pin (`tests/test_docling_service.py:9-16`): `%PDF` →
-    * application/pdf, zip magic → docx-family container, else text.
-    * Pure column expressions — no UDF.
+    * application/pdf, zip magic → docx-family container, plus the
+    * image formats the reference accepts for conversion
+    * (`README.md:8-20` format list; PNG/JPEG/GIF magics). Pure column
+    * expressions — no UDF.
     */
   def detectMime(content: Column): Column =
     when(substring(content, 1, 4) === lit("%PDF".getBytes("US-ASCII")), "application/pdf")
       .when(substring(content, 1, 4) === lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)),
             "application/zip")
+      .when(substring(content, 1, 4) ===
+              lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), "image/png")
+      .when(substring(content, 1, 3) ===
+              lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "image/jpeg")
+      .when(substring(content, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+              substring(content, 1, 6) === lit("GIF89a".getBytes("US-ASCII")),
+            "image/gif")
       .otherwise("text/plain")
 
   /** P1 — `.txt` → `.md` filename rewrite (`docling_service.py:188-191`). */
@@ -90,13 +99,26 @@ object Ingest {
           .otherwise(lit("File format not allowed")))
   }
 
+  /** Image formats routed through the real JDK codec
+    * ([[graft.multimodal.Codecs]]); mirrors the reference's accepted
+    * image set (`docling_service.py:193-206`).
+    */
+  val ImageExtensions: Seq[String] = Seq("png", "jpg", "jpeg", "gif", "bmp")
+
   /** S9 — format conversion to text (reference
     * `docling_service.py:173-295` converts to markdown; here: native
     * text passes through, PDFs go through [[Pdf]]'s content-stream
     * extractor, DOCX/PPTX/XLSX through [[Office]]'s zip+XML
-    * extractors; everything else — and any file its extractor cannot
-    * decode — is quarantined with the reference's error contract.
-    * Adds a `text` column; failed rows have null text.
+    * extractors, and images are REALLY decoded
+    * ([[graft.multimodal.Codecs]], JDK ImageIO) into a markdown image
+    * stub carrying the decoded facts — dimensions, MIME, mean color.
+    * The reference OCRs images via its Docling ML model; an ML text
+    * model is out of scope in this sandbox (documented in README), so
+    * the conversion contract here is decode-and-describe: a corrupt
+    * image still fails exactly like any other convertible. Everything
+    * else — and any file its extractor cannot decode — is quarantined
+    * with the reference's error contract. Adds a `text` column; failed
+    * rows have null text.
     */
   def convertDocuments(docs: DataFrame): DataFrame = {
     val ext = lower(regexp_extract(col("filename"), "\\.([^.]+)$", 1))
@@ -105,15 +127,32 @@ object Ingest {
     val isDocx = ext === "docx"
     val isPptx = ext === "pptx"
     val isXlsx = ext === "xlsx"
-    val convertible = isPdf || isDocx || isPptx || isXlsx
+    val isImage = col("content_type").startsWith("image/") ||
+      ext.isInCollection(ImageExtensions)
+    val convertible = isPdf || isDocx || isPptx || isXlsx || isImage
     val bytes = unbase64(col("content_b64"))
-    val converted = docs.withColumn("text",
+    // decode ONCE in its own projection: the meta struct is referenced
+    // five times below, and CollapseProject would otherwise inline the
+    // (non-cheap) decode per reference.
+    val withImg = docs.withColumn("__img",
+      when(isImage, graft.multimodal.Codecs.imageMetaOf(bytes))
+        .otherwise(lit(null)))
+    val img = col("__img")
+    val imageText = when(img.isNotNull,
+      concat(lit("!["), col("filename"), lit("]("), col("filename"), lit(")\n\n"),
+             img.getField("width"), lit("x"), img.getField("height"),
+             lit(" "), col("content_type"),
+             lit(", mean rgb("), img.getField("r"), lit(","),
+             img.getField("g"), lit(","), img.getField("b"), lit(")")))
+    val converted = withImg.withColumn("text",
       when(isText, decodeContent(col("content_b64")))
         .when(isPdf, Pdf.extract(bytes))
         .when(isDocx, Office.docxTextOf(bytes))
         .when(isPptx, Office.pptxTextOf(bytes))
         .when(isXlsx, Office.xlsxTextOf(bytes))
+        .when(isImage, imageText)
         .otherwise(lit(null).cast("string")))
+      .drop("__img")
     converted
       .withColumn("status",
         when(col("text").isNotNull, col("status")).otherwise(lit("failed")))

@@ -42,7 +42,7 @@ object Pipeline {
     * SQL oracle (unlike KMeans-trained centroids, Ann.ivfTrain). The
     * collect is a k-row aggregate (k = #labels): broadcast-small-side.
     */
-  private def labelCentroids(e: DataFrame): Seq[(Long, Seq[Long])] =
+  private[graft] def labelCentroids(e: DataFrame): Seq[(Long, Seq[Long])] =
     e.select(col("label").cast("long").as("label"),
              Ann.intVec(col("embedding")).as("iv"))
       .groupBy(col("label"))
@@ -849,6 +849,7 @@ object Pipeline {
     "q33_multimodal_meta" ->
       """SELECT doc_id,
                 CASE WHEN substr(text, 1, 4) = '%PDF' THEN 'application/pdf'
+                     WHEN substr(text, 1, 6) IN ('GIF87a', 'GIF89a') THEN 'image/gif'
                      ELSE 'text/plain' END AS mime,
                 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                 CAST(64 + byte_len % 1856 AS BIGINT) AS width,

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+
+/** ANN QUALITY gate: the approximate indexes (sign-LSH q37, IVF q51)
+  * are hash-checked for what they compute, but nothing before this
+  * spec measured whether what they compute is any good.
+  *
+  * What is assertable here is bounded by the corpus: the synthetic
+  * embeddings are near-iid (a measured sweep shows recall scaling
+  * ~linearly with scanned fraction — IVF nprobe 2→6 gives recall
+  * 0.41→0.86 while scanning 20%→60%), i.e. there is almost no angular
+  * cluster structure for a sublinear index to exploit. That is a data
+  * property (curse of dimensionality on random vectors), not an index
+  * property — on real embedding manifolds the same plans concentrate
+  * much harder. So the gate pins the three things that ARE invariant:
+  *
+  *  1. ENRICHMENT — the gated configs must beat random scanning of the
+  *     same budget by a wide margin (recall ≥ 3× / 1.5× the actually
+  *     scanned fraction for LSH / IVF);
+  *  2. MONOTONICITY — recall must be non-decreasing in nprobe (the
+  *     scan/recall knob works);
+  *  3. REACHABILITY — an 0.8 recall@10 floor is met by a documented
+  *     config (nprobe=6 on this corpus), so a recall-floored serving
+  *     contract is satisfiable and its cost is known.
+  *
+  * All arithmetic is deterministic (fixed planes, label centroids,
+  * integer dots), so the measured values are stable run to run.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+  private val NQueries = 10
+
+  private lazy val emb = graft.io.Tables.load(spark, Sf01, "embeddings").cache()
+  private lazy val nRows = emb.count().toDouble
+
+  private lazy val queryVecs: Seq[(Long, Seq[Float])] =
+    emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  private lazy val exact: Map[Long, Set[Long]] = queryVecs.map { case (qid, qv) =>
+    qid -> Ann.intDotTopK(emb, "vec_id", "embedding", qv, k = K)
+      .select(col("vec_id")).as[Long].collect().toSet
+  }.toMap
+
+  private def avgRecall(got: Seq[(Long, Set[Long])]): Double = {
+    val per = got.map { case (qid, g) => g.intersect(exact(qid)).size.toDouble / K }
+    per.sum / per.size
+  }
+
+  test("sign-LSH (q37 config): recall@10 enriches >= 3x over the scanned fraction") {
+    val bucketed = Ann.lshBuckets(emb, "embedding", nPlanes = 8).cache()
+    try {
+      var scanned = 0.0
+      val got = queryVecs.map { case (qid, qv) =>
+        val qIv = qv.map(Ann.quantizeL)
+        val qBucket = (0 until 8).map { p =>
+          val proj = qIv.zipWithIndex.map { case (x, d) =>
+            x * Ann.planeSigns(8, 64)(p)(d) }.sum
+          if (proj > 0) 1L << p else 0L
+        }.sum
+        val probes = qBucket +: (0 until 8).map(p => qBucket ^ (1L << p))
+        scanned += bucketed.filter(col("bucket").isInCollection(probes)).count() / nRows
+        (qid, Ann.lshTopK(bucketed, "vec_id", "embedding", qv, k = K, nPlanes = 8)
+          .select(col("vec_id")).as[Long].collect().toSet)
+      }
+      val scanFrac = scanned / queryVecs.size
+      val recall = avgRecall(got)
+      info(f"LSH recall@$K=$recall%.2f scanned=$scanFrac%.3f enrichment=${recall / scanFrac}%.1fx")
+      assert(scanFrac < 0.15, f"multiprobe LSH should scan a small slice, scanned $scanFrac%.3f")
+      assert(recall >= 3 * scanFrac,
+             f"LSH recall $recall%.2f under 3x the scanned fraction $scanFrac%.3f — no enrichment")
+      assert(recall >= 0.1, f"LSH recall $recall%.2f collapsed")
+    } finally bucketed.unpersist()
+  }
+
+  test("IVF: enrichment at nprobe=2 (q51 config), monotone in nprobe, 0.8 floor reachable") {
+    val cents = graft.queries.Pipeline.labelCentroids(emb)
+    val assigned = Ann.ivfAssignInt(emb, "embedding", cents).cache()
+    try {
+      val cellSizes = assigned.groupBy(col("cell")).count()
+        .as[(Long, Long)].collect().toMap
+      def run(np: Int): (Double, Double) = {
+        var scanned = 0.0
+        val got = queryVecs.map { case (qid, qv) =>
+          val qIv = qv.map(Ann.quantizeL)
+          val probeCells = cents.map { case (id, c) =>
+            (id, qIv.zip(c).map { case (a, b) => a * b }.sum)
+          }.sortBy { case (id, sim) => (-sim, -id) }.take(np).map(_._1)
+          scanned += probeCells.map(cellSizes.getOrElse(_, 0L)).sum / nRows
+          (qid, Ann.ivfTopKInt(assigned, "vec_id", "embedding", cents, qIv,
+                               k = K, nprobe = np)
+            .select(col("vec_id")).as[Long].collect().toSet)
+        }
+        (avgRecall(got), scanned / queryVecs.size)
+      }
+      val curve = Seq(2, 4, 6).map(np => np -> run(np))
+      curve.foreach { case (np, (r, s)) =>
+        info(f"IVF nprobe=$np recall@$K=$r%.2f scanned=$s%.2f")
+      }
+      val (r2, s2) = curve.head._2
+      assert(r2 >= 1.5 * s2,
+             f"IVF nprobe=2 recall $r2%.2f under 1.5x scanned fraction $s2%.2f — no enrichment")
+      val recalls = curve.map(_._2._1)
+      assert(recalls == recalls.sorted,
+             s"recall must be non-decreasing in nprobe, got $recalls")
+      val (r6, s6) = curve.last._2
+      assert(r6 >= 0.8,
+             f"recall floor 0.8 not reachable: nprobe=6 gives $r6%.2f (scanned $s6%.2f)")
+    } finally assigned.unpersist()
+  }
+}

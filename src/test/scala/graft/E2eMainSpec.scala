@@ -26,6 +26,10 @@ class E2eMainSpec extends SparkSpec {
       Files.write(f.toPath, bytes)
     }
     put("alpha.md", "# Spark\nspark query engine performance tuning guide".getBytes("UTF-8"))
+    // same text under another name: a near-dup cluster of two; keep-one
+    // must retain exactly one and mark the other 'duplicate'
+    put("alpha_copy.txt",
+        "# Spark\nspark query engine performance tuning guide".getBytes("UTF-8"))
     put("beta.txt", "completely unrelated cooking recipe with butter and flour".getBytes("UTF-8"))
     put("gamma.pdf", Pdf.minimalPdf("distributed shuffle partitioning strategies for spark"))
     put("bad.xyz", "no extractor for this extension".getBytes("UTF-8"))
@@ -38,27 +42,43 @@ class E2eMainSpec extends SparkSpec {
     val (in, store) = fixtureDirs()
     val report = Main.runIngest(spark, in, store, "nomic", now)
 
-    // 5 files in, 1 quarantined (unknown ext); pdf + docx + md + txt convert
-    assert(report.nDocs === 5)
+    // 6 files in, 1 quarantined (unknown ext); pdf + docx + md + txt convert
+    assert(report.nDocs === 6)
     assert(report.nFailed === 1)
     assert(report.nChunks > 0 && report.nEmbedded === report.nChunks)
 
     val docs = spark.read.parquet(s"$store/documents.parquet")
     val byName = docs.select($"filename", $"status", $"error_message")
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
-    assert(byName("alpha.md")._1 === "pending" || byName("alpha.md")._1 === "completed")
     assert(byName("bad.xyz") === (("failed", "File format not allowed")))
     assert(byName("gamma.pdf")._1 !== "failed", "simple PDF must convert")
     assert(byName("delta.docx")._1 !== "failed", "simple DOCX must convert")
+
+    // keep-one dedup: the alpha pair (identical text, two filenames —
+    // note .txt rewrites to .md) collapses to one kept doc + one
+    // 'duplicate' pointing at it; the duplicate is never chunked.
+    val alphaPair = docs
+      .filter($"filename".isin("alpha.md", "alpha_copy.md"))
+      .select($"doc_id", $"status", $"metadata_json")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(alphaPair.length === 2)
+    val dups = alphaPair.filter(_._2 == "duplicate")
+    val kept = alphaPair.filterNot(_._2 == "duplicate")
+    assert(dups.length === 1 && kept.length === 1,
+           s"expected one kept + one duplicate, got $alphaPair")
+    assert(dups.head._3 === s"""{"duplicate_of":"${kept.head._1}"}""")
+    val dupChunks = spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === dups.head._1).count()
+    assert(dupChunks === 0, "duplicate doc must not be chunked")
 
     // ledger: every doc's job reached a terminal state; failed doc failed
     val jobs = spark.read.parquet(s"$store/jobs.parquet")
     val finalStates = graft.io.Tables
       .latestByKey(jobs, Seq("job_id"), Seq($"updated_at"))
       .select($"job_id", $"status").as[(String, String)].collect().toMap
-    assert(finalStates.size === 5)
+    assert(finalStates.size === 6)
     assert(finalStates.values.count(_ == "failed") === 1)
-    assert(finalStates.values.count(_ == "completed") === 4)
+    assert(finalStates.values.count(_ == "completed") === 5)
 
     // status command shape: job + doc rows for a known doc id
     val someDoc = docs.filter($"filename" === "alpha.md")
@@ -98,7 +118,7 @@ class E2eMainSpec extends SparkSpec {
     // idempotent re-ingest: upsert keeps key cardinality stable
     Main.runIngest(spark, in, store, "nomic",
                    Timestamp.from(now.toInstant.plusMillis(10)))
-    assert(spark.read.parquet(s"$store/documents.parquet").count() === 5)
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 6)
     assert(spark.read.parquet(s"$store/chunks.parquet").count() === nC)
     assert(spark.read.parquet(s"$store/embeddings.parquet").count() === nE)
     // and the cache-aside actually HIT: no embedding was recomputed, so

@@ -58,15 +58,41 @@ class TablesJobsIngestSpec extends SparkSpec {
       JobLedger.transition(j0, JobStatus.Completed, ts("2025-01-01 00:01:00")))
   }
 
-  test("mime detection: %PDF, zip magic, text (test_docling_service.py:9-16)") {
+  test("mime detection: %PDF, zip magic, image magics, text (test_docling_service.py:9-16)") {
     val df = Seq(
       ("pdf", "%PDF-1.4 rest".getBytes("US-ASCII")),
       ("zip", Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00)),
+      ("png", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a)),
+      ("jpg", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      ("gif", "GIF89a-rest".getBytes("US-ASCII")),
       ("txt", "plain text".getBytes("US-ASCII"))).toDF("id", "content")
     val got = df.select($"id", Ingest.detectMime($"content").as("mime"))
       .as[(String, String)].collect().toMap
     assert(got == Map("pdf" -> "application/pdf", "zip" -> "application/zip",
-                      "txt" -> "text/plain"))
+                      "png" -> "image/png", "jpg" -> "image/jpeg",
+                      "gif" -> "image/gif", "txt" -> "text/plain"))
+  }
+
+  test("images convert through the real codec into a metadata stub (S9 image slice)") {
+    import org.apache.spark.sql.functions._
+    val b64 = java.util.Base64.getEncoder
+    val rows = Seq(
+      ("i1", "img.png", b64.encodeToString(
+        graft.multimodal.Codecs.pngSolid(4, 3, 0x112233))),
+      ("i2", "bad.png", b64.encodeToString("not an image".getBytes("UTF-8"))))
+      .toDF("doc_id", "filename", "content_b64")
+      .withColumn("content_type", Ingest.detectMime(unbase64($"content_b64")))
+      .withColumn("status", lit("pending"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = Ingest.convertDocuments(rows)
+      .select($"doc_id", $"text", $"status", $"error_message")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+    // real decode: dims and mean channels recovered from the PNG bytes
+    assert(out("i1") === (("![img.png](img.png)\n\n4x3 image/png, mean rgb(17,34,51)",
+                           "pending", null)))
+    // corrupt image fails like any other convertible, not as unsupported
+    assert(out("i2") === ((null, "failed", "Conversion failed")))
   }
 
   test("txt→md rename only rewrites .txt (docling_service.py:188-191)") {
