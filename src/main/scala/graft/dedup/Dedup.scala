@@ -314,6 +314,49 @@ object Dedup {
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Train/test DECONTAMINATION — the benchmark-leakage scan every
+    * training pipeline must run before shipping a split: find
+    * (test doc, train doc) pairs that share at least `minShared`
+    * winnowing fingerprints, i.e. a test document whose content
+    * overlaps a training document enough to leak the eval set.
+    *
+    * Plan shape (the 100 TB posture): fingerprints bucket-join exactly
+    * like MinHash bands — one shuffle on the 8-hex fp, pair expansion
+    * confined to fp buckets. `dfCap` is the same scale guard as
+    * [[ngramJaccardPairs]]: a fingerprint carried by more than `dfCap`
+    * documents is a stop-phrase with C(n,2) pair cost and no
+    * containment signal, dropped BEFORE expansion, keeping the plan
+    * linear in corpus size.
+    *
+    * `splitCol` is any split-label expression (e.g. [[splitAssign]];
+    * or a materialized split column) evaluated per row of `df`.
+    */
+  def contaminationPairs(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: Column, dfCap: Int = 100,
+                         minShared: Int = 2,
+                         testSplit: String = "test",
+                         trainSplit: String = "train"): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol)
+      .join(df.select(col(idCol), splitCol.as("split")), Seq(idCol))
+    // one aggregation per fp: member lists per side + the df-cap —
+    // bucket-confined pair expansion, same kernel as minhashCandidates
+    val byFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"),
+           sort_array(collect_list(when(col("split") === testSplit, col(idCol))))
+             .as("test_ids"),
+           sort_array(collect_list(when(col("split") === trainSplit, col(idCol))))
+             .as("train_ids"))
+      .filter(col("df") <= dfCap &&
+              size(col("test_ids")) > 0 && size(col("train_ids")) > 0)
+    byFp
+      .select(col("fp"), explode(col("test_ids")).as("test_id"), col("train_ids"))
+      .select(col("fp"), col("test_id"), explode(col("train_ids")).as("train_id"))
+      // fps are distinct per doc, so count(*) = #shared fingerprints
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic hash split/sample bucket in [0, buckets): the first
     * 8 md5 hex digits of the id as an integer, mod `buckets`.
     * Reproducible across runs, engines, and cluster sizes — the
@@ -366,20 +409,26 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // Pin = materialize with a flat plan and an explicit free handle.
-    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // Pin = flat plan + explicit free handle. Only the loop inputs are
+    // materialized eagerly; each round's pin is computed by that
+    // round's single convergence-count action (a full count over the
+    // filtered pin scans every partition, so the cache is complete
+    // before the previous round is unpersisted) — one job per round,
+    // not two.
+    def pin(df: DataFrame, eager: Boolean)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (checkpointDir.isDefined) rdd.checkpoint()
-      rdd.count() // eager: compute (and write the reliable checkpoint) now
+      if (eager) rdd.count()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
     val (sym, symRdd) = pin(
       edges.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))))
+        .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))), eager = true)
     var (labels, labelsRdd) = pin(
       sym.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")))
+        .select(col("id"), col("id").as("comp")), eager = true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -395,8 +444,12 @@ object Dedup {
       val (next, nextRdd) = pin(
         stepped.join(parents, stepped("comp") === parents("pid"), "left")
           .select(stepped("id"), stepped("old"),
-                  least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp")))
-      converged = next.filter(col("comp") =!= col("old")).limit(1).count() == 0L
+                  least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp")),
+        eager = false)
+      // full count (no limit-1 short circuit): doubles as the round's
+      // materializing action, so `next` is fully cached before the
+      // previous round's storage is dropped
+      converged = next.filter(col("comp") =!= col("old")).count() == 0L
       labelsRdd.unpersist(blocking = false) // previous round is dead once next is pinned
       labelsRdd = nextRdd
       labels = next.select(col("id"), col("comp"))

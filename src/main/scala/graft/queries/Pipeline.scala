@@ -621,6 +621,32 @@ object Pipeline {
       Dedup.keepOne(docs, "doc_id", col("n_chars"), pairs, "a_id", "b_id")
         .select(col("doc_id"), col("comp"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SEMANTIC near-dup with LEARNED blocking: q30 blocks on a metadata
+    // column; the 100 TB path has no such column — here the blocks are
+    // the IVF coarse cells (q48), i.e. the quantizer both serves ANN
+    // and bounds the near-dup pair expansion. Pairs straddling a cell
+    // boundary are missed by construction — the standard
+    // blocked-dedup recall trade, same as q30's. Exact integer math.
+    "q62_semantic_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = labelCentroids(e)
+      Dedup.embeddingNearDupPairs(
+          Ann.ivfAssignInt(e, "embedding", cents),
+          "vec_id", "embedding", "cell", thresholdNum = 16, thresholdDen = 100)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // DECONTAMINATION: test-split docs sharing ≥2 winnowing
+    // fingerprints (q44) with a train-split doc under the q58
+    // deterministic split — the benchmark-leakage scan a training
+    // pipeline runs before shipping a split. Bucket-join on the fp,
+    // df-capped, pair expansion confined to buckets.
+    "q61_decontaminate" -> ((s, dir) => {
+      Dedup.contaminationPairs(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.splitAssign(col("doc_id")), dfCap = 100, minShared = 2)
+        .orderBy(col("test_id"), col("train_id"))
     })
   )
 
@@ -670,6 +696,83 @@ object Pipeline {
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q48's centroid/assignment CTEs + q30's exact-integer pair filter,
+    // with the IVF cell as the blocking key.
+    "q62_semantic_neardup" ->
+      """WITH iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          sums AS (
+            SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+            GROUP BY label, i),
+          counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+          cent AS (
+            SELECT s.label AS cell,
+                   list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+            FROM sums s JOIN counts c ON s.label = c.label
+            GROUP BY s.label),
+          scored AS (
+            SELECT iv.vec_id, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * cent.cv[i])) AS BIGINT) AS sim
+            FROM iv CROSS JOIN cent),
+          best AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+            FROM scored),
+          n AS (
+            SELECT b.cell, iv.vec_id, iv.v,
+                   CAST(list_sum(list_transform(iv.v, x -> x*x)) AS BIGINT) AS n2
+            FROM iv JOIN best b ON b.vec_id = iv.vec_id AND b.rn = 1)
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+          FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) > 0
+            AND CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS HUGEINT)
+                  * list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) * 100
+                >= CAST(a.n2 AS HUGEINT) * b.n2 * 16
+          ORDER BY a_id, b_id""",
+
+    // q44's fingerprint CTEs + q58's split buckets; df-cap counts ALL
+    // docs carrying the fp (any split), mirroring contaminationPairs.
+    "q61_decontaminate" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT doc_id,
+                   list_transform(
+                     list_transform(generate_series(1, len(tk)-2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks WHERE len(tk) >= 6),
+          minima AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(h)-3),
+                     i -> list_min(h[i:i+3]))) AS fps
+            FROM hs),
+          fps AS (SELECT doc_id, unnest(fps) AS fp FROM minima),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+                  FROM documents)),
+          j AS (SELECT f.fp, f.doc_id, s.split FROM fps f JOIN sp s USING (doc_id)),
+          capped AS (SELECT fp FROM j GROUP BY fp HAVING count(*) <= 100),
+          pairs AS (
+            SELECT te.doc_id AS test_id, tr.doc_id AS train_id
+            FROM j te
+            JOIN j tr ON te.fp = tr.fp AND te.split = 'test' AND tr.split = 'train'
+            JOIN capped c ON c.fp = te.fp)
+          SELECT test_id, train_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY test_id, train_id""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

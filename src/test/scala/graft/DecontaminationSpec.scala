@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Train/test decontamination (q61): shared-winnow-fingerprint pairs
+  * across a split boundary.
+  */
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 words shared verbatim → many shared shingle windows → many fps
+  private val leaked =
+    "the quick brown fox jumps over the lazy dog near the riverbank today"
+
+  test("a test doc containing a train doc's run is flagged with its overlap count") {
+    val docs = Seq(
+      (1L, s"intro words then $leaked and a closing remark", "train"),
+      (2L, s"totally different preamble yet $leaked appears verbatim here", "test"),
+      (3L, "unrelated text about cooking pasta with garlic butter and fresh sage leaves", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.contaminationPairs(docs, "doc_id", "text", col("split"),
+                                       dfCap = 100, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((2L, 1L)),
+           s"expected exactly the leaked pair, got $got")
+    assert(got.head._3 >= 2, s"overlap count should reflect many shared fps: $got")
+  }
+
+  test("pairs below minShared and fingerprints above dfCap are dropped") {
+    // the leaked run appears in MANY train docs → every fp it produces
+    // has df > dfCap=3 → capped away → no pair survives
+    val docs = (1L to 5L).map(i => (i, s"filler $i then $leaked", "train")) :+
+      ((6L, s"other filler yet $leaked too", "test"))
+    val got = Dedup.contaminationPairs(docs.toDF("doc_id", "text", "split"),
+                                       "doc_id", "text", col("split"),
+                                       dfCap = 3, minShared = 2)
+      .count()
+    assert(got == 0, "hot fingerprints must be df-capped before pair expansion")
+  }
+
+  test("no cross-split overlap yields no pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "train"),
+      (2L, "one two three four five six seven eight nine ten eleven", "test"))
+      .toDF("doc_id", "text", "split")
+    assert(Dedup.contaminationPairs(docs, "doc_id", "text", col("split")).count() == 0)
+  }
+}
