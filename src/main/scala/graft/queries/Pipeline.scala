@@ -638,6 +638,35 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Multimodal feature extraction (stub tier): metadata-derived
+    // feature vector per payload — the stand-in for a vision encoder
+    // whose OUTPUT CONTRACT (fixed-width feature columns feeding the
+    // embedding store) is the part the engine owns. Emitted as scalar
+    // columns (Arrow list columns are engine-fragile in the gate).
+    "q63_feature_extract" -> ((s, dir) => {
+      val f = Multimodal.featureStub(
+        Multimodal.decodeStub(
+          Multimodal.toBinaryTable(t(s, dir, "documents"), "doc_id", "text")))
+      f.select(col("doc_id") +:
+          (1 to 6).map(i => element_at(col("features"), i).as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multi-table LSH ANN (OR-construction): 4 independent 8-plane
+    // sign-LSH tables; a candidate matches if ANY table buckets it with
+    // the query — recall compounds 1-(1-p^b)^L for the same per-table
+    // scan. The serving config between q37's single table and exact
+    // q29. Oracle bakes all 32 hyperplanes as SQL literals, like q37.
+    "q64_ann_lsh_multi" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queryVec = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val bucketed = Ann.lshBucketsMulti(e, "embedding", nTables = 4, nPlanes = 8)
+      Ann.lshTopKMulti(bucketed, "vec_id", "embedding", queryVec, k = 10,
+                       nTables = 4, nPlanes = 8)
+        .orderBy(col("dot").desc, col("vec_id"))
+    }),
+
     // DECONTAMINATION: test-split docs sharing ≥2 winnowing
     // fingerprints (q44) with a train-split doc under the q58
     // deterministic split — the benchmark-leakage scan a training
@@ -1298,6 +1327,42 @@ object Pipeline {
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
     // = Σ 2^p over positive projections, probes = query bucket plus its
     // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    "q63_feature_extract" ->
+      """SELECT doc_id,
+                CAST(bl AS BIGINT) AS f1,
+                CAST(64 + bl % 1856 AS BIGINT) AS f2,
+                CAST(64 + (bl * 7) % 1016 AS BIGINT) AS f3,
+                CAST(1 + bl % 30 AS BIGINT) AS f4,
+                CAST(bl % 256 AS BIGINT) AS f5,
+                CAST(((64 + bl % 1856) * (64 + (bl * 7) % 1016)) % 9973 AS BIGINT) AS f6
+         FROM (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents)
+         ORDER BY doc_id""",
+
+    "q64_ann_lsh_multi" -> {
+      val all = graft.search.Ann.planeSigns(nPlanes = 32, dims = 64)
+      def bucketExpr(tbl: Int): String = (0 until 8).map { p =>
+        val lst = all(tbl * 8 + p).mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             i -> v[i] * ($lst)[i])) > 0 THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      val buckets = (0 until 4)
+        .map(tbl => s"CAST(${bucketExpr(tbl)} AS BIGINT) AS bucket_$tbl").mkString(", ")
+      val qsel = (0 until 4).map(tbl => s"bucket_$tbl AS qb_$tbl").mkString(", ")
+      val probe = (0 until 4).map(tbl => s"b.bucket_$tbl = q.qb_$tbl").mkString(" OR ")
+      s"""WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          b AS (SELECT vec_id, v, $buckets FROM iv),
+          q AS (SELECT v AS qv, $qsel FROM b WHERE vec_id = 0)
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> b.v[i] * q.qv[i])) AS BIGINT) AS dot
+          FROM b, q
+          WHERE $probe
+          ORDER BY dot DESC, vec_id LIMIT 10"""
+    },
+
     "q37_ann_lsh" -> {
       val planes = graft.search.Ann.planeSigns(nPlanes = 8, dims = 64)
       val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
