@@ -423,9 +423,13 @@ object Dedup {
       if (eager) rdd.count()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    val (sym, symRdd) = pin(
-      edges.select(col(aCol).as("u"), col(bCol).as("v"))
-        .union(edges.select(col(bCol).as("u"), col(aCol).as("v"))), eager = true)
+    // pin the DIRECTED edges first: a union of two branches over the
+    // raw `edges` would evaluate the (md5-heavy) upstream candidate
+    // pipeline twice in the same job. sym stays a cheap view over the
+    // pin — the swap projection re-evaluates per round, the LSH never.
+    val (e0, symRdd) = pin(
+      edges.select(col(aCol).as("u"), col(bCol).as("v")), eager = true)
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     var (labels, labelsRdd) = pin(
       sym.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("comp")), eager = true)

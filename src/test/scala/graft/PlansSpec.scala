@@ -59,6 +59,32 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("lang"), "unreferenced column read by scan")
   }
 
+  test("q61: decontamination never plans a cartesian/nested-loop pair expansion") {
+    val plan = planOf("q61_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // pair expansion happens inside fp buckets (one aggregation), not
+    // as a join of two exploded fingerprint branches
+    assert(countOccurrences(plan, "Generate explode") <= 3, plan.take(3000))
+  }
+
+  test("q62: learned-block near-dup joins on the cell key, no cartesian") {
+    val plan = planOf("q62_semantic_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("blk"), "blocked equi-join on the IVF cell expected")
+  }
+
+  test("q64: multi-table LSH probes inline into ONE corpus scan's filter") {
+    val plan = planOf("q64_ann_lsh_multi")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(countOccurrences(plan, "FileScan") == 1, "exactly one corpus scan")
+    // all 4 tables' 8-bit buckets pushed down as scan predicates: the
+    // top bit (128) appears once per table in the filter
+    assert(countOccurrences(plan, "THEN 128 ELSE 0 END") == 4,
+           "four table-bucket probes expected in the pushed filter")
+  }
+
   test("q36: native cosine kernel is inside the plan (no HOF fallback)") {
     val plan = planOf("q36_pipeline_search")
     assert(plan.contains("cosine_similarity"), plan.take(2000))
