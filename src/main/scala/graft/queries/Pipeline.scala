@@ -638,6 +638,14 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // TF-IDF top terms per doc (keyword extraction): exact integer
+    // scores (tf·10⁶ div df), lexicographic ties — two map-combined
+    // aggregations + one window rank, hash-identical in DuckDB.
+    "q65_tfidf_topterms" -> ((s, dir) => {
+      TextStats.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Multimodal feature extraction (stub tier): metadata-derived
     // feature vector per payload — the stand-in for a vision encoder
     // whose OUTPUT CONTRACT (fixed-width feature columns feeding the
@@ -1327,6 +1335,28 @@ object Pipeline {
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
     // = Σ 2^p over positive projections, probes = query bucket plus its
     // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    "q65_tfidf_topterms" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> t <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                   tf.tf * 1000000 // d.df AS score
+            FROM tf JOIN dfreq d USING (term)),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC) AS rnk
+            FROM scored)
+          SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+                 CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                 CAST(score AS BIGINT) AS score
+          FROM ranked WHERE rnk <= 3
+          ORDER BY doc_id, rnk""",
+
     "q63_feature_extract" ->
       """SELECT doc_id,
                 CAST(bl AS BIGINT) AS f1,

@@ -92,4 +92,30 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", filter(split(lower(text), "\\s+"), t => t =!= "")))
 
+  /** TF-IDF top-`k` terms per document — the keyword/topic signal a
+    * corpus-analysis pipeline extracts per doc. Scoring is EXACT
+    * integer arithmetic (`tf·10⁶ div df` — the corpus-size factor is a
+    * constant that cannot change per-doc ordering, so it is dropped;
+    * integral division is identical in Spark and DuckDB), ties broken
+    * lexicographically, so the result is oracle-hashable bit-for-bit.
+    *
+    * Plan shape: two hash aggregations (term frequencies, document
+    * frequencies — both map-side-combined) + one shuffle-joined window
+    * rank per doc. No driver-side anything; df of a hot term is just a
+    * big count, never a wide row.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", expr("tf * CAST(1000000 AS BIGINT) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }
