@@ -83,6 +83,13 @@ object Ingest {
     */
   val SupportedExtensions: Seq[String] = Seq("md", "txt", "markdown")
 
+  /** Every extension the conversion pipeline accepts — the engine's
+    * analogue of the reference's allowed-format list (`README.md:8-20`:
+    * markdown/text, PDF, Office, images).
+    */
+  def allowedExtensions: Seq[String] =
+    SupportedExtensions ++ Seq("pdf", "docx", "pptx", "xlsx") ++ ImageExtensions
+
   /** S9 error path — the batch-idiomatic form of the reference's
     * ConversionError: unsupported rows are FLAGGED failed with the
     * reference's message rather than thrown (a distributed pipeline
@@ -92,10 +99,10 @@ object Ingest {
     val ext = lower(regexp_extract(col("filename"), "\\.([^.]+)$", 1))
     docs
       .withColumn("status",
-        when(ext.isInCollection(SupportedExtensions), col("status"))
+        when(ext.isInCollection(allowedExtensions), col("status"))
           .otherwise(lit("failed")))
       .withColumn("error_message",
-        when(ext.isInCollection(SupportedExtensions), col("error_message"))
+        when(ext.isInCollection(allowedExtensions), col("error_message"))
           .otherwise(lit("File format not allowed")))
   }
 

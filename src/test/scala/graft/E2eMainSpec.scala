@@ -35,6 +35,7 @@ class E2eMainSpec extends SparkSpec {
     put("bad.xyz", "no extractor for this extension".getBytes("UTF-8"))
     put("delta.docx",
         graft.ingest.Office.docxBytes("broadcast joins and shuffle partitions in spark"))
+    put("photo.png", graft.multimodal.Codecs.pngSolid(8, 8, 0x336699))
     (in.toString, store)
   }
 
@@ -42,8 +43,9 @@ class E2eMainSpec extends SparkSpec {
     val (in, store) = fixtureDirs()
     val report = Main.runIngest(spark, in, store, "nomic", now)
 
-    // 6 files in, 1 quarantined (unknown ext); pdf + docx + md + txt convert
-    assert(report.nDocs === 6)
+    // 7 files in, 1 quarantined (unknown ext); pdf + docx + md + txt +
+    // png (real image decode) convert
+    assert(report.nDocs === 7)
     assert(report.nFailed === 1)
     assert(report.nChunks > 0 && report.nEmbedded === report.nChunks)
 
@@ -53,6 +55,7 @@ class E2eMainSpec extends SparkSpec {
     assert(byName("bad.xyz") === (("failed", "File format not allowed")))
     assert(byName("gamma.pdf")._1 !== "failed", "simple PDF must convert")
     assert(byName("delta.docx")._1 !== "failed", "simple DOCX must convert")
+    assert(byName("photo.png")._1 !== "failed", "image must real-decode, not quarantine")
 
     // keep-one dedup: the alpha pair (identical text, two filenames —
     // note .txt rewrites to .md) collapses to one kept doc + one
@@ -76,9 +79,9 @@ class E2eMainSpec extends SparkSpec {
     val finalStates = graft.io.Tables
       .latestByKey(jobs, Seq("job_id"), Seq($"updated_at"))
       .select($"job_id", $"status").as[(String, String)].collect().toMap
-    assert(finalStates.size === 6)
+    assert(finalStates.size === 7)
     assert(finalStates.values.count(_ == "failed") === 1)
-    assert(finalStates.values.count(_ == "completed") === 5)
+    assert(finalStates.values.count(_ == "completed") === 6)
 
     // status command shape: job + doc rows for a known doc id
     val someDoc = docs.filter($"filename" === "alpha.md")
@@ -118,7 +121,7 @@ class E2eMainSpec extends SparkSpec {
     // idempotent re-ingest: upsert keeps key cardinality stable
     Main.runIngest(spark, in, store, "nomic",
                    Timestamp.from(now.toInstant.plusMillis(10)))
-    assert(spark.read.parquet(s"$store/documents.parquet").count() === 6)
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 7)
     assert(spark.read.parquet(s"$store/chunks.parquet").count() === nC)
     assert(spark.read.parquet(s"$store/embeddings.parquet").count() === nE)
     // and the cache-aside actually HIT: no embedding was recomputed, so

@@ -104,12 +104,17 @@ class TablesJobsIngestSpec extends SparkSpec {
   test("unsupported format is quarantined with the reference's message (S9 error path)") {
     val docs = Seq(
       ("d1", "notes.md", "pending", null: String),
-      ("d2", "binary.exe", "pending", null: String))
+      ("d2", "binary.exe", "pending", null: String),
+      ("d3", "report.pdf", "pending", null: String),
+      ("d4", "photo.png", "pending", null: String))
       .toDF("doc_id", "filename", "status", "error_message")
     val byId = Ingest.validateFormat(docs).collect().map(r =>
       r.getAs[String]("doc_id") -> (r.getAs[String]("status"), r.getAs[String]("error_message"))).toMap
     assert(byId("d1") == ("pending", null))
     assert(byId("d2") == ("failed", "File format not allowed"))
+    // the full allowed set (reference README format list): convertibles pass
+    assert(byId("d3") == ("pending", null))
+    assert(byId("d4") == ("pending", null))
   }
 
   test("ingest round-trip: content base64-encoded then decoded intact (S3)") {
