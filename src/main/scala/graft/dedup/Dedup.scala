@@ -68,16 +68,6 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature for one band: min over shingles of
-    * md5(band || '|' || shingle). With md5 as the random permutation
-    * family, each band salt yields an independent permutation — the
-    * textbook construction. COST: one md5 per (band × shingle); prefer
-    * [[minhashCandidates]]'s sliced scheme (one md5 total) in bulk
-    * paths.
-    */
-  def minhashBand(shingleCol: Column, band: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat_ws("|", lit(band.toString), s))))
-
   /** Band signature from PRE-HASHED shingles: band b = min over the
     * b-th 8-hex-digit slice of each shingle's md5. One md5 per shingle
     * total (measured 8× cheaper than per-band salting at sf0.1); the
