@@ -99,16 +99,21 @@ object TextStats {
     * integral division is identical in Spark and DuckDB), ties broken
     * lexicographically, so the result is oracle-hashable bit-for-bit.
     *
-    * Plan shape: two hash aggregations (term frequencies, document
-    * frequencies — both map-side-combined) + one shuffle-joined window
-    * rank per doc. No driver-side anything; df of a hot term is just a
-    * big count, never a wide row.
+    * Plan shape: ONE scan+tokenize into the (doc, term, tf) table,
+    * materialized (same idiom as the simhash signature table — without
+    * it Catalyst prunes the df branch into a second full scan whose
+    * exchange cannot be reused), then a map-combined df aggregation
+    * broadcast-joined back and one window rank per doc. A
+    * count-over-term window would avoid the join but buffers a hot
+    * term's whole partition — the groupBy keeps stopword terms as
+    * partial counts, never a resident row set.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
