@@ -638,6 +638,15 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Sequence PACKING: docs → fixed-token-budget training sequences,
+    // hash-bucketed so the running-sum window parallelizes (no global
+    // sort) and the packing is reproducible across cluster sizes.
+    "q66_pack_sequences" -> ((s, dir) => {
+      TextStats.packSequences(t(s, dir, "documents"), "doc_id", "text",
+                              budget = 512, buckets = 32)
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per doc (keyword extraction): exact integer
     // scores (tf·10⁶ div df), lexicographic ties — two map-combined
     // aggregations + one window rank, hash-identical in DuckDB.
@@ -1335,6 +1344,24 @@ object Pipeline {
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
     // = Σ 2^p over positive projections, probes = query bucket plus its
     // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    // same md5 buckets as q58; BPE-ish token count as in q26.
+    "q66_pack_sequences" ->
+      """WITH d AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS bucket,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cum_before
+            FROM d)
+          SELECT doc_id, bucket, n_tokens, cum_before,
+                 CAST(bucket * 1048576 + cum_before // 512 AS BIGINT) AS seq_no
+          FROM c ORDER BY doc_id""",
+
     "q65_tfidf_topterms" ->
       """WITH toks AS (
             SELECT doc_id,

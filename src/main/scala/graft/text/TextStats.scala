@@ -108,6 +108,35 @@ object TextStats {
     * term's whole partition — the groupBy keeps stopword terms as
     * partial counts, never a resident row set.
     */
+  /** Deterministic SEQUENCE PACKING — the last mile of training-data
+    * prep: assign documents to fixed-token-budget training sequences.
+    * Docs are hash-bucketed ([[graft.dedup.Dedup.hashBucket]] — the
+    * same reproducible md5 buckets the split uses), then streamed in
+    * id order within each bucket; a doc's sequence is the budget
+    * window its starting token offset falls in
+    * (`seq = bucket·2⁲⁰ + cum_before div budget` — globally unique).
+    *
+    * Scale shape: the running token sum is a window per BUCKET, so
+    * parallelism = `buckets` and no global sort ever exists; packing is
+    * reproducible across runs, partitionings and cluster sizes (the
+    * rand()-free property training reproducibility needs). Token cost
+    * is the BPE-ish lexer count ([[bpeTokens]]) — the same cost model
+    * the hybrid chunker budgets with.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int = 512, buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+              graft.dedup.Dedup.hashBucket(col(idCol), buckets).as("bucket"),
+              size(bpeTokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_no",
+        col("bucket") * lit(1L << 20) +
+          expr(s"cum_before div CAST($budget AS BIGINT)"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
