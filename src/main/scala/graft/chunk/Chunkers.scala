@@ -265,16 +265,6 @@ object Chunkers {
     else (attempted, config.strategy, false)
   }
 
-  private def chunkTypeOf(strategy: String, isFallback: Boolean): String =
-    if (isFallback) "full_document"
-    else strategy match {
-      case Strategy.Hybrid     => "hybrid_chunk"
-      case Strategy.Markdown   => "markdown_chunk"
-      case Strategy.Sentence   => "sentence_chunk"
-      case Strategy.FixedWidth => "fixed_chunk"
-      case _                   => "full_document"
-    }
-
   // -------------------------------------------------------- Spark operator
 
   // Public (not `private`): whole-stage-codegen'd code lives outside this

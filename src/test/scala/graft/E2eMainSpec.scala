@@ -129,5 +129,19 @@ class E2eMainSpec extends SparkSpec {
     val stamps = spark.read.parquet(s"$store/embeddings.parquet")
       .select($"created_at").distinct().as[Timestamp].collect().toSeq
     assert(stamps === Seq(now), s"re-ingest must reuse cached embeddings, got $stamps")
+
+    // crash recovery: leftovers from a commit that died mid-swap (stale
+    // .tmp and .trash snapshots) must not corrupt the next commit — the
+    // table swap cleans them and lands the new snapshot atomically
+    for (leftover <- Seq("documents.parquet.tmp", "documents.parquet.trash")) {
+      val d = new java.io.File(store, leftover)
+      d.mkdirs()
+      Files.writeString(new java.io.File(d, "junk").toPath, "stale")
+    }
+    Main.runIngest(spark, in, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(20)))
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 7)
+    assert(!new java.io.File(store, "documents.parquet.tmp").exists())
+    assert(!new java.io.File(store, "documents.parquet.trash").exists())
   }
 }
