@@ -60,4 +60,32 @@ object Tables {
     */
   def pointLookup(df: DataFrame, keyCol: String, id: Any): DataFrame =
     df.filter(col(keyCol) === lit(id)).limit(1)
+
+  // ------------------------------------------------------- JSONL shards
+
+  /** Write a table as compressed JSONL shards — the interchange format
+    * a 100 TB text corpus actually ships in (one JSON object per line,
+    * gzip per shard; each output partition becomes one shard, so shard
+    * count = write parallelism).
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 codec: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", codec).json(path)
+
+  /** Read JSONL shards with an EXPLICIT schema (schema inference would
+    * scan the corpus twice and type-drift across shards) in PERMISSIVE
+    * mode: malformed lines land in `corrupt_record` instead of failing
+    * the job — the same quarantine-don't-abort contract as ingest.
+    * Shard files parallelize by Spark's file splitting (gzip shards are
+    * one split each — size shards accordingly upstream). Spark
+    * restriction: a query referencing ONLY `corrupt_record` must
+    * `.cache()` the frame first (SPARK-21610).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_record")
+      .json(path)
 }

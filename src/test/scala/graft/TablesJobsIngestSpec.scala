@@ -117,6 +117,36 @@ class TablesJobsIngestSpec extends SparkSpec {
     assert(byId("d4") == ("pending", null))
   }
 
+  test("JSONL shards: gzip write → schema'd read roundtrips; corrupt lines quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Seq((1L, "alpha text", "en"), (2L, "beta \"quoted\" text", "fr"))
+      .toDF("doc_id", "text", "lang")
+    graft.io.Tables.writeJsonl(docs.repartition(2), s"$dir/shards")
+    // shards are really gzip JSONL files
+    val parts = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = graft.io.Tables.readJsonl(spark, s"$dir/shards", schema).cache()
+    assert(back.filter($"corrupt_record".isNotNull).count() == 0)
+    assert(back.select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha text", "en"), (2L, "beta \"quoted\" text", "fr")))
+    // a malformed shard line quarantines instead of failing the job
+    val badDir = s"$dir/bad"
+    new java.io.File(badDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$badDir/shard-0.json"),
+      """{"doc_id": 3, "text": "ok", "lang": "en"}
+        |not json at all
+        |""".stripMargin)
+    val mixed = graft.io.Tables.readJsonl(spark, badDir, schema).cache()
+    assert(mixed.filter($"corrupt_record".isNull).count() == 1)
+    assert(mixed.filter($"corrupt_record".isNotNull).count() == 1)
+  }
+
   test("ingest round-trip: content base64-encoded then decoded intact (S3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
     val f = new java.io.File(dir, "doc.txt")
