@@ -95,6 +95,11 @@ object Main {
     val docs = Ingest.convertDocuments(
       Ingest.toDocuments(Ingest.readBinaryDir(spark, inputDir), lit(now)))
       .cache()
+    // storage snapshot: everything pinned after this point (the dedup
+    // clustering's per-round label tables) is this run's scratch and is
+    // freed before returning — a long-lived session must not accumulate
+    // one pinned label table per ingest.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
 
     // ledger: queued at t, then running, then completed/failed — three
     // appended versions per doc; latest-wins is the current state
@@ -125,6 +130,12 @@ object Main {
         "a_id", "b_id")
       .select($"doc_id", $"comp", $"keep")
     val kept = ok.join(dupFlags.filter($"keep"), Seq("doc_id"), "left_semi")
+    // a doc KEPT by an earlier run can be demoted to duplicate when a
+    // better cluster member arrives — its stored chunks/embeddings must
+    // go too, or the "store is already deduped" invariant only holds
+    // for single runs. Embedding rows carry the doc via the chunk-id
+    // prefix (doc ids are fixed-width sha256 hex).
+    val dupIds = dupFlags.filter(!$"keep").select($"doc_id")
 
     val chunked = Chunkers.chunkDocuments(
         kept.select($"doc_id", $"text"), "doc_id", "text",
@@ -137,7 +148,8 @@ object Main {
 
     val (_, tChunks) = Metrics.timed {
       writeTable(spark, chunksObserved, storeDir, "chunks",
-                 keys = Seq("chunk_id"), version = Seq(lit(1)))
+                 keys = Seq("chunk_id"), version = Seq(lit(1)),
+                 prune = m => m.join(dupIds, Seq("doc_id"), "left_anti"))
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
@@ -152,7 +164,10 @@ object Main {
     val embedded = Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",
-                 keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)))
+                 keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)),
+                 prune = m => m.join(dupIds.select($"doc_id".as("__dup")),
+                                     substring(col("chunk_id"), 1, 64) === col("__dup"),
+                                     "left_anti"))
     }
     // duplicates point at the KEPT doc (not the cluster label — the
     // keeper is the best-scored member, not necessarily the min id)
@@ -184,6 +199,10 @@ object Main {
     val nDocs = docs.count()
     val nFailed = docs.filter($"status" === "failed").count()
     docs.unpersist()
+    // free this run's dedup scratch pins (see snapshot above)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => pinnedBefore.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
     IngestReport(nDocs, nFailed,
                  obs("n_chunks").toString.toLong,
                  obs("n_embedded").toString.toLong, obs)
@@ -195,25 +214,34 @@ object Main {
     */
   private def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
                          name: String, keys: Seq[String],
-                         version: Seq[org.apache.spark.sql.Column]): Unit = {
+                         version: Seq[org.apache.spark.sql.Column],
+                         prune: DataFrame => DataFrame = identity): Unit = {
     val path = new java.io.File(s"$storeDir/$name.parquet")
-    val merged =
-      if (path.exists())
-        Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
-      else updates
     val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
     val trash = new java.io.File(s"$storeDir/$name.parquet.trash")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    rm(tmp); rm(trash) // leftovers from a previous crashed commit
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // recovery from a commit that died mid-swap: if the live dir is
+    // gone, the aside-renamed old snapshot in .trash is the only
+    // COMPLETE copy — restore it (a leftover .tmp may be half-written
+    // and is never trusted). Only then discard leftovers.
+    if (!path.exists() && trash.exists())
+      require(trash.renameTo(path), s"recovering $name from trash failed")
+    rm(tmp); rm(trash)
+    val merged =
+      if (path.exists())
+        Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
+      else updates
+    prune(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap-by-rename commit ordering: the live table is renamed aside,
     // not deleted, before the new snapshot takes its place — a crash at
-    // any point leaves either the old or the new table recoverable
-    // (delete-then-rename would lose the table if the rename never ran).
-    if (path.exists()) path.renameTo(trash)
-    tmp.renameTo(path)
+    // any point leaves a complete old or new snapshot on disk, and the
+    // recovery above knows which one to trust. Renames are CHECKED: a
+    // silently failed swap would drop the new snapshot on the floor.
+    if (path.exists())
+      require(path.renameTo(trash), s"aside-rename of live $name failed")
+    require(tmp.renameTo(path), s"commit rename of $name failed")
     rm(trash)
   }
 

@@ -398,7 +398,20 @@ object Dedup {
                           maxIters: Int = 30,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // the checkpoint dir is SparkContext-global: set it only when unset
+    // (never silently repoint other users' checkpoints)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // free a round's storage AND its reliable-checkpoint files —
+    // without the file cleanup, iterated runs accumulate one
+    // checkpoint per round on disk for the app's lifetime
+    def free(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
+      rdd.unpersist(blocking = false)
+      if (checkpointDir.isDefined) rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
     // Pin = flat plan + explicit free handle. Only the loop inputs are
     // materialized eagerly; each round's pin is computed by that
     // round's single convergence-count action (a full count over the
@@ -444,13 +457,17 @@ object Dedup {
       // materializing action, so `next` is fully cached before the
       // previous round's storage is dropped
       converged = next.filter(col("comp") =!= col("old")).count() == 0L
-      labelsRdd.unpersist(blocking = false) // previous round is dead once next is pinned
+      free(labelsRdd) // previous round is dead once next is pinned
       labelsRdd = nextRdd
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
-    symRdd.unpersist(blocking = false)
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    free(symRdd)
+    if (!converged) {
+      free(labelsRdd) // failure path must not leak the last round's pin
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    }
     labels
   }
 

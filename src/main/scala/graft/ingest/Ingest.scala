@@ -145,10 +145,16 @@ object Ingest {
       when(isImage, graft.multimodal.Codecs.imageMetaOf(bytes))
         .otherwise(lit(null)))
     val img = col("__img")
+    // the stub's MIME label: sniffed type when it is an image one, else
+    // derived from the extension (BMP has no sniffed magic — a 2-byte
+    // "BM" check would false-positive on text)
+    val imageMime = when(col("content_type").startsWith("image/"), col("content_type"))
+      .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+      .otherwise(concat(lit("image/"), ext))
     val imageText = when(img.isNotNull,
       concat(lit("!["), col("filename"), lit("]("), col("filename"), lit(")\n\n"),
              img.getField("width"), lit("x"), img.getField("height"),
-             lit(" "), col("content_type"),
+             lit(" "), imageMime,
              lit(", mean rgb("), img.getField("r"), lit(","),
              img.getField("g"), lit(","), img.getField("b"), lit(")")))
     val converted = withImg.withColumn("text",

@@ -92,22 +92,6 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", filter(split(lower(text), "\\s+"), t => t =!= "")))
 
-  /** TF-IDF top-`k` terms per document — the keyword/topic signal a
-    * corpus-analysis pipeline extracts per doc. Scoring is EXACT
-    * integer arithmetic (`tf·10⁶ div df` — the corpus-size factor is a
-    * constant that cannot change per-doc ordering, so it is dropped;
-    * integral division is identical in Spark and DuckDB), ties broken
-    * lexicographically, so the result is oracle-hashable bit-for-bit.
-    *
-    * Plan shape: ONE scan+tokenize into the (doc, term, tf) table,
-    * materialized (same idiom as the simhash signature table — without
-    * it Catalyst prunes the df branch into a second full scan whose
-    * exchange cannot be reused), then a map-combined df aggregation
-    * broadcast-joined back and one window rank per doc. A
-    * count-over-term window would avoid the join but buffers a hot
-    * term's whole partition — the groupBy keeps stopword terms as
-    * partial counts, never a resident row set.
-    */
   /** Deterministic SEQUENCE PACKING — the last mile of training-data
     * prep: assign documents to fixed-token-budget training sequences.
     * Docs are hash-bucketed ([[graft.dedup.Dedup.hashBucket]] — the
@@ -137,6 +121,22 @@ object TextStats {
           expr(s"cum_before div CAST($budget AS BIGINT)"))
   }
 
+  /** TF-IDF top-`k` terms per document — the keyword/topic signal a
+    * corpus-analysis pipeline extracts per doc. Scoring is EXACT
+    * integer arithmetic (`tf·10⁶ div df` — the corpus-size factor is a
+    * constant that cannot change per-doc ordering, so it is dropped;
+    * integral division is identical in Spark and DuckDB), ties broken
+    * lexicographically, so the result is oracle-hashable bit-for-bit.
+    *
+    * Plan shape: ONE scan+tokenize into the (doc, term, tf) table,
+    * materialized (same idiom as the simhash signature table — without
+    * it Catalyst prunes the df branch into a second full scan whose
+    * exchange cannot be reused), then a map-combined df aggregation
+    * broadcast-joined back and one window rank per doc. A
+    * count-over-term window would avoid the join but buffers a hot
+    * term's whole partition — the groupBy keeps stopword terms as
+    * partial counts, never a resident row set.
+    */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))

@@ -55,13 +55,13 @@ class AnnRecallSpec extends SparkSpec {
 
   test("sign-LSH (q37 config): recall@10 enriches >= 3x over the scanned fraction") {
     val bucketed = Ann.lshBuckets(emb, "embedding", nPlanes = 8).cache()
+    val signs = Ann.planeSigns(8, 64) // plan-time constant; hoisted once
     try {
       var scanned = 0.0
       val got = queryVecs.map { case (qid, qv) =>
         val qIv = qv.map(Ann.quantizeL)
         val qBucket = (0 until 8).map { p =>
-          val proj = qIv.zipWithIndex.map { case (x, d) =>
-            x * Ann.planeSigns(8, 64)(p)(d) }.sum
+          val proj = qIv.zipWithIndex.map { case (x, d) => x * signs(p)(d) }.sum
           if (proj > 0) 1L << p else 0L
         }.sum
         val probes = qBucket +: (0 until 8).map(p => qBucket ^ (1L << p))

@@ -143,5 +143,57 @@ class E2eMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/documents.parquet").count() === 7)
     assert(!new java.io.File(store, "documents.parquet.tmp").exists())
     assert(!new java.io.File(store, "documents.parquet.trash").exists())
+
+    // crash BETWEEN the two swap renames: the live dir is gone and the
+    // old snapshot sits in .trash — the only complete copy. The next
+    // commit must RESTORE it (not delete it) and then land normally.
+    val live = new java.io.File(store, "documents.parquet")
+    val aside = new java.io.File(store, "documents.parquet.trash")
+    assert(live.renameTo(aside))
+    Main.runIngest(spark, in, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(30)))
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === 7,
+           "post-crash commit must merge against the restored snapshot")
+    assert(!aside.exists())
+  }
+
+  test("a later ingest demoting a doc to duplicate prunes its chunks and embeddings") {
+    import graft.ingest.Ingest
+    val in = Files.createTempDirectory("graft_demote_in").toFile
+    val store = Files.createTempDirectory("graft_demote_store").toString
+    val content = "spark query engine performance tuning guide for training pipelines"
+    // doc ids are sha256(base64(content) + filename); compute them with
+    // the real ingest projection to pick the filename that WINS
+    // keep-one (equal text length → min doc id keeps)
+    val candidates = (0 to 9).map(i => s"v$i.md")
+    val ids = Ingest.toDocuments(
+        candidates.map(n => (s"/x/$n", content.getBytes("UTF-8"))).toDF("path", "content"),
+        lit(now))
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val loser = candidates.maxBy(ids)
+    val winner = candidates.minBy(ids)
+    def put(name: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, content.getBytes("UTF-8"))
+
+    put(loser)
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === ids(loser)).count() > 0)
+
+    put(winner)
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    val status = spark.read.parquet(s"$store/documents.parquet")
+      .select($"doc_id", $"status").as[(String, String)].collect().toMap
+    assert(status(ids(loser)) === "duplicate")
+    assert(status(ids(winner)) !== "duplicate")
+    // the demoted doc's run-1 chunks and embeddings are gone from the store
+    val chunks = spark.read.parquet(s"$store/chunks.parquet")
+    assert(chunks.filter($"doc_id" === ids(loser)).count() === 0,
+           "stale chunks of a demoted doc must be pruned")
+    assert(chunks.filter($"doc_id" === ids(winner)).count() > 0)
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(ids(loser))).count() === 0,
+           "stale embeddings of a demoted doc must be pruned")
   }
 }

@@ -76,10 +76,19 @@ class TablesJobsIngestSpec extends SparkSpec {
   test("images convert through the real codec into a metadata stub (S9 image slice)") {
     import org.apache.spark.sql.functions._
     val b64 = java.util.Base64.getEncoder
+    val bmp = {
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4) img.setRGB(x, y, 0x112233)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
     val rows = Seq(
       ("i1", "img.png", b64.encodeToString(
         graft.multimodal.Codecs.pngSolid(4, 3, 0x112233))),
-      ("i2", "bad.png", b64.encodeToString("not an image".getBytes("UTF-8"))))
+      ("i2", "bad.png", b64.encodeToString("not an image".getBytes("UTF-8"))),
+      ("i3", "img.bmp", b64.encodeToString(bmp)))
       .toDF("doc_id", "filename", "content_b64")
       .withColumn("content_type", Ingest.detectMime(unbase64($"content_b64")))
       .withColumn("status", lit("pending"))
@@ -93,6 +102,9 @@ class TablesJobsIngestSpec extends SparkSpec {
                            "pending", null)))
     // corrupt image fails like any other convertible, not as unsupported
     assert(out("i2") === ((null, "failed", "Conversion failed")))
+    // BMP has no sniffed magic → the stub's MIME comes from the extension
+    assert(out("i3") === (("![img.bmp](img.bmp)\n\n4x3 image/bmp, mean rgb(17,34,51)",
+                           "pending", null)))
   }
 
   test("txt→md rename only rewrites .txt (docling_service.py:188-191)") {
