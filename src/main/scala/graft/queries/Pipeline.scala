@@ -638,6 +638,16 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // PII REDACTION: scrub emails/URLs/IPs to placeholder tokens with
+    // exact audit counts — the pre-training cleaning pass. Patterns are
+    // the Java∩RE2 dialect subset so the oracle matches bit-for-bit.
+    "q67_redact_pii" -> ((s, dir) => {
+      TextStats.redactPii(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_email"), col("n_url"), col("n_ip"),
+                md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence PACKING: docs → fixed-token-budget training sequences,
     // hash-bucketed so the running-sum window parallelizes (no global
     // sort) and the packing is reproducible across cluster sizes.
@@ -1344,6 +1354,21 @@ object Pipeline {
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
     // = Σ 2^p over positive projections, probes = query bucket plus its
     // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    // patterns + replacement order generated from the SAME PiiPatterns
+    // the Spark plan uses — the regex strings are identical by
+    // construction. DuckDB regexp_replace needs the 'g' flag (Spark
+    // replaces all matches by default).
+    "q67_redact_pii" -> {
+      val counts = TextStats.PiiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n                ")
+      val redacted = TextStats.PiiPatterns.foldLeft("text") {
+        case (expr, (_, pat, repl)) => s"regexp_replace($expr, '$pat', '$repl', 'g')"
+      }
+      s"""SELECT doc_id, $counts, md5($redacted) AS redacted_md5
+          FROM documents ORDER BY doc_id"""
+    },
+
     // same md5 buckets as q58; BPE-ish token count as in q26.
     "q66_pack_sequences" ->
       """WITH d AS (

@@ -92,6 +92,33 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", filter(split(lower(text), "\\s+"), t => t =!= "")))
 
+  /** PII patterns shared by the Spark plan and the SQL oracle — kept to
+    * the Java-regex ∩ RE2 dialect subset (no lookaround, no
+    * backreferences) so both engines match identically.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** PII REDACTION — the scrub pass a training corpus runs before
+    * anything else sees the text: emails, URLs and IPv4 addresses are
+    * replaced with placeholder tokens, with an exact per-category match
+    * count kept for audit. Pure codegen'd column algebra (regexp count
+    * + replace, applied in a fixed order so engines agree when
+    * categories overlap); linear per row, no shuffle at all.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** Deterministic SEQUENCE PACKING — the last mile of training-data
     * prep: assign documents to fixed-token-budget training sequences.
     * Docs are hash-bucketed ([[graft.dedup.Dedup.hashBucket]] — the
