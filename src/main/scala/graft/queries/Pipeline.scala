@@ -638,6 +638,18 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // BOILERPLATE removal: lines verbatim-shared by > 10 docs are
+    // template chrome, stripped with order-preserving rebuild — the
+    // web-corpus cleaning pass. (The synthetic corpus is single-line,
+    // so the pass is a no-op here; the oracle still checks the whole
+    // machinery end to end, as with q27's skewed language predictions.)
+    "q68_strip_boilerplate" -> ((s, dir) => {
+      TextStats.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text", dfCap = 10)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+                md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII REDACTION: scrub emails/URLs/IPs to placeholder tokens with
     // exact audit counts — the pre-training cleaning pass. Patterns are
     // the Java∩RE2 dialect subset so the oracle matches bit-for-bit.
@@ -1350,10 +1362,29 @@ object Pipeline {
           WHERE a.cell IN (SELECT cell FROM ranked WHERE rk <= 2)
           ORDER BY dot DESC, a.vec_id LIMIT 10""",
 
-    // sign-LSH: the ±1 hyperplane rows are plan-time constants shared
-    // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
-    // = Σ 2^p over positive projections, probes = query bucket plus its
-    // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    "q68_strip_boilerplate" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
+          lines AS (
+            SELECT doc_id, i, a[i] AS line
+            FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM ls)),
+          hot AS (
+            SELECT line FROM lines GROUP BY line
+            HAVING count(DISTINCT doc_id) > 10),
+          keptl AS (
+            SELECT l.doc_id, l.i, l.line
+            FROM lines l LEFT JOIN hot h ON l.line = h.line
+            WHERE h.line IS NULL),
+          rebuilt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   array_to_string(list(line ORDER BY i), chr(10)) AS clean
+            FROM keptl GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                 md5(coalesce(r.clean, '')) AS clean_md5
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+          ORDER BY doc_id""",
+
     // patterns + replacement order generated from the SAME PiiPatterns
     // the Spark plan uses — the regex strings are identical by
     // construction. DuckDB regexp_replace needs the 'g' flag (Spark
@@ -1445,6 +1476,10 @@ object Pipeline {
           ORDER BY dot DESC, vec_id LIMIT 10"""
     },
 
+    // sign-LSH: the ±1 hyperplane rows are plan-time constants shared
+    // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
+    // = Σ 2^p over positive projections, probes = query bucket plus its
+    // 8 Hamming-1 neighbors, exact integer dots, top-10.
     "q37_ann_lsh" -> {
       val planes = graft.search.Ann.planeSigns(nPlanes = 8, dims = 64)
       val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>

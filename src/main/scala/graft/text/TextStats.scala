@@ -119,6 +119,41 @@ object TextStats {
     counted.withColumn("redacted", redacted)
   }
 
+  /** BOILERPLATE LINE REMOVAL — the web-corpus cleaner: a line that
+    * appears (verbatim) in more than `dfCap` distinct documents is
+    * template chrome (headers, footers, nav, license banners), not
+    * content, and is stripped from every document. Document order is
+    * preserved by rebuilding from position-tagged lines; documents
+    * whose every line is boilerplate survive with empty text.
+    *
+    * Plan shape: one narrow line explode → document-frequency
+    * aggregation on the line (two-level, map-combined) → anti-join of
+    * the hot-line set (tiny by construction: only lines above the cap)
+    * → one regroup per doc. Nothing is ever quadratic; the hot-line
+    * side broadcasts.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       dfCap: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("ln", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("line"))
+    val rebuilt = lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+           concat_ws("\n",
+             transform(array_sort(collect_list(struct(col("ln"), col("line")))),
+                       x => x.getField("line"))).as("clean"))
+    df.select(col(idCol),
+              size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** Deterministic SEQUENCE PACKING — the last mile of training-data
     * prep: assign documents to fixed-token-budget training sequences.
     * Docs are hash-bucketed ([[graft.dedup.Dedup.hashBucket]] — the
