@@ -11,7 +11,7 @@ import graft.embed.Embedding
 import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.search.{Ann, Search}
-import graft.text.TextStats
+import graft.text.{Curation, TextStats}
 
 /** Document-pipeline + training-data-scale queries (SURVEY.md §2.9–§2.13
   * operators and the 100 TB extension surface: dedup, similarity search,
@@ -647,6 +647,38 @@ object Pipeline {
       TextStats.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text", dfCap = 10)
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
                 md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REPETITION signals: Gopher-style duplicate-line / top-bigram
+    // counts with an exact-integer quality gate — the spam filter.
+    "q69_repetition" -> ((s, dir) => {
+      TextStats.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PER-SOURCE CAP: keep the 10 longest docs per source, rank total
+    // (n_chars desc, doc_id asc) — the no-domain-dominates rule.
+    "q70_source_cap" -> ((s, dir) => {
+      Curation.capPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", cap = 10)
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // STRATIFIED SAMPLE: per-language keep rates over md5 buckets
+    // (en 50%, de 20%, rest 10%) — deterministic mixture balancing.
+    "q71_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+                                Map("en" -> 50, "de" -> 20), defaultRate = 10)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // OOV-RATE scoring: train-split vocabulary (min 2 occurrences) →
+    // per-doc out-of-vocabulary token count — the CCNet-style filter.
+    "q72_oov_rate" -> ((s, dir) => {
+      TextStats.oovSignals(t(s, dir, "documents"), "doc_id", "text", minCount = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -1384,6 +1416,102 @@ object Pipeline {
                  md5(coalesce(r.clean, '')) AS clean_md5
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)
           ORDER BY doc_id""",
+
+    // same whitespace tokenizer as q26; sums over BIGINT are HUGEINT in
+    // DuckDB → cast back; generate_series(1, len-1) is empty for 0/1
+    // tokens, matching Spark's empty zip_with.
+    "q69_repetition" ->
+      """WITH ln AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+          lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line),
+          lagg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                   CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT)
+                     AS chars_dup_lines
+            FROM lc GROUP BY doc_id),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+            FROM documents),
+          bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM tk)),
+          bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+          bagg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_bigram_count
+            FROM bc GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(l.n_lines, 0) AS n_lines,
+                 coalesce(l.n_dup_lines, 0) AS n_dup_lines,
+                 coalesce(l.chars_dup_lines, 0) AS chars_dup_lines,
+                 coalesce(b.n_bigrams, 0) AS n_bigrams,
+                 coalesce(b.top_bigram_count, 0) AS top_bigram_count,
+                 ((coalesce(l.n_lines, 0) = 0 OR
+                   coalesce(l.n_dup_lines, 0) * 10 <= coalesce(l.n_lines, 0) * 3) AND
+                  (coalesce(b.n_bigrams, 0) = 0 OR
+                   coalesce(b.top_bigram_count, 0) * 10 <= coalesce(b.n_bigrams, 0) * 2))
+                   AS rep_ok
+          FROM documents d
+          LEFT JOIN lagg l USING (doc_id)
+          LEFT JOIN bagg b USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    "q70_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+            FROM documents)
+          WHERE rk <= 10 ORDER BY source, rk""",
+
+    // same md5-bucket idiom as q58/q66.
+    "q71_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                     AS bucket
+            FROM documents)
+          WHERE bucket < CASE WHEN lang = 'en' THEN 50
+                              WHEN lang = 'de' THEN 20 ELSE 10 END
+          ORDER BY doc_id""",
+
+    // q58's md5 split + q26's tokenizer; vocabulary from the train
+    // slice only (leakage-safe), HUGEINT sums cast back to BIGINT.
+    "q72_oov_rate" ->
+      """WITH base AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                     AS b,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+                     AS split, t
+            FROM base),
+          tf AS (
+            SELECT doc_id, split, term, count(*) AS tf
+            FROM (SELECT doc_id, split, unnest(t) AS term FROM sp)
+            GROUP BY doc_id, split, term),
+          vocab AS (
+            SELECT term FROM tf WHERE split = 'train'
+            GROUP BY term HAVING sum(tf) >= 2),
+          tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+          oov AS (
+            SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_oov
+            FROM tf LEFT JOIN vocab v ON tf.term = v.term
+            WHERE v.term IS NULL GROUP BY tf.doc_id)
+          SELECT s.doc_id, s.split,
+                 coalesce(tot.n_tokens, 0) AS n_tokens,
+                 coalesce(oov.n_oov, 0) AS n_oov,
+                 (coalesce(tot.n_tokens, 0) = 0 OR
+                  coalesce(oov.n_oov, 0) * 10 <= coalesce(tot.n_tokens, 0) * 3) AS oov_ok
+          FROM sp s
+          LEFT JOIN tot USING (doc_id)
+          LEFT JOIN oov USING (doc_id)
+          ORDER BY s.doc_id""",
 
     // patterns + replacement order generated from the SAME PiiPatterns
     // the Spark plan uses — the regex strings are identical by

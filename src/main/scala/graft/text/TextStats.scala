@@ -154,6 +154,56 @@ object TextStats {
               coalesce(col("clean"), lit("")).as("clean"))
   }
 
+  /** REPETITION quality signals — the Gopher/MassiveText repetition
+    * rules (Rae et al. 2021, §A1.1): documents dominated by repeated
+    * lines or a single repeated bigram are template/spam, not prose.
+    * All counts are exact integers (dup-line count, characters inside
+    * duplicated lines, total bigrams, the top bigram's frequency) and
+    * the gate compares integer products, so the oracle matches
+    * bit-for-bit with no float thresholds.
+    *
+    * Plan shape: two narrow explode→two-level-aggregate branches (one
+    * on (doc, line), one on (doc, bigram) — both map-combined, keys
+    * include the doc id so no key is ever hot) joined back to the doc
+    * id spine. Linear in corpus size; per-doc state during the regroup
+    * is one counter, never a resident line/bigram set.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val lineCnt = df
+      .select(id, explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(id, col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(id)
+      .agg(sum(col("c")).as("n_lines"),
+           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_lines"),
+           sum(when(col("c") > 1, col("c") * length(col("line")))
+                 .otherwise(0L)).as("chars_dup_lines"))
+    // bigram array built in its OWN projection (HOFs are CodegenFallback;
+    // keep the generator input a bare attribute)
+    val bigrams = df
+      .select(id, tokens(lower(col(textCol))).as("toks"))
+      .select(id, filter(
+        zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+                 (a, b) => concat_ws(" ", a, b)),
+        p => p.contains(" ")).as("bg"))
+      .select(id, explode(col("bg")).as("bigram"))
+      .groupBy(id, col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(id)
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_count"))
+    df.select(id)
+      .join(lineCnt, Seq(idCol), "left")
+      .join(bigrams, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("chars_dup_lines"), lit(0L)).as("chars_dup_lines"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+      .withColumn("rep_ok",
+        (col("n_lines") === 0L || col("n_dup_lines") * 10L <= col("n_lines") * 3L) &&
+        (col("n_bigrams") === 0L || col("top_bigram_count") * 10L <= col("n_bigrams") * 2L))
+  }
+
   /** Deterministic SEQUENCE PACKING — the last mile of training-data
     * prep: assign documents to fixed-token-budget training sequences.
     * Docs are hash-bucketed ([[graft.dedup.Dedup.hashBucket]] — the
@@ -181,6 +231,46 @@ object TextStats {
       .withColumn("seq_no",
         col("bucket") * lit(1L << 20) +
           expr(s"cum_before div CAST($budget AS BIGINT)"))
+  }
+
+  /** OOV-RATE quality scoring — the CCNet-style vocabulary filter: a
+    * reference vocabulary is built from the TRAIN split (the same md5
+    * split as q58, so it is leakage-safe and reproducible), keeping
+    * terms with at least `minCount` train occurrences; every document
+    * is then scored by how many of its tokens fall outside that
+    * vocabulary. High OOV rate flags garbled/boilerplate/foreign text
+    * relative to the corpus the model trains on. Exact integer counts;
+    * the gate compares integer products.
+    *
+    * Plan shape: ONE scan+tokenize into the (doc, split, term, tf)
+    * table, materialized (the q65 idiom — without it Catalyst splits
+    * the vocab and scoring branches into two full corpus scans), then
+    * the vocabulary is a map-combined aggregate of the train slice and
+    * scoring is a broadcast anti-join (a term dictionary is MBs even
+    * at 100 TB corpus scale — the stopword-heavy keys never shuffle).
+    */
+  def oovSignals(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val tf = df
+      .select(id, graft.dedup.Dedup.splitAssign(id).as("split"),
+              explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(id, col("split"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val vocab = tf.filter(col("split") === "train")
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("term"))
+    val totals = tf.groupBy(id).agg(sum(col("tf")).as("n_tokens"))
+    val oov = tf.join(broadcast(vocab), Seq("term"), "left_anti")
+      .groupBy(id).agg(sum(col("tf")).as("n_oov"))
+    df.select(id, graft.dedup.Dedup.splitAssign(id).as("split"))
+      .join(totals, Seq(idCol), "left")
+      .join(oov, Seq(idCol), "left")
+      .select(id, col("split"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ok",
+        col("n_tokens") === 0L || col("n_oov") * 10L <= col("n_tokens") * 3L)
   }
 
   /** TF-IDF top-`k` terms per document — the keyword/topic signal a

@@ -1,0 +1,52 @@
+package graft
+
+import graft.text.Curation
+
+/** Corpus-curation sampling (q70/q71): per-group cap and stratified
+  * deterministic sampling, plus the plan shapes that make them scale.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerGroup keeps best `cap` rows per group with a total rank") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 50L)).toDF("doc_id", "source", "n_chars")
+    val got = Curation.capPerGroup(docs, "source", "doc_id", "n_chars", cap = 2)
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    // ties on score (docs 2 and 4, both 300) break to the lower id
+    assert(got.toSeq == Seq((2L, "a", 1L), (4L, "a", 2L), (5L, "b", 1L)))
+  }
+
+  test("capPerGroup pushes the rank filter map-side (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("q70_source_cap")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("stratified sample is per-stratum rate-bounded and deterministic") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 50, "de" -> 20), defaultRate = 10)
+      .select($"doc_id", $"lang", $"bucket").as[(Long, String, Long)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // md5 buckets are near-uniform: expect ~500 en, ~200 de with slack
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang.toString)
+    assert(byLang("de") > 140 && byLang("de") < 260, byLang.toString)
+    assert(kept.forall { case (_, l, b) => b < (if (l == "en") 50 else 20) })
+    // rerun yields the identical kept set (no rand() anywhere)
+    val again = Curation.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 50, "de" -> 20), defaultRate = 10)
+      .select($"doc_id").as[Long].collect()
+    assert(again.sorted.toSeq == kept.map(_._1).sorted.toSeq)
+  }
+
+  test("stratified sample plans as a scan-fused filter: no shuffle at all") {
+    val plan = SparkEntry.queries("q71_stratified_sample")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+           "sampling must not shuffle: " + plan.take(3000))
+  }
+}
