@@ -49,6 +49,11 @@ object Main {
       println(s"""{"ingested":${r.nDocs},"failed":${r.nFailed},""" +
               s""""chunks":${r.nChunks},"embedded":${r.nEmbedded}}""")
       spark.stop()
+    case "export" :: store :: out :: rest =>
+      val spark = session()
+      val n = runExport(spark, store, out, rest.headOption.getOrElse("nomic"))
+      println(s"""{"exported":$n}""")
+      spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
@@ -62,7 +67,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k]")
+        "search <store> <query> [provider] [k] | export <store> <outDir> [provider]")
       sys.exit(2)
   }
 
@@ -154,12 +159,12 @@ object Main {
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
     // alternative recomputes the whole corpus every run.
-    val storedChunks = spark.read.parquet(s"$storeDir/chunks.parquet")
+    val storedChunks = openTable(spark, storeDir, "chunks")
     val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
     val embeddedRaw =
       if (embPath.exists())
         Embedding.embedWithCache(storedChunks,
-          spark.read.parquet(embPath.toString), providerName, now = now)
+          openTable(spark, storeDir, "embeddings"), providerName, now = now)
       else Embedding.embedChunks(storedChunks, providerName, now = now).toDF()
     val embedded = Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
@@ -212,6 +217,25 @@ object Main {
     * → write NEW snapshot, then swap directories (the local-fs stand-in
     * for a table-format commit; at scale this is Delta/Iceberg's job).
     */
+  /** Bucketing layout for the two hot store tables: chunks and
+    * embeddings are co-bucketed by `chunk_id` so the cache probe (J1)
+    * and reassembly (J3) joins between PERSISTED tables plan without a
+    * shuffle — the same property BucketingSpec proves for in-memory
+    * writes, now held by the store itself.
+    */
+  val StoreBuckets = 32
+  private val bucketedTables = Set("chunks", "embeddings")
+
+  /** Open a store table the fast way: through the catalog with
+    * bucketing metadata attached when the table is one of the
+    * co-bucketed pair (falls back to a plain read for old stores).
+    */
+  def openTable(spark: SparkSession, storeDir: String, name: String): DataFrame =
+    if (bucketedTables(name))
+      Tables.openBucketed(spark, s"graft_$name", s"$storeDir/$name.parquet",
+                          "chunk_id", StoreBuckets)
+    else spark.read.parquet(s"$storeDir/$name.parquet")
+
   private def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
                          name: String, keys: Seq[String],
                          version: Seq[org.apache.spark.sql.Column],
@@ -233,7 +257,10 @@ object Main {
       if (path.exists())
         Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
       else updates
-    prune(merged).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val out = prune(merged)
+    if (bucketedTables(name))
+      Tables.writeBucketed(out, tmp.toString, "chunk_id", StoreBuckets)
+    else out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap-by-rename commit ordering: the live table is renamed aside,
     // not deleted, before the new snapshot takes its place — a crash at
     // any point leaves a complete old or new snapshot on disk, and the
@@ -243,6 +270,32 @@ object Main {
       require(path.renameTo(trash), s"aside-rename of live $name failed")
     require(tmp.renameTo(path), s"commit rename of $name failed")
     rm(trash)
+  }
+
+  // ------------------------------------------------------------------ export
+
+  /** `export <store> <outDir>`: the training-surface export — every
+    * stored chunk (the store is already deduped at ingest) joined with
+    * its embedding and a BPE-lexer token count, shipped as gzip JSONL
+    * shards (the format a training corpus actually interchanges in).
+    * The join runs over the co-bucketed tables, so it plans without a
+    * shuffle; the row count rides the write as an observation — no
+    * second pass.
+    */
+  def runExport(spark: SparkSession, storeDir: String, outDir: String,
+                providerName: String): Long = {
+    val chunks = openTable(spark, storeDir, "chunks")
+      .select(col("doc_id"), col("chunk_id"), col("content"))
+      .withColumn("n_tokens",
+        size(graft.text.TextStats.bpeTokens(col("content"))).cast("long"))
+    val emb = openTable(spark, storeDir, "embeddings")
+      .filter(col("embedding_provider") === providerName)
+      .select(col("chunk_id"), col("embedding"))
+    val obs = new Observation("export")
+    val rows = chunks.join(emb, Seq("chunk_id"))
+      .observe(obs, count(lit(1)).as("n"))
+    Tables.writeJsonl(rows, s"$outDir/chunks")
+    obs.get("n").toString.toLong
   }
 
   // ------------------------------------------------------------------ status
@@ -270,10 +323,10 @@ object Main {
   def runSearch(spark: SparkSession, storeDir: String, query: String,
                 providerName: String, k: Int): Seq[String] = {
     val qv = Embedding.embedQuery(query, providerName)
-    val emb = spark.read.parquet(s"$storeDir/embeddings.parquet")
+    val emb = openTable(spark, storeDir, "embeddings")
     val top = Search.knn(emb, qv.toSeq, k = k, provider = Some(providerName),
                          tieBreak = Seq(col("chunk_id")))
-    top.join(spark.read.parquet(s"$storeDir/chunks.parquet")
+    top.join(openTable(spark, storeDir, "chunks")
                .select(col("chunk_id"), col("content")), Seq("chunk_id"))
       .orderBy(col("score").desc, col("chunk_id"))
       .collect().map { r =>

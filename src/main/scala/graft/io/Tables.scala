@@ -61,6 +61,63 @@ object Tables {
   def pointLookup(df: DataFrame, keyCol: String, id: Any): DataFrame =
     df.filter(col(keyCol) === lit(id)).limit(1)
 
+  // ------------------------------------------------- bucketed store tables
+
+  /** Write `df` as an external BUCKETED parquet table at `path` —
+    * hash-bucketed (and sorted) by `bucketCol` into `nBuckets` files.
+    * The catalog entry is transient (dropped right after the write —
+    * the table is external, so the files stay); bucket identity
+    * travels in the FILE NAMES, which is what lets a later session
+    * re-attach bucketing metadata with [[registerBucketed]].
+    *
+    * The `repartition` aligns write parallelism with the bucket hash
+    * (same murmur3 partitioning), so each task owns exactly one bucket
+    * → one file per bucket, not tasks×buckets small files.
+    */
+  def writeBucketed(df: DataFrame, path: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val tmpTable = "graft_bucketed_write"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+  }
+
+  /** True when the parquet files at `path` were written by a bucketed
+    * write (datasource bucket file names carry a `_NNNNN` bucket-id
+    * suffix before the codec extension).
+    */
+  def looksBucketed(path: String): Boolean = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    files.nonEmpty && files.forall(_.getName.matches(".*_\\d{5}(\\.c\\d+)?\\..*"))
+  }
+
+  /** (Re-)attach an external bucketed table definition over the files
+    * at `path` and return it as a DataFrame. Reading through the
+    * catalog (not `spark.read.parquet`) is what carries the bucketing
+    * metadata into the plan: two tables bucketed on the same key and
+    * count then JOIN WITHOUT A SHUFFLE — on a 1000-executor cluster
+    * this is the difference between an all-to-all of the embedding
+    * store and a local merge per bucket. Falls back to a plain read if
+    * the files are not bucket-named (a store written before bucketing).
+    */
+  def openBucketed(spark: SparkSession, table: String, path: String,
+                   bucketCol: String, nBuckets: Int): DataFrame = {
+    if (!looksBucketed(path)) return spark.read.parquet(path)
+    val schema = spark.read.parquet(path).schema
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET
+          CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $nBuckets BUCKETS
+          LOCATION '$path'""")
+    spark.table(table)
+  }
+
   // ------------------------------------------------------- JSONL shards
 
   /** Write a table as compressed JSONL shards — the interchange format

@@ -255,6 +255,38 @@ object Ann {
       .select(col(idCol), col("cell"), col("dot"))
   }
 
+  /** Persist an IVF-assigned table PARTITIONED BY CELL — the on-disk
+    * index layout that makes [[ivfTopKStoredInt]]'s nprobe claim real:
+    * each cell is a directory, so a probe is a partition-pruned read
+    * of nprobe/k of the data. Parquet files never contain the `cell`
+    * column (it lives in the directory name), and within a cell the
+    * rows are exactly the assignment's.
+    */
+  def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a STORED index written by [[ivfWriteIndex]]: rank cells on
+    * the driver (centroid list is tiny), then read ONLY the nprobe
+    * winning partitions — the scan's PartitionFilters prune every other
+    * cell directory before a single row is read. Same ranking and
+    * scoring conventions as [[ivfTopKInt]], so results are identical.
+    */
+  def ivfTopKStoredInt(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       centroids: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                       k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val probeCells = centroids.map { case (id, c) =>
+      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
+    val q = typedLit(queryVec)
+    spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probeCells))
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell").cast("long").as("cell"), col("dot"))
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,
