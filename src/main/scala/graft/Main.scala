@@ -123,16 +123,41 @@ object Main {
 
     val ok = docs.filter($"status" =!= "failed")
 
-    // near-dup keep-one (the q59/q60 operators, wired as an ingest
+    // near-dup keep-one (the q59/q60/q73 operators, wired as an ingest
     // stage): MinHash-LSH candidates → connected components → one
     // canonical doc per cluster (longest text, ties to min id).
     // Duplicates stay in the documents table — status 'duplicate',
     // metadata pointing at the kept doc — but are never chunked or
     // embedded, so the store's training surface is already deduped.
+    //
+    // Dedup is INCREMENTAL across runs: kept docs' banded signatures
+    // persist in the signatures table, and each batch is probed against
+    // them (one equi-join — the stored corpus is never re-shingled). A
+    // stored doc outscored by an arriving near-dup is DEMOTED: its
+    // documents row flips to 'duplicate' and its chunks/embeddings/
+    // signatures are pruned from the store.
+    val sigsNew = graft.dedup.Dedup.minhashSignatures(ok, "doc_id", "text", nBands = 4)
+      .localCheckpoint(true) // probed 3× below; one shingle pass, not three
+    val sigPath = new java.io.File(s"$storeDir/signatures.parquet")
+    val storedSigs =
+      if (sigPath.exists()) spark.read.parquet(sigPath.toString)
+      else spark.emptyDataset[(String, Int, String, Long)]
+        .toDF("doc", "band", "sig", "score")
+    val pairs = graft.dedup.Dedup.candidatesFromSigs(sigsNew)
+      .unionByName(graft.dedup.Dedup.incrementalCandidates(
+        sigsNew, storedSigs.select($"doc", $"band", $"sig")))
+    // keep-one nodes: the batch, plus only the stored docs an edge
+    // touches (never the whole corpus — clustering stays batch-sized)
+    val batchNodes = ok.select($"doc_id", length($"text").cast("long").as("__score"))
+    val involved = pairs.select($"a_id".as("doc_id"))
+      .union(pairs.select($"b_id".as("doc_id"))).distinct()
+    val storedNodes = storedSigs.select($"doc".as("doc_id"), $"score".as("__score"))
+      .distinct()
+      .join(involved, Seq("doc_id"), "left_semi")
+      .join(batchNodes, Seq("doc_id"), "left_anti") // re-ingested doc: fresh score
     val dupFlags = graft.dedup.Dedup.keepOne(
-        ok.select($"doc_id", $"text"), "doc_id", length($"text"),
-        graft.dedup.Dedup.minhashCandidates(ok, "doc_id", "text", nBands = 4),
-        "a_id", "b_id")
+        batchNodes.unionByName(storedNodes), "doc_id", col("__score"),
+        pairs, "a_id", "b_id")
       .select($"doc_id", $"comp", $"keep")
     val kept = ok.join(dupFlags.filter($"keep"), Seq("doc_id"), "left_semi")
     // a doc KEPT by an earlier run can be demoted to duplicate when a
@@ -185,8 +210,39 @@ object Main {
              concat(lit("{\"duplicate_of\":\""), $"kept_id", lit("\"}")))
           .otherwise($"metadata_json"))
       .drop("comp", "keep", "kept_id")
-    writeTable(spark, docsOut.drop("text"), storeDir, "documents",
+    // a STORED doc outscored by an arriving near-dup: rewrite its
+    // documents row as 'duplicate' of the new keeper (its chunks/
+    // embeddings/signatures are pruned via dupIds above). A doc that
+    // was already a duplicate kept its pointer; pointers can chain
+    // one hop per demotion, by design.
+    val docsPath = new java.io.File(s"$storeDir/documents.parquet")
+    val demotedStored = dupFlags.filter(!$"keep")
+      .join(docs.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(keeperOf, Seq("comp"))
+      .select($"doc_id", $"kept_id")
+    val docUpdates =
+      if (docsPath.exists())
+        docsOut.drop("text").unionByName(
+          spark.read.parquet(docsPath.toString)
+            .join(demotedStored, Seq("doc_id"))
+            .withColumn("status", lit("duplicate"))
+            .withColumn("metadata_json",
+              concat(lit("{\"duplicate_of\":\""), $"kept_id", lit("\"}")))
+            .withColumn("updated_at", lit(t2))
+            .drop("kept_id"))
+      else docsOut.drop("text")
+    writeTable(spark, docUpdates, storeDir, "documents",
                keys = Seq("doc_id"), version = Seq(col("updated_at")))
+    // persist the kept docs' signatures — next run's incremental probe
+    // side; demoted and duplicate docs leave the index with their data
+    writeTable(spark,
+               sigsNew.join(kept.select($"doc_id".as("doc"),
+                                        length($"text").cast("long").as("score")),
+                            Seq("doc")),
+               storeDir, "signatures",
+               keys = Seq("doc", "band"), version = Seq(lit(1)),
+               prune = m => m.join(dupIds.select($"doc_id".as("doc")),
+                                   Seq("doc"), "left_anti"))
     writeTable(spark, jobs, storeDir, "jobs",
                keys = Seq("job_id", "status"), version = Seq(col("updated_at")))
 

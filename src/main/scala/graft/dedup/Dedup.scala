@@ -85,6 +85,17 @@ object Dedup {
     * (band, sig) → in-bucket self-join → distinct pairs. No O(n²).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        nBands: Int = 4, shingleK: Int = 3): DataFrame =
+    candidatesFromSigs(minhashSignatures(df, idCol, textCol, nBands, shingleK))
+
+  /** Per-document banded MinHash signatures, `(doc, band, sig)` — the
+    * PERSISTABLE form of the LSH index. Storing this table (4 small
+    * rows per doc) is what makes dedup INCREMENTAL: a new batch is
+    * signed once and probed against the stored signatures
+    * ([[incrementalCandidates]]) instead of re-shingling the whole
+    * corpus every run.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         nBands: Int = 4, shingleK: Int = 3): DataFrame = {
     require(nBands >= 1 && nBands <= 4, "sliced minhash carries 4 independent 32-bit bands per md5")
     val sh = df
@@ -93,17 +104,42 @@ object Dedup {
       .select(col("doc"), shinglesOf(col("toks"), shingleK).as("sh"))
       // hash ONCE per shingle; bands slice the digest (see minhashBandSliced)
       .select(col("doc"), transform(col("sh"), s => md5(s)).as("hs"))
-    val sigs = sh.select(col("doc"), posexplode(
+    sh.select(col("doc"), posexplode(
       array((0 until nBands).map(b => minhashBandSliced(col("hs"), b)): _*)).as(Seq("band", "sig")))
-    // bucket → sorted member list → in-bucket pair combinations. One
-    // aggregation instead of a self-join: the upstream (shingle + md5)
-    // pipeline is evaluated once, and pair blowup stays confined to
-    // buckets (which near-dup buckets keep small by construction).
+  }
+
+  /** Candidate pairs from a signature table.
+    *
+    * Plan shape: shuffle on (band, sig) → in-bucket pair combinations.
+    * One aggregation instead of a self-join: the upstream (shingle +
+    * md5) pipeline is evaluated once, and pair blowup stays confined
+    * to buckets (which near-dup buckets keep small by construction).
+    */
+  def candidatesFromSigs(sigs: DataFrame): DataFrame =
     bucketPairs(sigs.groupBy(col("band"), col("sig"))
                     .agg(sort_array(collect_list(col("doc"))).as("ds")))
       .groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("band")).as("n_bands"))
-  }
+
+  /** CROSS-BATCH candidate pairs: a new batch's signatures probed
+    * against the stored signature table — only new×stored pairs come
+    * out (batch-internal pairs are [[candidatesFromSigs]] on the batch;
+    * stored×stored was resolved when those docs arrived). This is the
+    * incremental-dedup probe a production pipeline runs per ingest:
+    * cost is one equi-join keyed on (band, sig) — the stored side
+    * never re-shingles, and bucketing the stored table by `sig` makes
+    * the probe shuffle-free on the corpus side at 100 TB.
+    */
+  def incrementalCandidates(newSigs: DataFrame, storedSigs: DataFrame): DataFrame =
+    newSigs.select(col("band"), col("sig"), col("doc").as("__new"))
+      .join(storedSigs.select(col("band"), col("sig"), col("doc").as("__old")),
+            Seq("band", "sig"))
+      .filter(col("__new") =!= col("__old"))
+      .select(least(col("__new"), col("__old")).as("a_id"),
+              greatest(col("__new"), col("__old")).as("b_id"),
+              col("band"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("band")).as("n_bands"))
 
   /** Explode each bucket's sorted member list into its (a < b) pair
     * combinations — the shared kernel of LSH candidate generation.

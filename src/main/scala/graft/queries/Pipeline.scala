@@ -99,6 +99,18 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // INCREMENTAL dedup probe: odd doc_ids play the arriving batch,
+    // even ids the stored corpus — candidates are the cross pairs only
+    // (one equi-join against the persisted signature table; nothing
+    // re-shingles the stored side in the real pipeline).
+    "q73_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalCandidates(
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"),
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // SimHash signatures (16 bits from md5 digit votes over distinct
     // tokens) — constant-size fingerprint per doc; the codegen bulk
     // form (explode + conditional-sum aggregate), one shuffle.
@@ -936,6 +948,26 @@ object Pipeline {
           FROM sigs a JOIN sigs b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
           GROUP BY 1, 2 ORDER BY a_id, b_id""",
+
+    // q24's signature pipeline, restricted to odd×even cross pairs.
+    "q73_incremental_dedup" ->
+      s"""WITH sh AS (
+            SELECT doc_id, ${shingleSql("toks")} AS s
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          sigs AS (
+            SELECT doc_id, band, min(substr(md5(g), band*8 + 1, 8)) AS sig
+            FROM sh, unnest(s) AS u(g),
+                 (SELECT unnest(generate_series(0, 3)) AS band) bb
+            GROUP BY doc_id, band),
+          x AS (
+            SELECT least(n.doc_id, o.doc_id) AS a_id,
+                   greatest(n.doc_id, o.doc_id) AS b_id, n.band
+            FROM sigs n JOIN sigs o
+              ON n.band = o.band AND n.sig = o.sig
+            WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+          SELECT a_id, b_id, count(DISTINCT band) AS n_bands
+          FROM x GROUP BY a_id, b_id ORDER BY a_id, b_id""",
 
     "q25_simhash" ->
       s"""WITH toks AS (
