@@ -51,8 +51,8 @@ object Main {
       spark.stop()
     case "export" :: store :: out :: rest =>
       val spark = session()
-      val n = runExport(spark, store, out, rest.headOption.getOrElse("nomic"))
-      println(s"""{"exported":$n}""")
+      val (n, missing) = runExport(spark, store, out, rest.headOption.getOrElse("nomic"))
+      println(s"""{"exported":$n,"missing_embedding":$missing}""")
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -159,6 +159,11 @@ object Main {
         batchNodes.unionByName(storedNodes), "doc_id", col("__score"),
         pairs, "a_id", "b_id")
       .select($"doc_id", $"comp", $"keep")
+      // six downstream actions consume these flags (both prunes,
+      // docsOut, demotion, signature write) — pin once or each re-runs
+      // the LSH aggregation + stored-signature probe; freed by the
+      // pinnedBefore sweep below
+      .localCheckpoint(true)
     val kept = ok.join(dupFlags.filter($"keep"), Seq("doc_id"), "left_semi")
     // a doc KEPT by an earlier run can be demoted to duplicate when a
     // better cluster member arrives — its stored chunks/embeddings must
@@ -248,8 +253,14 @@ object Main {
 
     // run-log: the observation values + stage latencies as rows — the
     // A3/A5 counter/histogram source (utils/metrics.py parity).
-    val obs = chunkObs.get ++ Map("n_embedded" -> embedObs.get("n_embedded"),
-                                  "n_providers" -> embedObs.get("n_providers"))
+    // An EMPTY written frame (every input failed conversion) reaches
+    // the writer as an empty relation, and Catalyst's empty-relation
+    // propagation erases the CollectMetrics node — the observation
+    // then reports NO map at all, so every metric read needs a zero
+    // default, not just a null guard.
+    val obs = chunkObs.get ++
+      Map("n_embedded" -> embedObs.get.getOrElse("n_embedded", 0L),
+          "n_providers" -> embedObs.get.getOrElse("n_providers", 0L))
     val runLog = (obs.toSeq.map { case (m, v) =>
         ("ingest", m, Option(v).map(_.toString.toDouble).getOrElse(0.0))
       } ++ Seq(("chunk_write", "seconds", tChunks), ("embed_write", "seconds", tEmbed)))
@@ -265,8 +276,8 @@ object Main {
       .filterNot { case (id, _) => pinnedBefore.contains(id) }
       .values.foreach(_.unpersist(blocking = false))
     IngestReport(nDocs, nFailed,
-                 obs("n_chunks").toString.toLong,
-                 obs("n_embedded").toString.toLong, obs)
+                 obs.getOrElse("n_chunks", 0L).toString.toLong,
+                 obs.getOrElse("n_embedded", 0L).toString.toLong, obs)
   }
 
   /** Upsert-write one store table: existing ∪ updates → latest per key
@@ -335,11 +346,15 @@ object Main {
     * its embedding and a BPE-lexer token count, shipped as gzip JSONL
     * shards (the format a training corpus actually interchanges in).
     * The join runs over the co-bucketed tables, so it plans without a
-    * shuffle; the row count rides the write as an observation — no
-    * second pass.
+    * shuffle; exported and missing-embedding counts ride the write as
+    * observations — no second pass. A chunk without a stored embedding
+    * for the requested provider (wrong provider name, or the
+    * failure-skip path at embed time) is NOT silently dropped: it is
+    * counted and reported, and the caller decides whether a nonzero
+    * `missing` is acceptable.
     */
   def runExport(spark: SparkSession, storeDir: String, outDir: String,
-                providerName: String): Long = {
+                providerName: String): (Long, Long) = {
     val chunks = openTable(spark, storeDir, "chunks")
       .select(col("doc_id"), col("chunk_id"), col("content"))
       .withColumn("n_tokens",
@@ -348,10 +363,13 @@ object Main {
       .filter(col("embedding_provider") === providerName)
       .select(col("chunk_id"), col("embedding"))
     val obs = new Observation("export")
-    val rows = chunks.join(emb, Seq("chunk_id"))
-      .observe(obs, count(lit(1)).as("n"))
+    val rows = chunks.join(emb, Seq("chunk_id"), "left")
+      .observe(obs,
+        count(col("embedding")).as("n"),
+        count(when(col("embedding").isNull, 1)).as("n_missing"))
+      .filter(col("embedding").isNotNull)
     Tables.writeJsonl(rows, s"$outDir/chunks")
-    obs.get("n").toString.toLong
+    (obs.get("n").toString.toLong, obs.get("n_missing").toString.toLong)
   }
 
   // ------------------------------------------------------------------ status

@@ -77,15 +77,35 @@ object Tables {
   def writeBucketed(df: DataFrame, path: String, bucketCol: String,
                     nBuckets: Int): Unit = {
     val spark = df.sparkSession
-    val tmpTable = "graft_bucketed_write"
-    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    // unique per call: a fixed name would race concurrent writes and
+    // clobber an unrelated table of that name in a shared catalog
+    val tmpTable = s"graft_bucketed_write_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.repartition(nBuckets, col(bucketCol))
       .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", path)
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    val wrotePart = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(_.getName.startsWith("part-")))
+    if (!wrotePart)
+      // bucketed writers create files lazily per bucket: an EMPTY frame
+      // leaves only _SUCCESS, and a file-less dir is unreadable
+      // (UNABLE_TO_INFER_SCHEMA) — write the schema-bearing empty
+      // parquet a plain write produces; openBucketed falls back to a
+      // plain read of it.
+      df.write.mode("overwrite").parquet(path)
+    else
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, BucketMarker), nBuckets.toString)
   }
+
+  /** Sidecar recording the bucket count a directory was written with —
+    * travels with the directory through the swap-commit renames, and is
+    * what [[openBucketed]] trusts (the caller's expected count cannot
+    * silently mislabel files hashed into a different count).
+    */
+  private val BucketMarker = "_graft_buckets"
 
   /** True when the parquet files at `path` were written by a bucketed
     * write (datasource bucket file names carry a `_NNNNN` bucket-id
@@ -108,12 +128,19 @@ object Tables {
     */
   def openBucketed(spark: SparkSession, table: String, path: String,
                    bucketCol: String, nBuckets: Int): DataFrame = {
-    if (!looksBucketed(path)) return spark.read.parquet(path)
+    // the count in the DDL MUST be the count the files were hashed
+    // with — declaring a different one plans shuffle-free joins over
+    // wrong bucket assignments and silently drops rows. Trust only the
+    // writer's marker; files without one read as plain parquet.
+    val marker = new java.io.File(path, BucketMarker)
+    if (!looksBucketed(path) || !marker.exists())
+      return spark.read.parquet(path)
+    val actualBuckets = java.nio.file.Files.readString(marker.toPath).trim.toInt
     val schema = spark.read.parquet(path).schema
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(
       s"""CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET
-          CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $nBuckets BUCKETS
+          CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) INTO $actualBuckets BUCKETS
           LOCATION '$path'""")
     spark.table(table)
   }

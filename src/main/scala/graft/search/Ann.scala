@@ -274,18 +274,13 @@ object Ann {
   def ivfTopKStoredInt(spark: org.apache.spark.sql.SparkSession, path: String,
                        idCol: String, vecCol: String,
                        centroids: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
-                       k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val probeCells = centroids.map { case (id, c) =>
-      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
-    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
-    val q = typedLit(queryVec)
-    spark.read.parquet(path)
-      .filter(col("cell").isInCollection(probeCells))
-      .withColumn("dot", intDot(intVec(col(vecCol)), q))
-      .orderBy(col("dot").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), col("cell").cast("long").as("cell"), col("dot"))
-  }
+                       k: Int = 10, nprobe: Int = 2): DataFrame =
+    // delegate — one copy of the ranking/scoring conventions, so the
+    // stored probe cannot drift from the in-memory one (the partition
+    // column reads back as int: restore the assignment's long)
+    ivfTopKInt(
+      spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
+      idCol, vecCol, centroids, queryVec, k, nprobe)
 
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,

@@ -62,9 +62,17 @@ class StoreBucketingSpec extends SparkSpec {
         s"export fixture text number $i with several distinct words".getBytes("UTF-8"))
     }
     Main.runIngest(spark, in.toString, store, "nomic", now)
-    val n = Main.runExport(spark, store, out, "nomic")
+    val (n, missing) = Main.runExport(spark, store, out, "nomic")
     val nChunks = spark.read.parquet(s"$store/chunks.parquet").count()
     assert(n == nChunks, s"every stored chunk exports exactly once ($n vs $nChunks)")
+    assert(missing == 0)
+
+    // a provider nothing was embedded with must be REPORTED, not a
+    // silent empty corpus
+    val out2 = Files.createTempDirectory("graft_exp_out2").toString
+    val (n2, missing2) = Main.runExport(spark, store, out2, "no_such_provider")
+    assert(n2 == 0 && missing2 == nChunks,
+           s"unmatched chunks must be counted ($n2, $missing2)")
 
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -76,6 +84,26 @@ class StoreBucketingSpec extends SparkSpec {
     assert(back.filter($"corrupt_record".isNotNull).count() == 0)
     val row = back.filter($"n_tokens" > 0).head()
     assert(row.getSeq[Float](row.fieldIndex("embedding")).nonEmpty)
+  }
+
+  test("all-failed ingest leaves a readable (empty) store, and recovers") {
+    val in = Files.createTempDirectory("graft_fail_in").toFile
+    val store = Files.createTempDirectory("graft_fail_store").toString
+    Files.write(new java.io.File(in, "nope.xyz").toPath,
+                "no extractor for this".getBytes("UTF-8"))
+    val r = Main.runIngest(spark, in.toString, store, "nomic", now)
+    assert(r.nFailed == 1 && r.nChunks == 0)
+    // empty bucketed write must fall back to a schema-bearing plain
+    // file — the store stays readable, not wedged
+    assert(spark.read.parquet(s"$store/chunks.parquet").count() == 0)
+    assert(Main.openTable(spark, store, "chunks").count() == 0)
+
+    // a later good ingest over the same store succeeds and bucketing kicks in
+    Files.write(new java.io.File(in, "good.txt").toPath,
+                "a perfectly convertible text document".getBytes("UTF-8"))
+    val r2 = Main.runIngest(spark, in.toString, store, "nomic", now)
+    assert(r2.nChunks > 0)
+    assert(Tables.looksBucketed(s"$store/chunks.parquet"))
   }
 
   test("stored IVF index: probe is a partition-pruned read matching the in-memory probe") {
