@@ -669,6 +669,25 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // PARAGRAPH DEDUP: corpus-wide first-occurrence rewrite — every
+    // verbatim paragraph re-occurrence after its global first (by
+    // doc id, position) is dropped; docs rebuilt in order.
+    "q74_paragraph_dedup" -> ((s, dir) => {
+      TextStats.dedupParagraphs(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+                md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TEMPERATURE sampling: per-language keep rate ∝ sqrt(share of the
+    // largest language) — T=2 mixture rebalancing, exact integer rates.
+    "q75_temperature_sample" -> ((s, dir) => {
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"),
+                col("n_stratum"), col("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PER-SOURCE CAP: keep the 10 longest docs per source, rank total
     // (n_chars desc, doc_id asc) — the no-domain-dominates rule.
     "q70_source_cap" -> ((s, dir) => {
@@ -1488,6 +1507,47 @@ object Pipeline {
           FROM documents d
           LEFT JOIN lagg l USING (doc_id)
           LEFT JOIN bagg b USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // q68's rebuild idiom with a global (doc_id, position) first-
+    // occurrence window instead of a df cap.
+    "q74_paragraph_dedup" ->
+      """WITH ps AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS a FROM documents),
+          paras AS (
+            SELECT doc_id, i, a[i] AS para
+            FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM ps)),
+          ranked AS (
+            SELECT doc_id, i, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, i) AS rn
+            FROM paras),
+          rebuilt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   array_to_string(list(para ORDER BY i), chr(10)||chr(10)) AS clean
+            FROM ranked WHERE rn = 1 GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, chr(10)||chr(10))) AS BIGINT) AS n_paras,
+                 CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                 md5(coalesce(r.clean, '')) AS clean_md5
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+          ORDER BY doc_id""",
+
+    // IEEE sqrt is correctly rounded in both engines; rates are exact
+    // integer percent of the q58/q66 md5 buckets. DuckDB's `/` is
+    // float division — `//` keeps the rate argument integral.
+    "q75_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+          m AS (SELECT max(n) AS nmax FROM c),
+          r AS (SELECT lang, n AS n_stratum,
+                       CAST(floor(sqrt(CAST((10000 * n) // nmax AS DOUBLE))) AS BIGINT) AS rate
+                FROM c, m)
+          SELECT d.doc_id, d.lang,
+                 CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                   AS bucket,
+                 r.n_stratum, r.rate
+          FROM documents d JOIN r USING (lang)
+          WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  < r.rate
           ORDER BY d.doc_id""",
 
     "q70_source_cap" ->

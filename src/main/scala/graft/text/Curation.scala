@@ -50,4 +50,29 @@ object Curation {
     df.withColumn("bucket", graft.dedup.Dedup.hashBucket(col(idCol), 100))
       .filter(col("bucket") < rate)
   }
+
+  /** TEMPERATURE sampling — the multilingual mixture recipe: stratum
+    * keep rates proportional to (n_s/n_max)^(1/2), so the biggest
+    * stratum keeps 100% and tail strata are up-weighted relative to
+    * their raw share (temperature T=2 rebalancing). Rates are EXACT
+    * integer percent: `floor(sqrt((10000·n_s) div n_max))` — IEEE
+    * sqrt is correctly rounded in every engine, so the same rates come
+    * out of the SQL oracle bit-for-bit, and the kept set is the same
+    * deterministic md5-bucket rule as [[stratifiedSample]].
+    *
+    * Plan shape: one map-combined stratum count (k rows), its max as a
+    * 1-row broadcast, rates broadcast-joined back onto the scan —
+    * nothing driver-side, no shuffle of the corpus itself.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val nmax = counts.agg(max(col("n")).as("nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .withColumn("rate",
+        floor(sqrt(expr("(10000 * n) div nmax").cast("double"))).cast("long"))
+      .select(col(strataCol), col("n").as("n_stratum"), col("rate"))
+    df.withColumn("bucket", graft.dedup.Dedup.hashBucket(col(idCol), 100))
+      .join(broadcast(rates), Seq(strataCol))
+      .filter(col("bucket") < col("rate"))
+  }
 }

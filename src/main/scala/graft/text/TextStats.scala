@@ -233,6 +233,39 @@ object TextStats {
           expr(s"cum_before div CAST($budget AS BIGINT)"))
   }
 
+  /** EXACT PARAGRAPH DEDUP — the corpus-wide first-occurrence rewrite
+    * (the paragraph-granularity cousin of Lee et al.'s exact-substring
+    * dedup): every verbatim re-occurrence of a paragraph AFTER its
+    * globally first appearance is dropped, and documents are rebuilt
+    * in order from what survives. "First" is total and deterministic:
+    * smallest (doc id, position). Complements [[stripBoilerplate]],
+    * which only strips lines shared more widely than a cap — this
+    * removes the SECOND copy of anything, however rare.
+    *
+    * Plan shape: paragraph explode → one shuffle on the paragraph hash
+    * → rank-1 retention (WindowGroupLimit keeps a hot paragraph from
+    * ever materializing its full occurrence list per task) → regroup
+    * per doc. Linear at any corpus size.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val paras = df.select(id,
+      posexplode(split(col(textCol), "\n\n")).as(Seq("pn", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(id.asc, col("pn").asc)
+    val kept = paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+           concat_ws("\n\n",
+             transform(array_sort(collect_list(struct(col("pn"), col("para")))),
+                       x => x.getField("para"))).as("clean"))
+    df.select(id, size(split(col(textCol), "\n\n")).cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, col("n_paras"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** OOV-RATE quality scoring — the CCNet-style vocabulary filter: a
     * reference vocabulary is built from the TRAIN split (the same md5
     * split as q58, so it is leakage-safe and reproducible), keeping

@@ -43,6 +43,25 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted.toSeq == kept.map(_._1).sorted.toSeq)
   }
 
+  test("temperature sampling: exact integer rates, biggest stratum keeps all") {
+    val docs = ((1L to 900L).map(i => (i, "en")) ++ (901L to 1000L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val kept = Curation.temperatureSample(docs, "doc_id", "lang")
+      .select($"doc_id", $"lang", $"rate").as[(Long, String, Long)].collect()
+    val rates = kept.map(r => r._2 -> r._3).toMap
+    // en: floor(sqrt(10000*900 div 900)) = 100; de: floor(sqrt(1111)) = 33
+    assert(rates == Map("en" -> 100L, "de" -> 33L), rates.toString)
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == 900, "rate 100 keeps the whole largest stratum")
+    assert(byLang("de") > 15 && byLang("de") < 50, byLang.toString)
+  }
+
+  test("temperature sampling joins the corpus against broadcast rates") {
+    val plan = SparkEntry.queries("q75_temperature_sample")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("stratified sample plans as a scan-fused filter: no shuffle at all") {
     val plan = SparkEntry.queries("q71_stratified_sample")(spark, Sf001)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,35 @@
+package graft
+
+import graft.text.TextStats
+
+/** Exact paragraph dedup (q74): global first-occurrence retention,
+  * ordered rebuild, within-doc and cross-doc re-occurrences.
+  */
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first occurrence survives; later copies drop within and across docs") {
+    val docs = Seq(
+      (1L, "alpha para\n\nbeta para\n\nalpha para"), // internal repeat
+      (2L, "beta para\n\ngamma para"),               // beta already seen in doc 1
+      (3L, "alpha para"))                            // fully deduplicated away
+      .toDF("doc_id", "text")
+    val got = TextStats.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"n_paras", $"n_kept", $"clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+
+    assert(got(0) == ((1L, 3L, 2L, "alpha para\n\nbeta para")),
+           "doc 1 keeps its first alpha and beta, drops the repeat")
+    assert(got(1) == ((2L, 2L, 1L, "gamma para")),
+           "doc 2's beta was first seen in doc 1")
+    assert(got(2) == ((3L, 1L, 0L, "")),
+           "doc 3 is entirely a re-occurrence and survives empty")
+  }
+
+  test("unique corpus is untouched") {
+    val docs = Seq((1L, "one\n\ntwo"), (2L, "three")).toDF("doc_id", "text")
+    val got = TextStats.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"clean").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "one\n\ntwo", 2L -> "three"))
+  }
+}
