@@ -195,7 +195,7 @@ object Main {
       if (embPath.exists())
         Embedding.embedWithCache(storedChunks,
           openTable(spark, storeDir, "embeddings"), providerName, now = now)
-      else Embedding.embedChunks(storedChunks, providerName, now = now).toDF()
+      else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
     val embedded = Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",

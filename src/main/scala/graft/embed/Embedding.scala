@@ -148,6 +148,32 @@ object Embedding {
     * At scale both sides should be bucketed by chunk_id so the semi/
     * anti joins are shuffle-free (SURVEY §4.1 partitioning note).
     */
+  /** [[embedChunks]] memoized by CONTENT: each distinct content embeds
+    * exactly once (dedup on the content hash BEFORE the provider runs)
+    * and the vector fans back out to every chunk carrying it.
+    * Overlapping chunkers and template text make verbatim repeats
+    * common at corpus scale, and provider calls are the dominant cost —
+    * two cheap hash shuffles buy an embed-call count equal to the
+    * DISTINCT content count. Output is identical to [[embedChunks]]
+    * (providers are pure functions of the text; a content that fails
+    * to embed drops every chunk carrying it, same as the per-chunk
+    * failure-skip).
+    */
+  def embedChunksDistinct(chunks: DataFrame, providerName: String,
+                          batchSize: Int = DefaultBatchSize,
+                          now: Timestamp = Timestamp.valueOf("2025-01-01 00:00:00"))
+      : DataFrame = {
+    val uniq = chunks
+      .select(md5(col("content")).as("chunk_id"), col("content"))
+      .dropDuplicates("chunk_id")
+    val uvecs = embedChunks(uniq, providerName, batchSize, now).toDF()
+      .withColumnRenamed("chunk_id", "__ch")
+    chunks.select(col("chunk_id"), md5(col("content")).as("__ch"))
+      .join(uvecs, Seq("__ch"))
+      .select(col("chunk_id"), col("embedding_provider"), col("embedding"),
+              col("model"), col("created_at"))
+  }
+
   def embedWithCache(chunks: DataFrame, existing: DataFrame, providerName: String,
                      batchSize: Int = DefaultBatchSize,
                      now: Timestamp = Timestamp.valueOf("2025-01-01 00:00:00"),
@@ -157,7 +183,7 @@ object Embedding {
       .filter(unix_timestamp(lit(now)) - unix_timestamp(col("created_at")) < maxAgeSeconds)
     val hits = fresh.join(chunks.select("chunk_id"), Seq("chunk_id"), "left_semi")
     val misses = chunks.join(fresh.select("chunk_id"), Seq("chunk_id"), "left_anti")
-    val computed = embedChunks(misses, providerName, batchSize, now).toDF()
+    val computed = embedChunksDistinct(misses, providerName, batchSize, now)
     hits.select("chunk_id", "embedding_provider", "embedding", "model", "created_at")
       .unionByName(computed)
   }

@@ -28,6 +28,13 @@ class BoilerplateSpec extends SparkSpec {
     assert(got(5) == ((6L, 2L, 0L, "")), "all-boilerplate doc survives empty")
   }
 
+  test("hot-line anti-join broadcasts (corpus side never shuffles for it)") {
+    val plan = SparkEntry.queries("q68_strip_boilerplate")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+           plan.take(3000))
+  }
+
   test("below the cap nothing is stripped") {
     val docs = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
     val got = TextStats.stripBoilerplate(docs, "doc_id", "text", dfCap = 3)

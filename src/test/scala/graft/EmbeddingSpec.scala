@@ -69,6 +69,24 @@ class EmbeddingSpec extends SparkSpec {
     assert(out.find(_.chunk_id == "c1").get.embedding.sameElements(local))
   }
 
+  test("embedChunksDistinct: content-memoized output equals the per-chunk embed") {
+    val chunks = Seq(("c1", "shared content"), ("c2", "shared content"),
+                     ("c3", "unique content"), ("c4", "shared content"))
+      .toDF("chunk_id", "content")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("chunk_id"), r.getAs[String]("embedding_provider"),
+       r.getSeq[Float](r.fieldIndex("embedding")).toList,
+       r.getAs[String]("model"))
+    val perChunk = Embedding.embedChunks(chunks, "nomic").toDF()
+      .collect().map(key).sortBy(_._1)
+    val memoized = Embedding.embedChunksDistinct(chunks, "nomic")
+      .collect().map(key).sortBy(_._1)
+    assert(memoized.toSeq == perChunk.toSeq,
+           "memoized embed must be indistinguishable from per-chunk embed")
+    assert(memoized.count(_._3 == memoized.head._3) == 3,
+           "the three shared-content chunks carry the identical vector")
+  }
+
   test("embedWithCache: hits reused, misses computed, TTL-expired recomputed (E6)") {
     val now = Timestamp.valueOf("2025-01-02 00:00:00")
     val fresh = Timestamp.valueOf("2025-01-01 12:00:00") // age 12h < 24h TTL

@@ -26,6 +26,12 @@ class ParagraphDedupSpec extends SparkSpec {
            "doc 3 is entirely a re-occurrence and survives empty")
   }
 
+  test("rank-1 retention plans with WindowGroupLimit (hot paragraph stays map-side)") {
+    val plan = SparkEntry.queries("q74_paragraph_dedup")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("unique corpus is untouched") {
     val docs = Seq((1L, "one\n\ntwo"), (2L, "three")).toDF("doc_id", "text")
     val got = TextStats.dedupParagraphs(docs, "doc_id", "text")
