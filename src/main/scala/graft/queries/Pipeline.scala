@@ -706,6 +706,13 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
+    // to every doc; id sequence audited via scalar md5.
+    "q76_tokenize_ids" -> ((s, dir) => {
+      TextStats.tokenizeToIds(t(s, dir, "documents"), "doc_id", "text", minCount = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // OOV-RATE scoring: train-split vocabulary (min 2 occurrences) →
     // per-doc out-of-vocabulary token count — the CCNet-style filter.
     "q72_oov_rate" -> ((s, dir) => {
@@ -1568,6 +1575,45 @@ object Pipeline {
           WHERE bucket < CASE WHEN lang = 'en' THEN 50
                               WHEN lang = 'de' THEN 20 ELSE 10 END
           ORDER BY doc_id""",
+
+    // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)
+    // exactly as the Spark window; UNK = 0; md5 over comma-joined ids.
+    "q76_tokenize_ids" ->
+      """WITH base AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                     AS b,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+                     AS split, t
+            FROM base),
+          tok AS (
+            SELECT doc_id, split, i AS pos, t[i] AS term
+            FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t))) AS i FROM sp)),
+          vc AS (
+            SELECT term, count(*) AS c FROM tok WHERE split = 'train'
+            GROUP BY term HAVING count(*) >= 2),
+          vocab AS (
+            SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS tid
+            FROM vc),
+          ids AS (
+            SELECT tok.doc_id, tok.pos, coalesce(vocab.tid, 0) AS tid
+            FROM tok LEFT JOIN vocab USING (term)),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+                   CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+                   md5(array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ','))
+                     AS ids_md5
+            FROM ids GROUP BY doc_id)
+          SELECT s.doc_id, s.split,
+                 coalesce(agg.n_ids, 0) AS n_ids,
+                 coalesce(agg.n_unk, 0) AS n_unk,
+                 coalesce(agg.ids_md5, md5('')) AS ids_md5
+          FROM sp s LEFT JOIN agg USING (doc_id)
+          ORDER BY s.doc_id""",
 
     // q58's md5 split + q26's tokenizer; vocabulary from the train
     // slice only (leakage-safe), HUGEINT sums cast back to BIGINT.

@@ -306,6 +306,52 @@ object TextStats {
         col("n_tokens") === 0L || col("n_oov") * 10L <= col("n_tokens") * 3L)
   }
 
+  /** VOCABULARY INDUCTION + TOKENIZE-TO-IDS — the last text step
+    * before tensors: a fixed vocabulary is induced from the TRAIN
+    * split (terms with ≥ `minCount` occurrences, ids ranked by
+    * frequency then term — the standard frequency-sorted tokenizer
+    * vocab, deterministic and leakage-safe) and every document is
+    * mapped to its id sequence (unknown → 0). The sequence itself is
+    * emitted as scalar audit columns (`n_ids`, `n_unk`, and the md5 of
+    * the comma-joined ids) — bit-comparable across engines without
+    * fragile array output.
+    *
+    * Plan shape: one scan+tokenize into the positioned token table,
+    * materialized (q65's idiom — both the vocab and the apply branch
+    * read it); the ranked vocab is a dictionary-sized single-partition
+    * window (k rows, never the corpus) broadcast back onto the tokens;
+    * one regroup per doc.
+    */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val tok = df
+      .select(id, graft.dedup.Dedup.splitAssign(id).as("split"),
+              posexplode(bpeTokens(col(textCol))).as(Seq("pos", "term")))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term").asc) // dictionary-sized, not corpus
+    val vocab = tok.filter(col("split") === "train")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .withColumn("tid", row_number().over(w).cast("long"))
+      .select(col("term"), col("tid"))
+    val ids = tok.join(broadcast(vocab), Seq("term"), "left")
+      .select(id, col("pos"), coalesce(col("tid"), lit(0L)).as("tid"))
+    val agg = ids.groupBy(id)
+      .agg(count(lit(1)).as("n_ids"),
+           sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_unk"),
+           md5(concat_ws(",",
+             transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+                       x => x.getField("tid").cast("string")))).as("ids_md5"))
+    df.select(id, graft.dedup.Dedup.splitAssign(id).as("split"))
+      .join(agg, Seq(idCol), "left")
+      .select(id, col("split"),
+        coalesce(col("n_ids"), lit(0L)).as("n_ids"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+  }
+
   /** TF-IDF top-`k` terms per document — the keyword/topic signal a
     * corpus-analysis pipeline extracts per doc. Scoring is EXACT
     * integer arithmetic (`tf·10⁶ div df` — the corpus-size factor is a
