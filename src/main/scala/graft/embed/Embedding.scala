@@ -163,12 +163,16 @@ object Embedding {
                           batchSize: Int = DefaultBatchSize,
                           now: Timestamp = Timestamp.valueOf("2025-01-01 00:00:00"))
       : DataFrame = {
+    // NULL content hashes through '' (md5(NULL) is NULL and would fall
+    // out of the join; the provider itself maps null → zero vector, so
+    // '' and null share one memo entry and one identical vector)
+    val key = md5(coalesce(col("content"), lit("")))
     val uniq = chunks
-      .select(md5(col("content")).as("chunk_id"), col("content"))
+      .select(key.as("chunk_id"), col("content"))
       .dropDuplicates("chunk_id")
     val uvecs = embedChunks(uniq, providerName, batchSize, now).toDF()
       .withColumnRenamed("chunk_id", "__ch")
-    chunks.select(col("chunk_id"), md5(col("content")).as("__ch"))
+    chunks.select(col("chunk_id").cast("string"), key.as("__ch"))
       .join(uvecs, Seq("__ch"))
       .select(col("chunk_id"), col("embedding_provider"), col("embedding"),
               col("model"), col("created_at"))

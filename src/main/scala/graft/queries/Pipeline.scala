@@ -1531,7 +1531,7 @@ object Pipeline {
           rebuilt AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
                    array_to_string(list(para ORDER BY i), chr(10)||chr(10)) AS clean
-            FROM ranked WHERE rn = 1 GROUP BY doc_id)
+            FROM ranked WHERE rn = 1 OR para = '' GROUP BY doc_id)
           SELECT d.doc_id,
                  CAST(len(string_split(d.text, chr(10)||chr(10))) AS BIGINT) AS n_paras,
                  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,

@@ -65,7 +65,10 @@ object Curation {
     * nothing driver-side, no shuffle of the corpus itself.
     */
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
+    // pinned: nmax and the rate join both read it — unpinned, the
+    // corpus-wide count would run once per branch
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val nmax = counts.agg(max(col("n")).as("nmax"))
     val rates = counts.crossJoin(broadcast(nmax))
       .withColumn("rate",

@@ -249,17 +249,27 @@ object TextStats {
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
+    // one explode feeds both aggregates — without the pin Catalyst
+    // splits them into two full corpus scans (the q65 idiom)
     val paras = df.select(id,
-      posexplode(split(col(textCol), "\n\n")).as(Seq("pn", "para")))
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pn", "para")))
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("para"))).orderBy(id.asc, col("pn").asc)
-    val kept = paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // EMPTY paragraphs (3+ consecutive newlines make "" split entries)
+    // are separator structure, not content — they bypass the window
+    // entirely (an OR in the rank filter would also defeat the
+    // WindowGroupLimit map-side pushdown)
+    val kept = paras.filter(col("para") =!= "")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .unionByName(paras.filter(col("para") === ""))
     val rebuilt = kept.groupBy(id)
       .agg(count(lit(1)).as("n_kept"),
            concat_ws("\n\n",
              transform(array_sort(collect_list(struct(col("pn"), col("para")))),
                        x => x.getField("para"))).as("clean"))
-    df.select(id, size(split(col(textCol), "\n\n")).cast("long").as("n_paras"))
+    paras.groupBy(id).agg(count(lit(1)).as("n_paras"))
       .join(rebuilt, Seq(idCol), "left")
       .select(id, col("n_paras"),
               coalesce(col("n_kept"), lit(0L)).as("n_kept"),

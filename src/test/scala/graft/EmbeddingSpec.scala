@@ -71,7 +71,8 @@ class EmbeddingSpec extends SparkSpec {
 
   test("embedChunksDistinct: content-memoized output equals the per-chunk embed") {
     val chunks = Seq(("c1", "shared content"), ("c2", "shared content"),
-                     ("c3", "unique content"), ("c4", "shared content"))
+                     ("c3", "unique content"), ("c4", "shared content"),
+                     ("c5", null))               // null content must not drop
       .toDF("chunk_id", "content")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("chunk_id"), r.getAs[String]("embedding_provider"),

@@ -8,14 +8,6 @@ import graft.text.TextStats
 class OovSpec extends SparkSpec {
   import spark.implicits._
 
-  // driver-side twin of Dedup.hashBucket/splitAssign (md5 hex prefix)
-  private def splitName(id: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-    val b = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
-    if (b < 80) "train" else if (b < 90) "val" else "test"
-  }
-
   // ids are chosen so the md5 split puts some in train; we read the
   // split back from the result rather than assuming which.
   private val docs = (1L to 60L).map { i =>

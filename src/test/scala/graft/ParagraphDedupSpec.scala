@@ -38,4 +38,17 @@ class ParagraphDedupSpec extends SparkSpec {
       .select($"doc_id", $"clean").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "one\n\ntwo", 2L -> "three"))
   }
+
+  test("blank separators (3+ newlines) are structure, never deduped away") {
+    val docs = Seq(
+      (1L, "a\n\n\n\nb"),   // split yields [a, "", b]
+      (2L, "c\n\n\n\nd"))   // its "" must NOT be a re-occurrence of doc 1's
+      .toDF("doc_id", "text")
+    val got = TextStats.dedupParagraphs(docs, "doc_id", "text")
+      .select($"doc_id", $"n_paras", $"n_kept", $"clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 3L, "a\n\n\n\nb")))
+    assert(got(1) == ((2L, 3L, 3L, "c\n\n\n\nd")),
+           "doc 2's separator structure must survive intact")
+  }
 }

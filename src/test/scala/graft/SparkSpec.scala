@@ -12,6 +12,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   val Sf001 = "/root/testdata/sf0.001"
   val Sf01 = "/root/testdata/sf0.01"
   override def afterAll(): Unit = () // session shared across suites
+
+  /** Driver-side twin of `Dedup.hashBucket`/`splitAssign` (md5 hex
+    * prefix → 80/10/10), for specs that need to know a fixture id's
+    * split without running Spark.
+    */
+  protected def splitName(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val b = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
 }
 
 object SparkSpec {

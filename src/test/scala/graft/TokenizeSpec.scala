@@ -12,13 +12,6 @@ class TokenizeSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  private def splitName(id: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
-    val b = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
-    if (b < 80) "train" else if (b < 90) "val" else "test"
-  }
-
   test("frequency-ranked ids, UNK=0, train-only vocabulary, empty doc") {
     val ids = 1L to 40L
     val nonTrain = ids.filter(i => splitName(i) != "train")
