@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** MEASURED MinHash-LSH dedup quality (the dedup analogue of
+  * AnnRecallSpec): recall of the banded candidate generation against
+  * exact shingle-Jaccard ground truth, and its precision on a corpus
+  * with planted near-duplicates at three similarity tiers. Everything
+  * is md5-deterministic, so the measured values are stable.
+  */
+class DedupQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WordsPerDoc = 25
+
+  // disjoint per-doc vocabularies: unrelated docs share zero shingles,
+  // so any cross-tier candidate would be a real false positive
+  private def baseText(i: Int): String =
+    (0 until WordsPerDoc).map(j => s"w${i}_$j").mkString(" ")
+
+  private def mutated(i: Int, m: Int): String =
+    ((0 until m).map(j => s"x${i}_$j") ++
+     (m until WordsPerDoc).map(j => s"w${i}_$j")).mkString(" ")
+
+  private def shingleSet(text: String): Set[String] =
+    text.split("\\s+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: String, b: String): Double = {
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("banded candidates: high recall on true near-dups, zero false positives") {
+    val bases = (0 until 20).map(i => (i.toLong, baseText(i)))
+    val copies = (0 until 10).map { i =>
+      val m = if (i < 4) 2 else if (i < 8) 8 else 20 // high / mid / low similarity
+      (100L + i, mutated(i, m))
+    }
+    val docs = bases ++ copies
+    val truth = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      j = jaccard(ta, tb) if j > 0.0
+    } yield (ia, ib) -> j).toMap
+
+    val cand = Dedup.minhashCandidates(docs.toDF("doc_id", "text"), "doc_id", "text",
+                                       nBands = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+    // precision: disjoint vocabularies make any unrelated pair a hash
+    // accident (~2^-32) — none may appear
+    assert(cand.forall(truth.contains), s"false-positive pairs: ${cand.filterNot(truth.contains)}")
+
+    def recallAbove(t: Double): (Int, Int) = {
+      val tier = truth.filter(_._2 >= t).keySet
+      (tier.count(cand), tier.size)
+    }
+    val (hiFound, hiAll) = recallAbove(0.7)
+    val (midFound, midAll) = recallAbove(0.4)
+    assert(hiAll >= 4 && midAll >= 8, s"fixture tiers: $hiAll high, $midAll mid")
+    // 4 one-hash bands: P(miss) = (1-J)^4 — ≈0.8% at J=0.7
+    assert(hiFound == hiAll, s"high-similarity recall $hiFound/$hiAll must be total")
+    assert(midFound * 10 >= midAll * 7, s"mid-similarity recall $midFound/$midAll under 0.7")
+    info(s"recall: J≥0.7 → $hiFound/$hiAll; J≥0.4 → $midFound/$midAll; " +
+         s"candidates ${cand.size} of ${docs.size * (docs.size - 1) / 2} pairs")
+  }
+}
