@@ -61,6 +61,30 @@ object Tables {
   def pointLookup(df: DataFrame, keyCol: String, id: Any): DataFrame =
     df.filter(col(keyCol) === lit(id)).limit(1)
 
+  /** SNAPSHOT DIFF — corpus versioning: classify every document across
+    * two snapshots as added / removed / changed / unchanged by content
+    * fingerprint. The audit an incremental pipeline runs between
+    * ingest generations (what entered, what left, what was edited)
+    * before deciding what to re-chunk/re-embed.
+    *
+    * One full-outer equi-join on the id — at 100 TB both sides shuffle
+    * once on the key (or not at all when the snapshots are the
+    * co-bucketed store tables); fingerprints are md5 of the content so
+    * "changed" never compares full texts across the join.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__old_fp"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") =!= col("__new_fp"), "changed")
+          .otherwise("unchanged"))
+      .drop("__old_fp", "__new_fp")
+  }
+
   // ------------------------------------------------- bucketed store tables
 
   /** Write `df` as an external BUCKETED parquet table at `path` —

@@ -706,6 +706,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // SNAPSHOT DIFF: two synthetic corpus generations (ids ≡0 mod 10
+    // leave, ≡9 arrive, ≡3 mod 7 are edited) classified by fingerprint.
+    "q77_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 9)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, upper(col("text"))).otherwise(col("text")))
+      Tables.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
     // to every doc; id sequence audited via scalar md5.
     "q76_tokenize_ids" -> ((s, dir) => {
@@ -1574,6 +1586,21 @@ object Pipeline {
             FROM documents)
           WHERE bucket < CASE WHEN lang = 'en' THEN 50
                               WHEN lang = 'de' THEN 20 ELSE 10 END
+          ORDER BY doc_id""",
+
+    "q77_snapshot_diff" ->
+      """WITH o AS (
+            SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 10 <> 9),
+          n AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 3 THEN upper(text) ELSE text END) AS nfp
+            FROM documents WHERE doc_id % 10 <> 0)
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.ofp IS NULL THEN 'added'
+                      WHEN n.nfp IS NULL THEN 'removed'
+                      WHEN o.ofp <> n.nfp THEN 'changed'
+                      ELSE 'unchanged' END AS change
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
           ORDER BY doc_id""",
 
     // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)

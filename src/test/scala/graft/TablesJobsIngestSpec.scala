@@ -172,4 +172,13 @@ class TablesJobsIngestSpec extends SparkSpec {
     val decoded = docs.select(Ingest.decodeContent($"content_b64")).as[String].collect().head
     assert(decoded == "# Title\nBody text here.")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged (q77)") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.io.Tables.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+                      3L -> "changed", 4L -> "added"))
+  }
 }
