@@ -34,7 +34,12 @@ object Bench {
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release localCheckpoint pins between runs — each timed run
+        // re-pins (the pin cost is part of the query), and without the
+        // sweep the runs×queries loop accumulates storage all session
+        graft.io.Pins.sweepAll(spark)
+        name -> dt
       }
     }
     val results = samples.groupBy(_._1).map { case (name, ts) =>

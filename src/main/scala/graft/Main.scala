@@ -369,7 +369,11 @@ object Main {
         count(when(col("embedding").isNull, 1)).as("n_missing"))
       .filter(col("embedding").isNotNull)
     Tables.writeJsonl(rows, s"$outDir/chunks")
-    (obs.get("n").toString.toLong, obs.get("n_missing").toString.toLong)
+    // empty written frame → CollectMetrics erased → empty metrics map
+    // (same guard as runIngest); report 0, don't throw
+    val m = obs.get
+    (m.getOrElse("n", 0L).toString.toLong,
+     m.getOrElse("n_missing", 0L).toString.toLong)
   }
 
   // ------------------------------------------------------------------ status

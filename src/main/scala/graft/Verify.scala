@@ -31,6 +31,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any localCheckpoint pins the query created (queries are
+      // isolated; nothing is intentionally cached across them)
+      finally graft.io.Pins.sweepAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

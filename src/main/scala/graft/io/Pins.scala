@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Caller-owned lifecycle for `localCheckpoint` pins.
+  *
+  * Several operators ([[graft.text.TextStats.dedupParagraphs]],
+  * [[graft.text.TextStats.oovSignals]],
+  * [[graft.text.TextStats.tokenizeToIds]],
+  * [[graft.text.TextStats.tfidfTopTerms]],
+  * [[graft.text.Curation.temperatureSample]]) pin a shared intermediate
+  * with `localCheckpoint(true)` so two aggregation branches read ONE
+  * scan instead of two. The pin is MEMORY_AND_DISK storage owned by the
+  * session; without an explicit release every invocation leaks it for
+  * the session's lifetime. Contract (same shape as
+  * `Dedup.connectedComponents`'s per-round unpersist): run your
+  * terminal action, then release.
+  */
+object Pins {
+
+  /** Unpersist every localCheckpoint pin embedded in `df`'s plan — the
+    * targeted release for a single operator result. Only call AFTER the
+    * terminal action: the pinned blocks ARE the data (a local
+    * checkpoint cannot be recomputed once dropped).
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Unpersist everything pinned in the session — the between-queries
+    * sweep for harnesses (Verify/Bench) whose queries are isolated and
+    * fully consumed before the next starts.
+    */
+  def sweepAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+}

@@ -1470,7 +1470,7 @@ object Pipeline {
             SELECT doc_id, i, a[i] AS line
             FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM ls)),
           hot AS (
-            SELECT line FROM lines GROUP BY line
+            SELECT line FROM lines WHERE line <> '' GROUP BY line
             HAVING count(DISTINCT doc_id) > 10),
           keptl AS (
             SELECT l.doc_id, l.i, l.line

@@ -63,6 +63,7 @@ object Curation {
     * Plan shape: one map-combined stratum count (k rows), its max as a
     * 1-row broadcast, rates broadcast-joined back onto the scan —
     * nothing driver-side, no shuffle of the corpus itself.
+    * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def temperatureSample(df: DataFrame, idCol: String, strataCol: String): DataFrame = {
     // pinned: nmax and the rate join both read it — unpinned, the

@@ -98,7 +98,10 @@ object TextStats {
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", "https?://[^\\s]+", "<URL>"),
+    // whitespace class spelled explicitly: Java's \s includes \x0B,
+    // RE2's does not — an explicit class makes both engines match the
+    // same span by construction
+    ("url", "https?://[^ \\t\\n\\f\\r]+", "<URL>"),
     ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
 
   /** PII REDACTION — the scrub pass a training corpus runs before
@@ -136,7 +139,12 @@ object TextStats {
                        dfCap: Int = 10): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("ln", "line")))
-    val hot = lines.groupBy(col("line"))
+    // EMPTY lines are paragraph separators, not template chrome — on any
+    // multi-paragraph corpus they are shared by >dfCap docs and would be
+    // stripped from every document, collapsing the \n\n structure
+    // downstream operators (dedupParagraphs) depend on. Same structural
+    // exemption dedupParagraphs applies.
+    val hot = lines.filter(col("line") =!= "").groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("line"))
@@ -246,6 +254,10 @@ object TextStats {
     * → rank-1 retention (WindowGroupLimit keeps a hot paragraph from
     * ever materializing its full occurrence list per task) → regroup
     * per doc. Linear at any corpus size.
+    *
+    * Pins a `localCheckpoint` (one scan feeds both branches); the
+    * caller owns the release — [[graft.io.Pins.release]] on the result
+    * after the terminal action.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
@@ -291,6 +303,7 @@ object TextStats {
     * the vocabulary is a map-combined aggregate of the train slice and
     * scoring is a broadcast anti-join (a term dictionary is MBs even
     * at 100 TB corpus scale — the stopword-heavy keys never shuffle).
+    * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def oovSignals(df: DataFrame, idCol: String, textCol: String,
                  minCount: Int = 2): DataFrame = {
@@ -331,6 +344,7 @@ object TextStats {
     * read it); the ranked vocab is a dictionary-sized single-partition
     * window (k rows, never the corpus) broadcast back onto the tokens;
     * one regroup per doc.
+    * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
                     minCount: Int = 2): DataFrame = {
@@ -377,6 +391,7 @@ object TextStats {
     * count-over-term window would avoid the join but buffers a hot
     * term's whole partition — the groupBy keeps stopword terms as
     * partial counts, never a resident row set.
+    * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {

@@ -35,6 +35,18 @@ class BoilerplateSpec extends SparkSpec {
            plan.take(3000))
   }
 
+  test("empty lines are structural separators, never boilerplate") {
+    // every doc shares the blank line (df=5 > cap=3) — a hot-set that
+    // counted blanks would strip every paragraph boundary in the corpus
+    val docs = (1L to 5L).map(i => (i, s"para a $i\n\npara b $i")).toDF("doc_id", "text")
+    val got = TextStats.stripBoilerplate(docs, "doc_id", "text", dfCap = 3)
+      .select($"doc_id", $"clean").as[(Long, String)].collect().toMap
+    (1L to 5L).foreach { i =>
+      assert(got(i) == s"para a $i\n\npara b $i",
+             "blank lines must survive so \\n\\n paragraph structure does")
+    }
+  }
+
   test("below the cap nothing is stripped") {
     val docs = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
     val got = TextStats.stripBoilerplate(docs, "doc_id", "text", dfCap = 3)
