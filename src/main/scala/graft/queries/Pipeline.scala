@@ -37,6 +37,23 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q36's persisted vector intermediate, keyed by sf-dir basename (a
+    * bench run at sf0.1 must not clobber the verify-run sf0.01 file the
+    * static oracle SQL reads).
+    */
+  private def q36VectorsPath(sfDir: String): String =
+    s"/tmp/graft_q36/${new java.io.File(sfDir).getName}/vectors.parquet"
+
+  /** q36's query embedding on the same exact 1e-3 integer grid as the
+    * persisted chunk vectors. HALF_UP matches both Spark's `round` and
+    * DuckDB's `round` (half away from zero) — `math.round` would round
+    * exact halves toward +∞ instead and disagree on negatives.
+    */
+  private lazy val q36QueryVec: Seq[Long] =
+    Embedding.embedQuery("spark query engine performance", "nomic").toSeq
+      .map(x => BigDecimal(x.toDouble * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
   /** Deterministic IVF coarse centroids for q48/q51: per-label integer
     * means, floor(sum/n) on the 1e-3 grid — exactly re-derivable by a
     * SQL oracle (unlike KMeans-trained centroids, Ann.ivfTrain). The
@@ -578,12 +595,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // --- q36 is rows-only (no SQL oracle; pinned by ScalaTest) ---
-
     // Full pipeline e2e: documents → hybrid-chunk (C1 token windows —
     // the corpus has no sentence terminators, so C3 would degenerate to
     // fallback) → hashing-trick embed (E2) → cosine top-5 for an
     // embedded query string (Q5+Q1). The flagship slice of SURVEY §7.2.
+    //
+    // ORACLE BRIDGE (the chunker fold + hashing embed are not
+    // SQL-expressible, but the SEARCH is): quantize the embeddings to
+    // the exact 1e-3 integer grid, PERSIST that intermediate, and run
+    // the kNN over the persisted copy — DuckDB reads the same file and
+    // recomputes the identical cosine (integer-valued doubles: every
+    // sum < 2^53 is exact regardless of order; sqrt//+ are
+    // correctly-rounded IEEE in both engines, so scores match
+    // bit-for-bit). The path is keyed by the sf-dir basename so a bench
+    // run at another SF never clobbers the verify intermediate; the
+    // static oracle reads the driver's verify SF (sf0.01).
     "q36_pipeline_search" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val chunks = Chunkers.chunkDocuments(docs, "doc_id", "text",
@@ -591,9 +617,18 @@ object Pipeline {
         .withColumn("chunk_id",
           concat(col("doc_id").cast("string"), lit("_"), col("chunk_id")))
       val emb = Embedding.embedChunks(chunks, "nomic").toDF()
-      val qv = Embedding.embedQuery("spark query engine performance", "nomic")
-      Search.knn(emb, qv.toSeq, k = 5, provider = Some("nomic"),
-                 tieBreak = Seq(col("chunk_id")))
+      val outPath = q36VectorsPath(dir)
+      emb.select(col("chunk_id"), col("embedding_provider"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("float")).as("embedding"))
+        // drop all-zero vectors (empty-token chunks): cosine of a zero
+        // vector is NaN, and NaN ordering differs across engines. A
+        // normalized nonzero vector has max |x| ≥ 1/sqrt(768) ≈ 0.036,
+        // so quantization never zeroes a nonzero embedding.
+        .filter(exists(col("embedding"), x => x =!= lit(0.0f)))
+        .write.mode("overwrite").parquet(outPath)
+      Search.knn(s.read.parquet(outPath), q36QueryVec.map(_.toFloat), k = 5,
+                 provider = Some("nomic"), tieBreak = Seq(col("chunk_id")))
         .select(col("chunk_id"), col("score"))
     }),
 
@@ -1773,6 +1808,29 @@ object Pipeline {
     // with Ann.lshBucket (Ann.planeSigns baked as SQL literals); bucket
     // = Σ 2^p over positive projections, probes = query bucket plus its
     // 8 Hamming-1 neighbors, exact integer dots, top-10.
+    "q36_pipeline_search" -> {
+      // the query embedding, quantized to the same 1e-3 integer grid as
+      // the persisted chunk vectors, baked as literals (q37's
+      // plan-time-constant treatment); ‖q‖² is inlined as an exact long.
+      // The FROM is the vector intermediate q36's Spark run persists —
+      // the driver verifies at sf0.01, which keys the path.
+      val qv = q36QueryVec
+      val lst = qv.mkString("[", ", ", "]")
+      val nb = qv.map(x => x * x).sum
+      s"""WITH v AS (
+            SELECT chunk_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM read_parquet('/tmp/graft_q36/sf0.01/vectors.parquet/*.parquet')
+            WHERE embedding_provider = 'nomic'),
+          q AS (SELECT list_transform($lst, x -> CAST(x AS DOUBLE)) AS qv),
+          s AS (SELECT chunk_id,
+                  CAST(list_sum(list_transform(generate_series(1, ${graft.embed.Embedding.Dims}),
+                    i -> e[i] * qv[i])) AS DOUBLE) AS dot,
+                  CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE) AS na
+                FROM v, q)
+          SELECT chunk_id, dot / (sqrt(na) * sqrt(CAST($nb AS DOUBLE))) + 1.0 AS score
+          FROM s ORDER BY score DESC, chunk_id LIMIT 5"""
+    },
+
     "q37_ann_lsh" -> {
       val planes = graft.search.Ann.planeSigns(nPlanes = 8, dims = 64)
       val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
