@@ -94,12 +94,38 @@ object Main {
     * with the observation metrics that rode the writes.
     */
   def runIngest(spark: SparkSession, inputDir: String, storeDir: String,
-                providerName: String, now: Timestamp): IngestReport = {
+                providerName: String, now: Timestamp): IngestReport =
+    ingestBatch(spark,
+      Ingest.convertDocuments(
+        Ingest.toDocuments(Ingest.readBinaryDir(spark, inputDir), lit(now))),
+      storeDir, providerName, now)
+
+  /** Every store-side ingest stage past conversion — ledger, the
+    * incremental near-dup keep-one tier (with stored-doc demotion),
+    * chunking, cache-aside embedding, and the bucketed-store commit —
+    * shared VERBATIM by the batch driver above and the streaming inbox
+    * ([[graft.stream.Inbox]]): one pipeline definition, two execution
+    * modes, which is the reference running the same service code on
+    * queue items (`services/document_processor.py:96-132`). `docsIn`
+    * is a converted documents frame ([[Ingest.convertDocuments]]
+    * schema).
+    *
+    * `streaming = true` (the inbox path) swaps the `df.observe` metric
+    * reads for direct aggregations over cached per-batch frames:
+    * `Observation.get` blocks on a QueryExecutionListener event that is
+    * NOT reliably delivered for actions nested inside a foreachBatch
+    * micro-batch (the stream runs them under the streaming clone
+    * session, and the listener never fires — the get parks the stream
+    * execution thread forever). Micro-batches are bounded, so the
+    * replacement pass is batch-sized, not corpus-sized; the batch
+    * driver keeps the zero-extra-scan observe path.
+    */
+  def ingestBatch(spark: SparkSession, docsIn: DataFrame, storeDir: String,
+                  providerName: String, now: Timestamp,
+                  streaming: Boolean = false): IngestReport = {
     import spark.implicits._
 
-    val docs = Ingest.convertDocuments(
-      Ingest.toDocuments(Ingest.readBinaryDir(spark, inputDir), lit(now)))
-      .cache()
+    val docs = docsIn.cache()
     // storage snapshot: everything pinned after this point (the dedup
     // clustering's per-round label tables) is this run's scratch and is
     // freed before returning — a long-lived session must not accumulate
@@ -179,7 +205,9 @@ object Main {
 
     val chunkObs = new Observation("chunks")
     val embedObs = new Observation("embeddings")
-    val chunksObserved = Metrics.observeChunkSizes(chunked, chunkObs)
+    val chunksObserved =
+      if (streaming) chunked.cache()
+      else Metrics.observeChunkSizes(chunked, chunkObs)
 
     val (_, tChunks) = Metrics.timed {
       writeTable(spark, chunksObserved, storeDir, "chunks",
@@ -196,7 +224,9 @@ object Main {
         Embedding.embedWithCache(storedChunks,
           openTable(spark, storeDir, "embeddings"), providerName, now = now)
       else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
-    val embedded = Metrics.observeEmbedding(embeddedRaw, embedObs)
+    val embedded =
+      if (streaming) embeddedRaw.cache()
+      else Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",
                  keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)),
@@ -258,9 +288,21 @@ object Main {
     // propagation erases the CollectMetrics node — the observation
     // then reports NO map at all, so every metric read needs a zero
     // default, not just a null guard.
-    val obs = chunkObs.get ++
-      Map("n_embedded" -> embedObs.get.getOrElse("n_embedded", 0L),
-          "n_providers" -> embedObs.get.getOrElse("n_providers", 0L))
+    val obs: Map[String, Any] =
+      if (streaming) {
+        // same metric names as the observe path, recomputed over the
+        // cached batch frames (see the streaming note in the Scaladoc)
+        val c = chunksObserved.agg(
+            count(lit(1)), min(length($"content")), max(length($"content")),
+            avg(length($"content"))).head()
+        Map("n_chunks" -> c.getLong(0), "min_len" -> c.get(1),
+            "max_len" -> c.get(2), "avg_len" -> c.get(3),
+            "n_embedded" -> embedded.count(),
+            "n_providers" ->
+              embedded.select($"embedding_provider").distinct().count())
+      } else chunkObs.get ++
+        Map("n_embedded" -> embedObs.get.getOrElse("n_embedded", 0L),
+            "n_providers" -> embedObs.get.getOrElse("n_providers", 0L))
     val runLog = (obs.toSeq.map { case (m, v) =>
         ("ingest", m, Option(v).map(_.toString.toDouble).getOrElse(0.0))
       } ++ Seq(("chunk_write", "seconds", tChunks), ("embed_write", "seconds", tEmbed)))
@@ -270,6 +312,7 @@ object Main {
 
     val nDocs = docs.count()
     val nFailed = docs.filter($"status" === "failed").count()
+    if (streaming) { chunksObserved.unpersist(); embedded.unpersist() }
     docs.unpersist()
     // free this run's dedup scratch pins (see snapshot above)
     spark.sparkContext.getPersistentRDDs

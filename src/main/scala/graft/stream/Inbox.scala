@@ -1,11 +1,13 @@
 package graft.stream
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
-import graft.chunk.Chunkers
-import graft.embed.Embedding
+import graft.Main
 import graft.ingest.Ingest
 
 /** Streaming ingestion (reference ST1–ST2, SURVEY.md §2.12).
@@ -18,48 +20,61 @@ import graft.ingest.Ingest
   * shutdown (:35,:82-84) maps to `query.stop()`; graceful drain is
   * Spark's own micro-batch completion guarantee.
   *
-  * `foreachBatch` reuses the exact BATCH operators (ingest → chunk →
-  * embed) — one pipeline definition, two execution modes, which is the
+  * `foreachBatch` routes every micro-batch through the EXACT batch
+  * stages ([[graft.Main.ingestBatch]]): format conversion for all
+  * supported formats, the incremental signature probe + keep-one
+  * demotion, cache-aside embedding, and the bucketed-store swap commit
+  * — one pipeline definition, two execution modes, which is the
   * Spark-first answer to the reference running the same service code on
-  * queue items.
+  * queue items (`services/document_processor.py:96-132`). A duplicate
+  * arriving in a LATER micro-batch is demoted/skipped exactly as in
+  * the batch path.
   */
 object Inbox {
 
-  /** ST1 — streaming scan of an inbox directory of text/markdown files. */
+  /** The binaryFile source's fixed schema — streaming file sources
+    * require it declared up front (only `text` infers).
+    */
+  private val BinarySchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** ST1 — streaming scan of an inbox directory of raw files (any
+    * supported format — the streaming analogue of
+    * [[Ingest.readBinaryDir]]).
+    */
   def readInbox(spark: SparkSession, dir: String,
                 maxFilesPerTrigger: Int = 50): DataFrame =
     spark.readStream
-      .format("text")
-      .option("wholetext", "true")
+      .format("binaryFile")
+      .schema(BinarySchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .withColumn("path", input_file_name())
 
   /** ST1+ST3 — full streaming pipeline: for each micro-batch, run the
-    * batch ingest → chunk → embed operators and append results as
-    * parquet tables under `outDir` (documents/, chunks/, embeddings/).
-    * Checkpointed so restarts resume exactly-once per input file.
+    * batch convert → ledger → dedup/demote → chunk → embed → store
+    * stages against the SAME store layout as `Main ingest` (bucketed
+    * chunks/embeddings, signature table, jobs ledger, run log).
+    * Checkpointed so restarts resume exactly-once per input file;
+    * `nowFn` is injectable so tests get deterministic ledger stamps.
     */
-  def start(spark: SparkSession, inboxDir: String, outDir: String,
-            config: Chunkers.ChunkerConfig = Chunkers.ChunkerConfig(),
+  def start(spark: SparkSession, inboxDir: String, storeDir: String,
             providerName: String = "nomic",
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    readInbox(spark, inboxDir).writeStream
-      .option("checkpointLocation", s"$outDir/_checkpoint")
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 50,
+            nowFn: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
+      : StreamingQuery =
+    readInbox(spark, inboxDir, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", s"$storeDir/_checkpoint")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val docs = batch.select(
-            sha2(concat(col("value"), col("path")), 256).as("doc_id"),
-            regexp_extract(col("path"), "[^/]+$", 0).as("filename"),
-            col("value").as("text"))
-          val chunks = Chunkers.chunkDocuments(docs, "doc_id", "text", config)
-            .withColumn("chunk_id", concat(col("doc_id"), lit("_"), col("chunk_id")))
-          val emb = Embedding.embedChunks(chunks, providerName).toDF()
-          docs.drop("text").withColumn("status", lit("completed"))
-            .write.mode("append").parquet(s"$outDir/documents")
-          chunks.write.mode("append").parquet(s"$outDir/chunks")
-          emb.write.mode("append").parquet(s"$outDir/embeddings")
+          val now = nowFn()
+          Main.ingestBatch(spark,
+            Ingest.convertDocuments(Ingest.toDocuments(batch, lit(now))),
+            storeDir, providerName, now, streaming = true)
         }
         ()
       }

@@ -17,39 +17,123 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("inbox: files dropped in dir flow through ingest→chunk→embed to parquet") {
+  test("inbox: micro-batches run the FULL batch stages into the bucketed store") {
     val in = Files.createTempDirectory("graft_inbox").toFile
-    val out = Files.createTempDirectory("graft_out").toFile
+    val store = Files.createTempDirectory("graft_store").toFile
     Files.writeString(new java.io.File(in, "a.md").toPath,
-      "# Doc A\n\nFirst sentence. Second sentence!")
+      "# Doc A\n\nFirst sentence about spark. Second sentence!")
     Files.writeString(new java.io.File(in, "b.md").toPath,
-      "# Doc B\n\nOther content here. More words!")
-    val q = Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath)
-    q.awaitTermination(60000) // AvailableNow terminates after draining
-    val docs = spark.read.parquet(s"$out/documents")
-    val chunks = spark.read.parquet(s"$out/chunks")
-    val emb = spark.read.parquet(s"$out/embeddings")
+      "# Doc B\n\nOther content here entirely. More words!")
+    val q = Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                        nowFn = () => ts("2025-01-01 00:00:00"))
+    // AvailableNow terminates after draining; a false return means the
+    // drain hung (e.g. a blocking metrics read on the stream thread) —
+    // fail loudly, never fall through to asserts over half-built tables
+    assert(q.awaitTermination(300000), "stream must drain and terminate")
+    val docs = spark.read.parquet(s"$store/documents.parquet")
+    val chunks = spark.read.parquet(s"$store/chunks.parquet")
+    val emb = spark.read.parquet(s"$store/embeddings.parquet")
     assert(docs.count() == 2)
-    assert(docs.select("status").distinct().as[String].collect().toSeq == Seq("completed"))
+    assert(docs.filter($"status" === "failed").count() == 0)
     assert(chunks.count() >= 2)
     // chunk ids are globally unique (doc-prefixed)
     assert(chunks.select("chunk_id").distinct().count() == chunks.count())
     assert(emb.count() == chunks.count())
     assert(emb.select("embedding_provider").distinct().as[String].collect().toSeq == Seq("nomic"))
+    // the streamed store IS the batch store: ledgered jobs, persisted
+    // dedup signatures, and the co-bucketed layout whose J1/J3 joins
+    // plan shuffle-free (StoreBucketingSpec's contract, held here too)
+    assert(graft.io.Tables
+      .latestByKey(spark.read.parquet(s"$store/jobs.parquet"),
+                   Seq("job_id"), Seq($"updated_at"))
+      .filter($"status" === "completed").count() == 2)
+    assert(spark.read.parquet(s"$store/signatures.parquet")
+      .select("doc").distinct().count() == 2)
+    assert(graft.io.Tables.looksBucketed(s"$store/chunks.parquet"))
+    assert(graft.io.Tables.looksBucketed(s"$store/embeddings.parquet"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Main.openTable(spark, store.toString, "chunks")
+        .join(Main.openTable(spark, store.toString, "embeddings"), Seq("chunk_id"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+             joined.queryExecution.executedPlan.toString.take(3000))
+      assert(joined.count() == emb.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("inbox restart: checkpoint resumes exactly-once, no reprocessing") {
     val in = Files.createTempDirectory("graft_inbox2").toFile
-    val out = Files.createTempDirectory("graft_out2").toFile
-    Files.writeString(new java.io.File(in, "first.md").toPath, "First doc. One sentence!")
-    Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath).awaitTermination(60000)
-    assert(spark.read.parquet(s"$out/documents").count() == 1)
+    val store = Files.createTempDirectory("graft_store2").toFile
+    val t1 = ts("2025-01-01 00:00:00")
+    val t2 = ts("2025-01-01 01:00:00")
+    Files.writeString(new java.io.File(in, "first.md").toPath,
+      "First doc entirely about cooking recipes. One sentence!")
+    assert(Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                       nowFn = () => t1).awaitTermination(300000))
+    assert(spark.read.parquet(s"$store/documents.parquet").count() == 1)
     // drop a second file and RESTART the query on the same checkpoint
-    Files.writeString(new java.io.File(in, "second.md").toPath, "Second doc. Also here!")
-    Inbox.start(spark, in.getAbsolutePath, out.getAbsolutePath).awaitTermination(60000)
-    val docs = spark.read.parquet(s"$out/documents")
-    assert(docs.count() == 2, "second run must process ONLY the new file")
+    Files.writeString(new java.io.File(in, "second.md").toPath,
+      "Second doc on distributed query planning. Also here!")
+    assert(Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                       nowFn = () => t2).awaitTermination(300000))
+    val docs = spark.read.parquet(s"$store/documents.parquet")
+    assert(docs.count() == 2)
     assert(docs.select("doc_id").distinct().count() == 2)
+    // exactly-once evidence beyond upsert idempotence: the first doc's
+    // row still carries the FIRST batch's stamp — a reprocessing second
+    // batch would have re-upserted it at t2
+    val stamps = docs.select($"filename", $"updated_at")
+      .as[(String, Timestamp)].collect().toMap
+    assert(stamps("first.md") == t1, s"first.md must not be reprocessed: $stamps")
+    assert(stamps("second.md") == t2)
+  }
+
+  test("a duplicate arriving in a LATER micro-batch is demoted like the batch path") {
+    import graft.ingest.Ingest
+    import org.apache.spark.sql.functions.lit
+    val in = Files.createTempDirectory("graft_inbox3").toFile
+    val store = Files.createTempDirectory("graft_store3").toFile
+    val content = "spark query engine performance tuning guide for training pipelines"
+    // identical text under two names → keep-one ties on length, min
+    // doc_id wins; pick names so the SECOND batch delivers the winner
+    // (doc ids are sha256(base64(content) + filename))
+    val candidates = (0 to 9).map(i => s"v$i.md")
+    val ids = Ingest.toDocuments(
+        candidates.map(n => (s"/x/$n", content.getBytes("UTF-8"))).toDF("path", "content"),
+        lit(ts("2025-01-01 00:00:00")))
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val loser = candidates.maxBy(ids)
+    val winner = candidates.minBy(ids)
+
+    Files.writeString(new java.io.File(in, loser).toPath, content)
+    assert(Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                       nowFn = () => ts("2025-01-01 00:00:00"))
+      .awaitTermination(300000))
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === ids(loser)).count() > 0)
+
+    Files.writeString(new java.io.File(in, winner).toPath, content)
+    assert(Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                       nowFn = () => ts("2025-01-01 01:00:00"))
+      .awaitTermination(300000))
+    val status = spark.read.parquet(s"$store/documents.parquet")
+      .select($"doc_id", $"status").as[(String, String)].collect().toMap
+    assert(status(ids(loser)) == "duplicate",
+           s"stored doc must be demoted by the later near-dup: $status")
+    assert(status(ids(winner)) != "duplicate")
+    val dupMeta = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === ids(loser))
+      .select($"metadata_json").as[String].head()
+    assert(dupMeta == s"""{"duplicate_of":"${ids(winner)}"}""")
+    // the demoted doc's batch-1 chunks/embeddings/signatures are pruned
+    val chunks = spark.read.parquet(s"$store/chunks.parquet")
+    assert(chunks.filter($"doc_id" === ids(loser)).count() == 0)
+    assert(chunks.filter($"doc_id" === ids(winner)).count() > 0)
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(ids(loser))).count() == 0)
+    assert(spark.read.parquet(s"$store/signatures.parquet")
+      .filter($"doc" === ids(loser)).count() == 0)
   }
 
   test("status stream: per-job state machine over micro-batches, illegal transitions dropped") {
