@@ -280,6 +280,12 @@ object Main {
                                    Seq("doc"), "left_anti"))
     writeTable(spark, jobs, storeDir, "jobs",
                keys = Seq("job_id", "status"), version = Seq(col("updated_at")))
+    // Q4 cache invalidation: this store commit stales every cached
+    // search result OF THE INGESTED PROVIDER (the reference's
+    // pattern-scoped SCAN+DELETE on document writes,
+    // `services/search_cache.py:64-71`) — other providers' results
+    // still rank only their own unchanged embeddings and stay valid.
+    invalidateSearchCache(spark, storeDir, providerName)
 
     // run-log: the observation values + stage latencies as rows — the
     // A3/A5 counter/histogram source (utils/metrics.py parity).
@@ -433,6 +439,66 @@ object Main {
       .collect().map(r =>
         s"""{"doc_id":"$docId","doc_status":"${r.getAs[String]("status")}"}""").toSeq
     job ++ doc
+  }
+
+  // ------------------------------------------------------------ search cache
+
+  /** Drop every cached search row keyed to `providerName` — the
+    * anti-join keyed delete ([[Search.invalidateCache]]) over the
+    * persisted cache table, landed with a swap rename (the cache is
+    * derived data; a crash between renames merely re-misses).
+    */
+  private def invalidateSearchCache(spark: SparkSession, storeDir: String,
+                                    providerName: String): Unit = {
+    val f = new java.io.File(s"$storeDir/search_cache.parquet")
+    if (!f.exists()) return
+    val cache = spark.read.parquet(f.toString)
+    val invalid = cache.filter(col("embedding_provider") === providerName)
+      .select(col("cache_key"))
+    val tmp = new java.io.File(s"$storeDir/search_cache.parquet.next")
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
+    }
+    rm(tmp)
+    Search.invalidateCache(cache, invalid)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    rm(f)
+    require(tmp.renameTo(f), "search-cache invalidation swap failed")
+  }
+
+  /** [[runSearch]] behind the Q4 cache tier: probe the persisted cache
+    * table by the deterministic key; on miss compute and append.
+    * Returns (result lines, hit?). A store update for the provider
+    * invalidates its keys ([[invalidateSearchCache]], called from
+    * [[ingestBatch]]), so a repeat search after ingest recomputes.
+    */
+  def runSearchCached(spark: SparkSession, storeDir: String, query: String,
+                      providerName: String, k: Int): (Seq[String], Boolean) = {
+    import spark.implicits._
+    val qv = Embedding.embedQuery(query, providerName).toSeq
+    val key = spark.range(1)
+      .select(Search.cacheKey(typedLit(qv), lit(providerName),
+                              lit(null).cast("string"), lit(k)).as("k"))
+      .as[String].head()
+    val f = new java.io.File(s"$storeDir/search_cache.parquet")
+    val cache =
+      if (f.exists()) spark.read.parquet(f.toString)
+      else Seq.empty[(String, String, String, Double)]
+        .toDF("cache_key", "embedding_provider", "chunk_id", "score")
+    val (res, hit) = Search.cachedSearch(cache, key, () =>
+      Search.knn(openTable(spark, storeDir, "embeddings"), qv, k = k,
+                 provider = Some(providerName), tieBreak = Seq(col("chunk_id")))
+        .select(lit(providerName).as("embedding_provider"),
+                col("chunk_id"), col("score")))
+    val rows = res.select(col("chunk_id"), col("score"))
+      .orderBy(col("score").desc, col("chunk_id"))
+      .collect().map(r =>
+        s"""{"chunk_id":"${r.getString(0)}","score":${r.getDouble(1)}}""").toSeq
+    if (!hit)
+      res.select(col("cache_key"), col("embedding_provider"),
+                 col("chunk_id"), col("score"))
+        .write.mode(SaveMode.Append).parquet(f.toString)
+    (rows, hit)
   }
 
   // ------------------------------------------------------------------ search

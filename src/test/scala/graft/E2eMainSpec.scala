@@ -157,6 +157,50 @@ class E2eMainSpec extends SparkSpec {
     assert(!aside.exists())
   }
 
+  test("Q4 e2e: repeat search hits the cache; a store update invalidates its provider's keys") {
+    val in = Files.createTempDirectory("graft_q4_in").toFile
+    val store = Files.createTempDirectory("graft_q4_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("one.md", "spark query engine performance and shuffle tuning")
+    put("two.md", "unrelated cooking recipe with butter and flour")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    // embed with granite too: the provider-scoped invalidation scenario
+    // needs BOTH providers' results cacheable (a provider with no
+    // stored embeddings returns empty, and an empty result has no rows
+    // to cache — by design, like the reference's empty ES hit list)
+    Main.runIngest(spark, in.toString, store, "granite",
+                   Timestamp.from(now.toInstant.plusMillis(1)))
+
+    val q = "spark query engine performance"
+    val (r1, h1) = Main.runSearchCached(spark, store, q, "nomic", 3)
+    assert(!h1 && r1.nonEmpty, "first search is a miss that computes")
+    val (r2, h2) = Main.runSearchCached(spark, store, q, "nomic", 3)
+    assert(h2, "repeat search must hit the cache")
+    assert(r2 == r1, "hit must serve the cached rows verbatim")
+    // a second provider caches independently
+    val (_, gh1) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(!gh1)
+    val (gr2, gh2) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(gh2)
+
+    // store UPDATE (new doc, nomic embeddings change) → nomic keys
+    // invalidated; granite results still rank only granite's unchanged
+    // embeddings and survive
+    put("three.md", "another spark performance document about query planning")
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(10)))
+    val cached = spark.read.parquet(s"$store/search_cache.parquet")
+      .select($"embedding_provider").distinct().as[String].collect().toSet
+    assert(cached == Set("granite"),
+           s"nomic keys must be invalidated, granite kept: $cached")
+    val (r3, h3) = Main.runSearchCached(spark, store, q, "nomic", 3)
+    assert(!h3, "post-ingest search must recompute")
+    assert(r3.nonEmpty)
+    val (gr3, gh3) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(gh3 && gr3 == gr2, "granite cache must survive a nomic ingest")
+  }
+
   test("a later ingest demoting a doc to duplicate prunes its chunks and embeddings") {
     import graft.ingest.Ingest
     val in = Files.createTempDirectory("graft_demote_in").toFile
