@@ -9,11 +9,12 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
-/** REAL image/audio codecs for the multimodal operators — JDK-only
-  * (javax.imageio: PNG/JPEG/BMP/GIF; javax.sound.sampled: WAV PCM), so
-  * they run in this container with zero external libraries. Video
-  * remains on the deterministic stub path ([[Multimodal.decodeStub]]):
-  * the JDK ships no video codec.
+/** REAL image/audio/video-container codecs for the multimodal
+  * operators — JDK-only (javax.imageio: PNG/JPEG/BMP/GIF;
+  * javax.sound.sampled: WAV PCM; ByteBuffer RIFF/AVI header walking
+  * for video container metadata), so they run in this container with
+  * zero external libraries. The JDK ships no video frame CODEC — only
+  * the container metadata tier is implemented ([[decodeAvi]]).
   *
   * Decode tolerance mirrors the PDF contract: malformed bytes → None,
   * never a thrown exception — a 100 TB ingest quarantines bad files.
@@ -73,6 +74,83 @@ object Codecs {
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** Decoded video-container facts (RIFF/AVI main header). */
+  case class VideoMeta(n_frames: Long, width: Long, height: Long)
+
+  /** Minimal RIFF/AVI container: `RIFF('AVI ' LIST('hdrl' avih(56)))`
+    * with a REAL 56-byte MainAVIHeader (dwTotalFrames at data offset
+    * 16, dwWidth/dwHeight at 32/36 — the layout every AVI muxer
+    * writes). No frame payloads: this is the metadata tier, the same
+    * generate→decode contract as [[wavRamp]]/[[pngSolid]] (the JDK
+    * ships no video CODEC, but the CONTAINER header is plain bytes).
+    */
+  def aviStub(nFrames: Int, w: Int, h: Int, microSecPerFrame: Int = 33367): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.allocate(12 + 12 + 8 + 56).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 + 8 + 56)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(56)
+    buf.putInt(microSecPerFrame) // dwMicroSecPerFrame
+      .putInt(0)                 // dwMaxBytesPerSec
+      .putInt(0)                 // dwPaddingGranularity
+      .putInt(0x10)              // dwFlags (AVIF_HASINDEX)
+      .putInt(nFrames)           // dwTotalFrames
+      .putInt(0)                 // dwInitialFrames
+      .putInt(1)                 // dwStreams
+      .putInt(0)                 // dwSuggestedBufferSize
+      .putInt(w)                 // dwWidth
+      .putInt(h)                 // dwHeight
+    // 16 reserved bytes stay zero (allocate() zero-fills)
+    buf.array()
+  }
+
+  /** Real RIFF/AVI metadata parse: walk the chunk tree (fourcc + LE
+    * size, chunks padded to even offsets) to `LIST hdrl` → `avih`, read
+    * dwTotalFrames/dwWidth/dwHeight. Malformed bytes → None, same
+    * quarantine contract as every other decoder here. Works on any
+    * muxer's AVI, not just [[aviStub]]'s (the walker skips unknown
+    * chunks rather than assuming fixed offsets).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (bytes == null || bytes.length < 12) return None
+      import java.nio.{ByteBuffer, ByteOrder}
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      buf.getInt() // riff size (trust the walker's bounds, not this)
+      if (fourcc() != "AVI ") return None
+      // find `avih` inside any `LIST hdrl` at this level
+      def walk(end: Int): Option[VideoMeta] = {
+        while (buf.position() + 8 <= end) {
+          val id = fourcc()
+          val size = buf.getInt()
+          if (size < 0 || buf.position() + size > end) return None
+          val next = buf.position() + size + (size & 1) // even padding
+          if (id == "LIST") {
+            val listType = fourcc()
+            if (listType == "hdrl") {
+              val found = walk(buf.position() + size - 4)
+              if (found.isDefined) return found
+            }
+          } else if (id == "avih" && size >= 40) {
+            val base = buf.position()
+            return Some(VideoMeta(
+              n_frames = buf.getInt(base + 16).toLong & 0xffffffffL,
+              width = buf.getInt(base + 32).toLong & 0xffffffffL,
+              height = buf.getInt(base + 36).toLong & 0xffffffffL))
+          }
+          buf.position(next)
+        }
+        None
+      }
+      walk(bytes.length)
+    } catch { case _: Throwable => None }
 
   // --------------------------------------------------------------- decode
 
@@ -161,10 +239,20 @@ object Codecs {
   def decodeWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((b: Array[Byte]) => decodeWav(b).orNull)
 
+  /** (nFrames, w, h) → AVI container bytes. */
+  def aviUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((n: Int, w: Int, h: Int) => aviStub(n, w, h))
+
+  /** AVI bytes → VideoMeta struct (null on malformed). */
+  def decodeAviUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => decodeAvi(b).orNull)
+
   def pngOf(w: Column, h: Column, rgb: Column): Column = pngUdf(w, h, rgb)
   def imageMetaOf(bytes: Column): Column = decodeImageUdf(bytes)
   def resizedMetaOf(bytes: Column, w: Column, h: Column): Column =
     resizeImageUdf(bytes, w, h)
   def wavOf(nFrames: Column): Column = wavUdf(nFrames)
   def audioMetaOf(bytes: Column): Column = decodeWavUdf(bytes)
+  def aviOf(nFrames: Column, w: Column, h: Column): Column = aviUdf(nFrames, w, h)
+  def videoMetaOf(bytes: Column): Column = decodeAviUdf(bytes)
 }

@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * (prunable, pushdown-able), and decode/resize/frame-sample run
   * per-partition over the binary column. REAL image (PNG/JPEG/BMP/GIF
   * via JDK ImageIO) and audio (WAV PCM via javax.sound) codecs live in
-  * [[Codecs]] and are oracle-gated by q52/q53 roundtrips; only VIDEO
-  * has no JDK codec, so the frame-count path below stays a
-  * clearly-marked deterministic STUB (arithmetic on byte length) while
-  * everything Spark-level — schema, batch shape, partitioning, explode
-  * semantics — is real and oracle-checked.
+  * [[Codecs]] and are oracle-gated by q52/q53 roundtrips; video has no
+  * JDK CODEC (frame decode stays out of scope, README), but its
+  * CONTAINER metadata is really parsed — [[decodeStub]] routes the
+  * frame count through a RIFF/AVI generate→parse roundtrip
+  * ([[Codecs.decodeAvi]]), and everything Spark-level — schema, batch
+  * shape, partitioning, explode semantics — is real and oracle-checked.
   */
 object Multimodal {
 
@@ -30,17 +31,27 @@ object Multimodal {
       graft.ingest.Ingest.detectMime(encode(col(textCol), "UTF-8")).as("mime"),
       octet_length(col(textCol)).cast("long").as("byte_len"))
 
-  /** STUB image decode — deterministic fake dimensions derived from the
-    * payload length (a real implementation maps this over the binary
-    * column with an image codec; the Spark plumbing is identical).
-    * width  = 64 + byte_len mod 1856   (≤ 1920)
-    * height = 64 + (7·byte_len) mod 1016 (≤ 1080)
-    * n_frames (video analogue) = 1 + byte_len mod 30
+  /** Video metadata through a REAL container parse — the q53 WAV
+    * treatment applied to video: each row's deterministic synthetic
+    * parameters (width = 64 + byte_len mod 1856 ≤ 1920, height = 64 +
+    * 7·byte_len mod 1016 ≤ 1080, n_frames = 1 + byte_len mod 30) are
+    * written into a RIFF/AVI container ([[Codecs.aviStub]]) and read
+    * BACK by the real chunk-walking parser ([[Codecs.decodeAvi]]) —
+    * the columns are container data (`avih.dwTotalFrames` etc.), not
+    * arithmetic. The JDK ships no video CODEC (decode stays out of
+    * scope, README), but the container header is plain bytes.
     */
-  def decodeStub(df: DataFrame): DataFrame =
-    df.withColumn("width", (lit(64) + col("byte_len") % 1856).cast("long"))
-      .withColumn("height", (lit(64) + (col("byte_len") * 7) % 1016).cast("long"))
-      .withColumn("n_frames", (lit(1) + col("byte_len") % 30).cast("long"))
+  def decodeStub(df: DataFrame): DataFrame = {
+    val avi = Codecs.aviOf(
+      (lit(1) + col("byte_len") % 30).cast("int"),
+      (lit(64) + col("byte_len") % 1856).cast("int"),
+      (lit(64) + (col("byte_len") * 7) % 1016).cast("int"))
+    df.withColumn("__v", Codecs.videoMetaOf(avi))
+      .withColumn("width", col("__v.width"))
+      .withColumn("height", col("__v.height"))
+      .withColumn("n_frames", col("__v.n_frames"))
+      .drop("__v")
+  }
 
   /** STUB resize — aspect-preserving fit into (maxW, maxH).
     * floor(a·b/c) on these magnitudes is exact in IEEE double (the true

@@ -43,13 +43,40 @@ class CodecsSpec extends SparkSpec {
       Some(Codecs.AudioMeta(n.toLong, 8000L, 1, expectedSum)))
   }
 
+  test("avi container roundtrip: frames and dims recovered by the real parser") {
+    assert(Codecs.decodeAvi(Codecs.aviStub(24, 1920, 1080)) ===
+      Some(Codecs.VideoMeta(24L, 1920L, 1080L)))
+    assert(Codecs.decodeAvi(Codecs.aviStub(1, 64, 64)) ===
+      Some(Codecs.VideoMeta(1L, 64L, 64L)))
+  }
+
+  test("avi parser walks past unknown chunks before hdrl") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // RIFF('AVI ' JUNK(6 bytes, odd→padded) LIST('hdrl' avih))
+    val inner = Codecs.aviStub(7, 320, 240).drop(12) // the LIST..avih tail
+    val junkData = "abcde".getBytes("US-ASCII") // odd size: exercises padding
+    val buf = ByteBuffer
+      .allocate(12 + 8 + junkData.length + 1 + inner.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + 8 + junkData.length + 1 + inner.length)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("JUNK".getBytes("US-ASCII")).putInt(junkData.length).put(junkData)
+      .put(0.toByte) // pad to even
+    buf.put(inner)
+    assert(Codecs.decodeAvi(buf.array()) === Some(Codecs.VideoMeta(7L, 320L, 240L)))
+  }
+
   test("malformed inputs: None, never thrown") {
     val junk: Seq[Array[Byte]] = Seq(
       null, Array.emptyByteArray, "not an image".getBytes("UTF-8"),
-      Codecs.pngSolid(8, 8, 0).take(20), Codecs.wavRamp(100).take(10))
+      Codecs.pngSolid(8, 8, 0).take(20), Codecs.wavRamp(100).take(10),
+      Codecs.aviStub(5, 100, 100).take(30), // truncated mid-header
+      "RIFF1234WAVE".getBytes("US-ASCII")) // RIFF but not AVI
     junk.foreach { b =>
       assert(Codecs.decodeImage(b).forall(_.width > 0))
       assert(Codecs.decodeWav(b).forall(_.frames >= 0))
+      assert(Codecs.decodeAvi(b) === None)
     }
     assert(Codecs.decodeImage("x".getBytes) === None)
     assert(Codecs.decodeWav("x".getBytes) === None)
