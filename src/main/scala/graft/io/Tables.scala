@@ -180,6 +180,55 @@ object Tables {
                  codec: String = "gzip"): Unit =
     df.write.mode("overwrite").option("compression", codec).json(path)
 
+  /** Compact a parquet/JSONL directory's shards to ~`targetBytes` files
+    * — the operational tool a 100 TB store needs on two fronts: a
+    * too-many-small-files table (each file is a task + a namenode
+    * entry) and too-few-giant-gzip-JSONL shards (gzip is unsplittable,
+    * so shard count caps read parallelism). Reads the table, sizes the
+    * shard count from the CURRENT on-disk bytes (compressed — what the
+    * next reader actually pays for), rewrites via `repartition`, and
+    * lands it with the same aside-rename swap commit as the store
+    * tables (crash leaves a complete old or new snapshot, never a
+    * mix). Returns (filesBefore, filesAfter).
+    *
+    * NOTE: a repartition round-trip drops bucketing metadata — the
+    * co-bucketed store tables compact through their own bucketed
+    * writer instead ([[writeBucketed]] already writes one file per
+    * bucket); this tool is for the export/ingest shard dirs.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+              format: String = "parquet", codec: String = "gzip"): (Int, Int) = {
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val dir = new java.io.File(path)
+    val before = dataFiles(dir)
+    require(before.nonEmpty, s"nothing to compact at $path")
+    val totalBytes = before.map(_.length()).sum
+    val nShards = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = format match {
+      case "parquet" => spark.read.parquet(path)
+      // JSONL compaction must re-read with the data's own schema; the
+      // caller owns schema stability (inference here is a plain read —
+      // compaction is offline maintenance, not the hot path)
+      case "json" => spark.read.json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val tmp = new java.io.File(s"$path.tmp")
+    val trash = new java.io.File(s"$path.trash")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(tmp); rm(trash)
+    val w = df.repartition(nShards).write.mode("overwrite")
+    if (format == "parquet") w.parquet(tmp.toString)
+    else w.option("compression", codec).json(tmp.toString)
+    require(dir.renameTo(trash), s"aside-rename of $path failed")
+    require(tmp.renameTo(dir), s"commit rename of $path failed")
+    rm(trash)
+    (before.size, dataFiles(dir).size)
+  }
+
   /** Read JSONL shards with an EXPLICIT schema (schema inference would
     * scan the corpus twice and type-drift across shards) in PERMISSIVE
     * mode: malformed lines land in `corrupt_record` instead of failing

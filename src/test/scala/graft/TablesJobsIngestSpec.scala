@@ -173,6 +173,39 @@ class TablesJobsIngestSpec extends SparkSpec {
     assert(decoded == "# Title\nBody text here.")
   }
 
+  test("compact: shard count drops to the size target, content identical") {
+    import org.apache.spark.sql.functions.{concat_ws, md5, sum, conv, substring}
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 2000L).map(i => (i, s"row content number $i"))
+      .toDF("id", "text")
+    def contentHash(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(conv(substring(md5(concat_ws("|", $"id", $"text")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+        .agg(sum($"h")).as[Long].head() // order-independent content fingerprint
+
+    // parquet: 16 small shards → one fat one
+    df.repartition(16).write.parquet(s"$dir/t")
+    val h0 = contentHash(spark.read.parquet(s"$dir/t"))
+    val (before, after) = graft.io.Tables.compact(spark, s"$dir/t",
+                                                  targetBytes = 1L << 30)
+    assert(before == 16 && after == 1, s"($before, $after)")
+    assert(contentHash(spark.read.parquet(s"$dir/t")) == h0)
+    assert(!new java.io.File(s"$dir/t.tmp").exists())
+    assert(!new java.io.File(s"$dir/t.trash").exists())
+
+    // a tiny target yields multiple shards (ceil(total/target))
+    val (_, many) = graft.io.Tables.compact(spark, s"$dir/t", targetBytes = 4096)
+    assert(many > 1)
+    assert(contentHash(spark.read.parquet(s"$dir/t")) == h0)
+
+    // gzip JSONL shards (the unsplittable-format case compaction exists for)
+    graft.io.Tables.writeJsonl(df.repartition(16), s"$dir/j")
+    val (jb, ja) = graft.io.Tables.compact(spark, s"$dir/j",
+                                           targetBytes = 1L << 30, format = "json")
+    assert(jb == 16 && ja == 1)
+    assert(contentHash(spark.read.json(s"$dir/j")) == h0)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged (q77)") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
