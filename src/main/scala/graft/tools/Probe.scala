@@ -16,6 +16,74 @@ import graft.text.TextStats
   * cost that led to canonical-chunk emission in simhashPairs.
   */
 object Probe {
+
+  /** Deterministic synthetic near-dup corpus for the scale curve:
+    * every 5-doc group shares a 40-word core plus 10 words unique per
+    * doc (pairwise Jaccard ≈ 0.66 within a group — above the 4-band
+    * LSH threshold), so candidate pairs / clusters grow LINEARLY in n
+    * by construction and any super-linear growth measured is the
+    * operator's fault, not the data's.
+    */
+  def syntheticDocs(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(
+      concat(lit("d"), lpad(col("id").cast("string"), 8, "0")).as("doc_id"),
+      concat_ws(" ",
+        ((0 until 40).map(k =>
+           md5(concat((col("id") / 5).cast("long").cast("string"), lit(s"g$k")))) ++
+         (0 until 10).map(k =>
+           md5(concat(col("id").cast("string"), lit(s"u$k"))))): _*).as("text"))
+
+  case class ScalePoint(factor: Int, nDocs: Long, nPairs: Long, nClusters: Long,
+                        tSign: Double, tPairs: Double, tClusters: Double,
+                        tIncr: Double)
+
+  /** Measured scale curve for the dedup chain (q24 candidates, q59
+    * clustering, q73 incremental probe) over 1×/10×/100× synthetic
+    * corpora — the evidence behind the "linear in corpus size"
+    * comments. Each stage is timed to a count action over a
+    * MATERIALIZED input (generation excluded); `reps` runs, median
+    * kept.
+    */
+  def dedupScaleCurve(spark: SparkSession, base: Long,
+                      factors: Seq[Int] = Seq(1, 10, 100),
+                      reps: Int = 3): Seq[ScalePoint] = {
+    def med(f: => Long): (Double, Long) =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.sortBy(_._1).apply((reps - 1) / 2)
+    factors.map { fac =>
+      val n = base * fac
+      val docs = syntheticDocs(spark, n).localCheckpoint(true)
+      // the incremental probe: last 10% arrives as the new batch
+      val cut = s"d${"%08d".format(n - n / 10)}"
+      val stored = graft.dedup.Dedup
+        .minhashSignatures(docs.filter(col("doc_id") < cut), "doc_id", "text")
+        .localCheckpoint(true)
+      val newSigs = graft.dedup.Dedup
+        .minhashSignatures(docs.filter(col("doc_id") >= cut), "doc_id", "text")
+        .localCheckpoint(true)
+      val (tSign, _) = med {
+        graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text").count()
+      }
+      val (tPairs, nPairs) = med {
+        Dedup.minhashCandidates(docs, "doc_id", "text").count()
+      }
+      val (tClusters, nClusters) = med {
+        Dedup.dupClusters(docs, "doc_id",
+            Dedup.minhashCandidates(docs, "doc_id", "text"), "a_id", "b_id")
+          .select(countDistinct(col("comp"))).head().getLong(0)
+      }
+      val (tIncr, _) = med {
+        Dedup.incrementalCandidates(newSigs, stored).count()
+      }
+      docs.unpersist(); stored.unpersist(); newSigs.unpersist()
+      graft.io.Pins.sweepAll(spark) // clustering's label pins
+      ScalePoint(fac, n, nPairs, nClusters, tSign, tPairs, tClusters, tIncr)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,6 +96,28 @@ object Probe {
               graft.GraftExtensions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.headOption.contains("scale")) {
+      val pts = dedupScaleCurve(spark, base = 500)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — dedup-chain scale curve\n\n"
+      sb ++= "Synthetic near-dup corpora (`Probe.syntheticDocs`: 5-doc groups,\n"
+      sb ++= "Jaccard ≈ 0.66 in-group), stages timed median-of-3 on local[" + cpus + "].\n\n"
+      sb ++= "| factor | docs | cand. pairs | clusters | sign s | q24 pairs s | q59 clusters s | q73 incr s |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nDocs} | ${p.nPairs} | ${p.nClusters} | ${p.tSign}%.2f | ${p.tPairs}%.2f | ${p.tClusters}%.2f | ${p.tIncr}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      val rowRatio = z.nDocs.toDouble / a.nDocs
+      sb ++= f"%n${rowRatio}%.0f× rows → pairs ${z.nPairs.toDouble / a.nPairs}%.1f×, "
+      sb ++= f"q24 ${z.tPairs / a.tPairs}%.1f×, q59 ${z.tClusters / a.tClusters}%.1f×, "
+      sb ++= f"q73 ${z.tIncr / a.tIncr}%.1f× time.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE.md"), sb.toString)
+      spark.stop(); return
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def time(label: String)(f: => Long): Unit = {

@@ -1,0 +1,34 @@
+package graft
+
+import graft.tools.Probe
+
+/** Measured scale evidence for the dedup chain: candidate generation,
+  * clustering, and the incremental probe must grow near-linearly in
+  * corpus size (the "no all-pairs anywhere" claim, measured instead of
+  * asserted in comments). `tools/Probe scale` runs the same curve at
+  * 500×{1,10,100} docs and commits PROBE_SCALE.md.
+  */
+class ScaleCurveSpec extends SparkSpec {
+
+  test("dedup chain: 100× rows stays near-linear in pairs, clusters, and time") {
+    val pts = Probe.dedupScaleCurve(spark, base = 40,
+                                    factors = Seq(1, 10, 100), reps = 1)
+    val a = pts.head; val z = pts.last
+    val rows = z.nDocs.toDouble / a.nDocs // 100
+    // structural linearity: LSH candidates and clusters track corpus
+    // size — an all-pairs regression would blow these up quadratically
+    assert(a.nPairs > 0, "1x corpus must produce candidate pairs")
+    assert(z.nPairs <= rows * a.nPairs * 1.5 + 50,
+           s"pairs must stay linear: ${a.nPairs} -> ${z.nPairs}")
+    assert(z.nClusters <= rows * a.nClusters * 1.5 + 50,
+           s"clusters must stay linear: ${a.nClusters} -> ${z.nClusters}")
+    // wall-clock: 100× rows within 150× time per stage (generous — the
+    // 1× run is stage-overhead-dominated, so real ratios sit far below;
+    // the bound only exists to catch quadratic blowup)
+    for ((label, t1, t100) <- Seq(("q24_pairs", a.tPairs, z.tPairs),
+                                  ("q59_clusters", a.tClusters, z.tClusters),
+                                  ("q73_incremental", a.tIncr, z.tIncr)))
+      assert(t100 <= 150 * t1 + 5.0,
+             s"$label: ${t1}s at 1x -> ${t100}s at 100x exceeds the linearity bound")
+  }
+}
