@@ -37,8 +37,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // release localCheckpoint pins between runs — each timed run
         // re-pins (the pin cost is part of the query), and without the
-        // sweep the runs×queries loop accumulates storage all session
-        graft.io.Pins.sweepAll(spark)
+        // sweep the runs×queries loop accumulates storage all session.
+        // BLOCKING: we are outside the timed window here, and an async
+        // teardown would overlap (and noise) the next sample's t0.
+        graft.io.Pins.sweepAll(spark, blocking = true)
         name -> dt
       }
     }

@@ -23,18 +23,23 @@ object Pins {
     * targeted release for a single operator result. Only call AFTER the
     * terminal action: the pinned blocks ARE the data (a local
     * checkpoint cannot be recomputed once dropped).
+    * `foreachWithSubqueries` also descends into subquery-expression
+    * plans (a plain foreach would silently leave a pin reachable only
+    * through a ScalarSubquery/InSubquery pinned forever).
     */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed.foreachWithSubqueries {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
   /** Unpersist everything pinned in the session — the between-queries
     * sweep for harnesses (Verify/Bench) whose queries are isolated and
-    * fully consumed before the next starts.
+    * fully consumed before the next starts. Pass `blocking = true` from
+    * timing harnesses: an async teardown overlaps (and noises) the next
+    * timed sample.
     */
-  def sweepAll(spark: SparkSession): Unit =
+  def sweepAll(spark: SparkSession, blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking))
 }
