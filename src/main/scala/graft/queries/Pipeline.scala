@@ -71,6 +71,37 @@ object Pipeline {
                  r.getSeq[Long](2).map(x => Math.floorDiv(x, r.getLong(1)))))
       .toSeq
 
+  /** Shared oracle CTE prefix for the PQ queries (q78/q79): q48's
+    * integer floor-mean centroids, then per-(vector, subspace) exact
+    * L2 to every codeword, ranked ascending (the argmin; ties to the
+    * smallest codeword id — Spark's struct array_min convention).
+    */
+  private val PqEncodeCtes: String =
+    """WITH iv AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          FROM embeddings),
+        sums AS (
+          SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+          FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+          GROUP BY label, i),
+        counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+        cent AS (
+          SELECT s.label AS cell,
+                 list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+          FROM sums s JOIN counts c ON s.label = c.label
+          GROUP BY s.label),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        d AS (
+          SELECT iv.vec_id, s.sub, cent.cell,
+                 CAST(list_sum(list_transform(generate_series(s.sub*8+1, s.sub*8+8),
+                   i -> (iv.v[i] - cent.cv[i]) * (iv.v[i] - cent.cv[i]))) AS BIGINT) AS d2
+          FROM iv CROSS JOIN cent CROSS JOIN subs s),
+        best AS (
+          SELECT vec_id, sub, cell,
+                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cell ASC) AS rn
+          FROM d)"""
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -751,6 +782,34 @@ object Pipeline {
           when(col("doc_id") % 7 === 3, upper(col("text"))).otherwise(col("text")))
       Tables.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // PRODUCT QUANTIZATION encode: every vector compressed to m=8
+    // codeword ids (argmin exact-integer L2 per 8-dim subspace; the
+    // codebooks are the q48 floor-mean centroids restricted per
+    // subspace). The build side of IVF-PQ — at 100 TB the encoded
+    // table is what the ANN scan reads, at m codes/vector instead of
+    // d floats. Codes emitted as scalar columns (arrow list columns
+    // are fragile across engines).
+    "q78_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.pqEncodeInt(e, "vec_id", "embedding", labelCentroids(e))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PQ ADC scan: the query's per-subspace distances to every codeword
+    // form a tiny driver-side table; each row's approximate distance is
+    // 8 map lookups summed — the scan never touches a vector. Top-10
+    // ascending; exact integers end to end, so the oracle reproduces
+    // scores bit-for-bit.
+    "q79_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = labelCentroids(e)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(Ann.quantizeL)
+      Ann.pqAdcTopK(Ann.pqEncodeInt(e, "vec_id", "embedding", cents),
+                    "vec_id", cents, qv, k = 10)
+        .orderBy(col("adc"), col("vec_id"))
     }),
 
     // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
@@ -1637,6 +1696,32 @@ object Pipeline {
                       ELSE 'unchanged' END AS change
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
           ORDER BY doc_id""",
+
+    // q48's floor-mean centroids restricted per 8-dim subspace; argmin
+    // exact-integer L2 (ties: smallest codeword id = Spark's struct
+    // array_min on (d2, cell)).
+    "q78_pq_encode" ->
+      s"""$PqEncodeCtes
+          SELECT vec_id,
+                 ${(0 until 8).map(s0 =>
+                   s"max(CASE WHEN sub = $s0 THEN cell END) AS c$s0").mkString(", ")}
+          FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+
+    // the encode CTEs plus the query's own per-subspace codeword
+    // distances; ADC = sum of the table entries the row's codes select.
+    "q79_pq_adc" ->
+      s"""$PqEncodeCtes,
+          q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+          dq AS (
+            SELECT s.sub, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(s.sub*8+1, s.sub*8+8),
+                     i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+            FROM q CROSS JOIN cent CROSS JOIN subs s)
+          SELECT b.vec_id, CAST(sum(dq.d2) AS BIGINT) AS adc
+          FROM best b JOIN dq ON b.sub = dq.sub AND b.cell = dq.cell
+          WHERE b.rn = 1
+          GROUP BY b.vec_id
+          ORDER BY adc ASC, vec_id LIMIT 10""",
 
     // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)
     // exactly as the Spark window; UNK = 0; md5 over comma-joined ids.

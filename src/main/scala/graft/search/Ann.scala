@@ -282,6 +282,79 @@ object Ann {
       spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
       idCol, vecCol, centroids, queryVec, k, nprobe)
 
+  // ---------------------------------------------------- product quantization
+
+  /** PRODUCT QUANTIZATION (PQ) — the compressed-vector tier of the
+    * 100 TB ANN stack (IVF-PQ): each vector is encoded as `m` small
+    * codes (the argmin-L2 codeword per subspace), stored at m codes
+    * instead of `dims` floats, and queries scan the CODES with an
+    * additive distance-table lookup (ADC) — the scan never touches a
+    * full vector. Codebooks here are integer centroids restricted per
+    * subspace (the same deterministic floor-mean derivation as the IVF
+    * cells, so codes and ADC scores reproduce bit-for-bit in the
+    * oracle); a production build trains per-subspace k-means — the
+    * encode/scan path is identical.
+    */
+
+  /** Exact integer squared L2 distance from a vector's `sub`-th
+    * subspace slice to a codeword's matching slice, expanded as
+    * |x|² − 2·x·c + |c|² — three codegen'd integer kernels and a
+    * literal, no interpreted HOF in the hot path.
+    */
+  private def pqSubDist(iv: Column, cent: Seq[Long], sub: Int, subDim: Int): Column = {
+    val sl = slice(iv, sub * subDim + 1, subDim)
+    val cs = cent.slice(sub * subDim, sub * subDim + subDim)
+    intDot(sl, sl) - lit(2L) * intDot(sl, typedLit(cs)) +
+      lit(cs.map(x => x * x).sum)
+  }
+
+  /** Encode every vector as `m` codeword ids (columns `c0..c{m-1}`):
+    * per subspace, the codebook entry minimizing exact integer L2,
+    * ties to the smallest codeword id. `codebooks` are full-dims
+    * integer centroids (e.g. [[graft.queries.Pipeline.labelCentroids]]'
+    * shape); each subspace uses its slice of them.
+    */
+  def pqEncodeInt(df: DataFrame, idCol: String, vecCol: String,
+                  codebooks: Seq[(Long, Seq[Long])],
+                  m: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val withIv = df.withColumn("__iv", intVec(col(vecCol)))
+    val codeCols = (0 until m).map { sub =>
+      array_min(array(codebooks.map { case (cid, c) =>
+        struct(pqSubDist(col("__iv"), c, sub, subDim).as("d2"),
+               lit(cid).as("cell"))
+      }: _*)).getField("cell").as(s"c$sub")
+    }
+    withIv.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over a PQ-encoded
+    * table: the query's per-subspace distance to every codeword is a
+    * tiny driver-computed table (m × |codebook| longs, broadcast as
+    * map literals), and each row's approximate distance is m map
+    * lookups summed — no vector arithmetic in the scan. Ascending
+    * distance, ties to the smallest id.
+    */
+  def pqAdcTopK(encoded: DataFrame, idCol: String,
+                codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                k: Int = 10, m: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val adc = (0 until m).map { sub =>
+      val table: Map[Long, Long] = codebooks.map { case (cid, c) =>
+        val qs = queryVec.slice(sub * subDim, sub * subDim + subDim)
+        val cs = c.slice(sub * subDim, sub * subDim + subDim)
+        cid -> qs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toMap
+      element_at(typedLit(table), col(s"c$sub"))
+    }.reduce(_ + _)
+    encoded.withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc"))
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,

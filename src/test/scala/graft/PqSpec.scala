@@ -1,0 +1,82 @@
+package graft
+
+import graft.search.Ann
+
+/** Product quantization (q78/q79): encode correctness against a
+  * driver-side argmin recomputation, ADC score exactness, and
+  * cluster-level retrieval quality of the compressed scan.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+  private val m = 8
+  private val subDim = dims / m
+
+  // five well-separated clusters with small per-vector jitter
+  private lazy val vecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+    (i, (0 until dims).map(d =>
+      ((i % 5).toFloat - 2f) * ((d % 7) + 1) / 10f + i.toFloat / 1000f))
+  }
+  private lazy val emb = vecs.toDF("vec_id", "embedding")
+
+  // floor-mean codebooks per cluster over the quantized grid — the
+  // same derivation as Pipeline.labelCentroids
+  private lazy val codebooks: Seq[(Long, Seq[Long])] = (0L until 5L).map { g =>
+    val members = vecs.filter(_._1 % 5 == g).map(_._2.map(Ann.quantizeL))
+    (g, (0 until dims).map(d =>
+      Math.floorDiv(members.map(_(d)).sum, members.size.toLong)))
+  }
+
+  private def subD2(x: Seq[Long], c: Seq[Long], sub: Int): Long =
+    (sub * subDim until (sub + 1) * subDim)
+      .map(d => (x(d) - c(d)) * (x(d) - c(d))).sum
+
+  test("pqEncodeInt: every code is the exact integer argmin, ties to min id") {
+    val got = Ann.pqEncodeInt(emb, "vec_id", "embedding", codebooks)
+      .collect().map(r => r.getLong(0) ->
+        (0 until m).map(s => r.getLong(1 + s))).toMap
+    assert(got.size == 60)
+    vecs.foreach { case (id, v) =>
+      val x = v.map(Ann.quantizeL)
+      val expect = (0 until m).map { sub =>
+        codebooks.map { case (cid, c) => (subD2(x, c, sub), cid) }.min._2
+      }
+      assert(got(id) == expect, s"vec $id: ${got(id)} vs $expect")
+    }
+  }
+
+  test("pqAdcTopK: scores equal the summed distance-table entries, exactly") {
+    val qv = vecs.head._2.map(Ann.quantizeL)
+    val encoded = Ann.pqEncodeInt(emb, "vec_id", "embedding", codebooks)
+    val got = Ann.pqAdcTopK(encoded, "vec_id", codebooks, qv, k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val codes = encoded.collect().map(r =>
+      r.getLong(0) -> (0 until m).map(s => r.getLong(1 + s))).toMap
+    val cb = codebooks.toMap
+    val expect = codes.map { case (id, cs) =>
+      id -> (0 until m).map(s => subD2(qv, cb(cs(s)), s)).sum
+    }
+    got.foreach { case (id, adc) =>
+      assert(adc == expect(id), s"vec $id adc $adc vs ${expect(id)}")
+    }
+    // ascending with id tie-break
+    assert(got.sortBy(r => (r._2, r._1)).toSeq == got.toSeq)
+  }
+
+  test("ADC scan resolves cluster structure: top-k stays in the query's cluster") {
+    val qv = vecs.head._2.map(Ann.quantizeL) // vector 0, cluster 0
+    val encoded = Ann.pqEncodeInt(emb, "vec_id", "embedding", codebooks)
+    val top = Ann.pqAdcTopK(encoded, "vec_id", codebooks, qv, k = 10)
+      .collect().map(_.getLong(0))
+    assert(top.length == 10)
+    assert(top.forall(_ % 5 == 0), s"ADC top-10 must be cluster 0: ${top.toSeq}")
+    // and it agrees with the exact integer L2 ranking at cluster level
+    val exact = vecs.map { case (id, v) =>
+      val x = v.map(Ann.quantizeL)
+      (id, (0 until dims).map(d => (x(d) - qv(d)) * (x(d) - qv(d))).sum)
+    }.sortBy(r => (r._2, r._1)).take(10).map(_._1)
+    assert(top.toSet.intersect(exact.toSet).size >= 8,
+           s"ADC vs exact overlap too low: ${top.toSeq} vs $exact")
+  }
+}
