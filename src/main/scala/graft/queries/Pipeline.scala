@@ -794,6 +794,7 @@ object Pipeline {
     "q78_pq_encode" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.pqEncodeInt(e, "vec_id", "embedding", labelCentroids(e))
+        .select(col("vec_id") +: (0 until 8).map(i => col(s"c$i")): _*)
         .orderBy(col("vec_id"))
     }),
 
@@ -810,6 +811,24 @@ object Pipeline {
       Ann.pqAdcTopK(Ann.pqEncodeInt(e, "vec_id", "embedding", cents),
                     "vec_id", cents, qv, k = 10)
         .orderBy(col("adc"), col("vec_id"))
+    }),
+
+    // The full IVF-PQ search: nprobe cell pruning (q51's convention) →
+    // ADC over PQ codes for the survivors (q79's tables) → exact
+    // integer-L2 re-rank of only the 3k best ADC candidates. The
+    // canonical 100 TB ANN read path: cells prune partitions, the scan
+    // touches codes not vectors, and full vectors are read for a
+    // constant number of rows.
+    "q80_ivfpq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = labelCentroids(e)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(Ann.quantizeL)
+      val indexed = Ann.pqEncodeInt(
+        Ann.ivfAssignInt(e, "embedding", cents), "vec_id", "embedding", cents)
+      Ann.ivfPqTopK(indexed, "vec_id", "embedding", cents, cents, qv,
+                    k = 10, nprobe = 2, rerankFactor = 3)
+        .orderBy(col("d2"), col("vec_id"))
     }),
 
     // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
@@ -1722,6 +1741,49 @@ object Pipeline {
           WHERE b.rn = 1
           GROUP BY b.vec_id
           ORDER BY adc ASC, vec_id LIMIT 10""",
+
+    // q48's assignment + q51's nprobe cell ranking + q79's ADC, then
+    // exact-L2 re-rank of the 30 best ADC candidates — mirrors
+    // Ann.ivfPqTopK step for step (every cut totally ordered).
+    "q80_ivfpq_search" ->
+      s"""$PqEncodeCtes,
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT iv.vec_id, cent.cell,
+                     row_number() OVER (PARTITION BY iv.vec_id ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> iv.v[i] * cent.cv[i])) AS BIGINT) DESC, cent.cell DESC) AS arn
+              FROM iv CROSS JOIN cent)
+            WHERE arn = 1),
+          q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+          ranked AS (
+            SELECT cent.cell,
+                   row_number() OVER (ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * cent.cv[i])) AS BIGINT) DESC, cent.cell DESC) AS rk
+            FROM cent, q),
+          probes AS (SELECT cell FROM ranked WHERE rk <= 2),
+          dq AS (
+            SELECT s.sub, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(s.sub*8+1, s.sub*8+8),
+                     i -> (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+            FROM q CROSS JOIN cent CROSS JOIN subs s),
+          adc AS (
+            SELECT b.vec_id, CAST(sum(dq.d2) AS BIGINT) AS adc
+            FROM best b
+            JOIN dq ON b.sub = dq.sub AND b.cell = dq.cell
+            JOIN asg a ON a.vec_id = b.vec_id
+            JOIN probes p ON a.cell = p.cell
+            WHERE b.rn = 1
+            GROUP BY b.vec_id),
+          cut AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id LIMIT 30)
+          SELECT c.vec_id, a.cell, c.adc,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (iv.v[i] - q.qv[i]) * (iv.v[i] - q.qv[i]))) AS BIGINT) AS d2
+          FROM cut c
+          JOIN iv ON iv.vec_id = c.vec_id
+          JOIN asg a ON a.vec_id = c.vec_id, q
+          ORDER BY d2 ASC, c.vec_id LIMIT 10""",
 
     // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)
     // exactly as the Spark window; UNK = 0; md5 over comma-joined ids.

@@ -308,11 +308,13 @@ object Ann {
       lit(cs.map(x => x * x).sum)
   }
 
-  /** Encode every vector as `m` codeword ids (columns `c0..c{m-1}`):
-    * per subspace, the codebook entry minimizing exact integer L2,
-    * ties to the smallest codeword id. `codebooks` are full-dims
-    * integer centroids (e.g. [[graft.queries.Pipeline.labelCentroids]]'
-    * shape); each subspace uses its slice of them.
+  /** Encode every vector as `m` codeword ids (appended columns
+    * `c0..c{m-1}`; all input columns are kept, so the encode composes
+    * with the IVF cell assignment): per subspace, the codebook entry
+    * minimizing exact integer L2, ties to the smallest codeword id.
+    * `codebooks` are full-dims integer centroids (e.g.
+    * [[graft.queries.Pipeline.labelCentroids]]' shape); each subspace
+    * uses its slice of them.
     */
   def pqEncodeInt(df: DataFrame, idCol: String, vecCol: String,
                   codebooks: Seq[(Long, Seq[Long])],
@@ -320,13 +322,13 @@ object Ann {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val subDim = dims / m
     val withIv = df.withColumn("__iv", intVec(col(vecCol)))
-    val codeCols = (0 until m).map { sub =>
-      array_min(array(codebooks.map { case (cid, c) =>
-        struct(pqSubDist(col("__iv"), c, sub, subDim).as("d2"),
-               lit(cid).as("cell"))
-      }: _*)).getField("cell").as(s"c$sub")
-    }
-    withIv.select(col(idCol) +: codeCols: _*)
+    (0 until m).foldLeft(withIv) { (d, sub) =>
+      d.withColumn(s"c$sub",
+        array_min(array(codebooks.map { case (cid, c) =>
+          struct(pqSubDist(col("__iv"), c, sub, subDim).as("d2"),
+                 lit(cid).as("cell"))
+        }: _*)).getField("cell"))
+    }.drop("__iv")
   }
 
   /** ADC (asymmetric distance computation) top-k over a PQ-encoded
@@ -353,6 +355,48 @@ object Ann {
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
       .select(col(idCol), col("adc"))
+  }
+
+  /** The full IVF-PQ search — the canonical large-corpus ANN plan:
+    * (1) rank cells on the driver and scan only the `nprobe` winners
+    * (partition pruning when the table is written by cell); (2) score
+    * the survivors by ADC over their PQ codes (m map lookups per row —
+    * no vector math); (3) exact-re-rank only the `k·rerankFactor` best
+    * ADC candidates with full integer L2. At 100 TB step 2 reads codes,
+    * not vectors, and step 3 touches a constant number of rows.
+    * `df` carries `cell` ([[ivfAssignInt]]) and `c0..c{m-1}`
+    * ([[pqEncodeInt]]) plus the vector column for the re-rank. Exact
+    * integers end-to-end: ADC cut ties on ascending id, final order
+    * (d2, id).
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Seq[Long])],
+                codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                k: Int = 10, nprobe: Int = 2, rerankFactor: Int = 3,
+                m: Int = 8, dims: Int = 64): DataFrame = {
+    val subDim = dims / m
+    val probeCells = centroids.map { case (id, c) =>
+      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
+    val adc = (0 until m).map { sub =>
+      val table: Map[Long, Long] = codebooks.map { case (cid, c) =>
+        val qs = queryVec.slice(sub * subDim, sub * subDim + subDim)
+        val cs = c.slice(sub * subDim, sub * subDim + subDim)
+        cid -> qs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toMap
+      element_at(typedLit(table), col(s"c$sub"))
+    }.reduce(_ + _)
+    val iv = intVec(col(vecCol))
+    val q = typedLit(queryVec)
+    val qNorm = queryVec.map(x => x * x).sum
+    df.filter(col("cell").isInCollection(probeCells))
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k * rerankFactor)
+      .withColumn("d2", intDot(iv, iv) - lit(2L) * intDot(iv, q) + lit(qNorm))
+      .orderBy(col("d2").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), col("adc"), col("d2"))
   }
 
   /** IVF probe: rank the centroids against the query on the driver

@@ -34,8 +34,8 @@ class PqSpec extends SparkSpec {
 
   test("pqEncodeInt: every code is the exact integer argmin, ties to min id") {
     val got = Ann.pqEncodeInt(emb, "vec_id", "embedding", codebooks)
-      .collect().map(r => r.getLong(0) ->
-        (0 until m).map(s => r.getLong(1 + s))).toMap
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until m).map(s => r.getAs[Long](s"c$s"))).toMap
     assert(got.size == 60)
     vecs.foreach { case (id, v) =>
       val x = v.map(Ann.quantizeL)
@@ -52,7 +52,7 @@ class PqSpec extends SparkSpec {
     val got = Ann.pqAdcTopK(encoded, "vec_id", codebooks, qv, k = 60)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val codes = encoded.collect().map(r =>
-      r.getLong(0) -> (0 until m).map(s => r.getLong(1 + s))).toMap
+      r.getAs[Long]("vec_id") -> (0 until m).map(s => r.getAs[Long](s"c$s"))).toMap
     val cb = codebooks.toMap
     val expect = codes.map { case (id, cs) =>
       id -> (0 until m).map(s => subD2(qv, cb(cs(s)), s)).sum
@@ -62,6 +62,37 @@ class PqSpec extends SparkSpec {
     }
     // ascending with id tie-break
     assert(got.sortBy(r => (r._2, r._1)).toSeq == got.toSeq)
+  }
+
+  test("ivfPqTopK: prune → ADC → exact re-rank equals a step-by-step recomputation") {
+    val qv = vecs.head._2.map(Ann.quantizeL)
+    val indexed = Ann.pqEncodeInt(
+      Ann.ivfAssignInt(emb, "embedding", codebooks), "vec_id", "embedding", codebooks)
+    val got = Ann.ivfPqTopK(indexed, "vec_id", "embedding", codebooks, codebooks,
+                            qv, k = 5, nprobe = 2, rerankFactor = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cb = codebooks.toMap
+    val xs = vecs.map { case (id, v) => id -> v.map(Ann.quantizeL) }.toMap
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    // assignment ties pick the HIGHEST cell (ivfAssignInt's struct max)
+    val cells = xs.map { case (id, x) =>
+      id -> codebooks.map { case (cid, c) => (dot(x, c), cid) }.max._2
+    }
+    val probes = codebooks.map { case (cid, c) => (dot(qv, c), cid) }
+      .sortBy(t => (-t._1, -t._2)).take(2).map(_._2).toSet
+    val codes = xs.map { case (id, x) =>
+      id -> (0 until m).map(sub =>
+        codebooks.map { case (cid, c) => (subD2(x, c, sub), cid) }.min._2)
+    }
+    val adc = xs.keys.toSeq.filter(id => probes(cells(id))).map { id =>
+      (id, (0 until m).map(s => subD2(qv, cb(codes(id)(s)), s)).sum)
+    }
+    val cut = adc.sortBy(t => (t._2, t._1)).take(15)
+    val expect = cut.map { case (id, a) =>
+      (id, cells(id), a,
+       qv.zip(xs(id)).map { case (qq, x) => (x - qq) * (x - qq) }.sum)
+    }.sortBy(t => (t._4, t._1)).take(5)
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
   }
 
   test("ADC scan resolves cluster structure: top-k stays in the query's cluster") {
