@@ -114,4 +114,64 @@ class AnnRecallSpec extends SparkSpec {
              f"recall floor 0.8 not reachable: nprobe=6 gives $r6%.2f (scanned $s6%.2f)")
     } finally assigned.unpersist()
   }
+
+  /** IVF-PQ (q80 config): the composed path stacks two approximations —
+    * IVF cell pruning (measured above) and the ADC cut. The re-rank is
+    * exact, so the cut is the ONLY new error source; this test isolates
+    * it by comparing against exact integer-L2 top-k RESTRICTED to the
+    * probed cells (conditional recall):
+    *  1. the ADC cut must be worth something at rerankFactor=3;
+    *  2. conditional recall must be non-decreasing in rerankFactor
+    *     (the ADC budget knob works);
+    *  3. a budget covering every scanned row must give conditional
+    *     recall exactly 1.0 — the ADC cut keeps all candidates and the
+    *     exact re-rank IS the within-cells exact answer. Any miss here
+    *     is a correctness bug, not an approximation artifact.
+    */
+  test("IVF-PQ (q80 config): ADC-cut conditional recall monotone in rerank budget, exact at full budget") {
+    val cents = graft.queries.Pipeline.labelCentroids(emb)
+    val indexed = Ann.pqEncodeInt(
+      Ann.ivfAssignInt(emb, "embedding", cents), "vec_id", "embedding", cents).cache()
+    try {
+      val nprobe = 2
+      def l2(a: Seq[Long], b: Seq[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val allVecs = emb.select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(Ann.quantizeL).toSeq)
+      def run(rf: Int): Double = {
+        val per = queryVecs.map { case (qid, qv) =>
+          val qIv = qv.map(Ann.quantizeL).toSeq
+          val probeCells = cents.map { case (id, c) =>
+            (id, qIv.zip(c).map { case (a, b) => a * b }.sum)
+          }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1).toSet
+          val inCells = indexed.filter(col("cell").isInCollection(probeCells))
+            .select(col("vec_id")).as[Long].collect().toSet
+          val exactInCells = allVecs.filter(v => inCells(v._1))
+            .map { case (id, v) => (l2(v, qIv), id) }.sorted.take(K).map(_._2).toSet
+          val got = Ann.ivfPqTopK(indexed, "vec_id", "embedding", cents, cents,
+                                  qIv, k = K, nprobe = nprobe, rerankFactor = rf)
+            .select(col("vec_id")).as[Long].collect().toSet
+          (got.intersect(exactInCells).size.toDouble / K, inCells.size)
+        }
+        per.map(_._1).sum / per.size
+      }
+      val scannedMax = {
+        // enough budget to keep every scanned row for any of the queries
+        val cellSizes = indexed.groupBy(col("cell")).count().as[(Long, Long)].collect().toMap
+        cellSizes.values.toSeq.sorted.takeRight(nprobe).sum.toInt
+      }
+      val fullBudget = scannedMax / K + 1
+      val curve = Seq(3, 10, fullBudget).map(rf => rf -> run(rf))
+      curve.foreach { case (rf, r) =>
+        info(f"IVF-PQ rerankFactor=$rf conditional recall@$K=$r%.2f")
+      }
+      assert(curve.head._2 >= 0.5,
+             f"ADC cut at rerankFactor=3 recovers only ${curve.head._2}%.2f of the within-cells exact top-$K")
+      val recalls = curve.map(_._2)
+      assert(recalls == recalls.sorted,
+             s"conditional recall must be non-decreasing in rerankFactor, got $recalls")
+      assert(curve.last._2 == 1.0,
+             f"full rerank budget must be exactly the within-cells exact answer, got ${curve.last._2}%.2f")
+    } finally indexed.unpersist()
+  }
 }
