@@ -831,6 +831,17 @@ object Pipeline {
         .orderBy(col("d2"), col("vec_id"))
     }),
 
+    // BM25-RANKED full-text search (q39's match semantics + real
+    // ranking): exact rational BM25 (k1=6/5, b=3/4, rational IDF) —
+    // one map pass for per-term tf, a 1-row corpus-stats aggregate
+    // broadcast back, TakeOrderedAndProject top-k. Corpus never
+    // shuffles, no explode to a (doc, term) table.
+    "q81_bm25_rank" -> ((s, dir) => {
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+                      "stream window", k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
     // to every doc; id sequence audited via scalar md5.
     "q76_tokenize_ids" -> ((s, dir) => {
@@ -1784,6 +1795,37 @@ object Pipeline {
           JOIN iv ON iv.vec_id = c.vec_id
           JOIN asg a ON a.vec_id = c.vec_id, q
           ORDER BY d2 ASC, c.vec_id LIMIT 10""",
+
+    // Exact rational BM25, same algebra as Search.bm25TopK: per-term
+    // contribution 10^6·(2(N-df)+1)·22·tf·T // ((2df+1)·(10·T·tf+3·T+9·dl·N)),
+    // q39's \W+ token model. DuckDB promotes the products to HUGEINT;
+    // // is floor-div on positives = Spark's `div`.
+    "q81_bm25_rank" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+          base AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, t -> t = 'stream')) AS tf0,
+                   len(list_filter(toks, t -> t = 'window')) AS tf1
+            FROM toks),
+          stats AS (
+            SELECT sum(dl) AS T, count(*) AS N,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+            FROM base),
+          scored AS (
+            SELECT b.doc_id, b.dl,
+                   (1000000 * (2*(N - df0) + 1) * 22 * tf0 * T)
+                     // ((2*df0 + 1) * (10*T*tf0 + 3*T + 9*b.dl*N))
+                 + (1000000 * (2*(N - df1) + 1) * 22 * tf1 * T)
+                     // ((2*df1 + 1) * (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
+            FROM base b, stats)
+          SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+          FROM scored WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 10""",
 
     // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)
     // exactly as the Spark window; UNK = 0; md5 over comma-joined ids.

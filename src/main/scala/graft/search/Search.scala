@@ -87,6 +87,82 @@ object Search {
       qTokens))
   }
 
+  /** Q3 extension — BM25-RANKED full-text search over [[textMatch]]'s
+    * token model (lowercase `\W+` split), k1=6/5, b=3/4, with a
+    * rational IDF `(N-df+1/2)/(df+1/2)` (the log-free simplification —
+    * monotone in df like Robertson's log form but never negative, and
+    * exactly representable). Every quantity is exact integer
+    * arithmetic: the per-term contribution
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)
+    *
+    * clears denominators (avgdl = T/N where T = Σ dl) into
+    *
+    *   score_t = ⌊ 10^6 · (2(N-df)+1) · 22·tf·T  /
+    *               ((2df+1) · (10·T·tf + 3·T + 9·dl·N)) ⌋
+    *
+    * summed over distinct query terms — deterministic across engines
+    * (no transcendental, no float), fixed-point scale 10^6.
+    *
+    * Plan shape for 100 TB: per-term tf and dl are per-row
+    * higher-order-function columns (one codegen map pass — the corpus
+    * is NEVER exploded to a (doc, term) table and never shuffles); the
+    * corpus constants (N, T, per-term df) reduce to ONE row, broadcast
+    * back onto the scan; ranking is `TakeOrderedAndProject`
+    * (per-partition top-k, k·P driver merge). Only matching docs
+    * (score > 0) are returned, like ES `match`.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, contentCol: String,
+               query: String, k: Int = 10): DataFrame = {
+    val qts = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    require(qts.nonEmpty, "query must contain at least one word token")
+    val dec = "decimal(38,0)"
+    // The token list is referenced by __dl and every __tf$i, so
+    // CollapseProject keeps the non-cheap split in one projection
+    // rather than inlining a copy per term. The coalesce makes the
+    // chain non-nullable — otherwise InferFiltersFromConstraints turns
+    // the score>0 predicate into pushed-down isnotnull filters that
+    // each re-run the tokenizer per row (both plan-asserted in the
+    // spec).
+    val toks = df.select(
+      col(idCol),
+      filter(split(lower(coalesce(col(contentCol), lit(""))), "\\W+"),
+             t => t =!= "").as("__toks"))
+    val withTf = qts.zipWithIndex.foldLeft(
+      toks.withColumn("__dl", size(col("__toks")).cast("long"))) {
+        case (d, (qt, i)) =>
+          d.withColumn(s"__tf$i",
+            size(filter(col("__toks"), t => t === lit(qt))).cast("long"))
+      }.drop("__toks")
+    val aggs = sum(col("__dl")).as("__T") +: count(lit(1)).as("__N") +:
+      qts.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val joined = withTf.crossJoin(broadcast(stats))
+    val contribs = qts.indices.map { i =>
+      val tf = col(s"__tf$i").cast(dec)
+      val dfq = col(s"__df$i").cast(dec)
+      val n = col("__N").cast(dec)
+      val t = col("__T").cast(dec)
+      val dl = col("__dl").cast(dec)
+      val num = lit(1000000L).cast(dec) *
+        (lit(2L).cast(dec) * (n - dfq) + lit(1L).cast(dec)) *
+        lit(22L).cast(dec) * tf * t
+      val den = (lit(2L).cast(dec) * dfq + lit(1L).cast(dec)) *
+        (lit(10L).cast(dec) * t * tf + lit(3L).cast(dec) * t +
+         lit(9L).cast(dec) * dl * n)
+      (num, den)
+    }
+    contribs.zipWithIndex.foldLeft(joined) { case (d, ((num, den), i)) =>
+      d.withColumn(s"__num$i", num).withColumn(s"__den$i", den)
+        .withColumn(s"__c$i", expr(s"__num$i div __den$i"))
+    }
+      .withColumn("score", qts.indices.map(i => col(s"__c$i")).reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__dl").as("dl"), col("score"))
+  }
+
   /** Q4 — deterministic search-cache key:
     * sha256(embedding|provider|filters|k) (`services/search_cache.py:18-33`).
     */
