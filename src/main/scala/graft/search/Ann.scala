@@ -282,6 +282,61 @@ object Ann {
       spark.read.parquet(path).withColumn("cell", col("cell").cast("long")),
       idCol, vecCol, centroids, queryVec, k, nprobe)
 
+  /** INCREMENTAL index maintenance, append side: assign a NEW batch
+    * against the SAME centroids the index was built with and append
+    * per-cell files. At 100 TB a rebuild is a full-corpus shuffle; the
+    * append writes only the batch. Existing cell files are never
+    * rewritten (spec-asserted), and because assignment is per-row
+    * deterministic under fixed centroids, the appended index answers
+    * probes identically to a full rebuild over the union.
+    */
+  def ivfAppendIndex(newBatch: DataFrame, vecCol: String,
+                     centroids: Seq[(Long, Seq[Long])], path: String): Unit =
+    ivfAssignInt(newBatch, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** INCREMENTAL index maintenance, remove side (dedup demotion, PII
+    * takedown): the caller supplies `(idCol, cell)` pairs — the cells
+    * are recomputable from the removed vectors because assignment is
+    * deterministic — so only the AFFECTED cell directories are read
+    * (partition-pruned scan) and swapped; untouched cells keep their
+    * exact files. A cell whose rows are all removed is deleted
+    * outright (a dynamic-partition overwrite would silently leave its
+    * old directory behind). Swap is per-cell aside-rename: a crash
+    * leaves each cell complete — old, new, or parked in its `.trash`
+    * aside (recovery = rename back).
+    */
+  def ivfRemoveFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, removals: DataFrame,
+                         idCol: String): Unit = {
+    import spark.implicits._
+    val cells = removals.select(col("cell").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (cells.isEmpty) return
+    val affected = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isInCollection(cells))
+    val kept = affected.join(removals.select(col(idCol)), Seq(idCol), "left_anti")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val tmp = new java.io.File(s"$path.tmp")
+    rm(tmp)
+    // the write reads `path` lazily, but only tmp is written — the
+    // live directory is untouched until the renames below
+    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    cells.foreach { c =>
+      val live = new java.io.File(s"$path/cell=$c")
+      val fresh = new java.io.File(s"$tmp/cell=$c")
+      val trash = new java.io.File(s"$path/.cell=$c.trash")
+      rm(trash)
+      if (live.exists) require(live.renameTo(trash), s"aside-rename of $live failed")
+      if (fresh.exists) require(fresh.renameTo(live), s"commit rename into $live failed")
+      rm(trash)
+    }
+    rm(tmp)
+  }
+
   // ---------------------------------------------------- product quantization
 
   /** PRODUCT QUANTIZATION (PQ) — the compressed-vector tier of the

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+
+/** Incremental maintenance of the stored IVF index — the operations a
+  * 100 TB corpus needs between rebuilds:
+  *   - [[Ann.ivfAppendIndex]]: a new batch lands as per-cell appends;
+  *     existing files are never rewritten, and probes answer exactly
+  *     as a full rebuild over the union (assignment is deterministic
+  *     under fixed centroids);
+  *   - [[Ann.ivfRemoveFromIndex]]: dedup demotion / takedown rewrites
+  *     ONLY the affected cells (per-cell aside-rename swap); untouched
+  *     cells keep byte-identical files, and a fully-emptied cell's
+  *     directory disappears (the dynamic-partition-overwrite leftover
+  *     bug is the documented trap).
+  */
+class IvfMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private def vec(i: Long): Seq[Float] =
+    (0 until dims).map(d => ((i % 5).toFloat - 2f) * (d + 1) / 10f)
+  private val centroids: Seq[(Long, Seq[Long])] = (0L until 5L).map { c =>
+    (c, (0 until dims).map(d => (c - 2L) * (d + 1) * 100L))
+  }
+  private val qv: Seq[Long] = (0 until dims).map(d => 150L * (d + 1))
+
+  private def mkEmb(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  /** relative path -> file length, data files only */
+  private def snapshot(root: String): Map[String, Long] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(base).filter(_.getName.startsWith("part-"))
+      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
+  private def probeAll(path: String, ids: Seq[Long]): Seq[(Long, Long, Long)] =
+    Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                         centroids, qv, k = ids.size.max(1), nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def inMem(ids: Seq[Long]): Seq[(Long, Long, Long)] =
+    Ann.ivfTopKInt(Ann.ivfAssignInt(mkEmb(ids), "embedding", centroids),
+                   "vec_id", "embedding", centroids, qv,
+                   k = ids.size.max(1), nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("append: existing files untouched, probes equal a full rebuild over the union") {
+    val path = Files.createTempDirectory("graft_ivf_app").toString + "/index"
+    val baseIds = 0L until 40L
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(mkEmb(baseIds), "embedding", centroids), path)
+    val before = snapshot(path)
+
+    Ann.ivfAppendIndex(mkEmb(40L until 60L), "embedding", centroids, path)
+    val after = snapshot(path)
+    before.foreach { case (rel, len) =>
+      assert(after.get(rel).contains(len),
+             s"append rewrote or dropped existing file $rel")
+    }
+    assert(after.size > before.size, "append must add files")
+
+    val union = (0L until 60L).toSeq
+    assert(probeAll(path, union) == inMem(union),
+           "appended index must answer exactly as a rebuild over the union")
+    // narrow probe still partition-prunes after the append
+    val plan = Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                                    centroids, qv, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN.*"),
+           "cell probe must prune partitions: " + plan.take(3000))
+  }
+
+  test("remove: only affected cells rewritten, emptied cell directory disappears") {
+    val path = Files.createTempDirectory("graft_ivf_rm").toString + "/index"
+    val ids = 0L until 60L
+    val assigned = Ann.ivfAssignInt(mkEmb(ids), "embedding", centroids)
+    Ann.ivfWriteIndex(assigned, path)
+    val byCell = assigned.select($"vec_id", $"cell").as[(Long, Long)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).toSeq.sorted).toMap
+    val emptiedCell = byCell.minBy { case (c, v) => (v.size, c) }._1
+    val trimmedCell = byCell.maxBy { case (c, v) => (v.size, c) }._1
+    val removedIds = byCell(emptiedCell) ++ byCell(trimmedCell).take(2)
+    val removals = removedIds.map { id =>
+      (id, byCell.collectFirst { case (c, v) if v.contains(id) => c }.get)
+    }.toDF("vec_id", "cell")
+    val before = snapshot(path)
+
+    Ann.ivfRemoveFromIndex(spark, path, removals, "vec_id")
+
+    assert(!new java.io.File(s"$path/cell=$emptiedCell").exists,
+           "fully-emptied cell directory must be deleted")
+    assert(!new java.io.File(s"$path.tmp").exists && snapshot(path).keySet
+             .forall(!_.contains(".trash")), "no tmp/trash leftovers")
+    val after = snapshot(path)
+    val untouched = before.keySet.filterNot(r =>
+      r.contains(s"cell=$emptiedCell") || r.contains(s"cell=$trimmedCell"))
+    untouched.foreach { rel =>
+      assert(after.get(rel) == before.get(rel),
+             s"untouched cell file $rel must keep its exact bytes")
+    }
+    val kept = ids.filterNot(removedIds.contains)
+    assert(probeAll(path, kept) == inMem(kept),
+           "index after removal must answer exactly as a rebuild over the kept rows")
+  }
+
+  test("remove with no removals is a no-op") {
+    val path = Files.createTempDirectory("graft_ivf_noop").toString + "/index"
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(mkEmb(0L until 20L), "embedding", centroids), path)
+    val before = snapshot(path)
+    Ann.ivfRemoveFromIndex(spark, path,
+                           Seq.empty[(Long, Long)].toDF("vec_id", "cell"), "vec_id")
+    assert(snapshot(path) == before)
+  }
+}
