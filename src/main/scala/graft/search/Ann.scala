@@ -337,6 +337,29 @@ object Ann {
     rm(tmp)
   }
 
+  /** INCREMENTAL index maintenance, compaction side: many
+    * [[ivfAppendIndex]] batches leave each cell directory with one
+    * small file per append — the classic small-files tax on every
+    * probe. Compact each multi-file cell through the table layer's
+    * aside-rename swap ([[graft.io.Tables.compact]]); single-file
+    * cells are left untouched. Probes and partition pruning are
+    * unchanged (the cell lives in the directory name, which the swap
+    * preserves). Returns (filesBefore, filesAfter) summed over cells.
+    */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val cellDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    cellDirs.map { d =>
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      if (files > 1) graft.io.Tables.compact(spark, d.toString, targetBytes)
+      else (files, files)
+    }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+  }
+
   // ---------------------------------------------------- product quantization
 
   /** PRODUCT QUANTIZATION (PQ) — the compressed-vector tier of the

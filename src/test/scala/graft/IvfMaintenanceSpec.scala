@@ -112,6 +112,30 @@ class IvfMaintenanceSpec extends SparkSpec {
            "index after removal must answer exactly as a rebuild over the kept rows")
   }
 
+  test("compact: appended small files merge per cell, probes and pruning unchanged") {
+    val path = Files.createTempDirectory("graft_ivf_cmp").toString + "/index"
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(mkEmb(0L until 20L), "embedding", centroids), path)
+    Ann.ivfAppendIndex(mkEmb(20L until 40L), "embedding", centroids, path)
+    Ann.ivfAppendIndex(mkEmb(40L until 60L), "embedding", centroids, path)
+    val ids = (0L until 60L).toSeq
+    val beforeProbe = probeAll(path, ids)
+    val beforeFiles = snapshot(path).size
+
+    val (nBefore, nAfter) = Ann.ivfCompactIndex(spark, path)
+    assert(nBefore == beforeFiles, s"compaction saw $nBefore of $beforeFiles files")
+    assert(nAfter < nBefore, s"compaction must shrink file count, $nBefore -> $nAfter")
+    assert(snapshot(path).size == nAfter)
+
+    assert(probeAll(path, ids) == beforeProbe,
+           "compaction must not change probe results")
+    val plan = Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                                    centroids, qv, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN.*"),
+           "pruning must survive compaction: " + plan.take(3000))
+  }
+
   test("remove with no removals is a no-op") {
     val path = Files.createTempDirectory("graft_ivf_noop").toString + "/index"
     Ann.ivfWriteIndex(
