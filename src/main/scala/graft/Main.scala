@@ -283,9 +283,14 @@ object Main {
     // Q4 cache invalidation: this store commit stales every cached
     // search result OF THE INGESTED PROVIDER (the reference's
     // pattern-scoped SCAN+DELETE on document writes,
-    // `services/search_cache.py:64-71`) — other providers' results
-    // still rank only their own unchanged embeddings and stay valid.
-    invalidateSearchCache(spark, storeDir, providerName)
+    // `services/search_cache.py:64-71`). When the commit DEMOTED docs,
+    // the embeddings prune above removed EVERY provider's rows for
+    // those docs — other providers' cached results may now rank
+    // deleted chunks, so the whole cache goes (over-invalidation is
+    // safe: the cache is derived data; a scoped miss merely recomputes).
+    val demotionHappened = !dupIds.isEmpty
+    invalidateSearchCache(spark, storeDir,
+                          if (demotionHappened) None else Some(providerName))
 
     // run-log: the observation values + stage latencies as rows — the
     // A3/A5 counter/histogram source (utils/metrics.py parity).
@@ -359,16 +364,14 @@ object Main {
     val path = new java.io.File(s"$storeDir/$name.parquet")
     val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
     val trash = new java.io.File(s"$storeDir/$name.parquet.trash")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    import Tables.rmTree
     // recovery from a commit that died mid-swap: if the live dir is
     // gone, the aside-renamed old snapshot in .trash is the only
     // COMPLETE copy — restore it (a leftover .tmp may be half-written
     // and is never trusted). Only then discard leftovers.
     if (!path.exists() && trash.exists())
       require(trash.renameTo(path), s"recovering $name from trash failed")
-    rm(tmp); rm(trash)
+    rmTree(tmp); rmTree(trash)
     val merged =
       if (path.exists())
         Tables.upsert(spark.read.parquet(path.toString), updates, keys, version)
@@ -385,7 +388,7 @@ object Main {
     if (path.exists())
       require(path.renameTo(trash), s"aside-rename of live $name failed")
     require(tmp.renameTo(path), s"commit rename of $name failed")
-    rm(trash)
+    rmTree(trash)
   }
 
   // ------------------------------------------------------------------ export
@@ -443,26 +446,27 @@ object Main {
 
   // ------------------------------------------------------------ search cache
 
-  /** Drop every cached search row keyed to `providerName` — the
-    * anti-join keyed delete ([[Search.invalidateCache]]) over the
-    * persisted cache table, landed with a swap rename (the cache is
-    * derived data; a crash between renames merely re-misses).
+  /** Drop cached search rows — keyed to one provider (`Some(p)`: the
+    * reference's pattern-scoped SCAN+DELETE), or ALL rows (`None`:
+    * after a demotion commit, which prunes every provider's embeddings
+    * of the demoted docs). The anti-join keyed delete
+    * ([[Search.invalidateCache]]) over the persisted cache table,
+    * landed with a swap rename (the cache is derived data; a crash
+    * between renames merely re-misses).
     */
   private def invalidateSearchCache(spark: SparkSession, storeDir: String,
-                                    providerName: String): Unit = {
+                                    provider: Option[String]): Unit = {
     val f = new java.io.File(s"$storeDir/search_cache.parquet")
     if (!f.exists()) return
     val cache = spark.read.parquet(f.toString)
-    val invalid = cache.filter(col("embedding_provider") === providerName)
-      .select(col("cache_key"))
+    val invalid = provider.fold(cache) { p =>
+      cache.filter(col("embedding_provider") === p)
+    }.select(col("cache_key"))
     val tmp = new java.io.File(s"$storeDir/search_cache.parquet.next")
-    def rm(x: java.io.File): Unit = {
-      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete()
-    }
-    rm(tmp)
+    Tables.rmTree(tmp)
     Search.invalidateCache(cache, invalid)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    rm(f)
+    Tables.rmTree(f)
     require(tmp.renameTo(f), "search-cache invalidation swap failed")
   }
 
@@ -485,19 +489,24 @@ object Main {
       if (f.exists()) spark.read.parquet(f.toString)
       else Seq.empty[(String, String, String, Double)]
         .toDF("cache_key", "embedding_provider", "chunk_id", "score")
-    val (res, hit) = Search.cachedSearch(cache, key, () =>
+    val (res0, hit) = Search.cachedSearch(cache, key, () =>
       Search.knn(openTable(spark, storeDir, "embeddings"), qv, k = k,
                  provider = Some(providerName), tieBreak = Seq(col("chunk_id")))
         .select(lit(providerName).as("embedding_provider"),
                 col("chunk_id"), col("score")))
+    // a miss is a full corpus scan: pin its k rows so the collect for
+    // the caller and the cache append below run the scan ONCE
+    val res = if (hit) res0 else res0.localCheckpoint(true)
     val rows = res.select(col("chunk_id"), col("score"))
       .orderBy(col("score").desc, col("chunk_id"))
       .collect().map(r =>
         s"""{"chunk_id":"${r.getString(0)}","score":${r.getDouble(1)}}""").toSeq
-    if (!hit)
+    if (!hit) {
       res.select(col("cache_key"), col("embedding_provider"),
                  col("chunk_id"), col("score"))
         .write.mode(SaveMode.Append).parquet(f.toString)
+      graft.io.Pins.release(res)
+    }
     (rows, hit)
   }
 

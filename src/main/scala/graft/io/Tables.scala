@@ -196,6 +196,14 @@ object Tables {
     * writer instead ([[writeBucketed]] already writes one file per
     * bucket); this tool is for the export/ingest shard dirs.
     */
+  /** Recursive delete — the one copy every swap-commit path
+    * ([[compact]], the store writers, the ANN index maintenance)
+    * shares.
+    */
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
               format: String = "parquet", codec: String = "gzip"): (Int, Int) = {
     def dataFiles(dir: java.io.File): Seq[java.io.File] =
@@ -216,16 +224,13 @@ object Tables {
     }
     val tmp = new java.io.File(s"$path.tmp")
     val trash = new java.io.File(s"$path.trash")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(tmp); rm(trash)
+    rmTree(tmp); rmTree(trash)
     val w = df.repartition(nShards).write.mode("overwrite")
     if (format == "parquet") w.parquet(tmp.toString)
     else w.option("compression", codec).json(tmp.toString)
     require(dir.renameTo(trash), s"aside-rename of $path failed")
     require(tmp.renameTo(dir), s"commit rename of $path failed")
-    rm(trash)
+    rmTree(trash)
     (before.size, dataFiles(dir).size)
   }
 

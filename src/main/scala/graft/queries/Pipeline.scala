@@ -1797,9 +1797,10 @@ object Pipeline {
           ORDER BY d2 ASC, c.vec_id LIMIT 10""",
 
     // Exact rational BM25, same algebra as Search.bm25TopK: per-term
-    // contribution 10^6·(2(N-df)+1)·22·tf·T // ((2df+1)·(10·T·tf+3·T+9·dl·N)),
-    // q39's \W+ token model. DuckDB promotes the products to HUGEINT;
-    // // is floor-div on positives = Spark's `div`.
+    // contribution 10^4·(2(N-df)+1)·22·tfc·T // ((2df+1)·(10·T·tfc+3·T+9·dl·N))
+    // with tfc = min(tf, 2^20), q39's \W+ token model. DuckDB promotes
+    // the products to HUGEINT; // is floor-div on positives = Spark's
+    // `div`.
     "q81_bm25_rank" ->
       """WITH toks AS (
             SELECT doc_id,
@@ -1816,13 +1817,17 @@ object Pipeline {
                    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
                    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
             FROM base),
+          clamped AS (
+            SELECT doc_id, dl, least(tf0, 1048576) AS tf0,
+                   least(tf1, 1048576) AS tf1
+            FROM base),
           scored AS (
             SELECT b.doc_id, b.dl,
-                   (1000000 * (2*(N - df0) + 1) * 22 * tf0 * T)
+                   (10000 * (2*(N - df0) + 1) * 22 * tf0 * T)
                      // ((2*df0 + 1) * (10*T*tf0 + 3*T + 9*b.dl*N))
-                 + (1000000 * (2*(N - df1) + 1) * 22 * tf1 * T)
+                 + (10000 * (2*(N - df1) + 1) * 22 * tf1 * T)
                      // ((2*df1 + 1) * (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
-            FROM base b, stats)
+            FROM clamped b, stats)
           SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
           FROM scored WHERE score > 0
           ORDER BY score DESC, doc_id LIMIT 10""",

@@ -240,12 +240,21 @@ object Ann {
     * higher cell id, mirroring [[ivfAssignInt]]'s convention), the
     * `nprobe` best scanned, candidates exact-scored.
     */
+  /** Driver-side probe-cell ranking — descending query·centroid dot,
+    * ties to the HIGHER cell id, mirroring [[ivfAssignInt]]. Every
+    * probe path ([[ivfTopKInt]], [[ivfPqTopK]]) and the oracle SQL
+    * follow this one convention; keep it in one place.
+    */
+  private def rankCells(centroids: Seq[(Long, Seq[Long])],
+                        queryVec: Seq[Long], nprobe: Int): Seq[Long] =
+    centroids.map { case (id, c) =>
+      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
+
   def ivfTopKInt(assigned: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
                  k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val probeCells = centroids.map { case (id, c) =>
-      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
-    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
+    val probeCells = rankCells(centroids, queryVec, nprobe)
     val q = typedLit(queryVec)
     assigned
       .filter(col("cell").isInCollection(probeCells))
@@ -317,11 +326,9 @@ object Ann {
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isInCollection(cells))
     val kept = affected.join(removals.select(col(idCol)), Seq(idCol), "left_anti")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
+    import graft.io.Tables.rmTree
     val tmp = new java.io.File(s"$path.tmp")
-    rm(tmp)
+    rmTree(tmp)
     // the write reads `path` lazily, but only tmp is written — the
     // live directory is untouched until the renames below
     kept.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -329,34 +336,53 @@ object Ann {
       val live = new java.io.File(s"$path/cell=$c")
       val fresh = new java.io.File(s"$tmp/cell=$c")
       val trash = new java.io.File(s"$path/.cell=$c.trash")
-      rm(trash)
+      rmTree(trash)
       if (live.exists) require(live.renameTo(trash), s"aside-rename of $live failed")
       if (fresh.exists) require(fresh.renameTo(live), s"commit rename into $live failed")
-      rm(trash)
+      rmTree(trash)
     }
-    rm(tmp)
+    rmTree(tmp)
   }
 
   /** INCREMENTAL index maintenance, compaction side: many
     * [[ivfAppendIndex]] batches leave each cell directory with one
     * small file per append — the classic small-files tax on every
-    * probe. Compact each multi-file cell through the table layer's
-    * aside-rename swap ([[graft.io.Tables.compact]]); single-file
-    * cells are left untouched. Probes and partition pruning are
-    * unchanged (the cell lives in the directory name, which the swap
-    * preserves). Returns (filesBefore, filesAfter) summed over cells.
+    * probe. Each multi-file cell is rewritten through a per-cell
+    * aside-rename swap whose tmp/trash dirs are DOT-PREFIXED siblings:
+    * Spark's partition discovery ignores hidden dirs, so a crash (or a
+    * concurrent probe hitting the swap window) can never surface a
+    * `cell=N.trash` pseudo-partition or drop the cell's rows — the
+    * aside dir is invisible until renamed back into place (recovery =
+    * rename). Single-file cells are untouched. Probes and partition
+    * pruning are unchanged. Returns (filesBefore, filesAfter) summed
+    * over cells.
     */
   def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String,
                       targetBytes: Long = 128L << 20): (Int, Int) = {
+    import graft.io.Tables.rmTree
     val cellDirs = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(d => d.isDirectory && d.getName.startsWith("cell="))
     cellDirs.map { d =>
-      val files = Option(d.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.startsWith("part-"))
-      if (files > 1) graft.io.Tables.compact(spark, d.toString, targetBytes)
-      else (files, files)
+      val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      if (files.size <= 1) (files.size, files.size)
+      else {
+        val nShards = math.max(1,
+          math.ceil(files.map(_.length()).sum.toDouble / targetBytes).toInt)
+        val tmp = new java.io.File(d.getParentFile, s".${d.getName}.tmp")
+        val trash = new java.io.File(d.getParentFile, s".${d.getName}.trash")
+        rmTree(tmp); rmTree(trash)
+        spark.read.parquet(d.toString).repartition(nShards)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(d.renameTo(trash), s"aside-rename of $d failed")
+        require(tmp.renameTo(d), s"commit rename of $d failed")
+        rmTree(trash)
+        val after = Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.startsWith("part-"))
+        (files.size, after)
+      }
     }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
   }
 
@@ -416,12 +442,15 @@ object Ann {
     * lookups summed — no vector arithmetic in the scan. Ascending
     * distance, ties to the smallest id.
     */
-  def pqAdcTopK(encoded: DataFrame, idCol: String,
-                codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
-                k: Int = 10, m: Int = 8, dims: Int = 64): DataFrame = {
-    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val subDim = dims / m
-    val adc = (0 until m).map { sub =>
+  /** The query's per-subspace distance table over `c0..c{m-1}` codes —
+    * m × |codebook| longs computed on the driver and broadcast as map
+    * literals; a row's ADC score is m map lookups summed. Shared by
+    * [[pqAdcTopK]] and [[ivfPqTopK]] (and mirrored by their oracles),
+    * so the table construction exists ONCE.
+    */
+  private def adcColumn(codebooks: Seq[(Long, Seq[Long])],
+                        queryVec: Seq[Long], m: Int, subDim: Int): Column =
+    (0 until m).map { sub =>
       val table: Map[Long, Long] = codebooks.map { case (cid, c) =>
         val qs = queryVec.slice(sub * subDim, sub * subDim + subDim)
         val cs = c.slice(sub * subDim, sub * subDim + subDim)
@@ -429,7 +458,12 @@ object Ann {
       }.toMap
       element_at(typedLit(table), col(s"c$sub"))
     }.reduce(_ + _)
-    encoded.withColumn("adc", adc)
+
+  def pqAdcTopK(encoded: DataFrame, idCol: String,
+                codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                k: Int = 10, m: Int = 8, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    encoded.withColumn("adc", adcColumn(codebooks, queryVec, m, dims / m))
       .orderBy(col("adc").asc, col(idCol))
       .limit(k)
       .select(col(idCol), col("adc"))
@@ -452,23 +486,11 @@ object Ann {
                 codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
                 k: Int = 10, nprobe: Int = 2, rerankFactor: Int = 3,
                 m: Int = 8, dims: Int = 64): DataFrame = {
-    val subDim = dims / m
-    val probeCells = centroids.map { case (id, c) =>
-      (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
-    }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)
-    val adc = (0 until m).map { sub =>
-      val table: Map[Long, Long] = codebooks.map { case (cid, c) =>
-        val qs = queryVec.slice(sub * subDim, sub * subDim + subDim)
-        val cs = c.slice(sub * subDim, sub * subDim + subDim)
-        cid -> qs.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum
-      }.toMap
-      element_at(typedLit(table), col(s"c$sub"))
-    }.reduce(_ + _)
     val iv = intVec(col(vecCol))
     val q = typedLit(queryVec)
     val qNorm = queryVec.map(x => x * x).sum
-    df.filter(col("cell").isInCollection(probeCells))
-      .withColumn("adc", adc)
+    df.filter(col("cell").isInCollection(rankCells(centroids, queryVec, nprobe)))
+      .withColumn("adc", adcColumn(codebooks, queryVec, m, dims / m))
       .orderBy(col("adc").asc, col(idCol))
       .limit(k * rerankFactor)
       .withColumn("d2", intDot(iv, iv) - lit(2L) * intDot(iv, q) + lit(qNorm))

@@ -98,11 +98,17 @@ object Search {
     *
     * clears denominators (avgdl = T/N where T = Σ dl) into
     *
-    *   score_t = ⌊ 10^6 · (2(N-df)+1) · 22·tf·T  /
-    *               ((2df+1) · (10·T·tf + 3·T + 9·dl·N)) ⌋
+    *   score_t = ⌊ 10^4 · (2(N-df)+1) · 22·tfc·T  /
+    *               ((2df+1) · (10·T·tfc + 3·T + 9·dl·N)) ⌋
     *
-    * summed over distinct query terms — deterministic across engines
-    * (no transcendental, no float), fixed-point scale 10^6.
+    * summed over distinct query terms, with tfc = min(tf, 2^20) —
+    * BM25 saturates in tf, and past 2^20 the tf-part is within 10^-6
+    * of its limit, so the clamp changes nothing observable while
+    * keeping the products inside decimal(38,0)/HUGEINT for corpora up
+    * to ~10^11 docs and ~2.5·10^14 tokens (without it, a degenerate
+    * repeated-token doc at that scale would overflow to null and
+    * silently vanish from the results). Deterministic across engines:
+    * no transcendental, no float, fixed-point scale 10^4.
     *
     * Plan shape for 100 TB: per-term tf and dl are per-row
     * higher-order-function columns (one codegen map pass — the corpus
@@ -139,12 +145,12 @@ object Search {
     val stats = withTf.agg(aggs.head, aggs.tail: _*)
     val joined = withTf.crossJoin(broadcast(stats))
     val contribs = qts.indices.map { i =>
-      val tf = col(s"__tf$i").cast(dec)
+      val tf = least(col(s"__tf$i"), lit(1048576L)).cast(dec)
       val dfq = col(s"__df$i").cast(dec)
       val n = col("__N").cast(dec)
       val t = col("__T").cast(dec)
       val dl = col("__dl").cast(dec)
-      val num = lit(1000000L).cast(dec) *
+      val num = lit(10000L).cast(dec) *
         (lit(2L).cast(dec) * (n - dfq) + lit(1L).cast(dec)) *
         lit(22L).cast(dec) * tf * t
       val den = (lit(2L).cast(dec) * dfq + lit(1L).cast(dec)) *

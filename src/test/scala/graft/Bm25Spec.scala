@@ -36,9 +36,10 @@ class Bm25Spec extends SparkSpec {
       val score = qts.map { qt =>
         val tf = BigInt(ts.count(_ == qt))
         val df = dfs(qt)
+        val tfc = tf.min(BigInt(1048576))
         if (tf == 0) BigInt(0)
-        else (BigInt(1000000) * (2 * (n - df) + 1) * 22 * tf * t) /
-          ((2 * df + 1) * (10 * t * tf + 3 * t + 9 * dl * n))
+        else (BigInt(10000) * (2 * (n - df) + 1) * 22 * tfc * t) /
+          ((2 * df + 1) * (10 * t * tfc + 3 * t + 9 * dl * n))
       }.sum
       id -> (dl.toLong, score)
     }.toMap
