@@ -284,12 +284,17 @@ object Chunkers {
     */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
                      config: ChunkerConfig): DataFrame = {
-    val chunkUdf = udf { (text: String) =>
-      val (cs, strategy, fb) = chunk(Option(text).getOrElse(""), config)
-      cs.map(c => ChunkOut(c.text, c.headings, strategy, fb))
-    }
+    val chunksCol =
+      if (config.strategy == Strategy.FixedWidth) fixedWidthChunksNative(col(textCol))
+      else {
+        val chunkUdf = udf { (text: String) =>
+          val (cs, strategy, fb) = chunk(Option(text).getOrElse(""), config)
+          cs.map(c => ChunkOut(c.text, c.headings, strategy, fb))
+        }
+        chunkUdf(col(textCol))
+      }
     docs
-      .withColumn("__chunks", chunkUdf(col(textCol)))
+      .withColumn("__chunks", chunksCol)
       .withColumn("total_chunks", size(col("__chunks")))
       .select(col(idCol), col("total_chunks"),
               posexplode(col("__chunks")).as(Seq("__pos", "__c")))
@@ -305,6 +310,29 @@ object Chunkers {
           .otherwise(chunkTypeCol(col("__c.strategy"))).as("chunk_type"),
         col("__c.strategy").as("strategy"),
         col("__c.fb").as("is_fallback"))
+  }
+
+  /** C7's Spark-native form: fixed-width slicing is pure substring
+    * arithmetic, so unlike the lexer-driven strategies it needs no
+    * UDF — `sequence`+`transform`+`substr` stays inside whole-stage
+    * codegen (PlanLintSpec pins this). Semantics are exactly
+    * [[chunkFixedWidth]] under [[chunk]]'s C4 dispatch: null/empty
+    * text yields one fallback chunk; the struct shape matches the UDF
+    * branch's [[ChunkOut]] field for field.
+    */
+  private def fixedWidthChunksNative(text: Column, width: Int = 100): Column = {
+    val txt = coalesce(text, lit(""))
+    val noHeadings = array().cast("array<string>")
+    when(length(txt) === 0,
+         array(struct(lit("").as("text"), noHeadings.as("headings"),
+                      lit(Strategy.Fallback).as("strategy"),
+                      lit(true).as("fb"))))
+      .otherwise(transform(
+        sequence(lit(1), ceil(length(txt) / lit(width.toDouble)).cast("int")),
+        i => struct(txt.substr((i - 1) * width + 1, lit(width)).as("text"),
+                    noHeadings.as("headings"),
+                    lit(Strategy.FixedWidth).as("strategy"),
+                    lit(false).as("fb"))))
   }
 
   private def chunkTypeCol(strategy: Column): Column =

@@ -842,6 +842,15 @@ object Pipeline {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // N-GRAM LM FLUENCY: bigram LM (add-one smoothing) trained on the
+    // train split; every doc scored by mean scaled transition
+    // probability — the CCNet-style perplexity filter with the
+    // transcendental stripped (exact integers both engines).
+    "q82_lm_fluency" -> ((s, dir) => {
+      TextStats.lmFluency(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKENIZE-TO-IDS: frequency-ranked train-split vocabulary applied
     // to every doc; id sequence audited via scalar md5.
     "q76_tokenize_ids" -> ((s, dir) => {
@@ -1831,6 +1840,50 @@ object Pipeline {
           SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
           FROM scored WHERE score > 0
           ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // q76's positioned BPE tokens built into bigrams; train-split
+    // counts; s = 10^6*(cbi+1) // (cuni+V), fluency = sum(s) // n_pairs
+    // — same floor-per-pair algebra as TextStats.lmFluency.
+    "q82_lm_fluency" ->
+      """WITH base AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                     AS b,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+                     AS split, t
+            FROM base),
+          pairs AS (
+            SELECT doc_id, split, t[i] AS w1, t[i+1] AS w2
+            FROM (SELECT doc_id, split, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM sp WHERE len(t) >= 2)),
+          cbi AS (
+            SELECT w1, w2, count(*) AS cbi FROM pairs
+            WHERE split = 'train' GROUP BY w1, w2),
+          cuni AS (
+            SELECT w1, count(*) AS cuni FROM pairs
+            WHERE split = 'train' GROUP BY w1),
+          voc AS (
+            SELECT count(DISTINCT w1) AS V FROM pairs WHERE split = 'train'),
+          scored AS (
+            SELECT p.doc_id,
+                   (1000000 * (coalesce(cbi.cbi, 0) + 1))
+                     // (coalesce(cuni.cuni, 0) + voc.V) AS s
+            FROM pairs p
+            LEFT JOIN cbi ON p.w1 = cbi.w1 AND p.w2 = cbi.w2
+            LEFT JOIN cuni ON p.w1 = cuni.w1, voc),
+          agg AS (
+            SELECT doc_id, count(*) AS n_pairs, sum(s) // count(*) AS fluency
+            FROM scored GROUP BY doc_id)
+          SELECT sp.doc_id, sp.split,
+                 CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+                 CAST(coalesce(agg.fluency, 0) AS BIGINT) AS fluency
+          FROM sp LEFT JOIN agg ON sp.doc_id = agg.doc_id
+          ORDER BY sp.doc_id""",
 
     // q58's split + q26's BPE-ish lexer; ids ranked (count desc, term)
     // exactly as the Spark window; UNK = 0; md5 over comma-joined ids.

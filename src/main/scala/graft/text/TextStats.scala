@@ -329,6 +329,61 @@ object TextStats {
         col("n_tokens") === 0L || col("n_oov") * 10L <= col("n_tokens") * 3L)
   }
 
+  /** N-GRAM LM FLUENCY — the CCNet-family perplexity-filter proxy,
+    * with the transcendental stripped so both engines agree
+    * bit-for-bit: a bigram LM with add-one smoothing is trained on the
+    * TRAIN split (leakage-safe, same [[graft.dedup.Dedup.splitAssign]]
+    * as q58/q72/q76) and every document scores the mean scaled
+    * transition probability over its adjacent BPE-token pairs:
+    *
+    *   s(w1,w2) = ⌊10^6 · (c(w1,w2)+1) / (c(w1·)+V)⌋
+    *   fluency  = ⌊Σ s / n_pairs⌋          (docs with <2 tokens → 0)
+    *
+    * where c are train-split pair counts and V is the train context
+    * vocabulary (distinct w1). Monotone in the smoothed LM likelihood's
+    * geometric-mean analogue — fluent in-distribution text scores high,
+    * gibberish and wrong-language text score near the 1/(c+V) floor —
+    * and exact integers end-to-end (the floor-per-pair sum is the
+    * documented score, not an approximation of a float).
+    *
+    * Plan shape: ONE scan+tokenize into the (doc, split, w1, w2) pair
+    * table via a zip HOF (never a positional self-join), materialized
+    * (q65's idiom — the two train-count branches and the scoring
+    * branch all read it); c(w1·) and V are dictionary-sized and
+    * BROADCAST back (the stopword-hot w1 key never shuffles); only the
+    * bigram-count join shuffles, on the well-spread (w1,w2) key.
+    * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
+    */
+  def lmFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = bpeTokens(col(textCol))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val pairs = df
+      .select(id, graft.dedup.Dedup.splitAssign(id).as("split"),
+              explode(zip_with(slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
+                               (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(id, col("split"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .localCheckpoint(true)
+    val train = pairs.filter(col("split") === "train")
+    val cBi = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cbi"))
+    val cUni = train.groupBy(col("w1")).agg(count(lit(1)).as("cuni"))
+    val v = train.agg(countDistinct(col("w1")).as("V"))
+    val scored = pairs
+      .join(cBi, Seq("w1", "w2"), "left")
+      .join(broadcast(cUni), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("s",
+        expr("(1000000L * (coalesce(cbi, 0L) + 1L)) div (coalesce(cuni, 0L) + V)"))
+    val agg = scored.groupBy(id)
+      .agg(count(lit(1)).as("n_pairs"),
+           expr("sum(s) div count(1)").as("fluency"))
+    df.select(id, graft.dedup.Dedup.splitAssign(id).as("split"))
+      .join(agg, Seq(idCol), "left")
+      .select(id, col("split"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("fluency"), lit(0L)).as("fluency"))
+  }
+
   /** VOCABULARY INDUCTION + TOKENIZE-TO-IDS — the last text step
     * before tensors: a fixed vocabulary is induced from the TRAIN
     * split (terms with ≥ `minCount` occurrences, ids ranked by

@@ -56,4 +56,33 @@ class ChunkOperatorSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("fixed-width native branch ≡ the Scala chunker, and plans no UDF") {
+    val texts: Seq[(Long, String)] = Seq(
+      0L -> null, 1L -> "", 2L -> "a", 3L -> "x" * 99, 4L -> "y" * 100,
+      5L -> "z" * 101, 6L -> ("h\u00e9llo w\u00f6rld! " * 23),
+      7L -> ("ab\ncd " * 50))
+    val cfg = ChunkerConfig(strategy = Strategy.FixedWidth)
+    val got = Chunkers.chunkDocuments(texts.toDF("doc_id", "text"),
+                                      "doc_id", "text", cfg)
+      .select($"doc_id", $"chunk_number", $"content", $"total_chunks",
+              $"strategy", $"is_fallback", $"chunk_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+                 r.getString(4), r.getBoolean(5), r.getString(6)))
+      .sortBy(t => (t._1, t._2))
+    val expected = texts.flatMap { case (id, t) =>
+      val (cs, strategy, fb) = Chunkers.chunk(Option(t).getOrElse(""), cfg)
+      cs.zipWithIndex.map { case (c, i) =>
+        (id, i + 1, c.text, cs.size, strategy, fb,
+         if (fb) "full_document" else "fixed_chunk")
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected, s"native branch diverges:\n${got.toSeq.take(6)}")
+    val plan = Chunkers.chunkDocuments(texts.toDF("doc_id", "text"),
+                                       "doc_id", "text", cfg)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("),
+           s"fixed-width must stay codegen-native:\n${plan.take(2000)}")
+  }
 }

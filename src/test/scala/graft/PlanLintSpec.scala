@@ -1,0 +1,51 @@
+package graft
+
+/** Suite-wide plan lint: every driver query's physical plan, checked
+  * against the anti-patterns that kill a 100 TB run regardless of
+  * which operator they appear in. Per-query plan shapes are pinned in
+  * the targeted specs (PlansSpec, StoreBucketingSpec, Bm25Spec, ...);
+  * this spec is the safety net that covers the queries those don't.
+  *
+  *  - `CartesianProduct` — a non-broadcast cross join; quadratic scan.
+  *  - Python eval nodes — would break whole-stage codegen (none exist;
+  *    pinned so none appear).
+  *  - `ScalaUDF` — interpreted per row, allowed ONLY where the work is
+  *    inherent JVM byte-code (image/WAV/AVI codecs, PDF, OOXML zip);
+  *    the allowlist is exact, so a new query that reaches for a UDF
+  *    (or a refactor that drops a codegen Expression back to a UDF)
+  *    fails here.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // queries whose operators are documented JVM-codec work (the only
+  // legitimate ScalaUDF sites: Codecs.scala, Pdf.scala, Office.scala)
+  private val UdfAllowed = Set(
+    "q33_multimodal_meta", "q34_frame_sample", "q49_pdf_roundtrip",
+    "q52_image_roundtrip", "q53_wav_roundtrip", "q56_docx_roundtrip",
+    "q63_feature_extract")
+
+  test("no query plans a CartesianProduct, Python eval, or unexpected ScalaUDF") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, Sf001).queryExecution.executedPlan.toString
+        val bad = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "PythonEval" -> (plan.contains("BatchEvalPython") ||
+                           plan.contains("ArrowEvalPython")),
+          "ScalaUDF" -> (plan.contains("UDF(") && !UdfAllowed(name)))
+          .collect { case (what, true) => what }
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+
+  test("the UDF allowlist is tight: every allowed query still uses its codec UDF") {
+    // if a codec path gains a codegen Expression, shrink the allowlist
+    // instead of letting it go stale
+    val stale = UdfAllowed.toSeq.sorted.filterNot { name =>
+      SparkEntry.queries(name)(spark, Sf001)
+        .queryExecution.executedPlan.toString.contains("UDF(")
+    }
+    assert(stale.isEmpty, s"allowlisted but UDF-free (remove from list): $stale")
+  }
+}
