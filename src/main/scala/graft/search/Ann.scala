@@ -499,6 +499,63 @@ object Ann {
       .select(col(idCol), col("cell"), col("adc"), col("d2"))
   }
 
+  /** Persist an IVF-PQ index: rows carry the IVF cell (directory
+    * partition — probes prune), the PQ codes `c0..c{m-1}` (what the
+    * ADC scan reads), and the full vector (what the re-rank tier point
+    * -fetches). Parquet's columnar layout is the point: the scan tier
+    * and the fetch tier read DIFFERENT column families of one table.
+    */
+  def ivfPqWriteIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[(Long, Seq[Long])],
+                      codebooks: Seq[(Long, Seq[Long])], path: String,
+                      m: Int = 8, dims: Int = 64): Unit =
+    ivfWriteIndex(
+      pqEncodeInt(ivfAssignInt(embeddings, vecCol, centroids),
+                  idCol, vecCol, codebooks, m, dims), path)
+
+  /** Probe a STORED IVF-PQ index with the scan/fetch split that makes
+    * the plan right at 100 TB — unlike the in-memory [[ivfPqTopK]]
+    * (where the vector column is already resident), the stored probe
+    * must not DECODE vectors it will never re-rank:
+    *  1. cell pruning — PartitionFilters keep all but `nprobe`
+    *     directories unread;
+    *  2. ADC scan — an explicit projection of (id, codes) only, so the
+    *     parquet reader never materializes the vector column
+    *     (ReadSchema-asserted in the spec); top `k·rerankFactor` by
+    *     the broadcast distance tables;
+    *  3. re-rank fetch — the candidate id set (constant-sized)
+    *     broadcast back against the same pruned partitions, reading
+    *     the vector column for only those rows; exact integer L2.
+    * Same conventions as [[ivfPqTopK]] end-to-end, so results are
+    * identical.
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String,
+                      centroids: Seq[(Long, Seq[Long])],
+                      codebooks: Seq[(Long, Seq[Long])], queryVec: Seq[Long],
+                      k: Int = 10, nprobe: Int = 2, rerankFactor: Int = 3,
+                      m: Int = 8, dims: Int = 64): DataFrame = {
+    val probeCells = rankCells(centroids, queryVec, nprobe)
+    def pruned = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isInCollection(probeCells))
+    val adcTop = pruned
+      .select(col(idCol) +: col("cell") +: (0 until m).map(i => col(s"c$i")): _*)
+      .withColumn("adc", adcColumn(codebooks, queryVec, m, dims / m))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k * rerankFactor)
+      .select(col(idCol), col("cell"), col("adc"))
+    val iv = intVec(col(vecCol))
+    val q = typedLit(queryVec)
+    val qNorm = queryVec.map(x => x * x).sum
+    pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(adcTop), Seq(idCol))
+      .withColumn("d2", intDot(iv, iv) - lit(2L) * intDot(iv, q) + lit(qNorm))
+      .orderBy(col("d2").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), col("adc"), col("d2"))
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,

@@ -110,4 +110,35 @@ class PqSpec extends SparkSpec {
     assert(top.toSet.intersect(exact.toSet).size >= 8,
            s"ADC vs exact overlap too low: ${top.toSeq} vs $exact")
   }
+
+  test("stored IVF-PQ probe ≡ in-memory; ADC scan reads codes not vectors; cells prune") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    Ann.ivfPqWriteIndex(emb, "vec_id", "embedding", codebooks, codebooks, path)
+    val qv = vecs(7)._2.map(Ann.quantizeL)
+    val stored = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                                     codebooks, codebooks, qv,
+                                     k = 5, nprobe = 2, rerankFactor = 3)
+    val inMem = Ann.ivfPqTopK(
+      Ann.pqEncodeInt(Ann.ivfAssignInt(emb, "embedding", codebooks),
+                      "vec_id", "embedding", codebooks),
+      "vec_id", "embedding", codebooks, codebooks, qv,
+      k = 5, nprobe = 2, rerankFactor = 3)
+    assert(stored.collect().map(_.toSeq).toSeq == inMem.collect().map(_.toSeq).toSeq,
+           "stored probe must equal the in-memory composition")
+
+    val plan = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                                   codebooks, codebooks, qv,
+                                   k = 5, nprobe = 2, rerankFactor = 3)
+      .queryExecution.executedPlan.toString
+    // both scans prune to the probed cells
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN.*"),
+           "stored IVF-PQ probe must prune partitions: " + plan.take(3000))
+    // the ADC stage's FileScan must not read the vector column
+    val scanSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+           s"ADC scan must read codes, not vectors:\n${scanSchemas.mkString("\n")}")
+    assert(scanSchemas.exists(_.contains("embedding")),
+           s"re-rank fetch must read the vector column:\n${scanSchemas.mkString("\n")}")
+  }
 }
