@@ -240,4 +240,50 @@ class E2eMainSpec extends SparkSpec {
       .filter($"chunk_id".startsWith(ids(loser))).count() === 0,
            "stale embeddings of a demoted doc must be pruned")
   }
+
+  test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
+    import graft.ingest.Ingest
+    val in = Files.createTempDirectory("graft_demcache_in").toFile
+    val store = Files.createTempDirectory("graft_demcache_store").toString
+    val content = "spark query engine performance tuning guide for training pipelines"
+    val candidates = (0 to 9).map(i => s"v$i.md")
+    val ids = Ingest.toDocuments(
+        candidates.map(n => (s"/x/$n", content.getBytes("UTF-8"))).toDF("path", "content"),
+        lit(now))
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val loser = candidates.maxBy(ids)
+    val winner = candidates.minBy(ids)
+    def put(name: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, content.getBytes("UTF-8"))
+
+    // corpus = loser only, embedded by BOTH providers; granite search cached
+    put(loser)
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runIngest(spark, in.toString, store, "granite",
+                   Timestamp.from(now.toInstant.plusMillis(1)))
+    val q = "spark query engine performance"
+    val (gr1, gh1) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(!gh1 && gr1.nonEmpty)
+    val (gr2, gh2) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(gh2 && gr2 == gr1, "granite result cached")
+
+    // a NOMIC ingest whose keep-one DEMOTES the loser: the prune drops
+    // granite's embedding rows for the loser too, so granite's cached
+    // result now points at deleted chunks — it must be invalidated
+    // even though the ingest ran under the other provider
+    put(winner)
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    val cacheF = new java.io.File(s"$store/search_cache.parquet")
+    val graniteKeys =
+      if (!cacheF.exists()) 0L
+      else spark.read.parquet(cacheF.toString)
+        .filter($"embedding_provider" === "granite").count()
+    assert(graniteKeys === 0,
+           "a demotion commit must invalidate other providers' cached keys")
+    val (gr3, gh3) = Main.runSearchCached(spark, store, q, "granite", 3)
+    assert(!gh3, "post-demotion granite search must recompute, not serve stale chunks")
+    assert(gr3.forall(!_.contains(ids(loser))),
+           s"recomputed result must not reference the demoted doc: $gr3")
+  }
 }
