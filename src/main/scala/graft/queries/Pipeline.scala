@@ -2061,6 +2061,13 @@ object Pipeline {
       // plan-time-constant treatment); ‖q‖² is inlined as an exact long.
       // The FROM is the vector intermediate q36's Spark run persists —
       // the driver verifies at sf0.01, which keys the path.
+      // FRESHNESS CONTRACT: the oracle is only meaningful in the
+      // driver's flow (Verify overwrites the intermediate immediately
+      // before the DuckDB compare). Running the oracle standalone
+      // against a stale /tmp file from an earlier corpus fails the
+      // compare (or errors on absence) — it cannot false-pass, because
+      // the Spark output being compared is written in the same Verify
+      // run that rewrote the intermediate.
       val qv = q36QueryVec
       val lst = qv.mkString("[", ", ", "]")
       val nb = qv.map(x => x * x).sum
