@@ -84,6 +84,86 @@ object Probe {
     }
   }
 
+  /** Synthetic CLUSTERED embeddings: `n` vectors, 64 dims, 32
+    * well-separated clusters with small deterministic per-vector
+    * jitter — real angular structure for IVF cells (the driver's
+    * testdata embeddings are near-iid, which caps what a probe can
+    * show). Cluster c's exact integer centroid on the 1e-3 grid is
+    * (((c+1)·37 + d·101) % 19 − 9)·100 — [[annScaleCurve]] uses it
+    * directly. Each cluster's direction is hash-like per (c, d): 32
+    * near-orthogonal directions in 64 dims, so dot-product cell
+    * assignment resolves clusters (a magnitude-only construction would
+    * collapse every vector into the two extreme cells).
+    */
+  def syntheticEmbeddings(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        ((((col("id") % 32 + 1) * 37 + d * 101) % 19 - 9).cast("double") / 10.0 +
+         ((col("id") * 31 + d * 17) % 13 - 6).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+
+  case class AnnScalePoint(factor: Int, nVecs: Long, probedRows: Long,
+                           tBuild: Double, tProbe: Double, tBrute: Double)
+
+  /** Measured scale curve for the stored IVF-PQ stack: index build
+    * (assign + PQ-encode + cell-partitioned write) and the stored
+    * probe (partition-pruned, codes-only ADC scan, point-fetch
+    * re-rank) against the exact brute-force scan, over 1×/10×/100×
+    * corpora. The structural claim the numbers back: the probe touches
+    * a CONSTANT FRACTION of rows (nprobe/k cells) at every scale while
+    * build stays linear — so probe/brute wall-clock falls toward the
+    * scanned fraction as per-job overhead amortizes.
+    */
+  def annScaleCurve(spark: SparkSession, base: Long,
+                    factors: Seq[Int] = Seq(1, 10, 100),
+                    reps: Int = 3): Seq[AnnScalePoint] = {
+    import graft.search.Ann
+    val dims = 64
+    val centroids: Seq[(Long, Seq[Long])] = (0L until 32L).map { c =>
+      (c, (0 until dims).map(d => (((c + 1) * 37 + d * 101) % 19 - 9) * 100L))
+    }
+    def med(f: => Long): (Double, Long) =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.sortBy(_._1).apply((reps - 1) / 2)
+    factors.map { fac =>
+      val n = base * fac
+      val emb = syntheticEmbeddings(spark, n).localCheckpoint(true)
+      val qvF = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq
+      val qv = qvF.map(Ann.quantizeL)
+      val dir = java.nio.file.Files.createTempDirectory("graft_annscale")
+        .toString + "/index"
+      val (tBuild, _) = med {
+        graft.io.Tables.rmTree(new java.io.File(dir))
+        Ann.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids, centroids, dir)
+        n
+      }
+      val probedRows = {
+        val probed = Ann.ivfAssignInt(emb, "embedding", centroids)
+          .groupBy(col("cell")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cells = centroids.map { case (id, c) =>
+          (id, qv.zip(c).map { case (a, b) => a * b }.sum)
+        }.sortBy { case (id, sim) => (-sim, -id) }.take(2).map(_._1)
+        cells.map(probed.getOrElse(_, 0L)).sum
+      }
+      val (tProbe, _) = med {
+        Ann.ivfPqTopKStored(spark, dir, "vec_id", "embedding",
+                            centroids, centroids, qv, k = 10, nprobe = 2).count()
+      }
+      val (tBrute, _) = med {
+        Ann.intDotTopK(emb, "vec_id", "embedding", qvF.map(_.toFloat), k = 10).count()
+      }
+      emb.unpersist(true)
+      graft.io.Tables.rmTree(new java.io.File(dir).getParentFile)
+      AnnScalePoint(fac, n, probedRows, tBuild, tProbe, tBrute)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,6 +196,30 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-ann")) {
+      val pts = annScaleCurve(spark, base = 20000)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — stored IVF-PQ scale curve\n\n"
+      sb ++= "Synthetic clustered embeddings (`Probe.syntheticEmbeddings`: 32\n"
+      sb ++= "cells, 64 dims), median-of-3 on local[" + cpus + "]. Build = assign +\n"
+      sb ++= "PQ-encode + cell-partitioned write; probe = partition-pruned\n"
+      sb ++= "codes-only ADC scan + point-fetch re-rank (nprobe=2 of 32 cells);\n"
+      sb ++= "brute = exact full-scan top-k.\n\n"
+      sb ++= "| factor | vecs | probed rows | probed frac | build s | probe s | brute s | probe/brute |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nVecs} | ${p.probedRows} | ${p.probedRows.toDouble / p.nVecs}%.3f | ${p.tBuild}%.2f | ${p.tProbe}%.2f | ${p.tBrute}%.2f | ${p.tProbe / p.tBrute}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nVecs.toDouble / a.nVecs}%.0f× rows → probed fraction "
+      sb ++= f"${a.probedRows.toDouble / a.nVecs}%.3f → ${z.probedRows.toDouble / z.nVecs}%.3f (constant), "
+      sb ++= f"build ${z.tBuild / a.tBuild}%.1f× time.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE_ANN.md"), sb.toString)
       spark.stop(); return
     }
 

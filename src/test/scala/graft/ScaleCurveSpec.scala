@@ -31,4 +31,20 @@ class ScaleCurveSpec extends SparkSpec {
       assert(t100 <= 150 * t1 + 5.0,
              s"$label: ${t1}s at 1x -> ${t100}s at 100x exceeds the linearity bound")
   }
+
+  test("stored IVF-PQ: probed fraction constant across 20x scale, build near-linear") {
+    val pts = Probe.annScaleCurve(spark, base = 2000, factors = Seq(1, 20), reps = 1)
+    val a = pts.head; val z = pts.last
+    val fracA = a.probedRows.toDouble / a.nVecs
+    val fracZ = z.probedRows.toDouble / z.nVecs
+    // nprobe=2 of 32 equal-mass cells → ~1/16 of the corpus at any size
+    assert(fracA < 0.2 && fracZ < 0.2,
+           s"probe must scan a pruned slice: $fracA, $fracZ")
+    assert(math.abs(fracA - fracZ) < 0.05,
+           s"probed fraction must stay constant across scale: $fracA -> $fracZ")
+    // wall-clock: 20x rows within 30x build time (overhead-dominated at
+    // 1x, so the real ratio sits far below; the bound catches blowup)
+    assert(z.tBuild <= 30 * a.tBuild + 5.0,
+           s"index build must stay near-linear: ${a.tBuild}s -> ${z.tBuild}s")
+  }
 }
