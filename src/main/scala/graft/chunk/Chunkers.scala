@@ -244,10 +244,27 @@ object Chunkers {
     out.result()
   }
 
-  /** C7 — fixed-width 100-char slices (`document_processor.py:134-144`). */
+  /** C7 — fixed-width 100-char slices (`document_processor.py:134-144`).
+    * Widths count Unicode CODE POINTS, matching the reference's Python
+    * string slicing and Spark's `substr` (the codegen-native branch in
+    * [[chunkDocuments]]); `String.grouped` would count UTF-16 units and
+    * split astral-plane characters in half.
+    */
   def chunkFixedWidth(content: String, width: Int = 100): Vector[RawChunk] =
     if (content.isEmpty) Vector.empty
-    else content.grouped(width).map(RawChunk(_, Vector.empty)).toVector
+    else {
+      val out = Vector.newBuilder[RawChunk]
+      var i = 0
+      while (i < content.length) {
+        val remaining = content.codePointCount(i, content.length)
+        val end =
+          if (remaining <= width) content.length
+          else content.offsetByCodePoints(i, width)
+        out += RawChunk(content.substring(i, end), Vector.empty)
+        i = end
+      }
+      out.result()
+    }
 
   /** C4 — dispatch + fallback: a failing/empty strategy yields one
     * whole-document chunk (`docling_service.py:277-292`).

@@ -245,8 +245,8 @@ object Ann {
     * probe path ([[ivfTopKInt]], [[ivfPqTopK]]) and the oracle SQL
     * follow this one convention; keep it in one place.
     */
-  private def rankCells(centroids: Seq[(Long, Seq[Long])],
-                        queryVec: Seq[Long], nprobe: Int): Seq[Long] =
+  private[graft] def rankCells(centroids: Seq[(Long, Seq[Long])],
+                               queryVec: Seq[Long], nprobe: Int): Seq[Long] =
     centroids.map { case (id, c) =>
       (id, queryVec.zip(c).map { case (a, b) => a * b }.sum)
     }.sortBy { case (id, sim) => (-sim, -id) }.take(nprobe).map(_._1)

@@ -44,15 +44,20 @@ object Probe {
     * MATERIALIZED input (generation excluded); `reps` runs, median
     * kept.
     */
+  /** Median-of-`reps` wall-clock for an action returning a count —
+    * the one timer every curve and the CLI mode share.
+    */
+  private def medOf(reps: Int)(f: => Long): (Double, Long) =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }.sortBy(_._1).apply((reps - 1) / 2)
+
   def dedupScaleCurve(spark: SparkSession, base: Long,
                       factors: Seq[Int] = Seq(1, 10, 100),
                       reps: Int = 3): Seq[ScalePoint] = {
-    def med(f: => Long): (Double, Long) =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
-      }.sortBy(_._1).apply((reps - 1) / 2)
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
     factors.map { fac =>
       val n = base * fac
       val docs = syntheticDocs(spark, n).localCheckpoint(true)
@@ -123,12 +128,8 @@ object Probe {
     val centroids: Seq[(Long, Seq[Long])] = (0L until 32L).map { c =>
       (c, (0 until dims).map(d => (((c + 1) * 37 + d * 101) % 19 - 9) * 100L))
     }
-    def med(f: => Long): (Double, Long) =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
-      }.sortBy(_._1).apply((reps - 1) / 2)
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
+    val nprobe = 2
     factors.map { fac =>
       val n = base * fac
       val emb = syntheticEmbeddings(spark, n).localCheckpoint(true)
@@ -146,19 +147,25 @@ object Probe {
         val probed = Ann.ivfAssignInt(emb, "embedding", centroids)
           .groupBy(col("cell")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val cells = centroids.map { case (id, c) =>
-          (id, qv.zip(c).map { case (a, b) => a * b }.sum)
-        }.sortBy { case (id, sim) => (-sim, -id) }.take(2).map(_._1)
-        cells.map(probed.getOrElse(_, 0L)).sum
+        // the probe's OWN cell ranking — a reimplementation here would
+        // silently drift from what ivfPqTopKStored actually scans
+        Ann.rankCells(centroids, qv, nprobe).map(probed.getOrElse(_, 0L)).sum
       }
       val (tProbe, _) = med {
         Ann.ivfPqTopKStored(spark, dir, "vec_id", "embedding",
-                            centroids, centroids, qv, k = 10, nprobe = 2).count()
+                            centroids, centroids, qv,
+                            k = 10, nprobe = nprobe).count()
       }
+      // like-for-like: brute reads the SAME stored table (all cells,
+      // full vectors) — timing the pinned in-memory corpus instead
+      // would flatter the index
       val (tBrute, _) = med {
-        Ann.intDotTopK(emb, "vec_id", "embedding", qvF.map(_.toFloat), k = 10).count()
+        Ann.intDotTopK(
+          spark.read.parquet(dir).withColumn("cell", col("cell").cast("long")),
+          "vec_id", "embedding", qvF.map(_.toFloat), k = 10).count()
       }
       emb.unpersist(true)
+      graft.io.Pins.sweepAll(spark) // localCheckpoint pins don't release via unpersist
       graft.io.Tables.rmTree(new java.io.File(dir).getParentFile)
       AnnScalePoint(fac, n, probedRows, tBuild, tProbe, tBrute)
     }

@@ -61,7 +61,11 @@ class ChunkOperatorSpec extends SparkSpec {
     val texts: Seq[(Long, String)] = Seq(
       0L -> null, 1L -> "", 2L -> "a", 3L -> "x" * 99, 4L -> "y" * 100,
       5L -> "z" * 101, 6L -> ("h\u00e9llo w\u00f6rld! " * 23),
-      7L -> ("ab\ncd " * 50))
+      7L -> ("ab\ncd " * 50),
+      // astral plane: 150 surrogate-pair code points — both the native
+      // substr branch and the Scala chunker must slice by CODE POINTS
+      // (3 chunks of 100+50), the reference's Python semantics
+      8L -> ("\ud83d\ude00" * 150))
     val cfg = ChunkerConfig(strategy = Strategy.FixedWidth)
     val got = Chunkers.chunkDocuments(texts.toDF("doc_id", "text"),
                                       "doc_id", "text", cfg)

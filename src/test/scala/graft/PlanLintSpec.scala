@@ -24,17 +24,27 @@ class PlanLintSpec extends SparkSpec {
     "q52_image_roundtrip", "q53_wav_roundtrip", "q56_docx_roundtrip",
     "q63_feature_extract")
 
+  // plans computed ONCE for both tests — building a query executes its
+  // eager localCheckpoints, so the pins are swept before any assertion
+  // (they'd otherwise stay resident for every later suite in the
+  // shared session)
+  private lazy val plans: Map[String, String] = {
+    val ps = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, Sf001).queryExecution.executedPlan.toString
+    }.toMap
+    graft.io.Pins.sweepAll(spark)
+    ps
+  }
+
   test("no query plans a CartesianProduct, Python eval, or unexpected ScalaUDF") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, Sf001).queryExecution.executedPlan.toString
-        val bad = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "PythonEval" -> (plan.contains("BatchEvalPython") ||
-                           plan.contains("ArrowEvalPython")),
-          "ScalaUDF" -> (plan.contains("UDF(") && !UdfAllowed(name)))
-          .collect { case (what, true) => what }
-        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "PythonEval" -> (plan.contains("BatchEvalPython") ||
+                         plan.contains("ArrowEvalPython")),
+        "ScalaUDF" -> (plan.contains("UDF(") && !UdfAllowed(name)))
+        .collect { case (what, true) => what }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
     }
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
@@ -42,10 +52,7 @@ class PlanLintSpec extends SparkSpec {
   test("the UDF allowlist is tight: every allowed query still uses its codec UDF") {
     // if a codec path gains a codegen Expression, shrink the allowlist
     // instead of letting it go stale
-    val stale = UdfAllowed.toSeq.sorted.filterNot { name =>
-      SparkEntry.queries(name)(spark, Sf001)
-        .queryExecution.executedPlan.toString.contains("UDF(")
-    }
+    val stale = UdfAllowed.toSeq.sorted.filterNot(name => plans(name).contains("UDF("))
     assert(stale.isEmpty, s"allowlisted but UDF-free (remove from list): $stale")
   }
 }

@@ -130,9 +130,13 @@ class PqSpec extends SparkSpec {
                                    codebooks, codebooks, qv,
                                    k = 5, nprobe = 2, rerankFactor = 3)
       .queryExecution.executedPlan.toString
-    // both scans prune to the probed cells
-    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN.*"),
-           "stored IVF-PQ probe must prune partitions: " + plan.take(3000))
+    // BOTH scans (ADC stage and re-rank fetch) prune to the probed
+    // cells — a single match would let one tier full-scan silently
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains("IN"))
+    assert(prunedScans >= 2,
+           s"both stored scans must prune partitions (found $prunedScans): " +
+             plan.take(3000))
     // the ADC stage's FileScan must not read the vector column
     val scanSchemas = plan.linesIterator
       .filter(_.contains("ReadSchema")).toSeq
