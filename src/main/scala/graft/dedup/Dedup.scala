@@ -383,6 +383,60 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Span-level DECONTAMINATION — [[contaminationPairs]] says WHICH
+    * test docs leak; this says WHERE: the maximal token spans of each
+    * test doc covered by k-shingles that also occur in any train doc.
+    * `[span_start, span_end]` are 1-based token positions, inclusive —
+    * what a surgical decontamination pass cuts instead of dropping the
+    * whole document.
+    *
+    * Plan shape: positioned test shingles (one scan + posexplode)
+    * semi-join the DF-CAPPED distinct train shingle-hash set on the
+    * 8-hex hash — one linear equi-join shuffle; the cap drops
+    * stop-phrases carried by more than `dfCap` train docs, the same
+    * scale guard as the pair scan. Span merging is gaps-and-islands:
+    * one window per test doc (running max end; island id = running
+    * count of gap starts) then one groupBy — deterministic (positions
+    * are distinct per doc) and SQL-expressible, so the oracle merges
+    * identically.
+    */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+                         splitCol: Column, shingleK: Int = 3,
+                         dfCap: Int = 100,
+                         testSplit: String = "test",
+                         trainSplit: String = "train"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSplit = df.select(col(idCol), col(textCol), splitCol.as("split"))
+    def hashes(side: DataFrame) = side
+      .select(col(idCol),
+              transform(shinglesOf(TextStats.tokens(lower(col(textCol))), shingleK),
+                        g => substring(md5(g), 1, 8)).as("hs"))
+    val trainHashes = hashes(withSplit.filter(col("split") === trainSplit))
+      .select(explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h"))
+    val testPos = hashes(withSplit.filter(col("split") === testSplit))
+      .select(col(idCol), posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    val matched = testPos.join(trainHashes, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos")).distinct()
+      .withColumn("end", col("pos") + (shingleK - 1))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    matched
+      .withColumn("__pme", max(col("end")).over(prev))
+      .withColumn("__ni",
+        when(col("__pme").isNull || col("pos") > col("__pme") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__ni")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           max(col("end")).cast("long").as("span_end"),
+           count(lit(1)).as("n_shingles"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
   /** Deterministic hash split/sample bucket in [0, buckets): the first
     * 8 md5 hex digits of the id as an integer, mod `buckets`.
     * Reproducible across runs, engines, and cluster sizes — the

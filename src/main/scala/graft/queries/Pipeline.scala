@@ -930,6 +930,15 @@ object Pipeline {
       Dedup.contaminationPairs(t(s, dir, "documents"), "doc_id", "text",
           Dedup.splitAssign(col("doc_id")), dfCap = 100, minShared = 2)
         .orderBy(col("test_id"), col("train_id"))
+    }),
+
+    // SPAN-LEVEL decontamination: q61 names the leaking test docs; this
+    // emits the exact token spans covered by train-shared 3-shingles
+    // (gaps-and-islands merge) — the surgical cut list.
+    "q83_decontaminate_spans" -> ((s, dir) => {
+      Dedup.contaminationSpans(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.splitAssign(col("doc_id")), dfCap = 100)
+        .orderBy(col("doc_id"), col("span_start"))
     })
   )
 
@@ -1056,6 +1065,59 @@ object Pipeline {
           SELECT test_id, train_id, CAST(count(*) AS BIGINT) AS n_shared
           FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
           ORDER BY test_id, train_id""",
+
+    // q61's shingle+split conventions with POSITIONS kept; df-capped
+    // train hash set; gaps-and-islands span merge — same window algebra
+    // as Dedup.contaminationSpans.
+    "q83_decontaminate_spans" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+                  FROM documents)),
+          hs AS (
+            SELECT t.doc_id, s.split,
+                   list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks t JOIN sp s USING (doc_id)),
+          tr AS (
+            SELECT h FROM (
+              SELECT doc_id, unnest(list_distinct(h)) AS h
+              FROM hs WHERE split = 'train')
+            GROUP BY h HAVING count(*) <= 100),
+          tpos AS (
+            SELECT doc_id, i AS pos, h[i] AS h
+            FROM (SELECT doc_id, h, unnest(generate_series(1, len(h))) AS i
+                  FROM hs WHERE split = 'test')),
+          m AS (
+            SELECT DISTINCT doc_id, pos, pos + 2 AS e
+            FROM tpos WHERE h IN (SELECT h FROM tr)),
+          isl AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM m),
+          isl2 AS (
+            SELECT doc_id, pos, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(e) AS BIGINT) AS span_end,
+                 CAST(count(*) AS BIGINT) AS n_shingles
+          FROM isl2 GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

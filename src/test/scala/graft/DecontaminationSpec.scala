@@ -47,4 +47,44 @@ class DecontaminationSpec extends SparkSpec {
       .toDF("doc_id", "text", "split")
     assert(Dedup.contaminationPairs(docs, "doc_id", "text", col("split")).count() == 0)
   }
+
+  test("contaminationSpans: exact merged token spans at known offsets") {
+    // train phrase "alpha beta gamma delta" -> shared 3-shingles.
+    // test doc: tokens 1-2 unique, 3-6 = the phrase (shingles at pos
+    // 3,4 -> span [3,6]), 7-9 unique, 10-13 = the phrase again
+    // (span [10,13]); the two spans are separated by a gap > 1 so they
+    // must NOT merge.
+    val trainText = "alpha beta gamma delta"
+    val testText = "uniq1 uniq2 alpha beta gamma delta uniq3 uniq4 uniq5 " +
+      "alpha beta gamma delta"
+    val docs = Seq(("tr1", trainText, "train"), ("te1", testText, "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.contaminationSpans(docs, "doc_id", "text", col("split"))
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("te1", 3L, 6L, 2L), ("te1", 10L, 13L, 2L)),
+           s"got ${got.toSeq}")
+  }
+
+  test("contaminationSpans: adjacent and overlapping matches merge into one span") {
+    // test doc fully contained in train -> every shingle matches ->
+    // ONE maximal span covering the whole doc
+    val text = "one two three four five six"
+    val docs = Seq(("tr1", s"prefix $text suffix tokens here", "train"),
+                   ("te1", text, "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.contaminationSpans(docs, "doc_id", "text", col("split"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("te1", 1L, 6L, 4L)), s"got ${got.toSeq}")
+  }
+
+  test("contaminationSpans: stop-phrase shingles above dfCap produce no spans") {
+    val phrase = "the quick brown fox"
+    val train = (1 to 5).map(i => (s"tr$i", phrase, "train"))
+    val docs = (train :+ (("te1", phrase, "test")))
+      .toDF("doc_id", "text", "split")
+    assert(Dedup.contaminationSpans(docs, "doc_id", "text", col("split"),
+                                    dfCap = 3).count() == 0,
+           "hashes carried by more than dfCap train docs must be dropped")
+  }
 }
