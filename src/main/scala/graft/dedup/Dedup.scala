@@ -399,6 +399,15 @@ object Dedup {
     * count of gap starts) then one groupBy — deterministic (positions
     * are distinct per doc) and SQL-expressible, so the oracle merges
     * identically.
+    *
+    * Two cost rules this method obeys (the r8 profile showed it
+    * didn't): tokens are MATERIALIZED in their own projection before
+    * shingling (see [[shinglesOf]]'s note — an inlined tokenize expr
+    * makes every interpreted `element_at` re-split the whole doc,
+    * O(n²) per doc), and the post-join positions are NOT re-distinct'd
+    * — posexplode emits each (doc, pos) once and a left-semi join
+    * cannot duplicate rows, so the only corpus-sized exchange after the
+    * join is the window's hash(doc_id).
     */
   def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
                          splitCol: Column, shingleK: Int = 3,
@@ -408,9 +417,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val withSplit = df.select(col(idCol), col(textCol), splitCol.as("split"))
     def hashes(side: DataFrame) = side
+      .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), shinglesOf(col("__toks"), shingleK).as("__sh"))
       .select(col(idCol),
-              transform(shinglesOf(TextStats.tokens(lower(col(textCol))), shingleK),
-                        g => substring(md5(g), 1, 8)).as("hs"))
+              transform(col("__sh"), g => substring(md5(g), 1, 8)).as("hs"))
     val trainHashes = hashes(withSplit.filter(col("split") === trainSplit))
       .select(explode(array_distinct(col("hs"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -420,8 +430,7 @@ object Dedup {
       .select(col(idCol), posexplode(col("hs")).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
     val matched = testPos.join(trainHashes, Seq("h"), "left_semi")
-      .select(col(idCol), col("pos")).distinct()
-      .withColumn("end", col("pos") + (shingleK - 1))
+      .select(col(idCol), col("pos"), (col("pos") + (shingleK - 1)).as("end"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     matched
