@@ -19,6 +19,23 @@ object Bench {
     // Warm the executor/codegen/parquet-reader paths once so the first
     // timed query measures the operator, not JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // CALIBRATION SENTINEL: the box is shared, and a loaded run can
+    // inflate every sample ~uniformly (r8 measured ~2.2×, which made
+    // untouched queries look like regressions). Time a fixed query
+    // (q01, code untouched since r01) BEFORE the suite and report its
+    // ratio to the r01 recording (0.60056 s, sf0.1/local[32]) so
+    // cross-round comparisons can normalize load out. Only meaningful
+    // at the driver's bench config; other SFs still get the field as a
+    // relative load indicator across their own runs.
+    val CalibrationR01Sec = 0.60055994
+    val calibration = {
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2) / CalibrationR01Sec
+    }
     // Median of `runs` timings per query, all within one JVM: the box is
     // shared (driver-side tooling runs concurrently), so a single sample
     // can be off by 2-10× — the median is the only number worth
@@ -60,6 +77,7 @@ object Bench {
     val rel = subtotal(k => k.take(3) >= "q01" && k.take(3) <= "q20")
     val ext = total - rel
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+            s""""calibration_vs_r01":$calibration,""" +
             s""""queries":$qs,""" +
             s""""subtotals":{"relational_q01_q20":$rel,"pipeline_q21_plus":$ext},""" +
             s""""sf":"$sfDir"}""")

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q36's oracle compares against a persisted vector intermediate;
+    // only the verify path pays for that export (bench must time the
+    // pipeline, not a parquet write) — see Pipeline.Q36PersistProp.
+    sys.props(graft.queries.Pipeline.Q36PersistProp) = "true"
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
