@@ -184,6 +184,12 @@ object Office {
   def docxOf(text: Column): Column = {
     val f = udf((t: String) => if (t == null) null else docxBytes(t)); f(text)
   }
+  def pptxOf(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else pptxBytes(t)); f(text)
+  }
+  def xlsxOf(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) null else xlsxBytes(t)); f(text)
+  }
   def docxTextOf(bytes: Column): Column = {
     val f = udf((b: Array[Byte]) => docxText(b).orNull); f(bytes)
   }

@@ -969,6 +969,40 @@ object Pipeline {
       Dedup.contaminationSpans(t(s, dir, "documents"), "doc_id", "text",
           Dedup.splitAssign(col("doc_id")), dfCap = 100)
         .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // S9 — PPTX conversion gate, same byte-exact contract as q56's
+    // DOCX: wrap each document's text into a real minimal PPTX (one
+    // slide per line), extract back through zip + DOM, chunk; the
+    // oracle chunks the ORIGINAL text, so slide ordering, XML escaping
+    // and the per-slide join must all roundtrip exactly.
+    "q84_pptx_roundtrip" -> ((s, dir) => {
+      import graft.ingest.Office
+      val extracted = t(s, dir, "documents")
+        .select(col("doc_id"), Office.pptxOf(col("text")).as("pptx"))
+        .select(col("doc_id"), Office.pptxTextOf(col("pptx")).as("text"))
+      Chunkers.chunkDocuments(extracted, "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .select(col("doc_id"), col("chunk_id"), col("content"),
+                col("chunk_number").cast("long").as("chunk_number"),
+                col("total_chunks").cast("long").as("total_chunks"))
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
+    // S9 — XLSX conversion gate (shared-strings part, one string per
+    // line), the third OOXML format the reference ingests first-class;
+    // identical contract to q56/q84.
+    "q85_xlsx_roundtrip" -> ((s, dir) => {
+      import graft.ingest.Office
+      val extracted = t(s, dir, "documents")
+        .select(col("doc_id"), Office.xlsxOf(col("text")).as("xlsx"))
+        .select(col("doc_id"), Office.xlsxTextOf(col("xlsx")).as("text"))
+      Chunkers.chunkDocuments(extracted, "doc_id", "text",
+          ChunkerConfig(strategy = Strategy.FixedWidth))
+        .select(col("doc_id"), col("chunk_id"), col("content"),
+                col("chunk_number").cast("long").as("chunk_number"),
+                col("total_chunks").cast("long").as("total_chunks"))
+        .orderBy(col("doc_id"), col("chunk_number"))
     })
   )
 
@@ -1531,6 +1565,29 @@ object Pipeline {
     // oracle chunks the ORIGINAL text — identical output proves the
     // DOCX generate→extract roundtrip is exact (same SQL as q21/q49).
     "q56_docx_roundtrip" ->
+      """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+                substr(text, (i-1)*100+1, 100) AS content,
+                CAST(i AS BIGINT) AS chunk_number,
+                CAST(ceil(length(text)/100.0) AS BIGINT) AS total_chunks
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_number""",
+
+    // q84/q85: same contract as q56 — the oracle chunks the ORIGINAL
+    // text; identical output proves the PPTX / XLSX generate→extract
+    // roundtrips are exact.
+    "q84_pptx_roundtrip" ->
+      """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+                substr(text, (i-1)*100+1, 100) AS content,
+                CAST(i AS BIGINT) AS chunk_number,
+                CAST(ceil(length(text)/100.0) AS BIGINT) AS total_chunks
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
+               FROM documents)
+         ORDER BY doc_id, chunk_number""",
+
+    "q85_xlsx_roundtrip" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,
                 substr(text, (i-1)*100+1, 100) AS content,
                 CAST(i AS BIGINT) AS chunk_number,

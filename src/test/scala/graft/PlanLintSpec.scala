@@ -17,12 +17,16 @@ package graft
   */
 class PlanLintSpec extends SparkSpec {
 
-  // queries whose operators are documented JVM-codec work (the only
-  // legitimate ScalaUDF sites: Codecs.scala, Pdf.scala, Office.scala)
+  // queries whose operators are documented JVM work with no SQL form:
+  // codecs (Codecs.scala, Pdf.scala, Office.scala) and the
+  // lexer-driven chunk strategies (Chunkers.scala:307 — q36's Hybrid
+  // chunker; its UDF was always there, but the pre-r9 verify-persist
+  // split the plan so the lint only saw the post-read search half)
   private val UdfAllowed = Set(
-    "q33_multimodal_meta", "q34_frame_sample", "q49_pdf_roundtrip",
-    "q52_image_roundtrip", "q53_wav_roundtrip", "q56_docx_roundtrip",
-    "q63_feature_extract")
+    "q33_multimodal_meta", "q34_frame_sample", "q36_pipeline_search",
+    "q49_pdf_roundtrip", "q52_image_roundtrip", "q53_wav_roundtrip",
+    "q56_docx_roundtrip", "q63_feature_extract", "q84_pptx_roundtrip",
+    "q85_xlsx_roundtrip")
 
   // plans computed ONCE for both tests — building a query executes its
   // eager localCheckpoints, so the pins are swept before any assertion
