@@ -174,4 +174,48 @@ class AnnRecallSpec extends SparkSpec {
              f"full rerank budget must be exactly the within-cells exact answer, got ${curve.last._2}%.2f")
     } finally indexed.unpersist()
   }
+
+  /** END-TO-END recall for the composed stored path at the q80 config
+    * (k=10, nprobe=2, rerankFactor=3): recall@10 of [[Ann.ivfPqTopKStored]]
+    * against the UNCONDITIONAL exact integer-L2 top-10 — both
+    * approximation tiers (cell prune + ADC cut) measured as one stack.
+    * The sf corpora are near-iid (see the class doc), so like PqSpec
+    * this runs on a clustered synthetic corpus — the structure an ANN
+    * index exists to exploit — where the composed path must recover
+    * nearly all true neighbors: the floor is 0.9 averaged over queries
+    * spanning every cluster.
+    */
+  test("IVF-PQ stored end-to-end (q80 config): recall@10 vs exact >= 0.9 on clustered corpus") {
+    val dims = 64
+    // five well-separated clusters with small per-vector jitter (same
+    // generator as PqSpec; 12 members per cluster)
+    val cvecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+      (i, (0 until dims).map(d =>
+        ((i % 5).toFloat - 2f) * ((d % 7) + 1) / 10f + i.toFloat / 1000f))
+    }
+    val cemb = cvecs.toDF("vec_id", "embedding")
+    val codebooks: Seq[(Long, Seq[Long])] = (0L until 5L).map { g =>
+      val members = cvecs.filter(_._1 % 5 == g).map(_._2.map(Ann.quantizeL))
+      (g, (0 until dims).map(d =>
+        Math.floorDiv(members.map(_(d)).sum, members.size.toLong)))
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_e2e_ivfpq").toString + "/index"
+    Ann.ivfPqWriteIndex(cemb, "vec_id", "embedding", codebooks, codebooks, path)
+    val xs = cvecs.map { case (id, v) => id -> v.map(Ann.quantizeL).toSeq }
+    val per = (0 until 10).map { qi =>
+      val qIv = xs(qi)._2
+      val exactTop = xs.map { case (id, x) =>
+        (x.zip(qIv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.sorted.take(K).map(_._2).toSet
+      val got = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                                    codebooks, codebooks, qIv,
+                                    k = K, nprobe = 2, rerankFactor = 3)
+        .select(col("vec_id")).as[Long].collect().toSet
+      got.intersect(exactTop).size.toDouble / K
+    }
+    val recall = per.sum / per.size
+    info(f"IVF-PQ stored end-to-end recall@$K=$recall%.2f (q80 config, clustered corpus)")
+    assert(recall >= 0.9,
+           f"composed prune->ADC->re-rank recall $recall%.2f under the 0.9 floor")
+  }
 }
