@@ -136,6 +136,54 @@ class StreamingSpec extends SparkSpec {
       .filter($"doc" === ids(loser)).count() == 0)
   }
 
+  test("inbox under ProcessingTime: a LONG-RUNNING consumer drains files across real micro-batches") {
+    // the reference's actual queue shape is a resident consumer task
+    // (document_processor.py:76-94), not a drain-and-exit job —
+    // AvailableNow covers the latter; this drives the former: one
+    // running query, files arriving WHILE it runs, stopped explicitly.
+    // processAllAvailable() is the sync primitive (it rethrows stream-
+    // thread failures and cannot park forever the way a blocking read
+    // inside foreachBatch can — see the inbox drain-hang note above).
+    val in = Files.createTempDirectory("graft_inbox4").toFile
+    val store = Files.createTempDirectory("graft_store4").toFile
+    val t1 = ts("2025-01-01 00:00:00")
+    val t2 = ts("2025-01-01 01:00:00")
+    @volatile var now = t1
+    Files.writeString(new java.io.File(in, "first.md").toPath,
+      "First doc entirely about cooking recipes. One sentence!")
+    val q = Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"),
+      nowFn = () => now)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$store/documents.parquet").count() == 1)
+      // second file lands while the consumer is LIVE → a later real
+      // micro-batch picks it up under the second stamp
+      now = t2
+      Files.writeString(new java.io.File(in, "second.md").toPath,
+        "Second doc on distributed query planning. Also here!")
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = spark.read.parquet(s"$store/documents.parquet")
+    assert(docs.count() == 2)
+    assert(docs.filter($"status" === "failed").count() == 0)
+    // per-file stamps prove two DISTINCT micro-batches ran, and that
+    // the second did not re-upsert the first file (same exactly-once
+    // evidence as the restart test, now within one running query)
+    val stamps = docs.select($"filename", $"updated_at")
+      .as[(String, Timestamp)].collect().toMap
+    assert(stamps("first.md") == t1, s"first.md reprocessed: $stamps")
+    assert(stamps("second.md") == t2)
+    // the resident consumer commits the same store layout as the batch
+    // path: completed ledger rows and the co-bucketed tables
+    assert(graft.io.Tables
+      .latestByKey(spark.read.parquet(s"$store/jobs.parquet"),
+                   Seq("job_id"), Seq($"updated_at"))
+      .filter($"status" === "completed").count() == 2)
+    assert(graft.io.Tables.looksBucketed(s"$store/chunks.parquet"))
+    assert(graft.io.Tables.looksBucketed(s"$store/embeddings.parquet"))
+  }
+
   test("status stream: per-job state machine over micro-batches, illegal transitions dropped") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StatusUpdate]
