@@ -357,7 +357,7 @@ object Main {
                           "chunk_id", StoreBuckets)
     else spark.read.parquet(s"$storeDir/$name.parquet")
 
-  private def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
+  private[graft] def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
                          name: String, keys: Seq[String],
                          version: Seq[org.apache.spark.sql.Column],
                          prune: DataFrame => DataFrame = identity): Unit = {
@@ -365,6 +365,11 @@ object Main {
     val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
     val trash = new java.io.File(s"$storeDir/$name.parquet.trash")
     import Tables.rmTree
+    // the WHOLE read-merge-swap runs under the table lease: a second
+    // writer that merged against the pre-commit snapshot would discard
+    // this writer's rows at its own swap (the §7.4.3 race — now an
+    // enforced invariant, see Tables.withTableLock + ConcurrencySpec)
+    Tables.withTableLock(path.toString) {
     // recovery from a commit that died mid-swap: if the live dir is
     // gone, the aside-renamed old snapshot in .trash is the only
     // COMPLETE copy — restore it (a leftover .tmp may be half-written
@@ -389,6 +394,7 @@ object Main {
       require(path.renameTo(trash), s"aside-rename of live $name failed")
     require(tmp.renameTo(path), s"commit rename of $name failed")
     rmTree(trash)
+    }
   }
 
   // ------------------------------------------------------------------ export

@@ -204,12 +204,64 @@ object Tables {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** Serialize a table's read-merge-swap critical section across
+    * concurrent WRITERS with a lease file (`$path.lock`).
+    *
+    * SURVEY §7.4.3 documents the race this closes: two writers both
+    * read the live snapshot, merge their own updates, and swap — the
+    * second swap silently discards the first writer's rows. Holding the
+    * lease for the WHOLE cycle (read inside the lease, not just the
+    * renames) makes the merge serializable: writer 2's read sees
+    * writer 1's commit.
+    *
+    * Mechanics: acquisition is an atomic `createNewFile`; a lease older
+    * than `staleMs` (a crashed holder — the local-fs analogue of an
+    * expired cloud lease) is taken over via rename — exactly one
+    * contender wins the rename, so takeover cannot double-grant.
+    * Contenders poll until `timeoutMs`, then fail loudly rather than
+    * proceed unguarded. READERS are not serialized — same as a real
+    * table format, a reader concurrent with the swap window may need a
+    * retry; writers are the ones that must never interleave.
+    */
+  def withTableLock[A](path: String, staleMs: Long = 30 * 60 * 1000L,
+                       timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    val lock = new java.io.File(s"$path.lock")
+    Option(lock.getParentFile).foreach(_.mkdirs())
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (lock.createNewFile()) acquired = true
+      else if (lock.exists() &&
+               System.currentTimeMillis() - lock.lastModified() > staleMs) {
+        // stale-lease takeover: the rename is the arbiter — the one
+        // contender it succeeds for discards the dead lease and loops
+        // back to a fresh createNewFile race
+        val steal = new java.io.File(
+          s"$path.lock.steal.${java.util.UUID.randomUUID().toString.take(8)}")
+        if (lock.renameTo(steal)) steal.delete()
+      } else if (System.currentTimeMillis() > deadline) {
+        throw new IllegalStateException(
+          s"timed out after ${timeoutMs}ms waiting for table lease $lock")
+      } else Thread.sleep(50)
+    }
+    try body finally lock.delete()
+  }
+
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
-              format: String = "parquet", codec: String = "gzip"): (Int, Int) = {
+              format: String = "parquet", codec: String = "gzip"): (Int, Int) =
+    withTableLock(path) {
     def dataFiles(dir: java.io.File): Seq[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq
         .filter(f => f.isFile && f.getName.startsWith("part-"))
     val dir = new java.io.File(path)
+    val trash = new java.io.File(s"$path.trash")
+    // crash recovery, mirroring Main.writeTable's preamble: a crash
+    // between the aside-rename and the commit rename leaves no live dir
+    // and the only complete snapshot parked in .trash — restore it
+    // instead of failing 'nothing to compact' (a leftover .tmp may be
+    // half-written and is never trusted)
+    if (!dir.exists() && trash.exists())
+      require(trash.renameTo(dir), s"recovering $path from trash failed")
     val before = dataFiles(dir)
     require(before.nonEmpty, s"nothing to compact at $path")
     val totalBytes = before.map(_.length()).sum
@@ -223,7 +275,6 @@ object Tables {
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     val tmp = new java.io.File(s"$path.tmp")
-    val trash = new java.io.File(s"$path.trash")
     rmTree(tmp); rmTree(trash)
     val w = df.repartition(nShards).write.mode("overwrite")
     if (format == "parquet") w.parquet(tmp.toString)

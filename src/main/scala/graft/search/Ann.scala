@@ -311,9 +311,13 @@ object Ann {
     * (partition-pruned scan) and swapped; untouched cells keep their
     * exact files. A cell whose rows are all removed is deleted
     * outright (a dynamic-partition overwrite would silently leave its
-    * old directory behind). Swap is per-cell aside-rename: a crash
+    * old directory behind). Swap is per-cell aside-rename: a CRASH
     * leaves each cell complete — old, new, or parked in its `.trash`
-    * aside (recovery = rename back).
+    * aside (recovery = rename back). Maintenance is single-writer and
+    * assumes quiesced probes: between a cell's aside-rename and its
+    * commit rename the live `cell=N` directory is briefly absent, so a
+    * probe listing partitions inside that window would silently miss
+    * that cell's rows (same contract as [[ivfCompactIndex]]).
     */
   def ivfRemoveFromIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, removals: DataFrame,
@@ -349,13 +353,17 @@ object Ann {
     * small file per append — the classic small-files tax on every
     * probe. Each multi-file cell is rewritten through a per-cell
     * aside-rename swap whose tmp/trash dirs are DOT-PREFIXED siblings:
-    * Spark's partition discovery ignores hidden dirs, so a crash (or a
-    * concurrent probe hitting the swap window) can never surface a
-    * `cell=N.trash` pseudo-partition or drop the cell's rows — the
-    * aside dir is invisible until renamed back into place (recovery =
-    * rename). Single-file cells are untouched. Probes and partition
-    * pruning are unchanged. Returns (filesBefore, filesAfter) summed
-    * over cells.
+    * Spark's partition discovery ignores hidden dirs, so a crash can
+    * never surface a `cell=N.trash` pseudo-partition — the aside dir
+    * is invisible until renamed back into place (recovery = rename).
+    * Maintenance is single-writer and assumes quiesced probes: the
+    * hidden-dir trick only prevents pseudo-partitions, it does NOT
+    * close the swap window — between the aside-rename and the commit
+    * rename the live `cell=N` directory is briefly absent, and a
+    * concurrent probe listing partitions in that gap silently loses
+    * the whole cell. Single-file cells are untouched. Probes and
+    * partition pruning are unchanged after maintenance completes.
+    * Returns (filesBefore, filesAfter) summed over cells.
     */
   def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String,

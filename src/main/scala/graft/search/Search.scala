@@ -91,7 +91,14 @@ object Search {
     * token model (lowercase `\W+` split), k1=6/5, b=3/4, with a
     * rational IDF `(N-df+1/2)/(df+1/2)` (the log-free simplification —
     * monotone in df like Robertson's log form but never negative, and
-    * exactly representable). Every quantity is exact integer
+    * exactly representable). RANKING CAVEAT: the rational IDF weights
+    * rare terms far more heavily than the log IDF Lucene/ES use, so
+    * multi-term rankings can diverge from standard BM25 when query
+    * terms have very different df — per-term order is identical, the
+    * cross-term mix is not (documented in README/SURVEY; a fixed-point
+    * integer log would buy closer parity at the cost of the exact
+    * rational algebra the oracle checks bit-for-bit). Every quantity
+    * is exact integer
     * arithmetic: the per-term contribution
     *
     *   idf · tf·(k1+1) / (tf + k1·(1-b) + k1·b·dl/avgdl)

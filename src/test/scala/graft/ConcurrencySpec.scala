@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** The store-swap concurrency guard (SURVEY §7.4.3): without a lease,
+  * two writers that both read the live snapshot, merge their own rows,
+  * and swap lose the first writer's rows at the second writer's
+  * commit. `Tables.withTableLock` serializes the whole read-merge-swap;
+  * these cases pin (1) no lost updates under real interleaved writers
+  * through the REAL `Main.writeTable` path, (2) mutual exclusion and
+  * release of the lease primitive itself, and (3) stale-lease takeover.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two interleaved writers through Main.writeTable: no lost update") {
+    val store = Files.createTempDirectory("graft_lock_store").toString
+    // seed the table so both writers take the read-merge path
+    Main.writeTable(spark, Seq(("seed", 0L)).toDF("k", "v"), store, "t",
+                    keys = Seq("k"), version = Seq(lit(1)))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { i =>
+      pool.execute { () =>
+        try {
+          start.await()
+          // each writer upserts a DISJOINT key; unguarded, the loser's
+          // row vanishes when the winner swaps its own merged snapshot
+          Main.writeTable(spark, Seq((s"w$i", i.toLong)).toDF("k", "v"),
+                          store, "t", keys = Seq("k"), version = Seq(lit(1)))
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "writers hung")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val got = spark.read.parquet(s"$store/t.parquet")
+      .select($"k").as[String].collect().toSet
+    assert(got == Set("seed", "w1", "w2"), s"lost update: $got")
+    // the lease is released after the last commit
+    assert(!new java.io.File(s"$store/t.parquet.lock").exists())
+  }
+
+  test("withTableLock: mutual exclusion, queued contender proceeds on release") {
+    val path = Files.createTempDirectory("graft_lock_prim").toString + "/tbl"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(4)
+    (1 to 4).foreach { _ =>
+      pool.execute { () =>
+        Tables.withTableLock(path) {
+          val now = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, now))
+          Thread.sleep(100)
+          inside.decrementAndGet()
+        }
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS), "contenders hung")
+    assert(maxInside.get() == 1, s"critical section overlapped: ${maxInside.get()}")
+    assert(!new java.io.File(s"$path.lock").exists(), "lease not released")
+  }
+
+  test("withTableLock: a stale lease (crashed holder) is taken over; a live one is honored") {
+    val path = Files.createTempDirectory("graft_lock_stale").toString + "/tbl"
+    val lock = new java.io.File(s"$path.lock")
+    assert(lock.createNewFile())
+    // a crashed holder's lease: mtime far in the past
+    assert(lock.setLastModified(System.currentTimeMillis() - 60 * 60 * 1000L))
+    var ran = false
+    Tables.withTableLock(path, staleMs = 1000L, timeoutMs = 5000L) { ran = true }
+    assert(ran, "stale lease must be taken over")
+    assert(!lock.exists())
+    // a LIVE lease (fresh mtime) must block until timeout
+    assert(lock.createNewFile())
+    val t0 = System.currentTimeMillis()
+    intercept[IllegalStateException] {
+      Tables.withTableLock(path, staleMs = 60 * 1000L, timeoutMs = 500L) { () }
+    }
+    assert(System.currentTimeMillis() - t0 >= 500L, "must wait out the timeout")
+    lock.delete()
+  }
+}
