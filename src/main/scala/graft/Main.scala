@@ -64,10 +64,15 @@ object Main {
       val k = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
       runSearch(spark, store, query, provider, k).foreach(println)
       spark.stop()
+    case "profile" :: store :: Nil =>
+      val spark = session()
+      runProfile(spark, store).foreach(println)
+      spark.stop()
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] | export <store> <outDir> [provider]")
+        "search <store> <query> [provider] [k] | export <store> <outDir> [provider] | " +
+        "profile <store>")
       sys.exit(2)
   }
 
@@ -535,6 +540,24 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** Corpus profile over the stored chunks: per chunking strategy, the
+    * chunk-content length quantiles from the mergeable log2-histogram
+    * sketch ([[graft.text.Profile]]) — the operational "is the store
+    * healthy" summary (a runaway chunker or a truncating converter
+    * shows up as a collapsed p50/p99 immediately), at sketch cost.
+    */
+  def runProfile(spark: SparkSession, storeDir: String): Seq[String] = {
+    val chunks = openTable(spark, storeDir, "chunks")
+      .withColumn("len", length(col("content")))
+    graft.text.Profile.lengthProfile(chunks, "strategy", "len")
+      .orderBy(col("strategy"))
+      .collect().map { r =>
+        s"""{"strategy":"${r.getAs[String]("strategy")}",""" +
+        s""""n_docs":${r.getAs[Long]("n_docs")},"p50_lb":${r.getAs[Long]("p50_lb")},""" +
+        s""""p90_lb":${r.getAs[Long]("p90_lb")},"p99_lb":${r.getAs[Long]("p99_lb")}}"""
       }.toSeq
   }
 }

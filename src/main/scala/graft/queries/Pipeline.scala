@@ -1003,6 +1003,73 @@ object Pipeline {
                 col("chunk_number").cast("long").as("chunk_number"),
                 col("total_chunks").cast("long").as("total_chunks"))
         .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
+    // IMAGE PERCEPTUAL near-dup (dHash): per doc, generate a block-
+    // pattern PNG whose pattern id is doc_id%16 but whose brightness
+    // (offset) AND resolution both vary per doc — byte-wise all 500
+    // files differ — then REAL-decode and dHash (Codecs.dhash8: box-
+    // average to 8×8, 56 neighbour-comparison bits). The hash must
+    // cancel brightness and resolution, collapsing the corpus to its
+    // 16 perceptual identities; dedup is then ONE groupBy-shuffle on
+    // the 56-bit key (window: cluster size + min-id canonical), never
+    // a pairwise image compare. The oracle recomputes the hash from
+    // the generator formula in pure SQL — the decode+hash must land on
+    // exactly the algebraic value.
+    "q86_image_dhash" -> ((s, dir) => {
+      import graft.multimodal.Codecs
+      import org.apache.spark.sql.expressions.Window
+      val p = (col("doc_id") % 16).cast("int")
+      val off = expr("CAST((doc_id DIV 16) % 5 AS INT)")
+      val w = (lit(8) * (lit(2) + col("doc_id") % 3)).cast("int")
+      val h = (lit(8) * (lit(2) + (col("doc_id") * 5) % 4)).cast("int")
+      val win = Window.partitionBy(col("dhash"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Codecs.pngPatternOf(w, h, p, off).as("png"))
+        .select(col("doc_id"), Codecs.dhashOf(col("png")).as("dhash"))
+        .select(col("doc_id"), col("dhash"),
+                count(lit(1)).over(win).as("cluster_sz"),
+                min(col("doc_id")).over(win).as("canonical_id"))
+        .withColumn("is_canonical",
+                    (col("doc_id") === col("canonical_id")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus length profile via the mergeable log2-histogram sketch
+    // (Profile.lengthProfile): per-source doc count + p50/p90/p99
+    // lower bounds. The heavy scan reduces to a (source, bin≤64)
+    // groupBy — kilobytes of shuffle at any corpus size — and the
+    // quantile resolution is exact integer algebra over the sketch,
+    // reproducible under any merge order (unlike percentile_approx).
+    "q87_length_profile" -> ((s, dir) => {
+      graft.text.Profile.lengthProfile(
+          t(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))
+    }),
+
+    // AUDIO PERCEPTUAL near-dup (q86's contract for sound): per doc, a
+    // REAL WAV whose ramp pattern is doc_id%12 but whose volume varies
+    // per doc — byte-wise distinct files — then real decode +
+    // 16-window energy fingerprint (Codecs.audioFingerprint; a uniform
+    // gain scales every window sum equally, so the 15 comparison bits
+    // cancel it). The corpus collapses to its 12 recordings; dedup is
+    // ONE groupBy shuffle on the fingerprint. Oracle recomputes the
+    // window-energy algebra from the generator formula in SQL.
+    "q88_audio_fingerprint" -> ((s, dir) => {
+      import graft.multimodal.Codecs
+      import org.apache.spark.sql.expressions.Window
+      val p = (col("doc_id") % 12).cast("int")
+      val g = expr("CAST(1 + (doc_id DIV 12) % 3 AS INT)")
+      val win = Window.partitionBy(col("fp"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Codecs.wavPatternOf(lit(320), p, g).as("wav"))
+        .select(col("doc_id"), Codecs.audioFingerprintOf(col("wav")).as("fp"))
+        .select(col("doc_id"), col("fp"),
+                count(lit(1)).over(win).as("cluster_sz"),
+                min(col("doc_id")).over(win).as("canonical_id"))
+        .withColumn("is_canonical",
+                    (col("doc_id") === col("canonical_id")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1596,6 +1663,90 @@ object Pipeline {
                       unnest(generate_series(1, CAST(ceil(length(text)/100.0) AS INT))) AS i
                FROM documents)
          ORDER BY doc_id, chunk_number""",
+
+    // recomputes the dHash from the block-pattern generator formula in
+    // pure SQL (gray(bx,by) = ((p*7+bx*13+by*31+bx*by*3)%29)*8+offset;
+    // bit = right neighbour strictly brighter) — the Spark side's REAL
+    // PNG encode→decode→box-average→compare must land on exactly this
+    // algebraic value, and the brightness/resolution variation must
+    // cancel to the same 16 perceptual clusters.
+    "q86_image_dhash" ->
+      """WITH cells AS (
+           SELECT d.doc_id, yy.yy, xx.xx,
+                  (((d.doc_id % 16) * 7 + xx.xx * 13 + yy.yy * 31
+                    + xx.xx * yy.yy * 3) % 29) * 8 AS g,
+                  (((d.doc_id % 16) * 7 + (xx.xx + 1) * 13 + yy.yy * 31
+                    + (xx.xx + 1) * yy.yy * 3) % 29) * 8 AS gr
+           FROM documents d,
+                (SELECT unnest(generate_series(0, 7)) AS yy) yy,
+                (SELECT unnest(generate_series(0, 6)) AS xx) xx),
+         hashes AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN gr > g
+                           THEN (CAST(1 AS BIGINT) << (yy * 7 + xx))
+                           ELSE 0 END) AS BIGINT) AS dhash
+           FROM cells GROUP BY doc_id),
+         cl AS (
+           SELECT doc_id, dhash,
+                  count(*) OVER (PARTITION BY dhash) AS cluster_sz,
+                  min(doc_id) OVER (PARTITION BY dhash) AS canonical_id
+           FROM hashes)
+         SELECT doc_id, dhash, CAST(cluster_sz AS BIGINT) AS cluster_sz,
+                canonical_id,
+                CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END
+                     AS BIGINT) AS is_canonical
+         FROM cl ORDER BY doc_id""",
+
+    // the same log2-bin + cumulative-count integer algebra as
+    // Profile.lengthProfile (bin = bit length via bin(); quantile bin =
+    // first with 100*cum >= p*n; bound = 1 << (bin-1)).
+    "q87_length_profile" ->
+      """WITH h AS (
+           SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS b,
+                  count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, b, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+                  sum(c) OVER (PARTITION BY source) AS n
+           FROM h)
+         SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                (CAST(1 AS BIGINT) <<
+                 (CAST(min(CASE WHEN cum * 100 >= n * 50 THEN b END) AS INT) - 1)) AS p50_lb,
+                (CAST(1 AS BIGINT) <<
+                 (CAST(min(CASE WHEN cum * 100 >= n * 90 THEN b END) AS INT) - 1)) AS p90_lb,
+                (CAST(1 AS BIGINT) <<
+                 (CAST(min(CASE WHEN cum * 100 >= n * 99 THEN b END) AS INT) - 1)) AS p99_lb
+         FROM cum GROUP BY source ORDER BY source""",
+
+    // recomputes the 16-window |sample| energies from the ramp
+    // generator formula (sample i = (i*(61+97p)) % 20001 - 10000; gain
+    // omitted — the comparisons must cancel it) and the 15 adjacent-
+    // window comparison bits in pure SQL.
+    "q88_audio_fingerprint" ->
+      """WITH s AS (
+           SELECT d.doc_id, ii.i // 20 AS j,
+                  abs((ii.i * (61 + 97 * (d.doc_id % 12))) % 20001 - 10000) AS a
+           FROM documents d,
+                (SELECT unnest(generate_series(0, 319)) AS i) ii),
+         w AS (SELECT doc_id, j, sum(a) AS w FROM s GROUP BY 1, 2),
+         f AS (
+           SELECT a.doc_id,
+                  CAST(sum(CASE WHEN b.w > a.w
+                           THEN (CAST(1 AS BIGINT) << CAST(a.j AS INT))
+                           ELSE 0 END) AS BIGINT) AS fp
+           FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+           GROUP BY a.doc_id),
+         cl AS (
+           SELECT doc_id, fp,
+                  count(*) OVER (PARTITION BY fp) AS cluster_sz,
+                  min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+           FROM f)
+         SELECT doc_id, fp, CAST(cluster_sz AS BIGINT) AS cluster_sz,
+                canonical_id,
+                CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END
+                     AS BIGINT) AS is_canonical
+         FROM cl ORDER BY doc_id""",
 
     // the naive inequality-join formulation — intentionally a DIFFERENT
     // algorithm from the Spark bin-bucketed equi-join plan.

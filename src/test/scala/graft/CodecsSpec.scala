@@ -82,6 +82,54 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.decodeWav("x".getBytes) === None)
   }
 
+  test("dhash: brightness- and resolution-invariant, formula-exact, quarantines off-contract") {
+    // the formula dhash8 must land on, computed independently here
+    def expected(p: Int): Long = {
+      def g(bx: Int, by: Int) = ((p * 7 + bx * 13 + by * 31 + bx * by * 3) % 29) * 8
+      (for (by <- 0 until 8; bx <- 0 until 7 if g(bx + 1, by) > g(bx, by))
+        yield 1L << (by * 7 + bx)).sum
+    }
+    for (p <- 0 until 16) {
+      val base = Codecs.dhash8(Codecs.pngPattern(16, 16, p, 0))
+      assert(base === Some(expected(p)), s"pattern $p diverged from the formula")
+      // brightness shift cancels (same pattern, byte-wise different file)
+      assert(Codecs.dhash8(Codecs.pngPattern(16, 16, p, 4)) === base)
+      // resolution cancels (box means of uniform blocks are exact)
+      assert(Codecs.dhash8(Codecs.pngPattern(40, 24, p, 2)) === base)
+      // a different pattern must not collide with ITS brightness variants
+      assert(Codecs.dhash8(Codecs.pngPattern(16, 16, p, 3)) ===
+             Codecs.dhash8(Codecs.pngPattern(32, 32, p, 1)))
+    }
+    // 56-bit contract: non-negative in every engine
+    assert((0 until 16).forall(p => expected(p) >= 0L && expected(p) < (1L << 56)))
+    // off-contract dims (not multiples of 8) and malformed bytes quarantine
+    assert(Codecs.dhash8(Codecs.pngSolid(15, 16, 0x112233)) === None)
+    assert(Codecs.dhash8("not a png".getBytes("UTF-8")) === None)
+    assert(Codecs.dhash8(null) === None)
+  }
+
+  test("audio fingerprint: gain-invariant, formula-exact, quarantines off-contract") {
+    def expected(p: Int): Long = {
+      val w = new Array[Long](16)
+      for (i <- 0 until 320)
+        w(i / 20) += math.abs((i.toLong * (61 + 97 * p)) % 20001 - 10000)
+      (for (j <- 0 until 15 if w(j + 1) > w(j)) yield 1L << j).sum
+    }
+    for (p <- 0 until 12) {
+      val base = Codecs.audioFingerprint(Codecs.wavPattern(320, p, 1))
+      assert(base === Some(expected(p)), s"pattern $p diverged from the formula")
+      // volume change cancels (byte-wise different file, same identity)
+      assert(Codecs.audioFingerprint(Codecs.wavPattern(320, p, 2)) === base)
+      assert(Codecs.audioFingerprint(Codecs.wavPattern(320, p, 3)) === base)
+    }
+    assert((0 until 12).map(expected).distinct.size === 12,
+           "the 12 patterns must be perceptually distinct")
+    // off-contract (frames not divisible by 16) and malformed quarantine
+    assert(Codecs.audioFingerprint(Codecs.wavPattern(321, 0, 1)) === None)
+    assert(Codecs.audioFingerprint("not a wav".getBytes("UTF-8")) === None)
+    assert(Codecs.audioFingerprint(null) === None)
+  }
+
   test("column wrappers: spark roundtrip on a small table") {
     import org.apache.spark.sql.functions._
     val df = (1L to 20L).toDF("id")

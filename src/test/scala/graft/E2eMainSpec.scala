@@ -118,6 +118,20 @@ class E2eMainSpec extends SparkSpec {
     assert(hits.nonEmpty)
     assert(hits.head.contains("spark"), s"top hit should be spark content: ${hits.head}")
 
+    // profile: per-strategy length quantiles over the stored chunks —
+    // n_docs must equal the chunk counts, and the p50 bound must agree
+    // with a brute-force log2 quantile over the same contents
+    val profLines = Main.runProfile(spark, store)
+    assert(profLines.nonEmpty)
+    val lens = chunks.select($"strategy", length($"content").cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for (line <- profLines; strat <- lens.keys if line.contains(s""""strategy":"$strat"""")) {
+      assert(line.contains(s""""n_docs":${lens(strat).size}"""), line)
+      val sorted = lens(strat).map(v => 64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))).sorted
+      val p50bin = sorted((sorted.size * 50 + 99) / 100 - 1)
+      assert(line.contains(s""""p50_lb":${1L << (p50bin - 1)}"""), s"$line vs bin $p50bin")
+    }
+
     // idempotent re-ingest: upsert keeps key cardinality stable
     Main.runIngest(spark, in, store, "nomic",
                    Timestamp.from(now.toInstant.plusMillis(10)))

@@ -26,7 +26,7 @@ class PlanLintSpec extends SparkSpec {
     "q33_multimodal_meta", "q34_frame_sample", "q36_pipeline_search",
     "q49_pdf_roundtrip", "q52_image_roundtrip", "q53_wav_roundtrip",
     "q56_docx_roundtrip", "q63_feature_extract", "q84_pptx_roundtrip",
-    "q85_xlsx_roundtrip")
+    "q85_xlsx_roundtrip", "q86_image_dhash", "q88_audio_fingerprint")
 
   // plans computed ONCE for both tests — building a query executes its
   // eager localCheckpoints, so the pins are swept before any assertion

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Profile
+
+/** Mergeable log2-histogram corpus profiler: first-principles quantile
+  * recomputation, merge-order/partitioning invariance (the property
+  * percentile_approx lacks), bounded sketch size, and a codegen-only
+  * plan.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  // brute-force reference: the p-th quantile's log2-bin lower bound
+  private def expected(lengths: Seq[Long], p: Int): Long = {
+    def bin(v: Long) = 64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
+    val byBin = lengths.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val n = lengths.size.toLong
+    val b = byBin.keys.toSeq.sorted
+      .scanLeft((0, 0L)) { case ((_, cum), k) => (k, cum + byBin(k)) }
+      .find { case (_, cum) => cum * 100 >= n * p }.get._1
+    1L << (b - 1)
+  }
+
+  test("quantile bounds match a brute-force recomputation") {
+    val lengths = (1L to 100L) ++ Seq(1000L, 5000L, 9000L)
+    val df = lengths.zipWithIndex
+      .map { case (len, i) => (s"src${i % 2}", len) }.toDF("source", "len")
+    val got = Profile.lengthProfile(df, "source", "len")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    for ((src, n, p50, p90, p99) <- got) {
+      val mine = lengths.zipWithIndex.collect {
+        case (len, i) if s"src${i % 2}" == src => len
+      }
+      assert(n === mine.size)
+      assert(p50 === expected(mine, 50), s"$src p50")
+      assert(p90 === expected(mine, 90), s"$src p90")
+      assert(p99 === expected(mine, 99), s"$src p99")
+    }
+  }
+
+  test("zero/one-length docs land in the bottom bin, never error") {
+    val df = Seq(("s", 0L), ("s", 1L), ("s", 1L)).toDF("source", "len")
+    val row = Profile.lengthProfile(df, "source", "len")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(row === (("s", 3L, 1L, 1L, 1L)))
+  }
+
+  test("partitioning-invariant: any merge order gives the same sketch and quantiles") {
+    val df = (1L to 997L).map(i => (s"src${i % 3}", (i * 131) % 7919 + 1)).toDF("source", "len")
+    val a = Profile.lengthProfile(df.repartition(1), "source", "len")
+      .orderBy("source").collect().toSeq
+    val b = Profile.lengthProfile(df.repartition(32, col("len")), "source", "len")
+      .orderBy("source").collect().toSeq
+    assert(a === b)
+  }
+
+  test("sketch is bounded (<=64 bins per group) and the plan is UDF-free with map-side partial agg") {
+    val df = (1L to 500L).map(i => (s"src${i % 4}", i)).toDF("source", "len")
+    val hist = Profile.lengthHistogram(df, "source", "len")
+    val maxBins = hist.groupBy("source").count().agg(max("count")).as[Long].head()
+    assert(maxBins <= 64)
+    val plan = Profile.lengthProfile(df, "source", "len")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("), "profiler must stay codegen column algebra")
+    // the heavy input is reduced by a partial aggregate BEFORE its
+    // exchange: at 100 TB the shuffle carries (group, bin) counts only
+    assert(plan.contains("partial_count"), s"no map-side partial aggregation in:\n$plan")
+  }
+}
