@@ -65,8 +65,15 @@ object Bench {
       val sorted = ts.map(_._2).sorted
       name -> sorted(sorted.size / 2)
     }
+    // The harness records only the LAST ~2000 chars of output and
+    // machine-parses the JSON line out of that window: with the full
+    // suite, long query names + 9-digit doubles overflow it and the
+    // line truncates mid-object (unparseable). Short keys (the qNN
+    // prefix is unique) + ms rounding keep the whole line inside the
+    // window at any plausible suite size.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // r01's BASELINE covers the 20 relational queries (q01-q20); the
@@ -76,10 +83,10 @@ object Bench {
       results.collect { case (k, v) if p(k) => v }.sum
     val rel = subtotal(k => k.take(3) >= "q01" && k.take(3) <= "q20")
     val ext = total - rel
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-            s""""calibration_vs_r01":$calibration,""" +
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+            s""""calibration_vs_r01":${r3(calibration)},""" +
             s""""queries":$qs,""" +
-            s""""subtotals":{"relational_q01_q20":$rel,"pipeline_q21_plus":$ext},""" +
+            s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
     spark.stop()
   }
