@@ -29,7 +29,13 @@ object Verify {
     // pipeline, not a parquet write) — see Pipeline.Q36PersistProp.
     sys.props(graft.queries.Pipeline.Q36PersistProp) = "true"
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q86,q89 — dump/compare a subset while iterating
+    // on an oracle (comma-separated name prefixes), same contract as
+    // Bench's. The driver never sets it: full dump.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -52,6 +58,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -872,6 +872,18 @@ object Pipeline {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // BM25 with LUCENE-PARITY log IDF: same tf normalization as q81
+    // but idf = log2fp(2N+2) - log2fp(2df+1) in exact fixed-point
+    // integer algebra (FixedPoint.withLog2 — the digit-extraction
+    // recurrence runs ONLY on the 1-row stats aggregate; the oracle
+    // replays it as a recursive CTE). Log base is a constant factor,
+    // so ranking matches ln-IDF Lucene/ES exactly.
+    "q89_bm25_log_rank" -> ((s, dir) => {
+      Search.bm25LogTopK(t(s, dir, "documents"), "doc_id", "text",
+                         "stream window", k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // N-GRAM LM FLUENCY: bigram LM (add-one smoothing) trained on the
     // train split; every doc scored by mean scaled transition
     // probability — the CCNet-style perplexity filter with the
@@ -2137,6 +2149,51 @@ object Pipeline {
                  + (10000 * (2*(N - df1) + 1) * 22 * tf1 * T)
                      // ((2*df1 + 1) * (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
             FROM clamped b, stats)
+          SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+          FROM scored WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // q81's corpus stats + the SAME fixed-point log2 recurrence
+    // FixedPoint.withLog2 runs (S=20 mantissa bits, F=12 fraction
+    // bits, digit extraction by squaring) as a recursive CTE; idf =
+    // l2(2N+2) - l2(2df+1), score = sum idf*floor(1e4*tfnorm).
+    "q89_bm25_log_rank" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+          base AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, t -> t = 'stream')) AS tf0,
+                   len(list_filter(toks, t -> t = 'window')) AS tf1
+            FROM toks),
+          stats AS (
+            SELECT sum(dl) AS T, count(*) AS N,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+            FROM base),
+          xs AS (
+            SELECT 'n' AS k, CAST(2*N + 2 AS BIGINT) AS x FROM stats
+            UNION ALL SELECT 'd0', CAST(2*df0 + 1 AS BIGINT) FROM stats
+            UNION ALL SELECT 'd1', CAST(2*df1 + 1 AS BIGINT) FROM stats),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          idf AS (
+            SELECT (SELECT l2 FROM __l2 WHERE k = 'n')
+                     - (SELECT l2 FROM __l2 WHERE k = 'd0') AS idf0,
+                   (SELECT l2 FROM __l2 WHERE k = 'n')
+                     - (SELECT l2 FROM __l2 WHERE k = 'd1') AS idf1),
+          clamped AS (
+            SELECT doc_id, dl, least(tf0, 1048576) AS tf0,
+                   least(tf1, 1048576) AS tf1
+            FROM base),
+          scored AS (
+            SELECT b.doc_id, b.dl,
+                   idf0 * ((10000 * 22 * tf0 * T)
+                             // (10*T*tf0 + 3*T + 9*b.dl*N))
+                 + idf1 * ((10000 * 22 * tf1 * T)
+                             // (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
+            FROM clamped b, stats, idf)
           SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
           FROM scored WHERE score > 0
           ORDER BY score DESC, doc_id LIMIT 10""",

@@ -176,6 +176,78 @@ object Search {
       .select(col(idCol), col("__dl").as("dl"), col("score"))
   }
 
+  /** [[bm25TopK]] with LUCENE-PARITY ranking: the rational IDF is
+    * replaced by a real logarithmic IDF computed in EXACT fixed-point
+    * integer algebra ([[graft.functions.FixedPoint]]), so the
+    * cross-term mix matches standard BM25/Lucene ordering while every
+    * bit stays reproducible by an independent engine (the oracle runs
+    * the same log₂ recurrence as a recursive CTE).
+    *
+    * Lucene's IDF is ln(1 + (N−df+½)/(df+½)) = ln((2N+2)/(2df+1)).
+    * Logarithm base is a positive constant factor on every term, so
+    * ranking under log₂ is IDENTICAL to ranking under ln — we keep
+    * base 2 and skip the ln 2 multiply:
+    *
+    *   idf_fp = log2fp(2N+2) − log2fp(2df+1)   (≥ 0 since df ≤ N)
+    *   score  = Σ_t idf_fp(t) · ⌊10^4 · 22·tf·T / (10·T·tf + 3·T + 9·dl·N)⌋
+    *
+    * (the tf factor is [[bm25TopK]]'s k1=6/5, b=3/4 normalization with
+    * denominators cleared; same 2^20 tf clamp, same decimal(38,0)
+    * headroom). idf_fp ≤ 63·2^12 ≈ 2.6e5 and the tf factor ≤ 2.2e4,
+    * so per-term contributions stay under 2^33 — BIGINT-safe summed
+    * over any query.
+    *
+    * Plan shape is bm25TopK's (tf as HOF columns — no explode, no
+    * corpus shuffle; 1-row stats broadcast; TakeOrderedAndProject)
+    * plus the log₂ recurrence, which runs ONLY on the 1-row stats
+    * aggregate — zero per-row cost at any corpus size.
+    */
+  def bm25LogTopK(df: DataFrame, idCol: String, contentCol: String,
+                  query: String, k: Int = 10): DataFrame = {
+    val qts = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    require(qts.nonEmpty, "query must contain at least one word token")
+    val dec = "decimal(38,0)"
+    val toks = df.select(
+      col(idCol),
+      filter(split(lower(coalesce(col(contentCol), lit(""))), "\\W+"),
+             t => t =!= "").as("__toks"))
+    val withTf = qts.zipWithIndex.foldLeft(
+      toks.withColumn("__dl", size(col("__toks")).cast("long"))) {
+        case (d, (qt, i)) =>
+          d.withColumn(s"__tf$i",
+            size(filter(col("__toks"), t => t === lit(qt))).cast("long"))
+      }.drop("__toks")
+    val aggs = sum(col("__dl")).as("__T") +: count(lit(1)).as("__N") +:
+      qts.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats0 = withTf.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__xn", lit(2L) * col("__N") + lit(2L))
+    val statsX = qts.indices.foldLeft(stats0) { (d, i) =>
+      d.withColumn(s"__xd$i", lit(2L) * col(s"__df$i") + lit(1L))
+    }
+    val stats = graft.functions.FixedPoint.withLog2(
+      statsX,
+      ("__xn", "__l2n") +: qts.indices.map(i => (s"__xd$i", s"__l2d$i")))
+    val joined = withTf.crossJoin(broadcast(stats))
+    val scored = qts.indices.foldLeft(joined) { (d, i) =>
+      val tf = least(col(s"__tf$i"), lit(1048576L)).cast(dec)
+      val n = col("__N").cast(dec)
+      val t = col("__T").cast(dec)
+      val dl = col("__dl").cast(dec)
+      d.withColumn(s"__num$i", lit(10000L).cast(dec) * lit(22L).cast(dec) * tf * t)
+        .withColumn(s"__den$i",
+          lit(10L).cast(dec) * t * tf + lit(3L).cast(dec) * t +
+          lit(9L).cast(dec) * dl * n)
+        .withColumn(s"__c$i", expr(
+          s"(__l2n - __l2d$i) * CAST(__num$i div __den$i AS BIGINT)"))
+    }
+    scored
+      .withColumn("score", qts.indices.map(i => col(s"__c$i")).reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__dl").as("dl"), col("score"))
+  }
+
   /** Q4 — deterministic search-cache key:
     * sha256(embedding|provider|filters|k) (`services/search_cache.py:18-33`).
     */
