@@ -1059,6 +1059,18 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // DISTINCT-COUNT SKETCH (HyperLogLog registers, exact md5-bit
+    // algebra): distinct tokens per source WITHOUT count(distinct)'s
+    // every-distinct-value shuffle — registers are max-combined
+    // map-side, the shuffle carries ≤256 rows per source, and the
+    // estimate (raw harmonic-mean HLL, ±6.5% at m=256) is pure integer
+    // algebra the oracle reproduces bit-for-bit.
+    "q90_distinct_sketch" -> ((s, dir) => {
+      graft.text.Profile.distinctTokenProfile(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // AUDIO PERCEPTUAL near-dup (q86's contract for sound): per doc, a
     // REAL WAV whose ramp pattern is doc_id%12 but whose volume varies
     // per doc — byte-wise distinct files — then real decode +
@@ -1730,6 +1742,38 @@ object Pipeline {
                 (CAST(1 AS BIGINT) <<
                  (CAST(min(CASE WHEN cum * 100 >= n * 99 THEN b END) AS INT) - 1)) AS p99_lb
          FROM cum GROUP BY source ORDER BY source""",
+
+    // the same md5-bit register construction and harmonic-sum integer
+    // algebra as Profile.distinctSketch (register = first md5 byte,
+    // rho = 33 - bitlen of the next 32 bits, estimate constants
+    // spliced from the same Scala definitions).
+    "q90_distinct_sketch" ->
+      s"""WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS tok
+            FROM documents),
+          h AS (
+            SELECT source,
+                   CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(tok), 3, 8) AS BIGINT) AS v
+            FROM toks),
+          r AS (
+            SELECT source, bucket,
+                   max(CASE WHEN v = 0 THEN 33
+                            ELSE 33 - length(bin(v)) END) AS m_reg,
+                   count(*) AS occ
+            FROM h GROUP BY 1, 2),
+          agg AS (
+            SELECT source, sum(occ) AS n_tokens, count(*) AS registers_used,
+                   sum(${graft.text.Profile.HllEmptyTerm} >> CAST(m_reg AS INT)) AS dn
+            FROM r GROUP BY source)
+          SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(registers_used AS BIGINT) AS registers_used,
+                 CAST(${graft.text.Profile.HllNum}
+                        // (dn + (256 - registers_used) * ${graft.text.Profile.HllEmptyTerm})
+                        // ${graft.text.Profile.HllDen} AS BIGINT) AS est_distinct
+          FROM agg ORDER BY source""",
 
     // recomputes the 16-window |sample| energies from the ramp
     // generator formula (sample i = (i*(61+97p)) % 20001 - 10000; gain

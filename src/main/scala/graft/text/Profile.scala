@@ -70,4 +70,79 @@ object Profile {
   def lengthProfile(docs: DataFrame, groupCol: String, lenCol: String,
                     quantiles: Seq[Int] = Seq(50, 90, 99)): DataFrame =
     histogramQuantiles(lengthHistogram(docs, groupCol, lenCol), groupCol, quantiles)
+
+  // ---- distinct-count sketch (HyperLogLog registers, exact algebra) ----
+
+  /** Register count m = 2^8. Raw-HLL standard error is 1.04/√m ≈ 6.5%;
+    * the estimator below is the RAW harmonic-mean form (no small-range
+    * linear-counting correction), biased high below ~2.5·m ≈ 640
+    * distinct values per group — callers counting tiny groups should
+    * read `registers_used`, not `est_distinct`.
+    */
+  val HllBuckets = 256
+
+  /** 2^30 >> M with M=0 — one empty register's harmonic-sum term. */
+  val HllEmptyTerm: Long = 1L << 30
+  /** alpha_256 · m² · 2^30 in one precomputed integer: 0.71827
+    * (rational 71827/10^5) · 2^16 · 2^30 — numerator of the
+    * harmonic-mean estimate, 5.05e18, inside BIGINT. Public with
+    * [[HllDen]]/[[HllEmptyTerm]] so oracle builders splice the SAME
+    * constants instead of re-deriving them.
+    */
+  val HllNum: Long = 71827L * (1L << 46)
+  val HllDen: Long = 100000L
+
+  /** Distinct-count SKETCH per group over a token column — the
+    * 100 TB answer to "how many distinct tokens per source": exact
+    * `count(distinct)` shuffles every distinct value; the HLL register
+    * sketch shuffles ≤ m=256 rows per group, is map-side combinable
+    * (`max` per register), and MERGEABLE across any split of the data
+    * (register-wise max — merge-order-independent, same property as
+    * [[lengthHistogram]]).
+    *
+    * All algebra is exact integers on md5 bits, so an independent
+    * engine reproduces the estimate bit-for-bit: register j = first
+    * byte of md5(token); rho = 33 − bitlength of the next 32 md5 bits
+    * (33 when they are all zero); estimate = ⌊⌊α·m²·2^30 / Σ_j 2^30 >>
+    * M_j⌋ / 10^5⌋ with empty registers contributing 2^30 (truncating
+    * shifts/divides are part of the definition — deterministic, and
+    * within 1 of the real-arithmetic HLL everywhere it matters).
+    *
+    * Input is the exploded (group, token) occurrence table; dedup of
+    * occurrences is the sketch's own job (same token → same register,
+    * max collapses it).
+    */
+  def distinctSketch(toks: DataFrame, groupCol: String, tokCol: String): DataFrame = {
+    val h = toks.select(
+      col(groupCol),
+      expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+      expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v"))
+      .withColumn("rho", expr(
+        "CASE WHEN v = 0 THEN CAST(33 AS BIGINT) ELSE 33 - CAST(length(bin(v)) AS BIGINT) END"))
+    val regs = h.groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("occ"))
+    regs.groupBy(col(groupCol))
+      .agg(sum(col("occ")).as("n_tokens"),
+           count(lit(1)).as("registers_used"),
+           // the register term MUST shift a BIGINT: an INT literal
+           // would wrap the shift count at 32 (Java semantics), so a
+           // rho of 32/33 — rare but guaranteed at corpus scale —
+           // would diverge from the oracle's 64-bit shift
+           sum(expr("shiftright(CAST(1073741824 AS BIGINT), CAST(m_reg AS INT))"))
+             .as("__dn"))
+      .withColumn("est_distinct", expr(
+        s"$HllNum div (__dn + (${HllBuckets} - registers_used) * $HllEmptyTerm) div $HllDen"))
+      .drop("__dn")
+  }
+
+  /** [[distinctSketch]] over the `\W+` lowercase token model (the
+    * search/BM25 token convention) of a document table.
+    */
+  def distinctTokenProfile(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    distinctSketch(
+      docs.select(
+        col(groupCol),
+        explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+                       t => t =!= "")).as("__tok")),
+      groupCol, "__tok")
 }

@@ -69,4 +69,64 @@ class ProfileSpec extends SparkSpec {
     // exchange: at 100 TB the shuffle carries (group, bin) counts only
     assert(plan.contains("partial_count"), s"no map-side partial aggregation in:\n$plan")
   }
+
+  // ---- distinct-count sketch ----
+
+  /** Driver-side twin of the register construction. */
+  private def refSketch(tokens: Seq[String]): (Long, Long) = {
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    tokens.foreach { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.take(2), 16)
+      val v = java.lang.Long.parseLong(hex.slice(2, 10), 16)
+      val rho = if (v == 0) 33L else 33L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+    }
+    val dn = regs.values.map(m => (1L << 30) >> m).sum +
+      (256 - regs.size) * (1L << 30)
+    (regs.size.toLong, Profile.HllNum / dn / Profile.HllDen)
+  }
+
+  test("distinctSketch: estimate matches the driver-side register twin exactly") {
+    val tokens = (1 to 20000).map(i => s"tok${i % 3000}")
+    val df = tokens.map(t => ("s", t)).toDF("source", "tok")
+    val row = Profile.distinctSketch(df, "source", "tok")
+      .select("n_tokens", "registers_used", "est_distinct")
+      .as[(Long, Long, Long)].head()
+    val (regs, est) = refSketch(tokens)
+    assert(row === ((20000L, regs, est)))
+  }
+
+  test("distinctSketch: estimate within HLL error of the true distinct count") {
+    // 3000 distinct >> 2.5*m = 640, i.e. outside the raw-HLL
+    // small-range bias regime; 1.04/sqrt(256) = 6.5% std error — 4
+    // sigma of slack keeps this deterministic-input test meaningful
+    // without flaking on the single fixed hash draw.
+    val df = (1 to 20000).map(i => ("s", s"tok${i % 3000}")).toDF("source", "tok")
+    val est = Profile.distinctSketch(df, "source", "tok")
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.26, s"est=$est truth=3000")
+  }
+
+  test("distinctSketch: merge-order-invariant and occurrence-count-invariant") {
+    val df = (1 to 5000).map(i => ("s", s"tok${i % 1500}")).toDF("source", "tok")
+    val a = Profile.distinctSketch(df.repartition(1), "source", "tok")
+      .select("registers_used", "est_distinct").as[(Long, Long)].head()
+    val b = Profile.distinctSketch(df.repartition(16, col("tok")), "source", "tok")
+      .select("registers_used", "est_distinct").as[(Long, Long)].head()
+    assert(a === b)
+    // duplicating every occurrence changes n_tokens but NOT the sketch
+    val c = Profile.distinctSketch(df.union(df), "source", "tok")
+      .select("registers_used", "est_distinct").as[(Long, Long)].head()
+    assert(c === a)
+  }
+
+  test("distinctSketch plan: UDF-free, register max partial-aggregated before the exchange") {
+    val df = (1 to 100).map(i => ("s", s"t$i")).toDF("source", "tok")
+    val plan = Profile.distinctSketch(df, "source", "tok")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("))
+    assert(plan.contains("partial_max"), s"register max must combine map-side:\n$plan")
+  }
 }
