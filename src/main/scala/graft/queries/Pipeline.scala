@@ -1071,6 +1071,28 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // DETERMINISTIC TRAINING-ORDER shuffle: one fixed md5 permutation
+    // of the corpus, materialized as (shard, pos) — ONE shuffle keyed
+    // by shard + per-shard local sort, never a global sort. Re-seeded
+    // per epoch via the salt.
+    "q91_training_order" -> ((s, dir) => {
+      graft.text.Curation.trainingOrder(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TOKEN ENTROPY quality signal: Shannon diversity per doc in exact
+    // fixed-point algebra (FixedPoint log2 over the (doc, token) count
+    // table — the oracle replays the recurrence as a recursive CTE).
+    // Explode is map-side; one repartition(doc_id) satisfies the
+    // token-count aggregate, the per-doc window AND the final
+    // aggregate — a single exchange end to end.
+    "q92_token_entropy" -> ((s, dir) => {
+      TextStats.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // AUDIO PERCEPTUAL near-dup (q86's contract for sound): per doc, a
     // REAL WAV whose ramp pattern is doc_id%12 but whose volume varies
     // per doc — byte-wise distinct files — then real decode +
@@ -1774,6 +1796,59 @@ object Pipeline {
                         // (dn + (256 - registers_used) * ${graft.text.Profile.HllEmptyTerm})
                         // ${graft.text.Profile.HllDen} AS BIGINT) AS est_distinct
           FROM agg ORDER BY source""",
+
+    // the same salt|id md5 permutation: shard = first 32 hash bits mod
+    // 8, pos = rank within shard under (hash, id).
+    "q91_training_order" ->
+      """WITH h AS (
+            SELECT doc_id, md5('ord|' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+          s AS (
+            SELECT doc_id, h,
+                   CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS shard
+            FROM h)
+          SELECT doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                      AS BIGINT) AS pos
+          FROM s ORDER BY doc_id""",
+
+    // the same (doc, token) count table and fixed-point log2
+    // recurrence (recursive CTE over the DISTINCT count/total values,
+    // joined back) — H_fp = sum c*(l2(n)-l2(c)) // n.
+    "q92_token_entropy" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents),
+          counts AS (
+            SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+          perdoc AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+          -- DISTINCT over UNION ALL, not UNION: under WITH RECURSIVE
+          -- DuckDB gives a two-branch UNION CTE recursive-union
+          -- semantics and skips the cross-branch dedup — a value that
+          -- is both a count and a total would then seed the log
+          -- recurrence twice and double every joined row downstream.
+          xs AS (
+            SELECT DISTINCT k, x FROM (
+              SELECT CAST(c AS BIGINT) AS k, CAST(c AS BIGINT) AS x FROM counts
+              UNION ALL
+              SELECT n, n FROM perdoc)),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          hs AS (
+            SELECT c.doc_id, count(*) AS distinct_tokens,
+                   sum(c.c * (l2n.l2 - l2c.l2)) AS hsum
+            FROM counts c
+            JOIN perdoc p ON p.doc_id = c.doc_id
+            JOIN __l2 l2c ON l2c.k = CAST(c.c AS BIGINT)
+            JOIN __l2 l2n ON l2n.k = p.n
+            GROUP BY c.doc_id)
+          SELECT h.doc_id, p.n AS n_tokens,
+                 CAST(h.distinct_tokens AS BIGINT) AS distinct_tokens,
+                 CAST(h.hsum // p.n AS BIGINT) AS entropy_fp
+          FROM hs h JOIN perdoc p ON p.doc_id = h.doc_id
+          ORDER BY h.doc_id""",
 
     // recomputes the 16-window |sample| energies from the ramp
     // generator formula (sample i = (i*(61+97p)) % 20001 - 10000; gain

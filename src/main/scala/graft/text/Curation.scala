@@ -79,4 +79,30 @@ object Curation {
       .join(broadcast(rates), Seq(strataCol))
       .filter(col("bucket") < col("rate"))
   }
+
+  /** DETERMINISTIC TRAINING-ORDER shuffle + shard assignment — the
+    * "global shuffle" a training run reads, without a global sort:
+    * order key = md5 of (salt | id), shard = its first 32 bits mod
+    * nShards, pos = rank within the shard under (hash, id). Reading
+    * shard 0..n−1 sequentially, each internally by pos, replays ONE
+    * fixed pseudo-random permutation of the corpus — identical across
+    * runs, engines and partitionings, and re-seedable per epoch by
+    * changing `salt` (each epoch is an independent permutation, the
+    * shuffle-between-epochs training recipe).
+    *
+    * Scale shape: ONE shuffle keyed by shard, then per-shard local
+    * sort — never a global sort/global row_number. Shard count is the
+    * parallelism knob: 100 TB / 4096 shards ≈ 25 GB per reducer,
+    * sorted locally by a 32-byte key.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "ord"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(__h, 1, 8), 16, 10) AS BIGINT) % $nShards"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -463,4 +463,42 @@ object TextStats {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Per-doc TOKEN ENTROPY — the Shannon-diversity quality signal
+    * (template/boilerplate docs score low, natural prose high; the
+    * standard complement to [[repetitionSignals]]' n-gram gates) in
+    * EXACT fixed-point algebra:
+    *
+    *   H_fp = ⌊ Σ_w c_w · (log2fp(n) − log2fp(c_w)) / n ⌋
+    *
+    * with [[graft.functions.FixedPoint]]'s log2fp — scale 2^12 bits of
+    * log₂, no transcendental, reproducible bit-for-bit by the oracle's
+    * recursive CTE. H_fp/4096 ∈ [0, log₂ n].
+    *
+    * Scale shape: explode is map-side; then ONE shuffle
+    * (`repartition` on the id) under which BOTH the (id, token) count
+    * aggregate and the per-doc window/aggregate are satisfied
+    * (hash-partitioning by id clusters every (id, token) group too),
+    * so the whole reduction is one exchange. The log recurrence is ~40
+    * integer ops per DISTINCT (id, token) pair, inside codegen.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+              explode(tokens(lower(col(textCol)))).as("__tok"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    val logged = graft.functions.FixedPoint.withLog2(
+      counts, Seq(("__c", "__l2c"), ("__n", "__l2n")))
+    logged
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("n_tokens"),
+           count(lit(1)).as("distinct_tokens"),
+           sum(expr("__c * (__l2n - __l2c)")).as("__hsum"))
+      .withColumn("entropy_fp", expr("__hsum div n_tokens"))
+      .drop("__hsum")
+  }
 }

@@ -68,4 +68,44 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
            "sampling must not shuffle: " + plan.take(3000))
   }
+
+  test("trainingOrder: a permutation — every row once, pos contiguous per shard") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val out = Curation.trainingOrder(df, "id", nShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq === (1L to 500L))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.size.toLong),
+             s"shard $shard positions not contiguous")
+    }
+    // all shards populated and no shard hogs the corpus (md5 uniform)
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.size === 8)
+    assert(sizes.values.max < 2 * sizes.values.min + 20, s"skewed: $sizes")
+  }
+
+  test("trainingOrder: deterministic across runs/partitionings; salt reseeds the epoch") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Curation.trainingOrder(d, "id", 4, salt)
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
+    val a = run(df.repartition(1), "ord")
+    val b = run(df.repartition(16, org.apache.spark.sql.functions.col("id")), "ord")
+    assert(a === b, "order must not depend on input partitioning")
+    val epoch2 = run(df, "epoch2")
+    assert(epoch2 !== a, "a new salt must give a different permutation")
+  }
+
+  test("trainingOrder plan: one shuffle keyed by shard, no global sort") {
+    import spark.implicits._
+    val plan = Curation.trainingOrder((1L to 100L).toDF("id"), "id", 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+           s"must not global-sort:\n$plan")
+  }
 }
