@@ -1082,6 +1082,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // COUNT-MIN frequency sketch: d=4 × w=1024 counters over the
+    // corpus tokens (counters ADD — map-side combined, the shuffle
+    // carries ≤4096 rows at any corpus size), probed here for the
+    // exact top-20 tokens so truth and estimate sit side by side (the
+    // exact pass is verify-scale scaffolding; at 100 TB only the
+    // sketch runs). est_cnt >= true_cnt always — CMS error is
+    // one-sided.
+    "q93_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
+          .as("token"))
+      val sketch = graft.text.Profile.cmsSketch(toks, "token")
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("token").asc)
+        .limit(20)
+      graft.text.Profile.cmsEstimate(sketch, top, "token")
+        .orderBy(col("true_cnt").desc, col("token").asc)
+    }),
+
     // TOKEN ENTROPY quality signal: Shannon diversity per doc in exact
     // fixed-point algebra (FixedPoint log2 over the (doc, token) count
     // table — the oracle replays the recurrence as a recursive CTE).
@@ -1811,6 +1831,39 @@ object Pipeline {
                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
                       AS BIGINT) AS pos
           FROM s ORDER BY doc_id""",
+
+    // the same d=4 x w=1024 Count-Min construction: bucket(j, t) =
+    // first 32 bits of md5('j|t') mod 1024, counters summed, estimate
+    // = min over rows (0 for empty buckets via the left join).
+    "q93_cms_heavy_hitters" ->
+      """WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS token
+            FROM documents),
+          sketch AS (
+            SELECT j.j,
+                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || token), 1, 8)
+                        AS BIGINT) % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) j
+            GROUP BY 1, 2),
+          top AS (
+            SELECT token, count(*) AS true_cnt
+            FROM toks GROUP BY token
+            ORDER BY true_cnt DESC, token ASC LIMIT 20),
+          probed_keys AS (
+            SELECT t.token, t.true_cnt, j.j,
+                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || t.token), 1, 8)
+                        AS BIGINT) % 1024 AS bucket
+            FROM top t, (SELECT unnest(generate_series(0, 3)) AS j) j),
+          probed AS (
+            SELECT k.token, k.true_cnt, min(coalesce(s.cnt, 0)) AS est_cnt
+            FROM probed_keys k
+            LEFT JOIN sketch s ON s.j = k.j AND s.bucket = k.bucket
+            GROUP BY k.token, k.true_cnt)
+          SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+                 CAST(est_cnt AS BIGINT) AS est_cnt
+          FROM probed ORDER BY true_cnt DESC, token ASC""",
 
     // the same (doc, token) count table and fixed-point log2
     // recurrence (recursive CTE over the DISTINCT count/total values,

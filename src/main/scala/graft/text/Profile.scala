@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,4 +145,51 @@ object Profile {
         explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
                        t => t =!= "")).as("__tok")),
       groupCol, "__tok")
+
+  // ---- frequency sketch (Count-Min, exact algebra) ----
+
+  /** bucket of token t in CMS row j: first 32 bits of md5("j|t") mod w
+    * — the SAME column recipe on the build and lookup sides (and in
+    * the oracle), or the sketch answers garbage.
+    */
+  private def cmsBucket(j: Column, tok: Column, w: Int): Column =
+    conv(substring(md5(concat_ws("|", j.cast("string"), tok)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** COUNT-MIN frequency sketch over a token column — the third
+    * mergeable sketch of the family ([[lengthHistogram]] distribution,
+    * [[distinctSketch]] cardinality, this one per-item frequency): d
+    * hash rows × w counters, counter(j, b) = Σ occurrences hashing
+    * there. Counters ADD, so the sketch merges across any partitioning
+    * (sum — map-side combinable; the shuffle carries ≤ d·w rows at any
+    * corpus size) and the point estimate min_j counter(j, bucket_j(t))
+    * NEVER under-counts (only hash collisions inflate it) — the
+    * one-sided error that makes it the 100 TB "how often does this
+    * token/n-gram occur" answer without a per-token shuffle.
+    * Expected overestimate ≤ e·T/w per row, beaten d times.
+    */
+  def cmsSketch(toks: DataFrame, tokCol: String,
+                d: Int = 4, w: Int = 1024): DataFrame =
+    toks
+      .select(col(tokCol).as("__tok"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("__tok"), w))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate each probe row's `tokCol` against a built sketch:
+    * min over the d rows, 0 when a bucket is empty (left join — an
+    * unseen token can still hit only-empty buckets). The sketch side
+    * is ≤ d·w rows — broadcast, so probing never shuffles the probe
+    * side.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokCol: String,
+                  d: Int = 4, w: Int = 1024): DataFrame = {
+    val keyed = probes
+      .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket", cmsBucket(col("j"), col(tokCol), w))
+    keyed
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -129,4 +129,58 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("UDF("))
     assert(plan.contains("partial_max"), s"register max must combine map-side:\n$plan")
   }
+
+  // ---- Count-Min sketch ----
+
+  /** Driver-side twin of the CMS bucket/estimate construction. */
+  private def cmsRef(tokens: Seq[String], probe: String): Long = {
+    def bucket(j: Int, t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    (0 until 4).map { j =>
+      val b = bucket(j, probe)
+      tokens.count(t => bucket(j, t) == b).toLong
+    }.min
+  }
+
+  test("cmsSketch estimates match the driver twin and never under-count") {
+    val tokens = (1 to 8000).map(i => s"tok${i % 700}") ++ (1 to 500).map(_ => "hot")
+    val df = tokens.map(Tuple1(_)).toDF("tok")
+    val sketch = Profile.cmsSketch(df, "tok")
+    val truth = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = truth.keys.toSeq.sorted.take(50) :+ "hot"
+    val est = Profile.cmsEstimate(
+        sketch, probes.map(Tuple1(_)).toDF("tok"), "tok")
+      .as[(String, Long)].collect().toMap
+    probes.foreach { p =>
+      assert(est(p) === cmsRef(tokens, p), s"probe $p")
+      assert(est(p) >= truth(p), s"CMS under-counted $p")
+    }
+    // an unseen token estimates low (bounded by collision mass), never negative
+    val unseen = Profile.cmsEstimate(
+        sketch, Seq(Tuple1("never-seen-token")).toDF("tok"), "tok")
+      .as[(String, Long)].head()._2
+    assert(unseen >= 0)
+  }
+
+  test("cmsSketch: counters add — merge/partitioning-invariant") {
+    val df = (1 to 5000).map(i => Tuple1(s"tok${i % 300}")).toDF("tok")
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Profile.cmsSketch(d, "tok").orderBy("j", "bucket")
+        .as[(Int, Long, Long)].collect().toSeq
+    assert(sk(df.repartition(1)) === sk(df.repartition(16, col("tok"))))
+  }
+
+  test("cmsSketch plan: map-side partial count; probe joins a broadcast sketch") {
+    val df = (1 to 200).map(i => Tuple1(s"t${i % 40}")).toDF("tok")
+    val sketch = Profile.cmsSketch(df, "tok")
+    val skPlan = sketch.queryExecution.executedPlan.toString
+    assert(skPlan.contains("partial_count"), s"no map-side combine:\n$skPlan")
+    val probePlan = Profile.cmsEstimate(sketch, df.limit(5), "tok")
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastHashJoin"),
+           s"probe must join the broadcast sketch:\n$probePlan")
+  }
 }
