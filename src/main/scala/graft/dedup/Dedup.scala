@@ -416,16 +416,9 @@ object Dedup {
                          trainSplit: String = "train"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withSplit = df.select(col(idCol), col(textCol), splitCol.as("split"))
-    def hashes(side: DataFrame) = side
-      .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("__toks"))
-      .select(col(idCol), shinglesOf(col("__toks"), shingleK).as("__sh"))
-      .select(col(idCol),
-              transform(col("__sh"), g => substring(md5(g), 1, 8)).as("hs"))
-    val trainHashes = hashes(withSplit.filter(col("split") === trainSplit))
-      .select(explode(array_distinct(col("hs"))).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("h"))
+    def hashes(side: DataFrame) = shingleHashes(side, idCol, textCol, shingleK)
+    val trainHashes =
+      cappedTrainHashes(withSplit, idCol, textCol, shingleK, dfCap, trainSplit)
     val testPos = hashes(withSplit.filter(col("split") === testSplit))
       .select(col(idCol), posexplode(col("hs")).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
@@ -444,6 +437,118 @@ object Dedup {
            max(col("end")).cast("long").as("span_end"),
            count(lit(1)).as("n_shingles"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** Per-doc array of 8-hex shingle hashes — tokens materialized in
+    * their own projection first (see [[shinglesOf]]'s quadratic-
+    * inlining note); shared by the exact span scan and the Bloom
+    * prefilter so both probe the identical hash space.
+    */
+  private def shingleHashes(side: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int): DataFrame = side
+    .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("__toks"))
+    .select(col(idCol), shinglesOf(col("__toks"), shingleK).as("__sh"))
+    .select(col(idCol),
+            transform(col("__sh"), g => substring(md5(g), 1, 8)).as("hs"))
+
+  /** The df-capped distinct train-side shingle-hash set every
+    * decontamination scan probes (the cap drops stop-phrases; see
+    * [[contaminationSpans]]).
+    */
+  private def cappedTrainHashes(withSplit: DataFrame, idCol: String,
+                                textCol: String, shingleK: Int, dfCap: Int,
+                                trainSplit: String): DataFrame =
+    shingleHashes(withSplit.filter(col("split") === trainSplit),
+                  idCol, textCol, shingleK)
+      .select(explode(array_distinct(col("hs"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h"))
+
+  // ---- Bloom-filter membership (exact integer algebra) ----
+
+  /** Bloom word table over `itemCol`: `k` hash functions into `mBits`
+    * bits, packed 32 per word so every stored value stays < 2³² —
+    * sign-safe BIGINT algebra in any engine. bit position of item t
+    * under hash j = first 32 md5 bits of "j|t" mod mBits. Words OR
+    * together, so the build is ONE map-side-combined aggregate whose
+    * shuffle carries ≤ mBits/32 rows at any corpus size — the same
+    * mergeability contract as the Profile sketch family.
+    */
+  def bloomWords(items: DataFrame, itemCol: String,
+                 mBits: Int = 8192, k: Int = 4): DataFrame =
+    items
+      .select(col(itemCol).as("__it"),
+              explode(expr(s"sequence(0, ${k - 1})")).as("j"))
+      .withColumn("p",
+        conv(substring(md5(concat_ws("|", col("j").cast("string"),
+                                     col("__it"))), 1, 8), 16, 10)
+          .cast("long") % mBits)
+      .select((col("p") / 32).cast("int").as("word"),
+              call_function("shiftleft", lit(1L),
+                            (col("p") % 32).cast("int")).as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** Collect a built word table into its dense bit array — mBits/32
+    * longs, 1 KiB at the default size: the driver-side artifact a scan
+    * embeds as a literal. Constant-sized collect, same class as the
+    * IVF centroid fetch.
+    */
+  def bloomBits(words: DataFrame, mBits: Int = 8192): Array[Long] = {
+    val arr = new Array[Long](mBits / 32)
+    words.select(col("word"), col("bits")).collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Map-side membership probe: true iff all `k` bits are set. A pure
+    * column expression over an array LITERAL — no join, no shuffle, no
+    * broadcast variable even: the corpus scan stays embarrassingly
+    * parallel. One-sided like every sketch here: never false for an
+    * inserted item; false positives at the standard (1−e^(−kn/m))^k
+    * rate (~0.2% at n=500, m=8192, k=4).
+    */
+  def bloomMightContain(item: Column, bits: Array[Long],
+                        mBits: Int = 8192, k: Int = 4): Column =
+    (0 until k).map { j =>
+      val p = conv(substring(md5(concat_ws("|", lit(j.toString), item)),
+                             1, 8), 16, 10).cast("long") % mBits
+      val mask = call_function("shiftleft", lit(1L), (p % 32).cast("int"))
+      element_at(typedLit(bits.toSeq), (p / 32).cast("int") + 1)
+        .bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+
+  /** BLOOM DECONTAMINATION PREFILTER — the map-side half of the
+    * two-phase contamination scan. Build the df-capped train shingle
+    * Bloom (exactly [[contaminationSpans]]' train set), then probe
+    * every test-doc shingle with the literal-array membership column:
+    * ZERO joins touch the test corpus, and its only shuffle is the
+    * final per-doc count. At 100 TB the benchmark side compresses to
+    * mBits/8 bytes of driver state and the corpus pass is a plain
+    * filter scan; because Bloom never misses an inserted hash, the
+    * flagged set is a SUPERSET of the exact matched set — run the
+    * expensive exact span pass only on the survivors.
+    */
+  def bloomContaminationScan(df: DataFrame, idCol: String, textCol: String,
+                             splitCol: Column, shingleK: Int = 3,
+                             dfCap: Int = 100, mBits: Int = 8192, k: Int = 4,
+                             testSplit: String = "test",
+                             trainSplit: String = "train"): DataFrame = {
+    val withSplit = df.select(col(idCol), col(textCol), splitCol.as("split"))
+    val bits = bloomBits(
+      bloomWords(cappedTrainHashes(withSplit, idCol, textCol, shingleK,
+                                   dfCap, trainSplit),
+                 "h", mBits, k),
+      mBits)
+    shingleHashes(withSplit.filter(col("split") === testSplit),
+                  idCol, textCol, shingleK)
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .withColumn("hit", bloomMightContain(col("h"), bits, mBits, k))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(col("hit").cast("long")).as("n_hits"))
+      .filter(col("n_hits") > 0)
   }
 
   /** Deterministic hash split/sample bucket in [0, buckets): the first

@@ -983,6 +983,18 @@ object Pipeline {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // BLOOM decontamination prefilter: q83's train shingle set folded
+    // into an 8192-bit Bloom probed as a literal-array column — zero
+    // joins on the test corpus (the 100 TB shape: benchmark side = 1
+    // KiB of driver state, corpus pass = plain scan). n_hits >=
+    // the exact match count per doc, never misses — the exact span
+    // pass runs only on these survivors.
+    "q94_bloom_decontaminate" -> ((s, dir) => {
+      Dedup.bloomContaminationScan(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.splitAssign(col("doc_id")), dfCap = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1315,6 +1327,62 @@ object Pipeline {
                  CAST(count(*) AS BIGINT) AS n_shingles
           FROM isl2 GROUP BY doc_id, island
           ORDER BY doc_id, span_start""",
+
+    // q83's shingle/split/df-cap CTEs; the Bloom replayed in the same
+    // sign-safe word algebra (32 bits per BIGINT word, position =
+    // first 32 md5 bits of 'j|h' mod 8192, words bit_or together,
+    // membership = all 4 masks present; empty words are 0 via the
+    // left join).
+    "q94_bloom_decontaminate" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+                  FROM documents)),
+          hs AS (
+            SELECT t.doc_id, s.split,
+                   list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks t JOIN sp s USING (doc_id)),
+          tr AS (
+            SELECT h FROM (
+              SELECT doc_id, unnest(list_distinct(h)) AS h
+              FROM hs WHERE split = 'train')
+            GROUP BY h HAVING count(*) <= 100),
+          js AS (SELECT unnest(generate_series(0, 3)) AS j),
+          words AS (
+            SELECT CAST(p // 32 AS INTEGER) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+            FROM (SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || h), 1, 8)
+                              AS BIGINT) % 8192 AS p
+                  FROM tr, js)
+            GROUP BY 1),
+          tprobe AS (
+            SELECT doc_id, i AS pos, h[i] AS h
+            FROM (SELECT doc_id, h, unnest(generate_series(1, len(h))) AS i
+                  FROM hs WHERE split = 'test')),
+          pk AS (
+            SELECT doc_id, pos,
+                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || h), 1, 8)
+                        AS BIGINT) % 8192 AS p
+            FROM tprobe, js),
+          checks AS (
+            SELECT k.doc_id, k.pos,
+                   bool_and((coalesce(w.bits, 0)
+                             & (CAST(1 AS BIGINT) << CAST(k.p % 32 AS INTEGER)))
+                            = (CAST(1 AS BIGINT) << CAST(k.p % 32 AS INTEGER))) AS hit
+            FROM pk k LEFT JOIN words w ON w.word = CAST(k.p // 32 AS INTEGER)
+            GROUP BY 1, 2)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM checks GROUP BY doc_id HAVING n_hits > 0 ORDER BY doc_id""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

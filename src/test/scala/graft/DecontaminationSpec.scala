@@ -87,4 +87,53 @@ class DecontaminationSpec extends SparkSpec {
                                     dfCap = 3).count() == 0,
            "hashes carried by more than dfCap train docs must be dropped")
   }
+
+  // ---- Bloom prefilter (q94) ----
+
+  test("bloom: no false negatives, absent-probe FPR bounded") {
+    val items = (1 to 500).map(i => s"item$i")
+    val bits = Dedup.bloomBits(
+      Dedup.bloomWords(items.map(Tuple1(_)).toDF("h"), "h"))
+    def probe(xs: Seq[String]): Seq[Boolean] =
+      xs.map(Tuple1(_)).toDF("h")
+        .select(Dedup.bloomMightContain(col("h"), bits).as("hit"))
+        .as[Boolean].collect().toSeq
+    assert(probe(items).forall(identity),
+           "an inserted item can never probe false")
+    val fpr = probe((1 to 1000).map(i => s"absent$i")).count(identity) / 1000.0
+    // theory at n=500, m=8192, k=4: (1-e^(-kn/m))^4 ≈ 0.2%
+    assert(fpr < 0.05, s"false-positive rate $fpr out of bounds")
+  }
+
+  test("bloomContaminationScan: flags a superset of the exact matched set") {
+    val trainText = "alpha beta gamma delta"
+    val testText = "uniq1 uniq2 alpha beta gamma delta uniq3 uniq4 uniq5 " +
+      "alpha beta gamma delta"
+    val docs = Seq(("tr1", trainText, "train"), ("te1", testText, "test"),
+                   ("te2", "clean text about cooking pasta with sage", "test"))
+      .toDF("doc_id", "text", "split")
+    val exact = Dedup.contaminationSpans(docs, "doc_id", "text", col("split"))
+      .groupBy(col("doc_id")).agg(sum(col("n_shingles")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = Dedup.bloomContaminationScan(docs, "doc_id", "text", col("split"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.contains("te1"), s"leaked doc must be flagged: $got")
+    assert(got("te1")._2 >= exact("te1"),
+           s"bloom hits ${got("te1")} must cover the ${exact("te1")} exact matches")
+    // 2 inserted hashes in 8192 bits → fpr ~1e-12, and the md5 algebra
+    // is deterministic: the clean doc stays clean
+    assert(!got.contains("te2"), s"clean doc falsely flagged: $got")
+  }
+
+  test("bloom probe plan: zero joins on the corpus side, one exchange") {
+    val docs = Seq(("tr1", "alpha beta gamma delta epsilon", "train"),
+                   ("te1", "alpha beta gamma delta words here", "test"))
+      .toDF("doc_id", "text", "split")
+    val plan = Dedup.bloomContaminationScan(docs, "doc_id", "text", col("split"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe must not join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+           s"only the per-doc count may shuffle:\n$plan")
+    assert(!plan.contains("UDF("), s"probe must be codegen-native:\n$plan")
+  }
 }
