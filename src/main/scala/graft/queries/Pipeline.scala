@@ -995,6 +995,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE MERGE INDUCTION: the round-1 merge-candidate table a BPE
+    // trainer ranks — adjacent char-pair counts weighted by word
+    // frequency, computed VOCAB-side (the corpus pays one word-count
+    // aggregate; the per-char work is bounded by |vocab|). Top 20
+    // under a total order.
+    "q95_bpe_merges" -> ((s, dir) => {
+      TextStats.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1383,6 +1394,23 @@ object Pipeline {
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
                  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
           FROM checks GROUP BY doc_id HAVING n_hits > 0 ORDER BY doc_id""",
+
+    // the same vocab-first construction: word frequencies, then 2-char
+    // substrings at every position of each distinct word, counts
+    // weighted by word frequency.
+    "q95_bpe_merges" ->
+      """WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+          pairs AS (
+            SELECT substr(w, i, 2) AS pair, f
+            FROM (SELECT w, f, unnest(generate_series(1, len(w)-1)) AS i
+                  FROM vocab WHERE len(w) >= 2))
+          SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+          FROM pairs GROUP BY pair
+          ORDER BY cnt DESC, pair ASC LIMIT 20""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

@@ -501,4 +501,28 @@ object TextStats {
       .withColumn("entropy_fp", expr("__hsum div n_tokens"))
       .drop("__hsum")
   }
+
+  /** BPE MERGE INDUCTION (round 1): adjacent character-pair
+    * frequencies weighted by word frequency — the count table a BPE
+    * tokenizer trainer ranks to pick its next merge. The corpus pays
+    * exactly ONE map-side-combined aggregate (corpus → distinct-word
+    * vocabulary); all per-character work then runs on VOCABULARY-sized
+    * rows — at 100 TB the corpus scan counts words and everything
+    * after is bounded by |vocab|, not corpus size. Pairs are 2-char
+    * substrings (`Column.substr` over a position sequence — no char
+    * arrays, no UDF), so the whole plan stays in codegen except the
+    * vocab-sized HOF projection.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .select(explode(filter(split(lower(col(textCol)), "\\W+"),
+                             w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("f"),
+              explode(transform(sequence(lit(1), length(col("w")) - 1),
+                                i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** BPE merge induction (q95): adjacent char-pair counts weighted by
+  * word frequency, computed on the distinct-word vocabulary.
+  */
+class BpeMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side twin: tokenize on \W+, count words, then every 2-char
+    * window of every distinct word weighted by its frequency.
+    */
+  private def ref(texts: Seq[String]): Map[String, Long] = {
+    val words = texts.flatMap(_.toLowerCase.split("\\W+")).filter(_.nonEmpty)
+    val vocab = words.groupBy(identity).view.mapValues(_.size.toLong)
+    vocab.toSeq.flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+  }
+
+  test("pair counts match the driver twin exactly") {
+    val texts = Seq("the theme thesis", "banana bandana", "the banana's theme!")
+    val got = TextStats.bpePairCounts(texts.map(Tuple1(_)).toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === ref(texts))
+  }
+
+  test("counts weight by word frequency, not document count") {
+    // "zz" appears in one doc but the word repeats 3 times -> f=3
+    val got = TextStats.bpePairCounts(
+        Seq(Tuple1("zz zz zz")).toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("zz" -> 3L))
+  }
+
+  test("single-char words contribute no pairs; case folds") {
+    val got = TextStats.bpePairCounts(
+        Seq(Tuple1("a B a AB")).toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("ab" -> 1L))
+  }
+
+  test("plan: two map-side-combined aggregates, no UDF, no join") {
+    val df = Seq(Tuple1("some words for the plan test")).toDF("text")
+    val plan = TextStats.bpePairCounts(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+           s"both aggregates must combine map-side:\n$plan")
+    assert(!plan.contains("UDF("), s"must be UDF-free:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs here:\n$plan")
+  }
+}
