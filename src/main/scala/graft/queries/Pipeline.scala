@@ -1006,6 +1006,14 @@ object Pipeline {
         .limit(20)
     }),
 
+    // CURATION FUNNEL: the pre-training attrition report — total →
+    // quality gate (q26) → +repetition gate (q69) → exact-dedup
+    // keepers (q22's digests), all four counts in ONE aggregate.
+    "q96_curation_funnel" -> ((s, dir) => {
+      Curation.curationFunnel(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("stage"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1411,6 +1419,61 @@ object Pipeline {
           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
           FROM pairs GROUP BY pair
           ORDER BY cnt DESC, pair ASC LIMIT 20""",
+
+    // q26's quality predicate + q69's repetition predicate + q22's
+    // digests, folded to one aggregate and unpivoted to stage rows.
+    "q96_curation_funnel" ->
+      s"""WITH qual AS (
+            SELECT doc_id, md5(text) AS h,
+                   (len($Toks) >= 5 AND length(text) >= 20 AND
+                    len(list_filter($Toks,
+                      w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                         lower(w)))) * 100 >= len($Toks) * 2)
+                     AS quality_ok
+            FROM documents),
+          ln AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+          lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY doc_id, line),
+          lagg AS (
+            SELECT doc_id, sum(c) AS n_lines,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_lines
+            FROM lc GROUP BY doc_id),
+          tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents),
+          bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM tk)),
+          bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+          bagg AS (
+            SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+            FROM bc GROUP BY doc_id),
+          rep AS (
+            SELECT d.doc_id,
+                   ((coalesce(l.n_lines, 0) = 0 OR
+                     coalesce(l.n_dup_lines, 0) * 10 <= coalesce(l.n_lines, 0) * 3) AND
+                    (coalesce(b.n_bigrams, 0) = 0 OR
+                     coalesce(b.top_bigram_count, 0) * 10 <= coalesce(b.n_bigrams, 0) * 2))
+                     AS rep_ok
+            FROM documents d
+            LEFT JOIN lagg l USING (doc_id)
+            LEFT JOIN bagg b USING (doc_id)),
+          flags AS (
+            SELECT q.doc_id, q.h, q.quality_ok, (q.quality_ok AND r.rep_ok) AS s2
+            FROM qual q JOIN rep r USING (doc_id)),
+          agg AS (
+            SELECT count(*) AS n0,
+                   sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+                   count(DISTINCT CASE WHEN s2 THEN h END) AS n3
+            FROM flags)
+          SELECT stage, CAST(n AS BIGINT) AS n_docs FROM (
+            SELECT '0_total' AS stage, n0 AS n FROM agg
+            UNION ALL SELECT '1_quality', n1 FROM agg
+            UNION ALL SELECT '2_repetition', n2 FROM agg
+            UNION ALL SELECT '3_dedup_keeper', n3 FROM agg)
+          ORDER BY stage""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

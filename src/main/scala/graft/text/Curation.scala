@@ -105,4 +105,32 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** CURATION FUNNEL — the per-stage attrition report a pipeline
+    * prints before training: total docs → quality gate
+    * ([[TextStats.qualitySignals]]) → +repetition gate
+    * ([[TextStats.repetitionSignals]]) → exact-dedup keepers (distinct
+    * text digests among the survivors). All four counts reduce in ONE
+    * aggregate over the per-doc flag table (keeper count =
+    * count_distinct of survivor digests — no window, no second pass),
+    * then unpivot to (stage, n_docs) rows; the gates' own plans are
+    * reused unchanged, so the funnel inherits their scale posture.
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val qual = TextStats.qualitySignals(df, textCol)
+      .select(col(idCol), md5(col(textCol)).as("__h"), col("quality_ok"))
+    val rep = TextStats.repetitionSignals(df, idCol, textCol)
+      .select(col(idCol), col("rep_ok"))
+    qual.join(rep, Seq(idCol))
+      .withColumn("__s2", col("quality_ok") && col("rep_ok"))
+      .agg(count(lit(1)).as("n0"),
+           sum(col("quality_ok").cast("long")).as("n1"),
+           sum(col("__s2").cast("long")).as("n2"),
+           count_distinct(when(col("__s2"), col("__h"))).as("n3"))
+      .select(explode(map(
+        lit("0_total"), col("n0"),
+        lit("1_quality"), col("n1"),
+        lit("2_repetition"), col("n2"),
+        lit("3_dedup_keeper"), col("n3"))).as(Seq("stage", "n_docs")))
+  }
 }
