@@ -551,6 +551,44 @@ object Dedup {
       .filter(col("n_hits") > 0)
   }
 
+  /** SOURCE OVERLAP MATRIX — which sources carry near-identical
+    * content: for every source pair, the number of distinct df-capped
+    * shingle hashes both carry. The mixture diagnostic a curation run
+    * reads before setting per-source weights (two crawls of the same
+    * site, a mirror, a re-hosted dump).
+    *
+    * Scale shape: per-doc DISTINCT shingles (one explode), a
+    * df-capped hash set (2..dfCap distinct docs — drops unshared
+    * hashes AND stop-phrases before any pairing, the
+    * [[ngramJaccardPairs]] guard), then the pair expansion runs on the
+    * DISTINCT (source, hash) table — groups per hash are bounded by
+    * the source count, never the corpus, so the self-join on the hash
+    * is one linear shuffle.
+    */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String, idCol: String,
+                          textCol: String, shingleK: Int = 3,
+                          dfCap: Int = 100): DataFrame = {
+    val f = df
+      .select(col(groupCol), col(idCol),
+              TextStats.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(groupCol), col(idCol),
+              shinglesOf(col("__toks"), shingleK).as("__sh"))
+      .select(col(groupCol), col(idCol),
+              explode(array_distinct(
+                transform(col("__sh"), g => substring(md5(g), 1, 8)))).as("h"))
+    val capped = f.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("h"))
+    val sf = f.join(capped, Seq("h"), "left_semi")
+      .select(col(groupCol), col("h")).distinct()
+    sf.toDF("source_a", "h")
+      .join(sf.toDF("source_b", "h"), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Deterministic hash split/sample bucket in [0, buckets): the first
     * 8 md5 hex digits of the id as an integer, mod `buckets`.
     * Reproducible across runs, engines, and cluster sizes — the

@@ -1014,6 +1014,15 @@ object Pipeline {
         .orderBy(col("stage"))
     }),
 
+    // SOURCE OVERLAP MATRIX: distinct df-capped shingle hashes shared
+    // per source pair — the mixture-contamination diagnostic. Pair
+    // expansion bounded by source count per hash, never corpus size.
+    "q97_source_overlap" -> ((s, dir) => {
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"), "source",
+                                "doc_id", "text", dfCap = 100)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1474,6 +1483,33 @@ object Pipeline {
             UNION ALL SELECT '2_repetition', n2 FROM agg
             UNION ALL SELECT '3_dedup_keeper', n3 FROM agg)
           ORDER BY stage""",
+
+    // q83's shingle hashing, per-doc distinct; the df-cap counts
+    // DISTINCT docs (2..100); pairs expand on the distinct
+    // (source, hash) table.
+    "q97_source_overlap" ->
+      """WITH toks AS (
+            SELECT source, doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT source, doc_id,
+                   list_distinct(list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8))) AS h
+            FROM toks),
+          f AS (SELECT source, doc_id, unnest(h) AS h FROM hs),
+          capped AS (
+            SELECT h FROM f GROUP BY h
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 100),
+          sf AS (
+            SELECT DISTINCT source, h FROM f
+            WHERE h IN (SELECT h FROM capped))
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM sf a JOIN sf b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql
