@@ -358,4 +358,33 @@ object Chunkers {
       .when(strategy === Strategy.Sentence, "sentence_chunk")
       .when(strategy === Strategy.FixedWidth, "fixed_chunk")
       .otherwise("full_document")
+
+  /** SLIDING-WINDOW chunker — overlapping fixed windows (stride ≤
+    * width), the retrieval-context shape the non-overlapping
+    * fixed-width strategy can't express: window i covers
+    * `[i·stride+1, i·stride+width]`, so consecutive chunks share
+    * `width − stride` characters of context. Pure substring
+    * arithmetic like C7's native form (`sequence` + `Column.substr`
+    * — whole-stage codegen, no UDF, no shuffle). The last window
+    * starts at the smallest stride multiple whose window reaches the
+    * text end (its content truncates there); empty/null text yields
+    * no rows.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    width: Int = 100, stride: Int = 60): DataFrame = {
+    require(stride > 0 && stride <= width, "need 0 < stride <= width")
+    docs
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .filter(col("__len") > 0)
+      // n−1 = ceil(max(len−width, 0) / stride), in integer algebra
+      .withColumn("__last",
+        expr(s"CAST((greatest(__len - $width, 0) + ${stride - 1}) div $stride AS INT)"))
+      .select(col(idCol), col("__t"),
+              posexplode(sequence(lit(0), col("__last"))).as(Seq("__p", "__i")))
+      .select(col(idCol),
+              (col("__i") + 1).cast("long").as("chunk_number"),
+              (col("__i") * stride + 1).cast("long").as("start_pos"),
+              col("__t").substr(col("__i") * stride + 1, lit(width)).as("content"))
+  }
 }

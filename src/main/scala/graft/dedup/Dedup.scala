@@ -589,6 +589,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** DUPLICATE N-GRAM FRACTION — the Gopher-family per-doc score for
+    * cross-document duplication: the share of a doc's shingle
+    * OCCURRENCES whose hash is carried by ≥2 distinct documents.
+    * Within-doc repetition alone does not count (that is
+    * [[graft.text.TextStats.repetitionSignals]]' job); this is the
+    * "how much of this doc exists elsewhere" filter signal,
+    * thresholded before training.
+    *
+    * Scale shape: one explode to shingle occurrences, the distinct-doc
+    * df table (map-side-combined countDistinct), ONE linear equi-join
+    * back, one per-doc aggregate — same cost class as the span
+    * decontamination scan, nothing quadratic. The percentage is exact
+    * integer algebra (`div`), bit-reproducible everywhere.
+    */
+  def duplicateShingleFraction(df: DataFrame, idCol: String, textCol: String,
+                               shingleK: Int = 3): DataFrame = {
+    val pos = shingleHashes(df, idCol, textCol, shingleK)
+      .select(col(idCol), explode(col("hs")).as("h"))
+    val shared = pos.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("docs"))
+      .filter(col("docs") >= 2)
+      .select(col("h"), lit(1L).as("__dup"))
+    pos.join(shared, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_pct", expr("(100 * n_dup) div n_shingles"))
+  }
+
   /** Deterministic hash split/sample bucket in [0, buckets): the first
     * 8 md5 hex digits of the id as an integer, mod `buckets`.
     * Reproducible across runs, engines, and cluster sizes — the

@@ -1023,6 +1023,22 @@ object Pipeline {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // DUPLICATE N-GRAM FRACTION: per-doc share of shingle occurrences
+    // carried by >=2 distinct docs — the Gopher-family cross-doc
+    // duplication filter signal, exact integer percentage.
+    "q98_dup_ngram_fraction" -> ((s, dir) => {
+      Dedup.duplicateShingleFraction(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SLIDING-WINDOW chunker: overlapping 100-char windows at stride
+    // 60 — consecutive chunks share 40 chars of retrieval context;
+    // codegen-native substring arithmetic, no UDF, no shuffle.
+    "q99_sliding_chunks" -> ((s, dir) => {
+      Chunkers.slidingChunks(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1510,6 +1526,45 @@ object Pipeline {
                  CAST(count(*) AS BIGINT) AS n_shared
           FROM sf a JOIN sf b ON a.h = b.h AND a.source < b.source
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // shingle OCCURRENCES (not per-doc distinct); df counts DISTINCT
+    // carrying docs; integer percentage via //.
+    "q98_dup_ngram_fraction" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT doc_id,
+                   list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks),
+          f AS (SELECT doc_id, unnest(h) AS h FROM hs),
+          shared AS (
+            SELECT h FROM f GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          agg AS (
+            SELECT f.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+            FROM f LEFT JOIN shared s ON s.h = f.h
+            GROUP BY f.doc_id)
+          SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                 CAST(n_dup AS BIGINT) AS n_dup,
+                 CAST((100 * n_dup) // n_shingles AS BIGINT) AS dup_pct
+          FROM agg ORDER BY doc_id""",
+
+    // the same window arithmetic: start_i = i*60 + 1, last i =
+    // ceil(max(len-100, 0)/60), substr truncates at the end.
+    "q99_sliding_chunks" ->
+      """SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_number,
+                CAST(i*60 + 1 AS BIGINT) AS start_pos,
+                substr(text, i*60 + 1, 100) AS content
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0,
+                        CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
+               FROM documents WHERE length(text) > 0)
+         ORDER BY doc_id, chunk_number""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql
