@@ -1039,6 +1039,22 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // kNN LABEL VOTE: majority label among the 5 nearest other
+    // vectors (exact integer dots, ties to the smallest label) vs the
+    // held-out vector's own label — the embedding-space quality probe.
+    "q100_knn_label_vote" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), Ann.intVec(col("embedding")).as("qv"),
+                col("label").cast("long").as("true_label"))
+      Ann.knnLabelVote(e, "vec_id", "embedding", "label",
+                       queries.select(col("qid"), col("qv")), "qid", "qv", k = 5)
+        .join(queries.select(col("qid").as("query_id"), col("true_label")),
+              Seq("query_id"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy(col("query_id"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -1565,6 +1581,39 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // q54's exact integer dots with the self row excluded; votes over
+    // rnk<=5; argmax (votes desc, label asc).
+    "q100_knn_label_vote" ->
+      """WITH iv AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label, v AS qv
+                FROM iv WHERE vec_id % 97 = 0),
+          scored AS (
+            SELECT q.query_id, iv.vec_id, CAST(iv.label AS BIGINT) AS nl,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot
+            FROM iv CROSS JOIN q
+            WHERE iv.vec_id <> q.query_id),
+          r AS (SELECT query_id, nl,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, vec_id) AS rnk
+                FROM scored),
+          votes AS (
+            SELECT query_id, nl, count(*) AS votes
+            FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+          pick AS (
+            SELECT query_id, nl AS pred_label, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, nl) AS pr
+            FROM votes)
+          SELECT p.query_id, p.pred_label, CAST(p.votes AS BIGINT) AS votes,
+                 qq.true_label, (p.pred_label = qq.true_label) AS correct
+          FROM pick p JOIN q qq USING (query_id)
+          WHERE p.pr = 1 ORDER BY p.query_id""",
 
     "q60_dedup_keep_one" ->
       s"""WITH RECURSIVE $ccLabelsSql

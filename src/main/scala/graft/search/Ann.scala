@@ -78,6 +78,42 @@ object Ann {
       .select(col("query_id"), col("rnk"), col(idCol), col("dot"))
   }
 
+  /** kNN LABEL VOTE — majority-label classification over the exact
+    * integer dot-product ranking: each query's k nearest OTHER
+    * vectors (the [[intDotTopKBatch]] total order (dot desc, id),
+    * self excluded) vote with their labels; vote ties break to the
+    * smallest label, so the prediction is deterministic everywhere.
+    * The label-propagation / embedding-space-quality probe of a
+    * curation pipeline (does a held-out vector's neighborhood agree
+    * with its label?).
+    *
+    * Scale shape: the query side broadcasts (as in batch kNN), the
+    * corpus is scanned once; k+1 covers the self hit, the re-rank
+    * and vote windows run on (|queries|·k)-sized state only.
+    */
+  def knnLabelVote(corpus: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queries: DataFrame, queryIdCol: String,
+                   queryVecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = intDotTopKBatch(corpus, idCol, vecCol,
+                             queries, queryIdCol, queryVecCol, k + 1)
+      .filter(col(idCol) =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol))
+    val top = nn.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    val votes = top.select(col("query_id"), col(idCol))
+      .join(corpus.select(col(idCol), col(labelCol).cast("long").as("__nl")),
+            Seq(idCol))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__nl"))
+    votes.withColumn("__rv", row_number().over(wv))
+      .filter(col("__rv") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.
