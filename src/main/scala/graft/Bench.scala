@@ -81,7 +81,8 @@ object Bench {
     // the subtotals so the comparable set compares directly.
     def subtotal(p: String => Boolean) =
       results.collect { case (k, v) if p(k) => v }.sum
-    val rel = subtotal(k => k.take(3) >= "q01" && k.take(3) <= "q20")
+    // exact q01..q20 match — a prefix compare would misfile q100+
+    val rel = subtotal(k => k.matches("^q(0[1-9]|1[0-9]|20)_.*"))
     val ext = total - rel
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
