@@ -568,6 +568,11 @@ object Dedup {
   def sourceOverlapMatrix(df: DataFrame, groupCol: String, idCol: String,
                           textCol: String, shingleK: Int = 3,
                           dfCap: Int = 100): DataFrame = {
+    // hashes materialize ONCE (localCheckpoint, the q24 signature
+    // pattern): the df-cap aggregate and the pair probe both read this
+    // table, and without the checkpoint the whole tokenize+shingle+md5
+    // pass runs twice. At production scale this is "write the shingle
+    // table, then cap and pair it".
     val f = df
       .select(col(groupCol), col(idCol),
               TextStats.tokens(lower(col(textCol))).as("__toks"))
@@ -576,6 +581,7 @@ object Dedup {
       .select(col(groupCol), col(idCol),
               explode(array_distinct(
                 transform(col("__sh"), g => substring(md5(g), 1, 8)))).as("h"))
+      .localCheckpoint()
     val capped = f.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
