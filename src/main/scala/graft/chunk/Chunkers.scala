@@ -387,4 +387,49 @@ object Chunkers {
               (col("__i") * stride + 1).cast("long").as("start_pos"),
               col("__t").substr(col("__i") * stride + 1, lit(width)).as("content"))
   }
+
+  /** CONTENT-DEFINED chunking (CDC, rsync/LBFS family) — cut after
+    * every position whose trailing `window`-char content hashes to
+    * 0 mod `divisor` (first 32 md5 bits), plus the text end. Because
+    * cuts depend on CONTENT, not offsets, an insertion only rewrites
+    * chunks up to the first surviving cut — every later chunk is
+    * byte-identical, which is what makes CDC the storage/transfer
+    * dedup chunker where fixed-width invalidates everything after an
+    * edit. Expected chunk length ≈ `divisor` chars; this is the
+    * unconstrained form (no min/max bound — a bound makes the cut set
+    * state-dependent and needs a sequential scan).
+    *
+    * Pure array algebra: candidate cuts via `filter(sequence(...))`,
+    * chunk spans via an index-aware `transform` over the cut array —
+    * no window function, no shuffle, no UDF; the per-position window
+    * hash is the only non-codegen piece (interpreted HOF lambda, the
+    * same class as shingle hashing).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, divisor: Int = 64): DataFrame = {
+    require(window > 0 && divisor > 0, "need positive window and divisor")
+    docs
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .withColumn("__len", length(col("__t")))
+      .filter(col("__len") > 0)
+      // ascending even when len < window; the i <= len guard empties it
+      .withColumn("__cuts",
+        filter(sequence(lit(window), greatest(col("__len"), lit(window))),
+          i => i <= col("__len") &&
+            conv(substring(md5(col("__t").substr(i - (window - 1), lit(window))),
+                           1, 8), 16, 10).cast("long") % divisor === 0))
+      .withColumn("__bnds", array_union(col("__cuts"), array(col("__len"))))
+      .withColumn("__chunks",
+        transform(col("__bnds"), (end, k) => struct(
+          when(k === 0, lit(1))
+            .otherwise(element_at(col("__bnds"), k) + 1).as("s"),
+          end.as("e"))))
+      .select(col(idCol), col("__t"),
+              posexplode(col("__chunks")).as(Seq("__p", "__c")))
+      .select(col(idCol),
+              (col("__p") + 1).cast("long").as("chunk_number"),
+              col("__c.s").cast("long").as("start_pos"),
+              col("__t").substr(col("__c.s"), col("__c.e") - col("__c.s") + 1)
+                .as("content"))
+  }
 }

@@ -1039,6 +1039,15 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // CONTENT-DEFINED chunking: rolling 16-char-window md5 cuts mod
+    // 64 — edits only rewrite chunks up to the first surviving cut,
+    // the storage-dedup property fixed-width lacks. Pure array
+    // algebra, zero shuffles.
+    "q101_cdc_chunks" -> ((s, dir) => {
+      Chunkers.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
     // kNN LABEL VOTE: majority label among the 5 nearest other
     // vectors (exact integer dots, ties to the smallest label) vs the
     // held-out vector's own label — the embedding-space quality probe.
@@ -1581,6 +1590,36 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the same cut algebra: trailing-16-window md5 mod 64, the text
+    // end appended, spans from consecutive boundaries.
+    "q101_cdc_chunks" ->
+      """WITH base AS (
+            SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          cuts AS (
+            SELECT doc_id, text, len,
+                   list_append(
+                     list_filter(generate_series(16, greatest(len, 16)),
+                       i -> i <= len AND
+                            CAST('0x' || substr(md5(substr(text, i - 15, 16)), 1, 8)
+                                 AS BIGINT) % 64 = 0),
+                     len) AS b0
+            FROM base),
+          bnds AS (
+            SELECT doc_id, text, list_sort(list_distinct(b0)) AS bnds FROM cuts),
+          ch AS (
+            SELECT doc_id, text, bnds, unnest(generate_series(1, len(bnds))) AS k
+            FROM bnds),
+          rows_ AS (
+            SELECT doc_id, k,
+                   CASE WHEN k = 1 THEN 1 ELSE bnds[k-1] + 1 END AS s,
+                   bnds[k] AS e, text
+            FROM ch)
+          SELECT doc_id, CAST(k AS BIGINT) AS chunk_number,
+                 CAST(s AS BIGINT) AS start_pos,
+                 substr(text, s, e - s + 1) AS content
+          FROM rows_ ORDER BY doc_id, chunk_number""",
 
     // q54's exact integer dots with the self row excluded; votes over
     // rnk<=5; argmax (votes desc, label asc).
