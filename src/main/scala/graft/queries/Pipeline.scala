@@ -1039,6 +1039,14 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // VOCABULARY COVERAGE CURVE: the vocab size covering 50/90/99% of
+    // token occurrences — via the frequency-of-frequencies histogram
+    // (tiny), never a global vocab sort. Exact integer boundary math.
+    "q102_vocab_coverage" -> ((s, dir) => {
+      graft.text.Profile.vocabCoverage(t(s, dir, "documents"), "text")
+        .orderBy(col("threshold"))
+    }),
+
     // CONTENT-DEFINED chunking: rolling 16-char-window md5 cuts mod
     // 64 — edits only rewrite chunks up to the first surviving cut,
     // the storage-dedup property fixed-width lacks. Pure array
@@ -1590,6 +1598,41 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the same histogram algebra: cumulative token mass over f desc,
+    // boundary group found per threshold, exact partial intake.
+    "q102_vocab_coverage" ->
+      """WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+          hist AS (SELECT f, count(*) AS m FROM vocab GROUP BY f),
+          cum AS (
+            SELECT f, m,
+                   sum(m) OVER (ORDER BY f DESC) AS cumTok,
+                   sum(f*m) OVER (ORDER BY f DESC) AS cumMass,
+                   sum(f*m) OVER () AS total
+            FROM hist),
+          c2 AS (SELECT *, cumTok - m AS prevTok, cumMass - f*m AS prevMass
+                 FROM cum),
+          th AS (SELECT unnest([50, 90, 99]) AS threshold),
+          cand AS (
+            SELECT t.threshold, c.f, c.total, c.cumMass,
+                   c.prevTok + (t.threshold * c.total - 100*c.prevMass + 100*c.f - 1)
+                               // (100*c.f) AS k
+            FROM c2 c, th t
+            WHERE 100 * c.cumMass >= t.threshold * c.total),
+          pick AS (
+            SELECT threshold, k, f, total,
+                   row_number() OVER (PARTITION BY threshold
+                                      ORDER BY cumMass) AS rn
+            FROM cand)
+          SELECT CAST(threshold AS BIGINT) AS threshold,
+                 CAST(k AS BIGINT) AS vocab_size,
+                 CAST(f AS BIGINT) AS boundary_freq,
+                 CAST(total AS BIGINT) AS total_tokens
+          FROM pick WHERE rn = 1 ORDER BY threshold""",
 
     // the same cut algebra: trailing-16-window md5 mod 64, the text
     // end appended, spans from consecutive boundaries.

@@ -192,4 +192,49 @@ object Profile {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /** VOCABULARY COVERAGE CURVE — "how many vocabulary entries cover
+    * t% of all token occurrences", the report a tokenizer-budget
+    * decision reads. Ranking tokens by frequency and cumulating would
+    * need a GLOBAL vocab sort (billions of uniques at 100 TB); the
+    * curve only needs the FREQUENCY-OF-FREQUENCIES histogram —
+    * tokens with equal frequency are interchangeable in the ranking,
+    * so: corpus → vocab (one map-side-combined aggregate) → histogram
+    * (f, m tokens each; thousands of rows under any Zipf-ish law) →
+    * one tiny single-partition cumulative window. vocab_size_t =
+    * full groups above the boundary frequency + the exact partial
+    * intake of the boundary group, all in integer algebra:
+    * ⌈(t·T − 100·prevMass) / (100·f)⌉ tokens of the boundary f.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    thresholds: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df
+      .select(explode(filter(split(lower(col(textCol)), "\\W+"),
+                             t => t =!= "")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+    val hist = vocab.groupBy(col("f")).agg(count(lit(1)).as("m"))
+    // histogram-sized (distinct frequency values) — the single
+    // partition is deliberate and bounded
+    val byF = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cumTok", sum(col("m")).over(byF))
+      .withColumn("cumMass", sum(col("f") * col("m")).over(byF))
+      .withColumn("total", sum(col("f") * col("m")).over(all))
+      .withColumn("prevTok", col("cumTok") - col("m"))
+      .withColumn("prevMass", col("cumMass") - col("f") * col("m"))
+    cum
+      .select(col("*"), explode(typedLit(thresholds)).as("threshold"))
+      .filter(lit(100) * col("cumMass") >= col("threshold") * col("total"))
+      .withColumn("__k",
+        col("prevTok") + expr(
+          "(threshold * total - 100 * prevMass + 100 * f - 1) div (100 * f)"))
+      .groupBy(col("threshold").cast("long").as("threshold"))
+      .agg(min_by(col("__k"), col("cumMass")).as("vocab_size"),
+           min_by(col("f"), col("cumMass")).cast("long").as("boundary_freq"),
+           max(col("total")).as("total_tokens"))
+  }
 }
