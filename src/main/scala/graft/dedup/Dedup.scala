@@ -439,6 +439,51 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
   }
 
+  /** APPLY the span-level decontamination cut list —
+    * [[contaminationSpans]] says WHERE the leaks are; this rebuilds
+    * each test doc with those token spans removed, emitting the
+    * canonical cleaned form (lowercased tokens re-joined by single
+    * spaces — the same normalization the hashes were computed over)
+    * as a digest plus kept/removed counts. A fully-contaminated doc
+    * keeps 0 tokens and a NULL digest.
+    *
+    * Plan shape: the span table is (test-doc × few-spans)-sized; the
+    * token stream anti-joins it on (doc equi + pos range) — the equi
+    * key keeps it a hash/sort join with a range post-filter, never a
+    * cartesian — then ONE per-doc aggregate rebuilds order via
+    * array_sort of (pos, token) structs: no window.
+    */
+  def applyContaminationCuts(df: DataFrame, idCol: String, textCol: String,
+                             splitCol: Column, shingleK: Int = 3,
+                             dfCap: Int = 100,
+                             testSplit: String = "test",
+                             trainSplit: String = "train"): DataFrame = {
+    val spans = contaminationSpans(df, idCol, textCol, splitCol, shingleK,
+                                   dfCap, testSplit, trainSplit)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol), col(textCol), splitCol.as("split"))
+      .filter(col("split") === testSplit)
+      .select(col(idCol),
+              posexplode(TextStats.tokens(lower(col(textCol))))
+                .as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("__tok"))
+    val kept = toks.join(spans,
+        col(idCol) === col("__sid") &&
+          col("pos").between(col("span_start"), col("span_end")),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+           md5(array_join(
+             transform(array_sort(collect_list(struct(col("pos"), col("__tok")))),
+                       s => s.getField("__tok")), " ")).as("clean_md5"))
+    toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+              coalesce(col("__nk"), lit(0L)).as("n_kept"),
+              (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+              col("clean_md5"))
+  }
+
   /** Per-doc array of 8-hex shingle hashes — tokens materialized in
     * their own projection first (see [[shinglesOf]]'s quadratic-
     * inlining note); shared by the exact span scan and the Bloom

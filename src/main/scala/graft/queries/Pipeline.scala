@@ -1039,6 +1039,15 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // DECONTAMINATION APPLIED: rebuild each test doc with q83's leaked
+    // token spans cut out — kept/removed counts + the digest of the
+    // canonical cleaned form (fully-cut docs keep a NULL digest).
+    "q103_decontaminate_apply" -> ((s, dir) => {
+      Dedup.applyContaminationCuts(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.splitAssign(col("doc_id")), dfCap = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // VOCABULARY COVERAGE CURVE: the vocab size covering 50/90/99% of
     // token occurrences — via the frequency-of-frequencies histogram
     // (tiny), never a global vocab sort. Exact integer boundary math.
@@ -1598,6 +1607,80 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // q83's span CTEs verbatim, then the token stream anti-joined on
+    // (doc, pos-in-span) and rebuilt in pos order (string_agg ORDER
+    // BY); fully-cut docs keep NULL digests via the left join.
+    "q103_decontaminate_apply" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+                  FROM documents)),
+          hs AS (
+            SELECT t.doc_id, s.split,
+                   list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks t JOIN sp s USING (doc_id)),
+          tr AS (
+            SELECT h FROM (
+              SELECT doc_id, unnest(list_distinct(h)) AS h
+              FROM hs WHERE split = 'train')
+            GROUP BY h HAVING count(*) <= 100),
+          tpos AS (
+            SELECT doc_id, i AS pos, h[i] AS h
+            FROM (SELECT doc_id, h, unnest(generate_series(1, len(h))) AS i
+                  FROM hs WHERE split = 'test')),
+          m AS (
+            SELECT DISTINCT doc_id, pos, pos + 2 AS e
+            FROM tpos WHERE h IN (SELECT h FROM tr)),
+          isl AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM m),
+          isl2 AS (
+            SELECT doc_id, pos, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl),
+          spans AS (
+            SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM isl2 GROUP BY doc_id, island),
+          tt AS (
+            SELECT t.doc_id, t.tk FROM toks t JOIN sp s USING (doc_id)
+            WHERE s.split = 'test'),
+          tp AS (
+            SELECT doc_id, i AS pos, tk[i] AS tok
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+                  FROM tt)),
+          kept AS (
+            SELECT p.doc_id, p.pos, p.tok FROM tp p
+            WHERE NOT EXISTS (SELECT 1 FROM spans s
+                              WHERE s.doc_id = p.doc_id
+                                AND p.pos BETWEEN s.s AND s.e)),
+          keptagg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id),
+          orig AS (SELECT doc_id, count(*) AS n_tokens FROM tp GROUP BY doc_id)
+          SELECT o.doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+                 CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(o.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+                 k.clean_md5
+          FROM orig o LEFT JOIN keptagg k USING (doc_id)
+          ORDER BY o.doc_id""",
 
     // the same histogram algebra: cumulative token mass over f desc,
     // boundary group found per threshold, exact partial intake.

@@ -88,6 +88,36 @@ class DecontaminationSpec extends SparkSpec {
            "hashes carried by more than dfCap train docs must be dropped")
   }
 
+  // ---- applying the cut list (q103) ----
+
+  test("applyContaminationCuts: leaked spans removed, clean docs untouched") {
+    val trainText = "alpha beta gamma delta"
+    // test doc te1: tokens 1-2 unique, 3-6 leaked (span [3,6]), 7 unique
+    val docs = Seq(("tr1", trainText, "train"),
+                   ("te1", s"uniq1 uniq2 $trainText uniq3", "test"),
+                   ("te2", "a clean doc with no overlap at all", "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.applyContaminationCuts(docs, "doc_id", "text", col("split"))
+      .orderBy("doc_id")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      ("te1", 7L, 3L, 4L, md5("uniq1 uniq2 uniq3")),
+      ("te2", 8L, 8L, 0L, md5("a clean doc with no overlap at all"))),
+      s"got $got")
+  }
+
+  test("applyContaminationCuts: a fully-contaminated doc keeps nothing") {
+    val text = "one two three four five six"
+    val docs = Seq(("tr1", s"prefix $text suffix tokens here", "train"),
+                   ("te1", text, "test")).toDF("doc_id", "text", "split")
+    val got = Dedup.applyContaminationCuts(docs, "doc_id", "text", col("split"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), Option(r.getString(4))))
+    assert(got.toSeq == Seq(("te1", 6L, 0L, 6L, None)), s"got ${got.toSeq}")
+  }
+
   // ---- Bloom prefilter (q94) ----
 
   test("bloom: no false negatives, absent-probe FPR bounded") {
