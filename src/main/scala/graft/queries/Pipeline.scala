@@ -37,6 +37,39 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** ORDERED CONVERSION FUNNEL over an event stream: per user, the
+    * first view, the first click strictly after it, the first
+    * purchase strictly after that — the stage counts an analytics
+    * pipeline reads as "conversion". ONE shuffle (the user
+    * partition): the three stage times STACK as window aggregates
+    * over the same partitioning — each later stage's conditional min
+    * reads the earlier stage's column, so no self-joins and no extra
+    * exchanges; the final 3-row report is one tiny aggregate.
+    */
+  def eventFunnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"),
+                 col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+                 col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+           max(col("tp")).as("tp"))
+      .agg(count(col("tv")).as("n1"), count(col("tc")).as("n2"),
+           count(col("tp")).as("n3"))
+      .select(explode(map(
+        lit("1_view"), col("n1"),
+        lit("2_click"), col("n2"),
+        lit("3_purchase"), col("n3"))).as(Seq("stage", "n_users")))
+  }
+
   /** q36's persisted vector intermediate, keyed by (a) a hash of this
     * checkout's canonical path — two concurrent verify runs from
     * different checkouts on one box must not overwrite each other's
@@ -1039,6 +1072,16 @@ object Pipeline {
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
 
+    // ORDERED EVENT FUNNEL: view -> click-after-view ->
+    // purchase-after-click, strict event-time order per user. ONE
+    // shuffle (user partition); the three stage times stack as window
+    // aggregates over the same partitioning — each later stage reads
+    // the earlier column, no self-joins; the oracle uses the
+    // join-based formulation instead.
+    "q104_event_funnel" -> ((s, dir) => {
+      eventFunnel(t(s, dir, "events")).orderBy(col("stage"))
+    }),
+
     // DECONTAMINATION APPLIED: rebuild each test doc with q83's leaked
     // token spans cut out — kept/removed counts + the digest of the
     // canonical cleaned form (fully-cut docs keep a NULL digest).
@@ -1607,6 +1650,26 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the JOIN-based funnel formulation (vs the Spark window stack):
+    // each stage's min ts strictly after the previous stage's.
+    "q104_event_funnel" ->
+      """WITH v AS (
+            SELECT user_id, min(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          c AS (
+            SELECT e.user_id, min(e.ts) AS tc
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+          p AS (
+            SELECT e.user_id, min(e.ts) AS tp
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+          SELECT stage, CAST(n AS BIGINT) AS n_users FROM (
+            SELECT '1_view' AS stage, count(*) AS n FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p)
+          ORDER BY stage""",
 
     // q83's span CTEs verbatim, then the token stream anti-joined on
     // (doc, pos-in-span) and rebuilt in pos order (string_agg ORDER
