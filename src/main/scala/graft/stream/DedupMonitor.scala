@@ -1,0 +1,41 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Live DUPLICATE-RATE monitoring over a stream — the ingest-health
+  * dashboard feed: per event-time window, how many records arrived and
+  * how many were first-seen (the gap is the duplicate mass). Batch
+  * dedup answers this after the fact; an operator feeding an alert
+  * needs it per window, while the stream runs.
+  */
+object DedupMonitor {
+
+  /** Two streaming frames over one watermarked source:
+    *   - `totals`: arrivals per tumbling window,
+    *   - `uniques`: first-seen-only arrivals per window — the stream
+    *     is deduplicated on `keyCol` BEFORE the windowed count, the
+    *     classic dedup→window chain (dedup emits exactly the first
+    *     occurrence immediately, so the downstream count is an
+    *     ordinary append-mode window aggregate).
+    * duplicate mass in a window = totals − uniques; both finalize at
+    * the same watermark. State: the dedup key set is bounded by the
+    * watermark (late re-sends beyond it age out, the standard
+    * trade-off), window state by the window × watermark horizon.
+    */
+  def windowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                   windowLen: String = "15 minutes",
+                   watermark: String = "10 minutes"): (DataFrame, DataFrame) = {
+    val wm = events.withWatermark(tsCol, watermark)
+    val totals = wm
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_total"))
+      .select(col("window.start").as("window_start"), col("n_total"))
+    val uniques = wm
+      .dropDuplicates(keyCol)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(col("window.start").as("window_start"), col("n_unique"))
+    (totals, uniques)
+  }
+}

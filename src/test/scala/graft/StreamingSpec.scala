@@ -291,4 +291,38 @@ class StreamingSpec extends SparkSpec {
     assert(st.error_message.isEmpty)
     assert(st.n_transitions == 2)
   }
+
+  test("DedupMonitor: per-window totals vs first-seen counts expose the dup mass") {
+    import org.apache.spark.sql.functions._
+    import graft.stream.DedupMonitor
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val (totals, uniques) = DedupMonitor.windowCounts(
+      mem.toDS().toDF("ts", "content_key"), "ts", "content_key")
+    val qt = totals.writeStream.format("memory").queryName("mon_totals")
+      .outputMode(OutputMode.Append()).start()
+    val qu = uniques.writeStream.format("memory").queryName("mon_uniques")
+      .outputMode(OutputMode.Append()).start()
+    // window [10:00, 10:15): 4 arrivals, 2 distinct keys (a re-sent
+    // twice across batches, b once) -> dup mass 2
+    mem.addData((ts("2025-01-01 10:00:00"), "a"), (ts("2025-01-01 10:01:00"), "a"),
+                (ts("2025-01-01 10:02:00"), "b"))
+    qt.processAllAvailable(); qu.processAllAvailable()
+    mem.addData((ts("2025-01-01 10:03:00"), "a")) // later batch, same key
+    qt.processAllAvailable(); qu.processAllAvailable()
+    // advance the watermark far enough to finalize the window
+    mem.addData((ts("2025-01-01 11:00:00"), "z"))
+    qt.processAllAvailable(); qu.processAllAvailable()
+    mem.addData((ts("2025-01-01 11:30:00"), "z2"))
+    qt.processAllAvailable(); qu.processAllAvailable()
+    val tot = spark.table("mon_totals")
+      .select(col("window_start").cast("string"), col("n_total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uni = spark.table("mon_uniques")
+      .select(col("window_start").cast("string"), col("n_unique"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tot("2025-01-01 10:00:00") == 4L, tot.toString)
+    assert(uni("2025-01-01 10:00:00") == 2L, uni.toString)
+    qt.stop(); qu.stop()
+  }
 }
