@@ -37,6 +37,43 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** PEAK CONCURRENCY — the sweep-line answer to "how many sessions
+    * were active at once", per day: +1 at each interval start, −1 at
+    * each end (CLOSED intervals: starts order before ends at the same
+    * tick), running sum, max. The naive interval-overlap self-join is
+    * quadratic in a hot hour; the sweep is linear — and it
+    * distributes: partition the sweep by DAY, and feed each day the
+    * CARRY-IN (the net of all prior days' deltas, a day-count-sized
+    * running sum — tiny, broadcast back), so sessions crossing
+    * midnight stay counted. No global sort anywhere; within exact
+    * (ts, delta) ties the per-row partial sums are engine-dependent
+    * but the per-day max and its earliest timestamp are invariant.
+    * Input: `(start_us, end_us)` closed intervals in epoch µs.
+    */
+  def peakConcurrency(intervals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = intervals
+      .select(col("start_us").as("ts"), lit(1L).as("delta"))
+      .union(intervals.select(col("end_us").as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", expr("ts div 86400000000"))
+    val carry = bounds.groupBy(col("day")).agg(sum(col("delta")).as("__dd"))
+      // day-count-sized single-partition window — bounded, deliberate
+      .withColumn("carry",
+        coalesce(sum(col("__dd")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.join(broadcast(carry), Seq("day"))
+      .withColumn("run", col("carry") + sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(struct(col("run"), (-col("ts")).as("nts"))).as("__m"))
+      .select(col("day"), col("__m.run").as("peak"),
+              (-col("__m.nts")).as("peak_at_us"))
+  }
+
   /** ORDERED CONVERSION FUNNEL over an event stream: per user, the
     * first view, the first click strictly after it, the first
     * purchase strictly after that — the stage counts an analytics
@@ -1082,6 +1119,25 @@ object Pipeline {
       eventFunnel(t(s, dir, "events")).orderBy(col("stage"))
     }),
 
+    // PEAK CONCURRENCY: per day, the max number of simultaneously
+    // active q31 sessions and when it was first reached — a
+    // day-partitioned sweep line with carry-in, never the quadratic
+    // interval self-join.
+    "q105_peak_concurrency" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+             max(unix_micros(col("ts"))).as("end_us"))
+      peakConcurrency(sessions).orderBy(col("day"))
+    }),
+
     // DECONTAMINATION APPLIED: rebuild each test doc with q83's leaked
     // token spans cut out — kept/removed counts + the digest of the
     // canonical cleaned form (fully-cut docs keep a NULL digest).
@@ -1650,6 +1706,48 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // q31's session CTEs; the same day-partitioned sweep with
+    // carry-in; peak tie -> earliest ts via the join-back min.
+    "q105_peak_concurrency" ->
+      """WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+            FROM events),
+          flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM lagged),
+          sess AS (
+            SELECT user_id, event_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+            FROM flagged),
+          s2 AS (
+            SELECT user_id, session_no,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+            FROM sess GROUP BY 1, 2),
+          b AS (
+            SELECT start_us AS ts, 1 AS delta FROM s2
+            UNION ALL SELECT end_us, -1 FROM s2),
+          b2 AS (SELECT ts, delta, ts // 86400000000 AS day FROM b),
+          dc AS (SELECT day, sum(delta) AS dd FROM b2 GROUP BY day),
+          carry AS (
+            SELECT day,
+                   coalesce(sum(dd) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+            FROM dc),
+          runs AS (
+            SELECT b2.day, b2.ts,
+                   c.carry + sum(b2.delta) OVER (PARTITION BY b2.day
+                     ORDER BY b2.ts ASC, b2.delta DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM b2 JOIN carry c USING (day)),
+          pk AS (SELECT day, max(run) AS peak FROM runs GROUP BY day)
+          SELECT CAST(p.day AS BIGINT) AS day, CAST(p.peak AS BIGINT) AS peak,
+                 CAST(min(r.ts) AS BIGINT) AS peak_at_us
+          FROM pk p JOIN runs r ON r.day = p.day AND r.run = p.peak
+          GROUP BY 1, 2 ORDER BY day""",
 
     // the JOIN-based funnel formulation (vs the Spark window stack):
     // each stage's min ts strictly after the previous stage's.
