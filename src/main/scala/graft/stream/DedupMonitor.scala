@@ -19,9 +19,12 @@ object DedupMonitor {
     *     occurrence immediately, so the downstream count is an
     *     ordinary append-mode window aggregate).
     * duplicate mass in a window = totals − uniques; both finalize at
-    * the same watermark. State: the dedup key set is bounded by the
-    * watermark (late re-sends beyond it age out, the standard
-    * trade-off), window state by the window × watermark horizon.
+    * the same watermark. State: `dropDuplicatesWithinWatermark` —
+    * NOT plain `dropDuplicates`, whose key state never ages out when
+    * the key omits the event-time column — so the dedup key set is
+    * genuinely bounded by the watermark horizon (a re-send later than
+    * the watermark counts as new, the standard trade-off); window
+    * state is bounded by the window × watermark horizon.
     */
   def windowCounts(events: DataFrame, tsCol: String, keyCol: String,
                    windowLen: String = "15 minutes",
@@ -32,7 +35,7 @@ object DedupMonitor {
       .agg(count(lit(1)).as("n_total"))
       .select(col("window.start").as("window_start"), col("n_total"))
     val uniques = wm
-      .dropDuplicates(keyCol)
+      .dropDuplicatesWithinWatermark(keyCol)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("n_unique"))
       .select(col("window.start").as("window_start"), col("n_unique"))

@@ -180,7 +180,8 @@ object Profile {
     * min over the d rows, 0 when a bucket is empty (left join — an
     * unseen token can still hit only-empty buckets). The sketch side
     * is ≤ d·w rows — broadcast, so probing never shuffles the probe
-    * side.
+    * side. Probe rows are assumed DISTINCT (the final group-by keys on
+    * all probe columns, so duplicate probe rows collapse to one).
     */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokCol: String,
                   d: Int = 4, w: Int = 1024): DataFrame = {
