@@ -74,6 +74,33 @@ object Pipeline {
               (-col("__m.nts")).as("peak_at_us"))
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view merge:
+    * a stored per-(day, type) aggregate table absorbs a new day's
+    * PARTIALS by union + re-aggregate over (count, cents-sum) — both
+    * mergeable, so the refresh never touches historical raw data: at
+    * 100 TB the nightly job reads yesterday's events and k rows of
+    * stored aggregates, not the archive. Money in cents (exact
+    * integers), day as an epoch-µs day index; the merge is
+    * associative, so increments chain across any number of batches.
+    * Here the split point is the corpus' max day (broadcast 1-row),
+    * standing in for "the stored table" vs "tonight's batch"; the
+    * oracle recomputes the whole aggregate directly from raw events —
+    * merge algebra vs direct algebra.
+    */
+  def incrementalEventAgg(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+    val keyed = ev.crossJoin(broadcast(ev.agg(max(col("day")).as("__maxd"))))
+    def partials(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_value_cents"))
+    partials(keyed.filter(col("day") < col("__maxd")))
+      .union(partials(keyed.filter(col("day") === col("__maxd"))))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"),
+           sum(col("sum_value_cents")).as("sum_value_cents"))
+  }
+
   /** ORDERED CONVERSION FUNNEL over an event stream: per user, the
     * first view, the first click strictly after it, the first
     * purchase strictly after that — the stage counts an analytics
@@ -1119,6 +1146,15 @@ object Pipeline {
       eventFunnel(t(s, dir, "events")).orderBy(col("stage"))
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE: the stored per-(day, type)
+    // aggregate absorbs the newest day's partials by union +
+    // re-aggregate — the oracle recomputes directly from raw events,
+    // so the hash match proves the merge algebra exact.
+    "q106_incremental_agg" -> ((s, dir) => {
+      incrementalEventAgg(t(s, dir, "events"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // PEAK CONCURRENCY: per day, the max number of simultaneously
     // active q31 sessions and when it was first reached — a
     // day-partitioned sweep line with carry-in, never the quadratic
@@ -1706,6 +1742,15 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the DIRECT full recompute from raw events — checking the
+    // Spark side's union-of-partials merge.
+    "q106_incremental_agg" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_value_cents
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
 
     // q31's session CTEs; the same day-partitioned sweep with
     // carry-in; peak tie -> earliest ts via the join-back min.
