@@ -1146,6 +1146,20 @@ object Pipeline {
       eventFunnel(t(s, dir, "events")).orderBy(col("stage"))
     }),
 
+    // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
+    // clustered by the Morton interleave, per-4096-z-block min/max of
+    // BOTH dimensions — the footer stats that let either predicate
+    // prune. The oracle replays the interleave from the same
+    // generated sum-of-terms SQL.
+    "q107_zorder_stats" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val g = t(s, dir, "events")
+        .select((col("user_id") % 256).cast("long").as("xb"),
+                (abs(col("event_id")) % 256).cast("long").as("yb"))
+      ZOrder.blockStats(g, "xb", "yb", bits = 8, blockSize = 4096)
+        .orderBy(col("block"))
+    }),
+
     // INCREMENTAL AGGREGATE MAINTENANCE: the stored per-(day, type)
     // aggregate absorbs the newest day's partials by union +
     // re-aggregate — the oracle recomputes directly from raw events,
@@ -1742,6 +1756,22 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the interleave replayed from the SAME generated sum-of-terms
+    // SQL (zValueSql) — the two sides cannot drift.
+    "q107_zorder_stats" -> {
+      val z = graft.operators.ZOrder.zValueSql("xb", "yb", bits = 8)
+      s"""WITH g AS (
+            SELECT CAST(user_id % 256 AS BIGINT) AS xb,
+                   CAST(abs(event_id) % 256 AS BIGINT) AS yb
+            FROM events),
+          zt AS (SELECT xb, yb, $z AS z FROM g)
+          SELECT CAST(z // 4096 AS BIGINT) AS block,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(min(xb) AS BIGINT) AS x_min, CAST(max(xb) AS BIGINT) AS x_max,
+                 CAST(min(yb) AS BIGINT) AS y_min, CAST(max(yb) AS BIGINT) AS y_max
+          FROM zt GROUP BY 1 ORDER BY block"""
+    },
 
     // the DIRECT full recompute from raw events — checking the
     // Spark side's union-of-partials merge.
