@@ -54,6 +54,30 @@ object Tables {
              version: Seq[Column]): DataFrame =
     latestByKey(existing.unionByName(updates), keys, version)
 
+  /** CHANGELOG APPLICATION — [[upsert]] with TOMBSTONES: fold an
+    * I/U/D changelog into a snapshot. The latest entry per key wins
+    * (several ops on one key collapse through [[latestByKey]] on
+    * `version`); a surviving 'D' deletes the row, any other op
+    * becomes the new row, untouched snapshot rows pass through via
+    * one anti-join. The lakehouse MERGE: the nightly job reads the
+    * changelog + k touched keys, never rewrites untouched history —
+    * two shuffles total (the per-key window, the anti-join), both on
+    * the key.
+    *
+    * `changelog` carries the snapshot's columns plus `opCol` (one of
+    * "I"/"U"/"D") and the `version` ordering columns.
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
+                     keys: Seq[String], opCol: String,
+                     version: Seq[Column]): DataFrame = {
+    val latest = latestByKey(changelog, keys, version)
+    val live = latest.filter(col(opCol) =!= "D")
+      .select(snapshot.columns.map(col): _*)
+    snapshot
+      .join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(live)
+  }
+
   /** Point lookup by id (reference `document_storage.py:116-140` get path:
     * Redis tier -> ES get). The cache tier maps to `.cache()` on the
     * caller's side; here it is a pushed-down filter + limit 1.

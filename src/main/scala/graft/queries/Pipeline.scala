@@ -1146,6 +1146,26 @@ object Pipeline {
       eventFunnel(t(s, dir, "events")).orderBy(col("stage"))
     }),
 
+    // CHANGELOG APPLICATION: fold a derived I/U/D changelog into an
+    // orders snapshot through the tombstone-aware merge — the oracle
+    // computes the final state DIRECTLY from the generating
+    // predicates, so the hash match proves the merge machinery.
+    "q108_changelog_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snapshot = o.filter(col("o_orderkey") % 3 =!= 0)
+      val ins = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val upd = o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100L)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val del = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      Tables.applyChangelog(snapshot, ins.unionByName(upd).unionByName(del),
+                            Seq("o_orderkey"), "op", Seq(col("seq")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1756,6 +1776,18 @@ object Pipeline {
                         CAST((greatest(length(text) - 100, 0) + 59) // 60 AS INT))) AS i
                FROM documents WHERE length(text) > 0)
          ORDER BY doc_id, chunk_number""",
+
+    // the final state computed DIRECTLY from the generating
+    // predicates: %7 deleted, %5 updated (+100 cents), everything
+    // else present at its original price — vs the merge machinery.
+    "q108_changelog_apply" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(CASE WHEN o_orderkey % 5 = 0
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100
+                          ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+                     AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.
