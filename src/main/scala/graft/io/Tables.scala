@@ -238,10 +238,19 @@ object Tables {
     * renames) makes the merge serializable: writer 2's read sees
     * writer 1's commit.
     *
-    * Mechanics: acquisition is an atomic `createNewFile`; a lease older
-    * than `staleMs` (a crashed holder — the local-fs analogue of an
-    * expired cloud lease) is taken over via rename — exactly one
-    * contender wins the rename, so takeover cannot double-grant.
+    * Mechanics: acquisition is an atomic `createNewFile` followed by a
+    * holder-token write; a lease older than `staleMs` (a crashed
+    * holder — the local-fs analogue of an expired cloud lease) is taken
+    * over via rename — exactly one contender wins the rename, so
+    * takeover cannot double-grant, and the winner re-checks the RENAMED
+    * file's age before discarding it (a rename that raced a fresh
+    * acquire puts the live lease back instead of eating it). A vanished
+    * lock (`lastModified() == 0` — the holder released between the
+    * failed create and the mtime read) is a retry, NOT a stale lease:
+    * misreading it as stale is how a takeover could rename away the
+    * next holder's fresh lock. Release deletes the lease only while it
+    * still carries this holder's token, so a holder whose lease was
+    * legitimately expired and taken over cannot delete the successor's.
     * Contenders poll until `timeoutMs`, then fail loudly rather than
     * proceed unguarded. READERS are not serialized — same as a real
     * table format, a reader concurrent with the swap window may need a
@@ -251,24 +260,34 @@ object Tables {
                        timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val lock = new java.io.File(s"$path.lock")
     Option(lock.getParentFile).foreach(_.mkdirs())
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      if (lock.createNewFile()) acquired = true
-      else if (lock.exists() &&
-               System.currentTimeMillis() - lock.lastModified() > staleMs) {
-        // stale-lease takeover: the rename is the arbiter — the one
-        // contender it succeeds for discards the dead lease and loops
-        // back to a fresh createNewFile race
-        val steal = new java.io.File(
-          s"$path.lock.steal.${java.util.UUID.randomUUID().toString.take(8)}")
-        if (lock.renameTo(steal)) steal.delete()
-      } else if (System.currentTimeMillis() > deadline) {
-        throw new IllegalStateException(
-          s"timed out after ${timeoutMs}ms waiting for table lease $lock")
-      } else Thread.sleep(50)
+      if (lock.createNewFile()) {
+        java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+        acquired = true
+      } else {
+        val lm = lock.lastModified() // 0 = vanished since the failed create
+        if (lm > 0 && System.currentTimeMillis() - lm > staleMs) {
+          val steal = new java.io.File(
+            s"$path.lock.steal.${java.util.UUID.randomUUID().toString.take(8)}")
+          if (lock.renameTo(steal)) {
+            if (System.currentTimeMillis() - steal.lastModified() > staleMs)
+              steal.delete() // confirmed dead lease; loop to a fresh race
+            else if (!steal.renameTo(lock)) steal.delete() // raced a fresh acquire: restore
+          }
+        } else if (System.currentTimeMillis() > deadline) {
+          throw new IllegalStateException(
+            s"timed out after ${timeoutMs}ms waiting for table lease $lock")
+        } else Thread.sleep(50)
+      }
     }
-    try body finally lock.delete()
+    try body finally {
+      val mine = scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
+      if (mine.contains(token)) lock.delete()
+    }
   }
 
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,

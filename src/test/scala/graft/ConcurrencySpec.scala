@@ -69,6 +69,34 @@ class ConcurrencySpec extends SparkSpec {
     assert(!new java.io.File(s"$path.lock").exists(), "lease not released")
   }
 
+  test("withTableLock: release/acquire churn never overlaps (stress)") {
+    // the historical race lived in the release window: a contender that
+    // caught lastModified()==0 between a failed create and the holder's
+    // delete misread the vanished lock as infinitely stale and renamed
+    // away the NEXT holder's fresh lease — many short cycles per thread
+    // maximize that window
+    val path = Files.createTempDirectory("graft_lock_churn").toString + "/tbl"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(8)
+    (1 to 8).foreach { _ =>
+      pool.execute { () =>
+        (1 to 12).foreach { _ =>
+          Tables.withTableLock(path) {
+            val now = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, now))
+            Thread.sleep(2)
+            inside.decrementAndGet()
+          }
+        }
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "contenders hung")
+    assert(maxInside.get() == 1, s"critical section overlapped: ${maxInside.get()}")
+    assert(!new java.io.File(s"$path.lock").exists(), "lease not released")
+  }
+
   test("withTableLock: a stale lease (crashed holder) is taken over; a live one is honored") {
     val path = Files.createTempDirectory("graft_lock_stale").toString + "/tbl"
     val lock = new java.io.File(s"$path.lock")
