@@ -1166,6 +1166,17 @@ object Pipeline {
         .orderBy(col("o_orderkey"))
     }),
 
+    // PHRASE SEARCH: exact consecutive-token match via the positional
+    // anchor-vote algebra — occurrences + first position per doc. The
+    // oracle is INDEPENDENT algebra: non-overlapping replace-count on
+    // a space-doubled canonical token string (equal because the
+    // phrase's distinct terms admit no self-overlap).
+    "q109_phrase_search" -> ((s, dir) => {
+      Search.phraseOccurrences(t(s, dir, "documents"), "doc_id", "text",
+                               "table scan")
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1788,6 +1799,29 @@ object Pipeline {
                      AS BIGINT) AS cents
          FROM orders WHERE o_orderkey % 7 <> 0
          ORDER BY o_orderkey""",
+
+    // INDEPENDENT algebra: canonicalize to single-space tokens, DOUBLE
+    // the separators so adjacent occurrences don't share a boundary
+    // space, then count by non-overlapping replace; first_pos recovers
+    // the token index from the match's character offset (the doubled
+    // string has exactly 2 spaces per preceding token). Equal to the
+    // position-algebra count because "table scan" has no self-border.
+    "q109_phrase_search" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  ' ' || replace(trim(regexp_replace(lower(text), '\W+', ' ', 'g')),
+                                 ' ', '  ') || ' ' AS s
+           FROM documents),
+         m AS (
+           SELECT doc_id, s, strpos(s, ' table  scan ') AS q,
+                  (length(s) - length(replace(s, ' table  scan ', '')))
+                    // length(' table  scan ') AS n_occ
+           FROM c)
+         SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occurrences,
+                CAST((q - 1 - length(replace(substr(s, 1, CAST(q AS INT) - 1),
+                                             ' ', ''))) // 2 + 1 AS BIGINT)
+                  AS first_pos
+         FROM m WHERE n_occ > 0 ORDER BY doc_id""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.

@@ -248,6 +248,60 @@ object Search {
       .select(col(idCol), col("__dl").as("dl"), col("score"))
   }
 
+  /** Q3 extension — PHRASE search over the positional structure the
+    * `\W+` token model induces: documents containing the exact
+    * consecutive token sequence `phrase`, with the occurrence count and
+    * the first match's 1-based token position. [[textMatch]]'s
+    * bag-of-words test cannot tell "table scan" from "scan table";
+    * this is the positional test a search engine answers from its
+    * positional inverted index (ES `match_phrase`,
+    * `api/routes/search.py:61-76`'s text mode is the bag form).
+    *
+    * Algebra: an occurrence of a phrase term at token position p,
+    * filling phrase offset j, votes for anchor p−j; an anchor with all
+    * |phrase| offsets satisfied is a match. (doc, pos) pairs are
+    * unique, so the per-(doc, anchor) vote count equals the number of
+    * DISTINCT satisfied offsets — a term repeated in the phrase is
+    * handled by the per-occurrence offset explode, and OVERLAPPING
+    * occurrences are counted ("a a" occurs twice in "a a a").
+    *
+    * Plan shape for 100 TB: a pushable `array_intersect` guard skips
+    * docs missing any phrase term before they explode; the posexplode
+    * output is filtered to the phrase's terms BEFORE any exchange, so
+    * the only shuffled rows are the |phrase| query terms' occurrences —
+    * exactly the postings a term-bucketed stored index would have
+    * partition-pruned to; both aggregates run on that sliver.
+    */
+  def phraseOccurrences(df: DataFrame, idCol: String, textCol: String,
+                        phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one word token")
+    val distinctTerms = terms.distinct
+    val offsetsOf: Seq[(String, Seq[Int])] = distinctTerms.map(t =>
+      t -> terms.zipWithIndex.collect { case (`t`, j) => j })
+    val offArr = offsetsOf.tail
+      .foldLeft(when(col("__tok") === offsetsOf.head._1,
+                     typedlit(offsetsOf.head._2))) {
+        case (acc, (t, offs)) => acc.when(col("__tok") === t, typedlit(offs))
+      }
+    df.select(col(idCol),
+              filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+                .as("__toks"))
+      .filter(size(array_intersect(col("__toks"),
+                                   typedlit(distinctTerms))) === distinctTerms.size)
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .filter(col("__tok").isin(distinctTerms: _*))
+      .select(col(idCol), col("__p0"), explode(offArr).as("__off"))
+      .select(col(idCol), (col("__p0") + 1 - col("__off")).as("__anchor"))
+      .filter(col("__anchor") >= 1)
+      .groupBy(col(idCol), col("__anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === terms.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+           min(col("__anchor")).cast("long").as("first_pos"))
+  }
+
   /** Q4 — deterministic search-cache key:
     * sha256(embedding|provider|filters|k) (`services/search_cache.py:18-33`).
     */

@@ -1,0 +1,61 @@
+package graft
+
+import graft.search.Search
+
+/** Phrase search (q109): exact consecutive-token match via the
+  * anchor-vote algebra — positions, overlap, and repeated-term
+  * phrases, which the bag-of-words `textMatch` cannot express.
+  */
+class PhraseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], phrase: String) =
+    Search.phraseOccurrences(docs.toDF("doc_id", "text"),
+                             "doc_id", "text", phrase)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+
+  test("exact occurrences and first position; order matters") {
+    val docs = Seq(
+      1L -> "a b c a b c a b",   // "a b" at 1, 4, 7
+      2L -> "b a c b a",         // "a b" nowhere (bag overlaps, order no)
+      3L -> "x a b y")           // once, offset by a leading token
+    assert(run(docs, "a b") == Seq((1L, 3L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("three-term phrase spans the middle; partial prefixes don't count") {
+    val docs = Seq(
+      1L -> "the table scan merge table scan",  // "table scan merge" once
+      2L -> "table merge scan",                 // all terms, wrong order
+      3L -> "table scan")                       // missing the third term
+    assert(run(docs, "table scan merge") == Seq((1L, 1L, 2L)))
+  }
+
+  test("repeated-term phrase counts overlapping occurrences") {
+    // "a a" in "a a a": anchors 1 and 2 overlap — both count
+    assert(run(Seq(1L -> "a a a"), "a a") == Seq((1L, 2L, 1L)))
+  }
+
+  test("single-token phrase degenerates to term occurrences") {
+    assert(run(Seq(1L -> "q w q e q"), "q") == Seq((1L, 3L, 1L)))
+  }
+
+  test("tokenization is the \\W+ lowercase model") {
+    // punctuation separates; case folds — same model as textMatch/BM25
+    assert(run(Seq(1L -> "Table, SCAN! done"), "table scan") ==
+      Seq((1L, 1L, 1L)))
+  }
+
+  test("plan: no UDF, no cartesian; aggregates run on the term sliver") {
+    val df = Search.phraseOccurrences(
+      Seq((1L, "table scan join")).toDF("doc_id", "text"),
+      "doc_id", "text", "table scan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("), "must stay codegen-native")
+    assert(!plan.contains("CartesianProduct"))
+    // the phrase-term filter sits below the first exchange: the only
+    // shuffled rows are occurrences of the query's terms
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("table"), "term literals must reach the plan")
+  }
+}
