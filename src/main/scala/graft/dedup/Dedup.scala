@@ -424,6 +424,18 @@ object Dedup {
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
     val matched = testPos.join(trainHashes, Seq("h"), "left_semi")
       .select(col(idCol), col("pos"), (col("pos") + (shingleK - 1)).as("end"))
+    islandSpans(matched, idCol)
+  }
+
+  /** Gaps-and-islands merge of (pos, end) shingle matches into maximal
+    * token spans — one window per doc (running max end; island id =
+    * running count of gap starts) then one groupBy: deterministic
+    * (positions are distinct per doc) and SQL-expressible, so oracles
+    * merge identically. Shared by [[contaminationSpans]] (test-vs-train)
+    * and [[crossDocDuplicateSpans]] (corpus-vs-itself).
+    */
+  private def islandSpans(matched: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prev = w.rowsBetween(Window.unboundedPreceding, -1)
     matched
@@ -437,6 +449,41 @@ object Dedup {
            max(col("end")).cast("long").as("span_end"),
            count(lit(1)).as("n_shingles"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** Cross-doc DUPLICATED-TEXT spans — the ExactSubstr-family self-scan
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): the maximal token spans of EACH doc covered by
+    * `shingleK`-shingles that also occur in at least `minDocs − 1`
+    * OTHER docs. Where keep-one dedup drops whole near-duplicate docs,
+    * this names the duplicated REGIONS — boilerplate headers, license
+    * blocks, templated passages — that a surgical trim cuts from
+    * otherwise-unique documents. Within-doc repetition deliberately
+    * does NOT count (that is [[TextStats.repetitionSignals]]' job):
+    * sharedness is counted over DISTINCT docs per shingle.
+    *
+    * Plan shape for 100 TB: positioned shingles are computed once per
+    * pass (tokens materialized — see [[contaminationSpans]]'s cost
+    * note); the shared-shingle set reduces the DISTINCT (doc, hash)
+    * table — one linear shuffle on the hash, never a pair expansion —
+    * and probes back via a left-semi equi-join; span merging is the
+    * same single window + groupBy as the decontamination scan. Two
+    * corpus passes total (build + probe), both linear.
+    */
+  def crossDocDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int = 5,
+                             minDocs: Int = 2): DataFrame = {
+    val pos = shingleHashes(df.select(col(idCol), col(textCol)),
+                            idCol, textCol, shingleK)
+      .select(col(idCol), posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h"))
+    val shared = pos.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val matched = pos.join(shared, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + (shingleK - 1)).as("end"))
+    islandSpans(matched, idCol)
   }
 
   /** APPLY the span-level decontamination cut list —

@@ -1177,6 +1177,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CROSS-DOC DUPLICATED SPANS: the ExactSubstr-family self-scan —
+    // maximal token spans covered by 5-shingles occurring in >= 2
+    // distinct docs. Names the duplicated REGIONS (boilerplate,
+    // templates) a surgical trim cuts, where keep-one dedup drops
+    // whole docs. Oracle replays the same positioned-shingle +
+    // shared-set + gaps-and-islands algebra.
+    "q110_duplicated_spans" -> ((s, dir) => {
+      Dedup.crossDocDuplicateSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1822,6 +1833,53 @@ object Pipeline {
                                              ' ', ''))) // 2 + 1 AS BIGINT)
                   AS first_pos
          FROM m WHERE n_occ > 0 ORDER BY doc_id""",
+
+    // q83's positioned-shingle + islands algebra, self-applied: the
+    // shared set is hashes carried by >= 2 DISTINCT docs (within-doc
+    // repetition does not count), k=5.
+    "q110_duplicated_spans" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT doc_id,
+                   list_transform(
+                     list_transform(generate_series(1, greatest(len(tk)-4, 0)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                            tk[i+3] || ' ' || tk[i+4]),
+                     g -> substr(md5(g), 1, 8)) AS h
+            FROM toks),
+          shared AS (
+            SELECT h FROM (
+              SELECT doc_id, unnest(list_distinct(h)) AS h FROM hs)
+            GROUP BY h HAVING count(*) >= 2),
+          pos AS (
+            SELECT doc_id, i AS pos, h[i] AS h
+            FROM (SELECT doc_id, h, unnest(generate_series(1, len(h))) AS i
+                  FROM hs)),
+          m AS (
+            SELECT doc_id, pos, pos + 4 AS e
+            FROM pos WHERE h IN (SELECT h FROM shared)),
+          isl AS (
+            SELECT doc_id, pos, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM m),
+          isl2 AS (
+            SELECT doc_id, pos, e,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM isl)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(e) AS BIGINT) AS span_end,
+                 CAST(count(*) AS BIGINT) AS n_shingles
+          FROM isl2 GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.
