@@ -1188,6 +1188,17 @@ object Pipeline {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // MIXTURE ALLOCATION: the data-mixing budget solve — per-source
+    // allocation = min(inventory, budget*weight), sampling rate, and
+    // the deficit an under-stocked source cannot fill. k-row algebra
+    // after ONE map-side token aggregate; weights shared with the
+    // oracle builder so the two sides cannot drift.
+    "q111_mixture_allocation" -> ((s, dir) => {
+      Curation.mixtureAllocation(t(s, dir, "documents"), "source", "text",
+                                 MixtureWeightsPpm, MixtureBudgetTokens)
+        .orderBy(col("source"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1429,6 +1440,16 @@ object Pipeline {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** q111's mixture config — one definition for the query AND the
+    * oracle's VALUES literal, so the two sides cannot drift. src0-4
+    * carry weight (src0/src1 deliberately over-weighted past their
+    * inventories to exercise the deficit path); the rest report 0.
+    */
+  private val MixtureWeightsPpm: Seq[(String, Long)] = Seq(
+    "src0" -> 300000L, "src1" -> 200000L, "src2" -> 100000L,
+    "src3" -> 50000L, "src4" -> 50000L)
+  private val MixtureBudgetTokens = 10000L
 
   private val Toks =
     """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
@@ -1880,6 +1901,35 @@ object Pipeline {
                  CAST(count(*) AS BIGINT) AS n_shingles
           FROM isl2 GROUP BY doc_id, island
           ORDER BY doc_id, span_start""",
+
+    // same integer algebra; the weights VALUES literal is generated
+    // from the SAME Scala constants as the query.
+    "q111_mixture_allocation" -> {
+      val values = MixtureWeightsPpm
+        .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+      s"""WITH w(source, weight_ppm) AS (VALUES $values),
+          avail AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                            t -> t <> ''))) AS BIGINT)
+                     AS tokens_avail
+            FROM documents GROUP BY source),
+          j AS (
+            SELECT a.source, a.n_docs, a.tokens_avail,
+                   coalesce(w.weight_ppm, 0) AS wp,
+                   (CAST($MixtureBudgetTokens AS BIGINT)
+                      * coalesce(w.weight_ppm, 0)) // 1000000
+                     AS tgt
+            FROM avail a LEFT JOIN w USING (source))
+          SELECT source, n_docs, tokens_avail,
+                 CAST(wp AS BIGINT) AS weight_ppm,
+                 CAST(tgt AS BIGINT) AS target_tokens,
+                 CAST(least(tokens_avail, tgt) AS BIGINT) AS allocated_tokens,
+                 CAST(CASE WHEN tokens_avail > 0
+                           THEN (1000000 * least(tokens_avail, tgt)) // tokens_avail
+                           ELSE 0 END AS BIGINT) AS rate_ppm,
+                 CAST(tgt - least(tokens_avail, tgt) AS BIGINT) AS deficit
+          FROM j ORDER BY source""" },
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.

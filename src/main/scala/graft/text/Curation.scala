@@ -133,4 +133,45 @@ object Curation {
         lit("2_repetition"), col("n2"),
         lit("3_dedup_keeper"), col("n3"))).as(Seq("stage", "n_docs")))
   }
+
+  /** MIXTURE ALLOCATION — the data-mixing budget solve every
+    * pre-training run starts from: given per-source token inventories,
+    * target mixture weights (ppm), and a total token budget, compute
+    * each source's allocation = min(inventory, budget·weight), the
+    * sampling rate (ppm of that source's tokens to keep), and the
+    * DEFICIT a source cannot fill (the signal to re-weight or to
+    * multi-epoch that source). Sources present in the corpus but
+    * absent from `weightsPpm` report weight 0 — exclusions stay
+    * visible in the report; weights for sources with no corpus rows
+    * have no inventory to allocate and are not reported.
+    *
+    * All exact integer algebra (`div`), overflow-safe for budgets to
+    * ~9·10^12 tokens at ppm scale (the product stays under 2^63).
+    *
+    * Plan shape for 100 TB: the corpus pays ONE map-side-combined
+    * aggregate — (source, docs, Σtokens) is k rows — and every later
+    * step is k-row algebra under a broadcast weights join; nothing
+    * corpus-sized ever shuffles.
+    */
+  def mixtureAllocation(df: DataFrame, sourceCol: String, textCol: String,
+                        weightsPpm: Seq[(String, Long)],
+                        budgetTokens: Long): DataFrame = {
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(TextStats.tokens(col(textCol))).cast("long"))
+             .as("tokens_avail"))
+    val wDf = df.sparkSession.createDataFrame(weightsPpm)
+      .toDF("source", "weight_ppm")
+    avail.join(broadcast(wDf), Seq("source"), "left")
+      .withColumn("weight_ppm", coalesce(col("weight_ppm"), lit(0L)))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens * weight_ppm) div 1000000"))
+      .withColumn("allocated_tokens", least(col("tokens_avail"),
+                                            col("target_tokens")))
+      .withColumn("rate_ppm",
+        when(col("tokens_avail") > 0,
+             expr("(1000000 * allocated_tokens) div tokens_avail"))
+          .otherwise(lit(0L)))
+      .withColumn("deficit", col("target_tokens") - col("allocated_tokens"))
+  }
 }
