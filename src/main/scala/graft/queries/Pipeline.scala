@@ -1199,6 +1199,23 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // SQ8 SCALAR-QUANTIZED top-k: the FAISS-SQ compression tier —
+    // per-dim (min,max) train, byte codes, midpoint reconstruction
+    // folded to ONE native integer dot over the compressed column
+    // (weights 2*q_d*r_d + a constant; the vector column is never
+    // read at scan time). Oracle replays train/encode/score in SQL.
+    "q112_sq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mm = Ann.sqTrain(e, "embedding")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val enc = Ann.sqEncode(e, "vec_id", "embedding", mm)
+      Ann.sqTopK(enc, "vec_id", mm, qv, k = 10)
+        .withColumn("rnk", row_number().over(
+            Window.orderBy(col("approx_num").desc, col("vec_id"))).cast("long"))
+        .select(col("rnk"), col("vec_id"), col("approx_num"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1930,6 +1947,39 @@ object Pipeline {
                            ELSE 0 END AS BIGINT) AS rate_ppm,
                  CAST(tgt - least(tokens_avail, tgt) AS BIGINT) AS deficit
           FROM j ORDER BY source""" },
+
+    // the whole SQ pipeline replayed: 1e-3 integer grid, per-dim
+    // min/max, floor-div byte codes, then the SAME folded weighted
+    // dot (510-scaled numerator) — exact integers end to end.
+    "q112_sq_topk" ->
+      """WITH iv AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+         pos AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS d FROM iv),
+         el AS (SELECT vec_id, d, v[d] AS x FROM pos),
+         mm AS (SELECT d, min(x) AS lo, max(x) AS hi FROM el GROUP BY d),
+         qv AS (SELECT d, x AS q FROM el WHERE vec_id = 0),
+         w AS (SELECT mm.d, 2 * q * (hi - lo) AS wt,
+                      q * (510 * lo + (hi - lo)) AS c0t
+               FROM mm JOIN qv ON qv.d = mm.d),
+         codes AS (
+           SELECT el.vec_id, el.d,
+                  CASE WHEN hi = lo THEN 0
+                       ELSE greatest(0, least(255, ((x - lo) * 255) // (hi - lo)))
+                  END AS c
+           FROM el JOIN mm ON mm.d = el.d),
+         sc AS (
+           SELECT codes.vec_id,
+                  CAST(sum(c * wt) + (SELECT sum(c0t) FROM w) AS BIGINT)
+                    AS approx_num
+           FROM codes JOIN w ON w.d = codes.d
+           GROUP BY codes.vec_id)
+         SELECT CAST(row_number() OVER (ORDER BY approx_num DESC, vec_id) AS BIGINT)
+                  AS rnk,
+                vec_id, approx_num
+         FROM sc ORDER BY rnk LIMIT 10""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.

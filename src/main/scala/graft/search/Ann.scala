@@ -600,6 +600,80 @@ object Ann {
       .select(col(idCol), col("cell"), col("adc"), col("d2"))
   }
 
+  // ---- SQ8: per-dimension scalar quantization (the FAISS-SQ tier) ----
+
+  /** Train the SQ8 quantizer: per-dimension (min, max) of the
+    * integer-grid vectors — the only state scalar quantization needs
+    * (dims rows, collected like [[ivfTrain]]'s centroids and carried
+    * as plan-time literals). One (row × dim) posexplode reduced
+    * map-side to dims rows; at scale you train on a sample.
+    */
+  def sqTrain(embeddings: DataFrame, vecCol: String): Seq[(Long, Long)] = {
+    embeddings
+      .select(posexplode(intVec(col(vecCol))).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("d"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** SQ8 encode: code_d = clamp(⌊(x_d − min_d)·255 / (max_d −
+    * min_d)⌋, 0..255) — 1 byte per dimension against PQ's 1 byte per
+    * SUBSPACE: 8× less compression, no codebook training, and
+    * per-dimension reconstruction PQ cannot do. A flat dimension
+    * (max = min) encodes 0. Exact integer algebra on [[intVec]]'s
+    * grid; the clamp keeps out-of-domain vectors (a new batch wider
+    * than the training sample) encodable.
+    */
+  def sqEncode(df: DataFrame, idCol: String, vecCol: String,
+               minMax: Seq[(Long, Long)]): DataFrame = {
+    val lows = typedLit(minMax.map(_._1))
+    val rng = typedLit(minMax.map { case (lo, hi) => hi - lo })
+    // iv materialized in its own projection (an inlined intVec inside
+    // the lambda would re-quantize the vector per element — the HOF
+    // quadratic trap); floor division via the pmod identity
+    // (n − pmod(n,r))/r — n−pmod is exactly divisible, so the double
+    // division is exact and matches DuckDB's `//` floor semantics
+    df.select(col(idCol), intVec(col(vecCol)).as("__iv"))
+      .select(col(idCol),
+        zip_with(zip_with(col("__iv"), lows, (x, lo) => x - lo), rng,
+          (nd, r) => {
+            val n = nd * lit(255L)
+            when(r === 0L, lit(0L))
+              .otherwise(greatest(lit(0L), least(lit(255L),
+                ((n - pmod(n, r)) / r).cast("long"))))
+          }).as("codes"))
+  }
+
+  /** SQ8 approximate top-k by midpoint reconstruction, folded to ONE
+    * native integer dot: recon_d = min_d + (2·code_d+1)·r_d/510, so
+    *
+    *   510 · approx_dot = Σ_d q_d·(510·min_d + r_d)  (a constant)
+    *                    + Σ_d (2·q_d·r_d) · code_d
+    *
+    * — the per-row work is exactly `longDot(codes, w)` with literal
+    * weights w_d = 2·q_d·r_d: the codegen'd kernel the exact path
+    * uses, over the COMPRESSED column (the vector column is never
+    * read at scan time — same contract as the PQ ADC scan). Returned
+    * `approx_num` is the 510-scaled numerator: ranking is invariant
+    * to the constant positive denominator, and the value stays exact
+    * integer for the oracle. Ties break on ascending id.
+    */
+  def sqTopK(encoded: DataFrame, idCol: String, minMax: Seq[(Long, Long)],
+             queryVec: Seq[Float], k: Int = 10): DataFrame = {
+    val q = queryVec.map(quantizeL)
+    require(q.size == minMax.size, "query/quantizer dimensionality mismatch")
+    val w = q.zip(minMax).map { case (qd, (lo, hi)) => 2L * qd * (hi - lo) }
+    val c0 = q.zip(minMax).map { case (qd, (lo, hi)) =>
+      qd * (510L * lo + (hi - lo)) }.sum
+    encoded
+      .withColumn("approx_num", intDot(col("codes"), typedLit(w)) + lit(c0))
+      .orderBy(col("approx_num").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("approx_num"))
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,
