@@ -235,6 +235,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("session windows: gap merge within a session, finalize at the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = graft.stream.Sessions.sessionCounts(
+      mem.toDS().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: two events 3 min apart (one session), then a 17-min gap
+    // (a second session); user 2: one event. The bridging second event
+    // arrives in a LATER micro-batch and must merge into the open
+    // session, extending its end.
+    mem.addData((ts("2025-01-01 10:00:00"), 1L), (ts("2025-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    mem.addData((ts("2025-01-01 10:03:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2025-01-01 10:20:00"), 1L))
+    q.processAllAvailable()
+    // advance the watermark far enough to finalize everything
+    mem.addData((ts("2025-01-01 11:00:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+              col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getLong(3))).toSet
+    // session end = last event + gap; the cross-batch merge must yield
+    // ONE session of 2 events for user 1's first burst, not two
+    assert(rows.contains((1L, "2025-01-01 10:00:00", "2025-01-01 10:08:00", 2L)),
+           rows.toString)
+    assert(rows.contains((1L, "2025-01-01 10:20:00", "2025-01-01 10:25:00", 1L)),
+           rows.toString)
+    assert(rows.contains((2L, "2025-01-01 10:01:00", "2025-01-01 10:06:00", 1L)),
+           rows.toString)
+    assert(!rows.exists(r => r._1 == 1L && r._4 == 1L &&
+                             r._2 == "2025-01-01 10:03:00"),
+           s"bridging event must merge, not open its own session: $rows")
+    q.stop()
+  }
+
   test("stream-static join: micro-batches enriched against a dimension table") {
     import org.apache.spark.sql.functions._
     implicit val sc = spark.sqlContext
