@@ -1216,6 +1216,21 @@ object Pipeline {
         .select(col("rnk"), col("vec_id"), col("approx_num"))
     }),
 
+    // FILTERED vector search (pre-filter strategy): metadata predicate
+    // pushed to the scan, exact dots only on the matching sliver —
+    // recall 1.0 by construction; the IVF post-filter strategy with
+    // nprobe escalation is spec-gated (FilteredAnnSpec).
+    "q113_filtered_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Ann.filteredTopKInt(e, "vec_id", "embedding",
+                          col("label") === 3, qv, k = 10)
+        .withColumn("rnk", row_number().over(
+            Window.orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+        .select(col("rnk"), col("vec_id"), col("dot"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -1980,6 +1995,20 @@ object Pipeline {
                   AS rnk,
                 vec_id, approx_num
          FROM sc ORDER BY rnk LIMIT 10""",
+
+    // q29's dot algebra restricted to the label sliver.
+    "q113_filtered_knn" ->
+      """WITH iv AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              FROM embeddings),
+          scored AS (
+            SELECT b.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+            FROM iv a, iv b WHERE a.vec_id = 0 AND b.label = 3)
+          SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id, dot
+          FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.

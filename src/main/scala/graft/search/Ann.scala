@@ -674,6 +674,67 @@ object Ann {
       .select(col(idCol), col("approx_num"))
   }
 
+  // ---- Filtered vector search (the vector-store filter problem) ----
+
+  /** Exact FILTERED kNN — the PRE-FILTER strategy: apply the metadata
+    * predicate first, brute-score the survivors. Recall is 1.0 by
+    * construction at any selectivity, and this is the right plan when
+    * the filter is SELECTIVE: the predicate pushes down to the scan
+    * (PushedFilters for plain columns), so the dot kernel only runs on
+    * the matching sliver. With a weak filter it degenerates to the
+    * full brute scan — that is [[ivfFilteredTopKInt]]'s territory.
+    */
+  def filteredTopKInt(embeddings: DataFrame, idCol: String, vecCol: String,
+                      pred: org.apache.spark.sql.Column,
+                      queryVec: Seq[Float], k: Int = 10): DataFrame = {
+    val q = typedLit(queryVec.map(quantizeL))
+    embeddings.filter(pred)
+      .withColumn("dot", intDot(intVec(col(vecCol)), q))
+      .orderBy(col("dot").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dot"))
+  }
+
+  /** IVF FILTERED probe — the POST-FILTER strategy for weak filters at
+    * scale: probe the `nprobe` query-nearest cells, apply the
+    * predicate to the candidates, top-k the survivors. A starved
+    * candidate set (filter killed the probed cells' matches, fewer
+    * than k survivors) escalates by DOUBLING nprobe — at most
+    * `maxEscalations` driver-side rounds, each a cheap partition-
+    * pruned read — rather than silently returning a short result the
+    * way a fixed-nprobe post-filter does. Recall stays approximate
+    * (a matching vector in an unprobed cell is still missed — the
+    * inherent IVF trade); the escalation bounds the MISSING-ROWS
+    * failure mode, which is the one that breaks downstream joins.
+    */
+  def ivfFilteredTopKInt(assigned: DataFrame, idCol: String, vecCol: String,
+                         pred: org.apache.spark.sql.Column,
+                         centroids: Seq[(Long, Seq[Long])],
+                         queryVec: Seq[Float], k: Int = 10, nprobe: Int = 2,
+                         maxEscalations: Int = 2): DataFrame = {
+    val q = typedLit(queryVec.map(quantizeL))
+    def probe(n: Int): DataFrame = {
+      val cells = rankCells(centroids, queryVec.map(quantizeL), n)
+      assigned
+        .filter(col("cell").isInCollection(cells))
+        .filter(pred)
+        .withColumn("dot", intDot(intVec(col(vecCol)), q))
+        .orderBy(col("dot").desc, col(idCol))
+        .limit(k)
+        .select(col(idCol), col("cell"), col("dot"))
+    }
+    var n = nprobe
+    var out = probe(n)
+    var rounds = 0
+    while (rounds < maxEscalations && n < centroids.size &&
+           out.count() < k) {
+      n = math.min(centroids.size, n * 2)
+      out = probe(n)
+      rounds += 1
+    }
+    out
+  }
+
   /** IVF probe: rank the centroids against the query on the driver
     * (centroid list is tiny), scan only the `nprobe` nearest cells,
     * exact-score the candidates. With the table partitioned by `cell`,
