@@ -134,6 +134,40 @@ object Pipeline {
         lit("3_purchase"), col("n3"))).as(Seq("stage", "n_users")))
   }
 
+  /** VALUE-OUTLIER gate — the ingest-monitoring anomaly flag: events
+    * whose value sits more than `sigmas` standard deviations from
+    * their type's mean. The z-test is algebraically cleared of both
+    * the division and the square root:
+    *
+    *   |v − μ| > σ·s  ⟺  (n·v − S)² > s²·(n·Q − S²)
+    *
+    * with S = Σv, Q = Σv² per type over integer cents — EXACT integer
+    * decimal(38,0) algebra, no float variance drift, engine-portable.
+    * Degenerate groups are safe by construction: constant values or a
+    * single row give 0 > 0 = false.
+    *
+    * Plan shape for 100 TB: per-type (n, S, Q) is ONE map-side
+    * aggregate to k rows, broadcast back onto the scan — the corpus
+    * never shuffles. Headroom: the squared terms stay inside 38
+    * digits up to ~10^12 events of ~10^5 cents.
+    */
+  def valueOutliers(events: DataFrame, typeCol: String, valueCol: String,
+                    sigmas: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    val withC = events.withColumn("cents",
+      round(col(valueCol) * 100).cast("long"))
+    val stats = withC.groupBy(col(typeCol))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+           sum(col("cents")).cast(dec).as("__s"),
+           sum(col("cents") * col("cents")).cast(dec).as("__q"))
+    val dev = col("__n") * col("cents").cast(dec) - col("__s")
+    withC.join(broadcast(stats), Seq(typeCol))
+      .filter(dev * dev >
+              lit(sigmas.toLong * sigmas).cast(dec) *
+                (col("__n") * col("__q") - col("__s") * col("__s")))
+      .select(col("event_id"), col(typeCol), col("cents"))
+  }
+
   /** q36's persisted vector intermediate, keyed by (a) a hash of this
     * checkout's canonical path — two concurrent verify runs from
     * different checkouts on one box must not overwrite each other's
@@ -1231,6 +1265,14 @@ object Pipeline {
         .select(col("rnk"), col("vec_id"), col("dot"))
     }),
 
+    // VALUE OUTLIERS: the ingest anomaly gate — 3-sigma deviations per
+    // event type with the z-test cleared of division AND sqrt:
+    // (n*v - S)^2 > 9*(n*Q - S^2), exact decimal algebra both engines.
+    "q114_value_outliers" -> ((s, dir) => {
+      valueOutliers(t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_id"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2009,6 +2051,19 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // same cleared z-test in HUGEINT.
+    "q114_value_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+          st AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
+                        sum(cents * cents) AS q
+                 FROM e GROUP BY event_type)
+          SELECT event_id, e.event_type, cents
+          FROM e JOIN st USING (event_type)
+          WHERE (n*cents - s)*(n*cents - s) > 9*(n*q - s*s)
+          ORDER BY event_id""",
 
     // the interleave replayed from the SAME generated sum-of-terms
     // SQL (zValueSql) — the two sides cannot drift.
