@@ -168,6 +168,33 @@ object Pipeline {
       .select(col("event_id"), col(typeCol), col("cents"))
   }
 
+  /** 7-DAY MOVING REVENUE — the RANGE-frame rolling window: the frame
+    * is 6 PRECEDING over the day NUMBER, so calendar gaps SHRINK the
+    * frame (a missing day contributes nothing) instead of silently
+    * widening the lookback the way a ROWS frame does. Exact integer
+    * cents; the moving average is floor(sum7 / days-present).
+    *
+    * Plan shape for 100 TB: the corpus reduces map-side to |days| rows
+    * FIRST; the frame runs on that bounded table — a deliberate
+    * bounded single-partition window, the same contract as the
+    * vocab-coverage curve (q102). Never a per-event window.
+    */
+  def movingDailyRevenue(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("cents_7d", sum(col("cents")).over(w))
+      .withColumn("days_present", count(lit(1)).over(w))
+      .withColumn("avg_cents_7d", expr("cents_7d div days_present"))
+      .select(col("day"), col("cents"), col("cents_7d"),
+              col("days_present"), col("avg_cents_7d"))
+  }
+
   /** q36's persisted vector intermediate, keyed by (a) a hash of this
     * checkout's canonical path — two concurrent verify runs from
     * different checkouts on one box must not overwrite each other's
@@ -1273,6 +1300,16 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // 7-DAY MOVING REVENUE: the RANGE-frame window (6 PRECEDING over
+    // the day NUMBER, so calendar gaps shrink the frame instead of
+    // silently widening it the way a ROWS frame does). The corpus
+    // reduces map-side to |days| rows first; the frame runs on that
+    // bounded table (deliberate bounded single-partition window, same
+    // contract as q102). Exact integer cents; ma = floor(sum7/n7).
+    "q115_moving_revenue" -> ((s, dir) => {
+      movingDailyRevenue(t(s, dir, "events")).orderBy(col("day"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2051,6 +2088,24 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the same day-number RANGE frame.
+    "q115_moving_revenue" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1, 3),
+         win AS (
+           SELECT day, cents,
+                  CAST(sum(cents) OVER r AS BIGINT) AS cents_7d,
+                  CAST(count(*) OVER r AS BIGINT) AS days_present
+           FROM daily
+           WINDOW r AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT day, cents, cents_7d, days_present,
+                CAST(cents_7d // days_present AS BIGINT) AS avg_cents_7d
+         FROM win ORDER BY day""",
 
     // same cleared z-test in HUGEINT.
     "q114_value_outliers" ->
