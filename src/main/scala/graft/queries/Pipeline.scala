@@ -1310,6 +1310,15 @@ object Pipeline {
       movingDailyRevenue(t(s, dir, "events")).orderBy(col("day"))
     }),
 
+    // PER-SOURCE KL DIVERGENCE: which source's language drifts from
+    // the corpus blend — fixed-point bits via the log2 recurrence,
+    // exact integers both engines; the corpus pays one (source, token)
+    // aggregate, everything after is vocab-bounded.
+    "q116_source_kl" -> ((s, dir) => {
+      TextStats.sourceKlDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2088,6 +2097,47 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the same count algebra + ONE log recurrence over the DISTINCT
+    // argument values (c ∪ Ct ∪ Ns ∪ N) joined back four ways —
+    // q92's DISTINCT-over-UNION-ALL convention under WITH RECURSIVE.
+    "q116_source_kl" ->
+      s"""WITH RECURSIVE toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents),
+          counts AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+          persrc AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM counts GROUP BY 1),
+          pertok AS (
+            SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM counts GROUP BY 1),
+          tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM persrc),
+          xs AS (
+            SELECT DISTINCT k, x FROM (
+              SELECT c AS k, c AS x FROM counts
+              UNION ALL SELECT ct, ct FROM pertok
+              UNION ALL SELECT ns, ns FROM persrc
+              UNION ALL SELECT n, n FROM tot)),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          terms AS (
+            SELECT c.source,
+                   c.c * (lc.l2 + ln.l2 - lns.l2 - lct.l2) AS term
+            FROM counts c
+            JOIN pertok pt ON pt.tok = c.tok
+            JOIN persrc ps ON ps.source = c.source
+            CROSS JOIN tot
+            JOIN __l2 lc ON lc.k = c.c
+            JOIN __l2 lct ON lct.k = pt.ct
+            JOIN __l2 lns ON lns.k = ps.ns
+            JOIN __l2 ln ON ln.k = tot.n)
+          SELECT t.source, ps.ns AS n_tokens,
+                 CAST(CAST(sum(t.term) AS BIGINT) // ps.ns AS BIGINT) AS kl_fp
+          FROM terms t JOIN persrc ps ON ps.source = t.source
+          GROUP BY t.source, ps.ns
+          ORDER BY t.source""",
 
     // the same day-number RANGE frame.
     "q115_moving_revenue" ->

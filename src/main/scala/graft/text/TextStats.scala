@@ -525,4 +525,59 @@ object TextStats {
                                 i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
+
+  /** Per-source LEXICAL DIVERGENCE — KL(source ‖ corpus) over token
+    * distributions, the mixture-QA report that names WHICH source's
+    * language drifts from the blend (a templated or off-domain source
+    * scores high; a representative one near 0). In fixed-point bits
+    * ([[graft.functions.FixedPoint]], scale 2^12):
+    *
+    *   KL_fp = ⌊ Σ_t c·(log2fp(c) + log2fp(N) − log2fp(Ns) − log2fp(Ct))
+    *             / Ns ⌋   (floor division, matching DuckDB `//`)
+    *
+    * with c = source-token count, Ns = source total, Ct = corpus-wide
+    * token count, N = corpus total — every factor an integer, the log
+    * the digit-extraction recurrence, so ANY engine replaying the
+    * algebra gets the same bits. KL ≥ 0 mathematically; per-term
+    * truncation can leave a tiny signed residue, hence the explicit
+    * floor (Spark `div` truncates toward zero and would disagree with
+    * the oracle on a negative sum).
+    *
+    * Plan shape for 100 TB: the corpus pays ONE explode + map-side
+    * (source, token) count aggregate; everything downstream —
+    * per-source totals, per-token totals, the 1-row corpus total, the
+    * four log recurrences, the final fold — is bounded by
+    * vocab × sources and runs under broadcast joins. The counts table
+    * is pinned (`localCheckpoint`) because three aggregates read it;
+    * caller releases via [[graft.io.Pins.release]] after the terminal
+    * action. Headroom: Σ c·Δlog stays in BIGINT to ~10^13 tokens per
+    * source.
+    */
+  def sourceKlDivergence(df: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("source"),
+              explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val perSource = counts.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val perToken = counts.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val total = perSource.agg(sum(col("ns")).as("n"))
+    val joined = counts
+      .join(broadcast(perToken), Seq("tok"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+    graft.functions.FixedPoint.withLog2(joined,
+        Seq(("c", "lc"), ("ct", "lct"), ("ns", "lns"), ("n", "ln")))
+      .withColumn("__term",
+        col("c") * (col("lc") + col("ln") - col("lns") - col("lct")))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), sum(col("__term")).as("__tsum"))
+      .withColumn("kl_fp", expr(
+        """__tsum div n_tokens -
+           (CASE WHEN __tsum % n_tokens != 0 AND __tsum < 0
+                 THEN 1 ELSE 0 END)"""))
+      .select(col("source"), col("n_tokens"), col("kl_fp"))
+  }
 }
