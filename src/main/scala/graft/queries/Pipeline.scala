@@ -1319,6 +1319,16 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // EMBEDDING COHESION: per-label centroid spread vs nearest-other-
+    // centroid separation — the space-quality report before trusting
+    // labels for blocking/voting. Exact integers; the oracle replays
+    // centroid floor-means, intra distances, and the k^2 inter table.
+    "q117_label_cohesion" -> ((s, dir) => {
+      Ann.labelCohesion(t(s, dir, "embeddings"), "vec_id", "embedding",
+                        "label")
+        .orderBy(col("label"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2097,6 +2107,35 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // centroid floor-means per (label, dim), per-vector squared L2 to
+    // the own-label centroid, min inter-centroid squared L2 — the
+    // same integer algebra end to end.
+    "q117_label_cohesion" ->
+      """WITH iv AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+              FROM embeddings),
+          el AS (SELECT vec_id, label, v[d] AS x, d
+                 FROM (SELECT vec_id, label, v,
+                              unnest(generate_series(1, len(v))) AS d FROM iv)),
+          cent AS (SELECT label, d, CAST(sum(x) // count(*) AS BIGINT) AS c
+                   FROM el GROUP BY 1, 2),
+          d2 AS (SELECT e.vec_id, e.label,
+                        CAST(sum((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS dd
+                 FROM el e JOIN cent c ON c.label = e.label AND c.d = e.d
+                 GROUP BY 1, 2),
+          intra AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                           CAST(sum(dd) // count(*) AS BIGINT) AS avg_intra_d2
+                    FROM d2 GROUP BY 1),
+          pair AS (SELECT a.label AS la, b.label AS lb,
+                          CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS pd
+                   FROM cent a JOIN cent b ON a.d = b.d AND a.label <> b.label
+                   GROUP BY 1, 2),
+          inter AS (SELECT la AS label, min(pd) AS min_inter_d2 FROM pair GROUP BY 1)
+          SELECT CAST(i.label AS BIGINT) AS label, i.n_vectors,
+                 i.avg_intra_d2, t.min_inter_d2
+          FROM intra i JOIN inter t ON t.label = i.label
+          ORDER BY label""",
 
     // the same count algebra + ONE log recurrence over the DISTINCT
     // argument values (c ∪ Ct ∪ Ns ∪ N) joined back four ways —

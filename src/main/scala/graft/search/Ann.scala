@@ -634,7 +634,9 @@ object Ann {
     // the lambda would re-quantize the vector per element — the HOF
     // quadratic trap); floor division via the pmod identity
     // (n − pmod(n,r))/r — n−pmod is exactly divisible, so the double
-    // division is exact and matches DuckDB's `//` floor semantics
+    // division is exact; for in-domain values n ≥ 0, where floor,
+    // truncation, and DuckDB's `//` all agree (out-of-domain negatives
+    // floor, then the 0-clamp takes over before the difference shows)
     df.select(col(idCol), intVec(col(vecCol)).as("__iv"))
       .select(col(idCol),
         zip_with(zip_with(col("__iv"), lows, (x, lo) => x - lo), rng,
@@ -672,6 +674,77 @@ object Ann {
       .orderBy(col("approx_num").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("approx_num"))
+  }
+
+  // ---- Embedding-space QA ----
+
+  /** Per-label COHESION report — the embedding-space quality check run
+    * before trusting labels for ANN blocking, kNN voting, or stratified
+    * eval: each label's floor-mean centroid, its average intra-cluster
+    * squared L2 (spread), and the squared L2 to its NEAREST other
+    * centroid (separation). A healthy space has separation ≫ spread; a
+    * collapsed or mislabeled one shows the inverse. All exact integer
+    * algebra on [[intVec]]'s grid: centroids are per-dimension Σv/n in
+    * TRUNCATING division — DuckDB's `//` truncates toward zero on
+    * negatives (−7//2 = −3), so the engine-portable contract is
+    * truncation, not floor — and distances run through the native
+    * [[intDot]] kernel via ¦v−c¦² = v·v − 2·v·c + c·c.
+    *
+    * Plan shape for 100 TB: pass 1 is one (label, dim) posexplode
+    * aggregate (map-side combined, labels × dims rows collected like
+    * [[ivfTrain]]'s centroids); pass 2 scores each row against its own
+    * label's centroid as literal arrays in ONE scan — no joins, no
+    * per-row branching beyond the label dispatch; the k² inter-centroid
+    * table is driver arithmetic.
+    */
+  def labelCohesion(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val sums = embeddings
+      .select(col(labelCol).cast("long").as("__lab"),
+              posexplode(intVec(col(vecCol))).as(Seq("__d", "__v")))
+      .groupBy(col("__lab"), col("__d"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .orderBy(col("__lab"), col("__d"))
+      .collect()
+    val centroids: Map[Long, Seq[Long]] = sums
+      .groupBy(_.getLong(0))
+      .map { case (lab, rows) =>
+        lab -> rows.sortBy(_.getInt(1)).map(r =>
+          r.getLong(2) / r.getLong(3)).toSeq } // truncating, = DuckDB //
+    val labels = centroids.keys.toSeq.sorted
+    require(labels.nonEmpty, "no labels to report on")
+    val centCol = labels.tail.foldLeft(
+        when(col("__lab") === labels.head, typedLit(centroids(labels.head)))) {
+      (acc, l) => acc.when(col("__lab") === l, typedLit(centroids(l)))
+    }
+    val ccCol = labels.tail.foldLeft(
+        when(col("__lab") === labels.head,
+             lit(centroids(labels.head).map(x => x * x).sum))) {
+      (acc, l) => acc.when(col("__lab") === l,
+                           lit(centroids(l).map(x => x * x).sum))
+    }
+    val minInter: Map[Long, Long] = labels.map { l =>
+      l -> labels.filter(_ != l).map { o =>
+        centroids(l).zip(centroids(o))
+          .map { case (a, b) => val d = a - b; d * d }.sum }.min
+    }.toMap
+    val interCol = labels.tail.foldLeft(
+        when(col("__lab") === labels.head, lit(minInter(labels.head)))) {
+      (acc, l) => acc.when(col("__lab") === l, lit(minInter(l)))
+    }
+    embeddings
+      .select(col(labelCol).cast("long").as("__lab"),
+              intVec(col(vecCol)).as("__iv"))
+      .withColumn("__d2",
+        intDot(col("__iv"), col("__iv"))
+          - lit(2L) * intDot(col("__iv"), centCol) + ccCol)
+      .groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(col("__d2")).as("__sd2"),
+           max(interCol).as("min_inter_d2"))
+      .withColumn("avg_intra_d2", expr("__sd2 div n_vectors"))
+      .select(col("label"), col("n_vectors"), col("avg_intra_d2"),
+              col("min_inter_d2"))
   }
 
   // ---- Filtered vector search (the vector-store filter problem) ----

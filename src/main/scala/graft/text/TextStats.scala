@@ -532,16 +532,16 @@ object TextStats {
     * scores high; a representative one near 0). In fixed-point bits
     * ([[graft.functions.FixedPoint]], scale 2^12):
     *
-    *   KL_fp = ⌊ Σ_t c·(log2fp(c) + log2fp(N) − log2fp(Ns) − log2fp(Ct))
-    *             / Ns ⌋   (floor division, matching DuckDB `//`)
+    *   KL_fp = Σ_t c·(log2fp(c) + log2fp(N) − log2fp(Ns) − log2fp(Ct))
+    *           div Ns   (TRUNCATING division — both engines: Spark
+    *                     `div` and DuckDB `//` truncate toward zero,
+    *                     including on the tiny negative residues
+    *                     per-term log truncation can leave)
     *
     * with c = source-token count, Ns = source total, Ct = corpus-wide
     * token count, N = corpus total — every factor an integer, the log
     * the digit-extraction recurrence, so ANY engine replaying the
-    * algebra gets the same bits. KL ≥ 0 mathematically; per-term
-    * truncation can leave a tiny signed residue, hence the explicit
-    * floor (Spark `div` truncates toward zero and would disagree with
-    * the oracle on a negative sum).
+    * algebra gets the same bits. KL ≥ 0 mathematically.
     *
     * Plan shape for 100 TB: the corpus pays ONE explode + map-side
     * (source, token) count aggregate; everything downstream —
@@ -574,10 +574,7 @@ object TextStats {
         col("c") * (col("lc") + col("ln") - col("lns") - col("lct")))
       .groupBy(col("source"))
       .agg(max(col("ns")).as("n_tokens"), sum(col("__term")).as("__tsum"))
-      .withColumn("kl_fp", expr(
-        """__tsum div n_tokens -
-           (CASE WHEN __tsum % n_tokens != 0 AND __tsum < 0
-                 THEN 1 ELSE 0 END)"""))
+      .withColumn("kl_fp", expr("__tsum div n_tokens"))
       .select(col("source"), col("n_tokens"), col("kl_fp"))
   }
 }

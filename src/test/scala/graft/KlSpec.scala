@@ -35,7 +35,7 @@ class KlSpec extends SparkSpec {
     counts.groupBy(_._1).map { case (s, g) =>
       val tsum = g.map { case (_, t, c) =>
         c * (log2fp(c) + log2fp(n) - log2fp(ns(s)) - log2fp(ct(t))) }.sum
-      s -> Math.floorDiv(tsum, ns(s))
+      s -> tsum / ns(s) // truncating, = Spark div = DuckDB //
     }
   }
 
@@ -47,7 +47,7 @@ class KlSpec extends SparkSpec {
     got
   }
 
-  test("exactly the BigInt driver twin, including the floor on negatives") {
+  test("exactly the BigInt driver twin (truncating div, both engines)") {
     val rows = Seq(
       "a" -> "x y z x y x w w", "a" -> "y z w q",
       "b" -> "x x x y", "c" -> "only unique tokens here now")
