@@ -1329,6 +1329,23 @@ object Pipeline {
         .orderBy(col("label"))
     }),
 
+    // CMS JOIN-SIZE ESTIMATE: |orders ⋈ lineitem| from two d·w-row
+    // sketches — the planning-time statistic, one-sided by
+    // construction (est >= true); the TRUE size sits beside it, q93's
+    // truth-next-to-estimate convention.
+    "q118_join_size_cms" -> ((s, dir) => {
+      import graft.text.Profile
+      val ok = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("string").as("k"))
+      val lk = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val est = Profile.cmsJoinSizeEstimate(
+        Profile.cmsSketch(ok, "k"), Profile.cmsSketch(lk, "k"))
+      val truth = ok.join(lk, Seq("k"))
+        .agg(count(lit(1)).as("true_join_size"))
+      est.crossJoin(broadcast(truth))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2107,6 +2124,31 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the same sketch construction (q93's bucket recipe) on both key
+    // columns; estimate = min_j of the row inner product.
+    "q118_join_size_cms" ->
+      """WITH ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+          lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+          sa AS (SELECT j.j,
+                        CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || k), 1, 8)
+                             AS BIGINT) % 1024 AS bucket,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM ok, (SELECT unnest(generate_series(0, 3)) AS j) j
+                 GROUP BY 1, 2),
+          sb AS (SELECT j.j,
+                        CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || k), 1, 8)
+                             AS BIGINT) % 1024 AS bucket,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM lk, (SELECT unnest(generate_series(0, 3)) AS j) j
+                 GROUP BY 1, 2),
+          rows_ AS (SELECT sa.j, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS e
+                    FROM sa JOIN sb ON sb.j = sa.j AND sb.bucket = sa.bucket
+                    GROUP BY sa.j)
+          SELECT CAST(min(e) AS BIGINT) AS est_join_size,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM ok JOIN lk ON lk.k = ok.k) AS true_join_size
+          FROM rows_""",
 
     // centroid floor-means per (label, dim), per-vector squared L2 to
     // the own-label centroid, min inter-centroid squared L2 — the

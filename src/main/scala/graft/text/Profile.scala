@@ -194,6 +194,24 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** JOIN-SIZE ESTIMATE from two Count-Min sketches — the optimizer
+    * statistic that answers "how big is A ⋈ B on this key" WITHOUT
+    * touching either table again: ¦A ⋈ B¦ = Σ_k a_k·b_k, and the CMS
+    * row inner product Σ_b cntA(j,b)·cntB(j,b) over-counts it by
+    * exactly the colliding cross terms — so the estimate
+    * min_j Σ_b cntA·cntB is ONE-SIDED (never under-estimates), the
+    * same guarantee [[cmsEstimate]] gives for point frequencies, with
+    * expected over-count ¦A¦·¦B¦/w per row. Two d·w-row sketches in,
+    * one row out: the planning-time answer at any corpus size.
+    */
+  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("j"), col("bucket"), col("cnt").as("__ca"))
+      .join(sketchB.select(col("j"), col("bucket"), col("cnt").as("__cb")),
+            Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("__ca") * col("__cb")).as("__e"))
+      .agg(min(col("__e")).as("est_join_size"))
+
   /** VOCABULARY COVERAGE CURVE — "how many vocabulary entries cover
     * t% of all token occurrences", the report a tokenizer-budget
     * decision reads. Ranking tokens by frequency and cumulating would

@@ -173,6 +173,34 @@ class ProfileSpec extends SparkSpec {
     assert(sk(df.repartition(1)) === sk(df.repartition(16, col("tok"))))
   }
 
+  test("cmsJoinSizeEstimate: driver twin exact, one-sided vs the true join size") {
+    import graft.text.Profile
+    def bucket(j: Int, t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    val rnd = new scala.util.Random(5)
+    val as = (1 to 300).map(_ => s"k${rnd.nextInt(80)}")
+    val bs = (1 to 500).map(_ => s"k${rnd.nextInt(120)}")
+    val est = Profile.cmsJoinSizeEstimate(
+        Profile.cmsSketch(as.toDF("k"), "k"),
+        Profile.cmsSketch(bs.toDF("k"), "k"))
+      .as[Long].collect().head
+    // driver twin: min over rows of the bucket-count inner product
+    val twin = (0 until 4).map { j =>
+      val ca = as.groupBy(t => bucket(j, t)).map { case (b, g) => b -> g.size.toLong }
+      val cb = bs.groupBy(t => bucket(j, t)).map { case (b, g) => b -> g.size.toLong }
+      ca.map { case (b, c) => c * cb.getOrElse(b, 0L) }.sum
+    }.min
+    assert(est == twin)
+    // one-sided: never below the true inner-product join size
+    val ta = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tb = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = ta.map { case (k, c) => c * tb.getOrElse(k, 0L) }.sum
+    assert(est >= truth, s"CMS join estimate must never under-count: $est < $truth")
+  }
+
   test("cmsSketch plan: map-side partial count; probe joins a broadcast sketch") {
     val df = (1 to 200).map(i => Tuple1(s"t${i % 40}")).toDF("tok")
     val sketch = Profile.cmsSketch(df, "tok")
