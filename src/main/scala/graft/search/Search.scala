@@ -274,25 +274,44 @@ object Search {
     */
   def phraseOccurrences(df: DataFrame, idCol: String, textCol: String,
                         phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
-    require(terms.nonEmpty, "phrase must contain at least one word token")
+    val terms = phraseTerms(phrase)
     val distinctTerms = terms.distinct
-    val offsetsOf: Seq[(String, Seq[Int])] = distinctTerms.map(t =>
-      t -> terms.zipWithIndex.collect { case (`t`, j) => j })
-    val offArr = offsetsOf.tail
-      .foldLeft(when(col("__tok") === offsetsOf.head._1,
-                     typedlit(offsetsOf.head._2))) {
-        case (acc, (t, offs)) => acc.when(col("__tok") === t, typedlit(offs))
-      }
-    df.select(col(idCol),
+    val postings = df
+      .select(col(idCol),
               filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
                 .as("__toks"))
       .filter(size(array_intersect(col("__toks"),
                                    typedlit(distinctTerms))) === distinctTerms.size)
       .select(col(idCol), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
-      .filter(col("__tok").isin(distinctTerms: _*))
-      .select(col(idCol), col("__p0"), explode(offArr).as("__off"))
-      .select(col(idCol), (col("__p0") + 1 - col("__off")).as("__anchor"))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("__tok").as("tok"))
+    anchorVotes(postings, idCol, terms)
+  }
+
+  private def phraseTerms(phrase: String): Seq[String] = {
+    val terms = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one word token")
+    terms
+  }
+
+  /** The anchor-vote stage shared by the inline and the STORED phrase
+    * paths: postings = (id, pos 1-based, tok); only the phrase's
+    * terms survive the first filter, so every exchange below runs on
+    * the query terms' occurrences.
+    */
+  private def anchorVotes(postings: DataFrame, idCol: String,
+                          terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    val offsetsOf: Seq[(String, Seq[Int])] = distinctTerms.map(t =>
+      t -> terms.zipWithIndex.collect { case (`t`, j) => j })
+    val offArr = offsetsOf.tail
+      .foldLeft(when(col("tok") === offsetsOf.head._1,
+                     typedlit(offsetsOf.head._2))) {
+        case (acc, (t, offs)) => acc.when(col("tok") === t, typedlit(offs))
+      }
+    postings
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select(col(idCol), col("pos"), explode(offArr).as("__off"))
+      .select(col(idCol), (col("pos") - col("__off")).as("__anchor"))
       .filter(col("__anchor") >= 1)
       .groupBy(col(idCol), col("__anchor"))
       .agg(count(lit(1)).as("__hits"))
@@ -300,6 +319,56 @@ object Search {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_occurrences"),
            min(col("__anchor")).cast("long").as("first_pos"))
+  }
+
+  /** Term bucket for the stored postings layout: first 32 md5 bits of
+    * the token mod `nBuckets` — the same recipe on the write and probe
+    * sides (the sketch-family convention), deterministic across
+    * sessions and engines.
+    */
+  private def termBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** Build the POSITIONAL POSTINGS table — (id, pos, tok, tb) with tb
+    * the term bucket — the build-once side of the stored phrase index.
+    */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int = 64): DataFrame =
+    df.select(col(idCol),
+              posexplode(filter(split(lower(col(textCol)), "\\W+"),
+                                t => t =!= "")).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("tok"),
+              termBucket(col("tok"), nBuckets).as("tb"))
+
+  /** Persist [[buildPostings]] partitioned by term bucket — probes
+    * read only the buckets their terms hash to (PartitionFilters), the
+    * search-index analogue of the IVF cell layout.
+    */
+  def writePostings(df: DataFrame, idCol: String, textCol: String,
+                    path: String, nBuckets: Int = 64): Unit =
+    buildPostings(df, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+
+  /** PHRASE search over the STORED postings index — the probe-many
+    * side: the scan is pruned to the ≤ ¦distinct terms¦ buckets the
+    * phrase's terms hash to (directory-level PartitionFilters — the
+    * corpus-sized remainder of the index is never opened), then the
+    * same anchor-vote algebra as [[phraseOccurrences]]. Results are
+    * identical to the inline form by construction (the spec pins it).
+    */
+  def phraseOccurrencesStored(spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String, phrase: String,
+                              nBuckets: Int = 64): DataFrame = {
+    val terms = phraseTerms(phrase)
+    val buckets = terms.distinct
+      .map(t => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16) % nBuckets)
+      .distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("tb").isInCollection(buckets))
+    anchorVotes(postings, idCol, terms)
   }
 
   /** Q4 — deterministic search-cache key:

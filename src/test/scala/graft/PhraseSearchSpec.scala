@@ -46,6 +46,25 @@ class PhraseSearchSpec extends SparkSpec {
       Seq((1L, 1L, 1L)))
   }
 
+  test("stored index: probe equals the inline form; the scan prunes to term buckets") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w$i table scan join w${i + 1} " * (i % 3 + 1).toInt))
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings").toString
+    Search.writePostings(df, "doc_id", "text", s"$dir/idx", nBuckets = 16)
+    val stored = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                                "doc_id", "table scan",
+                                                nBuckets = 16)
+    val inline = Search.phraseOccurrences(df, "doc_id", "text", "table scan")
+    assert(stored.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq ==
+           inline.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq)
+    // the probe must prune at the DIRECTORY level: tb in PartitionFilters
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*tb.*\\].*"),
+           s"term buckets must prune as partitions: $plan")
+  }
+
   test("plan: no UDF, no cartesian; aggregates run on the term sliver") {
     val df = Search.phraseOccurrences(
       Seq((1L, "table scan join")).toDF("doc_id", "text"),
