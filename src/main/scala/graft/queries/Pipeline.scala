@@ -1346,6 +1346,17 @@ object Pipeline {
       est.crossJoin(broadcast(truth))
     }),
 
+    // WEIGHTED SAMPLE (A-ES): length-proportional top-50 by the
+    // fixed-point ln(u)/w key — deterministic, engine-exact; heavier
+    // docs draw keys nearer zero. TakeOrdered, no corpus shuffle.
+    "q119_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+                              k = 50)
+        .withColumn("rnk", row_number().over(
+            Window.orderBy(col("key_fp").desc, col("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("weight"), col("key_fp"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2124,6 +2135,25 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the same u-draw and key algebra; ONE log recurrence over the
+    // distinct u values joined back.
+    "q119_weighted_sample" ->
+      s"""WITH RECURSIVE base AS (
+            SELECT doc_id, greatest(CAST(n_chars AS BIGINT), 1) AS w,
+                   CAST('0x' || substr(md5('aes|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1 AS u
+            FROM documents),
+          xs AS (SELECT DISTINCT u AS k, u AS x FROM base),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          keyed AS (
+            SELECT b.doc_id, b.w,
+                   CAST(((l.l2 - 131072) * 1000000) // b.w AS BIGINT) AS key_fp
+            FROM base b JOIN __l2 l ON l.k = b.u)
+          SELECT CAST(row_number() OVER (ORDER BY key_fp DESC, doc_id) AS BIGINT)
+                   AS rnk,
+                 doc_id, w AS weight, key_fp
+          FROM keyed ORDER BY key_fp DESC, doc_id LIMIT 50""",
 
     // the same sketch construction (q93's bucket recipe) on both key
     // columns; estimate = min_j of the row inner product.

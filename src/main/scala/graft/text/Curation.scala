@@ -134,6 +134,42 @@ object Curation {
         lit("3_dedup_keeper"), col("n3"))).as(Seq("stage", "n_docs")))
   }
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT — Efraimidis–Spirakis A-ES
+    * made deterministic and engine-exact: each row draws u from the
+    * first 32 md5 bits of (salt ¦ id) and ranks by the fixed-point key
+    *
+    *   key_fp = (log2fp(u+1) − 32·2^12) · 10^6  div  w
+    *
+    * (the integer form of ln(u)/w — always ≤ 0, larger-is-better;
+    * truncating div, the Spark `div` = DuckDB `//` contract). Heavier
+    * rows draw keys nearer zero, so the top-k IS a weight-proportional
+    * sample without replacement; re-seed per epoch via `salt` — the
+    * same determinism contract as [[trainingOrder]]. The importance-
+    * weighted document pick (sample long/high-quality docs more) every
+    * curation pass needs, reproducible bit-for-bit on any engine.
+    *
+    * Plan shape for 100 TB: u, the log recurrence (~40 integer ops,
+    * whole-stage codegen), and the key are per-row map work; selection
+    * is TakeOrderedAndProject (per-partition top-k, k·P driver merge) —
+    * no shuffle of the corpus, ever.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "aes"): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|", lit(salt),
+                                         col(idCol).cast("string"))), 1, 8),
+                 16, 10).cast("long") + 1
+    val base = df
+      .withColumn("__u", u)
+      .withColumn("weight", greatest(col(weightCol).cast("long"), lit(1L)))
+    graft.functions.FixedPoint.withLog2(base, Seq(("__u", "__lu")))
+      .withColumn("key_fp", expr(
+        s"((__lu - ${32L * graft.functions.FixedPoint.Scale}) * 1000000)" +
+          " div weight"))
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("key_fp"))
+  }
+
   /** MIXTURE ALLOCATION — the data-mixing budget solve every
     * pre-training run starts from: given per-source token inventories,
     * target mixture weights (ppm), and a total token budget, compute

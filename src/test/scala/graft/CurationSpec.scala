@@ -108,4 +108,65 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
            s"must not global-sort:\n$plan")
   }
+
+  // the spec-local log2fp twin (same recurrence as FixedPoint)
+  private def log2fp(x0: Long): Long = {
+    val x = math.max(x0, 1L)
+    val e = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    var m = if (e > 20) x >> (e - 20) else x << (20 - e)
+    var acc = 0L
+    (1 to 12).foreach { _ =>
+      val mp = (m * m) >> 20
+      if (mp >= (1L << 21)) { acc = acc * 2 + 1; m = mp >> 1 }
+      else { acc = acc * 2; m = mp }
+    }
+    e * 4096L + acc
+  }
+
+  private def uOf(salt: String, id: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$id".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16) + 1
+
+  test("weightedSample: exactly the A-ES driver twin, deterministic per salt") {
+    val rows = (1L to 100L).map(i => (i, (i % 7 + 1) * 10))
+    val df = rows.toDF("id", "wt")
+    val got = Curation.weightedSample(df, "id", "wt", k = 10, salt = "s1")
+      .as[(Long, Long, Long)].collect().toSeq
+    val twin = rows.map { case (id, w) =>
+      (id, w.toLong, ((log2fp(uOf("s1", id)) - 131072L) * 1000000L) / w) }
+      .sortBy { case (id, _, key) => (-key, id) }.take(10)
+    assert(got == twin)
+    // same salt, same answer
+    val again = Curation.weightedSample(df, "id", "wt", k = 10, salt = "s1")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("weightedSample: heavier rows win proportionally more across salts") {
+    // items 1-10 weight 1, items 11-20 weight 10; over 30 salts the
+    // heavy half must dominate the k=5 picks
+    val rows = (1L to 20L).map(i => (i, if (i <= 10) 1 else 10))
+    val df = rows.toDF("id", "wt")
+    val picks = (1 to 30).flatMap { s =>
+      Curation.weightedSample(df, "id", "wt", k = 5, salt = s"salt$s")
+        .as[(Long, Long, Long)].collect().map(_._1)
+    }
+    val heavy = picks.count(_ > 10L)
+    assert(heavy > picks.size * 2 / 3,
+           s"heavy items must dominate: $heavy of ${picks.size}")
+    // both halves appear at least once — it is a sample, not a sort
+    assert(picks.exists(_ <= 10L))
+  }
+
+  test("weightedSample plan: TakeOrderedAndProject, no corpus shuffle, no UDF") {
+    val plan = Curation.weightedSample(
+        spark.range(1000).toDF("id").withColumn("wt", $"id" % 9 + 1),
+        "id", "wt", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("UDF("))
+  }
 }
