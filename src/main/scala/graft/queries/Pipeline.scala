@@ -168,6 +168,29 @@ object Pipeline {
       .select(col("event_id"), col(typeCol), col("cents"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — each purchase credits the most recent
+    * preceding click/view by the same user; purchases with no prior
+    * touch report as 'none'. ONE user-partitioned window (`last …
+    * ignoreNulls` over the STRICT past — the purchase row itself can
+    * never self-attribute) then a marketing-channel-sized aggregate.
+    * Ties on ts break by event_id: a total order both engines agree
+    * on. Exact integer cents.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__src",
+        last(when(col("event_type").isin("click", "view"),
+                  col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("__src"), lit("none")).as("attributed_to"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(round(col("value") * 100).cast("long")).as("cents"))
+  }
+
   /** 7-DAY MOVING REVENUE — the RANGE-frame rolling window: the frame
     * is 6 PRECEDING over the day NUMBER, so calendar gaps SHRINK the
     * frame (a missing day contributes nothing) instead of silently
@@ -1357,6 +1380,15 @@ object Pipeline {
         .select(col("rnk"), col("doc_id"), col("weight"), col("key_fp"))
     }),
 
+    // LAST-TOUCH ATTRIBUTION: each purchase credits the most recent
+    // preceding click/view by the same user — one user-partitioned
+    // window (last ... ignoreNulls over the strict past), then a
+    // 3-row report. Ties on ts break by event_id: a total order both
+    // engines agree on.
+    "q120_attribution" -> ((s, dir) => {
+      lastTouchAttribution(t(s, dir, "events")).orderBy(col("attributed_to"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2135,6 +2167,22 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the same strict-past IGNORE NULLS window and total order.
+    "q120_attribution" ->
+      """WITH attr AS (
+           SELECT event_type, value,
+                  last_value(CASE WHEN event_type IN ('click', 'view')
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS src
+           FROM events)
+         SELECT coalesce(src, 'none') AS attributed_to,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM attr WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
 
     // the same u-draw and key algebra; ONE log recurrence over the
     // distinct u values joined back.
