@@ -59,6 +59,43 @@ object AsOf {
               matchCols.map(m => col(s"__last.$m").as(s"asof_$m")): _*)
   }
 
+  /** FORWARD as-of — the symmetric primitive: match each query row to
+    * the EARLIEST build row at-or-after it (the "next quote"/"next
+    * event" join backward as-of cannot express). Same union-tag-window
+    * plan mirrored: one shuffle on the key, a `first(…, ignoreNulls)`
+    * window over (current row .. unbounded FOLLOWING) ordered by
+    * (ts, side, tie) with the QUERY side sorting before an equal-ts
+    * build — so a build AT the query timestamp matches (`>=`
+    * convention), and among builds sharing a timestamp the SMALLEST
+    * tiebreak wins (the first one the forward scan meets).
+    */
+  def joinForward(queries: DataFrame, builds: DataFrame, keyCol: String,
+                  tsCol: String, matchCols: Seq[String],
+                  tieBreak: String): DataFrame = {
+    val qCols = queries.columns
+    val payload = qCols.filterNot(c => c == keyCol || c == tsCol).toSeq
+    // side 0 = query, 1 = build: at equal ts the build sorts AFTER the
+    // query row, inside its forward frame.
+    val b = builds.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+          col(tieBreak).cast("long").as("__tie"),
+          struct(matchCols.map(col): _*).as("__m")) ++
+        payload.map(c => lit(null).cast(queries.schema(c).dataType).as(c)): _*)
+    val q = queries.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+          lit(Long.MinValue).as("__tie"),
+          lit(null).cast(b.schema("__m").dataType).as("__m")) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    b.unionByName(q)
+      .withColumn("__next", first(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(qCols.map(col) ++
+              matchCols.map(m => col(s"__next.$m").as(s"asof_$m")): _*)
+  }
+
   /** Convenience: match each query row to the latest at-or-before
     * build row and emit the event-time gap in microseconds.
     */

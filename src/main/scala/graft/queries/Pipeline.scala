@@ -1389,6 +1389,24 @@ object Pipeline {
       lastTouchAttribution(t(s, dir, "events")).orderBy(col("attributed_to"))
     }),
 
+    // FORWARD AS-OF: each click matched to the user's NEXT purchase
+    // at-or-after it (time-to-conversion) — the symmetric primitive of
+    // q50, same union-tag-window plan mirrored; oracle is the naive
+    // LATERAL inequality formulation (independent algebra).
+    "q121_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOf.joinForward(clicks, purchases, "user_id", "ts",
+                                       Seq("event_id", "ts"), "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"),
+                (unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+                  .as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2167,6 +2185,19 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the naive LATERAL inequality formulation — a different
+    // algorithm, q50's independent-oracle convention mirrored forward.
+    "q121_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, m.event_id AS asof_event_id,
+                CAST(epoch_us(m.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+         FROM c LEFT JOIN LATERAL (
+           SELECT p.event_id, p.ts FROM p
+           WHERE p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) m ON true
+         ORDER BY c.event_id""",
 
     // the same strict-past IGNORE NULLS window and total order.
     "q120_attribution" ->

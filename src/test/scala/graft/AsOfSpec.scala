@@ -44,6 +44,30 @@ class AsOfSpec extends SparkSpec {
     assert(got(9006L) === ((None, None)))
   }
 
+  test("forward: at-or-after, earliest-wins, smallest tie, null past the end") {
+    val got = AsOf.joinForward(queries, builds, "user_id", "ts",
+                               Seq("event_id"), "event_id")
+      .orderBy($"event_id")
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      9001L -> Some(100L), // next build ahead; equal-ts tie -> SMALLEST id
+      9002L -> Some(100L), // build AT the query ts matches (>=)
+      9003L -> Some(102L), // next ahead
+      9004L -> None,       // nothing after the last build
+      9005L -> Some(200L), // other key, equal ts
+      9006L -> None))      // key with no builds
+  }
+
+  test("forward plan: exactly one exchange — union + window, no inequality join") {
+    val plan = AsOf.joinForward(queries, builds, "user_id", "ts",
+                                Seq("event_id"), "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
   test("plan: exactly one exchange — union + window, no inequality join") {
     val plan = AsOf.joinWithGap(queries, builds, "user_id", "ts", "event_id")
       .queryExecution.executedPlan.toString
