@@ -168,6 +168,36 @@ object Pipeline {
       .select(col("event_id"), col(typeCol), col("cents"))
   }
 
+  /** EXACT GROUPED QUANTILES — p25/p50/p75 of integer cents per event
+    * type by RANK SELECTION: the value at 1-based sorted position
+    * ⌈p·n⌉ (row_number over the type partition; duplicate values make
+    * any tie permutation pick the same VALUE, so the result is
+    * deterministic). This is the reproducible-by-construction exact
+    * quantile `percentile_approx`'s GK sketch cannot give — and the
+    * oracle checks it with DuckDB's `quantile_disc`, a DIFFERENT
+    * algorithm (aggregate selection) that shares only the ⌈p·n⌉
+    * convention. One type-partition shuffle; the final report is
+    * k rows.
+    */
+  def groupedQuantiles(events: DataFrame, typeCol: String,
+                       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("cents"))
+    events
+      .select(col(typeCol).as("event_type"),
+              round(col(valueCol) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+           max(when(col("rn") === expr("(1*n + 3) div 4"), col("cents")))
+             .as("p25_cents"),
+           max(when(col("rn") === expr("(2*n + 3) div 4"), col("cents")))
+             .as("p50_cents"),
+           max(when(col("rn") === expr("(3*n + 3) div 4"), col("cents")))
+             .as("p75_cents"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION — each purchase credits the most recent
     * preceding click/view by the same user; purchases with no prior
     * touch report as 'none'. ONE user-partitioned window (`last …
@@ -1407,6 +1437,14 @@ object Pipeline {
         .orderBy(col("event_id"))
     }),
 
+    // EXACT GROUPED QUANTILES: rank-selection p25/p50/p75 per type —
+    // the oracle uses quantile_disc, a DIFFERENT algorithm sharing
+    // only the ceil(p*n) convention: a genuinely independent check.
+    "q122_grouped_quantiles" -> ((s, dir) => {
+      groupedQuantiles(t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2185,6 +2223,16 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // INDEPENDENT algorithm: DuckDB's quantile_disc aggregate vs the
+    // Spark side's window rank selection.
+    "q122_grouped_quantiles" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25_cents,
+                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
+                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // the naive LATERAL inequality formulation — a different
     // algorithm, q50's independent-oracle convention mirrored forward.
