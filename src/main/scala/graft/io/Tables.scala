@@ -238,23 +238,28 @@ object Tables {
     * renames) makes the merge serializable: writer 2's read sees
     * writer 1's commit.
     *
-    * Mechanics: acquisition is an atomic `createNewFile` followed by a
-    * holder-token write; a lease older than `staleMs` (a crashed
-    * holder — the local-fs analogue of an expired cloud lease) is taken
-    * over via rename — exactly one contender wins the rename, so
-    * takeover cannot double-grant, and the winner re-checks the RENAMED
-    * file's age before discarding it (a rename that raced a fresh
-    * acquire puts the live lease back instead of eating it). A vanished
-    * lock (`lastModified() == 0` — the holder released between the
-    * failed create and the mtime read) is a retry, NOT a stale lease:
-    * misreading it as stale is how a takeover could rename away the
-    * next holder's fresh lock. Release deletes the lease only while it
-    * still carries this holder's token, so a holder whose lease was
-    * legitimately expired and taken over cannot delete the successor's.
-    * Contenders poll until `timeoutMs`, then fail loudly rather than
-    * proceed unguarded. READERS are not serialized — same as a real
-    * table format, a reader concurrent with the swap window may need a
-    * retry; writers are the ones that must never interleave.
+    * Mechanics: every PROTOCOL step — the acquire attempt, the
+    * stale-lease takeover, and the release — runs as one atomic unit
+    * under a momentary OS file lock on `$path.lock.guard` (held for
+    * microseconds, never across `body`). That guard is what makes the
+    * compound exists→read→mutate sequences race-free: the earlier
+    * steal-rename-restore dance could clobber a fresh lease acquired
+    * inside its window, and a release could read its own token, stall
+    * past `staleMs`, and then delete a successor's lease — with the
+    * guard, staleness check + takeover and token check + delete are
+    * each indivisible, so a takeover can only remove the exact lease it
+    * judged stale and a release can only remove a lease that still
+    * carries the releaser's token. In-JVM contenders serialize on a
+    * per-path monitor first ([[java.nio.channels.FileLock]] is
+    * process-scoped); cross-process contenders serialize on the OS
+    * lock, which the kernel frees if the holder crashes. Local-fs
+    * scope, same as the rest of the store (advisory `flock` semantics
+    * are not reliable on NFS). A lease older than `staleMs` is a
+    * crashed holder and is taken over; contenders poll until
+    * `timeoutMs`, then fail loudly rather than proceed unguarded.
+    * READERS are not serialized — same as a real table format, a
+    * reader concurrent with the swap window may need a retry; writers
+    * are the ones that must never interleave.
     */
   def withTableLock[A](path: String, staleMs: Long = 30 * 60 * 1000L,
                        timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
@@ -264,29 +269,60 @@ object Tables {
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      if (lock.createNewFile()) {
-        java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
-        acquired = true
-      } else {
-        val lm = lock.lastModified() // 0 = vanished since the failed create
-        if (lm > 0 && System.currentTimeMillis() - lm > staleMs) {
-          val steal = new java.io.File(
-            s"$path.lock.steal.${java.util.UUID.randomUUID().toString.take(8)}")
-          if (lock.renameTo(steal)) {
-            if (System.currentTimeMillis() - steal.lastModified() > staleMs)
-              steal.delete() // confirmed dead lease; loop to a fresh race
-            else if (!steal.renameTo(lock)) steal.delete() // raced a fresh acquire: restore
-          }
-        } else if (System.currentTimeMillis() > deadline) {
+      acquired = underLockGuard(path) {
+        if (lock.createNewFile()) {
+          java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+          true
+        } else if (lock.lastModified() > 0 &&
+                   System.currentTimeMillis() - lock.lastModified() > staleMs) {
+          // crashed holder: replace its lease with ours — atomic w.r.t.
+          // every other protocol step because we hold the guard
+          lock.delete()
+          val won = lock.createNewFile()
+          if (won) java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+          won
+        } else false
+      }
+      if (!acquired) {
+        if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"timed out after ${timeoutMs}ms waiting for table lease $lock")
-        } else Thread.sleep(50)
+        Thread.sleep(50)
       }
     }
-    try body finally {
+    try body finally underLockGuard(path) {
       val mine = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
+      // token mismatch = our lease expired and was taken over while we
+      // ran; the successor's lease is not ours to delete
       if (mine.contains(token)) lock.delete()
+    }
+  }
+
+  /** Monitors keyed by canonical guard path: `FileLock` is per-process,
+    * so threads of one JVM must serialize BEFORE touching the OS lock
+    * (overlapping in-JVM attempts throw OverlappingFileLockException).
+    * Bounded by the number of distinct tables a JVM ever locks.
+    */
+  private val lockGuardMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `op` while holding an exclusive OS lock on `$path.lock.guard`.
+    * The guard is held only for the microseconds a protocol step takes;
+    * the kernel releases it if the process dies mid-step, so the guard
+    * itself cannot go stale.
+    */
+  private def underLockGuard[A](path: String)(op: => A): A = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val guard = new java.io.File(s"$path.lock.guard")
+    val monitor = lockGuardMonitors.computeIfAbsent(
+      guard.getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(guard.toPath, CREATE, WRITE)
+      try {
+        val fl = ch.lock()
+        try op finally fl.release()
+      } finally ch.close()
     }
   }
 

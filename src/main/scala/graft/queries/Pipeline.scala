@@ -148,24 +148,28 @@ object Pipeline {
     *
     * Plan shape for 100 TB: per-type (n, S, Q) is ONE map-side
     * aggregate to k rows, broadcast back onto the scan — the corpus
-    * never shuffles. Headroom: the squared terms stay inside 38
-    * digits up to ~10^12 events of ~10^5 cents.
+    * never shuffles. The per-row terms are cast to decimal BEFORE the
+    * sums so S and Q accumulate in decimal(38,0) from the first row (a
+    * LongType Σv² wraps silently near 10^9 rows of 10^5 cents); with
+    * decimal accumulation the squared terms stay inside 38 digits up
+    * to ~10^12 events of ~10^5 cents.
     */
   def valueOutliers(events: DataFrame, typeCol: String, valueCol: String,
-                    sigmas: Int = 3): DataFrame = {
+                    sigmas: Int = 3, idCol: String = "event_id"): DataFrame = {
     val dec = "decimal(38,0)"
     val withC = events.withColumn("cents",
       round(col(valueCol) * 100).cast("long"))
+    val centsDec = col("cents").cast(dec)
     val stats = withC.groupBy(col(typeCol))
       .agg(count(lit(1)).cast(dec).as("__n"),
-           sum(col("cents")).cast(dec).as("__s"),
-           sum(col("cents") * col("cents")).cast(dec).as("__q"))
+           sum(centsDec).as("__s"),
+           sum(centsDec * centsDec).as("__q"))
     val dev = col("__n") * col("cents").cast(dec) - col("__s")
     withC.join(broadcast(stats), Seq(typeCol))
       .filter(dev * dev >
               lit(sigmas.toLong * sigmas).cast(dec) *
                 (col("__n") * col("__q") - col("__s") * col("__s")))
-      .select(col("event_id"), col(typeCol), col("cents"))
+      .select(col(idCol), col(typeCol), col("cents"))
   }
 
   /** EXACT GROUPED QUANTILES — p25/p50/p75 of integer cents per event
@@ -182,7 +186,10 @@ object Pipeline {
   def groupedQuantiles(events: DataFrame, typeCol: String,
                        valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(typeCol)).orderBy(col("cents"))
+    // the window runs on the POST-select names — partitioning by
+    // col(typeCol) would fail to resolve for any typeCol the select
+    // just renamed away
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     events
       .select(col(typeCol).as("event_type"),
               round(col(valueCol) * 100).cast("long").as("cents"))
@@ -2301,11 +2308,16 @@ object Pipeline {
                  GROUP BY 1, 2),
           rows_ AS (SELECT sa.j, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS e
                     FROM sa JOIN sb ON sb.j = sa.j AND sb.bucket = sa.bucket
-                    GROUP BY sa.j)
+                    GROUP BY sa.j),
+          -- zero-fill rows with no bucket collisions (absent bucket =
+          -- count 0), mirroring the query side
+          filled AS (SELECT allj.j, coalesce(rows_.e, 0) AS e
+                     FROM (SELECT DISTINCT j FROM sa) allj
+                     LEFT JOIN rows_ ON rows_.j = allj.j)
           SELECT CAST(min(e) AS BIGINT) AS est_join_size,
                  (SELECT CAST(count(*) AS BIGINT)
                   FROM ok JOIN lk ON lk.k = ok.k) AS true_join_size
-          FROM rows_""",
+          FROM filled""",
 
     // centroid floor-means per (label, dim), per-vector squared L2 to
     // the own-label centroid, min inter-centroid squared L2 — the

@@ -712,7 +712,9 @@ object Ann {
         lab -> rows.sortBy(_.getInt(1)).map(r =>
           r.getLong(2) / r.getLong(3)).toSeq } // truncating, = DuckDB //
     val labels = centroids.keys.toSeq.sorted
-    require(labels.nonEmpty, "no labels to report on")
+    require(labels.size >= 2,
+      s"labelCohesion needs >= 2 distinct labels (got ${labels.size}): " +
+        "inter-centroid separation is undefined for a single-label corpus")
     val centCol = labels.tail.foldLeft(
         when(col("__lab") === labels.head, typedLit(centroids(labels.head)))) {
       (acc, l) => acc.when(col("__lab") === l, typedLit(centroids(l)))

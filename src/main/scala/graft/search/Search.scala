@@ -342,12 +342,21 @@ object Search {
 
   /** Persist [[buildPostings]] partitioned by term bucket — probes
     * read only the buckets their terms hash to (PartitionFilters), the
-    * search-index analogue of the IVF cell layout.
+    * search-index analogue of the IVF cell layout. The bucket count is
+    * written into a `_graft_postings_meta.json` sidecar (underscore
+    * prefix = invisible to the parquet reader) so probes recover the
+    * layout from the index itself — a probe bucketing with a different
+    * `nBuckets` than the writer would prune to partitions the terms
+    * were never written to and silently return partial matches.
     */
   def writePostings(df: DataFrame, idCol: String, textCol: String,
-                    path: String, nBuckets: Int = 64): Unit =
+                    path: String, nBuckets: Int = 64): Unit = {
     buildPostings(df, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    java.nio.file.Files.write(
+      new java.io.File(path, "_graft_postings_meta.json").toPath,
+      s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
+  }
 
   /** PHRASE search over the STORED postings index — the probe-many
     * side: the scan is pruned to the ≤ ¦distinct terms¦ buckets the
@@ -355,10 +364,22 @@ object Search {
     * corpus-sized remainder of the index is never opened), then the
     * same anchor-vote algebra as [[phraseOccurrences]]. Results are
     * identical to the inline form by construction (the spec pins it).
+    * The bucket count comes from the index's own sidecar, never the
+    * caller — the one value that must match the write-side layout.
     */
   def phraseOccurrencesStored(spark: org.apache.spark.sql.SparkSession,
-                              path: String, idCol: String, phrase: String,
-                              nBuckets: Int = 64): DataFrame = {
+                              path: String, idCol: String,
+                              phrase: String): DataFrame = {
+    val metaFile = new java.io.File(path, "_graft_postings_meta.json")
+    require(metaFile.exists(),
+      s"no postings metadata at $metaFile — index not written by writePostings?")
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    val nBuckets = """"nBuckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed postings metadata in $metaFile: $meta"))
     val terms = phraseTerms(phrase)
     val buckets = terms.distinct
       .map(t => java.lang.Long.parseLong(

@@ -204,13 +204,20 @@ object Profile {
     * expected over-count ¦A¦·¦B¦/w per row. Two d·w-row sketches in,
     * one row out: the planning-time answer at any corpus size.
     */
-  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
-    sketchA.select(col("j"), col("bucket"), col("cnt").as("__ca"))
+  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val perJ = sketchA.select(col("j"), col("bucket"), col("cnt").as("__ca"))
       .join(sketchB.select(col("j"), col("bucket"), col("cnt").as("__cb")),
             Seq("j", "bucket"))
       .groupBy(col("j"))
       .agg(sum(col("__ca") * col("__cb")).as("__e"))
-      .agg(min(col("__e")).as("est_join_size"))
+    // zero-fill rows whose buckets never collide: an absent bucket is a
+    // 0 count, so its row product is 0, and min over the FULL row set
+    // must see it — otherwise disjoint key sets return NULL instead of
+    // 0 and a single no-collision row silently inflates the min
+    sketchA.select(col("j")).distinct()
+      .join(perJ, Seq("j"), "left")
+      .agg(min(coalesce(col("__e"), lit(0L))).as("est_join_size"))
+  }
 
   /** VOCABULARY COVERAGE CURVE — "how many vocabulary entries cover
     * t% of all token occurrences", the report a tokenizer-budget

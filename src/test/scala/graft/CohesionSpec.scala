@@ -67,4 +67,13 @@ class CohesionSpec extends SparkSpec {
     assert(!plan.contains("UDF("))
     assert(!plan.contains("Join"), s"scoring must not join: $plan")
   }
+  test("a single-label corpus fails with a domain error, not empty.min") {
+    val df = Seq((1L, Seq(0.1f, 0.2f), 0), (2L, Seq(0.3f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Ann.labelCohesion(df, "vec_id", "embedding", "label")
+    }
+    assert(e.getMessage.contains("2 distinct labels"))
+  }
+
 }

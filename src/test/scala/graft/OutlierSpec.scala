@@ -54,4 +54,13 @@ class OutlierSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("UDF("))
   }
+  test("id/type/value columns are fully parameterized") {
+    val rows = (1L to 20L).map(i => (i, "m", 1.0)) :+ ((21L, "m", 100.0))
+    val got = Pipeline.valueOutliers(
+        rows.toDF("txn_id", "merchant", "amount"),
+        "merchant", "amount", idCol = "txn_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((21L, "m", 10000L)))
+  }
+
 }

@@ -52,9 +52,9 @@ class PhraseSearchSpec extends SparkSpec {
     val df = docs.toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_postings").toString
     Search.writePostings(df, "doc_id", "text", s"$dir/idx", nBuckets = 16)
+    // no nBuckets on the probe: the layout comes from the index sidecar
     val stored = Search.phraseOccurrencesStored(spark, s"$dir/idx",
-                                                "doc_id", "table scan",
-                                                nBuckets = 16)
+                                                "doc_id", "table scan")
     val inline = Search.phraseOccurrences(df, "doc_id", "text", "table scan")
     assert(stored.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq ==
            inline.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq)

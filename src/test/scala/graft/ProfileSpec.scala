@@ -211,4 +211,29 @@ class ProfileSpec extends SparkSpec {
     assert(probePlan.contains("BroadcastHashJoin"),
            s"probe must join the broadcast sketch:\n$probePlan")
   }
+  test("cmsJoinSizeEstimate: no-collision rows zero-fill — disjoint keys give 0, never NULL") {
+    import graft.text.Profile
+    def bucket(j: Int, t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j|$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    val as = Seq("left_only_a", "left_only_b")
+    val bs = Seq("right_only_a", "right_only_b")
+    val est = Profile.cmsJoinSizeEstimate(
+        Profile.cmsSketch(as.toDF("k"), "k"),
+        Profile.cmsSketch(bs.toDF("k"), "k"))
+      .as[Option[Long]].collect().toSeq
+    // twin WITH zero-fill: a row whose buckets never collide contributes
+    // 0 to the min (the old inner-join form dropped it, returning NULL
+    // here and inflating the min whenever only some rows overlapped)
+    val twin = (0 until 4).map { j =>
+      val ca = as.groupBy(t => bucket(j, t)).map { case (b, g) => b -> g.size.toLong }
+      val cb = bs.groupBy(t => bucket(j, t)).map { case (b, g) => b -> g.size.toLong }
+      ca.map { case (b, c) => c * cb.getOrElse(b, 0L) }.sum
+    }.min
+    assert(est == Seq(Some(twin)))
+    assert(twin == 0L, "fixture should have at least one collision-free row")
+  }
+
 }

@@ -44,4 +44,16 @@ class QuantileSpec extends SparkSpec {
     val got = run(rows).head
     assert((got._3, got._4, got._5) == (500L, 500L, 500L))
   }
+  test("typeCol is fully parameterized: any input column name resolves") {
+    // the window must run on the post-rename names — a window built on
+    // col(typeCol) fails to resolve once the select renames it away
+    val got = Pipeline.groupedQuantiles(
+        Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 7.0))
+          .toDF("etype", "amount"), "etype", "amount")
+      .orderBy("event_type").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("x", 3L, 100L, 200L, 300L),
+                      ("y", 1L, 700L, 700L, 700L)))
+  }
+
 }
