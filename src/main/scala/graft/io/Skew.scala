@@ -41,4 +41,26 @@ object Skew {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("sum_" + valueCol))
+
+  /** Salted equi-join — the skew-safe shuffle join for when the small
+    * side is too big to broadcast AND the big side's join keys skew
+    * (null-key dumps, default enum values, bot users): a plain shuffle
+    * join sends every row of a hot key to ONE reducer. Salting the big
+    * side spreads each key over `buckets` reducers and REPLICATES the
+    * small side once per salt, so the join runs on (keys, salt) with no
+    * partition larger than ~1/buckets of the hot key. Result-identical
+    * to `big.join(small, keys)` by construction: every big row carries
+    * exactly one salt and every small row exists at every salt, so each
+    * matching pair meets exactly once. Cost: small side × buckets —
+    * choose buckets by the skew factor, not larger. (AQE's skew split
+    * handles sort-merge joins after the fact; this is the explicit
+    * form that also covers hash joins and pins the layout.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 distinguisher: String, buckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt", salt(col(distinguisher), buckets))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

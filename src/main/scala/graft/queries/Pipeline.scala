@@ -1452,6 +1452,24 @@ object Pipeline {
         .orderBy(col("event_type"))
     }),
 
+    // SALTED JOIN: the skew-safe shuffle join — big side salted over 8
+    // buckets, small side replicated once per salt, joined on
+    // (key, salt). The oracle is the PLAIN join: salting must be
+    // result-invariant by construction. Integer cents so partial-sum
+    // order can't matter.
+    "q123_salted_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+      graft.io.Skew.saltedJoin(ord, cust, Seq("c_custkey"), "cents",
+                               buckets = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2240,6 +2258,16 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the PLAIN join — salting is pure plan shaping, so the oracle
+    // never sees a salt; any divergence is a salting bug.
+    "q123_salted_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     // the naive LATERAL inequality formulation — a different
     // algorithm, q50's independent-oracle convention mirrored forward.

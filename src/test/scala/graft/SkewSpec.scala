@@ -26,4 +26,39 @@ class SkewSpec extends SparkSpec {
       .count().filter($"k" === "hot").count()
     assert(buckets > 8, s"hot key only hit $buckets of 16 salt buckets")
   }
+
+  test("saltedJoin: row-identical to the plain join on a skewed key") {
+    val big = ((1 to 4000).map(i => ("hot", i.toLong)) ++
+               (1 to 500).map(i => (s"k${i % 20}", i.toLong)))
+      .toDF("k", "v")
+    // small side carries keys with 0, 1, and 2 matching rows
+    val small = ((0 to 19).map(i => (s"k$i", s"s$i")) ++
+                 Seq(("hot", "h1"), ("hot", "h2"), ("absent", "x")))
+      .toDF("k", "attr")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "attr").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    val salted = Skew.saltedJoin(big, small, Seq("k"), "v", buckets = 8)
+      .select("k", "v", "attr").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    assert(salted == plain)
+  }
+
+  test("saltedJoin: no (key, salt) partition exceeds ~1/buckets of the hot key") {
+    val big = (1 to 4000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val sizes = big
+      .groupBy(col("k"), Skew.salt(col("v"), 8).as("s"))
+      .count().as[(String, Long, Long)].collect().map(_._3)
+    // uniform-ish spread: the max salted partition stays well under the
+    // unsalted 4000-row single partition (3x headroom on 500 expected)
+    assert(sizes.max <= 1500, s"salt spread too uneven: ${sizes.toSeq}")
+  }
+
+  test("saltedJoin plan: the join runs on (keys, salt)") {
+    val big = (1 to 100).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "v")
+    val small = (0 to 4).map(i => (s"k$i", i)).toDF("k", "w")
+    val plan = Skew.saltedJoin(big, small, Seq("k"), "v", buckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"join must key on the salt:\n$plan")
+  }
 }
