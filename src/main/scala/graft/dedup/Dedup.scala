@@ -906,4 +906,47 @@ object Dedup {
           col("n2a").cast("decimal(38,0)") * col("n2b") * thresholdNum)
       .select(col("a_id"), col("b_id"), col("dot"))
   }
+
+  /** FUZZY NEAR-DUP by EDIT DISTANCE — record-linkage confirmation for
+    * pairs the token/shingle family can miss (single-character typos
+    * shift every shingle; levenshtein counts them directly). Classic
+    * blocked linkage: normalize to a compact key (lowercase, strip
+    * non-word chars, first `keyLen` chars), block on the key's first
+    * `blockLen` chars, and run `levenshtein` only INSIDE blocks after a
+    * cheap length pre-filter (¦len(a)−len(b)¦ ≤ maxEdits bounds the
+    * distance from below, so the quadratic-cost call never runs on
+    * pairs that cannot match).
+    *
+    * Scale posture: the only shuffle is the block equi-join (no
+    * all-pairs); per-pair cost is O(keyLen²) CONSTANT because keys are
+    * capped; hot blocks (boilerplate prefixes) are df-capped at
+    * `maxBlock` docs — the same drop-the-degenerate-bucket convention
+    * as the LSH band join. Keys shorter than `blockLen` (e.g. text
+    * that normalizes away entirely) are excluded: their edit distances
+    * are trivially small and the pairs meaningless.
+    */
+  def fuzzyNearDup(df: DataFrame, idCol: String, textCol: String,
+                   keyLen: Int = 32, blockLen: Int = 6,
+                   maxEdits: Int = 6, maxBlock: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(col(idCol).as("__id"),
+              substring(regexp_replace(lower(col(textCol)), "\\W", ""),
+                        1, keyLen).as("__k"))
+      .filter(length(col("__k")) >= blockLen)
+      .withColumn("__blk", substring(col("__k"), 1, blockLen))
+    val capped = keyed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .filter(col("__bn") <= maxBlock)
+    val a = capped.select(col("__blk"), col("__id").as("doc_a"),
+                          col("__k").as("__ka"))
+    val b = capped.select(col("__blk"), col("__id").as("doc_b"),
+                          col("__k").as("__kb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("doc_a") < col("doc_b") &&
+              abs(length(col("__ka")) - length(col("__kb"))) <= maxEdits)
+      .withColumn("edits", levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("edits") <= maxEdits)
+      .select(col("doc_a"), col("doc_b"), col("edits"))
+  }
 }

@@ -1470,6 +1470,16 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // FUZZY NEAR-DUP: blocked record linkage by edit distance — the
+    // typo-robust complement to the shingle family. Both engines run
+    // the same normalize → block → length-prefilter → levenshtein
+    // algebra; levenshtein itself is the independently-implemented
+    // piece.
+    "q124_fuzzy_neardup" -> ((s, dir) => {
+      Dedup.fuzzyNearDup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Z-ORDER layout statistics: events bucketed to a 256x256 grid,
     // clustered by the Morton interleave, per-4096-z-block min/max of
     // BOTH dimensions — the footer stats that let either predicate
@@ -2258,6 +2268,25 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the same blocked-linkage algebra over DuckDB's own levenshtein
+    // implementation.
+    "q124_fuzzy_neardup" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  substr(regexp_replace(lower(text), '\W', '', 'g'), 1, 32)
+                    AS key
+           FROM documents),
+          f AS (SELECT doc_id, key, substr(key, 1, 6) AS blk
+                FROM k WHERE len(key) >= 6),
+          c AS (SELECT blk FROM f GROUP BY blk HAVING count(*) <= 1000),
+          fb AS (SELECT f.* FROM f JOIN c USING (blk))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.key, b.key) AS BIGINT) AS edits
+         FROM fb a JOIN fb b ON b.blk = a.blk AND b.doc_id > a.doc_id
+         WHERE abs(len(a.key) - len(b.key)) <= 6
+           AND levenshtein(a.key, b.key) <= 6
+         ORDER BY doc_a, doc_b""",
 
     // the PLAIN join — salting is pure plan shaping, so the oracle
     // never sees a salt; any divergence is a salting bug.
