@@ -1470,6 +1470,25 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // STUMP TRAINING: the exact greedy split finder (GBDT inner loop)
+    // — per-feature optimal (threshold, direction) by training error
+    // via prefix sums over the value histogram. Label is the derived
+    // separable target cents >= 5000 (the synthetic corpus carries no
+    // organic signal): the trainer must recover threshold 50 on the
+    // binned feature with err 0 and report the noise feature at
+    // minority-class err.
+    "q125_stump_split" -> ((s, dir) => {
+      val feats = t(s, dir, "events")
+        .select(round(col("value") * 100).cast("long").as("cents"),
+                col("user_id"))
+        .select(expr("cents div 100").as("cents_div100"),
+                expr("user_id % 7").cast("long").as("user_mod7"),
+                when(col("cents") >= 5000, 1L).otherwise(-1L).as("y"))
+      graft.learn.Learn.trainStump(
+          feats, Seq("cents_div100", "user_mod7"), "y")
+        .orderBy(col("feat"))
+    }),
+
     // FUZZY NEAR-DUP: blocked record linkage by edit distance — the
     // typo-robust complement to the shingle family. Both engines run
     // the same normalize → block → length-prefilter → levenshtein
@@ -2268,6 +2287,40 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the same prefix-sum split algebra over DuckDB windows.
+    "q125_stump_split" ->
+      """WITH e AS (
+           SELECT CAST(round(value*100) AS BIGINT) AS cents,
+                  CAST(user_id % 7 AS BIGINT) AS f2
+           FROM events),
+          l AS (SELECT cents // 100 AS cents_div100, f2 AS user_mod7,
+                       CASE WHEN cents >= 5000 THEN 1 ELSE -1 END AS y
+                FROM e),
+          s AS (SELECT 'cents_div100' AS feat, cents_div100 AS v, y FROM l
+                UNION ALL SELECT 'user_mod7', user_mod7, y FROM l),
+          g AS (SELECT feat, v,
+                       sum(CASE WHEN y=1 THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN y=1 THEN 0 ELSE 1 END) AS nn
+                FROM s GROUP BY 1, 2),
+          c AS (SELECT feat, v, np, nn,
+                       sum(np) OVER (PARTITION BY feat ORDER BY v) AS cpLe,
+                       sum(nn) OVER (PARTITION BY feat ORDER BY v) AS cnLe,
+                       sum(np) OVER (PARTITION BY feat) AS tp,
+                       sum(nn) OVER (PARTITION BY feat) AS tn
+                FROM g),
+          r AS (SELECT feat, v AS threshold, 'ge' AS direction,
+                       (cpLe - np) + (tn - cnLe + nn) AS err FROM c
+                UNION ALL
+                SELECT feat, v, 'lt',
+                       (tp - cpLe + np) + (cnLe - nn) FROM c),
+          best AS (SELECT feat, threshold, direction, err,
+                          row_number() OVER (PARTITION BY feat
+                            ORDER BY err, threshold, direction) AS rn
+                   FROM r)
+         SELECT feat, CAST(threshold AS BIGINT) AS threshold, direction,
+                CAST(err AS BIGINT) AS err
+         FROM best WHERE rn = 1 ORDER BY feat""",
 
     // the same blocked-linkage algebra over DuckDB's own levenshtein
     // implementation.

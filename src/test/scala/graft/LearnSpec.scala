@@ -1,0 +1,72 @@
+package graft
+
+import graft.learn.Learn
+
+/** Exact decision-stump training (q125): the prefix-sum split finder. */
+class LearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Long)], feats: Seq[String]) =
+    Learn.trainStump(rows.toDF("a", "b", "y"), feats, "y")
+      .orderBy("feat").as[(String, Long, Long, Long)]
+      .collect().toSeq.map { case (f, t, d, e) => (f, t, d, e) }
+
+  private def runS(rows: Seq[(Long, Long, Long)], feats: Seq[String]) =
+    Learn.trainStump(rows.toDF("a", "b", "y"), feats, "y")
+      .orderBy("feat").as[(String, Long, String, Long)].collect().toSeq
+
+  test("a perfectly separable feature yields its boundary with err 0") {
+    // y = +1 iff a >= 10; b is constant noise
+    val rows = (1L to 20L).map(i => (i, 3L, if (i >= 10) 1L else -1L))
+    val got = runS(rows, Seq("a", "b"))
+    assert(got.head == ("a", 10L, "ge", 0L))
+    // the noise feature's best rule can do no better than the minority
+    // class (9 positives... 11 rows < 10): err = min class count
+    assert(got(1)._1 == "b" && got(1)._4 == math.min(11L, 9L))
+  }
+
+  test("driver twin: brute-force over every (feature, threshold, direction)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(5).toLong
+      // noisy signal on a, none on b
+      val y = if (a + rnd.nextInt(10) >= 25) 1L else -1L
+      (a, b, y)
+    }
+    def brute(f: (Long, Long, Long) => Long): (Long, String, Long) = {
+      val vals = rows.map(r => (f(r._1, r._2, r._3), r._3))
+      val cands = vals.map(_._1).distinct.sorted
+      val all = for (t <- cands; d <- Seq("ge", "lt")) yield {
+        val err = vals.count { case (v, y) =>
+          val pred = if (d == "ge") { if (v >= t) 1L else -1L }
+                     else { if (v < t) 1L else -1L }
+          pred != y
+        }.toLong
+        (t, d, err)
+      }
+      all.minBy { case (t, d, e) => (e, t, d) }
+    }
+    val got = runS(rows, Seq("a", "b")).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == brute((a, _, _) => a))
+    assert(got("b") == brute((_, b, _) => b))
+  }
+
+  test("tie-break is deterministic: lowest threshold, then 'ge' before 'lt'") {
+    // symmetric data: every split of 'a' has the same error
+    val rows = Seq((1L, 0L, 1L), (1L, 0L, -1L), (2L, 0L, 1L), (2L, 0L, -1L))
+    val got = runS(rows, Seq("a"))
+    assert(got == Seq(("a", 1L, "ge", 2L)))
+  }
+
+  test("plan: one corpus pass, histogram-sized windows, no cartesian/UDF") {
+    val df = (1L to 100L).map(i => (i % 13, i % 7, if (i % 2 == 0) 1L else -1L))
+      .toDF("a", "b", "y")
+    val plan = Learn.trainStump(df, Seq("a", "b"), "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("UDF("), plan)
+    // the (feat, v) aggregate must partial-aggregate map-side before
+    // its exchange: the corpus-sized shuffle would be the scale killer
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}
