@@ -1470,6 +1470,28 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // HYBRID RETRIEVAL by RECIPROCAL-RANK FUSION: the q81 BM25 bag
+    // ranking and the q109 exact-phrase ranking for the same query,
+    // fused as sum of 10^6 div (60 + rank) — agreement wins without
+    // ever comparing incomparable raw scores. Both legs rank top-20
+    // with the (score desc, doc_id) total order; bounded single-
+    // partition rank windows on the 20-row lists are deliberate.
+    "q126_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lex = Search.bm25TopK(docs, "doc_id", "text", "table scan", k = 20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val phr = Search.phraseOccurrences(docs, "doc_id", "text", "table scan")
+        .orderBy(col("n_occurrences").desc, col("doc_id")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
+      Search.rrfFuse(Seq(lex.select(col("doc_id"), col("rnk")),
+                         phr.select(col("doc_id"), col("rnk"))),
+                     "doc_id", "rnk", k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // STUMP TRAINING: the exact greedy split finder (GBDT inner loop)
     // — per-feature optimal (threshold, direction) by training error
     // via prefix sums over the value histogram. Label is the derived
@@ -2287,6 +2309,64 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // both legs replayed (q81's rational-IDF BM25 algebra on
+    // 'table'/'scan'; q109's doubled-space phrase counting) then the
+    // same fixed-point RRF fold.
+    "q126_hybrid_rrf" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+          base AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, t -> t = 'table')) AS tf0,
+                   len(list_filter(toks, t -> t = 'scan')) AS tf1
+            FROM toks),
+          stats AS (
+            SELECT sum(dl) AS T, count(*) AS N,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+            FROM base),
+          clamped AS (
+            SELECT doc_id, dl, least(tf0, 1048576) AS tf0,
+                   least(tf1, 1048576) AS tf1
+            FROM base),
+          scored AS (
+            SELECT b.doc_id,
+                   (10000 * (2*(N - df0) + 1) * 22 * tf0 * T)
+                     // ((2*df0 + 1) * (10*T*tf0 + 3*T + 9*b.dl*N))
+                 + (10000 * (2*(N - df1) + 1) * 22 * tf1 * T)
+                     // ((2*df1 + 1) * (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
+            FROM clamped b, stats),
+          lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20),
+          ph AS (
+           SELECT doc_id,
+                  ' ' || replace(trim(regexp_replace(lower(text), '\W+', ' ', 'g')),
+                                 ' ', '  ') || ' ' AS s
+           FROM documents),
+          pm AS (
+           SELECT doc_id,
+                  (length(s) - length(replace(s, ' table  scan ', '')))
+                    // length(' table  scan ') AS n_occ
+           FROM ph),
+          phrr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY n_occ DESC, doc_id) AS rnk
+            FROM pm WHERE n_occ > 0
+            ORDER BY n_occ DESC, doc_id LIMIT 20),
+          u AS (SELECT doc_id, 1000000 // (60 + rnk) AS c FROM lexr
+                UNION ALL
+                SELECT doc_id, 1000000 // (60 + rnk) FROM phrr)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+                CAST(count(*) AS BIGINT) AS n_lists
+         FROM u GROUP BY doc_id
+         ORDER BY rrf_score DESC, doc_id LIMIT 10""",
 
     // the same prefix-sum split algebra over DuckDB windows.
     "q125_stump_split" ->

@@ -248,6 +248,35 @@ object Search {
       .select(col(idCol), col("__dl").as("dl"), col("score"))
   }
 
+  /** RECIPROCAL-RANK FUSION — the hybrid-retrieval combiner: merge any
+    * number of independently-produced rankings of the same id space
+    * (BM25, phrase, vector, ...) by summing 1/(kRrf + rank) per list, a
+    * score that rewards agreement without ever comparing the lists'
+    * incomparable raw scores (the whole point of RRF over weighted
+    * score sums). Computed in exact fixed-point: SCALE div (kRrf+rank)
+    * with SCALE = 10^6 — truncating integer division both engines
+    * share, bit-reproducible. `n_lists` reports how many rankings each
+    * survivor appeared in (the agreement diagnostic).
+    *
+    * Each input must carry `idCol` and a 1-based LongType `rankCol`.
+    * Scale posture: inputs are top-N rankings (N rows each), so the
+    * union/group/top-k runs on lists-sized data — the corpus work
+    * happened upstream in whatever produced the rankings.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(r =>
+      r.select(col(idCol),
+               expr(s"1000000 div ($kRrf + $rankCol)").cast("long").as("__c")))
+    contribs.reduce(_ union _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"),
+           count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Q3 extension — PHRASE search over the positional structure the
     * `\W+` token model induces: documents containing the exact
     * consecutive token sequence `phrase`, with the occurrence count and
