@@ -255,6 +255,48 @@ object Pipeline {
               col("days_present"), col("avg_cents_7d"))
   }
 
+  /** CUSUM DRIFT SCAN — where did the daily-revenue level shift? The
+    * classic changepoint statistic: the cumulative deviation from the
+    * global mean, C_k = Σ_{i≤k}(x_i − μ), peaks at the day the level
+    * changes; its arg-max is the standard single-changepoint estimate.
+    * Computed DIVISION-FREE by scaling through n: n·C_k = n·cum_k −
+    * k·S — exact integers, engine-portable (μ never materializes as a
+    * rational). Output is the full per-day trace (cum, scaled |dev|)
+    * plus a 0/1 flag on the arg-max row (ties → earliest day): the
+    * monitoring report, not just the answer.
+    *
+    * Plan shape: the corpus reduces map-side to ¦days¦ rows FIRST; all
+    * windows run on that bounded table — the deliberate bounded
+    * single-partition window, q102/q115's contract. Headroom: n·cum ≤
+    * days² · daily-cents — ~10^5 days of 10^12 cents stays inside
+    * int64·10^? — use the trace at day granularity, not events.
+    */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("k", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(byDay))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__s", sum(col("cents")).over(whole))
+      .withColumn("dev",
+        abs(col("__n") * col("cum_cents") - col("k") * col("__s")))
+      .withColumn("__mx", max(col("dev")).over(whole))
+      .withColumn("__peak",
+        min(when(col("dev") === col("__mx"), col("day"))).over(whole))
+      .withColumn("is_changepoint",
+        when(col("day") === col("__peak"), 1L).otherwise(0L))
+      .select(col("day"), col("k"), col("cents"), col("cum_cents"),
+              col("dev"), col("is_changepoint"))
+  }
+
   /** q36's persisted vector intermediate, keyed by (a) a hash of this
     * checkout's canonical path — two concurrent verify runs from
     * different checkouts on one box must not overwrite each other's
@@ -1470,6 +1512,29 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // CUSUM DRIFT SCAN: the changepoint statistic over daily revenue —
+    // n-scaled cumulative deviation (division-free), full trace + the
+    // arg-max flag. Uniform synthetic revenue has no planted shift;
+    // the scan still names the largest-drift day deterministically.
+    "q127_cusum_drift" -> ((s, dir) => {
+      cusumDrift(t(s, dir, "events")).orderBy(col("day"))
+    }),
+
+    // DAILY DISTINCT USERS, SKETCHED: the q90 HLL register algebra
+    // grouped by DAY — the time-series form of the mergeable
+    // distinct-count sketch, with the exact count beside it (q93's
+    // truth-next-to-estimate convention).
+    "q128_daily_distinct_hll" -> ((s, dir) => {
+      import graft.text.Profile
+      val ev = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+      Profile.distinctSketch(ev, "day", "uid")
+        .join(ev.groupBy(col("day"))
+                .agg(countDistinct(col("uid")).as("true_distinct")),
+              Seq("day"))
+        .orderBy(col("day"))
+    }),
+
     // HYBRID RETRIEVAL by RECIPROCAL-RANK FUSION: the q81 BM25 bag
     // ranking and the q109 exact-phrase ranking for the same query,
     // fused as sum of 10^6 div (60 + rank) — agreement wins without
@@ -2309,6 +2374,62 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the same n-scaled division-free CUSUM algebra over windows.
+    "q127_cusum_drift" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          c AS (
+           SELECT day, cents,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+                  CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum_cents,
+                  CAST(count(*) OVER () AS BIGINT) AS n,
+                  CAST(sum(cents) OVER () AS BIGINT) AS s
+           FROM daily),
+          d AS (SELECT day, k, cents, cum_cents,
+                       abs(n * cum_cents - k * s) AS dev
+                FROM c),
+          p AS (SELECT min(day) AS pk FROM d
+                WHERE dev = (SELECT max(dev) FROM d))
+         SELECT day, k, cents, cum_cents, CAST(dev AS BIGINT) AS dev,
+                CAST(CASE WHEN day = pk THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_changepoint
+         FROM d, p ORDER BY day""",
+
+    // q90's register construction keyed by DAY over user ids, with the
+    // exact count joined beside the estimate.
+    "q128_daily_distinct_hll" ->
+      s"""WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS uid
+            FROM events),
+          h AS (
+            SELECT day,
+                   CAST('0x' || substr(md5(uid), 1, 2) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(uid), 3, 8) AS BIGINT) AS v
+            FROM ev),
+          r AS (
+            SELECT day, bucket,
+                   max(CASE WHEN v = 0 THEN 33
+                            ELSE 33 - length(bin(v)) END) AS m_reg,
+                   count(*) AS occ
+            FROM h GROUP BY 1, 2),
+          agg AS (
+            SELECT day, sum(occ) AS n_tokens, count(*) AS registers_used,
+                   sum(${graft.text.Profile.HllEmptyTerm} >> CAST(m_reg AS INT)) AS dn
+            FROM r GROUP BY day),
+          tr AS (SELECT day, CAST(count(DISTINCT uid) AS BIGINT)
+                          AS true_distinct
+                 FROM ev GROUP BY day)
+          SELECT agg.day, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(registers_used AS BIGINT) AS registers_used,
+                 CAST(${graft.text.Profile.HllNum}
+                        // (dn + (256 - registers_used) * ${graft.text.Profile.HllEmptyTerm})
+                        // ${graft.text.Profile.HllDen} AS BIGINT) AS est_distinct,
+                 true_distinct
+          FROM agg JOIN tr ON tr.day = agg.day ORDER BY agg.day""",
 
     // both legs replayed (q81's rational-IDF BM25 algebra on
     // 'table'/'scan'; q109's doubled-space phrase counting) then the
