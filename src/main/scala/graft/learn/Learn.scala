@@ -72,4 +72,71 @@ object Learn {
       .filter(col("__rn") === 1)
       .select(col("feat"), col("threshold"), col("direction"), col("err"))
   }
+
+  /** EXACT REGRESSION-STUMP TRAINING — the variance-reduction split,
+    * the regression-tree/GBDT counterpart of [[trainStump]]: for each
+    * feature, the threshold t splitting rows into L = {x < t} and
+    * R = {x ≥ t} that minimizes SSE_L + SSE_R. Since the total Σy² is
+    * split-invariant, minimizing SSE is maximizing the GAIN
+    * G(t) = S_L²/n_L + S_R²/n_R, and both S and n at every candidate
+    * fall out of ONE strict-prefix cumulative sum over the per-(feature,
+    * value) (count, Σy) histogram — the same no-rescan identity as the
+    * classification stump.
+    *
+    * G is rational; it is compared in FIXED-POINT: gain_fp =
+    * (S_L²·SCALE) div n_L + (S_R²·SCALE) div n_R in decimal(38,0) —
+    * deterministic truncating algebra both engines share, so the
+    * argmax (tie-break: gain desc, then threshold asc) is
+    * bit-reproducible. Candidates within the same SCALE quantum tie to
+    * the lower threshold — a defined answer, not a float race. The
+    * t = min(v) candidate has n_L = 0 and degrades to the no-split
+    * baseline S²·SCALE div n (its term is defined 0 at n=0), so "don't
+    * split" competes on equal footing. Output per feature: the best
+    * threshold, its gain, and the fitted leaf values (scaled truncated
+    * means) — the numbers a boosting round consumes.
+    *
+    * Scale posture: identical to [[trainStump]] — one map-side corpus
+    * pass, histogram-bounded everything after. Headroom: S_L²·SCALE ≤
+    * (n·|y|max)²·10^6 must stay inside 38 digits — ~10^10 rows of
+    * ~10^6-magnitude targets.
+    */
+  def trainRegressionStump(df: DataFrame, features: Seq[String],
+                           targetCol: String,
+                           scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(features.nonEmpty, "trainRegressionStump needs at least one feature")
+    val dec = "decimal(38,0)"
+    val pairs = features.flatMap(f => Seq(lit(f), col(f).cast("long")))
+    val stacked = df.select(col(targetCol).cast("long").as("y"),
+                            explode(map(pairs: _*)).as(Seq("feat", "v")))
+    val grouped = stacked.groupBy(col("feat"), col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sy"))
+    val below = Window.partitionBy(col("feat")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("feat"))
+    val cum = grouped
+      .withColumn("nL", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .withColumn("sL", coalesce(sum(col("sy")).over(below), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .withColumn("s", sum(col("sy")).over(whole))
+      .withColumn("nR", col("n") - col("nL"))
+      .withColumn("sR", col("s") - col("sL"))
+    def term(sCol: String, nCol: String) =
+      when(col(nCol) === 0L, lit(0L).cast("long")).otherwise(
+        expr(s"CAST(CAST($sCol AS $dec) * $sCol * $scale div $nCol AS BIGINT)"))
+    def meanFp(sCol: String, nCol: String) =
+      when(col(nCol) === 0L, lit(0L).cast("long")).otherwise(
+        expr(s"CAST(CAST($sCol AS $dec) * $scale div $nCol AS BIGINT)"))
+    val scored = cum
+      .withColumn("gain_fp", term("sL", "nL") + term("sR", "nR"))
+      .withColumn("mean_left_fp", meanFp("sL", "nL"))
+      .withColumn("mean_right_fp", meanFp("sR", "nR"))
+    val rank = Window.partitionBy(col("feat"))
+      .orderBy(col("gain_fp").desc, col("v"))
+    scored.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col("feat"), col("v").as("threshold"), col("gain_fp"),
+              col("nL").as("n_left"), col("nR").as("n_right"),
+              col("mean_left_fp"), col("mean_right_fp"))
+  }
 }

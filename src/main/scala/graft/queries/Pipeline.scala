@@ -1512,6 +1512,22 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // REGRESSION STUMP: the variance-reduction split (the regression-
+    // tree inner loop) — per-feature best threshold by fixed-point
+    // gain S_L^2/n_L + S_R^2/n_R over strict-prefix cumulants, with
+    // the fitted leaf means. Uniform cents carry no real signal; the
+    // report still names each feature's best cut deterministically
+    // (and the spec proves recovery on planted structure).
+    "q129_regression_stump" -> ((s, dir) => {
+      val feats = t(s, dir, "events").select(
+        expr("user_id % 7").cast("long").as("user_mod7"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.learn.Learn.trainRegressionStump(
+          feats, Seq("user_mod7", "hour_of_day"), "cents")
+        .orderBy(col("feat"))
+    }),
+
     // CUSUM DRIFT SCAN: the changepoint statistic over daily revenue —
     // n-scaled cumulative deviation (division-free), full trace + the
     // arg-max flag. Uniform synthetic revenue has no planted shift;
@@ -2374,6 +2390,53 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the same strict-prefix cumulants and HUGEINT fixed-point gain.
+    "q129_regression_stump" ->
+      """WITH e AS (
+           SELECT CAST(user_id % 7 AS BIGINT) AS user_mod7,
+                  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+          s AS (SELECT 'user_mod7' AS feat, user_mod7 AS v, y FROM e
+                UNION ALL SELECT 'hour_of_day', hour_of_day, y FROM e),
+          g AS (SELECT feat, v, count(*) AS cnt, sum(y) AS sy
+                FROM s GROUP BY 1, 2),
+          c AS (SELECT feat, v, cnt, sy,
+                       coalesce(sum(cnt) OVER w, 0) AS nL,
+                       coalesce(sum(sy) OVER w, 0) AS sL,
+                       sum(cnt) OVER (PARTITION BY feat) AS n,
+                       sum(sy) OVER (PARTITION BY feat) AS s
+                FROM g
+                WINDOW w AS (PARTITION BY feat ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)),
+          sc AS (SELECT feat, v, nL, n - nL AS nR, sL, s - sL AS sR FROM c),
+          scored AS (
+            SELECT feat, v, nL, nR,
+                   (CASE WHEN nL = 0 THEN 0
+                         ELSE CAST(sL AS HUGEINT) * sL * 1000000 // nL END)
+                 + (CASE WHEN nR = 0 THEN 0
+                         ELSE CAST(sR AS HUGEINT) * sR * 1000000 // nR END)
+                     AS gain_fp,
+                   CASE WHEN nL = 0 THEN 0
+                        ELSE CAST(sL AS HUGEINT) * 1000000 // nL END
+                     AS mean_left_fp,
+                   CASE WHEN nR = 0 THEN 0
+                        ELSE CAST(sR AS HUGEINT) * 1000000 // nR END
+                     AS mean_right_fp
+            FROM sc),
+          best AS (SELECT feat, v, gain_fp, nL, nR, mean_left_fp,
+                          mean_right_fp,
+                          row_number() OVER (PARTITION BY feat
+                            ORDER BY gain_fp DESC, v) AS rn
+                   FROM scored)
+         SELECT feat, CAST(v AS BIGINT) AS threshold,
+                CAST(gain_fp AS BIGINT) AS gain_fp,
+                CAST(nL AS BIGINT) AS n_left, CAST(nR AS BIGINT) AS n_right,
+                CAST(mean_left_fp AS BIGINT) AS mean_left_fp,
+                CAST(mean_right_fp AS BIGINT) AS mean_right_fp
+         FROM best WHERE rn = 1 ORDER BY feat""",
 
     // the same n-scaled division-free CUSUM algebra over windows.
     "q127_cusum_drift" ->

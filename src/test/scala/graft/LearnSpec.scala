@@ -58,6 +58,60 @@ class LearnSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, "ge", 2L)))
   }
 
+  test("regression stump: recovers a planted mean shift with exact leaf means") {
+    // y = 100 for a < 5, y = 900 for a >= 5: best cut at threshold 5
+    val rows = (0L to 9L).flatMap(a =>
+      Seq.fill(4)((a, a % 3, if (a < 5) 100L else 900L)))
+    val got = Learn.trainRegressionStump(rows.toDF("a", "b", "y"),
+                                         Seq("a", "b"), "y")
+      .orderBy("feat")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got.head
+    assert(a._1 == "a" && a._2 == 5L)
+    assert((a._4, a._5) == (20L, 20L))
+    assert((a._6, a._7) == (100L * 1000000L, 900L * 1000000L))
+    // the perfect split's gain strictly beats the noise feature's
+    assert(a._3 > got(1)._3)
+  }
+
+  test("regression stump driver twin: fixed-point gain over every candidate") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 200).map { _ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong)
+    }
+    def twin(f: (Long, Long) => Long): (Long, Long) = {
+      val vs = rows.map(r => (f(r._1, r._2), r._3))
+      val n = vs.size.toLong; val s = vs.map(_._2).sum
+      val cands = vs.map(_._1).distinct.sorted
+      cands.map { t =>
+        val l = vs.filter(_._1 < t).map(_._2)
+        val nL = l.size.toLong; val sL = l.sum
+        val (nR, sR) = (n - nL, s - sL)
+        def term(sv: Long, nv: Long) =
+          if (nv == 0) BigInt(0) else BigInt(sv) * sv * 1000000L / nv
+        (t, (term(sL, nL) + term(sR, nR)).toLong)
+      }.maxBy { case (t, g) => (g, -t) }
+    }
+    val got = Learn.trainRegressionStump(rows.toDF("a", "b", "y"),
+                                         Seq("a", "b"), "y")
+      .orderBy("feat")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == twin((a, _) => a))
+    assert(got("b") == twin((_, b) => b))
+  }
+
+  test("regression stump: the min-value candidate is the no-split baseline") {
+    val rows = Seq((7L, 0L, 10L), (7L, 0L, 20L), (7L, 0L, 30L))
+    val got = Learn.trainRegressionStump(rows.toDF("a", "b", "y"),
+                                         Seq("a"), "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // single value: only candidate is t=7 with n_left=0 — gain is the
+    // baseline S^2*SCALE/n and the whole mass sits in the right leaf
+    assert(got == (("a", 7L, 60L * 60L * 1000000L / 3L, 0L, 3L, 0L,
+                    20L * 1000000L)))
+  }
+
   test("plan: one corpus pass, histogram-sized windows, no cartesian/UDF") {
     val df = (1L to 100L).map(i => (i % 13, i % 7, if (i % 2 == 0) 1L else -1L))
       .toDF("a", "b", "y")
