@@ -543,6 +543,36 @@ object Dedup {
     .select(col(idCol),
             transform(col("__sh"), g => substring(md5(g), 1, 8)).as("hs"))
 
+  /** SHINGLE-SHARE EDGE LIST — the near-dup GRAPH: one edge per doc
+    * pair sharing at least `minShared` distinct k-shingles, weighted by
+    * the shared count. The adjacency [[graft.operators.Graph.pageRank]]
+    * ranks for template-hub detection, and a cheaper relation than LSH
+    * when the consumer wants every qualifying pair, not candidates.
+    * Same df-cap convention as the decontamination family: a shingle in
+    * more than `dfCap` docs is a stop-phrase and pairs nobody.
+    * Plan shape: distinct (doc, hash) → df filter → hash equi-join →
+    * pair count; the equi-join is bounded by dfCap² per hash — no
+    * all-pairs anywhere.
+    */
+  def shingleShareEdges(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, dfCap: Int = 20,
+                        minShared: Int = 3): DataFrame = {
+    val hs = shingleHashes(df.select(col(idCol), col(textCol)),
+                           idCol, textCol, shingleK)
+      .select(col(idCol), explode(array_distinct(col("hs"))).as("h"))
+    val ok = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("h"))
+    val m = hs.join(ok, Seq("h"), "left_semi")
+    val a = m.select(col("h"), col(idCol).as("doc_a"))
+    val b = m.select(col("h"), col(idCol).as("doc_b"))
+    a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** The df-capped distinct train-side shingle-hash set every
     * decontamination scan probes (the cap drops stop-phrases; see
     * [[contaminationSpans]]).

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the Pregel-shaped iterative ops
+  * (join + aggregate per round), in the exact fixed-point integer
+  * algebra the rest of the library uses so every round is
+  * bit-reproducible across engines and partitionings.
+  */
+object Graph {
+
+  /** Fixed-point PAGERANK over an UNDIRECTED edge list — the
+    * centrality pass behind "template hub" detection: a document
+    * near-dup-linked to many other documents (shared boilerplate,
+    * templates, mirrors) collects rank from all of them, so the top of
+    * the ranking names the corpus's template centers — the docs to
+    * inspect first in a curation pass.
+    *
+    * Each round is the standard power iteration restricted to nodes
+    * with at least one edge (isolated docs hold the uniform base rank
+    * by definition and never move):
+    *
+    *   pr'(i) = BASE + d·(Σ_{j~i} pr(j) div deg(j)) div dampDen
+    *
+    * with BASE = scale·(dampDen−dampNum) div dampDen and d = dampNum —
+    * every division TRUNCATING integer division, so the fixed `iters`
+    * rounds give one exact answer (no float drift, no convergence
+    * epsilon; truncation loses < 1 fixed-point quantum per term).
+    *
+    * Scale posture: the classic Pregel shape — per round, ONE edge-list
+    * join against the rank table (both partitioned by node key) and
+    * ONE inflow aggregate; `iters` is a small constant. Degrees and
+    * ranks never leave the cluster; the driver only composes plans.
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+               iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = sym.join(deg, Seq("src"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = deg.select(col("src").as("node"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg.join(pr, withDeg("src") === pr("node"))
+        .select(col("dst").as("node"), expr("pr div deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      pr = deg.select(col("src").as("node"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+           expr(s"$dampNum * coalesce(__in, CAST(0 AS BIGINT)) div $dampDen"))
+            .as("pr"))
+    }
+    pr.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .select(col("node"), col("deg"), col("pr"))
+  }
+}

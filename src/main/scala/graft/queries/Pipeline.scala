@@ -1512,6 +1512,18 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TEMPLATE-HUB PAGERANK: power iteration over the shingle-share
+    // near-dup graph in exact fixed point — a doc boilerplate-linked
+    // to many others collects rank from all of them, so the top rows
+    // name the corpus's template centers. 3 rounds, d=0.85, every
+    // division truncating: one exact answer, no epsilon.
+    "q130_template_rank" -> ((s, dir) => {
+      val edges = Dedup.shingleShareEdges(t(s, dir, "documents"),
+                                          "doc_id", "text")
+      graft.operators.Graph.pageRank(edges, "doc_a", "doc_b", iters = 3)
+        .orderBy(col("pr").desc, col("node"))
+    }),
+
     // REGRESSION STUMP: the variance-reduction split (the regression-
     // tree inner loop) — per-feature best threshold by fixed-point
     // gain S_L^2/n_L + S_R^2/n_R over strict-prefix cumulants, with
@@ -2390,6 +2402,53 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // q110's shingle-hash space builds the edges; three unrolled
+    // power-iteration CTEs replay the same truncating algebra.
+    "q130_template_rank" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT DISTINCT doc_id,
+                   substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 8) AS h
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, greatest(len(tk)-4, 0))) AS i
+                  FROM toks)),
+          grp AS (SELECT h, count(*) AS df FROM hs GROUP BY 1),
+          ed AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                 FROM hs a JOIN hs b USING (h) JOIN grp USING (h)
+                 WHERE grp.df BETWEEN 2 AND 20 AND b.doc_id > a.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= 3),
+          sym AS (SELECT da AS s, db AS d FROM ed
+                  UNION ALL SELECT db, da FROM ed),
+          deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+          p0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+          i1 AS (SELECT sym.d AS node, sum(p0.pr // deg.deg) AS inflow
+                 FROM sym JOIN deg USING (s) JOIN p0 ON p0.node = sym.s
+                 GROUP BY 1),
+          p1 AS (SELECT deg.s AS node,
+                        150000 + 85 * coalesce(inflow, 0) // 100 AS pr
+                 FROM deg LEFT JOIN i1 ON i1.node = deg.s),
+          i2 AS (SELECT sym.d AS node, sum(p1.pr // deg.deg) AS inflow
+                 FROM sym JOIN deg USING (s) JOIN p1 ON p1.node = sym.s
+                 GROUP BY 1),
+          p2 AS (SELECT deg.s AS node,
+                        150000 + 85 * coalesce(inflow, 0) // 100 AS pr
+                 FROM deg LEFT JOIN i2 ON i2.node = deg.s),
+          i3 AS (SELECT sym.d AS node, sum(p2.pr // deg.deg) AS inflow
+                 FROM sym JOIN deg USING (s) JOIN p2 ON p2.node = sym.s
+                 GROUP BY 1),
+          p3 AS (SELECT deg.s AS node,
+                        150000 + 85 * coalesce(inflow, 0) // 100 AS pr
+                 FROM deg LEFT JOIN i3 ON i3.node = deg.s)
+         SELECT p3.node, CAST(deg.deg AS BIGINT) AS deg,
+                CAST(p3.pr AS BIGINT) AS pr
+         FROM p3 JOIN deg ON deg.s = p3.node
+         ORDER BY pr DESC, node""",
 
     // the same strict-prefix cumulants and HUGEINT fixed-point gain.
     "q129_regression_stump" ->
