@@ -557,9 +557,14 @@ object Dedup {
   def shingleShareEdges(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, dfCap: Int = 20,
                         minShared: Int = 3): DataFrame = {
+    // the (doc, hash) table materializes ONCE (localCheckpoint, the
+    // q97/q110 pattern): the df aggregate and BOTH self-join sides read
+    // it — without the pin the interpreted tokenize+shingle+md5 pass
+    // runs four times
     val hs = shingleHashes(df.select(col(idCol), col(textCol)),
                            idCol, textCol, shingleK)
       .select(col(idCol), explode(array_distinct(col("hs"))).as("h"))
+      .localCheckpoint()
     val ok = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
       .select(col("h"))

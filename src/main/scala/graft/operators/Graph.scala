@@ -37,9 +37,15 @@ object Graph {
                iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    // the adjacency materializes ONCE (localCheckpoint): the degree
+    // aggregate and EVERY power-iteration join read it — without the
+    // pin each round re-runs the whole upstream edge construction. At
+    // production scale this is "write the adjacency table, then
+    // iterate over it" — the standard Pregel layout.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = sym.join(deg, Seq("src"))
     val base = scale * (dampDen - dampNum) / dampDen
