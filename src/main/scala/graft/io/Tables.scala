@@ -249,10 +249,10 @@ object Tables {
     * guard, staleness check + takeover and token check + delete are
     * each indivisible, so a takeover can only remove the exact lease it
     * judged stale and a release can only remove a lease that still
-    * carries the releaser's token. In-JVM contenders serialize on a
-    * per-path monitor first ([[java.nio.channels.FileLock]] is
-    * process-scoped); cross-process contenders serialize on the OS
-    * lock, which the kernel frees if the holder crashes. Local-fs
+    * carries the releaser's token. Contenders — same-JVM threads and
+    * other processes alike — serialize on the OS lock via a bounded
+    * `tryLock` poll (an in-JVM overlap throws and counts as busy);
+    * the kernel frees the guard if the holder crashes. Local-fs
     * scope, same as the rest of the store (advisory `flock` semantics
     * are not reliable on NFS). A lease older than `staleMs` is a
     * crashed holder and is taken over; contenders poll until
@@ -269,7 +269,7 @@ object Tables {
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
-      acquired = underLockGuard(path) {
+      acquired = underLockGuard(path, deadline) {
         if (lock.createNewFile()) {
           java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
           true
@@ -290,7 +290,12 @@ object Tables {
         Thread.sleep(50)
       }
     }
-    try body finally underLockGuard(path) {
+    // release gets its own fresh deadline: the acquire deadline may be
+    // long past after a slow body. If the guard stays busy even then,
+    // the loud failure leaves our lease in place and staleMs recovery
+    // eventually clears it — never delete unguarded.
+    try body finally underLockGuard(path,
+        System.currentTimeMillis() + timeoutMs) {
       val mine = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
       // token mismatch = our lease expired and was taken over while we
@@ -299,31 +304,37 @@ object Tables {
     }
   }
 
-  /** Monitors keyed by canonical guard path: `FileLock` is per-process,
-    * so threads of one JVM must serialize BEFORE touching the OS lock
-    * (overlapping in-JVM attempts throw OverlappingFileLockException).
-    * Bounded by the number of distinct tables a JVM ever locks.
-    */
-  private val lockGuardMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** Run `op` while holding an exclusive OS lock on `$path.lock.guard`.
     * The guard is held only for the microseconds a protocol step takes;
     * the kernel releases it if the process dies mid-step, so the guard
-    * itself cannot go stale.
+    * itself cannot go stale. Acquisition POLLS `tryLock` against
+    * `deadlineMs` rather than blocking in `lock()` — a contender
+    * stalled mid-step (SIGSTOP, disk stall; the kernel frees locks on
+    * death, not on stop) must surface as the documented loud timeout,
+    * not an unbounded hang. In-JVM overlap needs no separate monitor:
+    * a second thread's `tryLock` on the held guard throws
+    * OverlappingFileLockException, which counts as "busy, retry".
     */
-  private def underLockGuard[A](path: String)(op: => A): A = {
+  private def underLockGuard[A](path: String, deadlineMs: Long)(op: => A): A = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
     val guard = new java.io.File(s"$path.lock.guard")
-    val monitor = lockGuardMonitors.computeIfAbsent(
-      guard.getCanonicalPath, _ => new Object)
-    monitor.synchronized {
+    while (true) {
       val ch = java.nio.channels.FileChannel.open(guard.toPath, CREATE, WRITE)
-      try {
-        val fl = ch.lock()
-        try op finally fl.release()
-      } finally ch.close()
+      val fl = try ch.tryLock()
+               catch {
+                 case _: java.nio.channels.OverlappingFileLockException => null
+               }
+      if (fl != null) {
+        try return op
+        finally { fl.release(); ch.close() }
+      }
+      ch.close()
+      if (System.currentTimeMillis() > deadlineMs)
+        throw new IllegalStateException(
+          s"timed out waiting for lock guard $guard")
+      Thread.sleep(10)
     }
+    throw new IllegalStateException("unreachable")
   }
 
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,

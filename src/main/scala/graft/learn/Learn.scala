@@ -37,8 +37,12 @@ object Learn {
     * (`cents div 100`-style binning — exactly LightGBM's histogram
     * trick). One shuffle on (feat, v); the per-feature windows and the
     * final rank reuse the feat partitioning. Labels: +1 is positive,
-    * anything else counts negative. Counts in LongType — headroom to
-    * ~9·10^18 rows per (feature, value) cell.
+    * anything else counts negative. Rows with a NULL feature value are
+    * EXCLUDED from that feature's histogram (Spark windows sort nulls
+    * first, SQL engines last — a null row would silently shift every
+    * cumulant between engines, and a null threshold is a rule no
+    * caller can apply). Counts in LongType — headroom to ~9·10^18 rows
+    * per (feature, value) cell.
     */
   def trainStump(df: DataFrame, features: Seq[String],
                  labelCol: String): DataFrame = {
@@ -47,6 +51,7 @@ object Learn {
     val pairs = features.flatMap(f => Seq(lit(f), col(f).cast("long")))
     val stacked = df.select(col(labelCol).cast("long").as("y"),
                             explode(map(pairs: _*)).as(Seq("feat", "v")))
+      .filter(col("v").isNotNull)
     val grouped = stacked.groupBy(col("feat"), col("v"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
            sum(when(col("y") === 1, 0L).otherwise(1L)).as("nn"))
@@ -96,9 +101,17 @@ object Learn {
     * means) — the numbers a boosting round consumes.
     *
     * Scale posture: identical to [[trainStump]] — one map-side corpus
-    * pass, histogram-bounded everything after. Headroom: S_L²·SCALE ≤
-    * (n·|y|max)²·10^6 must stay inside 38 digits — ~10^10 rows of
-    * ~10^6-magnitude targets.
+    * pass, histogram-bounded everything after. Rows with a NULL
+    * feature value or NULL target are EXCLUDED from that feature's
+    * histogram (Spark windows sort nulls first, SQL engines last — a
+    * null row would silently shift every cumulant between engines).
+    *
+    * Headroom — the honest bound: `div` yields BIGINT, so each gain
+    * term (S²·scale) div n ≤ n·y_max²·scale must stay under 9.2·10^18.
+    * At the default scale=10^6 that is ~10^6 rows of ¦y¦ ≤ 3·10^3;
+    * larger corpora LOWER `scale` (the resolution↔headroom knob:
+    * scale=1 reaches ~10^10 rows of 10^4-magnitude targets). The S²
+    * intermediate itself is decimal(38,0) and never overflows first.
     */
   def trainRegressionStump(df: DataFrame, features: Seq[String],
                            targetCol: String,
@@ -109,6 +122,7 @@ object Learn {
     val pairs = features.flatMap(f => Seq(lit(f), col(f).cast("long")))
     val stacked = df.select(col(targetCol).cast("long").as("y"),
                             explode(map(pairs: _*)).as(Seq("feat", "v")))
+      .filter(col("v").isNotNull && col("y").isNotNull)
     val grouped = stacked.groupBy(col("feat"), col("v"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("sy"))
     val below = Window.partitionBy(col("feat")).orderBy(col("v"))

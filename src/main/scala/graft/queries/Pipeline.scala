@@ -267,9 +267,10 @@ object Pipeline {
     *
     * Plan shape: the corpus reduces map-side to ¦days¦ rows FIRST; all
     * windows run on that bounded table — the deliberate bounded
-    * single-partition window, q102/q115's contract. Headroom: n·cum ≤
-    * days² · daily-cents — ~10^5 days of 10^12 cents stays inside
-    * int64·10^? — use the trace at day granularity, not events.
+    * single-partition window, q102/q115's contract. Headroom: dev ≤
+    * days² · max-daily-cents must stay under 9.2·10^18 — ~3·10^4 days
+    * (80 years) of up to 10^10 cents/day ($100M). Beyond that, scale
+    * the trace to coarser money units before the scan.
     */
   def cusumDrift(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -112,6 +112,21 @@ class LearnSpec extends SparkSpec {
                     20L * 1000000L)))
   }
 
+  test("null feature values are excluded, never a null threshold") {
+    val rows = Seq((Some(1L), 10L, 1L), (None, 11L, -1L), (Some(2L), 12L, -1L),
+                   (Some(2L), 13L, 1L))
+      .toDF("a", "b", "y")
+    val cls = Learn.trainStump(rows, Seq("a", "b"), "y")
+      .orderBy("feat").as[(String, Long, String, Long)].collect().toSeq
+    // feature a sees only the 3 non-null rows; b sees all 4
+    assert(cls.forall(_._2 != null))
+    assert(cls.head._1 == "a")
+    val reg = Learn.trainRegressionStump(rows, Seq("a", "b"), "y")
+      .orderBy("feat").as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(reg.head._1 == "a" && reg.head._4 + reg.head._5 == 3L)
+  }
+
   test("plan: one corpus pass, histogram-sized windows, no cartesian/UDF") {
     val df = (1L to 100L).map(i => (i % 13, i % 7, if (i % 2 == 0) 1L else -1L))
       .toDF("a", "b", "y")
