@@ -153,4 +153,69 @@ object Learn {
               col("nL").as("n_left"), col("nR").as("n_right"),
               col("mean_left_fp"), col("mean_right_fp"))
   }
+
+  /** GRADIENT BOOSTING over regression stumps — the L2 boosting loop
+    * itself, exact: start from the truncated global mean, then each
+    * round (a) trains [[trainRegressionStump]] on the CURRENT
+    * RESIDUALS, (b) picks the globally best stump under the
+    * deterministic tie-break (gain desc, feature, threshold), (c) fits
+    * its two leaf values as truncated residual means, and (d) updates
+    * every row's prediction — exactly XGBoost/LightGBM's outer loop
+    * with shrinkage 1 and depth 1, in integer algebra both engines
+    * replay: all residuals stay integers (truncated means), so every
+    * round is bit-reproducible. Output: one row per round — the chosen
+    * split, fitted leaves, and the post-round training SSE (the
+    * monitoring trace; SSE is non-increasing up to mean truncation).
+    *
+    * Scale posture: per round, ONE histogram pass (the stump trainer),
+    * ONE two-sided leaf aggregate, ONE map-side prediction update —
+    * the driver only collects the 1-row best-stump and leaf-sum
+    * aggregates (the allowed k-row pattern). `rounds` is a small
+    * constant. `gainScale` is the stump trainer's resolution↔headroom
+    * knob — residual sums grow with the target range, so the default
+    * here is 10^3, an order below the single-stump default.
+    */
+  def boostStumps(df: DataFrame, features: Seq[String], targetCol: String,
+                  rounds: Int = 2, gainScale: Long = 1000L): DataFrame = {
+    require(rounds >= 1)
+    val sp = df.sparkSession
+    import sp.implicits._
+    var cur = df.select(
+        features.map(f => col(f).cast("long").as(f)) :+
+          col(targetCol).cast("long").as("__y"): _*)
+      .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
+              col("__y").isNotNull)
+    val first = cur.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
+    require(first.getLong(1) > 0, "boostStumps needs at least one row")
+    val p0 = first.getLong(0) / first.getLong(1) // truncating, = div / //
+    cur = cur.withColumn("__pred", lit(p0))
+    val trace = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, Long, Long, Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val resid = cur.withColumn("__r", col("__y") - col("__pred"))
+      val best = trainRegressionStump(resid, features, "__r", gainScale)
+        .orderBy(col("gain_fp").desc, col("feat"), col("threshold"))
+        .limit(1).head()
+      val (feat, thr) = (best.getString(0), best.getLong(1))
+      // leaf values recomputed directly as truncated residual means —
+      // never derived from the trainer's scaled mean columns, so the
+      // oracle replays S div n with no double-truncation subtlety
+      val leaf = resid.agg(
+        sum(when(col(feat) < thr, col("__r"))).as("sL"),
+        count(when(col(feat) < thr, lit(1))).as("nL"),
+        sum(when(col(feat) >= thr, col("__r"))).as("sR"),
+        count(when(col(feat) >= thr, lit(1))).as("nR")).head()
+      val nL = leaf.getLong(1); val nR = leaf.getLong(3)
+      val meanL = if (nL == 0) 0L else leaf.getLong(0) / nL
+      val meanR = if (nR == 0) 0L else leaf.getLong(2) / nR
+      cur = cur.withColumn("__pred",
+        col("__pred") + when(col(feat) < thr, meanL).otherwise(meanR))
+      val sse = cur.agg(sum((col("__y") - col("__pred")) *
+                            (col("__y") - col("__pred"))).as("sse"))
+        .head().getLong(0)
+      trace += ((r.toLong, feat, thr, nL, nR, meanL, meanR, sse))
+    }
+    trace.toSeq.toDF("round", "feat", "threshold", "n_left", "n_right",
+                     "mean_left", "mean_right", "sse_after")
+  }
 }

@@ -1513,6 +1513,21 @@ object Pipeline {
         .orderBy(col("c_nationkey"))
     }),
 
+    // GRADIENT BOOSTING, 2 ROUNDS: the L2 boosting outer loop over
+    // depth-1 trees — global-mean start, per-round best stump on the
+    // CURRENT residuals, truncated-integer leaf fits, post-round SSE
+    // trace. Exactly the XGBoost loop at shrinkage 1 in exact integer
+    // algebra; the oracle unrolls both rounds as generated CTEs.
+    "q131_boost_stumps" -> ((s, dir) => {
+      val feats = t(s, dir, "events").select(
+        expr("user_id % 7").cast("long").as("user_mod7"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.learn.Learn.boostStumps(
+          feats, Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+        .orderBy(col("round"))
+    }),
+
     // TEMPLATE-HUB PAGERANK: power iteration over the shingle-share
     // near-dup graph in exact fixed point — a doc boilerplate-linked
     // to many others collects rank from all of them, so the top rows
@@ -1873,6 +1888,95 @@ object Pipeline {
   private def shingleSql(toksExpr: String): String =
     s"""list_transform(generate_series(1, greatest(len($toksExpr)-2, 0)),
         i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
+
+  /** One unrolled boosting round for the q131 oracle: the stump-train
+    * histogram + cumulants + fixed-point gain + global argmax, then
+    * leaf means, prediction update, and post-round SSE — the exact
+    * algebra `Learn.boostStumps` runs, suffixed `$i`, reading residuals
+    * from `$prev` (columns: features, y, pred, r). Generated per round
+    * from the SAME feature list the Spark side uses, so the two sides
+    * cannot drift.
+    */
+  private def boostRoundSql(i: Int, prev: String, feats: Seq[String],
+                            gainScale: Long): String = {
+    val stack = feats.map(f => s"SELECT '$f' AS feat, $f AS v, r FROM $prev")
+      .mkString("\n UNION ALL ")
+    val vsel = "CASE " +
+      feats.map(f => s"WHEN w$i.feat = '$f' THEN $prev.$f").mkString(" ") +
+      " END"
+    val keep = feats.map(f => s"a$i.$f").mkString(", ")
+    s"""s$i AS ($stack),
+       g$i AS (SELECT feat, v, count(*) AS cnt, sum(r) AS sy
+               FROM s$i GROUP BY 1, 2),
+       c$i AS (SELECT feat, v,
+                      coalesce(sum(cnt) OVER w, 0) AS nL,
+                      coalesce(sum(sy) OVER w, 0) AS sL,
+                      sum(cnt) OVER (PARTITION BY feat) AS n,
+                      sum(sy) OVER (PARTITION BY feat) AS s
+               FROM g$i
+               WINDOW w AS (PARTITION BY feat ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)),
+       sc$i AS (SELECT feat, v, nL, n - nL AS nR, sL, s - sL AS sR
+                FROM c$i),
+       sg$i AS (SELECT feat, v,
+                  (CASE WHEN nL = 0 THEN 0
+                        ELSE CAST(sL AS HUGEINT) * sL * $gainScale // nL END)
+                + (CASE WHEN nR = 0 THEN 0
+                        ELSE CAST(sR AS HUGEINT) * sR * $gainScale // nR END)
+                    AS gain
+                FROM sc$i),
+       b$i AS (SELECT feat, v,
+                      row_number() OVER (ORDER BY gain DESC, feat, v) AS rn
+               FROM sg$i),
+       w$i AS (SELECT feat, v AS thr FROM b$i WHERE rn = 1),
+       a$i AS (SELECT $prev.*, $vsel AS vsel, w$i.thr AS thr
+               FROM $prev, w$i),
+       l$i AS (SELECT coalesce(sum(CASE WHEN vsel < thr THEN r END), 0) AS sL,
+                      count(CASE WHEN vsel < thr THEN 1 END) AS nL,
+                      coalesce(sum(CASE WHEN vsel >= thr THEN r END), 0) AS sR,
+                      count(CASE WHEN vsel >= thr THEN 1 END) AS nR
+               FROM a$i),
+       m$i AS (SELECT CASE WHEN nL = 0 THEN 0 ELSE sL // nL END AS mL,
+                      CASE WHEN nR = 0 THEN 0 ELSE sR // nR END AS mR,
+                      nL, nR
+               FROM l$i),
+       u$i AS (SELECT $keep, a$i.y,
+                      a$i.pred + CASE WHEN a$i.vsel < a$i.thr
+                                      THEN m$i.mL ELSE m$i.mR END AS pred
+               FROM a$i, m$i),
+       q$i AS (SELECT sum((y - pred) * (y - pred)) AS sse FROM u$i),
+       rr$i AS (SELECT *, y - pred AS r FROM u$i)"""
+  }
+
+  /** The full q131 oracle: base features + `rounds` unrolled rounds +
+    * the per-round trace union.
+    */
+  private def boostOracleSql(feats: Seq[String], rounds: Int,
+                             gainScale: Long): String = {
+    val roundsSql = (1 to rounds)
+      .map(i => boostRoundSql(i, if (i == 1) "rr0" else s"rr${i - 1}",
+                              feats, gainScale))
+      .mkString(",\n")
+    val trace = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, w$i.feat,
+                 CAST(w$i.thr AS BIGINT) AS threshold,
+                 CAST(m$i.nL AS BIGINT) AS n_left,
+                 CAST(m$i.nR AS BIGINT) AS n_right,
+                 CAST(m$i.mL AS BIGINT) AS mean_left,
+                 CAST(m$i.mR AS BIGINT) AS mean_right,
+                 CAST(q$i.sse AS BIGINT) AS sse_after
+          FROM w$i, m$i, q$i""").mkString("\n UNION ALL ")
+    s"""WITH e AS (
+          SELECT CAST(user_id % 7 AS BIGINT) AS user_mod7,
+                 CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events),
+        p0 AS (SELECT sum(y) // count(*) AS p FROM e),
+        rr0 AS (SELECT e.*, p0.p AS pred, e.y - p0.p AS r FROM e, p0),
+        $roundsSql
+       $trace ORDER BY round"""
+  }
 
   /** Shared q59/q60 oracle scaffold: q24's LSH candidate pairs →
     * transitive closure via recursive CTE → min reachable id per node
@@ -2403,6 +2507,12 @@ object Pipeline {
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
                 quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // both rounds unrolled as generated CTEs from the SAME feature
+    // list and gain scale the Spark side trains with.
+    "q131_boost_stumps" ->
+      boostOracleSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
+                     gainScale = 1000L),
 
     // q110's shingle-hash space builds the edges; three unrolled
     // power-iteration CTEs replay the same truncating algebra.

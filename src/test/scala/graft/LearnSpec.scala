@@ -112,6 +112,64 @@ class LearnSpec extends SparkSpec {
                     20L * 1000000L)))
   }
 
+  test("boosting: two rounds fit a two-feature additive signal, SSE shrinks") {
+    // y = 100 + 500*(a >= 5) + 30*(b >= 2): round 1 must cut a at 5,
+    // round 2 must pick up the remaining b-structure in the residuals
+    val rows = for (a <- 0L to 9L; b <- 0L to 3L; _ <- 1 to 3) yield
+      (a, b, 100L + (if (a >= 5) 500L else 0L) + (if (b >= 2) 30L else 0L))
+    val got = Learn.boostStumps(rows.toDF("a", "b", "y"), Seq("a", "b"), "y",
+                                rounds = 2)
+      .orderBy("round")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+           Seq((1L, "a", 5L), (2L, "b", 2L)))
+    // SSE strictly decreases and ends at the truncation-level floor
+    assert(got(1)._8 < got(0)._8)
+    assert(got(1)._8 <= rows.size.toLong, s"residual SSE ${got(1)._8}")
+  }
+
+  test("boosting driver twin: exact integer replay of both rounds") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 150).map { _ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong)
+    }
+    def bestStump(data: Seq[(Long, Long, Long)]): (String, Long) = {
+      val cands = for (fi <- Seq(("a", (r: (Long, Long, Long)) => r._1),
+                                 ("b", (r: (Long, Long, Long)) => r._2));
+                       t <- data.map(fi._2).distinct.sorted) yield {
+        val (l, r) = data.partition(x => fi._2(x) < t)
+        def term(g: Seq[(Long, Long, Long)]) =
+          if (g.isEmpty) BigInt(0)
+          else { val s = BigInt(g.map(_._3).sum); s * s * 1000L / g.size }
+        (fi._1, t, term(l) + term(r))
+      }
+      val best = cands.minBy { case (f, t, g) => (-g, f, t) }
+      (best._1, best._2)
+    }
+    // twin: global truncated mean, then two rounds on residuals
+    var data = rows
+    val p0 = rows.map(_._3).sum / rows.size
+    var resid = rows.map(r => (r._1, r._2, r._3 - p0))
+    val twin = (1 to 2).map { _ =>
+      val (f, t) = bestStump(resid)
+      val sel: ((Long, Long, Long)) => Long = if (f == "a") _._1 else _._2
+      val (l, r) = resid.partition(x => sel(x) < t)
+      def mean(g: Seq[(Long, Long, Long)]) =
+        if (g.isEmpty) 0L else g.map(_._3).sum / g.size
+      val (mL, mR) = (mean(l), mean(r))
+      resid = resid.map(x => (x._1, x._2, x._3 - (if (sel(x) < t) mL else mR)))
+      val sse = resid.map(x => x._3 * x._3).sum
+      (f, t, mL, mR, sse)
+    }
+    val got = Learn.boostStumps(rows.toDF("a", "b", "y"), Seq("a", "b"), "y",
+                                rounds = 2)
+      .orderBy("round")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3, r._6, r._7, r._8)) == twin)
+  }
+
   test("null feature values are excluded, never a null threshold") {
     val rows = Seq((Some(1L), 10L, 1L), (None, 11L, -1L), (Some(2L), 12L, -1L),
                    (Some(2L), 13L, 1L))
