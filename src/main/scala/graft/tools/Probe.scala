@@ -171,6 +171,47 @@ object Probe {
     }
   }
 
+  case class LearnScalePoint(factor: Int, nRows: Long, tStump: Double,
+                             tReg: Double, tBoost: Double)
+
+  /** Scale curve for the training tier: synthetic rows with a planted
+    * split (label flips at a = 50, y steps with a), histogram widths
+    * FIXED (97/13 distinct values) so the curve isolates the claim
+    * that cost is ONE corpus pass + histogram-bounded tail work —
+    * time should grow ~linearly in rows while candidate tables stay
+    * constant-size.
+    */
+  def learnScaleCurve(spark: SparkSession, base: Long,
+                      factors: Seq[Int] = Seq(1, 10, 100),
+                      reps: Int = 3): Seq[LearnScalePoint] = {
+    import org.apache.spark.sql.functions._
+    import graft.learn.Learn
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
+    factors.map { fac =>
+      val n = base * fac
+      val df = spark.range(n).select(
+          (col("id") % 97).cast("long").as("a"),
+          (col("id") % 13).cast("long").as("b"),
+          ((col("id") % 97) * 7 + (col("id") % 29)).cast("long").as("y"))
+        .withColumn("lab", when(col("a") >= 50, 1L).otherwise(-1L))
+        .localCheckpoint()
+      val (tStump, _) = med {
+        Learn.trainStump(df, Seq("a", "b"), "lab").count()
+      }
+      val (tReg, _) = med {
+        Learn.trainRegressionStump(df, Seq("a", "b"), "y",
+                                   scale = 1000L).count()
+      }
+      val (tBoost, _) = med {
+        Learn.boostStumps(df, Seq("a", "b"), "y", rounds = 2,
+                          gainScale = 1000L).count()
+      }
+      df.unpersist(true)
+      graft.io.Pins.sweepAll(spark)
+      LearnScalePoint(fac, n, tStump, tReg, tBoost)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -203,6 +244,28 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-learn")) {
+      val pts = learnScaleCurve(spark, base = 100000L)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — training-tier scale curve\n\n"
+      sb ++= "Synthetic rows with a planted split (label flips at a = 50), 97/13\n"
+      sb ++= "distinct feature values so histogram width is FIXED while rows\n"
+      sb ++= "grow; median-of-3 on local[" + cpus + "]. Cost claim under test: one\n"
+      sb ++= "map-side corpus pass + histogram-bounded tail work per trainer.\n\n"
+      sb ++= "| factor | rows | stump s | reg stump s | boost(2) s |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nRows} | ${p.tStump}%.2f | ${p.tReg}%.2f | ${p.tBoost}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nRows.toDouble / a.nRows}%.0f× rows → stump ${z.tStump / a.tStump}%.1f×, "
+      sb ++= f"reg ${z.tReg / a.tReg}%.1f×, boost ${z.tBoost / a.tBoost}%.1f× time.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE_LEARN.md"), sb.toString)
       spark.stop(); return
     }
 

@@ -47,4 +47,18 @@ class ScaleCurveSpec extends SparkSpec {
     assert(z.tBuild <= 30 * a.tBuild + 5.0,
            s"index build must stay near-linear: ${a.tBuild}s -> ${z.tBuild}s")
   }
+
+  test("training tier: 100× rows within the linearity bound for all three trainers") {
+    val pts = Probe.learnScaleCurve(spark, base = 2000L,
+                                    factors = Seq(1, 100), reps = 1)
+    val a = pts.head; val z = pts.last
+    // histogram width is fixed (97/13 values), so the only growing cost
+    // is the map-side corpus pass — quadratic candidate work would trip
+    // the generous stage-overhead-padded bound
+    for ((label, t1, t100) <- Seq(("stump", a.tStump, z.tStump),
+                                  ("reg_stump", a.tReg, z.tReg),
+                                  ("boost2", a.tBoost, z.tBoost)))
+      assert(t100 <= 150 * t1 + 5.0,
+             s"$label: ${t1}s at 1x -> ${t100}s at 100x exceeds the linearity bound")
+  }
 }
