@@ -387,6 +387,40 @@ object Search {
       s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
   }
 
+  /** Read the bucket count a stored postings index was written with —
+    * the one layout value every probe and append MUST share with the
+    * original writer.
+    */
+  private def postingsNBuckets(path: String): Int = {
+    val metaFile = new java.io.File(path, "_graft_postings_meta.json")
+    require(metaFile.exists(),
+      s"no postings metadata at $metaFile — index not written by writePostings?")
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    """"nBuckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"malformed postings metadata in $metaFile: $meta"))
+  }
+
+  /** INCREMENTAL postings maintenance — append newly-ingested docs to
+    * a stored index WITHOUT rebuilding it: the new batch's postings are
+    * bucketed with the nBuckets read from the index's own sidecar (so
+    * writer/appender layout agreement is structural, not a caller
+    * promise) and written in append mode into the existing `tb=`
+    * partition directories. The same build-once/probe-many posture as
+    * the IVF index's append path: untouched buckets' files are never
+    * rewritten. Doc-id upsert/dedup semantics belong to the store
+    * upstream — this is a pure append; compaction of accumulated small
+    * files is [[graft.io.Tables.compact]]'s job per bucket directory.
+    */
+  def appendPostings(spark: org.apache.spark.sql.SparkSession,
+                     df: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit =
+    buildPostings(df, idCol, textCol, postingsNBuckets(path))
+      .write.mode("append").partitionBy("tb").parquet(path)
+
   /** PHRASE search over the STORED postings index — the probe-many
     * side: the scan is pruned to the ≤ ¦distinct terms¦ buckets the
     * phrase's terms hash to (directory-level PartitionFilters — the
@@ -399,16 +433,7 @@ object Search {
   def phraseOccurrencesStored(spark: org.apache.spark.sql.SparkSession,
                               path: String, idCol: String,
                               phrase: String): DataFrame = {
-    val metaFile = new java.io.File(path, "_graft_postings_meta.json")
-    require(metaFile.exists(),
-      s"no postings metadata at $metaFile — index not written by writePostings?")
-    val meta = new String(
-      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
-    val nBuckets = """"nBuckets"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(meta)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"malformed postings metadata in $metaFile: $meta"))
+    val nBuckets = postingsNBuckets(path)
     val terms = phraseTerms(phrase)
     val buckets = terms.distinct
       .map(t => java.lang.Long.parseLong(

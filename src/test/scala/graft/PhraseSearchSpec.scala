@@ -65,6 +65,33 @@ class PhraseSearchSpec extends SparkSpec {
            s"term buckets must prune as partitions: $plan")
   }
 
+  test("appendPostings: incremental docs probe identically to a full rebuild") {
+    val first = (1L to 20L).map(i => (i, s"alpha table scan beta w$i"))
+    val later = (21L to 30L).map(i => (i, s"gamma table scan delta w$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_a").toString
+    Search.writePostings(first.toDF("doc_id", "text"), "doc_id", "text",
+                         s"$dir/idx", nBuckets = 16)
+    // append picks the bucket count up from the sidecar — no caller arg
+    Search.appendPostings(spark, later.toDF("doc_id", "text"),
+                          "doc_id", "text", s"$dir/idx")
+    val stored = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                                "doc_id", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val inline = Search.phraseOccurrences((first ++ later).toDF("doc_id", "text"),
+                                          "doc_id", "text", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(stored == inline && stored.size == 30)
+  }
+
+  test("appendPostings refuses a directory without index metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_b").toString
+    val e = intercept[IllegalArgumentException] {
+      Search.appendPostings(spark, Seq((1L, "x")).toDF("doc_id", "text"),
+                            "doc_id", "text", s"$dir/nothere")
+    }
+    assert(e.getMessage.contains("postings metadata"))
+  }
+
   test("plan: no UDF, no cartesian; aggregates run on the term sliver") {
     val df = Search.phraseOccurrences(
       Seq((1L, "table scan join")).toDF("doc_id", "text"),
