@@ -20,20 +20,29 @@ object Tables {
 
   /** Read one driver table: `{dir}/{name}.parquet`.
     *
-    * The driver's `events` table carries a parquet TIMESTAMP(NANOS)
-    * column, which Spark 4 only reads under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (as a LongType of
-    * nanos). Normalize it back to a proper TimestampType (micros,
-    * truncating — the same truncation DuckDB applies), so downstream
-    * operators see one consistent type.
+    * Time-type contract for the `events.ts` column — all three
+    * on-disk encodings the driver has shipped are accepted and
+    * normalized to one consistent `TimestampType` (micros, UTC
+    * session) at load, mirroring the reference's tolerant ISO-8601
+    * parse on read (solaius/data_pipeline2
+    * `services/document_storage.py:68-69,122-123`):
+    *   - parquet TIMESTAMP(NANOS): Spark 4 reads it as LongType nanos
+    *     under `spark.sql.legacy.parquet.nanosAsLong=true`; divide to
+    *     micros (integer division — a double would lose precision on
+    *     epoch-nano magnitudes > 2^53), same truncation DuckDB applies
+    *   - parquet TIMESTAMP(MICROS) without timezone: Spark reads
+    *     TimestampNTZType; the session TZ is pinned UTC, so the cast
+    *     to TimestampType is value-preserving
+    *   - parquet TIMESTAMP(MICROS) with timezone: already
+    *     TimestampType, passes through
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        // integer division — a double division would lose precision on
-        // epoch-nano magnitudes (> 2^53)
         d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }
