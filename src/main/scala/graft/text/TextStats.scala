@@ -301,8 +301,11 @@ object TextStats {
     * table, materialized (the q65 idiom — without it Catalyst splits
     * the vocab and scoring branches into two full corpus scans), then
     * the vocabulary is a map-combined aggregate of the train slice and
-    * scoring is a broadcast anti-join (a term dictionary is MBs even
-    * at 100 TB corpus scale — the stopword-heavy keys never shuffle).
+    * scoring is a BOUNDED-broadcast anti-join
+    * ([[graft.io.Joins.boundedBroadcast]]): under the bound the
+    * stopword-heavy keys never shuffle; an oversized induced vocab
+    * (Heaps' law at web scale) falls back to a shuffle, never a
+    * multi-GB driver build.
     * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def oovSignals(df: DataFrame, idCol: String, textCol: String,
@@ -317,7 +320,7 @@ object TextStats {
       .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
       .filter(col("cnt") >= minCount).select(col("term"))
     val totals = tf.groupBy(id).agg(sum(col("tf")).as("n_tokens"))
-    val oov = tf.join(broadcast(vocab), Seq("term"), "left_anti")
+    val oov = tf.join(graft.io.Joins.boundedBroadcast(vocab), Seq("term"), "left_anti")
       .groupBy(id).agg(sum(col("tf")).as("n_oov"))
     df.select(id, graft.dedup.Dedup.splitAssign(id).as("split"))
       .join(totals, Seq(idCol), "left")
@@ -349,9 +352,12 @@ object TextStats {
     * Plan shape: ONE scan+tokenize into the (doc, split, w1, w2) pair
     * table via a zip HOF (never a positional self-join), materialized
     * (q65's idiom — the two train-count branches and the scoring
-    * branch all read it); c(w1·) and V are dictionary-sized and
-    * BROADCAST back (the stopword-hot w1 key never shuffles); only the
-    * bigram-count join shuffles, on the well-spread (w1,w2) key.
+    * branch all read it); c(w1·) is dictionary-sized and rides a
+    * BOUNDED broadcast ([[graft.io.Joins.boundedBroadcast]] — the
+    * stopword-hot w1 key never shuffles while the vocab is provably
+    * small, and an oversized one falls back to a shuffle instead of a
+    * driver-side build); V is 1 row; only the bigram-count join
+    * always shuffles, on the well-spread (w1,w2) key.
     * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def lmFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -370,7 +376,7 @@ object TextStats {
     val v = train.agg(countDistinct(col("w1")).as("V"))
     val scored = pairs
       .join(cBi, Seq("w1", "w2"), "left")
-      .join(broadcast(cUni), Seq("w1"), "left")
+      .join(graft.io.Joins.boundedBroadcast(cUni), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .withColumn("s",
         expr("(1000000L * (coalesce(cbi, 0L) + 1L)) div (coalesce(cuni, 0L) + V)"))
@@ -397,8 +403,10 @@ object TextStats {
     * Plan shape: one scan+tokenize into the positioned token table,
     * materialized (q65's idiom — both the vocab and the apply branch
     * read it); the ranked vocab is a dictionary-sized single-partition
-    * window (k rows, never the corpus) broadcast back onto the tokens;
-    * one regroup per doc.
+    * window (k rows, never the corpus) joined back onto the tokens
+    * under a BOUNDED broadcast ([[graft.io.Joins.boundedBroadcast]] —
+    * shuffle fallback if the induced vocab outgrows the bound); one
+    * regroup per doc.
     * Pins a `localCheckpoint`; release via [[graft.io.Pins.release]].
     */
   def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
@@ -415,7 +423,7 @@ object TextStats {
       .filter(col("c") >= minCount)
       .withColumn("tid", row_number().over(w).cast("long"))
       .select(col("term"), col("tid"))
-    val ids = tok.join(broadcast(vocab), Seq("term"), "left")
+    val ids = tok.join(graft.io.Joins.boundedBroadcast(vocab), Seq("term"), "left")
       .select(id, col("pos"), coalesce(col("tid"), lit(0L)).as("tid"))
     val agg = ids.groupBy(id)
       .agg(count(lit(1)).as("n_ids"),
@@ -547,7 +555,13 @@ object TextStats {
     * (source, token) count aggregate; everything downstream —
     * per-source totals, per-token totals, the 1-row corpus total, the
     * four log recurrences, the final fold — is bounded by
-    * vocab × sources and runs under broadcast joins. The counts table
+    * vocab × sources. The per-TOKEN totals join is a plain SHUFFLE
+    * join on `tok`: a `\W+` vocabulary over web-scale text runs to
+    * 10⁸–10⁹ distinct tokens (typos, numbers, hashes), so
+    * broadcasting it would build a multi-GB driver-side table — the
+    * same failure mode as a corpus collect. `tok` is a well-spread
+    * key, so the shuffle is clean; only the SOURCES-sized per-source
+    * totals and the 1-row corpus total broadcast. The counts table
     * is pinned (`localCheckpoint`) because three aggregates read it;
     * caller releases via [[graft.io.Pins.release]] after the terminal
     * action. Headroom: Σ c·Δlog stays in BIGINT to ~10^13 tokens per
@@ -565,7 +579,7 @@ object TextStats {
     val perToken = counts.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
     val total = perSource.agg(sum(col("ns")).as("n"))
     val joined = counts
-      .join(broadcast(perToken), Seq("tok"))
+      .join(perToken.hint("shuffle_hash"), Seq("tok"))
       .join(broadcast(perSource), Seq("source"))
       .crossJoin(broadcast(total))
     graft.functions.FixedPoint.withLog2(joined,

@@ -70,14 +70,18 @@ class KlSpec extends SparkSpec {
     assert(got("c") > got("a") && got("c") > got("b"))
   }
 
-  test("plan: broadcast joins only, no UDF, counts pinned once") {
+  test("plan: per-token join SHUFFLES (vocab must never broadcast), no UDF") {
     val df = TextStats.sourceKlDivergence(
       Seq("a" -> "x y", "b" -> "x z").toDF("source", "text"),
       "source", "text")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("UDF("))
+    // the vocabulary-sized per-token totals ride a shuffled hash join —
+    // at 100 TB a \W+ vocab is 10^8-10^9 rows, a multi-GB broadcast
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // only the sources-sized and 1-row tables broadcast
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), "vocab tables must broadcast")
+    assert(!plan.contains("SortMergeJoin"), plan)
     Pins.release(df)
   }
 }
