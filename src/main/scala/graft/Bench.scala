@@ -17,8 +17,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the executor/codegen/parquet-reader paths once so the first
-    // timed query measures the operator, not JVM startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // timed query measures the operator, not JVM startup. Guarded: a
+    // broken/missing sf dir must still reach the JSON line so the
+    // artifact reports per-query errors rather than an empty run.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    catch { case _: Throwable => () }
     // CALIBRATION SENTINEL: the box is shared, and a loaded run can
     // inflate every sample ~uniformly (r8 measured ~2.2×, which made
     // untouched queries look like regressions). Time a fixed query
@@ -28,14 +31,16 @@ object Bench {
     // at the driver's bench config; other SFs still get the field as a
     // relative load indicator across their own runs.
     val CalibrationR01Sec = 0.60055994
-    val calibration = {
+    // -1 sentinel when the calibration query itself cannot run (broken
+    // data dir): consumers treat the field as "no load estimate".
+    val calibration = try {
       val ts = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(ts.size / 2) / CalibrationR01Sec
-    }
+    } catch { case _: Throwable => -1.0 }
     // Median of `runs` timings per query, all within one JVM: the box is
     // shared (driver-side tooling runs concurrently), so a single sample
     // can be off by 2-10× — the median is the only number worth
@@ -50,7 +55,14 @@ object Bench {
     val samples = (0 until runs).flatMap { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // An erroring query fails fast (~0.1 s) — recording that wall
+        // time as a run time would read as a phantom 10× speedup in a
+        // cross-round diff, so keep time and error disjoint: a failed
+        // run yields an error message, never a timing.
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // release localCheckpoint pins between runs — each timed run
         // re-pins (the pin cost is part of the query), and without the
@@ -58,13 +70,19 @@ object Bench {
         // BLOCKING: we are outside the timed window here, and an async
         // teardown would overlap (and noise) the next sample's t0.
         graft.io.Pins.sweepAll(spark, blocking = true)
-        name -> dt
+        name -> err.toLeft(dt)
       }
     }
-    val results = samples.groupBy(_._1).map { case (name, ts) =>
-      val sorted = ts.map(_._2).sorted
-      name -> sorted(sorted.size / 2)
-    }
+    val results = samples.collect { case (n, Right(t)) => n -> t }
+      .groupBy(_._1).map { case (name, ts) =>
+        val sorted = ts.map(_._2).sorted
+        name -> sorted(sorted.size / 2)
+      }
+    val errors = samples.collect { case (n, Left(m)) => n -> m }
+      .groupBy(_._1).map { case (name, ms) =>
+        // first line, hard-capped: the harness's output window is small
+        name -> ms.head._2.linesIterator.next().take(100)
+      }
     // The harness records only the LAST ~2000 chars of output and
     // machine-parses the JSON line out of that window: with the full
     // suite, long query names + 9-digit doubles overflow it and the
@@ -72,9 +90,25 @@ object Bench {
     // prefix is unique) + ms rounding keep the whole line inside the
     // window at any plausible suite size.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // Errored queries appear here (qNN -> first error line) and are
+    // ABSENT from "queries"/totals — the artifact itself now says "this
+    // query did not run", instead of leaving a fail-fast wall time for
+    // a later comparison tool to misread (r9 postmortem).
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, m) => "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m) }
+        .mkString(""""errors":{""", ",", "},")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // r01's BASELINE covers the 20 relational queries (q01-q20); the
     // pipeline/scale extensions (q21+) are additional surface — split
@@ -86,7 +120,7 @@ object Bench {
     val ext = total - rel
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
-            s""""queries":$qs,""" +
+            s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
     spark.stop()
