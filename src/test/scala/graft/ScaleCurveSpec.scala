@@ -48,6 +48,28 @@ class ScaleCurveSpec extends SparkSpec {
            s"index build must stay near-linear: ${a.tBuild}s -> ${z.tBuild}s")
   }
 
+  test("stored postings: probed fraction constant across 20x scale, stored ≡ inline") {
+    val pts = Probe.searchScaleCurve(spark, base = 400, factors = Seq(1, 20), reps = 1)
+    val a = pts.head; val z = pts.last
+    // matches grow linearly by construction; searchScaleCurve already
+    // requires stored == inline per point
+    assert(a.nMatches > 0, "1x corpus must contain the probe phrase")
+    assert(z.nMatches >= 10 * a.nMatches,
+           s"matches must track corpus size: ${a.nMatches} -> ${z.nMatches}")
+    // 2 distinct terms of a 1000-term uniform vocab over 64 buckets →
+    // the probe opens ~2/64 of the postings rows, at ANY corpus size
+    val fracA = a.probedRows.toDouble / a.postingsRows
+    val fracZ = z.probedRows.toDouble / z.postingsRows
+    assert(fracA < 0.15 && fracZ < 0.15,
+           s"probe must read a pruned slice of the index: $fracA, $fracZ")
+    assert(math.abs(fracA - fracZ) < 0.05,
+           s"probed fraction must stay constant across scale: $fracA -> $fracZ")
+    // wall-clock: 20x rows within 30x build time (overhead-dominated at
+    // 1x, so the real ratio sits far below; the bound catches blowup)
+    assert(z.tBuild <= 30 * a.tBuild + 5.0,
+           s"index build must stay near-linear: ${a.tBuild}s -> ${z.tBuild}s")
+  }
+
   test("training tier: 100× rows within the linearity bound for all three trainers") {
     val pts = Probe.learnScaleCurve(spark, base = 2000L,
                                     factors = Seq(1, 100), reps = 1)
