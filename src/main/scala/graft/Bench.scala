@@ -81,7 +81,7 @@ object Bench {
     val errors = samples.collect { case (n, Left(m)) => n -> m }
       .groupBy(_._1).map { case (name, ms) =>
         // first line, hard-capped: the harness's output window is small
-        name -> ms.head._2.linesIterator.next().take(100)
+        name -> ms.head._2.linesIterator.next().take(40)
       }
     // The harness records only the LAST ~2000 chars of output and
     // machine-parses the JSON line out of that window: with the full
@@ -103,12 +103,20 @@ object Bench {
     // Errored queries appear here (qNN -> first error line) and are
     // ABSENT from "queries"/totals — the artifact itself now says "this
     // query did not run", instead of leaving a fail-fast wall time for
-    // a later comparison tool to misread (r9 postmortem).
+    // a later comparison tool to misread (r9 postmortem). The full
+    // suite's JSON line already sits near the harness's ~2000-char
+    // parse window, so this object is BOUNDED: first 3 errors (by
+    // name) + an overflow count — never enough to truncate the line.
     val errJson =
       if (errors.isEmpty) ""
-      else errors.toSeq.sortBy(_._1)
-        .map { case (k, m) => "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m) }
-        .mkString(""""errors":{""", ",", "},")
+      else {
+        val shown = errors.toSeq.sortBy(_._1).take(3)
+          .map { case (k, m) => "\"" + k.takeWhile(_ != '_') + "\":" + jstr(m) }
+          .mkString(""""errors":{""", ",", "},")
+        val more =
+          if (errors.size > 3) s""""errors_more":${errors.size - 3},""" else ""
+        shown + more
+      }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // r01's BASELINE covers the 20 relational queries (q01-q20); the
     // pipeline/scale extensions (q21+) are additional surface — split
