@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+import graft.functions.CdcExpressions.CdcCuts
 import graft.functions.VectorExpressions.{CosineSimilarity, LongVecDot}
 
 /** Session extension installing the engine's native functions —
@@ -43,6 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 2, "long_vec_dot(a, b) takes two array<bigint> args")
         LongVecDot(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3,
+          "cdc_cuts(text, window, divisor) takes a string and two int literals")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = {
+          require(e.foldable, s"cdc_cuts $what must be a literal")
+          e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"cdc_cuts $what must be an int literal, got $other")
+          }
+        }
+        CdcCuts(args(0), intLit(args(1), "window"), intLit(args(2), "divisor"))
       }))
   }
 }

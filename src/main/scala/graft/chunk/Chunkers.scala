@@ -390,20 +390,22 @@ object Chunkers {
 
   /** CONTENT-DEFINED chunking (CDC, rsync/LBFS family) — cut after
     * every position whose trailing `window`-char content hashes to
-    * 0 mod `divisor` (first 32 md5 bits), plus the text end. Because
-    * cuts depend on CONTENT, not offsets, an insertion only rewrites
-    * chunks up to the first surviving cut — every later chunk is
-    * byte-identical, which is what makes CDC the storage/transfer
+    * 0 mod `divisor` (rolling polynomial hash mod 2^32, base 257 —
+    * [[graft.functions.CdcExpressions.CdcCuts]]), plus the text end.
+    * Because cuts depend on CONTENT, not offsets, an insertion only
+    * rewrites chunks up to the first surviving cut — every later chunk
+    * is byte-identical, which is what makes CDC the storage/transfer
     * dedup chunker where fixed-width invalidates everything after an
     * edit. Expected chunk length ≈ `divisor` chars; this is the
     * unconstrained form (no min/max bound — a bound makes the cut set
     * state-dependent and needs a sequential scan).
     *
-    * Pure array algebra: candidate cuts via `filter(sequence(...))`,
-    * chunk spans via an index-aware `transform` over the cut array —
-    * no window function, no shuffle, no UDF; the per-position window
-    * hash is the only non-codegen piece (interpreted HOF lambda, the
-    * same class as shingle hashing).
+    * Pure array algebra, fully codegen: the cut finder is a native
+    * expression (O(1) rolling update per position inside whole-stage
+    * codegen — it replaced an interpreted md5-per-position HOF lambda
+    * that was the entire q101 cost at sf0.1), chunk spans via an
+    * index-aware `transform` over the cut array — no window function,
+    * no shuffle, no UDF. Sessions must install [[graft.GraftExtensions]].
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 window: Int = 16, divisor: Int = 64): DataFrame = {
@@ -412,12 +414,8 @@ object Chunkers {
       .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
       .withColumn("__len", length(col("__t")))
       .filter(col("__len") > 0)
-      // ascending even when len < window; the i <= len guard empties it
       .withColumn("__cuts",
-        filter(sequence(lit(window), greatest(col("__len"), lit(window))),
-          i => i <= col("__len") &&
-            conv(substring(md5(col("__t").substr(i - (window - 1), lit(window))),
-                           1, 8), 16, 10).cast("long") % divisor === 0))
+        graft.functions.CdcExpressions.cdcCuts(col("__t"), window, divisor))
       .withColumn("__bnds", array_union(col("__cuts"), array(col("__len"))))
       .withColumn("__chunks",
         transform(col("__bnds"), (end, k) => struct(

@@ -3160,8 +3160,11 @@ object Pipeline {
                  CAST(total AS BIGINT) AS total_tokens
           FROM pick WHERE rn = 1 ORDER BY threshold""",
 
-    // the same cut algebra: trailing-16-window md5 mod 64, the text
-    // end appended, spans from consecutive boundaries.
+    // the same cut algebra: trailing-16-window rolling polynomial hash
+    // (base 257 mod 2^32 — CdcExpressions.CdcCuts), recomputed here as
+    // the direct Σ codepoint·257^(16−j) sum with the 16 coefficients
+    // baked (max term sum < 2^57, inside BIGINT); the text end
+    // appended, spans from consecutive boundaries.
     "q101_cdc_chunks" ->
       """WITH base AS (
             SELECT doc_id, text, length(text) AS len
@@ -3171,8 +3174,22 @@ object Pipeline {
                    list_append(
                      list_filter(generate_series(16, greatest(len, 16)),
                        i -> i <= len AND
-                            CAST('0x' || substr(md5(substr(text, i - 15, 16)), 1, 8)
-                                 AS BIGINT) % 64 = 0),
+                            (CAST(unicode(substr(text, i - 15, 1)) AS BIGINT) * 3345551105 +
+                             CAST(unicode(substr(text, i - 14, 1)) AS BIGINT) * 1817906689 +
+                             CAST(unicode(substr(text, i - 13, 1)) AS BIGINT) * 508431617 +
+                             CAST(unicode(substr(text, i - 12, 1)) AS BIGINT) * 3695315969 +
+                             CAST(unicode(substr(text, i - 11, 1)) AS BIGINT) * 2771847937 +
+                             CAST(unicode(substr(text, i - 10, 1)) AS BIGINT) * 2016217601 +
+                             CAST(unicode(substr(text, i - 9, 1)) AS BIGINT) * 1411647745 +
+                             CAST(unicode(substr(text, i - 8, 1)) AS BIGINT) * 941361153 +
+                             CAST(unicode(substr(text, i - 7, 1)) AS BIGINT) * 588580609 +
+                             CAST(unicode(substr(text, i - 6, 1)) AS BIGINT) * 336528897 +
+                             CAST(unicode(substr(text, i - 5, 1)) AS BIGINT) * 168428801 +
+                             CAST(unicode(substr(text, i - 4, 1)) AS BIGINT) * 67503105 +
+                             CAST(unicode(substr(text, i - 3, 1)) AS BIGINT) * 16974593 +
+                             CAST(unicode(substr(text, i - 2, 1)) AS BIGINT) * 66049 +
+                             CAST(unicode(substr(text, i - 1, 1)) AS BIGINT) * 257 +
+                             CAST(unicode(substr(text, i, 1)) AS BIGINT)) % 4294967296 % 64 = 0),
                      len) AS b0
             FROM base),
           bnds AS (

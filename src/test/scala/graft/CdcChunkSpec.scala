@@ -1,6 +1,7 @@
 package graft
 
 import graft.chunk.Chunkers
+import org.apache.spark.sql.functions.col
 
 /** Content-defined chunking (q101): rolling-window hash cuts. */
 class CdcChunkSpec extends SparkSpec {
@@ -40,6 +41,32 @@ class CdcChunkSpec extends SparkSpec {
 
   test("a doc shorter than the window is one whole chunk") {
     assert(chunksOf("short doc") == Seq((1L, 1L, "short doc")))
+  }
+
+  test("cdc_cuts codegen equals the first-principles rolling-hash twin") {
+    // the twin: direct polynomial sum per position (what the DuckDB
+    // oracle computes), vs the expression's O(1) rolling update
+    def twin(text: String, w: Int = 16, d: Int = 64): Seq[Int] = {
+      val cps = text.codePoints().toArray()
+      (w to cps.length).filter { i =>
+        val h = (0 until w).map { j =>
+          BigInt(cps(i - w + j)) * BigInt(257).pow(w - 1 - j)
+        }.sum.mod(BigInt(2).pow(32))
+        h % d == 0
+      }
+    }
+    val texts = Seq(
+      base,
+      "short",                         // < window: no cuts
+      "x" * 16,                        // exactly one window
+      "päragraph ünïcode → ≠ 模型 " * 40, // non-ASCII codepoints
+      (1 to 500).map(i => s"tok$i").mkString(" "))
+    for (t <- texts) {
+      val got = Seq((1L, t)).toDF("doc_id", "text")
+        .select(graft.functions.CdcExpressions.cdcCuts(col("text"), 16, 64))
+        .as[Seq[Int]].head()
+      assert(got == twin(t), s"cuts diverge from twin on: ${t.take(40)}…")
+    }
   }
 
   test("plan: zero shuffles, no window function, no UDF") {
