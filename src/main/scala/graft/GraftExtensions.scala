@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.CdcExpressions.CdcCuts
+import graft.functions.ShingleExpressions.ShingleMd5Prefixes
 import graft.functions.VectorExpressions.{CosineSimilarity, LongVecDot}
 
 /** Session extension installing the engine's native functions —
@@ -61,6 +62,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         }
         CdcCuts(args(0), intLit(args(1), "window"), intLit(args(2), "divisor"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_md5"),
+      new ExpressionInfo(classOf[ShingleMd5Prefixes].getName, "shingle_md5"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3,
+          "shingle_md5(tokens, k, hexLen) takes an array<string> and two int literals")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = {
+          require(e.foldable, s"shingle_md5 $what must be a literal")
+          e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"shingle_md5 $what must be an int literal, got $other")
+          }
+        }
+        ShingleMd5Prefixes(args(0), intLit(args(1), "k"), intLit(args(2), "hexLen"))
       }))
   }
 }

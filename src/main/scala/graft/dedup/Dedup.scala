@@ -101,9 +101,10 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleK)
-      .select(col("doc"), shinglesOf(col("toks"), shingleK).as("sh"))
-      // hash ONCE per shingle; bands slice the digest (see minhashBandSliced)
-      .select(col("doc"), transform(col("sh"), s => md5(s)).as("hs"))
+      // hash ONCE per shingle — the fused codegen shingle→md5 kernel;
+      // bands slice the full digest (see minhashBandSliced)
+      .select(col("doc"), graft.functions.ShingleExpressions
+                .shingleMd5FullCol(col("toks"), shingleK).as("hs"))
     sh.select(col("doc"), posexplode(
       array((0 until nBands).map(b => minhashBandSliced(col("hs"), b)): _*)).as(Seq("band", "sig")))
   }
@@ -331,9 +332,9 @@ object Dedup {
       // ≥ w windows ⇔ ≥ w+k-1... shingles = n-k+1, windows = shingles-w+1
       .filter(size(col("toks")) >= shingleK + w - 1)
     val hashes = toks
-      .select(col(idCol), shinglesOf(col("toks"), shingleK).as("sh"))
       .select(col(idCol),
-              transform(col("sh"), g => substring(md5(g), 1, 8)).as("hs"))
+              graft.functions.ShingleExpressions
+                .shingleMd5Col(col("toks"), shingleK).as("hs"))
     hashes.select(col(idCol),
       explode(array_distinct(
         transform(sequence(lit(1), size(col("hs")) - (w - 1)),
@@ -533,15 +534,17 @@ object Dedup {
 
   /** Per-doc array of 8-hex shingle hashes — tokens materialized in
     * their own projection first (see [[shinglesOf]]'s quadratic-
-    * inlining note); shared by the exact span scan and the Bloom
-    * prefilter so both probe the identical hash space.
+    * inlining note), then the fused codegen shingle→md5 kernel
+    * ([[graft.functions.ShingleExpressions]]); shared by the exact
+    * span scan and the Bloom prefilter so both probe the identical
+    * hash space.
     */
   private def shingleHashes(side: DataFrame, idCol: String, textCol: String,
                             shingleK: Int): DataFrame = side
     .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("__toks"))
-    .select(col(idCol), shinglesOf(col("__toks"), shingleK).as("__sh"))
     .select(col(idCol),
-            transform(col("__sh"), g => substring(md5(g), 1, 8)).as("hs"))
+            graft.functions.ShingleExpressions
+              .shingleMd5Col(col("__toks"), shingleK).as("hs"))
 
   /** SHINGLE-SHARE EDGE LIST — the near-dup GRAPH: one edge per doc
     * pair sharing at least `minShared` distinct k-shingles, weighted by
@@ -704,10 +707,9 @@ object Dedup {
       .select(col(groupCol), col(idCol),
               TextStats.tokens(lower(col(textCol))).as("__toks"))
       .select(col(groupCol), col(idCol),
-              shinglesOf(col("__toks"), shingleK).as("__sh"))
-      .select(col(groupCol), col(idCol),
               explode(array_distinct(
-                transform(col("__sh"), g => substring(md5(g), 1, 8)))).as("h"))
+                graft.functions.ShingleExpressions
+                  .shingleMd5Col(col("__toks"), shingleK))).as("h"))
       .localCheckpoint()
     val capped = f.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"))

@@ -27,10 +27,18 @@ class PinsSpec extends SparkSpec {
   test("sweepAll frees pins not reachable from a kept result") {
     Pins.sweepAll(spark)
     val docs = Seq((1L, "x y z"), (2L, "x q r")).toDF("doc_id", "text")
-    TextStats.tfidfTopTerms(docs, "doc_id", "text").count()
-    TextStats.oovSignals(docs, "doc_id", "text").count()
+    // hold the results in vals: an UNREFERENCED pinned RDD is fair game
+    // for ContextCleaner's GC-driven unpersist at any moment (observed:
+    // a later query's job triggered a GC and the first pin vanished
+    // before the assert) — the spec tests sweepAll, not cleaner timing
+    val a = TextStats.tfidfTopTerms(docs, "doc_id", "text")
+    a.count()
+    val b = TextStats.oovSignals(docs, "doc_id", "text")
+    b.count()
     assert(pinned() >= 2)
     Pins.sweepAll(spark)
     assert(pinned() == 0)
+    // keep a/b reachable to this point so the cleaner can't race the asserts
+    assert((a ne null) && (b ne null))
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.ShingleExpressions
+import graft.text.TextStats
+
+/** The fused shingle→md5 codegen kernel must be BIT-IDENTICAL to the
+  * composed form it replaced — every dedup-family oracle recomputes
+  * `substring(md5(concat_ws(' ', shingle)), 1, len)` independently, so
+  * any divergence here is an oracle break, not just a perf bug.
+  */
+class ShingleExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two",                            // fewer tokens than k
+    "a b c",                              // exactly k
+    "dup dup dup dup",                    // repeated shingles survive, in order
+    "päragraph ünïcode → ≠ 模型 tokens here",
+    "")
+
+  private def composed(k: Int, hexLen: Int) =
+    texts.toDF("text")
+      .select(TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(transform(Dedup.shinglesOf(col("toks"), k),
+                        g => substring(md5(g), 1, hexLen)).as("hs"))
+      .as[Seq[String]].collect().toSeq
+
+  private def fused(k: Int, hexLen: Int) =
+    texts.toDF("text")
+      .select(TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(call_function("shingle_md5", col("toks"), lit(k), lit(hexLen))
+                .as("hs"))
+      .as[Seq[String]].collect().toSeq
+
+  test("fused kernel ≡ transform(shinglesOf, substring(md5)) for k=3/5, len=8/32") {
+    for (k <- Seq(3, 5); hexLen <- Seq(8, 32))
+      assert(fused(k, hexLen) == composed(k, hexLen), s"k=$k hexLen=$hexLen")
+  }
+
+  test("wrappers pin the engine conventions (8-hex prefix, 32-hex full)") {
+    val df = Seq("alpha beta gamma delta").toDF("text")
+      .select(TextStats.tokens(col("text")).as("toks"))
+    val pre = df.select(ShingleExpressions.shingleMd5Col(col("toks"), 3))
+      .as[Seq[String]].head()
+    val full = df.select(ShingleExpressions.shingleMd5FullCol(col("toks"), 3))
+      .as[Seq[String]].head()
+    assert(pre.forall(_.length == 8) && full.forall(_.length == 32))
+    assert(full.map(_.take(8)) == pre)
+  }
+}
