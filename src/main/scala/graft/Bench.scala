@@ -21,7 +21,7 @@ object Bench {
     // broken/missing sf dir must still reach the JSON line so the
     // artifact reports per-query errors rather than an empty run.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // CALIBRATION SENTINEL: the box is shared, and a loaded run can
     // inflate every sample ~uniformly (r8 measured ~2.2×, which made
     // untouched queries look like regressions). Time a fixed query
@@ -40,7 +40,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(ts.size / 2) / CalibrationR01Sec
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
     // Median of `runs` timings per query, all within one JVM: the box is
     // shared (driver-side tooling runs concurrently), so a single sample
     // can be off by 2-10× — the median is the only number worth
@@ -59,8 +59,11 @@ object Bench {
         // time as a run time would read as a phantom 10× speedup in a
         // cross-round diff, so keep time and error disjoint: a failed
         // run yields an error message, never a timing.
+        // NonFatal only: an OOM/linkage error means the JVM is damaged
+        // and every later timing would be garbage — crash the bench
+        // (driver sees rc != 0) rather than record corrupted medians
         val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -78,8 +81,15 @@ object Bench {
         val sorted = ts.map(_._2).sorted
         name -> sorted(sorted.size / 2)
       }
+    // Only queries with ZERO successful runs are errors — a flaky query
+    // keeps its median over the surviving samples and stays OUT of the
+    // errors object, preserving the invariant that "queries" and
+    // "errors" are disjoint (a name in both would contradict the
+    // documented contract and confuse cross-round tooling).
     val errors = samples.collect { case (n, Left(m)) => n -> m }
-      .groupBy(_._1).map { case (name, ms) =>
+      .groupBy(_._1)
+      .filter { case (name, _) => !results.contains(name) }
+      .map { case (name, ms) =>
         // first line, hard-capped: the harness's output window is small
         name -> ms.head._2.linesIterator.next().take(40)
       }

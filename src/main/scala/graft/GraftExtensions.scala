@@ -31,6 +31,18 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract an int-literal argument of a registered function. */
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     fn: String, what: String): Int = {
+    require(e.foldable, s"$fn $what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn $what must be an int literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
@@ -52,16 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 3,
           "cdc_cuts(text, window, divisor) takes a string and two int literals")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   what: String): Int = {
-          require(e.foldable, s"cdc_cuts $what must be a literal")
-          e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"cdc_cuts $what must be an int literal, got $other")
-          }
-        }
-        CdcCuts(args(0), intLit(args(1), "window"), intLit(args(2), "divisor"))
+        CdcCuts(args(0), intLit(args(1), "cdc_cuts", "window"),
+                intLit(args(2), "cdc_cuts", "divisor"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_md5"),
@@ -69,16 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 3,
           "shingle_md5(tokens, k, hexLen) takes an array<string> and two int literals")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   what: String): Int = {
-          require(e.foldable, s"shingle_md5 $what must be a literal")
-          e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"shingle_md5 $what must be an int literal, got $other")
-          }
-        }
-        ShingleMd5Prefixes(args(0), intLit(args(1), "k"), intLit(args(2), "hexLen"))
+        ShingleMd5Prefixes(args(0), intLit(args(1), "shingle_md5", "k"),
+                           intLit(args(2), "shingle_md5", "hexLen"))
       }))
   }
 }

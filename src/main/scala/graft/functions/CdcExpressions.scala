@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,16 +17,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole 3 s query. This expression replaces it with the classic
   * rolling POLYNOMIAL hash (Rabin-Karp family, the rsync/LBFS idiom):
   *
-  *   H(i) = Σ_{j=0..w-1} cp(i−w+1+j) · B^{w−1−j}  mod 2^32,  B = 257
+  *   H(i) = Σ_{j=0..w-1} cp(i−w+1+j) · B^{w−1−j}  mod 2^32
   *
-  * maintained in O(1) per position (`h·B + c_in − c_out·B^w`), emitted
-  * as a primitive `while` loop inside whole-stage codegen. A position
-  * i (1-based, codepoint-counted — the same convention as Spark's
+  * maintained in O(1) per position (`h·B + c_in − c_out·B^w`) by ONE
+  * static kernel called from both the interpreted eval and the
+  * generated code (the [[ShingleExpressions]] pattern — the hash
+  * logic lives in exactly one place). A position i (1-based,
+  * codepoint-counted — the same convention as Spark's
   * `substr`/`length` and DuckDB's `substr`) is a cut iff w ≤ i ≤ len
-  * and H(i) mod divisor = 0. Content-defined: the cut decision
-  * depends only on the trailing w characters, so an edit re-cuts at
-  * most the window around it — the property q101's oracle and
-  * CdcChunkSpec pin.
+  * and H(i) mod divisor = 0.
+  *
+  * BASE CHOICE: B = 1000003 (prime), because B mod 2^k must NOT be 1
+  * for any divisor 2^k in use: with the original B = 257 ≡ 1 (mod 64),
+  * every coefficient B^j ≡ 1 (mod 64) and the cut rule collapsed to an
+  * ORDER-INDEPENDENT additive checksum of the window's codepoints —
+  * anagram windows cut identically and short-period text degenerated
+  * to all-or-nothing cutting. 1000003 ≡ 3 (mod 64), and 3 has
+  * multiplicative order 16 mod 64, so all 16 window positions carry
+  * distinct weights even in the divisor's residue space. Content-
+  * defined: the cut decision depends only on the trailing w
+  * characters, so an edit re-cuts at most the window around it — the
+  * property q101's oracle and CdcChunkSpec pin.
   *
   * The oracle stays bit-exact because the polynomial is plain integer
   * algebra: DuckDB recomputes Σ unicode(substr(...))·coeff mod 2^32
@@ -34,8 +46,53 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CdcExpressions {
 
-  val Base = 257L
+  val Base = 1000003L
   private val Mask = 0xFFFFFFFFL
+
+  /** B^window mod 2^32 — the outgoing-char coefficient. */
+  def basePow(window: Int): Long = {
+    var p = 1L; var k = 0
+    while (k < window) { p = (p * Base) & Mask; k += 1 }
+    p
+  }
+
+  /** The kernel — public static entry for both eval and generated
+    * code: 1-based cut positions of `text` under the rolling
+    * polynomial-hash rule.
+    */
+  def cdcCuts(text: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray()
+    val n = cps.length
+    val bw = basePow(window)
+    // pass 1: count; pass 2: fill — exact-size primitive array out
+    var cnt = 0
+    var pass = 0
+    var buf: Array[Int] = null
+    while (pass < 2) {
+      var out = 0
+      var h = 0L
+      if (n >= window) {
+        var k = 0
+        while (k < window) { h = (h * Base + cps(k)) & Mask; k += 1 }
+        if (h % divisor == 0L) {
+          if (pass == 1) buf(out) = window
+          out += 1
+        }
+        var i = window
+        while (i < n) {
+          h = (h * Base + cps(i) - cps(i - window) * bw) & Mask
+          if (h % divisor == 0L) {
+            if (pass == 1) buf(out) = i + 1
+            out += 1
+          }
+          i += 1
+        }
+      }
+      if (pass == 0) { cnt = out; buf = new Array[Int](cnt) }
+      pass += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(buf)
+  }
 
   case class CdcCuts(child: Expression, window: Int, divisor: Int)
       extends UnaryExpression with Serializable {
@@ -44,84 +101,14 @@ object CdcExpressions {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "cdc_cuts"
 
-    // B^window mod 2^32 — the outgoing-char coefficient
-    private val bw: Long = {
-      var p = 1L; var k = 0
-      while (k < window) { p = (p * Base) & Mask; k += 1 }
-      p
-    }
-
-    override protected def nullSafeEval(t: Any): Any = {
-      val cps = t.asInstanceOf[UTF8String].toString.codePoints().toArray()
-      val n = cps.length
-      // pass 1: count; pass 2: fill — exact-size primitive array out
-      var cnt = 0
-      var h = 0L
-      if (n >= window) {
-        var k = 0
-        while (k < window) { h = (h * Base + cps(k)) & Mask; k += 1 }
-        if (h % divisor == 0L) cnt += 1
-        var i = window
-        while (i < n) {
-          h = (h * Base + cps(i) - cps(i - window) * bw) & Mask
-          if (h % divisor == 0L) cnt += 1
-          i += 1
-        }
-      }
-      val buf = new Array[Int](cnt)
-      var out = 0
-      h = 0L
-      if (n >= window) {
-        var k = 0
-        while (k < window) { h = (h * Base + cps(k)) & Mask; k += 1 }
-        if (h % divisor == 0L) { buf(out) = window; out += 1 }
-        var i = window
-        while (i < n) {
-          h = (h * Base + cps(i) - cps(i - window) * bw) & Mask
-          if (h % divisor == 0L) { buf(out) = i + 1; out += 1 }
-          i += 1
-        }
-      }
-      UnsafeArrayData.fromPrimitiveArray(buf)
-    }
+    override protected def nullSafeEval(t: Any): Any =
+      cdcCuts(t.asInstanceOf[UTF8String], window, divisor)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, t => {
-        val cps = ctx.freshName("cps"); val n = ctx.freshName("n")
-        val cnt = ctx.freshName("cnt"); val h = ctx.freshName("h")
-        val k = ctx.freshName("k"); val i = ctx.freshName("i")
-        val buf = ctx.freshName("buf"); val out = ctx.freshName("out")
         s"""
-           |int[] $cps = $t.toString().codePoints().toArray();
-           |int $n = $cps.length;
-           |int $cnt = 0;
-           |long $h = 0L;
-           |if ($n >= $window) {
-           |  for (int $k = 0; $k < $window; $k++)
-           |    $h = ($h * ${Base}L + (long) $cps[$k]) & ${Mask}L;
-           |  if ($h % ${divisor}L == 0L) $cnt++;
-           |  for (int $i = $window; $i < $n; $i++) {
-           |    $h = ($h * ${Base}L + (long) $cps[$i]
-           |          - ((long) $cps[$i - $window]) * ${bw}L) & ${Mask}L;
-           |    if ($h % ${divisor}L == 0L) $cnt++;
-           |  }
-           |}
-           |int[] $buf = new int[$cnt];
-           |int $out = 0;
-           |$h = 0L;
-           |if ($n >= $window) {
-           |  for (int $k = 0; $k < $window; $k++)
-           |    $h = ($h * ${Base}L + (long) $cps[$k]) & ${Mask}L;
-           |  if ($h % ${divisor}L == 0L) $buf[$out++] = $window;
-           |  for (int $i = $window; $i < $n; $i++) {
-           |    $h = ($h * ${Base}L + (long) $cps[$i]
-           |          - ((long) $cps[$i - $window]) * ${bw}L) & ${Mask}L;
-           |    if ($h % ${divisor}L == 0L) $buf[$out++] = $i + 1;
-           |  }
-           |}
            |${ev.value} =
-           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-           |    .fromPrimitiveArray($buf);
+           |  graft.functions.CdcExpressions.cdcCuts($t, $window, $divisor);
          """.stripMargin
       })
 

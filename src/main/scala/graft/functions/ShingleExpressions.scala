@@ -51,11 +51,18 @@ object ShingleExpressions {
     var i = 0
     while (i <= n - k) {
       d.reset()
+      // concat_ws semantics exactly: a null element is skipped WITH its
+      // separator ("a", null, "b" → "a b", not "a  b") — the composed
+      // form this kernel must stay bit-compatible with
+      var written = false
       var j = 0
       while (j < k) {
-        if (j > 0) d.update(' '.toByte)
         val s = arr.getUTF8String(i + j)
-        if (s != null) d.update(s.getBytes)
+        if (s != null) {
+          if (written) d.update(' '.toByte)
+          d.update(s.getBytes)
+          written = true
+        }
         j += 1
       }
       val dig = d.digest()

@@ -3161,8 +3161,8 @@ object Pipeline {
           FROM pick WHERE rn = 1 ORDER BY threshold""",
 
     // the same cut algebra: trailing-16-window rolling polynomial hash
-    // (base 257 mod 2^32 — CdcExpressions.CdcCuts), recomputed here as
-    // the direct Σ codepoint·257^(16−j) sum with the 16 coefficients
+    // (base 1000003 mod 2^32 — CdcExpressions.CdcCuts; 257 was degenerate: 257 ≡ 1 mod 64 made the rule an order-independent additive checksum), recomputed here as
+    // the direct Σ codepoint·1000003^(16−j) sum with the 16 coefficients
     // baked (max term sum < 2^57, inside BIGINT); the text end
     // appended, spans from consecutive boundaries.
     "q101_cdc_chunks" ->
@@ -3174,21 +3174,21 @@ object Pipeline {
                    list_append(
                      list_filter(generate_series(16, greatest(len, 16)),
                        i -> i <= len AND
-                            (CAST(unicode(substr(text, i - 15, 1)) AS BIGINT) * 3345551105 +
-                             CAST(unicode(substr(text, i - 14, 1)) AS BIGINT) * 1817906689 +
-                             CAST(unicode(substr(text, i - 13, 1)) AS BIGINT) * 508431617 +
-                             CAST(unicode(substr(text, i - 12, 1)) AS BIGINT) * 3695315969 +
-                             CAST(unicode(substr(text, i - 11, 1)) AS BIGINT) * 2771847937 +
-                             CAST(unicode(substr(text, i - 10, 1)) AS BIGINT) * 2016217601 +
-                             CAST(unicode(substr(text, i - 9, 1)) AS BIGINT) * 1411647745 +
-                             CAST(unicode(substr(text, i - 8, 1)) AS BIGINT) * 941361153 +
-                             CAST(unicode(substr(text, i - 7, 1)) AS BIGINT) * 588580609 +
-                             CAST(unicode(substr(text, i - 6, 1)) AS BIGINT) * 336528897 +
-                             CAST(unicode(substr(text, i - 5, 1)) AS BIGINT) * 168428801 +
-                             CAST(unicode(substr(text, i - 4, 1)) AS BIGINT) * 67503105 +
-                             CAST(unicode(substr(text, i - 3, 1)) AS BIGINT) * 16974593 +
-                             CAST(unicode(substr(text, i - 2, 1)) AS BIGINT) * 66049 +
-                             CAST(unicode(substr(text, i - 1, 1)) AS BIGINT) * 257 +
+                            (CAST(unicode(substr(text, i - 15, 1)) AS BIGINT) * 1393333803 +
+                             CAST(unicode(substr(text, i - 14, 1)) AS BIGINT) * 474194425 +
+                             CAST(unicode(substr(text, i - 13, 1)) AS BIGINT) * 3593305363 +
+                             CAST(unicode(substr(text, i - 12, 1)) AS BIGINT) * 3503535345 +
+                             CAST(unicode(substr(text, i - 11, 1)) AS BIGINT) * 3368458939 +
+                             CAST(unicode(substr(text, i - 10, 1)) AS BIGINT) * 72493609 +
+                             CAST(unicode(substr(text, i - 9, 1)) AS BIGINT) * 2992458019 +
+                             CAST(unicode(substr(text, i - 8, 1)) AS BIGINT) * 3986661281 +
+                             CAST(unicode(substr(text, i - 7, 1)) AS BIGINT) * 1071616587 +
+                             CAST(unicode(substr(text, i - 6, 1)) AS BIGINT) * 272515929 +
+                             CAST(unicode(substr(text, i - 5, 1)) AS BIGINT) * 3865227315 +
+                             CAST(unicode(substr(text, i - 4, 1)) AS BIGINT) * 1525764945 +
+                             CAST(unicode(substr(text, i - 3, 1)) AS BIGINT) * 583896283 +
+                             CAST(unicode(substr(text, i - 2, 1)) AS BIGINT) * 3573587337 +
+                             CAST(unicode(substr(text, i - 1, 1)) AS BIGINT) * 1000003 +
                              CAST(unicode(substr(text, i, 1)) AS BIGINT)) % 4294967296 % 64 = 0),
                      len) AS b0
             FROM base),

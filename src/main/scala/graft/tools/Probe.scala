@@ -224,35 +224,38 @@ object Probe {
       val tmp = java.nio.file.Files.createTempDirectory("graft_searchscale")
       val docsPath = s"$tmp/docs"
       val idxPath = s"$tmp/postings"
-      syntheticWordDocs(spark, n, wordsPerDoc).write.parquet(docsPath)
-      val docsDisk = spark.read.parquet(docsPath)
-      val (tBuild, _) = med {
-        graft.io.Tables.rmTree(new java.io.File(idxPath))
-        Search.writePostings(docsDisk, "doc_id", "text", idxPath, nBuckets)
-        n
-      }
-      val stored = spark.read.parquet(idxPath)
-      val postingsRows = stored.count()
-      // the buckets the probe opens = the distinct tb values the
-      // phrase's terms were WRITTEN to (layout truth, not a
-      // reimplementation of the probe's hash)
-      val probedBuckets = stored
-        .filter(col("tok").isin("w0", "w7"))
-        .select(col("tb").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val probedRows = stored
-        .filter(col("tb").cast("long").isInCollection(probedBuckets)).count()
-      val (tStored, nMatches) = med {
-        Search.phraseOccurrencesStored(spark, idxPath, "doc_id", phrase).count()
-      }
-      val (tInline, nInline) = med {
-        Search.phraseOccurrences(docsDisk, "doc_id", "text", phrase).count()
-      }
-      require(nMatches == nInline,
-        s"stored ($nMatches) and inline ($nInline) phrase matches diverged")
-      graft.io.Tables.rmTree(tmp.toFile)
-      SearchScalePoint(fac, n, postingsRows, probedRows, nMatches,
-                       tBuild, tStored, tInline)
+      try {
+        syntheticWordDocs(spark, n, wordsPerDoc).write.parquet(docsPath)
+        val docsDisk = spark.read.parquet(docsPath)
+        // writePostings is mode(overwrite): replacing the previous
+        // rep's index is part of a rebuild; no rmTree inside the timed
+        // closure (deletion time would inflate tBuild at large factors)
+        val (tBuild, _) = med {
+          Search.writePostings(docsDisk, "doc_id", "text", idxPath, nBuckets)
+          n
+        }
+        val stored = spark.read.parquet(idxPath)
+        val postingsRows = stored.count()
+        // the buckets the probe opens = the distinct tb values the
+        // phrase's terms were WRITTEN to (layout truth, not a
+        // reimplementation of the probe's hash)
+        val probedBuckets = stored
+          .filter(col("tok").isin("w0", "w7"))
+          .select(col("tb").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val probedRows = stored
+          .filter(col("tb").cast("long").isInCollection(probedBuckets)).count()
+        val (tStored, nMatches) = med {
+          Search.phraseOccurrencesStored(spark, idxPath, "doc_id", phrase).count()
+        }
+        val (tInline, nInline) = med {
+          Search.phraseOccurrences(docsDisk, "doc_id", "text", phrase).count()
+        }
+        require(nMatches == nInline,
+          s"stored ($nMatches) and inline ($nInline) phrase matches diverged")
+        SearchScalePoint(fac, n, postingsRows, probedRows, nMatches,
+                         tBuild, tStored, tInline)
+      } finally graft.io.Tables.rmTree(tmp.toFile)
     }
   }
 

@@ -50,7 +50,7 @@ class CdcChunkSpec extends SparkSpec {
       val cps = text.codePoints().toArray()
       (w to cps.length).filter { i =>
         val h = (0 until w).map { j =>
-          BigInt(cps(i - w + j)) * BigInt(257).pow(w - 1 - j)
+          BigInt(cps(i - w + j)) * BigInt(1000003).pow(w - 1 - j)
         }.sum.mod(BigInt(2).pow(32))
         h % d == 0
       }
@@ -67,6 +67,21 @@ class CdcChunkSpec extends SparkSpec {
         .as[Seq[Int]].head()
       assert(got == twin(t), s"cuts diverge from twin on: ${t.take(40)}…")
     }
+  }
+
+  test("hash is order-sensitive: anagram windows must not share a cut decision class") {
+    // regression for the base-257 degeneracy (257 ≡ 1 mod 64 made
+    // H mod 64 the SUM of the window's codepoints — order-independent,
+    // so any permutation of a window cut identically). The kernel must
+    // separate a window from its reverse in the divisor's residue space.
+    def hMod64(s: String): Long = {
+      val h = s.codePoints().toArray()
+        .foldLeft(BigInt(0))((a, c) => (a * 1000003 + c).mod(BigInt(2).pow(32)))
+      (h % 64).toLong
+    }
+    val w1 = "abcdefghijklmnop"
+    assert(hMod64(w1) != hMod64(w1.reverse),
+           "anagram windows collide mod 64 — the hash base is degenerate again")
   }
 
   test("plan: zero shuffles, no window function, no UDF") {

@@ -41,6 +41,21 @@ class ShingleExprSpec extends SparkSpec {
       assert(fused(k, hexLen) == composed(k, hexLen), s"k=$k hexLen=$hexLen")
   }
 
+  test("null elements follow concat_ws semantics: separator skipped with the element") {
+    // concat_ws(" ", "a", null, "b") = "a b" (ONE space) — the kernel
+    // must feed the digest identically or the advertised oracle
+    // bit-compatibility silently breaks for SQL callers
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+    val fusedNull = df
+      .select(call_function("shingle_md5", col("toks"), lit(3), lit(8)))
+      .as[Seq[String]].head()
+    val composedNull = df
+      .select(transform(Dedup.shinglesOf(col("toks"), 3),
+                        g => substring(md5(g), 1, 8)))
+      .as[Seq[String]].head()
+    assert(fusedNull == composedNull)
+  }
+
   test("wrappers pin the engine conventions (8-hex prefix, 32-hex full)") {
     val df = Seq("alpha beta gamma delta").toDF("text")
       .select(TextStats.tokens(col("text")).as("toks"))
