@@ -1528,6 +1528,28 @@ object Pipeline {
         .orderBy(col("round"))
     }),
 
+    // UNICODE NFC NORMALIZATION: the canonical-composition pass every
+    // training pipeline runs before dedup/tokenization — precomposed
+    // and decomposed encodings of the same visible text must hash
+    // identically. The corpus text is ASCII (NFC = identity, the fast
+    // path), so every row gets a DECOMPOSED suffix (e+U+0301, U+212B,
+    // A+U+030A — all stable singleton/canonical compositions) and the
+    // engine must compose it; DuckDB's utf8proc nfc_normalize is the
+    // independent oracle, compared through codepoint counts + md5.
+    "q132_nfc_normalize" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 \u212B A\u030A")).as("raw"))
+      raw.select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(graft.functions.NormalizeExpressions.nfcNormalize(col("raw")))
+            .cast("long").as("n_nfc"),
+          md5(graft.functions.NormalizeExpressions.nfcNormalize(col("raw")))
+            .as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TEMPLATE-HUB PAGERANK: power iteration over the shingle-share
     // near-dup graph in exact fixed point — a doc boilerplate-linked
     // to many others collects rank from all of them, so the top rows
@@ -2513,6 +2535,22 @@ object Pipeline {
     "q131_boost_stumps" ->
       boostOracleSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
                      gainScale = 1000L),
+
+    // the same decomposed suffix (chr() = codepoint in DuckDB:
+    // 769 = U+0301 combining acute, 8491 = U+212B angstrom sign,
+    // 778 = U+030A combining ring), normalized by utf8proc's NFC —
+    // an INDEPENDENT Unicode implementation from the JDK's.
+    "q132_nfc_normalize" ->
+      """WITH raw AS (
+            SELECT doc_id,
+                   text || ' cafe' || chr(769) || ' ' || chr(8491) ||
+                     ' A' || chr(778) AS raw
+            FROM documents)
+          SELECT doc_id,
+                 CAST(length(raw) AS BIGINT) AS n_raw,
+                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+                 md5(nfc_normalize(raw)) AS nfc_md5
+          FROM raw ORDER BY doc_id""",
 
     // q110's shingle-hash space builds the edges; three unrolled
     // power-iteration CTEs replay the same truncating algebra.
