@@ -158,13 +158,19 @@ object Ingest {
              lit(", mean rgb("), img.getField("r"), lit(","),
              img.getField("g"), lit(","), img.getField("b"), lit(")")))
     val converted = withImg.withColumn("text",
-      when(isText, decodeContent(col("content_b64")))
-        .when(isPdf, Pdf.extract(bytes))
-        .when(isDocx, Office.docxTextOf(bytes))
-        .when(isPptx, Office.pptxTextOf(bytes))
-        .when(isXlsx, Office.xlsxTextOf(bytes))
-        .when(isImage, imageText)
-        .otherwise(lit(null).cast("string")))
+      // Unicode NFC at the conversion boundary: everything stored
+      // downstream (dedup shingles, vocab induction, chunk hashes) sees
+      // ONE canonical encoding of visually-equal text. Identity fast
+      // path on ASCII/composed input ([[graft.functions
+      // .NormalizeExpressions]]), so already-clean corpora pay a scan.
+      graft.functions.NormalizeExpressions.nfcNormalize(
+        when(isText, decodeContent(col("content_b64")))
+          .when(isPdf, Pdf.extract(bytes))
+          .when(isDocx, Office.docxTextOf(bytes))
+          .when(isPptx, Office.pptxTextOf(bytes))
+          .when(isXlsx, Office.xlsxTextOf(bytes))
+          .when(isImage, imageText)
+          .otherwise(lit(null).cast("string"))))
       .drop("__img")
     converted
       .withColumn("status",

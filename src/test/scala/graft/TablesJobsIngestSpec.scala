@@ -107,6 +107,23 @@ class TablesJobsIngestSpec extends SparkSpec {
                            "pending", null)))
   }
 
+  test("conversion normalizes text to Unicode NFC at the boundary") {
+    import org.apache.spark.sql.functions._
+    // decomposed e + COMBINING ACUTE in the uploaded bytes; the stored
+    // text must carry the precomposed form, so downstream shingle/vocab
+    // hashes see one canonical encoding of visually-equal text
+    val decomposed = "re\u0301sume\u0301 body"
+    val rows = Seq(("n1", "note.md",
+        java.util.Base64.getEncoder.encodeToString(decomposed.getBytes("UTF-8"))))
+      .toDF("doc_id", "filename", "content_b64")
+      .withColumn("content_type", lit("text/markdown"))
+      .withColumn("status", lit("pending"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val got = Ingest.convertDocuments(rows)
+      .select($"text").as[String].head()
+    assert(got == "r\u00e9sum\u00e9 body", s"expected NFC-composed text, got: $got")
+  }
+
   test("txt→md rename only rewrites .txt (docling_service.py:188-191)") {
     val df = Seq("notes.txt", "README.md", "Upper.TXT", "data.csv").toDF("f")
     val got = df.select(Ingest.txtToMd($"f")).as[String].collect().toSeq
