@@ -90,8 +90,10 @@ object Bench {
       .groupBy(_._1)
       .filter { case (name, _) => !results.contains(name) }
       .map { case (name, ms) =>
-        // first line, hard-capped: the harness's output window is small
-        name -> ms.head._2.linesIterator.next().take(40)
+        // first line, hard-capped: the harness's output window is small;
+        // nextOption — an empty message ("" has no lines) must not
+        // throw and take down the whole JSON artifact
+        name -> ms.head._2.linesIterator.nextOption().getOrElse("").take(40)
       }
     // The harness records only the LAST ~2000 chars of output and
     // machine-parses the JSON line out of that window: with the full

@@ -390,8 +390,9 @@ object Chunkers {
 
   /** CONTENT-DEFINED chunking (CDC, rsync/LBFS family) — cut after
     * every position whose trailing `window`-char content hashes to
-    * 0 mod `divisor` (rolling polynomial hash mod 2^32, base 257 —
-    * [[graft.functions.CdcExpressions.CdcCuts]]), plus the text end.
+    * 0 mod `divisor` (rolling polynomial hash mod 2^32, base
+    * [[graft.functions.CdcExpressions.Base]] — see its scaladoc for
+    * the degeneracy constraint on base choice), plus the text end.
     * Because cuts depend on CONTENT, not offsets, an insertion only
     * rewrites chunks up to the first surviving cut — every later chunk
     * is byte-identical, which is what makes CDC the storage/transfer

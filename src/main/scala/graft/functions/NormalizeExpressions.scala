@@ -32,8 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NormalizeExpressions {
 
-  /** The kernel — public static entry for both eval and generated code. */
+  /** The kernel — public static entry for both eval and generated code.
+    * Two-tier fast path: a byte scan first (pure ASCII — no byte ≥
+    * 0x80 — is NFC by definition and returns the input with ZERO
+    * allocation, the dominant case on the ingest hot path), then
+    * `isNormalized` for non-ASCII-but-composed text (one String copy,
+    * no normalized copy); only denormalized rows pay the compose.
+    */
   def nfc(s: UTF8String): UTF8String = {
+    val nb = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < nb) { ascii = (s.getByte(i) & 0x80) == 0; i += 1 }
+    if (ascii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -227,14 +227,21 @@ object Probe {
       try {
         syntheticWordDocs(spark, n, wordsPerDoc).write.parquet(docsPath)
         val docsDisk = spark.read.parquet(docsPath)
-        // writePostings is mode(overwrite): replacing the previous
-        // rep's index is part of a rebuild; no rmTree inside the timed
-        // closure (deletion time would inflate tBuild at large factors)
-        val (tBuild, _) = med {
-          Search.writePostings(docsDisk, "doc_id", "text", idxPath, nBuckets)
-          n
-        }
-        val stored = spark.read.parquet(idxPath)
+        // Each rep writes a FRESH path and the previous rep's tree is
+        // deleted OUTSIDE the timed region — mode(overwrite) into one
+        // path would delete the existing multi-GB index INSIDE the
+        // write job at reps 2+, charging filesystem deletion to tBuild.
+        val buildTimes = (1 to reps).map { r =>
+          val p = s"$idxPath-r$r"
+          val t0 = System.nanoTime()
+          Search.writePostings(docsDisk, "doc_id", "text", p, nBuckets)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (r > 1) graft.io.Tables.rmTree(new java.io.File(s"$idxPath-r${r - 1}"))
+          dt
+        }.sorted
+        val tBuild = buildTimes((reps - 1) / 2)
+        val finalIdx = s"$idxPath-r$reps"
+        val stored = spark.read.parquet(finalIdx)
         val postingsRows = stored.count()
         // the buckets the probe opens = the distinct tb values the
         // phrase's terms were WRITTEN to (layout truth, not a
@@ -246,7 +253,7 @@ object Probe {
         val probedRows = stored
           .filter(col("tb").cast("long").isInCollection(probedBuckets)).count()
         val (tStored, nMatches) = med {
-          Search.phraseOccurrencesStored(spark, idxPath, "doc_id", phrase).count()
+          Search.phraseOccurrencesStored(spark, finalIdx, "doc_id", phrase).count()
         }
         val (tInline, nInline) = med {
           Search.phraseOccurrences(docsDisk, "doc_id", "text", phrase).count()

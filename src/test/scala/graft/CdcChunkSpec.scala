@@ -74,11 +74,17 @@ class CdcChunkSpec extends SparkSpec {
     // H mod 64 the SUM of the window's codepoints — order-independent,
     // so any permutation of a window cut identically). The kernel must
     // separate a window from its reverse in the divisor's residue space.
+    // folds with the LIVE base constant — a hardcoded literal here
+    // would keep passing if CdcExpressions.Base regressed to another
+    // degenerate value while this test's math stayed pinned to the old one
     def hMod64(s: String): Long = {
       val h = s.codePoints().toArray()
-        .foldLeft(BigInt(0))((a, c) => (a * 1000003 + c).mod(BigInt(2).pow(32)))
+        .foldLeft(BigInt(0))((a, c) =>
+          (a * graft.functions.CdcExpressions.Base + c).mod(BigInt(2).pow(32)))
       (h % 64).toLong
     }
+    assert(graft.functions.CdcExpressions.Base % 64 != 1,
+           "base ≡ 1 mod 64 collapses the hash to an additive checksum")
     val w1 = "abcdefghijklmnop"
     assert(hMod64(w1) != hMod64(w1.reverse),
            "anagram windows collide mod 64 — the hash base is degenerate again")
