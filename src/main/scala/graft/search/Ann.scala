@@ -600,6 +600,56 @@ object Ann {
       .select(col(idCol), col("cell"), col("adc"), col("d2"))
   }
 
+  /** INCREMENTAL IVF-PQ maintenance, append side — the operation a
+    * served 100 TB index needs most: a NEW batch is assigned and
+    * PQ-encoded under the SAME frozen coarse centroids and codebooks
+    * the index was built with, then lands as per-cell parquet appends.
+    * Existing cell files are never rewritten (spec-asserted), and
+    * because both the cell assignment and the per-subspace argmin
+    * encode are per-row deterministic under fixed centroids/codebooks,
+    * the appended index answers [[ivfPqTopKStored]] probes identically
+    * to a full re-encode+rewrite over the union — without paying one.
+    * (Codebook DRIFT — a batch distribution the frozen codebooks no
+    * longer represent — is a retrain-and-rebuild event by design, the
+    * same contract as FAISS's `IndexIVFPQ.add` after `train`.)
+    */
+  def ivfPqAppendIndex(newBatch: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[(Long, Seq[Long])],
+                       codebooks: Seq[(Long, Seq[Long])], path: String,
+                       m: Int = 8, dims: Int = 64): Unit =
+    pqEncodeInt(ivfAssignInt(newBatch, vecCol, centroids),
+                idCol, vecCol, codebooks, m, dims)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** INCREMENTAL IVF-PQ maintenance, remove side (dedup demotion, PII
+    * takedown): the stored IVF-PQ layout is the plain IVF layout plus
+    * passenger columns (PQ codes `c0..c{m-1}`, the full vector for the
+    * re-rank tier) — and [[ivfRemoveFromIndex]] never interprets row
+    * contents beyond `(idCol, cell)`, so the SAME per-cell aside-rename
+    * machinery maintains both layouts: only the affected cell
+    * directories are read and swapped, untouched cells keep their
+    * exact files, a fully-emptied cell's directory disappears. A named
+    * entry point (rather than asking callers to know the layouts
+    * coincide) so the PQ tier's maintenance surface is explicit and
+    * spec-gated against ITS OWN probe path.
+    */
+  def ivfPqRemoveFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, removals: DataFrame,
+                           idCol: String): Unit =
+    ivfRemoveFromIndex(spark, path, removals, idCol)
+
+  /** INCREMENTAL IVF-PQ maintenance, compaction side: merge the small
+    * files [[ivfPqAppendIndex]] batches leave in each cell directory.
+    * Same layout-generic per-cell swap as [[ivfCompactIndex]] (see
+    * [[ivfPqRemoveFromIndex]] for why that is sound); the codes-only
+    * ReadSchema and partition pruning of the stored probe are
+    * re-asserted after compaction in `IvfPqMaintenanceSpec`.
+    */
+  def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        targetBytes: Long = 128L << 20): (Int, Int) =
+    ivfCompactIndex(spark, path, targetBytes)
+
   // ---- SQ8: per-dimension scalar quantization (the FAISS-SQ tier) ----
 
   /** Train the SQ8 quantizer: per-dimension (min, max) of the

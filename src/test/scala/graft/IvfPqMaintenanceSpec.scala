@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.search.Ann
+
+/** Incremental maintenance of the STORED IVF-PQ index — the serving
+  * tier of the 100 TB ANN stack, which until this spec's operations
+  * existed forced a full re-encode+rewrite on any batch arrival:
+  *   - [[Ann.ivfPqAppendIndex]]: a new batch is assigned + PQ-encoded
+  *     under the FROZEN centroids/codebooks and lands as per-cell
+  *     appends; existing files are never rewritten, and stored probes
+  *     answer exactly as a full rebuild over the union;
+  *   - [[Ann.ivfPqRemoveFromIndex]]: takedown rewrites ONLY the
+  *     affected cells; untouched cells keep byte-identical files and a
+  *     fully-emptied cell's directory disappears;
+  *   - [[Ann.ivfPqCompactIndex]]: merges append-era small files per
+  *     cell; probes, partition pruning, and the codes-only ADC
+  *     ReadSchema all survive.
+  * Mirrors `IvfMaintenanceSpec`, but every equivalence check runs
+  * through the PQ tier's OWN probe ([[Ann.ivfPqTopKStored]]) so the
+  * scan/fetch split is exercised, not just the row inventory.
+  */
+class IvfPqMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+  private val m = 8
+
+  // five well-separated clusters with small per-vector jitter (the
+  // PqSpec corpus shape, extended past 60 ids for append batches)
+  private def vec(i: Long): Seq[Float] =
+    (0 until dims).map(d =>
+      ((i % 5).toFloat - 2f) * ((d % 7) + 1) / 10f + i.toFloat / 1000f)
+
+  private def mkEmb(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  // floor-mean codebooks per cluster over the quantized grid of the
+  // BASE corpus only — appended batches are encoded under these same
+  // frozen codebooks, which is the operation under test
+  private val baseIds = 0L until 40L
+  private lazy val codebooks: Seq[(Long, Seq[Long])] = (0L until 5L).map { g =>
+    val members = baseIds.filter(_ % 5 == g).map(i => vec(i).map(Ann.quantizeL))
+    (g, (0 until dims).map(d =>
+      Math.floorDiv(members.map(_(d)).sum, members.size.toLong)))
+  }
+
+  private def qv(i: Long): Seq[Long] = vec(i).map(Ann.quantizeL)
+
+  /** relative path -> file length, data files only */
+  private def snapshot(root: String): Map[String, Long] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(base).filter(_.getName.startsWith("part-"))
+      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
+  private def stored(path: String, q: Seq[Long], k: Int = 5,
+                     nprobe: Int = 2): Seq[Seq[Any]] =
+    Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                        codebooks, codebooks, q, k = k, nprobe = nprobe,
+                        rerankFactor = 3, m = m, dims = dims)
+      .collect().map(_.toSeq).toSeq
+
+  private def inMem(ids: Seq[Long], q: Seq[Long], k: Int = 5,
+                    nprobe: Int = 2): Seq[Seq[Any]] =
+    Ann.ivfPqTopK(
+      Ann.pqEncodeInt(Ann.ivfAssignInt(mkEmb(ids), "embedding", codebooks),
+                      "vec_id", "embedding", codebooks, m, dims),
+      "vec_id", "embedding", codebooks, codebooks, q,
+      k = k, nprobe = nprobe, rerankFactor = 3, m = m, dims = dims)
+      .collect().map(_.toSeq).toSeq
+
+  private def writeBase(path: String): Unit =
+    Ann.ivfPqWriteIndex(mkEmb(baseIds), "vec_id", "embedding",
+                        codebooks, codebooks, path, m, dims)
+
+  test("append: frozen-codebook encode, existing files untouched, probes equal rebuild over union") {
+    val path = Files.createTempDirectory("graft_ivfpq_app").toString + "/index"
+    writeBase(path)
+    val before = snapshot(path)
+
+    Ann.ivfPqAppendIndex(mkEmb(40L until 60L), "vec_id", "embedding",
+                         codebooks, codebooks, path, m, dims)
+    val after = snapshot(path)
+    before.foreach { case (rel, len) =>
+      assert(after.get(rel).contains(len),
+             s"append rewrote or dropped existing file $rel")
+    }
+    assert(after.size > before.size, "append must add files")
+
+    val union = (0L until 60L).toSeq
+    // probe from several clusters so every appended cell is exercised
+    Seq(0L, 7L, 13L, 24L).foreach { qi =>
+      assert(stored(path, qv(qi)) == inMem(union, qv(qi)),
+             s"appended index must answer query $qi exactly as a rebuild")
+    }
+    // the stored probe's plan discipline survives the append: pruning
+    // on both tiers, ADC scan reads codes not vectors
+    val plan = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                                   codebooks, codebooks, qv(0L),
+                                   k = 5, nprobe = 2, rerankFactor = 3,
+                                   m = m, dims = dims)
+      .queryExecution.executedPlan.toString
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains("IN"))
+    assert(prunedScans >= 2,
+           s"both stored scans must prune after append (found $prunedScans)")
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+           s"ADC scan must still read codes, not vectors:\n${scanSchemas.mkString("\n")}")
+  }
+
+  test("remove: only affected cells rewritten, emptied cell directory disappears") {
+    val path = Files.createTempDirectory("graft_ivfpq_rm").toString + "/index"
+    val ids = 0L until 60L
+    Ann.ivfPqWriteIndex(mkEmb(ids), "vec_id", "embedding",
+                        codebooks, codebooks, path, m, dims)
+    val byCell = Ann.ivfAssignInt(mkEmb(ids), "embedding", codebooks)
+      .select($"vec_id", $"cell").as[(Long, Long)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).toSeq.sorted).toMap
+    val emptiedCell = byCell.minBy { case (c, v) => (v.size, c) }._1
+    val trimmedCell = byCell.maxBy { case (c, v) => (v.size, c) }._1
+    val removedIds = byCell(emptiedCell) ++ byCell(trimmedCell).take(2)
+    val removals = removedIds.map { id =>
+      (id, byCell.collectFirst { case (c, v) if v.contains(id) => c }.get)
+    }.toDF("vec_id", "cell")
+    val before = snapshot(path)
+
+    Ann.ivfPqRemoveFromIndex(spark, path, removals, "vec_id")
+
+    assert(!new java.io.File(s"$path/cell=$emptiedCell").exists,
+           "fully-emptied cell directory must be deleted")
+    val after = snapshot(path)
+    val untouched = before.keySet.filterNot(r =>
+      r.contains(s"cell=$emptiedCell") || r.contains(s"cell=$trimmedCell"))
+    untouched.foreach { rel =>
+      assert(after.get(rel) == before.get(rel),
+             s"untouched cell file $rel must keep its exact bytes")
+    }
+    val kept = ids.filterNot(removedIds.contains)
+    Seq(0L, 7L, 13L).foreach { qi =>
+      assert(stored(path, qv(qi)) == inMem(kept, qv(qi)),
+             s"index after removal must answer query $qi as a rebuild over kept rows")
+    }
+  }
+
+  test("compact: appended small files merge per cell, probes and plan discipline unchanged") {
+    val path = Files.createTempDirectory("graft_ivfpq_cmp").toString + "/index"
+    writeBase(path)
+    Ann.ivfPqAppendIndex(mkEmb(40L until 60L), "vec_id", "embedding",
+                         codebooks, codebooks, path, m, dims)
+    Ann.ivfPqAppendIndex(mkEmb(60L until 80L), "vec_id", "embedding",
+                         codebooks, codebooks, path, m, dims)
+    val beforeProbe = Seq(0L, 7L, 13L).map(qi => stored(path, qv(qi)))
+    val beforeFiles = snapshot(path).size
+
+    val (nBefore, nAfter) = Ann.ivfPqCompactIndex(spark, path)
+    assert(nBefore == beforeFiles, s"compaction saw $nBefore of $beforeFiles files")
+    assert(nAfter < nBefore, s"compaction must shrink file count, $nBefore -> $nAfter")
+    assert(snapshot(path).size == nAfter)
+
+    assert(Seq(0L, 7L, 13L).map(qi => stored(path, qv(qi))) == beforeProbe,
+           "compaction must not change probe results")
+    val plan = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                                   codebooks, codebooks, qv(0L),
+                                   k = 5, nprobe = 2, rerankFactor = 3,
+                                   m = m, dims = dims)
+      .queryExecution.executedPlan.toString
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains("IN"))
+    assert(prunedScans >= 2,
+           s"pruning must survive compaction on both tiers (found $prunedScans)")
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+           s"codes-only ADC scan must survive compaction:\n${scanSchemas.mkString("\n")}")
+  }
+}
