@@ -68,11 +68,21 @@ object Main {
       val spark = session()
       runProfile(spark, store).foreach(println)
       spark.stop()
+    case "postings" :: store :: rest =>
+      val spark = session()
+      val n = runBuildPostings(spark, store,
+                               rest.headOption.map(_.toInt).getOrElse(64))
+      println(s"""{"postings":$n}""")
+      spark.stop()
+    case "phrase" :: store :: q :: Nil =>
+      val spark = session()
+      runPhrase(spark, store, q).foreach(println)
+      spark.stop()
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] | export <store> <outDir> [provider] | " +
-        "profile <store>")
+        "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase>")
       sys.exit(2)
   }
 
@@ -203,6 +213,25 @@ object Main {
     // prefix (doc ids are fixed-width sha256 hex).
     val dupIds = dupFlags.filter(!$"keep").select($"doc_id")
 
+    // A stored postings index (built by `Main postings`) is maintained
+    // incrementally alongside the chunks it indexes: stale docs — this
+    // run's demotions plus any re-ingested doc whose chunks the store
+    // commit below replaces — get their old postings swapped out
+    // (bucket-pruned: cost scales with the stale docs' vocabulary, not
+    // the index), then the batch's kept chunks are appended. The stale
+    // chunk set is pinned EAGERLY: a lazy read here must not outlive
+    // the chunks table's swap-rename commit.
+    val postingsPath = new java.io.File(s"$storeDir/postings.idx")
+    val postingsRemovals =
+      if (postingsPath.exists && new java.io.File(s"$storeDir/chunks.parquet").exists) {
+        val stale = dupIds.unionByName(ok.select($"doc_id")).distinct()
+        Some(openTable(spark, storeDir, "chunks")
+          .join(stale.select($"doc_id".as("__sd")),
+                substring($"chunk_id", 1, 64) === $"__sd", "left_semi")
+          .select($"chunk_id", $"content")
+          .localCheckpoint(true))
+      } else None
+
     val chunked = Chunkers.chunkDocuments(
         kept.select($"doc_id", $"text"), "doc_id", "text",
         ChunkerConfig(chunkSize = 200, chunkOverlap = 20, strategy = Strategy.Hybrid))
@@ -218,6 +247,20 @@ object Main {
       writeTable(spark, chunksObserved, storeDir, "chunks",
                  keys = Seq("chunk_id"), version = Seq(lit(1)),
                  prune = m => m.join(dupIds, Seq("doc_id"), "left_anti"))
+    }
+    // postings maintenance rides the chunks commit: stale docs out
+    // (partition-pruned per-bucket swap), this batch's kept chunks in
+    // (pure append into the existing bucket directories).
+    if (postingsPath.exists) {
+      postingsRemovals.foreach(rm =>
+        Search.removeFromPostings(spark, rm, "chunk_id", "content",
+                                  postingsPath.toString))
+      Search.appendPostings(spark,
+        openTable(spark, storeDir, "chunks")
+          .join(kept.select($"doc_id".as("__kd")),
+                substring($"chunk_id", 1, 64) === $"__kd", "left_semi")
+          .select($"chunk_id", $"content"),
+        "chunk_id", "content", postingsPath.toString)
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
@@ -540,6 +583,36 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `postings <store> [nBuckets]`: build (or rebuild) the stored
+    * positional postings index over the chunk content — the
+    * build-once side of [[runPhrase]]. Once present, [[ingestBatch]]
+    * maintains it incrementally (stale docs' buckets swapped, fresh
+    * chunks appended) so it never needs this full rebuild again
+    * except to change the bucket layout.
+    */
+  def runBuildPostings(spark: SparkSession, storeDir: String,
+                       nBuckets: Int = 64): Long = {
+    Search.writePostings(
+      openTable(spark, storeDir, "chunks").select(col("chunk_id"), col("content")),
+      "chunk_id", "content", s"$storeDir/postings.idx", nBuckets)
+    spark.read.parquet(s"$storeDir/postings.idx").count()
+  }
+
+  /** `phrase <store> <phrase>`: exact phrase occurrences over the
+    * stored postings index — the probe reads only the term buckets the
+    * phrase hashes to (PartitionFilters), never the corpus.
+    */
+  def runPhrase(spark: SparkSession, storeDir: String, phrase: String): Seq[String] = {
+    Search.phraseOccurrencesStored(spark, s"$storeDir/postings.idx",
+                                   "chunk_id", phrase)
+      .orderBy(col("chunk_id"))
+      .collect().map { r =>
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""n_occurrences":${r.getAs[Long]("n_occurrences")},""" +
+        s""""first_pos":${r.getAs[Long]("first_pos")}}"""
       }.toSeq
   }
 

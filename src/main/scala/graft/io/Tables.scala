@@ -346,6 +346,77 @@ object Tables {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Swap the named partition directories of a `partCol`-partitioned
+    * parquet layout for the matching partitions of `replacement` —
+    * the per-partition aside-rename commit every partitioned index
+    * (IVF/IVF-PQ cells, postings term buckets) shares. `replacement`
+    * is written to a `$path.tmp` sibling first (the live layout is
+    * untouched until the renames), then each listed partition is
+    * swapped: old dir parked in a DOT-PREFIXED `.trash` aside (hidden
+    * from partition discovery — a crash can never surface a pseudo-
+    * partition), fresh dir renamed in, aside dropped. A partition
+    * with no replacement rows (fully emptied) is deleted outright —
+    * a dynamic-partition overwrite would silently leave its old
+    * directory serving deleted rows. Crash leaves each partition
+    * complete: old, new, or parked (recovery = rename back).
+    * Single-writer, quiesced-probe contract: between a partition's
+    * aside-rename and its commit rename the live dir is briefly
+    * absent, so a concurrent reader listing partitions in that window
+    * silently misses it.
+    */
+  def replacePartitions(spark: SparkSession, path: String, partCol: String,
+                        values: Seq[Long], replacement: DataFrame): Unit = {
+    if (values.isEmpty) return
+    val tmp = new java.io.File(s"$path.tmp")
+    rmTree(tmp)
+    replacement.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    values.foreach { v =>
+      val live = new java.io.File(s"$path/$partCol=$v")
+      val fresh = new java.io.File(s"$tmp/$partCol=$v")
+      val trash = new java.io.File(s"$path/.$partCol=$v.trash")
+      rmTree(trash)
+      if (live.exists) require(live.renameTo(trash), s"aside-rename of $live failed")
+      if (fresh.exists) require(fresh.renameTo(live), s"commit rename into $live failed")
+      rmTree(trash)
+    }
+    rmTree(tmp)
+  }
+
+  /** Per-partition small-file compaction for a `partCol`-partitioned
+    * layout — the shared engine behind the IVF cell and postings
+    * term-bucket compactors: each multi-file partition directory is
+    * rewritten (shard count sized from its CURRENT on-disk bytes)
+    * through the same dot-prefixed aside-rename swap as
+    * [[replacePartitions]]; single-file partitions are untouched.
+    * Returns (filesBefore, filesAfter) summed over partitions.
+    */
+  def compactPartitions(spark: SparkSession, path: String, partCol: String,
+                        targetBytes: Long = 128L << 20): (Int, Int) = {
+    val partDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+    partDirs.map { d =>
+      val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      if (files.size <= 1) (files.size, files.size)
+      else {
+        val nShards = math.max(1,
+          math.ceil(files.map(_.length()).sum.toDouble / targetBytes).toInt)
+        val tmp = new java.io.File(d.getParentFile, s".${d.getName}.tmp")
+        val trash = new java.io.File(d.getParentFile, s".${d.getName}.trash")
+        rmTree(tmp); rmTree(trash)
+        spark.read.parquet(d.toString).repartition(nShards)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(d.renameTo(trash), s"aside-rename of $d failed")
+        require(tmp.renameTo(d), s"commit rename of $d failed")
+        rmTree(trash)
+        val after = Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.startsWith("part-"))
+        (files.size, after)
+      }
+    }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+  }
+
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
               format: String = "parquet", codec: String = "gzip"): (Int, Int) =
     withTableLock(path) {

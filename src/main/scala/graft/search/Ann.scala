@@ -366,22 +366,10 @@ object Ann {
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isInCollection(cells))
     val kept = affected.join(removals.select(col(idCol)), Seq(idCol), "left_anti")
-    import graft.io.Tables.rmTree
-    val tmp = new java.io.File(s"$path.tmp")
-    rmTree(tmp)
-    // the write reads `path` lazily, but only tmp is written — the
-    // live directory is untouched until the renames below
-    kept.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    cells.foreach { c =>
-      val live = new java.io.File(s"$path/cell=$c")
-      val fresh = new java.io.File(s"$tmp/cell=$c")
-      val trash = new java.io.File(s"$path/.cell=$c.trash")
-      rmTree(trash)
-      if (live.exists) require(live.renameTo(trash), s"aside-rename of $live failed")
-      if (fresh.exists) require(fresh.renameTo(live), s"commit rename into $live failed")
-      rmTree(trash)
-    }
-    rmTree(tmp)
+    // the replacement write reads `path` lazily, but only the tmp
+    // sibling is written — the live directory is untouched until the
+    // per-cell renames inside replacePartitions
+    graft.io.Tables.replacePartitions(spark, path, "cell", cells, kept)
   }
 
   /** INCREMENTAL index maintenance, compaction side: many
@@ -403,32 +391,8 @@ object Ann {
     */
   def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String,
-                      targetBytes: Long = 128L << 20): (Int, Int) = {
-    import graft.io.Tables.rmTree
-    val cellDirs = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
-    cellDirs.map { d =>
-      val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-      if (files.size <= 1) (files.size, files.size)
-      else {
-        val nShards = math.max(1,
-          math.ceil(files.map(_.length()).sum.toDouble / targetBytes).toInt)
-        val tmp = new java.io.File(d.getParentFile, s".${d.getName}.tmp")
-        val trash = new java.io.File(d.getParentFile, s".${d.getName}.trash")
-        rmTree(tmp); rmTree(trash)
-        spark.read.parquet(d.toString).repartition(nShards)
-          .write.mode("overwrite").parquet(tmp.toString)
-        require(d.renameTo(trash), s"aside-rename of $d failed")
-        require(tmp.renameTo(d), s"commit rename of $d failed")
-        rmTree(trash)
-        val after = Option(d.listFiles()).getOrElse(Array.empty)
-          .count(f => f.isFile && f.getName.startsWith("part-"))
-        (files.size, after)
-      }
-    }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
-  }
+                      targetBytes: Long = 128L << 20): (Int, Int) =
+    graft.io.Tables.compactPartitions(spark, path, "cell", targetBytes)
 
   // ---------------------------------------------------- product quantization
 

@@ -421,6 +421,46 @@ object Search {
     buildPostings(df, idCol, textCol, postingsNBuckets(path))
       .write.mode("append").partitionBy("tb").parquet(path)
 
+  /** INCREMENTAL postings maintenance, remove side — the inverse
+    * [[appendPostings]] was missing: a document takedown (dedup
+    * demotion, GDPR delete) must stop its postings from serving phrase
+    * matches WITHOUT rewriting the whole index. The caller supplies
+    * the removed docs' (id, text) — the SAME text the index entries
+    * were built from — so the affected term buckets are recomputed
+    * exactly as the write side bucketed them: only those
+    * ≤ ¦distinct terms¦ `tb=` directories are read (partition-pruned
+    * scan) and swapped through the shared per-partition aside-rename
+    * commit; every untouched bucket keeps its exact files. A bucket
+    * whose postings are all removed disappears outright. At 100 TB
+    * the cost scales with the REMOVED documents' vocabulary, not the
+    * corpus.
+    */
+  def removeFromPostings(spark: org.apache.spark.sql.SparkSession,
+                         removals: DataFrame, idCol: String, textCol: String,
+                         path: String): Unit = {
+    import spark.implicits._
+    val nBuckets = postingsNBuckets(path)
+    val buckets = buildPostings(removals, idCol, textCol, nBuckets)
+      .select(col("tb")).distinct().as[Long].collect().sorted.toSeq
+    if (buckets.isEmpty) return
+    val kept = spark.read.parquet(path)
+      .withColumn("tb", col("tb").cast("long"))
+      .filter(col("tb").isInCollection(buckets))
+      .join(removals.select(col(idCol)), Seq(idCol), "left_anti")
+    graft.io.Tables.replacePartitions(spark, path, "tb", buckets, kept)
+  }
+
+  /** Per-bucket compaction of the stored postings index — merges the
+    * small files [[appendPostings]] batches accumulate in each `tb=`
+    * directory (the same small-files tax the IVF cells pay, solved by
+    * the same shared per-partition swap). Probes and partition
+    * pruning are unchanged; returns (filesBefore, filesAfter).
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      targetBytes: Long = 128L << 20): (Int, Int) =
+    graft.io.Tables.compactPartitions(spark, path, "tb", targetBytes)
+
   /** PHRASE search over the STORED postings index — the probe-many
     * side: the scan is pruned to the ≤ ¦distinct terms¦ buckets the
     * phrase's terms hash to (directory-level PartitionFilters — the

@@ -255,6 +255,53 @@ class E2eMainSpec extends SparkSpec {
            "stale embeddings of a demoted doc must be pruned")
   }
 
+  test("a stored postings index follows demotion and re-ingest: stale docs stop matching, no double postings") {
+    import graft.ingest.Ingest
+    val in = Files.createTempDirectory("graft_postdem_in").toFile
+    val store = Files.createTempDirectory("graft_postdem_store").toString
+    val content = "spark query engine performance tuning guide for training pipelines"
+    val candidates = (0 to 9).map(i => s"v$i.md")
+    val ids = Ingest.toDocuments(
+        candidates.map(n => (s"/x/$n", content.getBytes("UTF-8"))).toDF("path", "content"),
+        lit(now))
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val loser = candidates.maxBy(ids)
+    val winner = candidates.minBy(ids)
+    def put(name: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, content.getBytes("UTF-8"))
+    def phraseHits(): Seq[(String, Long)] =
+      Main.runPhrase(spark, store, "performance tuning guide")
+        .map { line =>
+          val id = """"chunk_id":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
+          val n = """"n_occurrences":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+          (id, n)
+        }
+
+    put(loser)
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store, nBuckets = 16)
+    val hits1 = phraseHits()
+    assert(hits1.nonEmpty && hits1.forall(_._1.startsWith(ids(loser))),
+           s"run-1 index must serve the loser's chunks: $hits1")
+
+    // run 2 demotes the loser: its postings must leave the index and
+    // the winner's must arrive — through ingest's own maintenance, no
+    // rebuild
+    put(winner)
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    val hits2 = phraseHits()
+    assert(hits2.nonEmpty && hits2.forall(_._1.startsWith(ids(winner))),
+           s"post-demotion phrase hits must be the winner's chunks only: $hits2")
+
+    // run 3 re-ingests the winner unchanged: remove-then-append upsert
+    // semantics — occurrence counts must NOT double
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(10)))
+    assert(phraseHits() == hits2,
+           "re-ingest must not duplicate postings")
+  }
+
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
     import graft.ingest.Ingest
     val in = Files.createTempDirectory("graft_demcache_in").toFile

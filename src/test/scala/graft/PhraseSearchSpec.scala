@@ -83,6 +83,91 @@ class PhraseSearchSpec extends SparkSpec {
     assert(stored == inline && stored.size == 30)
   }
 
+  /** relative path -> file length, data files only */
+  private def snapshot(root: String): Map[String, Long] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(base).filter(_.getName.startsWith("part-"))
+      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
+  test("removeFromPostings: removed doc stops matching, untouched tb= dirs byte-identical") {
+    // doc 5 shares the probe phrase with the others but also carries a
+    // UNIQUE token, so its vocabulary (and the rewritten buckets) is a
+    // strict superset of nothing — some buckets hold only other docs
+    val docs = (1L to 30L).map(i => (i, s"alpha table scan beta w$i only$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_rm").toString
+    Search.writePostings(docs.toDF("doc_id", "text"), "doc_id", "text",
+                         s"$dir/idx", nBuckets = 32)
+    val before = snapshot(s"$dir/idx")
+    val removedDocs = docs.filter(d => d._1 == 5L || d._1 == 17L)
+    // the removed docs' own text drives the bucket set — same recipe as
+    // the write side
+    Search.removeFromPostings(spark, removedDocs.toDF("doc_id", "text"),
+                              "doc_id", "text", s"$dir/idx")
+
+    // takedown semantics: the removed docs serve NO phrase matches
+    val got = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                             "doc_id", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val expect = Search.phraseOccurrences(
+        docs.filterNot(d => d._1 == 5L || d._1 == 17L).toDF("doc_id", "text"),
+        "doc_id", "text", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect && !got.exists(r => r._1 == 5L || r._1 == 17L))
+    // and their unique tokens are gone entirely (not just out-voted)
+    assert(Search.phraseOccurrencesStored(spark, s"$dir/idx", "doc_id", "only5")
+             .count() == 0)
+
+    // only the buckets the removed docs' terms hash to were rewritten
+    val after = snapshot(s"$dir/idx")
+    val removedToks = removedDocs.flatMap(_._2.toLowerCase.split("\\W+")).toSet
+    val touched: Set[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      removedToks.filter(_.nonEmpty).map(t =>
+        "tb=" + (java.lang.Long.parseLong(
+          md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+          16) % 32))
+    }
+    val untouched = before.keySet.filterNot(rel => touched.exists(rel.startsWith))
+    assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+    untouched.foreach { rel =>
+      assert(after.get(rel) == before.get(rel),
+             s"untouched bucket file $rel must keep its exact bytes")
+    }
+    assert(!new java.io.File(s"$dir/idx.tmp").exists &&
+           after.keySet.forall(!_.contains(".trash")), "no tmp/trash leftovers")
+  }
+
+  test("compactPostings: appended small files merge per bucket, probes and pruning unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_c").toString
+    Search.writePostings((1L to 10L).map(i => (i, s"alpha table scan w$i"))
+                           .toDF("doc_id", "text"),
+                         "doc_id", "text", s"$dir/idx", nBuckets = 8)
+    Search.appendPostings(spark, (11L to 20L).map(i => (i, s"beta table scan w$i"))
+                            .toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx")
+    Search.appendPostings(spark, (21L to 30L).map(i => (i, s"gamma table scan w$i"))
+                            .toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx")
+    val beforeProbe = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                                     "doc_id", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val beforeFiles = snapshot(s"$dir/idx").size
+
+    val (nBefore, nAfter) = Search.compactPostings(spark, s"$dir/idx")
+    assert(nBefore == beforeFiles && nAfter < nBefore,
+           s"compaction must shrink file count, $nBefore -> $nAfter")
+
+    val stored = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                                "doc_id", "table scan")
+    assert(stored.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+             == beforeProbe, "compaction must not change probe results")
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*tb.*\\].*"),
+           s"pruning must survive compaction: $plan")
+  }
+
   test("appendPostings refuses a directory without index metadata") {
     val dir = java.nio.file.Files.createTempDirectory("graft_postings_b").toString
     val e = intercept[IllegalArgumentException] {
