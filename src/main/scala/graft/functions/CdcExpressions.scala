@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Content-defined-chunking cut finder as a native codegen expression.
@@ -97,6 +98,24 @@ object CdcExpressions {
   case class CdcCuts(child: Expression, window: Int, divisor: Int)
       extends UnaryExpression with Serializable {
     require(window > 0 && divisor > 0, "need positive window and divisor")
+    // The documented degeneracy constraint, ENFORCED: if B ≡ 1 (mod
+    // divisor) every coefficient B^j ≡ 1, and the cut rule collapses to
+    // an order-independent additive checksum (anagram windows cut
+    // identically — the exact bug the base-257 postmortem fixed).
+    // B−1 = 1000002 = 2·3·166667, so divisors 2, 3, 6, 166667, ...
+    // would silently reproduce it; fail at construction instead.
+    require(Base % divisor != 1,
+      s"degenerate divisor $divisor: base $Base ≡ 1 (mod $divisor) makes the " +
+      "rolling hash order-independent over the window — pick a divisor " +
+      "that does not divide base-1")
+
+    // AbstractDataType (ExpectsInputTypes' vocabulary) is private[sql],
+    // so the analysis-time type gate is a direct checkInputDataTypes
+    // override: a SQL caller passing a non-string first argument gets a
+    // clean AnalysisException instead of a runtime ClassCastException
+    // (interpreted) or Janino compile error (codegen).
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect(prettyName, child.dataType, StringType)
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "cdc_cuts"

@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -86,6 +87,9 @@ object ShingleExpressions {
       extends UnaryExpression with Serializable {
     require(k > 0, "need positive shingle size")
     require(hexLen >= 1 && hexLen <= 32, "hexLen must be in 1..32")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect(prettyName, child.dataType, ArrayType(StringType))
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "shingle_md5"

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native vector kernels as Catalyst expressions.
   *
@@ -34,6 +35,9 @@ object VectorExpressions {
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with Serializable {
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect2(prettyName, left.dataType, right.dataType,
+                              ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_similarity"
 
@@ -81,6 +85,9 @@ object VectorExpressions {
   case class LongVecDot(left: Expression, right: Expression)
       extends BinaryExpression with Serializable {
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect2(prettyName, left.dataType, right.dataType,
+                              ArrayType(LongType))
     override def dataType: DataType = LongType
     override def prettyName: String = "long_vec_dot"
 

@@ -315,6 +315,12 @@ object Probe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Same session pins as Main/Bench/Verify: Tables.load's
+      // TimestampNTZ→Timestamp cast is only value-preserving under UTC,
+      // so any probe mode that grows a driver-table read must not shift
+      // event times by the host timezone.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.excludedRules",
               graft.GraftExtensions.ExcludedOptimizerRules)
       .getOrCreate()

@@ -66,4 +66,32 @@ class ShingleExprSpec extends SparkSpec {
     assert(pre.forall(_.length == 8) && full.forall(_.length == 32))
     assert(full.map(_.take(8)) == pre)
   }
+
+  test("wrong-typed SQL args fail at ANALYSIS, not at runtime") {
+    // every registered native function: a mis-typed first argument must
+    // raise a clean analysis error (checkInputDataTypes), never a
+    // ClassCastException (interpreted) or Janino failure (codegen)
+    val cases = Seq(
+      "select shingle_md5(42, 3, 8)",
+      "select cdc_cuts(42, 16, 64)",
+      "select nfc_normalize(array(1, 2))",
+      "select cosine_similarity(array(1L, 2L), array(1L, 2L))",
+      "select long_vec_dot('abc', 'def')")
+    cases.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+      assert(e.getMessage.contains("requires"), s"$sql: ${e.getMessage}")
+    }
+  }
+
+  test("degenerate CDC divisor (Base ≡ 1 mod d) fails at construction") {
+    // 1000002 = 2·3·166667: divisor 2 would collapse the rolling hash
+    // to an order-independent checksum — constructor must refuse
+    val textLit = org.apache.spark.sql.catalyst.expressions.Literal("text")
+    val e = intercept[IllegalArgumentException](
+      graft.functions.CdcExpressions.CdcCuts(textLit, 16, 2))
+    assert(e.getMessage.contains("degenerate"))
+    // the shipped default stays legal
+    graft.functions.CdcExpressions.CdcCuts(textLit, 16, 64)
+  }
 }
