@@ -196,5 +196,10 @@ object Embedding {
     * search entry path `cli/main.py:36-51`).
     */
   def embedQuery(text: String, providerName: String): Array[Float] =
-    provider(providerName).embedOne(text)
+    provider(providerName).embedOne(
+      // stored chunk text is NFC (ingest boundary) and the local
+      // providers are content-hash-deterministic, so an un-normalized
+      // decomposed query would embed differently from the byte-equal
+      // composed chunk — normalize symmetrically.
+      graft.functions.NormalizeExpressions.nfcString(text))
 }

@@ -3,6 +3,7 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -53,6 +54,8 @@ object NormalizeExpressions {
   case class NfcNormalize(child: Expression)
       extends UnaryExpression with Serializable {
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect(prettyName, child.dataType, StringType)
     override def dataType: DataType = StringType
     override def prettyName: String = "nfc_normalize"
 
@@ -75,4 +78,16 @@ object NormalizeExpressions {
     */
   def nfcNormalize(text: Column): Column =
     call_function("nfc_normalize", text)
+
+  /** Driver-side twin of the kernel for QUERY strings: stored text is
+    * NFC at the conversion boundary ([[graft.ingest.Ingest]]), so every
+    * raw query string entering a search path (BM25, phrase, token
+    * match, query embedding) must be normalized the same way or a
+    * decomposed-form query of composed-form stored text silently
+    * misses exact token/hash matches. Same fast path: composed/ASCII
+    * input returns the same reference without allocating.
+    */
+  def nfcString(s: String): String =
+    if (s == null || Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
+    else Normalizer.normalize(s, Normalizer.Form.NFC)
 }

@@ -163,6 +163,15 @@ object Ingest {
       // ONE canonical encoding of visually-equal text. Identity fast
       // path on ASCII/composed input ([[graft.functions
       // .NormalizeExpressions]]), so already-clean corpora pay a scan.
+      // PARITY NOTE — deliberate deviation from the reference: the
+      // reference stores decoded text verbatim (no normalize call
+      // anywhere in solaius/data_pipeline2), so stored text here is NOT
+      // byte-identical to a decomposed-Unicode upload. Pinned by
+      // TablesJobsIngestSpec (decomposed upload → composed stored); any
+      // byte-level round-trip expectation on converted text must
+      // normalize first. Query strings are normalized the same way at
+      // every search entry point (Search/Embedding) so probe and store
+      // always agree.
       graft.functions.NormalizeExpressions.nfcNormalize(
         when(isText, decodeContent(col("content_b64")))
           .when(isPdf, Pdf.extract(bytes))

@@ -81,7 +81,7 @@ object Search {
     */
   def textMatch(df: DataFrame, contentCol: String, query: String): DataFrame = {
     val qTokens = typedLit(
-      query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq)
+      queryTokens(query).distinct)
     df.filter(arrays_overlap(
       array_distinct(filter(split(lower(col(contentCol)), "\\W+"), t => t =!= "")),
       qTokens))
@@ -127,7 +127,7 @@ object Search {
     */
   def bm25TopK(df: DataFrame, idCol: String, contentCol: String,
                query: String, k: Int = 10): DataFrame = {
-    val qts = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    val qts = queryTokens(query).distinct
     require(qts.nonEmpty, "query must contain at least one word token")
     val dec = "decimal(38,0)"
     // The token list is referenced by __dl and every __tf$i, so
@@ -204,7 +204,7 @@ object Search {
     */
   def bm25LogTopK(df: DataFrame, idCol: String, contentCol: String,
                   query: String, k: Int = 10): DataFrame = {
-    val qts = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    val qts = queryTokens(query).distinct
     require(qts.nonEmpty, "query must contain at least one word token")
     val dec = "decimal(38,0)"
     val toks = df.select(
@@ -317,10 +317,19 @@ object Search {
   }
 
   private def phraseTerms(phrase: String): Seq[String] = {
-    val terms = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val terms = queryTokens(phrase)
     require(terms.nonEmpty, "phrase must contain at least one word token")
     terms
   }
+
+  /** Query-side tokenizer shared by every text-search entry point:
+    * Unicode NFC first (stored text is NFC at the ingest boundary — a
+    * decomposed query of composed stored text must not silently miss),
+    * then the engine's `\W+` lowercase token model.
+    */
+  private def queryTokens(query: String): Seq[String] =
+    graft.functions.NormalizeExpressions.nfcString(query)
+      .toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
 
   /** The anchor-vote stage shared by the inline and the STORED phrase
     * paths: postings = (id, pos 1-based, tok); only the phrase's
