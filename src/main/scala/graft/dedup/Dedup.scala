@@ -915,6 +915,29 @@ object Dedup {
     labeled.withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** [[dupClusters]] over a STORED signature table ([[minhashSignatures]]
+    * persisted — the q73 posture): the clustering family's production
+    * form. The corpus text is never re-shingled; candidate pairs come
+    * straight from the 4-small-rows-per-doc signature scan, so at
+    * 100 TB the repeated cost of a clustering run is the signature
+    * table's size, not the corpus's. Output is bit-identical to the
+    * from-scratch [[dupClusters]] over [[minhashCandidates]] of the
+    * same corpus (the signature pipeline is deterministic).
+    */
+  def dupClustersFromSigs(docs: DataFrame, idCol: String, sigs: DataFrame,
+                          checkpointDir: Option[String] = None): DataFrame =
+    dupClusters(docs, idCol, candidatesFromSigs(sigs), "a_id", "b_id",
+                checkpointDir)
+
+  /** [[keepOne]] over a STORED signature table — canonical-document
+    * selection without re-shingling (see [[dupClustersFromSigs]]).
+    */
+  def keepOneFromSigs(docs: DataFrame, idCol: String, scoreCol: Column,
+                      sigs: DataFrame,
+                      checkpointDir: Option[String] = None): DataFrame =
+    keepOne(docs, idCol, scoreCol, candidatesFromSigs(sigs), "a_id", "b_id",
+            checkpointDir)
+
   /** Embedding near-duplicate pairs: cosine >= `cosThreshold` within a
     * blocking key, computed in EXACT integer arithmetic on vectors
     * quantized to a 1e-3 grid — `cos >= t` becomes

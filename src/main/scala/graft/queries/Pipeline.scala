@@ -317,6 +317,33 @@ object Pipeline {
   private def q36VectorsPath(sfDir: String): String =
     s"$q36Root/${new java.io.File(sfDir).getName}/vectors.parquet"
 
+  /** q133/q134's persisted MinHash signature table — the stored LSH
+    * index the clustering family probes instead of re-shingling the
+    * corpus (same checkout-hash + sf-basename keying as q36's
+    * intermediate). Built at most ONCE PER JVM per sf dir (the
+    * in-memory marker, not on-disk presence, gates the rebuild — a
+    * leftover table from an earlier JVM over regenerated testdata must
+    * never serve stale signatures), so within a bench run the first
+    * sample pays the build and the median times the probe-from-stored
+    * path — the posture a production clustering run has.
+    */
+  private def sigStorePath(sfDir: String): String =
+    s"$q36Root/${new java.io.File(sfDir).getName}/minhash_sigs.parquet"
+  private val builtSigStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def storedSigs(s: SparkSession, sfDir: String): DataFrame = {
+    val path = sigStorePath(sfDir)
+    builtSigStores.synchronized {
+      if (!builtSigStores.contains(path)) {
+        Dedup.minhashSignatures(t(s, sfDir, "documents"), "doc_id", "text",
+                                nBands = 4)
+          .write.mode("overwrite").parquet(path)
+        builtSigStores.add(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** q36 persists its quantized-embedding intermediate ONLY on the
     * verify path ([[graft.Verify]] sets this property in-JVM before
     * running queries). Bench and plan tests skip the corpus-sized
@@ -988,6 +1015,26 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
       Dedup.keepOne(docs, "doc_id", col("n_chars"), pairs, "a_id", "b_id")
+        .select(col("doc_id"), col("comp"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q59 from the STORED signature table (build-once per JVM, see
+    // storedSigs): the production clustering posture — candidate pairs
+    // come from the persisted 4-rows-per-doc LSH index, the corpus
+    // text is never re-shingled. Bit-identical output to q59 (same
+    // oracle); the bench median times the probe, not the build.
+    "q133_dup_clusters_stored" -> ((s, dir) => {
+      Dedup.dupClustersFromSigs(t(s, dir, "documents"), "doc_id",
+                                storedSigs(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q60 from the stored signature table — keep-one without
+    // re-shingling; same oracle as q60.
+    "q134_keep_one_stored" -> ((s, dir) => {
+      Dedup.keepOneFromSigs(t(s, dir, "documents"), "doc_id",
+                            col("n_chars"), storedSigs(s, dir))
         .select(col("doc_id"), col("comp"), col("keep"))
         .orderBy(col("doc_id"))
     }),
@@ -2035,6 +2082,12 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
 
     "q59_dup_clusters" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+          SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q133 must agree bit-for-bit with q59 — the stored-signature path
+    // changes WHERE the signatures come from, never their values.
+    "q133_dup_clusters_stored" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
 
@@ -3279,6 +3332,16 @@ object Pipeline {
           WHERE p.pr = 1 ORDER BY p.query_id""",
 
     "q60_dedup_keep_one" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+          SELECT l.doc_id, l.comp,
+                 (row_number() OVER (PARTITION BY l.comp
+                                     ORDER BY d.n_chars DESC, l.doc_id ASC) = 1)
+                   AS keep
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+          ORDER BY l.doc_id""",
+
+    // q134 ≡ q60 through the stored signature table (see q133).
+    "q134_keep_one_stored" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT l.doc_id, l.comp,
                  (row_number() OVER (PARTITION BY l.comp

@@ -90,4 +90,46 @@ class IncrementalDedupSpec extends SparkSpec {
       .select($"doc").distinct().as[String].collect().toSet
     assert(sigDocs.size == 2, "both docs signed in the index")
   }
+
+  test("clustering from a STORED signature table ≡ from-scratch (q133/q134)") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.{col, length}
+    // three near-dup groups + singletons, enough shingles to sign
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, base), (2L, base + " today"), (3L, base + " again and again"),
+      (4L, "completely unrelated cooking recipe with butter sugar and flour mixed"),
+      (5L, "completely unrelated cooking recipe with butter sugar and flour baked"),
+      (6L, "a lone singleton document about distributed query planning internals"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val sigPath = Files.createTempDirectory("graft_sig_store").toString + "/sigs"
+    Dedup.minhashSignatures(docs, "doc_id", "text", nBands = 4)
+      .write.parquet(sigPath)
+    val stored = spark.read.parquet(sigPath)
+
+    val scratch = Dedup.dupClusters(
+        docs, "doc_id",
+        Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4),
+        "a_id", "b_id")
+      .orderBy("doc_id").collect().toSeq
+    val fromSigs = Dedup.dupClustersFromSigs(docs, "doc_id", stored)
+      .orderBy("doc_id").collect().toSeq
+    assert(fromSigs == scratch)
+    // sanity: the fixture actually clusters (not all singletons)
+    assert(scratch.map(_.getLong(1)).distinct.size < docs.count())
+
+    val scratchKeep = Dedup.keepOne(
+        docs, "doc_id", col("n_chars"),
+        Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4),
+        "a_id", "b_id")
+      .select("doc_id", "comp", "keep").orderBy("doc_id").collect().toSeq
+    val fromSigsKeep = Dedup.keepOneFromSigs(docs, "doc_id", col("n_chars"), stored)
+      .select("doc_id", "comp", "keep").orderBy("doc_id").collect().toSeq
+    assert(fromSigsKeep == scratchKeep)
+    assert(scratchKeep.count(_.getBoolean(2)) ==
+           scratch.map(_.getLong(1)).distinct.size,
+           "exactly one keeper per cluster")
+  }
 }
