@@ -16,6 +16,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable checkpoint dir: the CC pointer-jumping queries
+    // (q59/q60/q133/q134) checkpoint each round here instead of
+    // memory-only pins — the fault-tolerant loop a real cluster runs
+    // (Dedup.connectedComponents picks the context dir up
+    // automatically). Cleaned up after the JSON line.
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_bench_cp")
+    spark.sparkContext.setCheckpointDir(cpDir.toString)
+    // The between-sample Pins.sweepAll drop of localCheckpoint pins is
+    // BY DESIGN (the pin is dead once its query's terminal action ran),
+    // but each drop logs a "locally checkpointed ... cannot be
+    // recomputed" WARN — dozens of them crowd the tail the harness
+    // parses the JSON line out of. Expected-by-contract, so quiet that
+    // one logger here (Bench only; operators keep the default).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the executor/codegen/parquet-reader paths once so the first
     // timed query measures the operator, not JVM startup. Guarded: a
     // broken/missing sf dir must still reach the JSON line so the
@@ -143,6 +159,7 @@ object Bench {
             s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
+    graft.io.Tables.rmTree(cpDir.toFile)
     spark.stop()
   }
 }

@@ -599,21 +599,27 @@ object Dedup {
 
   /** Bloom word table over `itemCol`: `k` hash functions into `mBits`
     * bits, packed 32 per word so every stored value stays < 2³² —
-    * sign-safe BIGINT algebra in any engine. bit position of item t
-    * under hash j = first 32 md5 bits of "j|t" mod mBits. Words OR
-    * together, so the build is ONE map-side-combined aggregate whose
-    * shuffle carries ≤ mBits/32 rows at any corpus size — the same
-    * mergeability contract as the Profile sketch family.
+    * sign-safe BIGINT algebra in any engine. The `k` positions derive
+    * from ONE md5 by double hashing (Kirsch & Mitzenmacher, "Less
+    * Hashing, Same Performance": pⱼ = (h₁ + j·h₂) mod mBits with h₁/h₂
+    * = md5 bits 0‑31 / 32‑63 — asymptotically the same FP rate as k
+    * independent hashes), so a probe costs one digest instead of k:
+    * the map-side scan this feeds is the per-shingle hot path of a
+    * 100 TB decontamination pass. h₁ + j·h₂ < 2³⁵ stays far from the
+    * BIGINT sign bit. Words OR together, so the build is ONE
+    * map-side-combined aggregate whose shuffle carries ≤ mBits/32 rows
+    * at any corpus size — the same mergeability contract as the
+    * Profile sketch family.
     */
   def bloomWords(items: DataFrame, itemCol: String,
                  mBits: Int = 8192, k: Int = 4): DataFrame =
     items
-      .select(col(itemCol).as("__it"),
-              explode(expr(s"sequence(0, ${k - 1})")).as("j"))
-      .withColumn("p",
-        conv(substring(md5(concat_ws("|", col("j").cast("string"),
-                                     col("__it"))), 1, 8), 16, 10)
-          .cast("long") % mBits)
+      .select(md5(col(itemCol)).as("__h"))
+      .select(conv(substring(col("__h"), 1, 8), 16, 10).cast("long").as("h1"),
+              conv(substring(col("__h"), 9, 8), 16, 10).cast("long").as("h2"))
+      .select(explode(expr(s"sequence(0, ${k - 1})")).as("j"),
+              col("h1"), col("h2"))
+      .withColumn("p", (col("h1") + col("j") * col("h2")) % mBits)
       .select((col("p") / 32).cast("int").as("word"),
               call_function("shiftleft", lit(1L),
                             (col("p") % 32).cast("int")).as("mask"))
@@ -635,19 +641,26 @@ object Dedup {
   /** Map-side membership probe: true iff all `k` bits are set. A pure
     * column expression over an array LITERAL — no join, no shuffle, no
     * broadcast variable even: the corpus scan stays embarrassingly
-    * parallel. One-sided like every sketch here: never false for an
-    * inserted item; false positives at the standard (1−e^(−kn/m))^k
-    * rate (~0.2% at n=500, m=8192, k=4).
+    * parallel, and the `k` positions share ONE md5 via double hashing
+    * (see [[bloomWords]] — codegen's subexpression elimination
+    * evaluates the digest once, so probing costs one digest + k cheap
+    * integer index tests per item, not k digests). One-sided like
+    * every sketch here: never false for an inserted item; false
+    * positives at the standard (1−e^(−kn/m))^k rate (~0.2% at n=500,
+    * m=8192, k=4).
     */
   def bloomMightContain(item: Column, bits: Array[Long],
-                        mBits: Int = 8192, k: Int = 4): Column =
+                        mBits: Int = 8192, k: Int = 4): Column = {
+    val h = md5(item)
+    val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
     (0 until k).map { j =>
-      val p = conv(substring(md5(concat_ws("|", lit(j.toString), item)),
-                             1, 8), 16, 10).cast("long") % mBits
+      val p = (h1 + lit(j.toLong) * h2) % mBits
       val mask = call_function("shiftleft", lit(1L), (p % 32).cast("int"))
       element_at(typedLit(bits.toSeq), (p / 32).cast("int") + 1)
         .bitwiseAND(mask) === mask
     }.reduce(_ && _)
+  }
 
   /** BLOOM DECONTAMINATION PREFILTER — the map-side half of the
     * two-phase contamination scan. Build the df-capped train shingle
@@ -808,12 +821,18 @@ object Dedup {
     // (never silently repoint other users' checkpoints)
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // reliable checkpointing engages when EITHER the caller passed a
+    // dir or the context already has one (a harness/cluster that ran
+    // setCheckpointDir opts every CC run into fault-tolerant rounds —
+    // the GraphFrames convention; memory-only pins die with an
+    // executor)
+    val cpEnabled = spark.sparkContext.getCheckpointDir.isDefined
     // free a round's storage AND its reliable-checkpoint files —
     // without the file cleanup, iterated runs accumulate one
     // checkpoint per round on disk for the app's lifetime
     def free(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
       rdd.unpersist(blocking = false)
-      if (checkpointDir.isDefined) rdd.getCheckpointFile.foreach { f =>
+      if (cpEnabled) rdd.getCheckpointFile.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
@@ -828,7 +847,7 @@ object Dedup {
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (checkpointDir.isDefined) rdd.checkpoint()
+      if (cpEnabled) rdd.checkpoint()
       if (eager) rdd.count()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }

@@ -2222,8 +2222,10 @@ object Pipeline {
           ORDER BY doc_id, span_start""",
 
     // q83's shingle/split/df-cap CTEs; the Bloom replayed in the same
-    // sign-safe word algebra (32 bits per BIGINT word, position =
-    // first 32 md5 bits of 'j|h' mod 8192, words bit_or together,
+    // sign-safe word algebra (32 bits per BIGINT word; double hashing:
+    // position j = (h1 + j*h2) mod 8192 with h1/h2 = md5 bits 0-31 /
+    // 32-63 of the shingle hash — ONE digest per probe, matching
+    // Dedup.bloomWords/bloomMightContain; words bit_or together,
     // membership = all 4 masks present; empty words are 0 via the
     // left join).
     "q94_bloom_decontaminate" ->
@@ -2253,8 +2255,9 @@ object Pipeline {
           words AS (
             SELECT CAST(p // 32 AS INTEGER) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
-            FROM (SELECT CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || h), 1, 8)
-                              AS BIGINT) % 8192 AS p
+            FROM (SELECT (CAST('0x' || substr(md5(h), 1, 8) AS BIGINT)
+                          + j * CAST('0x' || substr(md5(h), 9, 8) AS BIGINT))
+                         % 8192 AS p
                   FROM tr, js)
             GROUP BY 1),
           tprobe AS (
@@ -2263,8 +2266,9 @@ object Pipeline {
                   FROM hs WHERE split = 'test')),
           pk AS (
             SELECT doc_id, pos,
-                   CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || h), 1, 8)
-                        AS BIGINT) % 8192 AS p
+                   (CAST('0x' || substr(md5(h), 1, 8) AS BIGINT)
+                    + j * CAST('0x' || substr(md5(h), 9, 8) AS BIGINT))
+                   % 8192 AS p
             FROM tprobe, js),
           checks AS (
             SELECT k.doc_id, k.pos,

@@ -266,6 +266,107 @@ object Probe {
     }
   }
 
+  /** Synthetic train/test corpus with PLANTED contamination for the
+    * decontamination curve: a FIXED train side (`nTrain` docs × 50
+    * unique words) and a scaling test side where every `contamEvery`-th
+    * doc copies a 12-word run (positions 10..21) from train doc
+    * `id % nTrain` — 10 matching 3-shingles, one contiguous leak span.
+    * All other words are unique per doc, so the planted docs are the
+    * ONLY true matches and the contaminated fraction is exactly
+    * 1/contamEvery at every scale.
+    */
+  def syntheticSplitDocs(spark: SparkSession, nTrain: Long, nTest: Long,
+                         contamEvery: Int = 50): org.apache.spark.sql.DataFrame = {
+    val train = spark.range(nTrain).select(
+      concat(lit("t"), lpad(col("id").cast("string"), 8, "0")).as("doc_id"),
+      lit("train").as("split"),
+      concat_ws(" ", (0 until 50).map(k =>
+        md5(concat(col("id").cast("string"), lit(s"t$k")))): _*).as("text"))
+    val test = spark.range(nTest).select(
+      concat(lit("x"), lpad(col("id").cast("string"), 8, "0")).as("doc_id"),
+      lit("test").as("split"),
+      concat_ws(" ", (0 until 50).map { k =>
+        val own = md5(concat(col("id").cast("string"), lit(s"u$k")))
+        if (k >= 10 && k <= 21)
+          when(col("id") % contamEvery === 0,
+               md5(concat((col("id") % nTrain).cast("string"), lit(s"t$k"))))
+            .otherwise(own)
+        else own
+      }: _*).as("text"))
+    train.unionByName(test)
+  }
+
+  case class DeconScalePoint(factor: Int, nTest: Long, nFlagged: Long,
+                             tBloom: Double, tSpanSurv: Double,
+                             tSpanFull: Double, nSpans: Long)
+
+  /** Measured scale curve for the TWO-PHASE decontamination scan (the
+    * q94 posture): phase 1 is the Bloom prefilter
+    * ([[Dedup.bloomContaminationScan]] — build the train-side Bloom,
+    * probe every test shingle map-side, flag survivor docs), phase 2 is
+    * the exact span pass ([[Dedup.contaminationSpans]], q83) run ONLY
+    * on the survivors, compared against the same span pass over the
+    * whole test corpus. Train side is FIXED while the test corpus
+    * scales 1×/10×/100× — the structural claims under test:
+    *
+    *  - the survivor fraction stays CONSTANT (planted 1/contamEvery
+    *    plus the Bloom's false-positive rate — never scale-dependent),
+    *    so the exact pass's input shrinks by that constant factor at
+    *    every scale;
+    *  - Bloom never misses an inserted hash, so the survivor-only span
+    *    pass finds EXACTLY the spans of the unfiltered pass (required
+    *    per point, not assumed);
+    *  - phase-1 cost is one map-side filter scan (driver state =
+    *    mBits/8 bytes — 32 KiB at the probe's 2¹⁸ default, sized
+    *    ~27 bits/element for the fixed train side's 9.6k hashes).
+    */
+  def deconScaleCurve(spark: SparkSession, baseTest: Long,
+                      nTrain: Long = 200,
+                      factors: Seq[Int] = Seq(1, 10, 100),
+                      reps: Int = 3,
+                      mBits: Int = 1 << 18): Seq[DeconScalePoint] = {
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
+    // untimed warmup: the bloom probe's literal-array expression is the
+    // largest codegen unit in the suite, and its first compile would
+    // otherwise pollute the 1× point (measured ~2 s of Janino time)
+    locally {
+      val w = syntheticSplitDocs(spark, nTrain, 50).localCheckpoint(true)
+      Dedup.bloomContaminationScan(w, "doc_id", "text", col("split"),
+                                   mBits = mBits).count()
+      Dedup.contaminationSpans(w, "doc_id", "text", col("split")).count()
+      w.unpersist(true)
+    }
+    factors.map { fac =>
+      val n = baseTest * fac
+      val docs = syntheticSplitDocs(spark, nTrain, n).localCheckpoint(true)
+      val (tBloom, nFlagged) = med {
+        Dedup.bloomContaminationScan(docs, "doc_id", "text", col("split"),
+                                     mBits = mBits).count()
+      }
+      val flagged = Dedup.bloomContaminationScan(docs, "doc_id", "text",
+          col("split"), mBits = mBits)
+        .select(col("doc_id")).localCheckpoint(true)
+      val survivors = docs.filter(col("split") === "train")
+        .unionByName(docs.join(flagged, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      val (tSpanSurv, nSpansSurv) = med {
+        Dedup.contaminationSpans(survivors, "doc_id", "text",
+                                 col("split")).count()
+      }
+      val (tSpanFull, nSpansFull) = med {
+        Dedup.contaminationSpans(docs, "doc_id", "text", col("split")).count()
+      }
+      // the one-sided contract, checked per point: the prefiltered
+      // exact pass must find every span the unfiltered pass finds
+      require(nSpansSurv == nSpansFull,
+        s"Bloom prefilter dropped real spans: $nSpansSurv vs $nSpansFull")
+      docs.unpersist(true); flagged.unpersist(true); survivors.unpersist(true)
+      graft.io.Pins.sweepAll(spark)
+      DeconScalePoint(fac, n, nFlagged, tBloom, tSpanSurv, tSpanFull,
+                      nSpansFull)
+    }
+  }
+
   case class LearnScalePoint(factor: Int, nRows: Long, tStump: Double,
                              tReg: Double, tBoost: Double)
 
@@ -304,6 +405,99 @@ object Probe {
       df.unpersist(true)
       graft.io.Pins.sweepAll(spark)
       LearnScalePoint(fac, n, tStump, tReg, tBoost)
+    }
+  }
+
+  case class InboxPoint(factor: Int, nFiles: Int, nChunks: Long,
+                        nBatches: Long, wallS: Double, filesPerSec: Double)
+
+  /** Measured throughput of the streaming inbox pipeline
+    * ([[graft.stream.Inbox.start]] — the FULL convert → ledger →
+    * dedup/demote → chunk → embed → store stages per micro-batch) at
+    * 1×/10× inbox sizes. Each inbox file is a unique ~60-word markdown
+    * doc; `maxFilesPerTrigger` fixes the micro-batch size, so 10× files
+    * = 10× micro-batches of identical shape and the files/s figure
+    * directly exposes any per-batch cost that would NOT amortize on a
+    * resident consumer (the r10 advice's missing evidence). Wall time
+    * is the AvailableNow drain — arrival-to-committed, checkpointed,
+    * exactly-once.
+    */
+  def inboxThroughput(spark: SparkSession,
+                      baseFiles: Int = 48,
+                      factors: Seq[Int] = Seq(1, 10),
+                      filesPerTrigger: Int = 16): Seq[InboxPoint] = {
+    import java.nio.file.Files
+    factors.map { fac =>
+      val n = baseFiles * fac
+      val in = Files.createTempDirectory("graft_probe_inbox").toFile
+      val store = Files.createTempDirectory("graft_probe_store").toFile
+      try {
+        (0 until n).foreach { i =>
+          val words = (0 until 60).map(k => s"w${i}x$k").mkString(" ")
+          Files.writeString(new java.io.File(in, f"doc$i%05d.md").toPath,
+            s"# Doc $i\n\n$words. More about topic $i here!")
+        }
+        val t0 = System.nanoTime()
+        val q = graft.stream.Inbox.start(spark, in.getAbsolutePath,
+          store.getAbsolutePath, maxFilesPerTrigger = filesPerTrigger,
+          nowFn = () => java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        require(q.awaitTermination(1800000), "inbox drain timed out")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val nChunks =
+          spark.read.parquet(s"$store/chunks.parquet").count()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+        InboxPoint(fac, n, nChunks, nBatches, wall, n / wall)
+      } finally {
+        graft.io.Tables.rmTree(in)
+        graft.io.Tables.rmTree(store)
+      }
+    }
+  }
+
+  case class SessionWavePoint(wave: Int, totalEvents: Long, stateRows: Long,
+                              stateBytes: Long, emitted: Long)
+
+  /** Measured state-store footprint of streaming sessionization
+    * ([[graft.stream.Sessions.sessionCounts]]): `waves` bursts of
+    * `keys` users × `eventsPerKey` events, each wave 2 h after the
+    * last (far past gap 30 min + watermark 10 min). The bounded-state
+    * claim under test: cumulative events and emitted sessions grow
+    * linearly with waves, while state rows PLATEAU at the open
+    * sessions inside the watermark horizon (≈ keys — each wave's
+    * arrival advances the watermark past the previous wave's close, so
+    * the store holds at most the newest wave plus a not-yet-finalized
+    * predecessor) — never the archive.
+    */
+  def sessionStateCurve(spark: SparkSession, keys: Int = 500,
+                        eventsPerKey: Int = 10,
+                        waves: Int = 5): Seq[SessionWavePoint] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = graft.stream.Sessions.sessionCounts(
+      mem.toDS().toDF("ts", "user"), "ts", "user")
+    // memory sink: finalized sessions accumulate in a queryable table,
+    // so "emitted" is a direct count, not a sink-metric guess
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("probe_sessions").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime
+      var total = 0L
+      (1 to waves).map { w =>
+        val base = t0 + (w - 1) * 2L * 3600 * 1000
+        mem.addData(for {
+          k <- 0 until keys; e <- 0 until eventsPerKey
+        } yield (new java.sql.Timestamp(base + e * 1000L), s"u$k"))
+        q.processAllAvailable()
+        total += keys.toLong * eventsPerKey
+        val so = q.lastProgress.stateOperators.head
+        SessionWavePoint(w, total, so.numRowsTotal, so.memoryUsedBytes,
+                         spark.table("probe_sessions").count())
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("probe_sessions")
     }
   }
 
@@ -403,6 +597,87 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE_SEARCH.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-decon")) {
+      val pts = deconScaleCurve(spark, baseTest = 2000)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — two-phase decontamination scale curve\n\n"
+      sb ++= "Fixed 200-doc train side, test corpus scaling 1×/10×/100× with a\n"
+      sb ++= "planted 2% contaminated fraction (`Probe.syntheticSplitDocs`:\n"
+      sb ++= "every 50th test doc copies a 12-word run from a train doc);\n"
+      sb ++= "median-of-3 on local[" + cpus + "]. Phase 1 = Bloom prefilter (q94:\n"
+      sb ++= "train Bloom at 2^18 bits ≈ 27 bits/element for the train side's\n"
+      sb ++= "9.6k shingle hashes, 32 KiB driver state; probe is a map-side\n"
+      sb ++= "filter scan, zero joins on the test corpus). Phase 2 = the exact\n"
+      sb ++= "span pass (q83) over ONLY the flagged survivors, vs the same\n"
+      sb ++= "pass over the whole corpus; the curve REQUIRES span counts to\n"
+      sb ++= "match per point (Bloom is one-sided: a flagged superset, never\n"
+      sb ++= "a miss).\n\n"
+      sb ++= "| factor | test docs | flagged | surv frac | spans | bloom s | spans(surv) s | spans(full) s | 2-phase/full |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nTest} | ${p.nFlagged} | ${p.nFlagged.toDouble / p.nTest}%.3f | ${p.nSpans} | ${p.tBloom}%.2f | ${p.tSpanSurv}%.2f | ${p.tSpanFull}%.2f | ${(p.tBloom + p.tSpanSurv) / p.tSpanFull}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nTest.toDouble / a.nTest}%.0f× test docs → survivor fraction "
+      sb ++= f"${a.nFlagged.toDouble / a.nTest}%.3f → ${z.nFlagged.toDouble / z.nTest}%.3f (constant), "
+      sb ++= f"bloom ${z.tBloom / a.tBloom}%.1f× time, span counts equal at every point, "
+      sb ++= f"two-phase/full ${(z.tBloom + z.tSpanSurv) / z.tSpanFull}%.2f at ${z.factor}× "
+      sb ++= f"(falling from ${(a.tBloom + a.tSpanSurv) / a.tSpanFull}%.2f at 1×).%n%n"
+      sb ++= "Both phases tokenize+shingle the whole test corpus, so what the\n"
+      sb ++= "prefilter actually removes is the exact pass's corpus-wide\n"
+      sb ++= "semi-join SHUFFLE (cheap on one box, the dominant cost on a\n"
+      sb ++= "network) — hence the ratio falls toward the crossover as corpus\n"
+      sb ++= "size grows but sits above 1 at single-node scales. The 100 TB\n"
+      sb ++= "deployment reading: phase 1 is a shuffle-free scan with 32 KiB\n"
+      sb ++= "of driver state, and phase 2's join + window run on the\n"
+      sb ++= "constant-fraction survivor slice instead of the corpus.\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE_DECON.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("streaming")) {
+      val inbox = inboxThroughput(spark)
+      val sessions = sessionStateCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — streaming throughput and state footprint\n\n"
+      sb ++= "## Inbox pipeline (ST1–ST2): arrival-to-committed throughput\n\n"
+      sb ++= "AvailableNow drain of 1×/10× inboxes of unique ~60-word markdown\n"
+      sb ++= "docs, 16 files per micro-batch, on local[" + cpus + "]. Every micro-batch\n"
+      sb ++= "runs the FULL batch stages (convert → ledger → dedup/demote →\n"
+      sb ++= "chunk → embed → bucketed-store swap commit), checkpointed\n"
+      sb ++= "exactly-once — the figure is end-to-end files/s, not a source\n"
+      sb ++= "read rate.\n\n"
+      sb ++= "| factor | files | micro-batches | chunks | wall s | files/s |\n"
+      sb ++= "|---|---|---|---|---|---|\n"
+      inbox.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nFiles} | ${p.nBatches} | ${p.nChunks} | ${p.wallS}%.1f | ${p.filesPerSec}%.2f |%n"
+      }
+      val ia = inbox.head; val iz = inbox.last
+      sb ++= f"%n${iz.nFiles.toDouble / ia.nFiles}%.0f× files → ${iz.wallS / ia.wallS}%.1f× wall "
+      sb ++= f"(${iz.filesPerSec / ia.filesPerSec}%.1f× throughput): per-batch cost amortizes toward\n"
+      sb ++= "the steady-state rate a resident consumer would hold.\n\n"
+      sb ++= "## Sessionization (session_window): bounded state vs growing archive\n\n"
+      sb ++= "5 waves of 500 users × 10 events, each wave 2 h apart (past\n"
+      sb ++= "gap 30 min + watermark 10 min). Each wave's arrival advances the\n"
+      sb ++= "watermark past the previous wave's close, so the store holds the\n"
+      sb ++= "open sessions inside the horizon (≈ keys rows) — state must\n"
+      sb ++= "PLATEAU there while events and emitted sessions grow linearly.\n\n"
+      sb ++= "| wave | cum. events | state rows | state KiB | cum. emitted sessions |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      sessions.foreach { p =>
+        sb ++= f"| ${p.wave} | ${p.totalEvents} | ${p.stateRows} | ${p.stateBytes / 1024} | ${p.emitted} |%n"
+      }
+      val sa = sessions(1); val sz = sessions.last
+      sb ++= f"%nWaves 2..${sz.wave}: events ${sa.totalEvents} → ${sz.totalEvents} while state rows "
+      sb ++= f"${sa.stateRows} → ${sz.stateRows} — the store holds the watermark horizon, never the archive.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_STREAMING.md"), sb.toString)
       spark.stop(); return
     }
 

@@ -63,6 +63,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(anyFile(dir.toFile), "no checkpoint files written")
   }
 
+  test("a context-set checkpoint dir opts CC into reliable rounds (Bench posture)") {
+    // Bench calls sc.setCheckpointDir once; every CC query must pick it
+    // up without threading a parameter through the query registry
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ctx")
+    val sc = spark.sparkContext
+    val had = sc.getCheckpointDir
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val got = Dedup.connectedComponents(
+        Seq(("p", "q"), ("q", "r")).toDF("a", "b"), "a", "b")
+        .as[(String, String)].collect().toMap
+      assert(got == Map("p" -> "p", "q" -> "p", "r" -> "p"))
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(dir.toFile),
+             "no checkpoint files written under the context dir")
+    } finally {
+      // restore: the dir is SparkContext-global and the session is
+      // shared across suites (setCheckpointDir(null) clears it)
+      sc.setCheckpointDir(had.orNull)
+    }
+  }
+
   test("dupClusters self-assigns singletons over the full doc table") {
     val docs = Seq("a", "b", "c", "lone").toDF("doc_id")
     val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")

@@ -70,6 +70,31 @@ class ScaleCurveSpec extends SparkSpec {
            s"index build must stay near-linear: ${a.tBuild}s -> ${z.tBuild}s")
   }
 
+  test("decontamination: survivor fraction constant across 20x scale, prefiltered spans ≡ full") {
+    val pts = Probe.deconScaleCurve(spark, baseTest = 500,
+                                    factors = Seq(1, 20), reps = 1)
+    val a = pts.head; val z = pts.last
+    // the planted contamination is found at every scale, and spans
+    // equality (prefiltered exact pass ≡ unfiltered) is require()'d per
+    // point inside the curve — the Bloom one-sidedness contract
+    assert(a.nSpans > 0, "1x corpus must contain planted leak spans")
+    assert(z.nSpans >= 10 * a.nSpans,
+           s"spans must track the planted fraction: ${a.nSpans} -> ${z.nSpans}")
+    // survivor fraction = planted 2% + the Bloom FP rate; both are
+    // scale-independent, so a growing fraction means the prefilter
+    // degrades with corpus size (e.g. an undersized filter would)
+    val fracA = a.nFlagged.toDouble / a.nTest
+    val fracZ = z.nFlagged.toDouble / z.nTest
+    assert(fracA < 0.2 && fracZ < 0.2,
+           s"prefilter must flag a small slice: $fracA, $fracZ")
+    assert(math.abs(fracA - fracZ) < 0.05,
+           s"survivor fraction must stay constant across scale: $fracA -> $fracZ")
+    // wall-clock: 20x rows within 30x bloom-scan time (the 1x run is
+    // overhead-dominated; the bound catches quadratic blowup)
+    assert(z.tBloom <= 30 * a.tBloom + 5.0,
+           s"bloom scan must stay near-linear: ${a.tBloom}s -> ${z.tBloom}s")
+  }
+
   test("training tier: 100× rows within the linearity bound for all three trainers") {
     val pts = Probe.learnScaleCurve(spark, base = 2000L,
                                     factors = Seq(1, 100), reps = 1)

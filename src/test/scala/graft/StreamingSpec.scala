@@ -277,6 +277,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("session state PLATEAUS at the watermark horizon while the archive grows") {
+    // the bounded-state claim, measured: 4 waves of events 2 h apart
+    // (past gap + watermark) — cumulative events/emitted sessions grow
+    // linearly, state rows stay within the horizon (~2×keys: the newest
+    // wave's open sessions + the previous wave's not-yet-finalized
+    // ones), never the archive
+    val pts = graft.tools.Probe.sessionStateCurve(spark, keys = 40,
+                                                  eventsPerKey = 5, waves = 4)
+    val last = pts.last
+    assert(last.totalEvents == 4L * 40 * 5)
+    assert(last.emitted >= 2L * 40,
+           s"waves past the watermark must finalize: $pts")
+    assert(last.stateRows <= 2L * 40 + 10,
+           s"state must hold the watermark horizon, not the archive: $pts")
+    // and the plateau: state at wave 4 is no bigger than at wave 2
+    assert(last.stateRows <= pts(1).stateRows + 10,
+           s"state must plateau across waves: $pts")
+  }
+
   test("stream-static join: micro-batches enriched against a dimension table") {
     import org.apache.spark.sql.functions._
     implicit val sc = spark.sqlContext
