@@ -380,6 +380,55 @@ object Pipeline {
                  r.getSeq[Long](2).map(x => Math.floorDiv(x, r.getLong(1)))))
       .toSeq
 
+  /** One Lloyd's round as oracle SQL (q135/q136): `dist$r` = exact
+    * integer L2² of every (vector, centroid) pair against the previous
+    * round's `$prev` centroids, `asg$r` = the argmin assignment (ties
+    * to the smallest cell — Spark's struct array_min convention),
+    * `upd$r`/`cen$r` = per-dimension floor-mean update with emptied
+    * cells keeping their previous centroid (the UNION branch). Mirrors
+    * [[graft.search.Ann.kmeansFitInt]] step for step.
+    */
+  private def kmeansRoundSql(r: Int, prev: String): String =
+    s"""dist$r AS (
+          SELECT iv.vec_id, iv.v, c.cell,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS d2
+          FROM iv CROSS JOIN $prev c),
+        asg$r AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cell ASC) AS rn
+            FROM dist$r) WHERE rn = 1),
+        upd$r AS (
+          SELECT cell, i, CAST(sum(v[i]) AS BIGINT) AS s, count(*) AS n
+          FROM asg$r, dimsq GROUP BY cell, i),
+        cen$r AS (
+          SELECT cell, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT)
+                            ORDER BY i) AS cv
+          FROM upd$r GROUP BY cell
+          UNION ALL
+          SELECT cell, cv FROM $prev
+          WHERE cell NOT IN (SELECT DISTINCT cell FROM asg$r))"""
+
+  /** Shared oracle prefix for q135/q136: the 1e-3 integer grid, the
+    * deterministic seed centroids (cells 0..7 = the 8 smallest
+    * vec_ids), and two Lloyd's rounds ([[kmeansRoundSql]]).
+    */
+  private lazy val KmeansCtes: String =
+    s"""WITH iv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          FROM embeddings),
+        dimsq AS (SELECT unnest(generate_series(1, 64)) AS i),
+        cen0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                 v AS cv
+          FROM (SELECT vec_id, v FROM iv ORDER BY vec_id LIMIT 8)),
+        ${kmeansRoundSql(1, "cen0")},
+        ${kmeansRoundSql(2, "cen1")}"""
+
   /** Shared oracle CTE prefix for the PQ queries (q78/q79): q48's
     * integer floor-mean centroids, then per-(vector, subspace) exact
     * L2 to every codeword, ranked ascending (the argmin; ties to the
@@ -1037,6 +1086,37 @@ object Pipeline {
                             col("n_chars"), storedSigs(s, dir))
         .select(col("doc_id"), col("comp"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-INTEGER K-MEANS (Lloyd's, fixed 2-round budget): the IVF
+    // codebook TRAINER itself on the verified surface — deterministic
+    // seeds (k smallest vec_ids), E-step argmin integer L2² (ties to
+    // the smallest cell), M-step per-dim floorDiv means, emptied cells
+    // keep their centroid. Spark ML's KMeans (Ann.ivfTrain) stays the
+    // production float path; this is the bit-reproducible twin an
+    // oracle can replay round for round. Output = the trained
+    // codebook as (cell, dim, value) scalar rows.
+    "q135_kmeans_train" -> ((s, dir) => {
+      val cents = Ann.kmeansFitInt(t(s, dir, "embeddings"), "vec_id",
+                                   "embedding", k = 8, rounds = 2)
+      import s.implicits._
+      cents.flatMap { case (cell, cv) =>
+        cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
+      }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
+    }),
+
+    // Cell populations under the q135-trained centroids (one more
+    // E-step): the load-balance report an IVF build reads before
+    // fixing nlist — a degenerate cell histogram here means re-train,
+    // not re-shard.
+    "q136_kmeans_cells" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Ann.kmeansFitInt(e, "vec_id", "embedding",
+                                   k = 8, rounds = 2)
+      Ann.assignMinL2Int(
+          e.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cell"))
     }),
 
     // SEMANTIC near-dup with LEARNED blocking: q30 blocks on a metadata
@@ -3353,6 +3433,26 @@ object Pipeline {
                    AS keep
           FROM lab l JOIN documents d ON d.doc_id = l.doc_id
           ORDER BY l.doc_id""",
+
+    // q135: Lloyd's replayed round for round — seeds = 8 smallest
+    // vec_ids, per-round argmin-L2² assignment (ties to the smallest
+    // cell, matching Spark's struct array_min) + floor-mean update
+    // (emptied cells keep their previous centroid via the UNION
+    // branch). Exact integer algebra end to end.
+    "q135_kmeans_train" ->
+      s"""$KmeansCtes
+          SELECT t.cell, CAST(q.i AS BIGINT) AS d, t.cv[q.i] AS c
+          FROM cen2 t, dimsq q
+          ORDER BY cell, d""",
+
+    // q136: one more E-step over q135's final centroids, counted per
+    // cell (kmeansRoundSql(3) also emits upd3/cen3 — unreferenced, so
+    // DuckDB never evaluates them).
+    "q136_kmeans_cells" ->
+      s"""$KmeansCtes,
+          ${kmeansRoundSql(3, "cen2")}
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM asg3 GROUP BY cell ORDER BY cell""",
 
     "q21_chunk_fixed" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,

@@ -233,6 +233,72 @@ object Ann {
     model.clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
   }
 
+  /** L2 assignment over an ALREADY-INTEGER vector column — k-means'
+    * E-step ([[ivfAssignInt]] is the max-dot MIPS form): appends
+    * `cell` = the centroid with the smallest exact-integer L2², ties
+    * to the SMALLEST cell id (struct array_min is lexicographic). The
+    * per-row score is ¦c¦² − 2·v·c — the constant ¦v¦² term is
+    * dropped, which cannot change the argmin or its ties. One
+    * broadcast-literal pass, no shuffle.
+    */
+  def assignMinL2Int(df: DataFrame, ivCol: String,
+                     centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val cells = centroids.map { case (id, c) =>
+      struct((lit(c.map(x => x * x).sum) -
+              lit(2L) * intDot(col(ivCol), typedLit(c))).as("score"),
+             lit(id).as("cell"))
+    }
+    df.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
+  }
+
+  /** EXACT-INTEGER LLOYD'S K-MEANS — the deterministic, oracle-exact
+    * twin of [[ivfTrain]] (Spark ML trains in floats with k-means||
+    * random init: right for production IVF codebooks, impossible to
+    * re-derive bit-for-bit in another engine). This form puts the
+    * TRAINER itself on the verified surface:
+    *
+    *  - vectors on the 1e-3 integer grid ([[intVec]]);
+    *  - seeds = the vectors with the `k` smallest ids, cells 0..k−1 in
+    *    that order — deterministic, no RNG;
+    *  - E-step = [[assignMinL2Int]] (exact-integer L2², ties to the
+    *    smallest cell);
+    *  - M-step = per-dimension floorDiv mean of the members (the q48
+    *    floor-mean convention); an emptied cell keeps its previous
+    *    centroid;
+    *  - a FIXED `rounds` budget — production trains a fixed budget on
+    *    a sample; convergence behavior belongs to specs.
+    *
+    * Scale shape per round: ONE corpus pass (the argmin is k·dims of
+    * broadcast literals; the update a map-side-combined vecSum groupBy
+    * shuffling ≤ k rows) plus a k-row collect — the same posture as
+    * the IVF build the centroids feed.
+    */
+  def kmeansFitInt(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, rounds: Int = 2,
+                   dims: Int = 64): Seq[(Long, Seq[Long])] = {
+    val iv = embeddings
+      .select(col(idCol).as("__id"), intVec(col(vecCol)).as("__iv"))
+      .localCheckpoint(true) // read by the seed scan + every round
+    try {
+      val seeds: Seq[(Long, Seq[Long])] = iv.orderBy(col("__id")).limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toSeq) }
+      require(seeds.size == k, s"need at least k=$k vectors, got ${seeds.size}")
+      (0 until rounds).foldLeft(seeds) { (cents, _) =>
+        val upd = assignMinL2Int(iv, "__iv", cents)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+               graft.functions.VectorAggregates.vecSum(dims)(col("__iv")).as("cs"))
+          .collect()
+          .map { r =>
+            val n = r.getLong(1)
+            r.getLong(0) -> r.getSeq[Long](2).map(Math.floorDiv(_, n))
+          }.toMap
+        cents.map { case (cid, c) => (cid, upd.getOrElse(cid, c)) }
+      }
+    } finally iv.unpersist(true)
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), partition by cell. The Spark
     * plan: broadcast the centroid array, argmin in one pass.

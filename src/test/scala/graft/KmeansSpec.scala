@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Ann
+
+/** Exact-integer Lloyd's k-means (the q135/q136 trainer) and its L2
+  * assignment step: deterministic seeding, floor-mean updates,
+  * empty-cell retention, and the min-cell tie convention — the
+  * contracts the DuckDB oracle replays round for round.
+  */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] =
+    (xs ++ Seq.fill(64 - xs.size)(0.0)).map(_.toFloat)
+
+  test("two planted clusters: centroids land on the exact integer cluster means") {
+    // seeds are ids 0 (cluster +1) and 1 (cluster −1); the remaining
+    // vectors straddle each seed so the round-1 means are exact
+    val rows = Seq(
+      (0L, vec(1.0)), (1L, vec(-1.0)),
+      (2L, vec(1.2)), (3L, vec(0.8)),
+      (4L, vec(-1.2)), (5L, vec(-0.8))).toDF("vec_id", "embedding")
+    val cents = Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 2, rounds = 2)
+    assert(cents.map(_._1) == Seq(0L, 1L))
+    // floorDiv((1000+1200+800), 3) = 1000; mirrored for the − cluster
+    assert(cents(0)._2(0) == 1000L, cents.toString)
+    assert(cents(1)._2(0) == -1000L, cents.toString)
+    assert(cents.forall(_._2.drop(1).forall(_ == 0L)), cents.toString)
+  }
+
+  test("an emptied cell keeps its previous centroid") {
+    // identical seed vectors: every vector ties to cell 0 (smallest
+    // cell wins), so cell 1 never gets members and must retain its
+    // seed centroid instead of degenerating to an empty mean
+    val rows = Seq(
+      (0L, vec(1.0)), (1L, vec(1.0)), (2L, vec(1.0)), (3L, vec(1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 2, rounds = 2)
+    assert(cents(1)._2(0) == 1000L, cents.toString)
+    val asg = Ann.assignMinL2Int(
+        rows.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+      .select($"cell").as[Long].collect()
+    assert(asg.forall(_ == 0L), asg.toSeq.toString)
+  }
+
+  test("an equidistant vector assigns to the smallest cell id") {
+    val cents = Seq((0L, Seq.tabulate(64)(d => if (d == 0) 1000L else 0L)),
+                    (1L, Seq.tabulate(64)(d => if (d == 0) -1000L else 0L)))
+    val got = Ann.assignMinL2Int(
+        Seq((9L, vec(0.0))).toDF("vec_id", "embedding")
+          .withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+      .select($"cell").as[Long].head()
+    assert(got == 0L)
+  }
+
+  test("deterministic across runs; k beyond the corpus fails loudly") {
+    val rows = (0 until 10).map(i => (i.toLong, vec(i / 10.0)))
+      .toDF("vec_id", "embedding")
+    val a = Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 3, rounds = 2)
+    val b = Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 3, rounds = 2)
+    assert(a == b)
+    val e = intercept[IllegalArgumentException](
+      Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 11, rounds = 1))
+    assert(e.getMessage.contains("need at least"))
+  }
+
+  test("assignMinL2Int matches a brute-force integer L2 argmin on real data") {
+    val e = spark.read.parquet(s"$Sf001/embeddings.parquet").limit(100)
+    val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 4, rounds = 2)
+    val got = Ann.assignMinL2Int(
+        e.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+      .select($"vec_id".cast("long"), $"cell").as[(Long, Long)]
+      .collect().toMap
+    val vecs = e.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val iv = v.map(Ann.quantizeL)
+      val best = cents.map { case (cid, c) =>
+        (iv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min
+      assert(got(id) == best._2, s"vec $id: got ${got(id)}, want $best")
+    }
+  }
+}
