@@ -54,6 +54,17 @@ class SkewSpec extends SparkSpec {
     assert(sizes.max <= 1500, s"salt spread too uneven: ${sizes.toSeq}")
   }
 
+  test("skewJoinCurve: all three join variants agree at a small scale") {
+    // counts-equality is require()'d inside the curve (naive vs AQE vs
+    // salted); timing claims live in the committed PROBE_SKEW.md
+    val pts = graft.tools.Probe.skewJoinCurve(spark, base = 20000L,
+                                              factors = Seq(1), reps = 1)
+    assert(pts.size == 1 && pts.head.nRows == 20000L)
+    // conf restoration: the curve must leave the session's AQE and
+    // broadcast settings as it found them
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("saltedJoin plan: the join runs on (keys, salt)") {
     val big = (1 to 100).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "v")
     val small = (0 to 4).map(i => (s"k$i", i)).toDF("k", "w")
