@@ -429,6 +429,63 @@ object Pipeline {
         ${kmeansRoundSql(1, "cen0")},
         ${kmeansRoundSql(2, "cen1")}"""
 
+  /** One per-subspace Lloyd's round as oracle SQL (q137): the same
+    * argmin/floor-mean/empty-keep algebra as [[kmeansRoundSql]], run
+    * over the exploded (vec_id, sub, 8-dim slice) table with every
+    * window/group partitioned by `sub` — all m codebooks advance in
+    * one pass, mirroring [[graft.search.Ann.pqTrainInt]].
+    */
+  private def pqTrainRoundSql(r: Int, prev: String): String =
+    s"""pdist$r AS (
+          SELECT i.vec_id, i.sub, i.s, c.cell,
+                 CAST(list_sum(list_transform(generate_series(1, 8),
+                   j -> (i.s[j]-c.cv[j])*(i.s[j]-c.cv[j]))) AS BIGINT) AS d2
+          FROM ivs i JOIN $prev c ON c.sub = i.sub),
+        pasg$r AS (
+          SELECT vec_id, sub, s, cell FROM (
+            SELECT vec_id, sub, s, cell,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2 ASC, cell ASC) AS rn
+            FROM pdist$r) WHERE rn = 1),
+        pupd$r AS (
+          SELECT sub, cell, j, CAST(sum(s[j]) AS BIGINT) AS sm, count(*) AS n
+          FROM pasg$r, sdim GROUP BY sub, cell, j),
+        pcen$r AS (
+          SELECT sub, cell, list(CAST(floor(CAST(sm AS DOUBLE)/n) AS BIGINT)
+                                 ORDER BY j) AS cv
+          FROM pupd$r GROUP BY sub, cell
+          UNION ALL
+          SELECT p.sub, p.cell, p.cv FROM $prev p
+          WHERE NOT EXISTS (SELECT 1 FROM pasg$r a
+                            WHERE a.sub = p.sub AND a.cell = p.cell))"""
+
+  /** Shared oracle prefix for q137: the integer grid, the exploded
+    * per-subspace slice table, per-subspace seeds (the 8 smallest
+    * vec_ids' slices), and two per-subspace Lloyd's rounds.
+    */
+  private lazy val PqTrainCtes: String =
+    s"""WITH iv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+          FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        sdim AS (SELECT unnest(generate_series(1, 8)) AS j),
+        dimsq AS (SELECT unnest(generate_series(1, 64)) AS i),
+        ivs AS (
+          SELECT vec_id, sub,
+                 list_transform(generate_series(1, 8), j -> v[sub*8 + j]) AS s
+          FROM iv, subs),
+        pcen0 AS (
+          SELECT sub,
+                 CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                      AS BIGINT) AS cell,
+                 s AS cv
+          FROM (SELECT vec_id, sub, s FROM ivs
+                WHERE vec_id IN (SELECT vec_id FROM iv ORDER BY vec_id LIMIT 8))),
+        ${pqTrainRoundSql(1, "pcen0")},
+        ${pqTrainRoundSql(2, "pcen1")}"""
+
   /** Shared oracle CTE prefix for the PQ queries (q78/q79): q48's
     * integer floor-mean centroids, then per-(vector, subspace) exact
     * L2 to every codeword, ranked ascending (the argmin; ties to the
@@ -1117,6 +1174,21 @@ object Pipeline {
           e.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
         .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("cell"))
+    }),
+
+    // PQ CODEBOOK TRAINING: per-subspace exact-integer Lloyd's (the
+    // q135 contract per 8-dim slice), all m=8 codebooks trained in ONE
+    // exploded corpus pass per round. Output = the composed full-dims
+    // codebook entries — the exact shape q78/q79/q80's encode/ADC
+    // stack slices per subspace, so trained books replace the q48
+    // label stand-ins without touching the search path.
+    "q137_pq_train" -> ((s, dir) => {
+      val books = Ann.pqTrainInt(t(s, dir, "embeddings"), "vec_id",
+                                 "embedding", k = 8, rounds = 2)
+      import s.implicits._
+      books.flatMap { case (cell, cv) =>
+        cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
+      }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
     }),
 
     // SEMANTIC near-dup with LEARNED blocking: q30 blocks on a metadata
@@ -3453,6 +3525,17 @@ object Pipeline {
           ${kmeansRoundSql(3, "cen2")}
           SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
           FROM asg3 GROUP BY cell ORDER BY cell""",
+
+    // q137: the per-subspace trainer replayed — final codebooks
+    // composed back to full-dims entries: dim d belongs to subspace
+    // (d-1)//8, position ((d-1) mod 8)+1 of its codeword.
+    "q137_pq_train" ->
+      s"""$PqTrainCtes
+          SELECT t.cell, CAST(q.i AS BIGINT) AS d,
+                 t.cv[CAST((q.i-1) % 8 AS INT) + 1] AS c
+          FROM pcen2 t, dimsq q
+          WHERE t.sub = (q.i-1) // 8
+          ORDER BY cell, d""",
 
     "q21_chunk_fixed" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,

@@ -299,6 +299,82 @@ object Ann {
     } finally iv.unpersist(true)
   }
 
+  /** PQ CODEBOOK TRAINING — per-subspace exact-integer Lloyd's, the
+    * companion of [[kmeansFitInt]] for the compressed tier: each of
+    * the `m` subspaces gets its own k-entry codebook trained on that
+    * subspace's `dims/m`-dim slices. Same deterministic contract as
+    * the coarse trainer (seeds = the k smallest ids' slices, argmin
+    * integer L2² with min-cell ties, floorDiv means, emptied codewords
+    * keep their previous value, fixed round budget).
+    *
+    * Scale shape: the slices explode to m rows per vector ONCE
+    * (pinned), then each round is ONE pass over that table scoring all
+    * m subspaces together — a `when(sub == s)` chain over m argmin
+    * columns of k·subDim literals — and one groupBy (sub, cell)
+    * shuffling ≤ m·k rows; never m separate corpus passes.
+    *
+    * Returns k FULL-dims codebook entries (entry c = the concatenation
+    * of each subspace's codeword c) — exactly the shape
+    * [[pqEncodeInt]]/[[ivfPqTopK]]/[[ivfPqWriteIndex]] slice per
+    * subspace, so the trained codebooks drop into the whole PQ stack
+    * unchanged.
+    */
+  def pqTrainInt(embeddings: DataFrame, idCol: String, vecCol: String,
+                 k: Int, rounds: Int = 2, m: Int = 8,
+                 dims: Int = 64): Seq[(Long, Seq[Long])] = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val iv = embeddings
+      .select(col(idCol).as("__id"), intVec(col(vecCol)).as("__iv"))
+      .localCheckpoint(true)
+    try {
+      val seedVecs = iv.orderBy(col("__id")).limit(k)
+        .collect().toSeq.map(_.getSeq[Long](1).toSeq)
+      require(seedVecs.size == k, s"need at least k=$k vectors, got ${seedVecs.size}")
+      val sliced = iv
+        .select(col("__id"), explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+                col("__iv"))
+        .select(col("__id"), col("sub"),
+                slice(col("__iv"), col("sub") * subDim + 1, lit(subDim)).as("__s"))
+        .localCheckpoint(true)
+      try {
+        var books: Seq[Seq[Seq[Long]]] = (0 until m).map { sub =>
+          seedVecs.map(_.slice(sub * subDim, sub * subDim + subDim))
+        }
+        (0 until rounds).foreach { _ =>
+          // one argmin column per subspace, dispatched on `sub` — the
+          // plan carries m·k literal codewords, the corpus one pass
+          val cellCol = (0 until m).map { s =>
+            s -> array_min(array(books(s).zipWithIndex.map { case (c, cid) =>
+              struct((lit(c.map(x => x * x).sum) -
+                      lit(2L) * intDot(col("__s"), typedLit(c))).as("score"),
+                     lit(cid.toLong).as("cell"))
+            }: _*)).getField("cell")
+          }.foldRight(lit(-1L): Column) { case ((s, c), acc) =>
+            when(col("sub") === s, c).otherwise(acc)
+          }
+          val upd = sliced.withColumn("cell", cellCol)
+            .groupBy(col("sub"), col("cell"))
+            .agg(count(lit(1)).as("n"),
+                 graft.functions.VectorAggregates.vecSum(subDim)(col("__s")).as("cs"))
+            .collect()
+            .map { r =>
+              (r.getInt(0), r.getLong(1)) ->
+                r.getSeq[Long](3).map(Math.floorDiv(_, r.getLong(2)))
+            }.toMap
+          books = (0 until m).map { s =>
+            books(s).zipWithIndex.map { case (c, cid) =>
+              upd.getOrElse((s, cid.toLong), c)
+            }
+          }
+        }
+        (0 until k).map { cid =>
+          (cid.toLong, (0 until m).flatMap(s => books(s)(cid)).toSeq)
+        }
+      } finally sliced.unpersist(true)
+    } finally iv.unpersist(true)
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), partition by cell. The Spark
     * plan: broadcast the centroid array, argmin in one pass.

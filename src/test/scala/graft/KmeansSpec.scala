@@ -66,6 +66,38 @@ class KmeansSpec extends SparkSpec {
     assert(e.getMessage.contains("need at least"))
   }
 
+  test("pqTrainInt: planted subspace clusters land on exact slice means, zeros stay zero") {
+    // subspace 0 (dims 1..8) has two groups around ±1; every other
+    // subspace is all-zero. Seeds = ids 0 (+) and 1 (−).
+    val rows = Seq(
+      (0L, vec(1.0)), (1L, vec(-1.0)),
+      (2L, vec(1.2)), (3L, vec(0.8)),
+      (4L, vec(-1.2)), (5L, vec(-0.8))).toDF("vec_id", "embedding")
+    val books = Ann.pqTrainInt(rows, "vec_id", "embedding", k = 2, rounds = 2)
+    assert(books.map(_._1) == Seq(0L, 1L))
+    assert(books.forall(_._2.size == 64), "entries must compose to full dims")
+    // subspace 0: codeword 0 dim 1 = floorDiv(1000+1200+800, 3) = 1000
+    assert(books(0)._2(0) == 1000L, books.toString)
+    assert(books(1)._2(0) == -1000L, books.toString)
+    // all-zero subspaces: every slice ties to codeword 0 (min cell),
+    // codeword 1 is emptied and keeps its all-zero seed — both zero
+    assert(books.forall(_._2.drop(8).forall(_ == 0L)), books.toString)
+    // and the trained books drop into the existing PQ encoder: group +
+    // encodes to codeword 0, group − to codeword 1 in subspace 0
+    val codes = Ann.pqEncodeInt(rows, "vec_id", "embedding", books)
+      .select($"vec_id", $"c0").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 2L, 3L).forall(codes(_) == 0L), codes.toString)
+    assert(Seq(1L, 4L, 5L).forall(codes(_) == 1L), codes.toString)
+  }
+
+  test("pqTrainInt is deterministic across runs") {
+    val rows = (0 until 20).map(i => (i.toLong, vec(i / 10.0, (10 - i) / 10.0)))
+      .toDF("vec_id", "embedding")
+    val a = Ann.pqTrainInt(rows, "vec_id", "embedding", k = 4, rounds = 2)
+    val b = Ann.pqTrainInt(rows, "vec_id", "embedding", k = 4, rounds = 2)
+    assert(a == b)
+  }
+
   test("assignMinL2Int matches a brute-force integer L2 argmin on real data") {
     val e = spark.read.parquet(s"$Sf001/embeddings.parquet").limit(100)
     val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 4, rounds = 2)
