@@ -255,12 +255,13 @@ object Main {
       postingsRemovals.foreach(rm =>
         Search.removeFromPostings(spark, rm, "chunk_id", "content",
                                   postingsPath.toString))
-      Search.appendPostings(spark,
-        openTable(spark, storeDir, "chunks")
-          .join(kept.select($"doc_id".as("__kd")),
-                substring($"chunk_id", 1, 64) === $"__kd", "left_semi")
-          .select($"chunk_id", $"content"),
-        "chunk_id", "content", postingsPath.toString)
+      // the appended postings are exactly this batch's kept chunks —
+      // the rows the commit above just wrote (kept docs are disjoint
+      // from dupIds, and a re-ingested doc's stale postings were
+      // removed first), so append from the in-hand batch plan instead
+      // of re-scanning the whole bucketed chunks table + semi-join
+      Search.appendPostings(spark, chunked.select($"chunk_id", $"content"),
+                            "chunk_id", "content", postingsPath.toString)
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the

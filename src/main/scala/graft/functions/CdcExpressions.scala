@@ -97,7 +97,10 @@ object CdcExpressions {
 
   case class CdcCuts(child: Expression, window: Int, divisor: Int)
       extends UnaryExpression with Serializable {
-    require(window > 0 && divisor > 0, "need positive window and divisor")
+    // divisor 1 is its own degeneracy class: hash % 1 == 0 at every
+    // position, so the cut rule is constant-true — boundaries
+    // everywhere, order-independent trivially
+    require(window > 0 && divisor > 1, "need positive window and divisor > 1")
     // The documented degeneracy constraint, ENFORCED: if B ≡ 1 (mod
     // divisor) every coefficient B^j ≡ 1, and the cut rule collapses to
     // an order-independent additive checksum (anagram windows cut

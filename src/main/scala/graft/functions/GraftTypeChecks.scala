@@ -21,8 +21,14 @@ import org.apache.spark.sql.types.DataType
   */
 object GraftTypeChecks {
 
+  // NullType is accepted everywhere: `fn(NULL)` (a literal NULL, a
+  // CASE branch that is void) evaluated to NULL through the null-safe
+  // eval path before this gate existed, and Spark's own
+  // ExpectsInputTypes functions admit it via ImplicitTypeCasts —
+  // rejecting it here would turn a working query into an analysis
+  // error.
   private def same(a: DataType, b: DataType): Boolean =
-    a.catalogString == b.catalogString
+    a.catalogString == "void" || a.catalogString == b.catalogString
 
   def expect(fn: String, actual: DataType, expected: DataType): TypeCheckResult =
     if (same(actual, expected)) TypeCheckResult.TypeCheckSuccess

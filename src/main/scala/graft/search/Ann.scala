@@ -241,15 +241,25 @@ object Ann {
     * dropped, which cannot change the argmin or its ties. One
     * broadcast-literal pass, no shuffle.
     */
-  def assignMinL2Int(df: DataFrame, ivCol: String,
-                     centroids: Seq[(Long, Seq[Long])]): DataFrame = {
-    val cells = centroids.map { case (id, c) =>
+  /** The argmin-L2² cell column over integer codewords: ¦c¦² − 2·v·c
+    * scored per codeword (the constant ¦v¦² dropped — argmin- and
+    * tie-invariant), struct array_min picking (min score, min cell).
+    * The ONE place the trainer family's tie/constant-dropping
+    * convention lives — [[assignMinL2Int]] and [[pqTrainInt]] both
+    * build on it, so they cannot drift apart from each other or from
+    * the oracle's `ORDER BY d2 ASC, cell ASC` replay.
+    */
+  private def minL2Cell(iv: Column,
+                        codewords: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(codewords.map { case (id, c) =>
       struct((lit(c.map(x => x * x).sum) -
-              lit(2L) * intDot(col(ivCol), typedLit(c))).as("score"),
+              lit(2L) * intDot(iv, typedLit(c))).as("score"),
              lit(id).as("cell"))
-    }
-    df.withColumn("cell", array_min(array(cells: _*)).getField("cell"))
-  }
+    }: _*)).getField("cell")
+
+  def assignMinL2Int(df: DataFrame, ivCol: String,
+                     centroids: Seq[(Long, Seq[Long])]): DataFrame =
+    df.withColumn("cell", minL2Cell(col(ivCol), centroids))
 
   /** EXACT-INTEGER LLOYD'S K-MEANS — the deterministic, oracle-exact
     * twin of [[ivfTrain]] (Spark ML trains in floats with k-means||
@@ -278,7 +288,9 @@ object Ann {
                    dims: Int = 64): Seq[(Long, Seq[Long])] = {
     val iv = embeddings
       .select(col(idCol).as("__id"), intVec(col(vecCol)).as("__iv"))
-      .localCheckpoint(true) // read by the seed scan + every round
+      // read by the seed scan + every round; released via Pins —
+      // Dataset.unpersist does NOT drop a localCheckpoint pin
+      .localCheckpoint(true)
     try {
       val seeds: Seq[(Long, Seq[Long])] = iv.orderBy(col("__id")).limit(k)
         .collect().toSeq.zipWithIndex
@@ -296,7 +308,7 @@ object Ann {
           }.toMap
         cents.map { case (cid, c) => (cid, upd.getOrElse(cid, c)) }
       }
-    } finally iv.unpersist(true)
+    } finally graft.io.Pins.release(iv)
   }
 
   /** PQ CODEBOOK TRAINING — per-subspace exact-integer Lloyd's, the
@@ -345,11 +357,9 @@ object Ann {
           // one argmin column per subspace, dispatched on `sub` — the
           // plan carries m·k literal codewords, the corpus one pass
           val cellCol = (0 until m).map { s =>
-            s -> array_min(array(books(s).zipWithIndex.map { case (c, cid) =>
-              struct((lit(c.map(x => x * x).sum) -
-                      lit(2L) * intDot(col("__s"), typedLit(c))).as("score"),
-                     lit(cid.toLong).as("cell"))
-            }: _*)).getField("cell")
+            s -> minL2Cell(col("__s"), books(s).zipWithIndex.map {
+              case (c, cid) => (cid.toLong, c)
+            })
           }.foldRight(lit(-1L): Column) { case ((s, c), acc) =>
             when(col("sub") === s, c).otherwise(acc)
           }
@@ -371,8 +381,8 @@ object Ann {
         (0 until k).map { cid =>
           (cid.toLong, (0 until m).flatMap(s => books(s)(cid)).toSeq)
         }
-      } finally sliced.unpersist(true)
-    } finally iv.unpersist(true)
+      } finally graft.io.Pins.release(sliced)
+    } finally graft.io.Pins.release(iv)
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest

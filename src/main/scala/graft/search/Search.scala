@@ -444,11 +444,22 @@ object Search {
     * the cost scales with the REMOVED documents' vocabulary, not the
     * corpus.
     */
+  /** True when the index directory holds no `tb=` partition at all —
+    * the state a takedown-everything [[removeFromPostings]] leaves
+    * behind (only the sidecar remains). `spark.read.parquet` cannot
+    * infer a schema from it, so maintenance and probes must treat it
+    * as "no postings", never crash.
+    */
+  private def postingsIsEmpty(path: String): Boolean =
+    !Option(new java.io.File(path).listFiles()).exists(
+      _.exists(f => f.isDirectory && f.getName.startsWith("tb=")))
+
   def removeFromPostings(spark: org.apache.spark.sql.SparkSession,
                          removals: DataFrame, idCol: String, textCol: String,
                          path: String): Unit = {
     import spark.implicits._
     val nBuckets = postingsNBuckets(path)
+    if (postingsIsEmpty(path)) return // already-empty index: no-op
     val buckets = buildPostings(removals, idCol, textCol, nBuckets)
       .select(col("tb")).distinct().as[Long].collect().sorted.toSeq
     if (buckets.isEmpty) return
@@ -483,6 +494,16 @@ object Search {
                               path: String, idCol: String,
                               phrase: String): DataFrame = {
     val nBuckets = postingsNBuckets(path)
+    if (postingsIsEmpty(path)) {
+      // an index emptied by removals matches nothing — same shape as
+      // a live probe with zero hits (doc ids are strings store-wide)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, StringType),
+                       StructField("n_occurrences", LongType, nullable = false),
+                       StructField("first_pos", LongType))))
+    }
     val terms = phraseTerms(phrase)
     val buckets = terms.distinct
       .map(t => java.lang.Long.parseLong(

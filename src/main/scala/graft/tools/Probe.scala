@@ -720,7 +720,7 @@ object Probe {
       sb ++= "Big side: 90% of rows carry ONE hot join key (null-dump /\n"
       sb ++= "bot-user / default-enum shape), the rest uniform over 10k keys;\n"
       sb ++= "small side 10k rows, broadcast DISABLED so the join must\n"
-      sb ++= "shuffle; median-of-3 on local[" + cpus + "]. naive = plain shuffle\n"
+      sb ++= "shuffle; median-of-5 on local[" + cpus + "]. naive = plain shuffle\n"
       sb ++= "join with AQE off (the hot key pins one reducer); aqe = Spark's\n"
       sb ++= "skew-join split; salted = Skew.saltedJoin (explicit 16-bucket\n"
       sb ++= "salt + small-side replication — the form that also covers the\n"

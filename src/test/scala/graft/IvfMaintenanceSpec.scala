@@ -32,16 +32,6 @@ class IvfMaintenanceSpec extends SparkSpec {
   private def mkEmb(ids: Seq[Long]) =
     ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
 
-  /** relative path -> file length, data files only */
-  private def snapshot(root: String): Map[String, Long] = {
-    val base = new java.io.File(root)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(base).filter(_.getName.startsWith("part-"))
-      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
-  }
-
   private def probeAll(path: String, ids: Seq[Long]): Seq[(Long, Long, Long)] =
     Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
                          centroids, qv, k = ids.size.max(1), nprobe = 5)

@@ -48,16 +48,6 @@ class IvfPqMaintenanceSpec extends SparkSpec {
 
   private def qv(i: Long): Seq[Long] = vec(i).map(Ann.quantizeL)
 
-  /** relative path -> file length, data files only */
-  private def snapshot(root: String): Map[String, Long] = {
-    val base = new java.io.File(root)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(base).filter(_.getName.startsWith("part-"))
-      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
-  }
-
   private def stored(path: String, q: Seq[Long], k: Int = 5,
                      nprobe: Int = 2): Seq[Seq[Any]] =
     Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",

@@ -83,16 +83,6 @@ class PhraseSearchSpec extends SparkSpec {
     assert(stored == inline && stored.size == 30)
   }
 
-  /** relative path -> file length, data files only */
-  private def snapshot(root: String): Map[String, Long] = {
-    val base = new java.io.File(root)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    walk(base).filter(_.getName.startsWith("part-"))
-      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
-  }
-
   test("removeFromPostings: removed doc stops matching, untouched tb= dirs byte-identical") {
     // doc 5 shares the probe phrase with the others but also carries a
     // UNIQUE token, so its vocabulary (and the rewritten buckets) is a
@@ -139,6 +129,29 @@ class PhraseSearchSpec extends SparkSpec {
     }
     assert(!new java.io.File(s"$dir/idx.tmp").exists &&
            after.keySet.forall(!_.contains(".trash")), "no tmp/trash leftovers")
+  }
+
+  test("an index emptied by removals keeps working: probe empty, further maintenance no-ops") {
+    // removeFromPostings can remove the LAST document, leaving only
+    // the sidecar — probes and later maintenance must treat that as
+    // "no postings", never die on schema inference over an empty dir
+    val doc = Seq((1L, "solo alpha table scan document"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_e").toString
+    Search.writePostings(doc.toDF("doc_id", "text"), "doc_id", "text",
+                         s"$dir/idx", nBuckets = 8)
+    Search.removeFromPostings(spark, doc.toDF("doc_id", "text"),
+                              "doc_id", "text", s"$dir/idx")
+    // every bucket held only doc 1 → all tb= dirs are gone
+    assert(snapshot(s"$dir/idx").isEmpty, "all buckets should be removed")
+    assert(Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                          "doc_id", "table scan").count() == 0)
+    // further removal is a no-op, and an append revives the index
+    Search.removeFromPostings(spark, doc.toDF("doc_id", "text"),
+                              "doc_id", "text", s"$dir/idx")
+    Search.appendPostings(spark, doc.toDF("doc_id", "text"),
+                          "doc_id", "text", s"$dir/idx")
+    assert(Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                          "doc_id", "table scan").count() == 1)
   }
 
   test("compactPostings: appended small files merge per bucket, probes and pruning unchanged") {

@@ -84,6 +84,17 @@ class ShingleExprSpec extends SparkSpec {
     }
   }
 
+  test("a literal NULL argument still evaluates to NULL, not an analysis error") {
+    // the type gate must not be stricter than Spark's own
+    // ExpectsInputTypes idiom, which admits NullType: fn(NULL) worked
+    // through the null-safe eval path before the gate existed
+    val rows = spark.sql(
+      "select nfc_normalize(NULL) as a, cdc_cuts(NULL, 16, 64) as b, " +
+      "shingle_md5(NULL, 3, 8) as c").collect()
+    assert(rows.head.isNullAt(0) && rows.head.isNullAt(1) &&
+           rows.head.isNullAt(2))
+  }
+
   test("degenerate CDC divisor (Base ≡ 1 mod d) fails at construction") {
     // 1000002 = 2·3·166667: divisor 2 would collapse the rolling hash
     // to an order-independent checksum — constructor must refuse
@@ -91,6 +102,9 @@ class ShingleExprSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.functions.CdcExpressions.CdcCuts(textLit, 16, 2))
     assert(e.getMessage.contains("degenerate"))
+    // divisor 1 is its own degeneracy (hash % 1 == 0 cuts everywhere)
+    intercept[IllegalArgumentException](
+      graft.functions.CdcExpressions.CdcCuts(textLit, 16, 1))
     // the shipped default stays legal
     graft.functions.CdcExpressions.CdcCuts(textLit, 16, 64)
   }

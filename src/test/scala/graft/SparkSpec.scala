@@ -13,6 +13,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   val Sf01 = "/root/testdata/sf0.01"
   override def afterAll(): Unit = () // session shared across suites
 
+  /** Byte-identity snapshot of a stored index tree: relative path →
+    * file length, data files only. Shared by the index-maintenance
+    * specs (IVF, IVF-PQ, postings) to assert untouched partitions keep
+    * their exact files across append/remove/compact.
+    */
+  protected def snapshot(root: String): Map[String, Long] = {
+    val base = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(base).filter(_.getName.startsWith("part-"))
+      .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
   /** Driver-side twin of `Dedup.hashBucket`/`splitAssign` (md5 hex
     * prefix → 80/10/10), for specs that need to know a fixture id's
     * split without running Spark.
