@@ -411,23 +411,32 @@ object Pipeline {
           SELECT cell, cv FROM $prev
           WHERE cell NOT IN (SELECT DISTINCT cell FROM asg$r))"""
 
-  /** Shared oracle prefix for q135/q136: the 1e-3 integer grid, the
-    * deterministic seed centroids (cells 0..7 = the 8 smallest
-    * vec_ids), and two Lloyd's rounds ([[kmeansRoundSql]]).
+  /** The trainer oracles' shared base CTEs: the 1e-3 integer grid and
+    * the 64-dim index table. [[KmeansCtes]], [[PqTrainCtes]] and the
+    * composed q138 prefix all start here so the grid exists ONCE.
     */
-  private lazy val KmeansCtes: String =
-    s"""WITH iv AS (
+  private lazy val TrainBaseCtes: String =
+    """iv AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
           FROM embeddings),
-        dimsq AS (SELECT unnest(generate_series(1, 64)) AS i),
-        cen0 AS (
+        dimsq AS (SELECT unnest(generate_series(1, 64)) AS i)"""
+
+  /** Coarse-trainer tail (q135/q136): deterministic seed centroids
+    * (cells 0..7 = the 8 smallest vec_ids) and two Lloyd's rounds.
+    */
+  private lazy val KmeansTailCtes: String =
+    s"""cen0 AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
                  v AS cv
           FROM (SELECT vec_id, v FROM iv ORDER BY vec_id LIMIT 8)),
         ${kmeansRoundSql(1, "cen0")},
         ${kmeansRoundSql(2, "cen1")}"""
+
+  /** Shared oracle prefix for q135/q136. */
+  private lazy val KmeansCtes: String =
+    s"WITH $TrainBaseCtes,\n        $KmeansTailCtes"
 
   /** One per-subspace Lloyd's round as oracle SQL (q137): the same
     * argmin/floor-mean/empty-keep algebra as [[kmeansRoundSql]], run
@@ -459,19 +468,13 @@ object Pipeline {
           WHERE NOT EXISTS (SELECT 1 FROM pasg$r a
                             WHERE a.sub = p.sub AND a.cell = p.cell))"""
 
-  /** Shared oracle prefix for q137: the integer grid, the exploded
-    * per-subspace slice table, per-subspace seeds (the 8 smallest
-    * vec_ids' slices), and two per-subspace Lloyd's rounds.
+  /** PQ-trainer tail (q137): the exploded per-subspace slice table,
+    * per-subspace seeds (the 8 smallest vec_ids' slices), and two
+    * per-subspace Lloyd's rounds.
     */
-  private lazy val PqTrainCtes: String =
-    s"""WITH iv AS (
-          SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
-          FROM embeddings),
-        subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+  private lazy val PqTrainTailCtes: String =
+    s"""subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
         sdim AS (SELECT unnest(generate_series(1, 8)) AS j),
-        dimsq AS (SELECT unnest(generate_series(1, 64)) AS i),
         ivs AS (
           SELECT vec_id, sub,
                  list_transform(generate_series(1, 8), j -> v[sub*8 + j]) AS s
@@ -485,6 +488,17 @@ object Pipeline {
                 WHERE vec_id IN (SELECT vec_id FROM iv ORDER BY vec_id LIMIT 8))),
         ${pqTrainRoundSql(1, "pcen0")},
         ${pqTrainRoundSql(2, "pcen1")}"""
+
+  /** Shared oracle prefix for q137. */
+  private lazy val PqTrainCtes: String =
+    s"WITH $TrainBaseCtes,\n        $PqTrainTailCtes"
+
+  /** Composed oracle prefix for q138: BOTH trainers' final tables
+    * (`cen2` coarse centroids, `pcen2` per-subspace codebooks) over
+    * one shared integer grid.
+    */
+  private lazy val TrainedStackCtes: String =
+    s"WITH $TrainBaseCtes,\n        $KmeansTailCtes,\n        $PqTrainTailCtes"
 
   /** Shared oracle CTE prefix for the PQ queries (q78/q79): q48's
     * integer floor-mean centroids, then per-(vector, subspace) exact
@@ -1189,6 +1203,25 @@ object Pipeline {
       books.flatMap { case (cell, cv) =>
         cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
       }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
+    }),
+
+    // THE TRAINED STACK END TO END: q80's prune → ADC → exact-re-rank
+    // read path, but with the coarse quantizer from the q135 trainer
+    // and the PQ codebooks from the q137 trainer instead of label
+    // stand-ins — the whole ANN serving path is now TRAINED from the
+    // corpus and still bit-exactly replayed by the oracle (both
+    // trainers' rounds plus the search chained in one SQL statement).
+    "q138_trained_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 8, rounds = 2)
+      val books = Ann.pqTrainInt(e, "vec_id", "embedding", k = 8, rounds = 2)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(Ann.quantizeL)
+      val indexed = Ann.pqEncodeInt(
+        Ann.ivfAssignInt(e, "embedding", cents), "vec_id", "embedding", books)
+      Ann.ivfPqTopK(indexed, "vec_id", "embedding", cents, books, qv,
+                    k = 10, nprobe = 2, rerankFactor = 3)
+        .orderBy(col("d2"), col("vec_id"))
     }),
 
     // SEMANTIC near-dup with LEARNED blocking: q30 blocks on a metadata
@@ -3536,6 +3569,63 @@ object Pipeline {
           FROM pcen2 t, dimsq q
           WHERE t.sub = (q.i-1) // 8
           ORDER BY cell, d""",
+
+    // q138: q80's prune→ADC→re-rank replay, with cen2/pcen2 (both
+    // trainers' final tables) in place of the label-mean centroid CTE.
+    // Conventions per stage: coarse assignment & cell ranking = max
+    // dot, ties to the HIGHER cell (ivfAssignInt/rankCells); PQ encode
+    // = min L2², ties to the SMALLER codeword; ADC cut and re-rank
+    // ascending with vec_id tie-break.
+    "q138_trained_search" ->
+      s"""$TrainedStackCtes,
+          encd AS (
+            SELECT i.vec_id, i.sub, c.cell,
+                   row_number() OVER (PARTITION BY i.vec_id, i.sub ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 8),
+                       j -> (i.s[j]-c.cv[j])*(i.s[j]-c.cv[j]))) AS BIGINT) ASC,
+                     c.cell ASC) AS rn
+            FROM ivs i JOIN pcen2 c ON c.sub = i.sub),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT iv.vec_id, t.cell,
+                     row_number() OVER (PARTITION BY iv.vec_id ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> iv.v[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                       AS arn
+              FROM iv CROSS JOIN cen2 t)
+            WHERE arn = 1),
+          q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+          rankedc AS (
+            SELECT t.cell,
+                   row_number() OVER (ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                     AS rk
+            FROM cen2 t, q),
+          probes AS (SELECT cell FROM rankedc WHERE rk <= 2),
+          dq AS (
+            SELECT c.sub, c.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                     j -> (q.qv[c.sub*8 + j] - c.cv[j])
+                          * (q.qv[c.sub*8 + j] - c.cv[j]))) AS BIGINT) AS d2
+            FROM pcen2 c, q),
+          adc AS (
+            SELECT b.vec_id, CAST(sum(dq.d2) AS BIGINT) AS adc
+            FROM encd b
+            JOIN dq ON dq.sub = b.sub AND dq.cell = b.cell
+            JOIN asg a ON a.vec_id = b.vec_id
+            JOIN probes p ON a.cell = p.cell
+            WHERE b.rn = 1
+            GROUP BY b.vec_id),
+          cut AS (SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id LIMIT 30)
+          SELECT c.vec_id, a.cell, c.adc,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (iv.v[i] - q.qv[i]) * (iv.v[i] - q.qv[i]))) AS BIGINT)
+                   AS d2
+          FROM cut c
+          JOIN iv ON iv.vec_id = c.vec_id
+          JOIN asg a ON a.vec_id = c.vec_id, q
+          ORDER BY d2 ASC, c.vec_id LIMIT 10""",
 
     "q21_chunk_fixed" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,

@@ -218,4 +218,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9,
            f"composed prune->ADC->re-rank recall $recall%.2f under the 0.9 floor")
   }
+
+  test("TRAINED stack (q138 config): kmeans centroids + PQ codebooks hold the 0.9 recall floor") {
+    // same clustered corpus as the stored test, but the quantizers are
+    // TRAINED (kmeansFitInt / pqTrainInt) instead of handed the group
+    // means — the measured claim behind q138: a corpus-trained
+    // IVF-PQ read path serves with the same recall as the oracle-mean
+    // construction
+    val dims = 64
+    val cvecs: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+      (i, (0 until dims).map(d =>
+        ((i % 5).toFloat - 2f) * ((d % 7) + 1) / 10f + i.toFloat / 1000f))
+    }
+    val cemb = cvecs.toDF("vec_id", "embedding")
+    val cents = Ann.kmeansFitInt(cemb, "vec_id", "embedding", k = 5, rounds = 2)
+    val books = Ann.pqTrainInt(cemb, "vec_id", "embedding", k = 5, rounds = 2)
+    val indexed = Ann.pqEncodeInt(
+        Ann.ivfAssignInt(cemb, "embedding", cents),
+        "vec_id", "embedding", books)
+      .localCheckpoint(true) // probed NQueries times
+    try {
+      val xs = cvecs.map { case (id, v) => id -> v.map(Ann.quantizeL).toSeq }
+      val per = (0 until 10).map { qi =>
+        val qIv = xs(qi)._2
+        val exactTop = xs.map { case (id, x) =>
+          (x.zip(qIv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }.sorted.take(K).map(_._2).toSet
+        val got = Ann.ivfPqTopK(indexed, "vec_id", "embedding", cents, books,
+                                qIv, k = K, nprobe = 2, rerankFactor = 3)
+          .select(col("vec_id")).as[Long].collect().toSet
+        got.intersect(exactTop).size.toDouble / K
+      }
+      val recall = per.sum / per.size
+      info(f"trained-stack recall@$K=$recall%.2f (kmeansFitInt + pqTrainInt)")
+      assert(recall >= 0.9,
+             f"trained quantizers recall $recall%.2f under the 0.9 floor")
+    } finally graft.io.Pins.release(indexed)
+  }
 }
