@@ -500,6 +500,38 @@ object Pipeline {
   private lazy val TrainedStackCtes: String =
     s"WITH $TrainBaseCtes,\n        $KmeansTailCtes,\n        $PqTrainTailCtes"
 
+  private def fpL2(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+    s"d -> ($a[d]-$b[d])*($a[d]-$b[d]))) AS BIGINT)"
+
+  /** Farthest-point seed stage `i` (q139): seed 1 = the smallest id's
+    * vector; seed i = argmax over the corpus of the MIN full L2² to
+    * seeds 1..i−1 (each a 1-row CTE cross-joined in), ties to the
+    * smallest id — [[graft.search.Ann.farthestPointSeeds]] replayed.
+    */
+  private def fpSeedCte(i: Int): String =
+    if (i == 1)
+      "fs1 AS (SELECT v AS cv FROM (SELECT v, vec_id FROM iv ORDER BY vec_id LIMIT 1))"
+    else {
+      val joins = (1 until i).map(j => s" CROSS JOIN fs$j f$j").mkString
+      val dists = (1 until i).map(j => fpL2("iv.v", s"f$j.cv")).mkString(", ")
+      s"""fs$i AS (
+            SELECT v AS cv FROM (
+              SELECT iv.v, iv.vec_id, least($dists) AS md
+              FROM iv$joins
+              ORDER BY md DESC, iv.vec_id ASC LIMIT 1))"""
+    }
+
+  /** q139's seed CTEs: 8 farthest-point stages folded into a `cen0fp`
+    * seed-centroid table, then the same two Lloyd's rounds as q135.
+    */
+  private lazy val FpSeedCtes: String =
+    ((1 to 8).map(fpSeedCte) :+
+     ("cen0fp AS (" + (1 to 8).map(i =>
+        s"SELECT CAST(${i - 1} AS BIGINT) AS cell, cv FROM fs$i")
+        .mkString(" UNION ALL ") + ")"))
+      .mkString(",\n        ")
+
   /** Shared oracle CTE prefix for the PQ queries (q78/q79): q48's
     * integer floor-mean centroids, then per-(vector, subspace) exact
     * L2 to every codeword, ranked ascending (the argmin; ties to the
@@ -1201,6 +1233,21 @@ object Pipeline {
                                  "embedding", k = 8, rounds = 2)
       import s.implicits._
       books.flatMap { case (cell, cv) =>
+        cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
+      }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
+    }),
+
+    // K-MEANS WITH FARTHEST-POINT SEEDING (greedy k-center): q135's
+    // trainer but seeded by max-min-distance instead of id order — the
+    // spread guarantee for geometry-correlated ingest orders (same
+    // crawl/shard arriving together), still fully deterministic and
+    // oracle-replayed (8 unrolled argmax stages + the same 2 rounds).
+    "q139_kmeans_fp_train" -> ((s, dir) => {
+      val cents = Ann.kmeansFitInt(t(s, dir, "embeddings"), "vec_id",
+                                   "embedding", k = 8, rounds = 2,
+                                   seedFn = Ann.farthestPointSeeds)
+      import s.implicits._
+      cents.flatMap { case (cell, cv) =>
         cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
       }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
     }),
@@ -3568,6 +3615,17 @@ object Pipeline {
                  t.cv[CAST((q.i-1) % 8 AS INT) + 1] AS c
           FROM pcen2 t, dimsq q
           WHERE t.sub = (q.i-1) // 8
+          ORDER BY cell, d""",
+
+    // q139: the farthest-point seed stages replayed, then the same two
+    // Lloyd's rounds as q135 over the fp seed table.
+    "q139_kmeans_fp_train" ->
+      s"""WITH $TrainBaseCtes,
+          $FpSeedCtes,
+          ${kmeansRoundSql(1, "cen0fp")},
+          ${kmeansRoundSql(2, "cen1")}
+          SELECT t.cell, CAST(q.i AS BIGINT) AS d, t.cv[q.i] AS c
+          FROM cen2 t, dimsq q
           ORDER BY cell, d""",
 
     // q138: q80's prune→ADC→re-rank replay, with cen2/pcen2 (both

@@ -268,8 +268,10 @@ object Ann {
     * TRAINER itself on the verified surface:
     *
     *  - vectors on the 1e-3 integer grid ([[intVec]]);
-    *  - seeds = the vectors with the `k` smallest ids, cells 0..k−1 in
-    *    that order — deterministic, no RNG;
+    *  - seeds via `seedFn` — [[idOrderSeeds]] (default: the `k`
+    *    smallest ids' vectors) or [[farthestPointSeeds]] (greedy
+    *    k-center for geometry-correlated id orders); both
+    *    deterministic, no RNG;
     *  - E-step = [[assignMinL2Int]] (exact-integer L2², ties to the
     *    smallest cell);
     *  - M-step = per-dimension floorDiv mean of the members (the q48
@@ -284,17 +286,16 @@ object Ann {
     * the IVF build the centroids feed.
     */
   def kmeansFitInt(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, rounds: Int = 2,
-                   dims: Int = 64): Seq[(Long, Seq[Long])] = {
+                   k: Int, rounds: Int = 2, dims: Int = 64,
+                   seedFn: (DataFrame, Int) => Seq[(Long, Seq[Long])] =
+                     idOrderSeeds): Seq[(Long, Seq[Long])] = {
     val iv = embeddings
       .select(col(idCol).as("__id"), intVec(col(vecCol)).as("__iv"))
       // read by the seed scan + every round; released via Pins —
       // Dataset.unpersist does NOT drop a localCheckpoint pin
       .localCheckpoint(true)
     try {
-      val seeds: Seq[(Long, Seq[Long])] = iv.orderBy(col("__id")).limit(k)
-        .collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toSeq) }
+      val seeds = seedFn(iv, k)
       require(seeds.size == k, s"need at least k=$k vectors, got ${seeds.size}")
       (0 until rounds).foldLeft(seeds) { (cents, _) =>
         val upd = assignMinL2Int(iv, "__iv", cents)
@@ -309,6 +310,49 @@ object Ann {
         cents.map { case (cid, c) => (cid, upd.getOrElse(cid, c)) }
       }
     } finally graft.io.Pins.release(iv)
+  }
+
+  /** Default seeding: the `k` smallest ids' vectors, cells 0..k−1 in
+    * id order. One TakeOrderedAndProject scan — cheap, deterministic,
+    * and fine when ids are uncorrelated with geometry.
+    */
+  def idOrderSeeds(iv: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
+    iv.orderBy(col("__id")).limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toSeq) }
+
+  /** FARTHEST-POINT seeding (greedy k-center, the deterministic spread
+    * guarantee id-order seeding lacks): seed 0 = the smallest id's
+    * vector; each next seed = the vector maximizing its min exact
+    * integer L2² to the seeds chosen so far, ties to the smallest id.
+    * When the first k ids happen to sit in ONE cluster (ingest order
+    * is rarely geometry-free: same crawl, same shard), id-order
+    * seeding starts Lloyd's with every centroid in that cluster and a
+    * fixed round budget may never split the rest; farthest-point
+    * provably touches every well-separated cluster before revisiting
+    * any. Cost: k−1 extra corpus passes (each an argmax over a
+    * broadcast-literal min-distance column — no shuffle beyond the
+    * 1-row TakeOrdered), paid once at build time.
+    */
+  def farthestPointSeeds(iv: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    val first = iv.orderBy(col("__id")).limit(1).collect().toSeq
+      .map(r => r.getSeq[Long](1).toSeq)
+    require(first.nonEmpty, "need at least one vector to seed")
+    val chosen = scala.collection.mutable.ArrayBuffer[Seq[Long]](first.head)
+    while (chosen.size < k) {
+      // min-distance to chosen seeds needs the FULL L2² (¦v¦² varies
+      // across candidates here, unlike the per-row argmin)
+      val minD = chosen.map { c =>
+        intDot(col("__iv"), col("__iv")) -
+          lit(2L) * intDot(col("__iv"), typedLit(c)) +
+          lit(c.map(x => x * x).sum)
+      }.reduce((a, b) => least(a, b))
+      val next = iv.select(col("__id"), col("__iv"), minD.as("__d"))
+        .orderBy(col("__d").desc, col("__id").asc)
+        .limit(1).collect().head.getSeq[Long](1).toSeq
+      chosen += next
+    }
+    chosen.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
   }
 
   /** PQ CODEBOOK TRAINING — per-subspace exact-integer Lloyd's, the

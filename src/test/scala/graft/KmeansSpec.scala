@@ -98,6 +98,44 @@ class KmeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("farthest-point seeds touch every well-separated cluster before revisiting any") {
+    // 4 clusters at (±1, ±1); ids 0..4 all in cluster (+,+) — the
+    // adversarial ingest order where id-order seeding piles every seed
+    // into one cluster
+    val pts = (0 until 20).map { i =>
+      val cl = if (i < 5) 0 else (i - 5) / 5 + 1
+      val (sx, sy) = Seq((1, 1), (1, -1), (-1, 1), (-1, -1))(cl)
+      (i.toLong, vec(sx * 1.0 + i * 0.01, sy * 1.0 + i * 0.013))
+    }
+    val iv = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id").as("__id"),
+              Ann.intVec(col("embedding")).as("__iv"))
+    val seeds = Ann.farthestPointSeeds(iv, 4)
+    val signs = seeds.map { case (_, v) => (v(0) > 0, v(1) > 0) }.toSet
+    assert(signs.size == 4, s"one seed per cluster expected: $seeds")
+  }
+
+  test("farthest-point seeding beats id-order seeding on an adversarial id layout") {
+    def inertia(vecs: Seq[Seq[Long]], cents: Seq[(Long, Seq[Long])]): Long =
+      vecs.map(v => cents.map { case (_, c) =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.min).sum
+    val pts = (0 until 20).map { i =>
+      val cl = if (i < 5) 0 else (i - 5) / 5 + 1
+      val (sx, sy) = Seq((1, 1), (1, -1), (-1, 1), (-1, -1))(cl)
+      (i.toLong, vec(sx * 1.0 + i * 0.01, sy * 1.0 + i * 0.013))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val ivs = pts.map(_._2.map(Ann.quantizeL).toSeq)
+    val idc = Ann.kmeansFitInt(df, "vec_id", "embedding", k = 4, rounds = 2)
+    val fpc = Ann.kmeansFitInt(df, "vec_id", "embedding", k = 4, rounds = 2,
+                               seedFn = Ann.farthestPointSeeds)
+    val (fi, ii) = (inertia(ivs, fpc), inertia(ivs, idc))
+    info(s"inertia: farthest-point=$fi id-order=$ii")
+    assert(fi < ii,
+      s"fp seeding must beat the one-cluster id layout: fp=$fi id=$ii")
+  }
+
   test("assignMinL2Int matches a brute-force integer L2 argmin on real data") {
     val e = spark.read.parquet(s"$Sf001/embeddings.parquet").limit(100)
     val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 4, rounds = 2)
