@@ -368,7 +368,7 @@ object Probe {
   }
 
   case class LearnScalePoint(factor: Int, nRows: Long, tStump: Double,
-                             tReg: Double, tBoost: Double)
+                             tReg: Double, tBoost: Double, tKmeans: Double)
 
   /** Scale curve for the training tier: synthetic rows with a planted
     * split (label flips at a = 50, y steps with a), histogram widths
@@ -402,9 +402,19 @@ object Probe {
         Learn.boostStumps(df, Seq("a", "b"), "y", rounds = 2,
                           gainScale = 1000L).count()
       }
+      // the k-means trainer joins the family: per round ONE corpus
+      // pass (broadcast-literal argmin) + a k-row shuffle — timed on
+      // the clustered synthetic embeddings at the same row counts
+      val emb = syntheticEmbeddings(spark, n).localCheckpoint(true)
+      val (tKmeans, _) = med {
+        graft.search.Ann.kmeansFitInt(emb, "vec_id", "embedding",
+                                      k = 8, rounds = 2)
+        n
+      }
+      emb.unpersist(true)
       df.unpersist(true)
       graft.io.Pins.sweepAll(spark)
-      LearnScalePoint(fac, n, tStump, tReg, tBoost)
+      LearnScalePoint(fac, n, tStump, tReg, tBoost, tKmeans)
     }
   }
 
@@ -621,16 +631,22 @@ object Probe {
       sb ++= "# PROBE — training-tier scale curve\n\n"
       sb ++= "Synthetic rows with a planted split (label flips at a = 50), 97/13\n"
       sb ++= "distinct feature values so histogram width is FIXED while rows\n"
-      sb ++= "grow; median-of-3 on local[" + cpus + "]. Cost claim under test: one\n"
-      sb ++= "map-side corpus pass + histogram-bounded tail work per trainer.\n\n"
-      sb ++= "| factor | rows | stump s | reg stump s | boost(2) s |\n"
-      sb ++= "|---|---|---|---|---|\n"
+      sb ++= "grow; median-of-3 on local[" + cpus + "]. Cost claims under test:\n"
+      sb ++= "stumps/boosting = one map-side corpus pass + histogram-bounded\n"
+      sb ++= "tail work (expected near-FLAT here — the histogram dominates at\n"
+      sb ++= "these sizes); the k-means fit (8 centroids, 2 rounds, 64-dim\n"
+      sb ++= "clustered embeddings at the same row counts) is per-row argmin\n"
+      sb ++= "work and must scale LINEARLY in rows — super-linear would mean a\n"
+      sb ++= "join or re-evaluation crept into the round loop.\n\n"
+      sb ++= "| factor | rows | stump s | reg stump s | boost(2) s | kmeans(2) s |\n"
+      sb ++= "|---|---|---|---|---|---|\n"
       pts.foreach { p =>
-        sb ++= f"| ${p.factor}%d× | ${p.nRows} | ${p.tStump}%.2f | ${p.tReg}%.2f | ${p.tBoost}%.2f |%n"
+        sb ++= f"| ${p.factor}%d× | ${p.nRows} | ${p.tStump}%.2f | ${p.tReg}%.2f | ${p.tBoost}%.2f | ${p.tKmeans}%.2f |%n"
       }
       val a = pts.head; val z = pts.last
       sb ++= f"%n${z.nRows.toDouble / a.nRows}%.0f× rows → stump ${z.tStump / a.tStump}%.1f×, "
-      sb ++= f"reg ${z.tReg / a.tReg}%.1f×, boost ${z.tBoost / a.tBoost}%.1f× time.%n"
+      sb ++= f"reg ${z.tReg / a.tReg}%.1f×, boost ${z.tBoost / a.tBoost}%.1f×, "
+      sb ++= f"kmeans ${z.tKmeans / a.tKmeans}%.1f× time.%n"
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE_LEARN.md"), sb.toString)

@@ -104,7 +104,8 @@ class ScaleCurveSpec extends SparkSpec {
     // the generous stage-overhead-padded bound
     for ((label, t1, t100) <- Seq(("stump", a.tStump, z.tStump),
                                   ("reg_stump", a.tReg, z.tReg),
-                                  ("boost2", a.tBoost, z.tBoost)))
+                                  ("boost2", a.tBoost, z.tBoost),
+                                  ("kmeans2", a.tKmeans, z.tKmeans)))
       assert(t100 <= 150 * t1 + 5.0,
              s"$label: ${t1}s at 1x -> ${t100}s at 100x exceeds the linearity bound")
   }
