@@ -388,12 +388,13 @@ object Pipeline {
     * cells keeping their previous centroid (the UNION branch). Mirrors
     * [[graft.search.Ann.kmeansFitInt]] step for step.
     */
-  private def kmeansRoundSql(r: Int, prev: String): String =
+  private def kmeansRoundSql(r: Int, prev: String,
+                             src: String = "iv"): String =
     s"""dist$r AS (
           SELECT iv.vec_id, iv.v, c.cell,
                  CAST(list_sum(list_transform(generate_series(1, 64),
                    i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS d2
-          FROM iv CROSS JOIN $prev c),
+          FROM $src iv CROSS JOIN $prev c),
         asg$r AS (
           SELECT vec_id, v, cell FROM (
             SELECT vec_id, v, cell,
@@ -1235,6 +1236,25 @@ object Pipeline {
       books.flatMap { case (cell, cv) =>
         cv.zipWithIndex.map { case (v, i) => (cell, (i + 1).toLong, v) }
       }.toDF("cell", "d", "c").orderBy(col("cell"), col("d"))
+    }),
+
+    // SAMPLE-TRAIN / FULL-ASSIGN: the actual 100 TB k-means recipe —
+    // train the quantizer on a deterministic hash sample (q22's md5
+    // bucket, here the <50 half), then assign the WHOLE corpus under
+    // the sampled centroids. Training cost scales with the sample,
+    // assignment stays the one-pass broadcast argmin; the oracle
+    // replays both halves (the sample predicate is the same md5
+    // algebra as the split assigner's).
+    "q140_kmeans_sampled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sample = e.filter(
+        graft.dedup.Dedup.hashBucket(col("vec_id"), 100) < 50)
+      val cents = Ann.kmeansFitInt(sample, "vec_id", "embedding",
+                                   k = 8, rounds = 2)
+      Ann.assignMinL2Int(
+          e.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cell"))
     }),
 
     // K-MEANS WITH FARTHEST-POINT SEEDING (greedy k-center): q135's
@@ -3616,6 +3636,25 @@ object Pipeline {
           FROM pcen2 t, dimsq q
           WHERE t.sub = (q.i-1) // 8
           ORDER BY cell, d""",
+
+    // q140: train over the md5-bucket <50 sample (ivt), then one full
+    // E-step over the WHOLE grid — kmeansRoundSql(3, …, src = "iv").
+    "q140_kmeans_sampled" ->
+      s"""WITH $TrainBaseCtes,
+          ivt AS (
+            SELECT vec_id, v FROM iv
+            WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 < 50),
+          cen0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM ivt ORDER BY vec_id LIMIT 8)),
+          ${kmeansRoundSql(1, "cen0", "ivt")},
+          ${kmeansRoundSql(2, "cen1", "ivt")},
+          ${kmeansRoundSql(3, "cen2", "iv")}
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM asg3 GROUP BY cell ORDER BY cell""",
 
     // q139: the farthest-point seed stages replayed, then the same two
     // Lloyd's rounds as q135 over the fp seed table.
