@@ -140,7 +140,12 @@ object Main {
                   streaming: Boolean = false): IngestReport = {
     import spark.implicits._
 
-    val docs = docsIn.cache()
+    // One row per doc_id: the same file delivered twice in one batch
+    // (same bytes + filename under two paths → one id; rows identical
+    // since `now` is batch-constant) is ONE upload. Without this the
+    // keep-one window sees the id twice and flags one row !keep — the
+    // doc lands in dupIds and prunes ITS OWN chunks from the commit.
+    val docs = docsIn.dropDuplicates("doc_id").cache()
     // storage snapshot: everything pinned after this point (the dedup
     // clustering's per-round label tables) is this run's scratch and is
     // freed before returning — a long-lived session must not accumulate
@@ -259,9 +264,14 @@ object Main {
       // the rows the commit above just wrote (kept docs are disjoint
       // from dupIds, and a re-ingested doc's stale postings were
       // removed first), so append from the in-hand batch plan instead
-      // of re-scanning the whole bucketed chunks table + semi-join
-      Search.appendPostings(spark, chunked.select($"chunk_id", $"content"),
-                            "chunk_id", "content", postingsPath.toString)
+      // of re-scanning the whole bucketed chunks table + semi-join.
+      // dropDuplicates matches the commit's per-chunk_id upsert: a doc
+      // delivered twice IN ONE BATCH (same bytes+filename → one
+      // doc_id) collapses to one store row, and its postings must not
+      // append twice either
+      Search.appendPostings(spark,
+        chunked.select($"chunk_id", $"content").dropDuplicates("chunk_id"),
+        "chunk_id", "content", postingsPath.toString)
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the

@@ -335,9 +335,13 @@ object Ann {
     * 1-row TakeOrdered), paid once at build time.
     */
   def farthestPointSeeds(iv: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    // same contract as idOrderSeeds: fewer than k VECTORS fails loudly
+    // (without this, the argmax loop would silently return repeats of
+    // existing seeds once every min-distance is 0)
+    val n = iv.count()
+    require(n >= k, s"need at least k=$k vectors, got $n")
     val first = iv.orderBy(col("__id")).limit(1).collect().toSeq
       .map(r => r.getSeq[Long](1).toSeq)
-    require(first.nonEmpty, "need at least one vector to seed")
     val chosen = scala.collection.mutable.ArrayBuffer[Seq[Long]](first.head)
     while (chosen.size < k) {
       // min-distance to chosen seeds needs the FULL L2² (¦v¦² varies

@@ -391,9 +391,14 @@ object Search {
                     path: String, nBuckets: Int = 64): Unit = {
     buildPostings(df, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    // idTypeDdl: the id column's type travels with the index so a
+    // probe over an EMPTIED index (all buckets removed — no parquet
+    // footer left to infer from) still returns the schema every
+    // non-empty probe had
     java.nio.file.Files.write(
       new java.io.File(path, "_graft_postings_meta.json").toPath,
-      s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
+      s"""{"nBuckets": $nBuckets, "idTypeDdl": "${df.schema(idCol).dataType.sql}"}"""
+        .getBytes("UTF-8"))
   }
 
   /** Read the bucket count a stored postings index was written with —
@@ -444,6 +449,20 @@ object Search {
     * the cost scales with the REMOVED documents' vocabulary, not the
     * corpus.
     */
+  /** The id type the index was written with, from the sidecar's
+    * `idTypeDdl` field — None for indexes written before the field
+    * existed.
+    */
+  private def postingsIdType(path: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    val metaFile = new java.io.File(path, "_graft_postings_meta.json")
+    if (!metaFile.exists()) return None
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+    """"idTypeDdl"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta)
+      .map(m => org.apache.spark.sql.types.DataType.fromDDL(m.group(1)))
+  }
+
   /** True when the index directory holds no `tb=` partition at all —
     * the state a takedown-everything [[removeFromPostings]] leaves
     * behind (only the sidecar remains). `spark.read.parquet` cannot
@@ -495,12 +514,15 @@ object Search {
                               phrase: String): DataFrame = {
     val nBuckets = postingsNBuckets(path)
     if (postingsIsEmpty(path)) {
-      // an index emptied by removals matches nothing — same shape as
-      // a live probe with zero hits (doc ids are strings store-wide)
+      // an index emptied by removals matches nothing — same shape as a
+      // live probe with zero hits, INCLUDING the id type, which the
+      // sidecar records (no parquet footer is left to infer it from);
+      // indexes written before the field default to string
       import org.apache.spark.sql.types._
+      val idType = postingsIdType(path).getOrElse(StringType)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, StringType),
+        StructType(Seq(StructField(idCol, idType),
                        StructField("n_occurrences", LongType, nullable = false),
                        StructField("first_pos", LongType))))
     }

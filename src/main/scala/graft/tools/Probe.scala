@@ -411,7 +411,7 @@ object Probe {
                                       k = 8, rounds = 2)
         n
       }
-      emb.unpersist(true)
+      graft.io.Pins.release(emb) // Dataset.unpersist won't drop this pin
       df.unpersist(true)
       graft.io.Pins.sweepAll(spark)
       LearnScalePoint(fac, n, tStump, tReg, tBoost, tKmeans)

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Pdf
+import graft.search.Search
 
 /** End-to-end driver program (cli/main.py + api/routes/documents.py
   * contract): ingest a directory → ledgered store → status → search,
@@ -300,6 +301,41 @@ class E2eMainSpec extends SparkSpec {
                    Timestamp.from(now.toInstant.plusMillis(10)))
     assert(phraseHits() == hits2,
            "re-ingest must not duplicate postings")
+  }
+
+  test("a doc delivered TWICE in one batch appends its postings once, like the store upsert") {
+    import graft.ingest.Ingest
+    // same bytes + same filename under two paths → ONE doc_id, two
+    // batch rows; the chunks commit collapses them (per-chunk_id
+    // upsert) and the postings append must match, not double-count
+    val in = Files.createTempDirectory("graft_dupbatch_in").toFile
+    val store = Files.createTempDirectory("graft_dupbatch_store").toString
+    Files.write(new java.io.File(in, "seed.md").toPath,
+      "unrelated seed document about cooking pasta".getBytes("UTF-8"))
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store, nBuckets = 16)
+
+    val content = "vector quantization codebook training pipeline notes"
+    val batch = Ingest.convertDocuments(Ingest.toDocuments(
+      Seq(("/a/dup.md", content.getBytes("UTF-8")),
+          ("/b/dup.md", content.getBytes("UTF-8"))).toDF("path", "content"),
+      lit(Timestamp.from(now.toInstant.plusMillis(5)))))
+    Main.ingestBatch(spark, batch, store, "nomic",
+                     Timestamp.from(now.toInstant.plusMillis(5)))
+
+    val stored = Search.phraseOccurrencesStored(
+        spark, s"$store/postings.idx", "chunk_id", "codebook training")
+      .orderBy("chunk_id")
+      .as[(String, Long, Long)].collect().toSeq
+    val inline = Search.phraseOccurrences(
+        spark.read.parquet(s"$store/chunks.parquet")
+          .select($"chunk_id", $"content"),
+        "chunk_id", "content", "codebook training")
+      .orderBy("chunk_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stored.nonEmpty, "the duplicated doc's phrase must match")
+    assert(stored == inline,
+           s"index must mirror the committed chunks exactly: $stored vs $inline")
   }
 
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {

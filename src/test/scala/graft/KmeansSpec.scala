@@ -64,6 +64,12 @@ class KmeansSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 11, rounds = 1))
     assert(e.getMessage.contains("need at least"))
+    // the farthest-point seeder holds the same contract — without its
+    // own guard the argmax loop would silently return repeated seeds
+    val e2 = intercept[IllegalArgumentException](
+      Ann.kmeansFitInt(rows, "vec_id", "embedding", k = 11, rounds = 1,
+                       seedFn = Ann.farthestPointSeeds))
+    assert(e2.getMessage.contains("need at least"))
   }
 
   test("pqTrainInt: planted subspace clusters land on exact slice means, zeros stay zero") {

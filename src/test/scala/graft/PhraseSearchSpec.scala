@@ -143,8 +143,14 @@ class PhraseSearchSpec extends SparkSpec {
                               "doc_id", "text", s"$dir/idx")
     // every bucket held only doc 1 → all tb= dirs are gone
     assert(snapshot(s"$dir/idx").isEmpty, "all buckets should be removed")
-    assert(Search.phraseOccurrencesStored(spark, s"$dir/idx",
-                                          "doc_id", "table scan").count() == 0)
+    val emptyProbe = Search.phraseOccurrencesStored(spark, s"$dir/idx",
+                                                    "doc_id", "table scan")
+    assert(emptyProbe.count() == 0)
+    // the empty result keeps the WRITTEN id type (sidecar-recorded) —
+    // a string fallback would break unions/joins with live results
+    assert(emptyProbe.schema("doc_id").dataType ==
+             org.apache.spark.sql.types.LongType,
+           emptyProbe.schema.toString)
     // further removal is a no-op, and an append revives the index
     Search.removeFromPostings(spark, doc.toDF("doc_id", "text"),
                               "doc_id", "text", s"$dir/idx")
