@@ -572,6 +572,57 @@ object Ann {
     graft.io.Tables.replacePartitions(spark, path, "cell", cells, kept)
   }
 
+  /** HOT-CELL SPLIT — the load-balance maintenance a growing index
+    * eventually needs: a cell that accumulated a disproportionate
+    * share of rows (skewed inserts, drifting data) makes every probe
+    * that ranks it scan too much, and nlist is frozen into the layout.
+    * Split the one cell IN PLACE: train k=2 sub-centroids on the
+    * cell's own members ([[kmeansFitInt]] — deterministic, no RNG),
+    * give the children FRESH cell ids (max existing + 1/+2 — an id is
+    * never reused, or rows appended later under the old meaning would
+    * silently alias), re-assign only this cell's rows between the two
+    * children under the index's own convention ([[ivfAssignInt]]),
+    * and swap just that one directory through the shared per-partition
+    * aside-rename. Every other cell keeps its exact files; all
+    * non-assignment columns (the PQ codes of an IVF-PQ index
+    * included) ride along untouched, so the same maintenance serves
+    * both index forms. Cost scales with the ONE cell, not the index.
+    *
+    * Returns the updated centroid list probes must use from now on
+    * (split id removed, children appended) — centroids are
+    * caller-owned state, the same contract as every stored probe. A
+    * cell with fewer than 2 rows cannot split and fails loudly
+    * (kmeansFitInt's k-vectors guard). Single-writer, quiesced-probe
+    * assumptions as [[ivfRemoveFromIndex]].
+    */
+  def ivfSplitCell(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centroids: Seq[(Long, Seq[Long])], cell: Long,
+                   idCol: String, vecCol: String,
+                   rounds: Int = 2): Seq[(Long, Seq[Long])] = {
+    require(centroids.exists(_._1 == cell), s"unknown cell $cell")
+    // pin: training + re-assignment read the members repeatedly, and
+    // the swap must never re-read the live directory it is replacing
+    val members = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell") === cell)
+      .localCheckpoint(true)
+    try {
+      val sub = kmeansFitInt(members, idCol, vecCol, k = 2, rounds = rounds)
+      val base = centroids.map(_._1).max
+      val children = sub.zipWithIndex.map { case ((_, cv), i) =>
+        (base + 1 + i, cv)
+      }
+      val reassigned = ivfAssignInt(members.drop("cell", "cdot"),
+                                    vecCol, children)
+      // the swap list names the split cell AND both children:
+      // replacePartitions moves exactly the listed partitions (the
+      // split dir to trash, each child from the tmp write into place)
+      graft.io.Tables.replacePartitions(spark, path, "cell",
+        cell +: children.map(_._1), reassigned)
+      centroids.filterNot(_._1 == cell) ++ children
+    } finally graft.io.Pins.release(members)
+  }
+
   /** INCREMENTAL index maintenance, compaction side: many
     * [[ivfAppendIndex]] batches leave each cell directory with one
     * small file per append — the classic small-files tax on every

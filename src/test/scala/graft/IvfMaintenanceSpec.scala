@@ -126,6 +126,56 @@ class IvfMaintenanceSpec extends SparkSpec {
            "pruning must survive compaction: " + plan.take(3000))
   }
 
+  test("hot-cell split: fresh child ids, one dir swapped, exact results preserved") {
+    // cell 4 (the max-dot winner for vec(i%5==4)) gets split in two;
+    // probes under the RETURNED centroid list must keep answering
+    // exactly (the full-scan nprobe covers every cell, so the result
+    // set must be byte-for-byte the pre-split one)
+    val path = Files.createTempDirectory("graft_ivf_split").toString + "/index"
+    val ids = 0L until 40L
+    // jittered fixture: cell 4's members form TWO ANGULARLY distinct
+    // subgroups (dim0 ± 0.3 — a collinear magnitude jitter would not
+    // split under max-dot assignment, and the shared vec() gives every
+    // member an identical vector, which cannot split at all)
+    def jvec(i: Long): Seq[Float] =
+      (0 until dims).map { d =>
+        val base = ((i % 5).toFloat - 2f) * (d + 1) / 10f
+        if (d == 0) base + (if (i % 10 < 5) 0.3f else -0.3f) else base
+      }
+    val jemb = ids.map(i => (i, jvec(i))).toDF("vec_id", "embedding")
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(jemb, "embedding", centroids), path)
+    val before = snapshot(path)
+    val preRows = spark.read.parquet(path).count()
+    val pre = probeAll(path, ids).map(r => (r._1, r._3)).sortBy(_._1)
+
+    val updated = Ann.ivfSplitCell(spark, path, centroids, cell = 4L,
+                                   "vec_id", "embedding")
+    // id accounting: 4 is gone, children are fresh 5 and 6
+    assert(!updated.exists(_._1 == 4L), updated.map(_._1).toString)
+    assert(updated.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 5L, 6L),
+           updated.map(_._1).toString)
+    // only cell 4's directory was touched; its rows moved, none lost
+    val after = snapshot(path)
+    before.filterNot(_._1.startsWith("cell=4/")).foreach { case (rel, len) =>
+      assert(after.get(rel).contains(len),
+             s"untouched cell file $rel must keep its exact bytes")
+    }
+    assert(!new java.io.File(s"$path/cell=4").exists, "split cell dir must go")
+    assert(new java.io.File(s"$path/cell=5").exists &&
+           new java.io.File(s"$path/cell=6").exists, "child dirs must appear")
+    assert(spark.read.parquet(path).count() == preRows)
+    // probes under the returned centroids: same ids, same exact dots
+    val post = Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                                    updated, qv, k = ids.size, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(post == pre, s"split must not change exact results:\n$pre\n$post")
+    // a singleton cell cannot split and fails loudly
+    val e = intercept[IllegalArgumentException](
+      Ann.ivfSplitCell(spark, path, updated, cell = 99L, "vec_id", "embedding"))
+    assert(e.getMessage.contains("unknown cell"))
+  }
+
   test("remove with no removals is a no-op") {
     val path = Files.createTempDirectory("graft_ivf_noop").toString + "/index"
     Ann.ivfWriteIndex(

@@ -168,4 +168,40 @@ class IvfPqMaintenanceSpec extends SparkSpec {
     assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
            s"codes-only ADC scan must survive compaction:\n${scanSchemas.mkString("\n")}")
   }
+
+  test("hot-cell split serves the PQ form too: codes ride along, probes exact under new centroids") {
+    // the SAME maintenance op as the plain index: codes c0..c7 are
+    // cell-independent, so they survive the re-assignment untouched
+    val path = Files.createTempDirectory("graft_ivfpq_split").toString + "/index"
+    writeBase(path)
+    val exactPre = Seq(0L, 7L, 13L).map { qi =>
+      stored(path, qv(qi), k = 5, nprobe = 5) // full coverage: 5 cells
+    }
+    val before = snapshot(path)
+    val updated = Ann.ivfSplitCell(spark, path, codebooks, cell = 4L,
+                                   "vec_id", "embedding")
+    assert(updated.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 5L, 6L))
+    // untouched cells byte-identical; codes column set unchanged
+    before.filterNot(_._1.startsWith("cell=4/")).foreach { case (rel, len) =>
+      assert(snapshot(path).get(rel).contains(len),
+             s"untouched cell file $rel must keep its exact bytes")
+    }
+    assert(spark.read.parquet(path).columns.count(_.startsWith("c")) >= m,
+           "PQ code columns must survive the split")
+    // the PQ probe under the UPDATED centroid list (codebooks frozen —
+    // a split changes routing, never encoding) answers exactly as
+    // before at full coverage
+    val exactPost = Seq(0L, 7L, 13L).map { qi =>
+      Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+                          updated, codebooks, qv(qi), k = 5, nprobe = 6,
+                          rerankFactor = 3, m = m, dims = dims)
+        .collect().map(_.toSeq.filterNot(_ == null)).toSeq
+    }
+    // compare ids + distances, not the routing cell column (rows moved)
+    def idsAndD2(rows: Seq[Seq[Any]]) = rows.map(r => (r.head, r.last))
+    exactPre.zip(exactPost).foreach { case (pre, post) =>
+      assert(idsAndD2(pre) == idsAndD2(post),
+             s"split must not change exact results:\n$pre\n$post")
+    }
+  }
 }
