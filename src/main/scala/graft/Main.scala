@@ -261,17 +261,14 @@ object Main {
         Search.removeFromPostings(spark, rm, "chunk_id", "content",
                                   postingsPath.toString))
       // the appended postings are exactly this batch's kept chunks —
-      // the rows the commit above just wrote (kept docs are disjoint
-      // from dupIds, and a re-ingested doc's stale postings were
-      // removed first), so append from the in-hand batch plan instead
-      // of re-scanning the whole bucketed chunks table + semi-join.
-      // dropDuplicates matches the commit's per-chunk_id upsert: a doc
-      // delivered twice IN ONE BATCH (same bytes+filename → one
-      // doc_id) collapses to one store row, and its postings must not
-      // append twice either
-      Search.appendPostings(spark,
-        chunked.select($"chunk_id", $"content").dropDuplicates("chunk_id"),
-        "chunk_id", "content", postingsPath.toString)
+      // the rows the commit above just wrote: kept docs are disjoint
+      // from dupIds, a re-ingested doc's stale postings were removed
+      // first, and chunk_ids are unique because the batch is
+      // doc_id-DISTINCT at entry (the dedupe above) and chunk ids are
+      // doc-prefixed — so append from the in-hand batch plan instead
+      // of re-scanning the whole bucketed chunks table + semi-join
+      Search.appendPostings(spark, chunked.select($"chunk_id", $"content"),
+                            "chunk_id", "content", postingsPath.toString)
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the

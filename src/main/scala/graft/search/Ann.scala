@@ -598,7 +598,7 @@ object Ann {
   def ivfSplitCell(spark: org.apache.spark.sql.SparkSession, path: String,
                    centroids: Seq[(Long, Seq[Long])], cell: Long,
                    idCol: String, vecCol: String,
-                   rounds: Int = 2): Seq[(Long, Seq[Long])] = {
+                   rounds: Int = 2, dims: Int = 64): Seq[(Long, Seq[Long])] = {
     require(centroids.exists(_._1 == cell), s"unknown cell $cell")
     // pin: training + re-assignment read the members repeatedly, and
     // the swap must never re-read the live directory it is replacing
@@ -607,19 +607,38 @@ object Ann {
       .filter(col("cell") === cell)
       .localCheckpoint(true)
     try {
-      val sub = kmeansFitInt(members, idCol, vecCol, k = 2, rounds = rounds)
+      val sub = kmeansFitInt(members, idCol, vecCol, k = 2, rounds = rounds,
+                             dims = dims)
       val base = centroids.map(_._1).max
       val children = sub.zipWithIndex.map { case ((_, cv), i) =>
         (base + 1 + i, cv)
       }
       val reassigned = ivfAssignInt(members.drop("cell", "cdot"),
                                     vecCol, children)
-      // the swap list names the split cell AND both children:
-      // replacePartitions moves exactly the listed partitions (the
-      // split dir to trash, each child from the tmp write into place)
-      graft.io.Tables.replacePartitions(spark, path, "cell",
-        cell +: children.map(_._1), reassigned)
-      centroids.filterNot(_._1 == cell) ++ children
+        .localCheckpoint(true)
+      try {
+        // BEFORE touching the index: a cell whose members the trained
+        // children cannot separate (all-identical duplicate vectors;
+        // magnitude-only spread, which max-dot routes one way) would
+        // "split" into one full child and one phantom empty id — the
+        // hot cell stays hot and a split-until-balanced loop never
+        // terminates. Fail loudly instead; the index is untouched.
+        val counts = reassigned.groupBy(col("cell")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(children.forall(c => counts.getOrElse(c._1, 0L) > 0L),
+          s"cell $cell cannot split: the trained children do not separate " +
+          s"its members (per-child counts $counts)")
+        // the swap list names BOTH CHILDREN FIRST, the split cell
+        // LAST: replacePartitions moves exactly the listed partitions
+        // in order and a crash mid-swap must leave rows DUPLICATED
+        // (children committed, split dir still live — visible, and
+        // recovery = delete the child dirs or re-delete the cell),
+        // never silently lost (cell-first would trash the only copy
+        // before any child lands)
+        graft.io.Tables.replacePartitions(spark, path, "cell",
+          children.map(_._1) :+ cell, reassigned)
+        centroids.filterNot(_._1 == cell) ++ children
+      } finally graft.io.Pins.release(reassigned)
     } finally graft.io.Pins.release(members)
   }
 

@@ -170,10 +170,38 @@ class IvfMaintenanceSpec extends SparkSpec {
                                     updated, qv, k = ids.size, nprobe = 6)
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
     assert(post == pre, s"split must not change exact results:\n$pre\n$post")
-    // a singleton cell cannot split and fails loudly
+    // a cell id not in the centroid list fails loudly
     val e = intercept[IllegalArgumentException](
       Ann.ivfSplitCell(spark, path, updated, cell = 99L, "vec_id", "embedding"))
     assert(e.getMessage.contains("unknown cell"))
+  }
+
+  test("split guards: a 1-row cell and an unsplittable cell both fail loudly, index untouched") {
+    // mini index: id 0 (negative direction → cell 0) and id 4
+    // (positive → cell 4) — cell 4 is a true singleton (a 0..4 range
+    // would NOT give one: max-dot routes every positive-direction
+    // vector to the largest-magnitude centroid, so ids 2,3,4 all land
+    // in cell 4)
+    val p1 = Files.createTempDirectory("graft_ivf_split1").toString + "/index"
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(mkEmb(Seq(0L, 4L)), "embedding", centroids), p1)
+    val before1 = snapshot(p1)
+    val e1 = intercept[IllegalArgumentException](
+      Ann.ivfSplitCell(spark, p1, centroids, cell = 4L, "vec_id", "embedding"))
+    assert(e1.getMessage.contains("need at least"), e1.getMessage)
+    assert(snapshot(p1) == before1, "failed split must leave the index as-is")
+    // ids 4 and 9 share cell 4 with IDENTICAL vectors (vec() depends
+    // only on i%5): the trained children cannot separate them — the
+    // phantom-empty-child degeneracy must fail loudly, not report a
+    // successful no-op split
+    val p2 = Files.createTempDirectory("graft_ivf_split2").toString + "/index"
+    Ann.ivfWriteIndex(
+      Ann.ivfAssignInt(mkEmb(0L until 10L), "embedding", centroids), p2)
+    val before2 = snapshot(p2)
+    val e2 = intercept[IllegalArgumentException](
+      Ann.ivfSplitCell(spark, p2, centroids, cell = 4L, "vec_id", "embedding"))
+    assert(e2.getMessage.contains("cannot split"), e2.getMessage)
+    assert(snapshot(p2) == before2, "failed split must leave the index as-is")
   }
 
   test("remove with no removals is a no-op") {

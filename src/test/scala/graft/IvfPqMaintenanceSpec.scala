@@ -171,19 +171,30 @@ class IvfPqMaintenanceSpec extends SparkSpec {
 
   test("hot-cell split serves the PQ form too: codes ride along, probes exact under new centroids") {
     // the SAME maintenance op as the plain index: codes c0..c7 are
-    // cell-independent, so they survive the re-assignment untouched
+    // cell-independent, so they survive the re-assignment untouched.
+    // ANGULAR jitter on dim0 gives cell 4 two separable subgroups —
+    // the base vec()'s uniform magnitude jitter is collinear, which
+    // max-dot cannot split (the guard test in IvfMaintenanceSpec)
     val path = Files.createTempDirectory("graft_ivfpq_split").toString + "/index"
-    writeBase(path)
+    def jvec(i: Long): Seq[Float] =
+      (0 until dims).map { d =>
+        val base = ((i % 5).toFloat - 2f) * ((d % 7) + 1) / 10f
+        if (d == 0) base + (if (i % 10 < 5) 0.3f else -0.3f) else base
+      }
+    val jemb = baseIds.map(i => (i, jvec(i))).toDF("vec_id", "embedding")
+    Ann.ivfPqWriteIndex(jemb, "vec_id", "embedding", codebooks, codebooks,
+                        path, m, dims)
     val exactPre = Seq(0L, 7L, 13L).map { qi =>
       stored(path, qv(qi), k = 5, nprobe = 5) // full coverage: 5 cells
     }
     val before = snapshot(path)
     val updated = Ann.ivfSplitCell(spark, path, codebooks, cell = 4L,
-                                   "vec_id", "embedding")
+                                   "vec_id", "embedding", dims = dims)
     assert(updated.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 5L, 6L))
     // untouched cells byte-identical; codes column set unchanged
+    val after = snapshot(path)
     before.filterNot(_._1.startsWith("cell=4/")).foreach { case (rel, len) =>
-      assert(snapshot(path).get(rel).contains(len),
+      assert(after.get(rel).contains(len),
              s"untouched cell file $rel must keep its exact bytes")
     }
     assert(spark.read.parquet(path).columns.count(_.startsWith("c")) >= m,
@@ -195,7 +206,7 @@ class IvfPqMaintenanceSpec extends SparkSpec {
       Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
                           updated, codebooks, qv(qi), k = 5, nprobe = 6,
                           rerankFactor = 3, m = m, dims = dims)
-        .collect().map(_.toSeq.filterNot(_ == null)).toSeq
+        .collect().map(_.toSeq).toSeq
     }
     // compare ids + distances, not the routing cell column (rows moved)
     def idsAndD2(rows: Seq[Seq[Any]]) = rows.map(r => (r.head, r.last))
