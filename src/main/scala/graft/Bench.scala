@@ -20,9 +20,12 @@ object Bench {
     // (q59/q60/q133/q134) checkpoint each round here instead of
     // memory-only pins — the fault-tolerant loop a real cluster runs
     // (Dedup.connectedComponents picks the context dir up
-    // automatically). Cleaned up after the JSON line.
+    // automatically). Cleaned in the finally below — an exception
+    // anywhere in the run must not leak a /tmp directory of
+    // checkpoints per failed bench.
     val cpDir = java.nio.file.Files.createTempDirectory("graft_bench_cp")
     spark.sparkContext.setCheckpointDir(cpDir.toString)
+    try {
     // The between-sample Pins.sweepAll drop of localCheckpoint pins is
     // BY DESIGN (the pin is dead once its query's terminal action ran),
     // but each drop logs a "locally checkpointed ... cannot be
@@ -159,7 +162,9 @@ object Bench {
             s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
-    graft.io.Tables.rmTree(cpDir.toFile)
-    spark.stop()
+    } finally {
+      graft.io.Tables.rmTree(cpDir.toFile)
+      spark.stop()
+    }
   }
 }

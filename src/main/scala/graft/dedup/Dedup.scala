@@ -605,7 +605,11 @@ object Dedup {
     * = md5 bits 0‑31 / 32‑63 — asymptotically the same FP rate as k
     * independent hashes), so a probe costs one digest instead of k:
     * the map-side scan this feeds is the per-shingle hot path of a
-    * 100 TB decontamination pass. h₁ + j·h₂ < 2³⁵ stays far from the
+    * 100 TB decontamination pass. h₂ is forced ODD (h₂|1): the
+    * construction assumes the step is nonzero mod m, and with
+    * power-of-two mBits an odd step is always coprime — otherwise an
+    * item whose h₂ ≡ 0 (mod m) collapses all k probes onto one bit
+    * and inflates its FP exposure. h₁ + j·h₂ < 2³⁵ stays far from the
     * BIGINT sign bit. Words OR together, so the build is ONE
     * map-side-combined aggregate whose shuffle carries ≤ mBits/32 rows
     * at any corpus size — the same mergeability contract as the
@@ -619,7 +623,8 @@ object Dedup {
               conv(substring(col("__h"), 9, 8), 16, 10).cast("long").as("h2"))
       .select(explode(expr(s"sequence(0, ${k - 1})")).as("j"),
               col("h1"), col("h2"))
-      .withColumn("p", (col("h1") + col("j") * col("h2")) % mBits)
+      .withColumn("p",
+        (col("h1") + col("j") * col("h2").bitwiseOR(lit(1L))) % mBits)
       .select((col("p") / 32).cast("int").as("word"),
               call_function("shiftleft", lit(1L),
                             (col("p") % 32).cast("int")).as("mask"))
@@ -653,7 +658,7 @@ object Dedup {
                         mBits: Int = 8192, k: Int = 4): Column = {
     val h = md5(item)
     val h1 = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val h2 = conv(substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(lit(1L))
     (0 until k).map { j =>
       val p = (h1 + lit(j.toLong) * h2) % mBits
       val mask = call_function("shiftleft", lit(1L), (p % 32).cast("int"))

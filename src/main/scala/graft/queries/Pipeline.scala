@@ -2475,8 +2475,9 @@ object Pipeline {
 
     // q83's shingle/split/df-cap CTEs; the Bloom replayed in the same
     // sign-safe word algebra (32 bits per BIGINT word; double hashing:
-    // position j = (h1 + j*h2) mod 8192 with h1/h2 = md5 bits 0-31 /
-    // 32-63 of the shingle hash — ONE digest per probe, matching
+    // position j = (h1 + j*(h2|1)) mod 8192 with h1/h2 = md5 bits
+    // 0-31 / 32-63 of the shingle hash, the step forced odd so it is
+    // coprime with the power-of-two m — ONE digest per probe, matching
     // Dedup.bloomWords/bloomMightContain; words bit_or together,
     // membership = all 4 masks present; empty words are 0 via the
     // left join).
@@ -2508,7 +2509,7 @@ object Pipeline {
             SELECT CAST(p // 32 AS INTEGER) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
             FROM (SELECT (CAST('0x' || substr(md5(h), 1, 8) AS BIGINT)
-                          + j * CAST('0x' || substr(md5(h), 9, 8) AS BIGINT))
+                          + j * (CAST('0x' || substr(md5(h), 9, 8) AS BIGINT) | 1))
                          % 8192 AS p
                   FROM tr, js)
             GROUP BY 1),
@@ -2519,7 +2520,7 @@ object Pipeline {
           pk AS (
             SELECT doc_id, pos,
                    (CAST('0x' || substr(md5(h), 1, 8) AS BIGINT)
-                    + j * CAST('0x' || substr(md5(h), 9, 8) AS BIGINT))
+                    + j * (CAST('0x' || substr(md5(h), 9, 8) AS BIGINT) | 1))
                    % 8192 AS p
             FROM tprobe, js),
           checks AS (

@@ -394,10 +394,18 @@ object Search {
     // idTypeDdl: the id column's type travels with the index so a
     // probe over an EMPTIED index (all buckets removed — no parquet
     // footer left to infer from) still returns the schema every
-    // non-empty probe had
+    // non-empty probe had. The sidecar is written and parsed without a
+    // JSON escaper, so the DDL must stay quote-free — atomic types
+    // (string, bigint, ...) always are; a struct id with quoted field
+    // names would write a sidecar the regex reader truncates. Fail at
+    // WRITE time, not at the eventual unreadable probe.
+    val idTypeDdl = df.schema(idCol).dataType.sql
+    require(!idTypeDdl.exists(c => c == '"' || c == '\\'),
+      s"postings id type must be a plain atomic type (no quotes/escapes " +
+        s"in its DDL), got: $idTypeDdl")
     java.nio.file.Files.write(
       new java.io.File(path, "_graft_postings_meta.json").toPath,
-      s"""{"nBuckets": $nBuckets, "idTypeDdl": "${df.schema(idCol).dataType.sql}"}"""
+      s"""{"nBuckets": $nBuckets, "idTypeDdl": "$idTypeDdl"}"""
         .getBytes("UTF-8"))
   }
 

@@ -451,10 +451,15 @@ object Probe {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       factors.map { fac =>
         val n = base * fac
+        // cold keys stride by (id div 10): the cold branch only fires on
+        // multiples of 10, so a plain (id % 10000) would take only the
+        // 1000 multiples-of-10 residues — div first makes the cold ids
+        // consecutive and the residues genuinely uniform over 10k keys
         val big = spark.range(n).select(
             col("id"),
             when(col("id") % 10 =!= 0, lit("hot"))
-              .otherwise(concat(lit("k"), (col("id") % 10000).cast("string")))
+              .otherwise(concat(lit("k"),
+                expr("(id div 10) % 10000").cast("string")))
               .as("key"),
             md5(col("id").cast("string")).as("payload"))
           .localCheckpoint(true)
