@@ -60,9 +60,24 @@ object Main {
       spark.stop()
     case "search" :: store :: query :: rest =>
       val spark = session()
+      val ann = rest.contains("--ann")
+      val nprobe = rest.collectFirst {
+        case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
+      }.getOrElse(2)
+      val pos = rest.filterNot(a => a == "--ann" || a.startsWith("--nprobe="))
+      val provider = pos.headOption.getOrElse("nomic")
+      val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val lines =
+        if (ann) runSearchAnn(spark, store, query, k, nprobe)
+        else runSearch(spark, store, query, provider, k)
+      lines.foreach(println)
+      spark.stop()
+    case "index" :: store :: rest =>
+      val spark = session()
       val provider = rest.headOption.getOrElse("nomic")
-      val k = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
-      runSearch(spark, store, query, provider, k).foreach(println)
+      val nlist = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val n = runBuildVectorIndex(spark, store, provider, nlist)
+      println(s"""{"indexed":$n,"provider":"$provider"}""")
       spark.stop()
     case "profile" :: store :: Nil =>
       val spark = session()
@@ -81,8 +96,10 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] | export <store> <outDir> [provider] | " +
-        "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase>")
+        "search <store> <query> [provider] [k] [--ann] [--nprobe=N] | " +
+        "export <store> <outDir> [provider] | " +
+        "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
+        "index <store> [provider] [nlist]")
       sys.exit(2)
   }
 
@@ -289,6 +306,23 @@ object Main {
                  prune = m => m.join(dupIds.select($"doc_id".as("__dup")),
                                      substring(col("chunk_id"), 1, 64) === col("__dup"),
                                      "left_anti"))
+    }
+    // A stored vector index (built by `Main index`) is maintained
+    // alongside the embeddings it serves, the way the postings index
+    // rides the chunks commit: RECONCILED against the slice the commit
+    // just landed — demoted docs' rows leave via the per-cell remove,
+    // this batch's new rows append under the index's frozen sidecar
+    // quantizers. Reconciling (a diff of id columns, then per-cell
+    // writes sized by the diff) rather than replaying ingest events
+    // makes the index self-healing: any divergence converges on the
+    // next batch.
+    if (search.VectorIndex.exists(storeDir)) {
+      val vecPath = search.VectorIndex.indexPath(storeDir)
+      val idxProvider = search.VectorIndex.readMeta(vecPath).provider
+      search.VectorIndex.reconcile(spark, vecPath,
+        openTable(spark, storeDir, "embeddings")
+          .filter($"embedding_provider" === idxProvider),
+        "chunk_id", "embedding")
     }
     // duplicates point at the KEPT doc (not the cluster label — the
     // keeper is the best-scored member, not necessarily the min id)
@@ -591,6 +625,57 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `index <store> [provider] [nlist]`: build (or rebuild) the stored
+    * IVF-PQ vector index over the store's embeddings for one provider
+    * — the served-ANN analogue of [[runBuildPostings]], and the
+    * build-once side of [[runSearchAnn]]. Quantizers come from the
+    * sample-train recipe ([[graft.search.VectorIndex.build]]); once
+    * present, [[ingestBatch]] reconciles the index on every batch so
+    * it never needs this full rebuild again except to retrain (data
+    * drift) or change nlist.
+    */
+  def runBuildVectorIndex(spark: SparkSession, storeDir: String,
+                          providerName: String = "nomic",
+                          nlist: Int = 8): Long = {
+    val path = graft.search.VectorIndex.indexPath(storeDir)
+    graft.search.VectorIndex.build(spark,
+      openTable(spark, storeDir, "embeddings")
+        .filter(col("embedding_provider") === providerName)
+        .select(col("chunk_id"), col("embedding")),
+      "chunk_id", "embedding", path, providerName, nlist = nlist)
+    spark.read.parquet(path).count()
+  }
+
+  /** `search <store> <query> --ann [--nprobe=N]`: serve the query from
+    * the STORED vector index instead of brute-scanning every embedding
+    * — the plan that holds at 100 TB: partition-pruned cells, a
+    * codes-only ADC scan, then an exact integer re-rank of a
+    * constant-sized candidate set. The query embeds under the INDEX's
+    * own provider (from the sidecar — a caller-chosen provider would
+    * put the query in a different metric space than the index).
+    * Results order by exact squared L2 ascending; for the L2-normalized
+    * providers this is the cosine ranking [[runSearch]] serves, modulo
+    * IVF recall at the chosen nprobe.
+    */
+  def runSearchAnn(spark: SparkSession, storeDir: String, query: String,
+                   k: Int, nprobe: Int = 2): Seq[String] = {
+    import graft.search.VectorIndex
+    val path = VectorIndex.indexPath(storeDir)
+    if (!VectorIndex.hasCells(path)) return Seq.empty
+    val meta = VectorIndex.readMeta(path)
+    val qv = Embedding.embedQuery(query, meta.provider).toSeq
+      .map(graft.search.Ann.quantizeL)
+    VectorIndex.topK(spark, path, "chunk_id", "embedding", qv, k, nprobe)
+      .join(openTable(spark, storeDir, "chunks")
+              .select(col("chunk_id"), col("content")), Seq("chunk_id"))
+      .orderBy(col("d2").asc, col("chunk_id"))
+      .collect().map { r =>
+        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""d2":${r.getAs[Long]("d2")},"content":"$content"}"""
       }.toSeq
   }
 

@@ -338,6 +338,87 @@ class E2eMainSpec extends SparkSpec {
            s"index must mirror the committed chunks exactly: $stored vs $inline")
   }
 
+  test("vector index lifecycle: Main index builds, --ann serves the exact top-k, ingest reconciles appends and demotions") {
+    import graft.ingest.Ingest
+    import graft.search.{Ann, VectorIndex}
+    val in = Files.createTempDirectory("graft_vec_in").toFile
+    val store = Files.createTempDirectory("graft_vec_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+
+    // a near-dup pair whose loser arrives FIRST (batch 2's winner
+    // demotes it — the maintenance case that must also leave the index)
+    val content = "spark query engine performance tuning guide for training pipelines"
+    val candidates = (0 to 9).map(i => s"v$i.md")
+    val ids = Ingest.toDocuments(
+        candidates.map(n => (s"/x/$n", content.getBytes("UTF-8"))).toDF("path", "content"),
+        lit(now))
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val loser = candidates.maxBy(ids)
+    val winner = candidates.minBy(ids)
+
+    put(loser, content)
+    put("b.md", "unrelated cooking recipe with butter and flour")
+    put("c.md", "violin concerto in d major sheet music")
+    put("d.md", "gardening tips for tomato plants in summer")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+
+    val nIndexed = Main.runBuildVectorIndex(spark, store, "nomic", nlist = 4)
+    def storedIds(): Set[String] = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"embedding_provider" === "nomic")
+      .select($"chunk_id").as[String].collect().toSet
+    def indexIds(): Set[String] = spark.read
+      .parquet(VectorIndex.indexPath(store))
+      .select($"chunk_id").as[String].collect().toSet
+    assert(nIndexed === storedIds().size)
+    assert(indexIds() === storedIds(), "built index must mirror the provider slice")
+
+    // the exact integer-L2 brute ranking over the committed slice is
+    // the ground truth the stored probe must reproduce at full nprobe
+    // (same grid, same tie order)
+    val query = "spark query engine performance"
+    def bruteTopK(k: Int): Seq[(String, Long)] = {
+      val qv = graft.embed.Embedding.embedQuery(query, "nomic").toSeq.map(Ann.quantizeL)
+      val q = typedLit(qv)
+      val qn = qv.map(x => x * x).sum
+      val iv = Ann.intVec($"embedding")
+      spark.read.parquet(s"$store/embeddings.parquet")
+        .filter($"embedding_provider" === "nomic")
+        .withColumn("d2", Ann.intDot(iv, iv) - lit(2L) * Ann.intDot(iv, q) + lit(qn))
+        .orderBy($"d2".asc, $"chunk_id")
+        .limit(k).select($"chunk_id", $"d2").as[(String, Long)].collect().toSeq
+    }
+    def annTopK(k: Int): Seq[(String, Long)] =
+      Main.runSearchAnn(spark, store, query, k, nprobe = 8).map { line =>
+        val id = """"chunk_id":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
+        val d2 = """"d2":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+        (id, d2)
+      }
+    assert(annTopK(3) === bruteTopK(3), "stored ANN must serve the exact top-k")
+    assert(annTopK(1).head._1.startsWith(ids(loser)),
+           "the spark-ish query's top hit must be the spark doc")
+
+    // batch 2: the winner demotes the loser, and a brand-new doc
+    // arrives — ingest's reconcile must mirror both into the index
+    // with no rebuild
+    put(winner, content)
+    put("e.md", "completely new document about sailing boats and knots")
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === ids(loser)).select($"status").as[String].head()
+      === "duplicate")
+    assert(indexIds() === storedIds(),
+           "post-ingest index must mirror the reconciled provider slice")
+    assert(!indexIds().exists(_.startsWith(ids(loser))),
+           "the demoted doc's rows must leave the index")
+    assert(indexIds().exists(_.startsWith(ids(winner))),
+           "the winner's rows must arrive in the index")
+    assert(annTopK(3) === bruteTopK(3),
+           "the reconciled index must still serve the exact top-k")
+    assert(annTopK(1).head._1.startsWith(ids(winner)))
+  }
+
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
     import graft.ingest.Ingest
     val in = Files.createTempDirectory("graft_demcache_in").toFile
