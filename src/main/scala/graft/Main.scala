@@ -79,6 +79,11 @@ object Main {
       val n = runBuildVectorIndex(spark, store, provider, nlist)
       println(s"""{"indexed":$n,"provider":"$provider"}""")
       spark.stop()
+    case "balance" :: store :: rest =>
+      val spark = session()
+      val maxRows = rest.headOption.map(_.toLong).getOrElse(100000L)
+      runBalanceVectorIndex(spark, store, maxRows).foreach(println)
+      spark.stop()
     case "profile" :: store :: Nil =>
       val spark = session()
       runProfile(spark, store).foreach(println)
@@ -99,7 +104,7 @@ object Main {
         "search <store> <query> [provider] [k] [--ann] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
-        "index <store> [provider] [nlist]")
+        "index <store> [provider] [nlist] | balance <store> [maxRows]")
       sys.exit(2)
   }
 
@@ -647,6 +652,30 @@ object Main {
         .select(col("chunk_id"), col("embedding")),
       "chunk_id", "embedding", path, providerName, nlist = nlist)
     spark.read.parquet(path).count()
+  }
+
+  /** `balance <store> [maxRows]`: the scheduled vector-index
+    * maintenance pass — split every cell that outgrew `maxRows`
+    * ([[graft.search.VectorIndex.balance]]: hottest first, bounded
+    * budget, unsplittable cells skipped loudly), then compact the
+    * small files appends and splits left behind. The sidecar picks up
+    * the new routing centroids atomically with the pass, so serving
+    * continues under the balanced layout with no other change.
+    */
+  def runBalanceVectorIndex(spark: SparkSession, storeDir: String,
+                            maxRows: Long): Seq[String] = {
+    import graft.search.{Ann, VectorIndex}
+    val path = VectorIndex.indexPath(storeDir)
+    val report = VectorIndex.balance(spark, path, maxRows,
+                                     "chunk_id", "embedding")
+    val (fBefore, fAfter) =
+      if (VectorIndex.hasCells(path)) Ann.ivfPqCompactIndex(spark, path)
+      else (0, 0)
+    report.map { a =>
+      val oc = a.outcome.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"cell":${a.cell},"n_rows":${a.nRows},"outcome":"$oc"}"""
+    } :+
+      s"""{"files_before":$fBefore,"files_after":$fAfter}"""
   }
 
   /** `search <store> <query> --ann [--nprobe=N]`: serve the query from

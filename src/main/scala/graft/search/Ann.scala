@@ -642,6 +642,87 @@ object Ann {
     } finally graft.io.Pins.release(members)
   }
 
+  /** One balance action: which cell, how many rows it held when
+    * inspected, and what happened — `"split"`, or `"skipped: <why>"`
+    * for a loudly-unsplittable cell (all-identical vectors, an index
+    * cell absent from the centroid list, ...).
+    */
+  case class BalanceAction(cell: Long, nRows: Long, outcome: String)
+
+  /** AUTOMATIC hot-cell maintenance — the pass a 100 TB index actually
+    * runs on a schedule: scan per-cell row counts (a partition-column
+    * aggregate: the scan materializes no data columns), and while any
+    * cell exceeds `maxRows`, split the CURRENTLY LARGEST one via
+    * [[ivfSplitCell]]. Skewed ingest concentrates rows in few cells
+    * (drifting data, a hot shard), and every probe that ranks a hot
+    * cell scans its whole directory — balancing restores the
+    * nprobe/nlist cost model without retraining or rebuilding.
+    *
+    * Control loop properties:
+    *  - the hottest cell is split first, so a bounded `maxSplits`
+    *    budget buys the largest probe-cost reduction available;
+    *  - each split's children are guaranteed nonempty (the split's own
+    *    degenerate guard), so cell sizes strictly decrease and the
+    *    loop terminates even without the budget;
+    *  - a cell the trained children CANNOT separate (duplicate
+    *    vectors, collinear spread) fails its split loudly; the balance
+    *    pass records it as skipped and never retries it — a silent
+    *    retry loop on an unsplittable cell would never converge;
+    *  - counts are re-read after every split (children may still
+    *    exceed `maxRows` and re-enter the queue).
+    *
+    * Returns the updated centroid list probes must use from now on
+    * plus the action report. Layout-generic like the split itself:
+    * PQ code columns ride along, so this serves both the plain IVF
+    * and the IVF-PQ index. Single-writer / quiesced-probe assumptions
+    * as every maintenance op here.
+    */
+  def ivfBalanceIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      centroids: Seq[(Long, Seq[Long])], maxRows: Long,
+                      idCol: String, vecCol: String,
+                      rounds: Int = 2, dims: Int = 64,
+                      maxSplits: Int = 16)
+      : (Seq[(Long, Seq[Long])], Seq[BalanceAction]) = {
+    require(maxRows >= 2,
+      s"maxRows=$maxRows: a 1-row bound makes every nonempty cell hot " +
+        "and no 2-way split can satisfy it")
+    // an emptied index (all rows removed; no cell= dir to infer a
+    // schema from) is trivially balanced
+    val anyCells = Option(new java.io.File(path).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    if (!anyCells) return (centroids, Seq.empty)
+    var cents = centroids
+    val report = scala.collection.mutable.ArrayBuffer[BalanceAction]()
+    val skip = scala.collection.mutable.Set[Long]()
+    var splits = 0
+    var converged = false
+    while (!converged && splits < maxSplits) {
+      val counts = spark.read.parquet(path)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val hot = counts
+        .filter { case (c, n) => n > maxRows && !skip.contains(c) }
+        .sortBy { case (c, n) => (-n, c) }
+      hot.headOption match {
+        case None => converged = true
+        case Some((cell, n)) =>
+          try {
+            cents = ivfSplitCell(spark, path, cents, cell, idCol, vecCol,
+                                 rounds, dims)
+            splits += 1
+            report += BalanceAction(cell, n, "split")
+          } catch {
+            case e: IllegalArgumentException =>
+              skip += cell
+              report += BalanceAction(cell, n,
+                s"skipped: ${Option(e.getMessage).getOrElse("unsplittable")}")
+          }
+      }
+    }
+    (cents, report.toSeq)
+  }
+
   /** INCREMENTAL index maintenance, compaction side: many
     * [[ivfAppendIndex]] batches leave each cell directory with one
     * small file per append — the classic small-files tax on every

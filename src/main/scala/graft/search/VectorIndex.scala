@@ -210,6 +210,27 @@ object VectorIndex {
     }
   }
 
+  // ------------------------------------------------------------- balance
+
+  /** Run the automatic hot-cell balance pass ([[Ann.ivfBalanceIndex]])
+    * over the stored index and COMMIT the updated centroid list back
+    * into the sidecar — the step that makes balancing safe to run
+    * against a served index: every later probe, append, and reconcile
+    * reads its quantizers from the sidecar, so the new routing cells
+    * become visible exactly where the old ones were. Codebooks are
+    * untouched (a split changes routing, never encoding). Returns the
+    * action report.
+    */
+  def balance(spark: SparkSession, path: String, maxRows: Long,
+              idCol: String, vecCol: String,
+              maxSplits: Int = 16): Seq[Ann.BalanceAction] = {
+    val meta = readMeta(path)
+    val (cents, report) = Ann.ivfBalanceIndex(spark, path, meta.centroids,
+      maxRows, idCol, vecCol, dims = meta.dims, maxSplits = maxSplits)
+    if (cents != meta.centroids) writeMeta(path, meta.copy(centroids = cents))
+    report
+  }
+
   // --------------------------------------------------------------- probe
 
   /** Serve a top-k probe from the stored index under its own sidecar

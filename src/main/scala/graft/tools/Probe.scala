@@ -171,6 +171,93 @@ object Probe {
     }
   }
 
+  case class BalancePoint(nVecs: Long, maxRows: Long, hotRows: Long,
+                          probedBefore: Long, probedAfter: Long,
+                          tProbeBefore: Double, tProbeAfter: Double,
+                          tBalance: Double, nSplits: Int, nSkipped: Int,
+                          nCellsBefore: Int, nCellsAfter: Int)
+
+  /** Skewed synthetic embeddings for the balance probe: HALF of all
+    * vectors land in cluster 0 (the hot-shard / drifting-data shape),
+    * the other half spread over clusters 1..31. Clusters point along
+    * ORTHOGONAL dims (dim g = 1.0) so max-dot assignment against the
+    * matching one-hot centroids is exactly g — a collinear pattern
+    * would collapse the cells. Cluster-0 members carry a +0.5 bump on
+    * dim 32+(id%16) — eight angular subgroups of ≤ n/16 rows each, so
+    * the hot cell is recursively splittable down to subgroup purity —
+    * plus per-id micro-noise.
+    */
+  def skewedEmbeddings(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    val g = when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 32)
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (when(d === g, lit(1.0)).otherwise(lit(0.0)) +
+         when(g === 0 && d === lit(32L) + col("id") % 16, lit(0.5))
+           .otherwise(lit(0.0)) +
+         ((col("id") * 31 + d * 17) % 13 - 6).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+  }
+
+  /** The one-hot centroids [[skewedEmbeddings]] assigns exactly to. */
+  def skewedCentroids(dims: Int = 64): Seq[(Long, Seq[Long])] =
+    (0L until 32L).map { c =>
+      (c, (0 until dims).map(d => if (d == c) 1000L else 0L))
+    }
+
+  /** Measured evidence for [[graft.search.Ann.ivfBalanceIndex]]: a
+    * skewed stored IVF-PQ index (half the corpus in ONE cell) is
+    * probed by a query routed INTO the hot cell, balanced, and probed
+    * again. The claim under test: before balance the probe scans the
+    * hot cell's full mass (the nprobe/nlist cost model is broken for
+    * exactly the queries that hit the skew); after balance the probed
+    * row count and wall time drop toward the balanced per-cell share,
+    * while exactness under the returned centroids is spec-guaranteed
+    * (`IvfMaintenanceSpec`).
+    */
+  def balanceCurve(spark: SparkSession, n: Long = 200000L,
+                   maxRows: Long = 20000L, reps: Int = 3): BalancePoint = {
+    import graft.search.Ann
+    val centroids = skewedCentroids()
+    val nprobe = 2
+    val emb = skewedEmbeddings(spark, n).localCheckpoint(true)
+    val qvF = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val qv = qvF.map(Ann.quantizeL)
+    val dir = java.nio.file.Files.createTempDirectory("graft_balance")
+      .toString + "/index"
+    Ann.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids, centroids, dir)
+    def counts(): Map[Long, Long] = spark.read.parquet(dir)
+      .groupBy(col("cell").cast("long").as("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def probed(cents: Seq[(Long, Seq[Long])], cs: Map[Long, Long]): Long =
+      Ann.rankCells(cents, qv, nprobe).map(cs.getOrElse(_, 0L)).sum
+    def tProbe(cents: Seq[(Long, Seq[Long])]): Double = medOf(reps) {
+      Ann.ivfPqTopKStored(spark, dir, "vec_id", "embedding",
+                          cents, centroids, qv, k = 10, nprobe = nprobe)
+        .count()
+    }._1
+    val cBefore = counts()
+    val hotRows = cBefore.values.max
+    val probedBefore = probed(centroids, cBefore)
+    val tBefore = tProbe(centroids)
+    val t0 = System.nanoTime()
+    val (updated, report) = Ann.ivfBalanceIndex(spark, dir, centroids,
+      maxRows, "vec_id", "embedding", maxSplits = 64)
+    val tBalance = (System.nanoTime() - t0) / 1e9
+    report.foreach(a => println(s"  balance: $a"))
+    val cAfter = counts()
+    val pt = BalancePoint(n, maxRows, hotRows, probedBefore,
+      probed(updated, cAfter), tBefore, tProbe(updated), tBalance,
+      report.count(_.outcome == "split"),
+      report.count(_.outcome != "split"),
+      cBefore.size, cAfter.size)
+    emb.unpersist(true)
+    graft.io.Pins.sweepAll(spark)
+    graft.io.Tables.rmTree(new java.io.File(dir).getParentFile)
+    pt
+  }
+
   /** Synthetic word-doc corpus for the search curve: `wordsPerDoc`
     * words per doc, word k of doc i = "w"+((31i+7k) mod 1000) — a
     * 1000-term vocabulary with uniform term frequencies, and the probe
@@ -828,6 +915,31 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE_ANN.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("balance")) {
+      val p = balanceCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — hot-cell balance, measured\n\n"
+      sb ++= "Skewed stored IVF-PQ index (`Probe.skewedEmbeddings`: half of\n"
+      sb ++= s"${p.nVecs} vectors in ONE of 32 cells), probed by a query routed\n"
+      sb ++= "into the hot cell (nprobe=2), then `Ann.ivfBalanceIndex`\n"
+      sb ++= s"(maxRows=${p.maxRows}) and the same probe under the returned\n"
+      sb ++= "centroids; median-of-3 probe timings on local[" + cpus + "].\n"
+      sb ++= "Exactness under the updated centroids is spec-guaranteed\n"
+      sb ++= "(IvfMaintenanceSpec / IvfPqMaintenanceSpec).\n\n"
+      sb ++= "| | before | after |\n|---|---|---|\n"
+      sb ++= s"| cells | ${p.nCellsBefore} | ${p.nCellsAfter} |\n"
+      sb ++= s"| hottest cell rows | ${p.hotRows} | — |\n"
+      sb ++= s"| rows probed | ${p.probedBefore} | ${p.probedAfter} |\n"
+      sb ++= f"| probe s | ${p.tProbeBefore}%.2f | ${p.tProbeAfter}%.2f |%n%n"
+      sb ++= f"Balance: ${p.nSplits} splits, ${p.nSkipped} skipped, ${p.tBalance}%.1f s.%n"
+      sb ++= f"Probed rows ${p.probedBefore.toDouble / p.probedAfter}%.1f× down; "
+      sb ++= f"probe wall ${p.tProbeBefore / p.tProbeAfter}%.1f× down.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_BALANCE.md"), sb.toString)
       spark.stop(); return
     }
 

@@ -204,6 +204,77 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(snapshot(p2) == before2, "failed split must leave the index as-is")
   }
 
+  test("balance: a skewed index converges to <= maxRows cells, unsplittable cells skip loudly, probes exact") {
+    // ORTHOGONAL cluster directions (the shared collinear fixture
+    // cannot express 5 populated cells: max-dot routes every
+    // positive-direction vector to the largest-magnitude centroid —
+    // see the split-guard test): cluster c points along dim c, so
+    // assignment is exactly i%5. Every cell starts with 8 rows; cells
+    // 0-3 carry two ANGULAR subgroups of 4 (dim5 = ±0.4 —
+    // splittable), cell 4's members are all identical (unsplittable —
+    // the loud-skip path). maxRows = 6 makes all five hot: balance
+    // must split the four splittable ones, record cell 4 as skipped
+    // exactly once (no retry loop), and leave probes exact.
+    val path = Files.createTempDirectory("graft_ivf_bal").toString + "/index"
+    val ids = 0L until 40L
+    val bcents: Seq[(Long, Seq[Long])] = (0L until 5L).map { c =>
+      (c, (0 until dims).map(d => if (d == c) 1000L else 0L))
+    }
+    def bvec(i: Long): Seq[Float] = {
+      val c = (i % 5).toInt
+      (0 until dims).map { d =>
+        if (d == c) 1f
+        else if (d == 5 && c != 4) (if (i % 10 < 5) 0.4f else -0.4f)
+        else 0f
+      }
+    }
+    val bemb = ids.map(i => (i, bvec(i))).toDF("vec_id", "embedding")
+    Ann.ivfWriteIndex(Ann.ivfAssignInt(bemb, "embedding", bcents), path)
+    val bqv: Seq[Long] = (0 until dims).map(_ => 500L)
+    def probeB(cents: Seq[(Long, Seq[Long])]): Seq[(Long, Long)] =
+      Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                           cents, bqv, k = ids.size, nprobe = cents.size)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val pre = probeB(bcents)
+
+    val (updated, report) = Ann.ivfBalanceIndex(spark, path, bcents,
+      maxRows = 6L, "vec_id", "embedding")
+
+    val splits = report.filter(_.outcome == "split")
+    val skips = report.filterNot(_.outcome == "split")
+    assert(splits.map(_.cell).sorted == Seq(0L, 1L, 2L, 3L), report.toString)
+    assert(skips.map(_.cell) == Seq(4L), "cell 4 must be skipped exactly once")
+    assert(skips.head.outcome.contains("cannot split"), skips.head.outcome)
+    assert(report.forall(_.nRows == 8L))
+    // id accounting: split ids retired, 2 fresh children each, skipped
+    // cell keeps its id
+    assert(updated.map(_._1).toSet ==
+           (Set(4L) ++ (5L until 13L)), updated.map(_._1).sorted.toString)
+    // every non-skipped cell is now within bounds
+    val counts = spark.read.parquet(path)
+      .groupBy($"cell".cast("long")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts(4L) == 8L, "skipped cell keeps its rows")
+    counts.filterNot(_._1 == 4L).foreach { case (c, n) =>
+      assert(n <= 6L, s"cell $c still holds $n rows after balance")
+    }
+    // probes under the returned centroids: same ids, same exact dots
+    val post = probeB(updated)
+    assert(post == pre, s"balance must not change exact results:\n$pre\n$post")
+    // idempotent: a second pass finds nothing to do beyond the sticky
+    // skip (cell 4 is still hot but still unsplittable)
+    val (again, report2) = Ann.ivfBalanceIndex(spark, path, updated,
+      maxRows = 6L, "vec_id", "embedding")
+    assert(again == updated)
+    assert(report2.map(a => (a.cell, a.outcome.takeWhile(_ != ':'))) ==
+           Seq((4L, "skipped")), report2.toString)
+    // a bound no 2-way split can ever satisfy is rejected up front
+    val e = intercept[IllegalArgumentException](
+      Ann.ivfBalanceIndex(spark, path, updated, maxRows = 1L,
+                          "vec_id", "embedding"))
+    assert(e.getMessage.contains("maxRows"))
+  }
+
   test("remove with no removals is a no-op") {
     val path = Files.createTempDirectory("graft_ivf_noop").toString + "/index"
     Ann.ivfWriteIndex(
