@@ -169,6 +169,84 @@ class IvfPqMaintenanceSpec extends SparkSpec {
            s"codes-only ADC scan must survive compaction:\n${scanSchemas.mkString("\n")}")
   }
 
+  test("full lifecycle: build → append ×3 → split → append → compact → remove, probes exact at every step") {
+    // one index walks every maintenance op in sequence, with the
+    // stored probe checked against an in-memory rebuild after each
+    // step. ORTHOGONAL one-hot clusters (assignment = i%5 exactly);
+    // cluster 4's members carry a ±0.4 bump on dims 62/63 — two
+    // internally-identical angular subgroups, so its cell splits
+    // cleanly and the split's children keep serving appends.
+    // Full-coverage probes compare (id, adc, d2) — the routing cell
+    // moves across a split by design; ADC (codebooks) and the exact
+    // re-rank never do.
+    val path = Files.createTempDirectory("graft_ivfpq_life").toString + "/index"
+    val bcents: Seq[(Long, Seq[Long])] = (0L until 5L).map { c =>
+      (c, (0 until dims).map(d => if (d == 8 * c) 1000L else 0L))
+    }
+    def bvec(i: Long): Seq[Float] = (0 until dims).map { d =>
+      (if (d == 8 * (i % 5)) 1f else 0f) +
+      (if (i % 5 == 4 && d == (if (i % 10 < 5) 62 else 63)) 0.4f else 0f)
+    }
+    def bemb(ids: Seq[Long]) = ids.map(i => (i, bvec(i))).toDF("vec_id", "embedding")
+    def bq(i: Long): Seq[Long] = bvec(i).map(Ann.quantizeL)
+    def inMemB(ids: Seq[Long], q: Seq[Long]): Seq[(Long, Long, Long)] =
+      Ann.ivfPqTopK(
+        Ann.pqEncodeInt(Ann.ivfAssignInt(bemb(ids), "embedding", bcents),
+                        "vec_id", "embedding", bcents, m, dims),
+        "vec_id", "embedding", bcents, bcents, q,
+        k = 5, nprobe = 5, rerankFactor = 3, m = m, dims = dims)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    var cents = bcents
+    var live: Seq[Long] = Seq.empty
+    def checkExact(label: String): Unit = Seq(0L, 3L, 4L, 9L).foreach { qi =>
+      val got = Ann.ivfPqTopKStored(spark, path, "vec_id", "embedding",
+          cents, bcents, bq(qi), k = 5, nprobe = cents.size,
+          rerankFactor = 3, m = m, dims = dims)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == inMemB(live, bq(qi)), s"$label: query $qi diverged")
+    }
+
+    Ann.ivfPqWriteIndex(bemb(0L until 40L), "vec_id", "embedding",
+                        bcents, bcents, path, m, dims)
+    live = (0L until 40L).toSeq
+    checkExact("build")
+
+    Seq(40L until 60L, 60L until 80L, 80L until 100L).foreach { r =>
+      Ann.ivfPqAppendIndex(bemb(r), "vec_id", "embedding", cents, bcents,
+                           path, m, dims)
+      live = (0L until r.end).toSeq
+      checkExact(s"append ${r.head}..${r.end}")
+    }
+
+    cents = Ann.ivfSplitCell(spark, path, cents, cell = 4L,
+                             "vec_id", "embedding", dims = dims)
+    assert(cents.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 5L, 6L))
+    checkExact("split")
+
+    // append AFTER the split: newcomers route under the UPDATED
+    // centroid list — cluster-4 arrivals must land in the children,
+    // never resurrect the retired cell id
+    Ann.ivfPqAppendIndex(bemb(100L until 120L), "vec_id", "embedding",
+                         cents, bcents, path, m, dims)
+    live = (0L until 120L).toSeq
+    checkExact("append post-split")
+    assert(!new java.io.File(s"$path/cell=4").exists,
+           "a retired cell id must not resurrect on append")
+
+    val (nb, na) = Ann.ivfPqCompactIndex(spark, path)
+    assert(na < nb, s"compaction must shrink files, $nb -> $na")
+    checkExact("compact")
+
+    val removedIds = Seq(4L, 9L, 14L, 57L, 104L)
+    val removals = spark.read.parquet(path)
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .filter($"vec_id".isin(removedIds: _*))
+      .localCheckpoint(true)
+    Ann.ivfPqRemoveFromIndex(spark, path, removals, "vec_id")
+    live = live.filterNot(removedIds.contains)
+    checkExact("remove")
+  }
+
   test("hot-cell split serves the PQ form too: codes ride along, probes exact under new centroids") {
     // the SAME maintenance op as the plain index: codes c0..c7 are
     // cell-independent, so they survive the re-assignment untouched.

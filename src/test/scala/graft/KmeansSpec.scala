@@ -142,6 +142,24 @@ class KmeansSpec extends SparkSpec {
       s"fp seeding must beat the one-cluster id layout: fp=$fi id=$ii")
   }
 
+  test("q141: stored trained search equals the in-memory q138 stack, scans prune and read codes only") {
+    val stored = SparkEntry.queries("q141_trained_search_stored")(spark, Sf001)
+    val inMem = SparkEntry.queries("q138_trained_search")(spark, Sf001)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+           inMem.collect().map(_.toSeq).toSeq,
+           "the stored serving path must be indistinguishable from the in-memory stack")
+    // the stored probe's plan discipline: both tiers prune to the
+    // probed cells, and the ADC tier reads codes, never vectors
+    val plan = stored.queryExecution.executedPlan.toString
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains("IN"))
+    assert(prunedScans >= 2,
+           s"both stored scans must prune (found $prunedScans):\n${plan.take(3000)}")
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+           s"ADC scan must read codes, not vectors:\n${scanSchemas.mkString("\n")}")
+  }
+
   test("assignMinL2Int matches a brute-force integer L2 argmin on real data") {
     val e = spark.read.parquet(s"$Sf001/embeddings.parquet").limit(100)
     val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 4, rounds = 2)
