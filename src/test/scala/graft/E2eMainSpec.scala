@@ -417,6 +417,16 @@ class E2eMainSpec extends SparkSpec {
     assert(annTopK(3) === bruteTopK(3),
            "the reconciled index must still serve the exact top-k")
     assert(annTopK(1).head._1.startsWith(ids(winner)))
+
+    // the scheduled maintenance command runs against the served store:
+    // nothing is hot at this size (no split actions), compaction
+    // reports its file counts, the sidecar still serves, and the
+    // ranking is unchanged
+    val balLines = Main.runBalanceVectorIndex(spark, store, maxRows = 100L)
+    assert(balLines.nonEmpty && balLines.last.contains("files_before"))
+    assert(!balLines.exists(_.contains("\"outcome\":\"split\"")))
+    assert(annTopK(3) === bruteTopK(3),
+           "balance+compact must not change the served ranking")
   }
 
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
