@@ -258,6 +258,54 @@ object Probe {
     pt
   }
 
+  case class ReconcilePoint(factor: Int, nVecs: Long, nAppended: Long,
+                            nRemoved: Long, tReconcile: Double,
+                            tRebuild: Double)
+
+  /** Measured evidence for [[graft.search.VectorIndex.reconcile]]'s
+    * cost model: after a batch arrival (1% new rows, ~0.1% removals)
+    * the index is reconciled — two id-column anti-joins plus per-cell
+    * writes sized by the DIFF — and the counterfactual full rebuild
+    * (re-assign + re-encode + rewrite every cell) is timed against it
+    * on the same data. The claim: reconcile's cost is the id scans +
+    * the diff, so it stays well under the rebuild at every scale —
+    * the gap is what ingest-time maintenance saves per batch.
+    */
+  def reconcileCurve(spark: SparkSession, base: Long = 100000L,
+                     factors: Seq[Int] = Seq(1, 10)): Seq[ReconcilePoint] = {
+    import graft.search.{Ann, VectorIndex}
+    val dims = 64
+    val cents = skewedCentroids(dims)
+    factors.map { fac =>
+      val n = base * fac
+      val dir = java.nio.file.Files.createTempDirectory("graft_reconcile")
+      val path = dir.toString + "/vector.idx"
+      Ann.ivfPqWriteIndex(skewedEmbeddings(spark, n), "vec_id", "embedding",
+                          cents, cents, path, 8, dims)
+      // sidecar AFTER the index write — the overwrite-mode build wipes
+      // the directory (same ordering as VectorIndex.build)
+      VectorIndex.writeMeta(path, VectorIndex.Meta("nomic", 8, dims, cents, cents))
+      // the post-commit store slice: 1% fresh arrivals appended at the
+      // tail, ~0.1% of the existing rows demoted away
+      val slice = skewedEmbeddings(spark, n + n / 100)
+        .filter(col("vec_id") % 997 =!= 3)
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val (nAdd, nRm) = VectorIndex.reconcile(spark, path, slice,
+                                              "vec_id", "embedding")
+      val tReconcile = (System.nanoTime() - t0) / 1e9
+      val rebuildDir = dir.toString + "/rebuild.idx"
+      val t1 = System.nanoTime()
+      Ann.ivfPqWriteIndex(slice, "vec_id", "embedding", cents, cents,
+                          rebuildDir, 8, dims)
+      val tRebuild = (System.nanoTime() - t1) / 1e9
+      graft.io.Pins.release(slice)
+      graft.io.Pins.sweepAll(spark)
+      graft.io.Tables.rmTree(dir.toFile)
+      ReconcilePoint(fac, n, nAdd, nRm, tReconcile, tRebuild)
+    }
+  }
+
   /** Synthetic word-doc corpus for the search curve: `wordsPerDoc`
     * words per doc, word k of doc i = "w"+((31i+7k) mod 1000) — a
     * 1000-term vocabulary with uniform term frequencies, and the probe
@@ -940,6 +988,33 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_BALANCE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("reconcile")) {
+      val pts = reconcileCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — vector-index reconcile vs rebuild, measured\n\n"
+      sb ++= "Stored IVF-PQ index over `Probe.skewedEmbeddings`; a batch\n"
+      sb ++= "arrival (1% appends, ~0.1% removals) maintained by\n"
+      sb ++= "`VectorIndex.reconcile` (two id-column anti-joins + diff-sized\n"
+      sb ++= "per-cell writes — the ingestBatch path) vs the counterfactual\n"
+      sb ++= "full rebuild (re-assign + re-encode + rewrite every cell) on\n"
+      sb ++= "the same slice; single-shot timings on local[" + cpus + "].\n\n"
+      sb ++= "| factor | vecs | appended | removed | reconcile s | rebuild s | reconcile/rebuild |\n"
+      sb ++= "|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nVecs} | ${p.nAppended} | ${p.nRemoved} | ${p.tReconcile}%.2f | ${p.tRebuild}%.2f | ${p.tReconcile / p.tRebuild}%.2f |%n"
+      }
+      val z = pts.last
+      sb ++= f"%nAt ${z.nVecs} vectors the per-batch maintenance costs "
+      sb ++= f"${z.tReconcile / z.tRebuild}%.2f of a rebuild; the absolute gap "
+      sb ++= f"(${z.tRebuild - z.tReconcile}%.1f s here) is what every ingest "
+      sb ++= "batch saves, and it widens linearly with the corpus while the\n"
+      sb ++= "diff stays batch-sized.\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_RECONCILE.md"), sb.toString)
       spark.stop(); return
     }
 
