@@ -419,29 +419,34 @@ object Pipeline {
     * cells keeping their previous centroid (the UNION branch). Mirrors
     * [[graft.search.Ann.kmeansFitInt]] step for step.
     */
+  /** One Lloyd's round as DuckDB CTEs. `tag` prefixes every emitted
+    * CTE name (dist/asg/upd/cen) so TWO independent trainings can
+    * coexist in one statement (the q142 drift oracle); the default
+    * empty tag keeps every earlier oracle byte-identical.
+    */
   private def kmeansRoundSql(r: Int, prev: String,
-                             src: String = "iv"): String =
-    s"""dist$r AS (
+                             src: String = "iv", tag: String = ""): String =
+    s"""dist$tag$r AS (
           SELECT iv.vec_id, iv.v, c.cell,
                  CAST(list_sum(list_transform(generate_series(1, 64),
                    i -> (iv.v[i]-c.cv[i])*(iv.v[i]-c.cv[i]))) AS BIGINT) AS d2
           FROM $src iv CROSS JOIN $prev c),
-        asg$r AS (
+        asg$tag$r AS (
           SELECT vec_id, v, cell FROM (
             SELECT vec_id, v, cell,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2 ASC, cell ASC) AS rn
-            FROM dist$r) WHERE rn = 1),
-        upd$r AS (
+            FROM dist$tag$r) WHERE rn = 1),
+        upd$tag$r AS (
           SELECT cell, i, CAST(sum(v[i]) AS BIGINT) AS s, count(*) AS n
-          FROM asg$r, dimsq GROUP BY cell, i),
-        cen$r AS (
+          FROM asg$tag$r, dimsq GROUP BY cell, i),
+        cen$tag$r AS (
           SELECT cell, list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT)
                             ORDER BY i) AS cv
-          FROM upd$r GROUP BY cell
+          FROM upd$tag$r GROUP BY cell
           UNION ALL
           SELECT cell, cv FROM $prev
-          WHERE cell NOT IN (SELECT DISTINCT cell FROM asg$r))"""
+          WHERE cell NOT IN (SELECT DISTINCT cell FROM asg$tag$r))"""
 
   /** The trainer oracles' shared base CTEs: the 1e-3 integer grid and
     * the 64-dim index table. [[KmeansCtes]], [[PqTrainCtes]] and the
@@ -1393,6 +1398,40 @@ object Pipeline {
       Ann.ivfPqTopKStored(s, path, "vec_id", "embedding", cents, books, qv,
                           k = 10, nprobe = 2, rerankFactor = 3)
         .orderBy(col("d2"), col("vec_id"))
+    }),
+
+    // ANN RECALL EVALUATION — recall@10 of the trained-quantizer IVF
+    // probe against the exact ranking, per query (the first 5 corpus
+    // vectors as the traffic sample): the continuous quality gate a
+    // served deployment runs — recall is a property of the DATA under
+    // the quantizer and must be re-measured as the corpus drifts.
+    // One scored pass, two windows, exact-integer hit counts.
+    "q143_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 8, rounds = 2)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq))
+        .toSeq.sortBy(_._1)
+      Ann.ivfRecallAtK(e, "vec_id", "embedding", cents, queries,
+                       k = 10, nprobe = 2)
+        .orderBy(col("query_id"))
+    }),
+
+    // CODEBOOK DRIFT detection — the retrain trigger: the same
+    // deterministic trainer over the two md5-bucket halves of the
+    // corpus (the "yesterday vs today" samples), each old centroid
+    // reported with the exact L2² to its nearest new centroid
+    // (matching-free chamfer — cell ids have no identity across
+    // trainings). Stationary halves → small shifts; drifted data →
+    // an unrepresented region's shift explodes. Sample-scale cost.
+    "q142_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bucket = graft.dedup.Dedup.hashBucket(col("vec_id"), 100)
+      Ann.centroidDrift(e.filter(bucket < 50), e.filter(bucket >= 50),
+                        "vec_id", "embedding", k = 8, rounds = 2)
+        .orderBy(col("cell"))
     }),
 
     // SEMANTIC near-dup with LEARNED blocking: q30 blocks on a metadata
@@ -3784,6 +3823,102 @@ object Pipeline {
     // indistinguishable from the in-memory stack, so the oracle is
     // q138's SQL verbatim (see TrainedSearchOracle).
     "q141_trained_search_stored" -> TrainedSearchOracle,
+
+    // q143: the trained quantizer (cen2), max-dot assignment and
+    // probe-cell ranking (both ties to the HIGHER cell — the
+    // ivfAssignInt/rankCells conventions), exact vs probed top-10 per
+    // query, hit counts via the id intersection; starved queries kept
+    // at 0 through the left join.
+    "q143_ann_recall" ->
+      s"""$KmeansCtes,
+          qs AS (SELECT CAST(vec_id AS BIGINT) AS query_id, v AS qv
+                 FROM iv WHERE vec_id < 5),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT iv.vec_id, t.cell,
+                     row_number() OVER (PARTITION BY iv.vec_id ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> iv.v[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                       AS arn
+              FROM iv CROSS JOIN cen2 t)
+            WHERE arn = 1),
+          rankedc AS (
+            SELECT q.query_id, t.cell,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                     AS rk
+            FROM cen2 t, qs q),
+          probes AS (SELECT query_id, cell FROM rankedc WHERE rk <= 2),
+          sc AS (
+            SELECT q.query_id, iv.vec_id, a.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot
+            FROM iv CROSS JOIN qs q JOIN asg a ON a.vec_id = iv.vec_id),
+          exact AS (
+            SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rn
+              FROM sc) WHERE rn <= 10),
+          approx AS (
+            SELECT query_id, vec_id FROM (
+              SELECT s.query_id, s.vec_id,
+                     row_number() OVER (PARTITION BY s.query_id
+                                        ORDER BY s.dot DESC, s.vec_id) AS rn
+              FROM sc s JOIN probes p
+                ON p.query_id = s.query_id AND p.cell = s.cell)
+            WHERE rn <= 10),
+          hits AS (
+            SELECT e.query_id, count(*) AS n
+            FROM exact e JOIN approx a
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            GROUP BY e.query_id)
+          SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits
+          FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+          ORDER BY q.query_id""",
+
+    // q142: BOTH trainings replayed in one statement via the tagged
+    // round CTEs (o/n prefixes), then the one-sided chamfer — min
+    // shift over new centroids per old cell, ties to the smaller new
+    // cell id.
+    "q142_centroid_drift" ->
+      s"""WITH $TrainBaseCtes,
+          ivo AS (
+            SELECT vec_id, v FROM iv
+            WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 < 50),
+          ivn AS (
+            SELECT vec_id, v FROM iv
+            WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 100 >= 50),
+          ceno0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM ivo ORDER BY vec_id LIMIT 8)),
+          ${kmeansRoundSql(1, "ceno0", "ivo", "o")},
+          ${kmeansRoundSql(2, "ceno1", "ivo", "o")},
+          cenn0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                     AS cell,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM ivn ORDER BY vec_id LIMIT 8)),
+          ${kmeansRoundSql(1, "cenn0", "ivn", "n")},
+          ${kmeansRoundSql(2, "cenn1", "ivn", "n")},
+          drift AS (
+            SELECT o.cell, n.cell AS nearest_cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> (o.cv[i]-n.cv[i])*(o.cv[i]-n.cv[i]))) AS BIGINT)
+                     AS shift_d2
+            FROM ceno2 o CROSS JOIN cenn2 n)
+          SELECT cell, nearest_cell, shift_d2 FROM (
+            SELECT cell, nearest_cell, shift_d2,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY shift_d2 ASC, nearest_cell ASC)
+                     AS rn
+            FROM drift)
+          WHERE rn = 1 ORDER BY cell""",
 
     "q21_chunk_fixed" ->
       """SELECT doc_id, 'chunk_' || CAST(i AS VARCHAR) AS chunk_id,

@@ -359,6 +359,40 @@ object Ann {
     chosen.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
   }
 
+  /** CODEBOOK DRIFT DETECTION — the measured retrain trigger the
+    * maintenance tier's contract points at ([[ivfPqAppendIndex]]:
+    * "codebook drift is a retrain-and-rebuild event", but nothing yet
+    * DETECTED it): train the same deterministic k-means on two corpus
+    * slices (yesterday's sample vs today's) and report, for each old
+    * centroid, the exact-integer L2² to its NEAREST new centroid.
+    * Matching-free by construction — cell ids are seed-order
+    * artifacts with no identity across trainings, so the one-sided
+    * chamfer (min over new centroids, ties to the smallest new cell)
+    * is the right distance: stationary data gives every old centroid
+    * a near twin (small shifts everywhere); drifted data leaves some
+    * old centroid's region unrepresented and its shift explodes.
+    * Thresholding is the caller's policy knob.
+    *
+    * Cost: two sample-sized trainings (each the [[kmeansFitInt]]
+    * one-pass-per-round shape) plus k² driver arithmetic over the two
+    * k-row outputs — at 100 TB both slices are hash samples (the q140
+    * recipe), so the trigger costs sample-scale, never corpus-scale.
+    */
+  def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 8, rounds: Int = 2,
+                    dims: Int = 64): DataFrame = {
+    val o = kmeansFitInt(oldEmb, idCol, vecCol, k, rounds, dims)
+    val n = kmeansFitInt(newEmb, idCol, vecCol, k, rounds, dims)
+    val sp = oldEmb.sparkSession
+    import sp.implicits._
+    o.map { case (oc, ov) =>
+      val (nc, d2) = n.map { case (ncell, nv) =>
+        (ncell, ov.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (ncell, d) => (d, ncell) }
+      (oc, nc, d2)
+    }.toDF("cell", "nearest_cell", "shift_d2")
+  }
+
   /** PQ CODEBOOK TRAINING — per-subspace exact-integer Lloyd's, the
     * companion of [[kmeansFitInt]] for the compressed tier: each of
     * the `m` subspaces gets its own k-entry codebook trained on that
@@ -964,6 +998,57 @@ object Ann {
                         path: String,
                         targetBytes: Long = 128L << 20): (Int, Int) =
     ivfCompactIndex(spark, path, targetBytes)
+
+  /** ANN RECALL EVALUATION — recall@k of the IVF probe against the
+    * exact ranking, per query, as a verifiable operator: the
+    * continuous quality gate a served deployment runs on traffic
+    * samples (recall is a property of the DATA under the trained
+    * quantizer, not of the code — it must be re-measured as the
+    * corpus drifts, and `AnnRecallSpec`-style fixed fixtures cannot
+    * do that).
+    *
+    * One corpus scan scores every (row, query) pair against the
+    * broadcast query set (the batch-kNN shape); the exact top-k ranks
+    * over all rows, the probe top-k over the query's `nprobe` cells
+    * ([[rankCells]] — the probe's own ranking, so the eval cannot
+    * drift from what [[ivfTopKInt]] actually scans), both via windows
+    * over the (|Q|·n) scored pairs; a query's `n_hits` = |exact ∩
+    * probe| top-k ids. Queries the probe completely starves still
+    * appear (n_hits = 0) via the left join back to the query set.
+    * All ties break on ascending id / the shared cell conventions, so
+    * the count is exact-integer reproducible in any engine.
+    */
+  def ivfRecallAtK(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Seq[Long])],
+                   queries: Seq[(Long, Seq[Long])],
+                   k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val probeSets: Map[Long, Seq[Long]] =
+      queries.map { case (qid, qv) => qid -> rankCells(centroids, qv, nprobe) }.toMap
+    val qdf = queries.toDF("query_id", "__qv")
+    val scored = ivfAssignInt(corpus, vecCol, centroids)
+      .select(col(idCol), col("cell"), intVec(col(vecCol)).as("__iv"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dot", intDot(col("__iv"), col("__qv")))
+    val probed = queries.map { case (qid, _) =>
+      col("query_id") === qid && col("cell").isInCollection(probeSets(qid))
+    }.reduce(_ || _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol))
+    val wp = Window.partitionBy(col("query_id"), col("__p"))
+      .orderBy(col("dot").desc, col(idCol))
+    val hits = scored.withColumn("__p", probed)
+      .withColumn("rn_e", row_number().over(w))
+      .withColumn("rn_a", row_number().over(wp))
+      .filter(col("rn_e") <= k && col("__p") && col("rn_a") <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    qdf.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
 
   // ---- SQ8: per-dimension scalar quantization (the FAISS-SQ tier) ----
 

@@ -142,6 +142,27 @@ class KmeansSpec extends SparkSpec {
       s"fp seeding must beat the one-cluster id layout: fp=$fi id=$ii")
   }
 
+  test("centroidDrift: identical distributions show zero shift, a planted offset shows exactly it") {
+    // two planted clusters at ±1 on every dim; disjoint id ranges with
+    // the same distribution → every old centroid has an exact twin
+    def mk(ids: Seq[Long], offset: Float) =
+      ids.map(i => (i, Seq.tabulate(64)(_ =>
+        (if (i % 2 == 0) 1f else -1f) + offset))).toDF("vec_id", "embedding")
+    val old = mk(0L until 40L, 0f)
+    val same = mk(40L until 80L, 0f)
+    val d0 = Ann.centroidDrift(old, same, "vec_id", "embedding", k = 2)
+      .select($"shift_d2").as[Long].collect()
+    assert(d0.length == 2 && d0.forall(_ == 0L), d0.toSeq.toString)
+    // the new half shifted +0.1 on every dim: each old centroid's
+    // nearest new twin sits exactly 100 grid units away per dim
+    val moved = mk(40L until 80L, 0.1f)
+    val rows = Ann.centroidDrift(old, moved, "vec_id", "embedding", k = 2)
+      .orderBy($"cell")
+      .select($"cell", $"nearest_cell", $"shift_d2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.forall(_._3 == 64L * 100 * 100), rows.toString)
+  }
+
   test("q141: stored trained search equals the in-memory q138 stack, scans prune and read codes only") {
     val stored = SparkEntry.queries("q141_trained_search_stored")(spark, Sf001)
     val inMem = SparkEntry.queries("q138_trained_search")(spark, Sf001)
