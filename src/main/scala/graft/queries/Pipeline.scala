@@ -1400,6 +1400,22 @@ object Pipeline {
         .orderBy(col("d2"), col("vec_id"))
     }),
 
+    // LEAKAGE-SAFE SPLIT: train/val/test assigned by near-dup CLUSTER,
+    // not by doc — the per-doc hash split (q58/splitAssign) puts
+    // members of one near-dup cluster in different splits, and the
+    // "held-out" eval then scores near-copies of training text. Every
+    // member inherits its cluster label's bucket (singletons hash on
+    // their own id = their comp), so the cluster moves as a unit; the
+    // same q59 clustering the dedup tier already runs, one extra hash.
+    "q144_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+      Dedup.dupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+        .withColumn("split", Dedup.splitAssign(col("comp")))
+        .select(col("doc_id"), col("comp"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN RECALL EVALUATION — recall@10 of the trained-quantizer IVF
     // probe against the exact ranking, per query (the first 5 corpus
     // vectors as the traffic sample): the continuous quality gate a
@@ -2479,6 +2495,20 @@ object Pipeline {
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q144: q59's cluster labels + the q58 md5-bucket split algebra
+    // keyed on the COMP label instead of the doc id.
+    "q144_leakage_safe_split" ->
+      s"""WITH RECURSIVE $ccLabelsSql
+          SELECT doc_id, comp,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, comp,
+                       CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 AS b
+                FROM lab)
+          ORDER BY doc_id""",
 
     // q133 must agree bit-for-bit with q59 — the stored-signature path
     // changes WHERE the signatures come from, never their values.

@@ -63,4 +63,29 @@ class DedupQualitySpec extends SparkSpec {
     info(s"recall: J≥0.7 → $hiFound/$hiAll; J≥0.4 → $midFound/$midAll; " +
          s"candidates ${cand.size} of ${docs.size * (docs.size - 1) / 2} pairs")
   }
+
+  test("leakage-safe split moves every near-dup cluster as a unit; the naive per-doc split provably leaks") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$Sf001/documents.parquet")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+    val rows = Dedup.dupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+      .withColumn("cluster_split", Dedup.splitAssign(col("comp")))
+      .withColumn("doc_split", Dedup.splitAssign(col("doc_id")))
+      .select(col("doc_id").cast("string"), col("comp").cast("string"),
+              col("cluster_split"), col("doc_split"))
+      .as[(String, String, String, String)].collect().toSeq
+    val byComp = rows.groupBy(_._2)
+    // the op's guarantee: one split per cluster, no exceptions
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.map(_._3).distinct.size == 1,
+             s"cluster $comp straddles splits: ${ms.map(_._3).distinct}")
+    }
+    // non-degenerate corpus: real multi-doc clusters exist
+    val multi = byComp.filter(_._2.size > 1)
+    assert(multi.nonEmpty, "fixture corpus must contain near-dup clusters")
+    // and the fix is NEEDED: under the per-doc hash at least one
+    // cluster's members would land in different splits (the leak)
+    assert(multi.exists { case (_, ms) => ms.map(_._4).distinct.size > 1 },
+           "per-doc split should leak on this corpus — fixture too easy?")
+  }
 }
