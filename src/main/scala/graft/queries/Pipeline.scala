@@ -1400,6 +1400,16 @@ object Pipeline {
         .orderBy(col("d2"), col("vec_id"))
     }),
 
+    // MULTI-ROUND BPE TRAINING: the real tokenizer-training loop (q95
+    // only ranks round-1 candidates): pick the best pair, merge it
+    // greedily in every vocab word, recount, three rounds — the
+    // learned merge table IS the tokenizer artifact. Corpus pays one
+    // word count; every round is vocab-sized.
+    "q145_bpe_train" -> ((s, dir) => {
+      TextStats.bpeTrain(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy(col("round"))
+    }),
+
     // LEAKAGE-SAFE SPLIT: train/val/test assigned by near-dup CLUSTER,
     // not by doc — the per-doc hash split (q58/splitAssign) puts
     // members of one near-dup cluster in different splits, and the
@@ -2458,6 +2468,29 @@ object Pipeline {
        $trace ORDER BY round"""
   }
 
+  /** One BPE training round as DuckDB CTEs over the double-delimited
+    * symbol string `v{r-1}`: parse symbols, count adjacent pairs, pick
+    * the best (cnt DESC, lft ASC, rgt ASC), merge it with one
+    * non-overlapping `replace` (see the q145 pattern note).
+    */
+  private def bpeRoundSql(r: Int): String =
+    s"""sy$r AS (
+          SELECT f, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
+          FROM v${r - 1}),
+        p$r AS (
+          SELECT sy[i] AS lft, sy[i+1] AS rgt, f
+          FROM (SELECT f, sy, unnest(generate_series(1, len(sy)-1)) AS i
+                FROM sy$r WHERE len(sy) >= 2)),
+        b$r AS (
+          SELECT lft, rgt, CAST(sum(f) AS BIGINT) AS cnt
+          FROM p$r GROUP BY 1, 2
+          ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+        v$r AS (
+          SELECT v.f,
+                 replace(v.s, chr(1)||b.lft||chr(1)||chr(1)||b.rgt||chr(1),
+                         chr(1)||b.lft||b.rgt||chr(1)) AS s
+          FROM v${r - 1} v, b$r b)"""
+
   /** Shared q59/q60 oracle scaffold: q24's LSH candidate pairs →
     * transitive closure via recursive CTE → min reachable id per node
     * (≡ min-label connected components) → every document labeled,
@@ -2495,6 +2528,31 @@ object Pipeline {
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q145: each round over a DOUBLE-DELIMITED symbol string — the
+    // |a||b| pattern consumes the inner boundary and one sep of each
+    // outer boundary, so DuckDB's non-overlapping replace chains
+    // adjacent occurrences exactly like the Spark fold ("aaaa" with
+    // pair (a,a) → (aa)(aa), never (aa)(a)(a)).
+    "q145_bpe_train" ->
+      s"""WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+          v0 AS (
+            SELECT f, chr(1)||chr(1) ||
+                   array_to_string(string_split_regex(w, ''),
+                                   chr(1)||chr(1)) ||
+                   chr(1)||chr(1) AS s
+            FROM vocab),
+          ${bpeRoundSql(1)},
+          ${bpeRoundSql(2)},
+          ${bpeRoundSql(3)}
+          SELECT CAST(1 AS BIGINT) AS round, lft, rgt, cnt AS pair_count FROM b1
+          UNION ALL SELECT CAST(2 AS BIGINT), lft, rgt, cnt FROM b2
+          UNION ALL SELECT CAST(3 AS BIGINT), lft, rgt, cnt FROM b3
+          ORDER BY round""",
 
     // q144: q59's cluster labels + the q58 md5-bucket split algebra
     // keyed on the COMP label instead of the doc id.

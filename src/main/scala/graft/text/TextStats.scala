@@ -521,6 +521,77 @@ object TextStats {
     * arrays, no UDF), so the whole plan stays in codegen except the
     * vocab-sized HOF projection.
     */
+
+  /** MULTI-ROUND BPE TRAINER — the actual tokenizer-training loop
+    * [[bpePairCounts]] only emits round-1 candidates for: each round
+    * picks the highest-count adjacent symbol pair (ties to the
+    * lexicographically smallest (lft, rgt)), merges it GREEDILY
+    * left-to-right in every vocab word (non-overlapping, the standard
+    * BPE convention: in "aaaa" the pair (a,a) merges to (aa)(aa),
+    * never (aa)(a)(a) or overlapping), and recounts. Returns the
+    * learned merge table (round, lft, rgt, pair_count) — the artifact
+    * a BPE tokenizer IS.
+    *
+    * Scale shape: the corpus pays ONE word-count aggregate; every
+    * round after that is vocab-sized (pair explode + one map-side
+    * combined groupBy + a 1-row collect + the merge fold, an
+    * interpreted HOF kept off the corpus). Each round's vocab is
+    * pinned so the per-round folds never re-execute through earlier
+    * rounds' lambdas. Stops early if no pairs remain (every word a
+    * single symbol).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    var cur = df
+      .select(explode(filter(split(lower(col(textCol)), "\\W+"),
+                             w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    try {
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        // single-symbol words carry no pairs — and MUST be filtered, not
+        // left to the sequence: Spark's sequence(1, 0) DESCENDS
+        val best = cur.filter(size(col("syms")) >= 2)
+          .select(col("f"),
+            explode(transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lft"),
+                          element_at(col("syms"), i + 1).as("rgt")))).as("p"))
+          .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (l, rt, cnt) =
+            (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+          merges += ((r.toLong, l, rt, cnt))
+          // greedy left-to-right merge as an array fold: the merged
+          // symbol (strictly longer than lft) can never re-match as a
+          // pair side within the same round, so the fold IS the
+          // non-overlapping scan
+          val next = cur.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, sym) =>
+                when(size(acc) > 0 &&
+                     element_at(acc, -1) === lit(l) && sym === lit(rt),
+                     concat(slice(acc, lit(1), size(acc) - 1),
+                            array(lit(l + rt))))
+                  .otherwise(concat(acc, array(sym)))))
+            .localCheckpoint(true)
+          graft.io.Pins.release(cur)
+          cur = next
+          r += 1
+        }
+      }
+    } finally graft.io.Pins.release(cur)
+    merges.toSeq.toDF("round", "lft", "rgt", "pair_count")
+  }
+
   def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
     val vocab = df
       .select(explode(filter(split(lower(col(textCol)), "\\W+"),

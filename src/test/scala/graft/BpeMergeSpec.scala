@@ -52,4 +52,24 @@ class BpeMergeSpec extends SparkSpec {
     assert(!plan.contains("UDF("), s"must be UDF-free:\n$plan")
     assert(!plan.contains("Join"), s"no join belongs here:\n$plan")
   }
+
+  test("bpeTrain: greedy non-overlapping merges with recounting, hand-computed") {
+    // corpus: "aaaa" ×2 and "ab" ×1.
+    //  round 1: pairs (a,a)×3 per "aaaa" → 6; (a,b) → 1. merge (a,a).
+    //    GREEDY: "aaaa" → (aa)(aa), never (aa)(a)(a).
+    //  round 2: "aaaa" is now (aa)(aa) → pair (aa,aa) count 2 beats
+    //    (a,b) count 1 — the recount is what q95's one-shot ranking
+    //    cannot see. merge (aa,aa).
+    //  round 3: "aaaa" is a single symbol; only (a,b) remains.
+    val docs = Seq("aaaa aaaa ab").toDF("text")
+    val got = TextStats.bpeTrain(docs, "text", rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L),
+                      (3L, "a", "b", 1L)), got.toString)
+    // early stop: once every word is one symbol, training ends short
+    val tiny = Seq("xy xy").toDF("text")
+    val short = TextStats.bpeTrain(tiny, "text", rounds = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(short == Seq((1L, "x", "y", 2L)), short.toString)
+  }
 }
