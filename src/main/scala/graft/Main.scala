@@ -266,8 +266,16 @@ object Main {
 
     val chunkObs = new Observation("chunks")
     val embedObs = new Observation("embeddings")
+    // streaming branch pins are EAGER localCheckpoints, not cache():
+    // both frames are read again AFTER the store commit swaps the
+    // table directories underneath their lineage (the metrics counts
+    // below), and a cache() block evicted under memory pressure
+    // recomputes through the PRE-swap file listing — FILE_NOT_EXIST.
+    // Checkpointing truncates the lineage, so no recompute path into
+    // swapped-away files exists; spill goes to disk, never back to
+    // the dead listing.
     val chunksObserved =
-      if (streaming) chunked.cache()
+      if (streaming) chunked.localCheckpoint(true)
       else Metrics.observeChunkSizes(chunked, chunkObs)
 
     val (_, tChunks) = Metrics.timed {
@@ -303,7 +311,7 @@ object Main {
           openTable(spark, storeDir, "embeddings"), providerName, now = now)
       else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
     val embedded =
-      if (streaming) embeddedRaw.cache()
+      if (streaming) embeddedRaw.localCheckpoint(true) // see chunksObserved
       else Metrics.observeEmbedding(embeddedRaw, embedObs)
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",
@@ -418,7 +426,13 @@ object Main {
 
     val nDocs = docs.count()
     val nFailed = docs.filter($"status" === "failed").count()
-    if (streaming) { chunksObserved.unpersist(); embedded.unpersist() }
+    if (streaming) {
+      // unpersist() does not drop a localCheckpoint pin — release at
+      // the RDD level (the pinnedBefore sweep below would catch these
+      // anyway; explicit for clarity)
+      graft.io.Pins.release(chunksObserved)
+      graft.io.Pins.release(embedded)
+    }
     docs.unpersist()
     // free this run's dedup scratch pins (see snapshot above)
     spark.sparkContext.getPersistentRDDs

@@ -1410,6 +1410,20 @@ object Pipeline {
         .orderBy(col("round"))
     }),
 
+    // BPE APPLY: q145's learned merges encoded back over the corpus —
+    // per-doc word and token counts, i.e. the compression the merges
+    // bought (the metric that judges a tokenizer). Only distinct words
+    // pay the merge folds; docs get counts through one vocab join.
+    "q146_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = TextStats.bpeTrain(docs, "text", rounds = 3)
+        .orderBy(col("round")).select(col("lft"), col("rgt"))
+        .as[(String, String)].collect().toSeq
+      TextStats.bpeApply(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // LEAKAGE-SAFE SPLIT: train/val/test assigned by near-dup CLUSTER,
     // not by doc — the per-doc hash split (q58/splitAssign) puts
     // members of one near-dup cluster in different splits, and the
@@ -2486,7 +2500,7 @@ object Pipeline {
           FROM p$r GROUP BY 1, 2
           ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
         v$r AS (
-          SELECT v.f,
+          SELECT v.w, v.f,
                  replace(v.s, chr(1)||b.lft||chr(1)||chr(1)||b.rgt||chr(1),
                          chr(1)||b.lft||b.rgt||chr(1)) AS s
           FROM v${r - 1} v, b$r b)"""
@@ -2541,7 +2555,7 @@ object Pipeline {
             FROM documents),
           vocab AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
           v0 AS (
-            SELECT f, chr(1)||chr(1) ||
+            SELECT w, f, chr(1)||chr(1) ||
                    array_to_string(string_split_regex(w, ''),
                                    chr(1)||chr(1)) ||
                    chr(1)||chr(1) AS s
@@ -2553,6 +2567,35 @@ object Pipeline {
           UNION ALL SELECT CAST(2 AS BIGINT), lft, rgt, cnt FROM b2
           UNION ALL SELECT CAST(3 AS BIGINT), lft, rgt, cnt FROM b3
           ORDER BY round""",
+
+    // q146: the q145 training CTEs (vocab + 3 rounds), then each
+    // word's post-merge symbol count joined back to the per-doc word
+    // stream.
+    "q146_bpe_apply" ->
+      s"""WITH dtoks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM dtoks GROUP BY w),
+          v0 AS (
+            SELECT w, f, chr(1)||chr(1) ||
+                   array_to_string(string_split_regex(w, ''),
+                                   chr(1)||chr(1)) ||
+                   chr(1)||chr(1) AS s
+            FROM vocab),
+          ${bpeRoundSql(1)},
+          ${bpeRoundSql(2)},
+          ${bpeRoundSql(3)},
+          wn AS (
+            SELECT w,
+                   len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+                     AS n
+            FROM v3)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM dtoks JOIN wn USING (w)
+          GROUP BY doc_id ORDER BY doc_id""",
 
     // q144: q59's cluster labels + the q58 md5-bucket split algebra
     // keyed on the COMP label instead of the doc id.

@@ -540,6 +540,44 @@ object TextStats {
     * rounds' lambdas. Stops early if no pairs remain (every word a
     * single symbol).
     */
+  /** Greedy left-to-right merge of one BPE pair over a symbol array,
+    * as a fold: the merged symbol (strictly longer than `l`) can never
+    * re-match as a pair side in the same pass, so the fold IS the
+    * standard non-overlapping scan ("aaaa" + (a,a) → (aa)(aa)).
+    * Vocab-sized inputs only — the lambda is interpreted.
+    */
+  private def bpeMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, sym) =>
+        when(size(acc) > 0 &&
+             element_at(acc, -1) === lit(l) && sym === lit(r),
+             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(sym))))
+
+  /** Apply an ORDERED learned merge list ([[bpeTrain]]'s output) to a
+    * corpus and report per-document token counts — the consumer side
+    * of tokenizer training, and the metric that judges it: n_words /
+    * n_tokens is the compression the merges bought. Vocab-side cost:
+    * only DISTINCT words pay the merge folds; per-doc counts come
+    * back through one join against the vocab-sized (word, n_syms)
+    * table.
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\W+"),
+                     w => w =!= "")).as("w"))
+    val folded = merges.foldLeft(
+        words.select(col("w")).distinct()
+          .withColumn("syms", split(col("w"), ""))) {
+      case (v, (l, r)) => v.withColumn("syms", bpeMergeFold(col("syms"), l, r))
+    }
+    words.join(folded.select(col("w"), size(col("syms")).cast("long").as("__n")),
+               Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_tokens"))
+  }
+
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
@@ -570,18 +608,8 @@ object TextStats {
           val (l, rt, cnt) =
             (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
           merges += ((r.toLong, l, rt, cnt))
-          // greedy left-to-right merge as an array fold: the merged
-          // symbol (strictly longer than lft) can never re-match as a
-          // pair side within the same round, so the fold IS the
-          // non-overlapping scan
-          val next = cur.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, sym) =>
-                when(size(acc) > 0 &&
-                     element_at(acc, -1) === lit(l) && sym === lit(rt),
-                     concat(slice(acc, lit(1), size(acc) - 1),
-                            array(lit(l + rt))))
-                  .otherwise(concat(acc, array(sym)))))
+          val next = cur
+            .withColumn("syms", bpeMergeFold(col("syms"), l, rt))
             .localCheckpoint(true)
           graft.io.Pins.release(cur)
           cur = next

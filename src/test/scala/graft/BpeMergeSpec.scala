@@ -72,4 +72,20 @@ class BpeMergeSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(short == Seq((1L, "x", "y", 2L)), short.toString)
   }
+
+  test("bpeApply: ordered merges compress per-doc token counts, partial merges exact") {
+    val docs = Seq(("d1", "aaaa aaaa ab"), ("d2", "aab a")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("a", "b"))
+    val got = TextStats.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // d1: "aaaa"→[aa,aa]→[aaaa] = 1 token (×2), "ab"→[ab] = 1 → 3 words, 3 tokens
+    // d2: "aab"→[aa,b] = 2 (the (a,b) merge must NOT fire after (a,a)
+    //     consumed the 'a'), "a" = 1 → 2 words, 3 tokens
+    assert(got == Seq(("d1", 3L, 3L), ("d2", 2L, 3L)), got.toString)
+    // no merges = plain char counts
+    val raw = TextStats.bpeApply(docs, "doc_id", "text", Seq.empty)
+      .orderBy($"doc_id").as[(String, Long, Long)].collect().toSeq
+    assert(raw == Seq(("d1", 3L, 10L), ("d2", 2L, 4L)), raw.toString)
+  }
 }

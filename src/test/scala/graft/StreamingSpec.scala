@@ -386,4 +386,44 @@ class StreamingSpec extends SparkSpec {
     assert(uni("2025-01-01 10:00:00") == 2L, uni.toString)
     qt.stop(); qu.stop()
   }
+
+  test("a stored vector index follows the streaming inbox: each micro-batch reconciles it") {
+    import graft.search.VectorIndex
+    val in = Files.createTempDirectory("graft_inbox_vidx").toFile
+    val store = Files.createTempDirectory("graft_store_vidx").toFile
+    Files.writeString(new java.io.File(in, "a.md").toPath,
+      "spark query engine performance and shuffle tuning")
+    val q1 = Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                         nowFn = () => ts("2025-01-01 00:00:00"))
+    assert(q1.awaitTermination(300000))
+    // index built between streaming runs (the operator's build step)
+    Main.runBuildVectorIndex(spark, store.toString, "nomic", nlist = 2)
+    def mirror(): Unit = {
+      val storeIds = spark.read.parquet(s"$store/embeddings.parquet")
+        .filter($"embedding_provider" === "nomic")
+        .select($"chunk_id").as[String].collect().toSet
+      val idxIds = spark.read
+        .parquet(VectorIndex.indexPath(store.toString))
+        .select($"chunk_id").as[String].collect().toSet
+      assert(idxIds == storeIds,
+             s"index must mirror the store slice: $idxIds vs $storeIds")
+    }
+    mirror()
+    // new docs arrive THROUGH THE STREAM: the foreachBatch ingest
+    // stages must reconcile the index under the streaming clone
+    // session, exactly like the batch driver
+    Files.writeString(new java.io.File(in, "b.md").toPath,
+      "unrelated cooking recipe with butter and flour")
+    Files.writeString(new java.io.File(in, "c.md").toPath,
+      "violin concerto in d major sheet music")
+    val q2 = Inbox.start(spark, in.getAbsolutePath, store.getAbsolutePath,
+                         nowFn = () => ts("2025-01-01 00:01:00"))
+    assert(q2.awaitTermination(300000))
+    mirror()
+    // and the served probe still answers over the streamed rows
+    val hits = Main.runSearchAnn(spark, store.toString,
+                                 "spark query engine performance", k = 1,
+                                 nprobe = 8)
+    assert(hits.nonEmpty && hits.head.contains("spark"), hits.toString)
+  }
 }
