@@ -683,7 +683,10 @@ object Main {
     val report = VectorIndex.balance(spark, path, maxRows,
                                      "chunk_id", "embedding")
     val (fBefore, fAfter) =
-      if (VectorIndex.hasCells(path)) Ann.ivfPqCompactIndex(spark, path)
+      if (VectorIndex.hasCells(path))
+        graft.io.Tables.withTableLock(path) {
+          Ann.ivfPqCompactIndex(spark, path)
+        }
       else (0, 0)
     report.map { a =>
       val oc = a.outcome.replace("\\", "\\\\").replace("\"", "\\\"")

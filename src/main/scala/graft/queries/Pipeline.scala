@@ -1400,6 +1400,23 @@ object Pipeline {
         .orderBy(col("d2"), col("vec_id"))
     }),
 
+    // BATCHED STORED SEARCH: q141's trained stored index probed by a
+    // BATCH of queries — the union of their cell sets read once
+    // (pruned), per-query ADC dispatch over broadcast query ids, one
+    // window for the per-query cut, point re-rank of the candidate
+    // union. The serving tier's real traffic shape.
+    "q147_batch_stored_search" -> ((s, dir) => {
+      val (path, cents, books) = trainedIndex(s, dir)
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq))
+        .toSeq.sortBy(_._1)
+      Ann.ivfPqTopKBatchStored(s, path, "vec_id", "embedding", cents, books,
+                               queries, k = 10, nprobe = 2, rerankFactor = 3)
+        .orderBy(col("query_id"), col("d2"), col("vec_id"))
+    }),
+
     // MULTI-ROUND BPE TRAINING: the real tokenizer-training loop (q95
     // only ranks round-1 candidates): pick the best pair, merge it
     // greedily in every vocab word, recount, three rounds — the
@@ -2542,6 +2559,73 @@ object Pipeline {
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q147: the q138/q141 trained-stack replay generalized per query —
+    // every stage window-partitioned by query_id, the ADC join gated
+    // on each query's OWN probe set, per-query cut and re-rank.
+    "q147_batch_stored_search" ->
+      s"""$TrainedStackCtes,
+          encd AS (
+            SELECT i.vec_id, i.sub, c.cell,
+                   row_number() OVER (PARTITION BY i.vec_id, i.sub ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 8),
+                       j -> (i.s[j]-c.cv[j])*(i.s[j]-c.cv[j]))) AS BIGINT) ASC,
+                     c.cell ASC) AS rn
+            FROM ivs i JOIN pcen2 c ON c.sub = i.sub),
+          asg AS (
+            SELECT vec_id, cell FROM (
+              SELECT iv.vec_id, t.cell,
+                     row_number() OVER (PARTITION BY iv.vec_id ORDER BY
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> iv.v[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                       AS arn
+              FROM iv CROSS JOIN cen2 t)
+            WHERE arn = 1),
+          qs AS (SELECT CAST(vec_id AS BIGINT) AS query_id, v AS qv
+                 FROM iv WHERE vec_id < 3),
+          rankedc AS (
+            SELECT q.query_id, t.cell,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * t.cv[i])) AS BIGINT) DESC, t.cell DESC)
+                     AS rk
+            FROM cen2 t, qs q),
+          probes AS (SELECT query_id, cell FROM rankedc WHERE rk <= 2),
+          dq AS (
+            SELECT q.query_id, c.sub, c.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 8),
+                     j -> (q.qv[c.sub*8 + j] - c.cv[j])
+                          * (q.qv[c.sub*8 + j] - c.cv[j]))) AS BIGINT) AS d2
+            FROM pcen2 c, qs q),
+          adc AS (
+            SELECT dq.query_id, b.vec_id, a.cell,
+                   CAST(sum(dq.d2) AS BIGINT) AS adc
+            FROM encd b
+            JOIN dq ON dq.sub = b.sub AND dq.cell = b.cell
+            JOIN asg a ON a.vec_id = b.vec_id
+            JOIN probes p ON p.cell = a.cell AND p.query_id = dq.query_id
+            WHERE b.rn = 1
+            GROUP BY dq.query_id, b.vec_id, a.cell),
+          cut AS (
+            SELECT query_id, vec_id, cell, adc FROM (
+              SELECT query_id, vec_id, cell, adc,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc ASC, vec_id) AS rn
+              FROM adc) WHERE rn <= 30),
+          rr AS (
+            SELECT c.query_id, c.vec_id, c.cell, c.adc,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> (iv.v[i] - q.qv[i]) * (iv.v[i] - q.qv[i])))
+                        AS BIGINT) AS d2
+            FROM cut c
+            JOIN iv ON iv.vec_id = c.vec_id
+            JOIN qs q ON q.query_id = c.query_id)
+          SELECT query_id, vec_id, cell, adc, d2 FROM (
+            SELECT query_id, vec_id, cell, adc, d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2 ASC, vec_id) AS rd
+            FROM rr) WHERE rd <= 10
+          ORDER BY query_id, d2, vec_id""",
 
     // q145: each round over a DOUBLE-DELIMITED symbol string — the
     // |a||b| pattern consumes the inner boundary and one sep of each

@@ -949,6 +949,74 @@ object Ann {
       .select(col(idCol), col("cell"), col("adc"), col("d2"))
   }
 
+  /** BATCHED stored IVF-PQ probe — the serving shape under real
+    * traffic: a batch of queries probes the UNION of their per-query
+    * cell sets in ONE partition-pruned read (cells shared between
+    * queries are read once, not |Q| times), each row is ADC-scored
+    * only against the queries whose probe set its cell belongs to
+    * (the per-query dispatch is a literal when-chain over the
+    * broadcast query ids — no shuffle for routing), the per-query
+    * k·rerankFactor ADC cut runs as one window, and the constant-size
+    * candidate union point-fetches vectors from the same pruned
+    * partitions for the exact re-rank. Same conventions per query as
+    * [[ivfPqTopKStored]] end-to-end, so each query's rows are
+    * identical to its single probe — spec-asserted.
+    */
+  def ivfPqTopKBatchStored(spark: org.apache.spark.sql.SparkSession,
+                           path: String, idCol: String, vecCol: String,
+                           centroids: Seq[(Long, Seq[Long])],
+                           codebooks: Seq[(Long, Seq[Long])],
+                           queries: Seq[(Long, Seq[Long])],
+                           k: Int = 10, nprobe: Int = 2,
+                           rerankFactor: Int = 3,
+                           m: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    val probeSets = queries.map { case (qid, qv) =>
+      (qid, rankCells(centroids, qv, nprobe))
+    }
+    val allCells = probeSets.flatMap(_._2).distinct.sorted
+    def pruned = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isInCollection(allCells))
+    val qdf = queries.toDF("query_id", "__qv")
+    val inProbe = probeSets.map { case (qid, cells) =>
+      col("query_id") === qid && col("cell").isInCollection(cells)
+    }.reduce(_ || _)
+    val adcCol = queries.map { case (qid, qv) =>
+      (qid, adcColumn(codebooks, qv, m, dims / m))
+    }.foldRight(lit(null).cast("long")) { case ((qid, c), acc) =>
+      when(col("query_id") === qid, c).otherwise(acc)
+    }
+    val qNormCol = queries
+      .map { case (qid, qv) => (qid, qv.map(x => x * x).sum) }
+      .foldRight(lit(null).cast("long")) { case ((qid, n), acc) =>
+        when(col("query_id") === qid, lit(n)).otherwise(acc)
+      }
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col(idCol))
+    val cands = pruned
+      .select(col(idCol) +: col("cell") +: (0 until m).map(i => col(s"c$i")): _*)
+      .crossJoin(broadcast(qdf.select(col("query_id"))))
+      .filter(inProbe)
+      .withColumn("adc", adcCol)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k * rerankFactor)
+      .select(col("query_id"), col(idCol), col("cell"), col("adc"))
+    val iv = intVec(col(vecCol))
+    val wD2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col(idCol))
+    pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("d2",
+        intDot(iv, iv) - lit(2L) * intDot(iv, col("__qv")) + qNormCol)
+      .withColumn("__rd", row_number().over(wD2))
+      .filter(col("__rd") <= k)
+      .select(col("query_id"), col(idCol), col("cell"), col("adc"), col("d2"))
+  }
+
   /** INCREMENTAL IVF-PQ maintenance, append side — the operation a
     * served 100 TB index needs most: a NEW batch is assigned and
     * PQ-encoded under the SAME frozen coarse centroids and codebooks

@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   *    between commit and maintenance all converge to index ≡ store
   *    slice on the next ingest, with no event log to replay.
   *
-  * Single-writer / quiesced-probe assumptions as the underlying
-  * [[Ann]] maintenance ops; at 100 TB the sidecar swap and the
-  * per-cell renames are a table format's atomic commit.
+  * WRITER mutations (build / reconcile / balance) serialize through
+  * the store's table lease ([[graft.io.Tables.withTableLock]] on the
+  * index path — the same lease discipline as the store tables), so
+  * concurrent writers cannot interleave their swaps; PROBES remain
+  * quiesced-by-assumption during a mutation's per-cell swap windows,
+  * as with the underlying [[Ann]] ops. At 100 TB the sidecar swap and
+  * the per-cell renames are a table format's atomic commit.
   */
 object VectorIndex {
 
@@ -141,7 +145,8 @@ object VectorIndex {
             vecCol: String, path: String, provider: String,
             nlist: Int = 8, codebookK: Int = 8, m: Int = 8,
             dims: Int = graft.embed.Embedding.Dims,
-            samplePct: Int = 50, rounds: Int = 2): Meta = {
+            samplePct: Int = 50, rounds: Int = 2): Meta =
+    graft.io.Tables.withTableLock(path) {
     val sample = emb.filter(
       graft.dedup.Dedup.hashBucket(col(idCol), 100) < samplePct)
     val nSample = sample.count()
@@ -160,7 +165,7 @@ object VectorIndex {
     Ann.ivfPqWriteIndex(emb, idCol, vecCol, cents, books, path, m, dims)
     writeMeta(path, meta)
     meta
-  }
+    }
 
   // ----------------------------------------------------------- reconcile
 
@@ -180,7 +185,8 @@ object VectorIndex {
     * never a rebuild. Returns (appended, removed) row counts.
     */
   def reconcile(spark: SparkSession, path: String, storeSlice: DataFrame,
-                idCol: String, vecCol: String): (Long, Long) = {
+                idCol: String, vecCol: String): (Long, Long) =
+    graft.io.Tables.withTableLock(path) {
     val meta = readMeta(path)
     val slice = storeSlice.select(col(idCol), col(vecCol))
     val idx =
@@ -208,7 +214,7 @@ object VectorIndex {
       removals.foreach(graft.io.Pins.release)
       graft.io.Pins.release(appends)
     }
-  }
+    }
 
   // ------------------------------------------------------------- balance
 
@@ -223,13 +229,14 @@ object VectorIndex {
     */
   def balance(spark: SparkSession, path: String, maxRows: Long,
               idCol: String, vecCol: String,
-              maxSplits: Int = 16): Seq[Ann.BalanceAction] = {
-    val meta = readMeta(path)
-    val (cents, report) = Ann.ivfBalanceIndex(spark, path, meta.centroids,
-      maxRows, idCol, vecCol, dims = meta.dims, maxSplits = maxSplits)
-    if (cents != meta.centroids) writeMeta(path, meta.copy(centroids = cents))
-    report
-  }
+              maxSplits: Int = 16): Seq[Ann.BalanceAction] =
+    graft.io.Tables.withTableLock(path) {
+      val meta = readMeta(path)
+      val (cents, report) = Ann.ivfBalanceIndex(spark, path, meta.centroids,
+        maxRows, idCol, vecCol, dims = meta.dims, maxSplits = maxSplits)
+      if (cents != meta.centroids) writeMeta(path, meta.copy(centroids = cents))
+      report
+    }
 
   // --------------------------------------------------------------- probe
 

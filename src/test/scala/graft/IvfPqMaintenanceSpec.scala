@@ -169,6 +169,36 @@ class IvfPqMaintenanceSpec extends SparkSpec {
            s"codes-only ADC scan must survive compaction:\n${scanSchemas.mkString("\n")}")
   }
 
+  test("batch stored probe: each query's rows equal its single probe; pruned codes-only scans") {
+    val path = Files.createTempDirectory("graft_ivfpq_batch").toString + "/index"
+    writeBase(path)
+    val qids = Seq(0L, 7L, 13L, 24L)
+    val queries = qids.map(i => (i, qv(i)))
+    val batchDf = Ann.ivfPqTopKBatchStored(spark, path, "vec_id", "embedding",
+      codebooks, codebooks, queries, k = 5, nprobe = 2, rerankFactor = 3,
+      m = m, dims = dims)
+    def key(r: Seq[Any]) = (r.last.asInstanceOf[Long], r.head.asInstanceOf[Long])
+    val batch = batchDf.collect().map(_.toSeq).toSeq
+      .groupBy(_.head.asInstanceOf[Long])
+      .view.mapValues(_.map(_.tail).sortBy(key)).toMap
+    qids.foreach { qi =>
+      val single = stored(path, qv(qi)).sortBy(key)
+      assert(batch(qi) == single,
+             s"batch rows for query $qi must equal its single probe:\n" +
+             s"${batch(qi)}\n$single")
+    }
+    // plan discipline survives batching: both tiers prune, the ADC
+    // tier reads codes and never the vector column
+    val plan = batchDf.queryExecution.executedPlan.toString
+    val prunedScans = plan.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("cell") && l.contains("IN"))
+    assert(prunedScans >= 2,
+           s"batched scans must prune (found $prunedScans)")
+    val scanSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scanSchemas.exists(l => l.contains("c0") && !l.contains("embedding")),
+           s"batched ADC scan must read codes, not vectors:\n${scanSchemas.mkString("\n")}")
+  }
+
   test("full lifecycle: build → append ×3 → split → append → compact → remove, probes exact at every step") {
     // one index walks every maintenance op in sequence, with the
     // stored probe checked against an in-memory rebuild after each
