@@ -61,14 +61,17 @@ object Main {
     case "search" :: store :: query :: rest =>
       val spark = session()
       val ann = rest.contains("--ann")
+      val hybrid = rest.contains("--hybrid")
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
-      val pos = rest.filterNot(a => a == "--ann" || a.startsWith("--nprobe="))
+      val pos = rest.filterNot(a =>
+        a == "--ann" || a == "--hybrid" || a.startsWith("--nprobe="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
       val lines =
-        if (ann) runSearchAnn(spark, store, query, k, nprobe)
+        if (hybrid) runSearchHybrid(spark, store, query, k, nprobe)
+        else if (ann) runSearchAnn(spark, store, query, k, nprobe)
         else runSearch(spark, store, query, provider, k)
       lines.foreach(println)
       spark.stop()
@@ -101,7 +104,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] [--ann] [--nprobe=N] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows]")
@@ -722,6 +725,47 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""d2":${r.getAs[Long]("d2")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `search <store> <query> --hybrid [--nprobe=N]`: fuse the two
+    * retrieval tiers the store serves — the BM25 lexical ranking over
+    * the chunk text (q81's operator) and the stored vector index's ANN
+    * probe — by reciprocal-rank fusion (q126's operator, served). The
+    * tiers disagree exactly when one modality is blind (paraphrases
+    * beat BM25; exact identifiers beat embeddings), and RRF is the
+    * rank-level fusion that needs no score calibration between them.
+    * Emits (chunk_id, rrf_score, n_lists): n_lists = 2 marks hits both
+    * tiers agree on.
+    */
+  def runSearchHybrid(spark: SparkSession, storeDir: String, query: String,
+                      k: Int, nprobe: Int = 2): Seq[String] = {
+    import graft.search.{Ann, Search, VectorIndex}
+    import org.apache.spark.sql.expressions.Window
+    val chunks = openTable(spark, storeDir, "chunks")
+      .select(col("chunk_id"), col("content"))
+    val sparse = Search.bm25TopK(chunks, "chunk_id", "content", query, k = k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("chunk_id"))).cast("long"))
+    val path = VectorIndex.indexPath(storeDir)
+    val rankings =
+      if (!VectorIndex.hasCells(path)) Seq(sparse)
+      else {
+        val meta = VectorIndex.readMeta(path)
+        val qv = Embedding.embedQuery(query, meta.provider).toSeq
+          .map(Ann.quantizeL)
+        val dense = VectorIndex.topK(spark, path, "chunk_id", "embedding",
+                                     qv, k, nprobe)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("d2").asc, col("chunk_id"))).cast("long"))
+        Seq(sparse, dense)
+      }
+    Search.rrfFuse(rankings, "chunk_id", "rank", k = k)
+      .orderBy(col("rrf_score").desc, col("chunk_id"))
+      .collect().map { r =>
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""rrf_score":${r.getAs[Long]("rrf_score")},""" +
+        s""""n_lists":${r.getAs[Long]("n_lists")}}"""
       }.toSeq
   }
 

@@ -427,6 +427,16 @@ class E2eMainSpec extends SparkSpec {
     assert(!balLines.exists(_.contains("\"outcome\":\"split\"")))
     assert(annTopK(3) === bruteTopK(3),
            "balance+compact must not change the served ranking")
+
+    // hybrid serving: RRF over BOTH stored tiers — on a query the doc
+    // matches lexically AND semantically, both rankings put it first
+    // (n_lists = 2) and the fused top hit is the winner's chunk
+    val hyb = Main.runSearchHybrid(spark, store, query, k = 3, nprobe = 8)
+    assert(hyb.nonEmpty)
+    val topHit = """"chunk_id":"([^"]+)"""".r.findFirstMatchIn(hyb.head).get.group(1)
+    assert(topHit.startsWith(ids(winner)), s"hybrid top hit: ${hyb.head}")
+    assert(hyb.head.contains("\"n_lists\":2"),
+           s"both tiers must rank the winner: ${hyb.head}")
   }
 
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
