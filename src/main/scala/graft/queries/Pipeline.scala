@@ -1400,6 +1400,17 @@ object Pipeline {
         .orderBy(col("d2"), col("vec_id"))
     }),
 
+    // ADAPTIVE QUALITY GATE: per-source auto-threshold filtering — a
+    // global cutoff is wrong across sources with different baselines,
+    // so each source's cutoff is its own exact p25 of the stopword-
+    // density score; the bottom quartile of EVERY source drops. One
+    // source-key shuffle, exact integers.
+    "q148_adaptive_quality" -> ((s, dir) => {
+      Curation.adaptiveQualityFilter(t(s, dir, "documents"),
+                                     "doc_id", "text", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // BATCHED STORED SEARCH: q141's trained stored index probed by a
     // BATCH of queries — the union of their cell sets read once
     // (pruned), per-query ADC dispatch over broadcast query ids, one
@@ -2559,6 +2570,30 @@ object Pipeline {
     "q59_dup_clusters" ->
       s"""WITH RECURSIVE $ccLabelsSql
           SELECT doc_id, comp FROM lab ORDER BY doc_id""",
+
+    // q148: q26's stopword signal in basis points, q122's row_number
+    // quantile per source, the gate applied row-wise.
+    "q148_adaptive_quality" ->
+      s"""WITH s AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter($Toks,
+                     w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                        lower(w)))) * 10000 AS BIGINT)
+                   // greatest(CAST(len($Toks) AS BIGINT), 1) AS score
+            FROM documents),
+          r AS (
+            SELECT doc_id, source, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM s),
+          c AS (
+            SELECT source,
+                   max(CASE WHEN rn = (1*n + 3) // 4 THEN score END) AS cutoff
+            FROM r GROUP BY source)
+          SELECT r.doc_id, r.source, r.score, c.cutoff,
+                 r.score >= c.cutoff AS kept
+          FROM r JOIN c USING (source) ORDER BY r.doc_id""",
 
     // q147: the q138/q141 trained-stack replay generalized per query —
     // every stage window-partitioned by query_id, the ADC join gated

@@ -210,4 +210,36 @@ object Curation {
           .otherwise(lit(0L)))
       .withColumn("deficit", col("target_tokens") - col("allocated_tokens"))
   }
+
+  /** ADAPTIVE QUALITY GATE — per-source auto-threshold filtering: a
+    * fixed global quality cutoff is wrong across sources (a code crawl
+    * and a news crawl have different stopword-density baselines), so
+    * the gate derives each source's cutoff FROM ITS OWN distribution:
+    * score = stopword density in basis points (the q26 signals), the
+    * cutoff = the source's exact p25 (the q122 row_number quantile
+    * convention), keep = score ≥ cutoff — the bottom quartile of every
+    * source drops, regardless of where that source's scale sits.
+    * One shuffle on the source key (all three window functions share
+    * the partition); exact integer algebra end to end.
+    */
+  def adaptiveQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                            srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.text.TextStats.qualitySignals(df, textCol)
+      .select(col(idCol), col(srcCol).as("source"),
+              expr("(n_stopwords * 10000) div greatest(n_tokens, 1)")
+                .as("score"))
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col(idCol))
+    val wSrc = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wSrc))
+      .withColumn("cutoff",
+        max(when(col("rn") === expr("(1*n + 3) div 4"), col("score")))
+          .over(wSrc))
+      .withColumn("kept", col("score") >= col("cutoff"))
+      .select(col(idCol), col("source"), col("score"), col("cutoff"),
+              col("kept"))
+  }
 }

@@ -169,4 +169,29 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("UDF("))
   }
+
+  test("adaptiveQualityFilter: each source drops ITS OWN bottom quartile — same score, different fate") {
+    import graft.text.Curation
+    // source A: 8 docs, 8 tokens each, s=0..7 stopwords → scores 1250·s
+    // source B: 8 docs, 16 tokens each, s=2..9 stopwords → scores 625·s
+    def doc(src: String, s: Int, t: Int) =
+      (s"${src}$s", src, (("the " * s) + ("zzz " * (t - s))).trim)
+    val docs = ((0 to 7).map(s => doc("a", s, 8)) ++
+                (2 to 9).map(s => doc("b", s, 16)))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.adaptiveQualityFilter(docs, "doc_id", "text", "source")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // per-source p25 (rank ceil(n/4) = 2 of 8): A → 1250, B → 1875
+    assert(got("a0")._4 == 1250L && got("b2")._4 == 1875L,
+           got.values.toSeq.sortBy(_._1).toString)
+    // the SAME score 1250 is kept in A (at its cutoff) and dropped in
+    // B (below its cutoff) — the reason the gate is per-source
+    assert(got("a1")._3 == 1250L && got("a1")._5,
+           s"A's 1250 doc must be kept: ${got("a1")}")
+    assert(got("b2")._3 == 1250L && !got("b2")._5,
+           s"B's 1250 doc must drop: ${got("b2")}")
+    // exactly the strictly-below-cutoff docs drop
+    assert(got.values.count(!_._5) == 2, got.values.filterNot(_._5).toString)
+  }
 }
