@@ -87,6 +87,17 @@ object Main {
       val maxRows = rest.headOption.map(_.toLong).getOrElse(100000L)
       runBalanceVectorIndex(spark, store, maxRows).foreach(println)
       spark.stop()
+    case "recall" :: store :: rest =>
+      val spark = session()
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+      val nQ = rest.drop(2).headOption.map(_.toInt).getOrElse(5)
+      runRecallCheck(spark, store, k, nprobe, nQ).foreach(println)
+      spark.stop()
+    case "drift" :: store :: Nil =>
+      val spark = session()
+      runDriftCheck(spark, store).foreach(println)
+      spark.stop()
     case "profile" :: store :: Nil =>
       val spark = session()
       runProfile(spark, store).foreach(println)
@@ -107,7 +118,8 @@ object Main {
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
-        "index <store> [provider] [nlist] | balance <store> [maxRows]")
+        "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
+        "recall <store> [k] [nprobe] [nQueries] | drift <store>")
       sys.exit(2)
   }
 
@@ -726,6 +738,90 @@ object Main {
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""d2":${r.getAs[Long]("d2")},"content":"$content"}"""
       }.toSeq
+  }
+
+  /** `recall <store> [k] [nprobe] [nQueries]`: the served index's
+    * recall monitor — the q143 operator run against the STORED probe
+    * itself, not an assignment replay (after splits the stored routing
+    * can differ from a fresh assignment, and the monitor must measure
+    * what serving actually returns): the first `nQueries` stored
+    * vectors (by id — deterministic traffic sample) are probed through
+    * [[graft.search.VectorIndex.topK]] and their top-k compared to the
+    * exact integer-L2 brute ranking over the provider slice. Recall is
+    * a property of the data under the quantizer, so this re-measures
+    * as the corpus drifts; per-query JSON plus a summary line.
+    */
+  def runRecallCheck(spark: SparkSession, storeDir: String, k: Int = 10,
+                     nprobe: Int = 2, nQueries: Int = 5): Seq[String] = {
+    import graft.search.{Ann, VectorIndex}
+    val path = VectorIndex.indexPath(storeDir)
+    val meta = VectorIndex.readMeta(path)
+    val slice = openTable(spark, storeDir, "embeddings")
+      .filter(col("embedding_provider") === meta.provider)
+      .select(col("chunk_id"), col("embedding"))
+    val queries = slice.orderBy(col("chunk_id")).limit(nQueries)
+      .collect().map(r =>
+        (r.getString(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq)).toSeq
+    val perQuery = queries.map { case (qid, qv) =>
+      val stored = VectorIndex.topK(spark, path, "chunk_id", "embedding",
+                                    qv, k, nprobe)
+        .select(col("chunk_id"))
+        .collect().map(_.getString(0)).toSet
+      val q = typedLit(qv)
+      val qn = qv.map(x => x * x).sum
+      val iv = Ann.intVec(col("embedding"))
+      val exact = slice
+        .withColumn("d2", Ann.intDot(iv, iv) - lit(2L) * Ann.intDot(iv, q) + lit(qn))
+        .orderBy(col("d2").asc, col("chunk_id"))
+        .limit(k).select(col("chunk_id"))
+        .collect().map(_.getString(0)).toSet
+      (qid, (stored & exact).size)
+    }
+    val mean100 =
+      if (perQuery.isEmpty) 0L
+      else perQuery.map(_._2.toLong).sum * 100 / (perQuery.size * k)
+    perQuery.map { case (qid, h) =>
+      s"""{"query_chunk_id":"$qid","n_hits":$h,"k":$k}"""
+    } :+ s"""{"mean_recall_pct":$mean100,"nprobe":$nprobe,"n_queries":${perQuery.size}}"""
+  }
+
+  /** `drift <store>`: the served index's retrain trigger — train
+    * FRESH quantizer centroids on today's store sample (the EXACT
+    * build recipe, replayed from the sidecar's nlist/codebookK/
+    * samplePct) and report each sidecar centroid's
+    * exact L2² to its nearest fresh centroid ([[graft.search.Ann.centroidChamfer]]
+    * — matching-free, cell ids have no identity across trainings).
+    * Stationary data reproduces the build bit-for-bit (all shifts 0,
+    * the trainers being deterministic); drifted data leaves some
+    * sidecar centroid's region unrepresented and its shift explodes —
+    * the signal to `Main index` (retrain + rebuild). Sample-scale cost.
+    */
+  def runDriftCheck(spark: SparkSession, storeDir: String): Seq[String] = {
+    import graft.search.{Ann, VectorIndex}
+    val meta = VectorIndex.readMeta(VectorIndex.indexPath(storeDir))
+    val slice = openTable(spark, storeDir, "embeddings")
+      .filter(col("embedding_provider") === meta.provider)
+      .select(col("chunk_id"), col("embedding"))
+    // replay the BUILD's exact training recipe from the sidecar (the
+    // same sample predicate, fallback rule, and k clamps), so on
+    // stationary data the deterministic trainer reproduces the build
+    // centroids bit-for-bit and every shift is 0 — nonzero shifts then
+    // mean the data moved (or cells were split since the build: a
+    // child's shift measures its distance to the parent's region,
+    // which IS local mass worth retraining toward)
+    val sample = slice.filter(
+      graft.dedup.Dedup.hashBucket(col("chunk_id"), 100) < meta.samplePct)
+    val n = sample.count()
+    val wantK = math.max(meta.nlist, meta.codebookK).toLong
+    val (train, nTrain) = if (n >= wantK) (sample, n) else (slice, slice.count())
+    require(nTrain > 0, "no embeddings to train the drift check on")
+    val fresh = Ann.kmeansFitInt(train, "chunk_id", "embedding",
+                                 k = math.min(meta.nlist.toLong, nTrain).toInt,
+                                 dims = meta.dims)
+    val shifts = Ann.centroidChamfer(meta.centroids, fresh)
+    shifts.map { case (c, nc, d2) =>
+      s"""{"cell":$c,"nearest_fresh":$nc,"shift_d2":$d2}"""
+    } :+ s"""{"max_shift_d2":${shifts.map(_._3).max},"mean_shift_d2":${shifts.map(_._3).sum / shifts.size}}"""
   }
 
   /** `search <store> <query> --hybrid [--nprobe=N]`: fuse the two

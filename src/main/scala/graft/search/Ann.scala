@@ -378,6 +378,22 @@ object Ann {
     * k-row outputs — at 100 TB both slices are hash samples (the q140
     * recipe), so the trigger costs sample-scale, never corpus-scale.
     */
+  /** One-sided chamfer between two centroid lists: for each `from`
+    * cell, the exact-integer L2² to its nearest `to` centroid (ties to
+    * the smallest `to` cell). The matching-free distance both drift
+    * surfaces use — [[centroidDrift]] (two trainings) and the served
+    * index's sidecar-vs-fresh check (`Main drift`). k² driver
+    * arithmetic.
+    */
+  def centroidChamfer(from: Seq[(Long, Seq[Long])],
+                      to: Seq[(Long, Seq[Long])]): Seq[(Long, Long, Long)] =
+    from.map { case (oc, ov) =>
+      val (nc, d2) = to.map { case (ncell, nv) =>
+        (ncell, ov.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (ncell, d) => (d, ncell) }
+      (oc, nc, d2)
+    }
+
   def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame, idCol: String,
                     vecCol: String, k: Int = 8, rounds: Int = 2,
                     dims: Int = 64): DataFrame = {
@@ -385,12 +401,7 @@ object Ann {
     val n = kmeansFitInt(newEmb, idCol, vecCol, k, rounds, dims)
     val sp = oldEmb.sparkSession
     import sp.implicits._
-    o.map { case (oc, ov) =>
-      val (nc, d2) = n.map { case (ncell, nv) =>
-        (ncell, ov.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }.minBy { case (ncell, d) => (d, ncell) }
-      (oc, nc, d2)
-    }.toDF("cell", "nearest_cell", "shift_d2")
+    centroidChamfer(o, n).toDF("cell", "nearest_cell", "shift_d2")
   }
 
   /** PQ CODEBOOK TRAINING — per-subspace exact-integer Lloyd's, the

@@ -50,6 +50,7 @@ object VectorIndex {
     * mirror.
     */
   case class Meta(provider: String, m: Int, dims: Int,
+                  nlist: Int, codebookK: Int, samplePct: Int,
                   centroids: Seq[(Long, Seq[Long])],
                   codebooks: Seq[(Long, Seq[Long])])
 
@@ -99,7 +100,9 @@ object VectorIndex {
     java.nio.file.Files.write(
       new java.io.File(path, MetaFile).toPath,
       (s"""{"provider":"${meta.provider}","m":${meta.m},""" +
-       s""""dims":${meta.dims},"centroids":${fmtEntries(meta.centroids)},""" +
+       s""""dims":${meta.dims},"nlist":${meta.nlist},""" +
+       s""""codebookK":${meta.codebookK},"samplePct":${meta.samplePct},""" +
+       s""""centroids":${fmtEntries(meta.centroids)},""" +
        s""""codebooks":${fmtEntries(meta.codebooks)}}""").getBytes("UTF-8"))
   }
 
@@ -116,6 +119,12 @@ object VectorIndex {
       .getOrElse(fail("m"))
     val dims = """"dims":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(fail("dims"))
+    val nlist = """"nlist":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(fail("nlist"))
+    val codebookK = """"codebookK":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(fail("codebookK"))
+    val samplePct = """"samplePct":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(fail("samplePct"))
     val ci = s.indexOf("\"centroids\":")
     val ki = s.indexOf("\"codebooks\":")
     if (ci < 0 || ki < 0 || ki < ci) fail("centroids/codebooks")
@@ -123,7 +132,7 @@ object VectorIndex {
       s.substring(ci + "\"centroids\":".length, ki).trim.stripSuffix(","))
     val books = parseEntries(
       s.substring(ki + "\"codebooks\":".length).trim.stripSuffix("}"))
-    Meta(provider, m, dims, cents, books)
+    Meta(provider, m, dims, nlist, codebookK, samplePct, cents, books)
   }
 
   // --------------------------------------------------------------- build
@@ -161,7 +170,7 @@ object VectorIndex {
                                  rounds = rounds, dims = dims)
     val books = Ann.pqTrainInt(train, idCol, vecCol, k = kB,
                                rounds = rounds, m = m, dims = dims)
-    val meta = Meta(provider, m, dims, cents, books)
+    val meta = Meta(provider, m, dims, nlist, codebookK, samplePct, cents, books)
     Ann.ivfPqWriteIndex(emb, idCol, vecCol, cents, books, path, m, dims)
     writeMeta(path, meta)
     meta

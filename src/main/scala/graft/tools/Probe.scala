@@ -284,7 +284,7 @@ object Probe {
                           cents, cents, path, 8, dims)
       // sidecar AFTER the index write — the overwrite-mode build wipes
       // the directory (same ordering as VectorIndex.build)
-      VectorIndex.writeMeta(path, VectorIndex.Meta("nomic", 8, dims, cents, cents))
+      VectorIndex.writeMeta(path, VectorIndex.Meta("nomic", 8, dims, 32, 32, 50, cents, cents))
       // the post-commit store slice: 1% fresh arrivals appended at the
       // tail, ~0.1% of the existing rows demoted away
       val slice = skewedEmbeddings(spark, n + n / 100)

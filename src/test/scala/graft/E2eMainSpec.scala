@@ -437,6 +437,20 @@ class E2eMainSpec extends SparkSpec {
     assert(topHit.startsWith(ids(winner)), s"hybrid top hit: ${hyb.head}")
     assert(hyb.head.contains("\"n_lists\":2"),
            s"both tiers must rank the winner: ${hyb.head}")
+
+    // the monitoring commands close the loop: rebuild on the current
+    // store (it drifted by construction — batch 2 added docs), then
+    // the drift check replays the sidecar's own recipe on stationary
+    // data and every shift must be exactly 0; the recall monitor at
+    // full coverage must report 100 (the stored probe IS the exact
+    // ranking when every cell is probed and the ADC cut is uncut)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 4)
+    val dr = Main.runDriftCheck(spark, store)
+    assert(dr.last.contains("\"max_shift_d2\":0"),
+           s"stationary store must show zero drift: $dr")
+    val rec = Main.runRecallCheck(spark, store, k = 2, nprobe = 8, nQueries = 3)
+    assert(rec.last.contains("\"mean_recall_pct\":100"),
+           s"full-coverage recall must be 100: $rec")
   }
 
   test("a demotion commit invalidates EVERY provider's cached results, not just the ingested one") {
