@@ -762,20 +762,32 @@ object Main {
     val queries = slice.orderBy(col("chunk_id")).limit(nQueries)
       .collect().map(r =>
         (r.getString(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq)).toSeq
+    // exact side: ONE scored pass over the slice for ALL queries (the
+    // broadcast batch-kNN shape) — per-query full scans would pay
+    // nQueries× the corpus I/O for the same answer
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qdf = queries.map { case (qid, qv) =>
+      (qid, qv, qv.map(x => x * x).sum)
+    }.toDF("__qid", "__qv", "__qn")
+    val iv = Ann.intVec(col("embedding"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("d2").asc, col("chunk_id"))
+    val exactByQ: Map[String, Set[String]] = slice
+      .crossJoin(broadcast(qdf))
+      .withColumn("d2",
+        Ann.intDot(iv, iv) - lit(2L) * Ann.intDot(iv, col("__qv")) + col("__qn"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid"), col("chunk_id"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
     val perQuery = queries.map { case (qid, qv) =>
       val stored = VectorIndex.topK(spark, path, "chunk_id", "embedding",
                                     qv, k, nprobe)
         .select(col("chunk_id"))
         .collect().map(_.getString(0)).toSet
-      val q = typedLit(qv)
-      val qn = qv.map(x => x * x).sum
-      val iv = Ann.intVec(col("embedding"))
-      val exact = slice
-        .withColumn("d2", Ann.intDot(iv, iv) - lit(2L) * Ann.intDot(iv, q) + lit(qn))
-        .orderBy(col("d2").asc, col("chunk_id"))
-        .limit(k).select(col("chunk_id"))
-        .collect().map(_.getString(0)).toSet
-      (qid, (stored & exact).size)
+      (qid, (stored & exactByQ.getOrElse(qid, Set.empty)).size)
     }
     val mean100 =
       if (perQuery.isEmpty) 0L
@@ -802,22 +814,15 @@ object Main {
     val slice = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === meta.provider)
       .select(col("chunk_id"), col("embedding"))
-    // replay the BUILD's exact training recipe from the sidecar (the
-    // same sample predicate, fallback rule, and k clamps), so on
-    // stationary data the deterministic trainer reproduces the build
-    // centroids bit-for-bit and every shift is 0 — nonzero shifts then
-    // mean the data moved (or cells were split since the build: a
-    // child's shift measures its distance to the parent's region,
-    // which IS local mass worth retraining toward)
-    val sample = slice.filter(
-      graft.dedup.Dedup.hashBucket(col("chunk_id"), 100) < meta.samplePct)
-    val n = sample.count()
-    val wantK = math.max(meta.nlist, meta.codebookK).toLong
-    val (train, nTrain) = if (n >= wantK) (sample, n) else (slice, slice.count())
-    require(nTrain > 0, "no embeddings to train the drift check on")
-    val fresh = Ann.kmeansFitInt(train, "chunk_id", "embedding",
-                                 k = math.min(meta.nlist.toLong, nTrain).toInt,
-                                 dims = meta.dims)
+    // the fresh training replays the BUILD's exact recipe straight
+    // from the sidecar (VectorIndex.trainCoarse — one copy of the
+    // sample/fallback/clamp/rounds rule), so on stationary data the
+    // deterministic trainer reproduces the build centroids bit-for-bit
+    // and every shift is 0; nonzero shifts mean the data moved (or
+    // cells were split since the build: a child's shift measures its
+    // distance to the parent's region — local mass worth retraining
+    // toward)
+    val fresh = VectorIndex.trainCoarse(slice, "chunk_id", "embedding", meta)
     val shifts = Ann.centroidChamfer(meta.centroids, fresh)
     shifts.map { case (c, nc, d2) =>
       s"""{"cell":$c,"nearest_fresh":$nc,"shift_d2":$d2}"""

@@ -640,11 +640,22 @@ object Ann {
     * (kmeansFitInt's k-vectors guard). Single-writer, quiesced-probe
     * assumptions as [[ivfRemoveFromIndex]].
     */
+  /** Thrown by [[ivfSplitCell]] for cells that CANNOT split — unknown
+    * id, fewer than 2 rows, or members the trained children do not
+    * separate. Every such failure happens BEFORE the index is touched,
+    * so a balance pass may safely record-and-skip it; any OTHER
+    * exception out of a split (a failed rename mid-swap, a Spark
+    * failure) can mean a half-applied mutation and must PROPAGATE.
+    */
+  final class UnsplittableCellException(msg: String)
+    extends IllegalArgumentException(msg)
+
   def ivfSplitCell(spark: org.apache.spark.sql.SparkSession, path: String,
                    centroids: Seq[(Long, Seq[Long])], cell: Long,
                    idCol: String, vecCol: String,
                    rounds: Int = 2, dims: Int = 64): Seq[(Long, Seq[Long])] = {
-    require(centroids.exists(_._1 == cell), s"unknown cell $cell")
+    if (!centroids.exists(_._1 == cell))
+      throw new UnsplittableCellException(s"unknown cell $cell")
     // pin: training + re-assignment read the members repeatedly, and
     // the swap must never re-read the live directory it is replacing
     val members = spark.read.parquet(path)
@@ -652,6 +663,13 @@ object Ann {
       .filter(col("cell") === cell)
       .localCheckpoint(true)
     try {
+      // pre-mutation guard, TYPED: a 1-row (or empty) cell cannot
+      // 2-way split — without this the generic trainer require would
+      // be indistinguishable from a real failure to a balance pass
+      val nMembers = members.count()
+      if (nMembers < 2)
+        throw new UnsplittableCellException(
+          s"cell $cell cannot split: need at least 2 rows, got $nMembers")
       val sub = kmeansFitInt(members, idCol, vecCol, k = 2, rounds = rounds,
                              dims = dims)
       val base = centroids.map(_._1).max
@@ -670,9 +688,10 @@ object Ann {
         // terminates. Fail loudly instead; the index is untouched.
         val counts = reassigned.groupBy(col("cell")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        require(children.forall(c => counts.getOrElse(c._1, 0L) > 0L),
-          s"cell $cell cannot split: the trained children do not separate " +
-          s"its members (per-child counts $counts)")
+        if (!children.forall(c => counts.getOrElse(c._1, 0L) > 0L))
+          throw new UnsplittableCellException(
+            s"cell $cell cannot split: the trained children do not separate " +
+            s"its members (per-child counts $counts)")
         // the swap list names BOTH CHILDREN FIRST, the split cell
         // LAST: replacePartitions moves exactly the listed partitions
         // in order and a crash mid-swap must leave rows DUPLICATED
@@ -710,11 +729,21 @@ object Ann {
     *    degenerate guard), so cell sizes strictly decrease and the
     *    loop terminates even without the budget;
     *  - a cell the trained children CANNOT separate (duplicate
-    *    vectors, collinear spread) fails its split loudly; the balance
-    *    pass records it as skipped and never retries it — a silent
-    *    retry loop on an unsplittable cell would never converge;
+    *    vectors, collinear spread) fails its split loudly with the
+    *    TYPED [[UnsplittableCellException]] — every such guard fires
+    *    before the index is touched, so the pass records it as
+    *    skipped and never retries; any OTHER exception (a failed
+    *    rename mid-swap, a Spark failure) can mean a half-applied
+    *    mutation and PROPAGATES instead of being mislabeled benign;
     *  - counts are re-read after every split (children may still
-    *    exceed `maxRows` and re-enter the queue).
+    *    exceed `maxRows` and re-enter the queue);
+    *  - a pass that exhausts `maxSplits` with hot cells remaining
+    *    says so: each still-hot cell gets an `over-budget` action, so
+    *    the report is never mistakable for convergence;
+    *  - `onCentroidsUpdated` fires after EVERY committed split with
+    *    the then-current list — a sidecar-backed caller persists the
+    *    routing update per split, shrinking the crash window to the
+    *    inside of one split instead of the whole pass.
     *
     * Returns the updated centroid list probes must use from now on
     * plus the action report. Layout-generic like the split itself:
@@ -726,27 +755,27 @@ object Ann {
                       centroids: Seq[(Long, Seq[Long])], maxRows: Long,
                       idCol: String, vecCol: String,
                       rounds: Int = 2, dims: Int = 64,
-                      maxSplits: Int = 16)
+                      maxSplits: Int = 16,
+                      onCentroidsUpdated: Seq[(Long, Seq[Long])] => Unit =
+                        _ => ())
       : (Seq[(Long, Seq[Long])], Seq[BalanceAction]) = {
     require(maxRows >= 2,
       s"maxRows=$maxRows: a 1-row bound makes every nonempty cell hot " +
         "and no 2-way split can satisfy it")
     // an emptied index (all rows removed; no cell= dir to infer a
     // schema from) is trivially balanced
-    val anyCells = Option(new java.io.File(path).listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("cell=")))
-    if (!anyCells) return (centroids, Seq.empty)
+    if (!indexHasCells(path)) return (centroids, Seq.empty)
+    def cellCounts(): Array[(Long, Long)] = spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
     var cents = centroids
     val report = scala.collection.mutable.ArrayBuffer[BalanceAction]()
     val skip = scala.collection.mutable.Set[Long]()
     var splits = 0
     var converged = false
     while (!converged && splits < maxSplits) {
-      val counts = spark.read.parquet(path)
-        .groupBy(col("cell").cast("long").as("cell"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-      val hot = counts
+      val hot = cellCounts()
         .filter { case (c, n) => n > maxRows && !skip.contains(c) }
         .sortBy { case (c, n) => (-n, c) }
       hot.headOption match {
@@ -757,16 +786,33 @@ object Ann {
                                  rounds, dims)
             splits += 1
             report += BalanceAction(cell, n, "split")
+            onCentroidsUpdated(cents)
           } catch {
-            case e: IllegalArgumentException =>
+            case e: UnsplittableCellException =>
               skip += cell
               report += BalanceAction(cell, n,
                 s"skipped: ${Option(e.getMessage).getOrElse("unsplittable")}")
           }
       }
     }
+    if (!converged)
+      cellCounts()
+        .filter { case (c, n) => n > maxRows && !skip.contains(c) }
+        .sortBy { case (c, n) => (-n, c) }
+        .foreach { case (c, n) =>
+          report += BalanceAction(c, n,
+            s"over-budget: maxSplits=$maxSplits exhausted, still above $maxRows rows")
+        }
     (cents, report.toSeq)
   }
+
+  /** Any `cell=` partition directory present? The shared emptied-index
+    * detection — [[graft.search.VectorIndex.hasCells]] delegates here,
+    * so the layout convention lives once.
+    */
+  private[search] def indexHasCells(path: String): Boolean =
+    Option(new java.io.File(path).listFiles()).exists(_.exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")))
 
   /** INCREMENTAL index maintenance, compaction side: many
     * [[ivfAppendIndex]] batches leave each cell directory with one

@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   *    difference (removals for demoted docs, appends for new rows)
   *    through the per-cell incremental ops. Reconciling rather than
   *    bookkeeping makes maintenance SELF-HEALING: demotions,
-  *    re-ingests, provider backfills, stale re-embeds, and a crash
-  *    between commit and maintenance all converge to index ≡ store
-  *    slice on the next ingest, with no event log to replay.
+  *    re-ingests, provider backfills, and a crash between commit and
+  *    maintenance all converge to index ≡ store slice on the next
+  *    ingest, with no event log to replay. The diff is ID-level, and
+  *    for THIS store id-identity implies value-identity: chunk ids
+  *    are content-derived and the providers are pure functions of
+  *    content, so a "stale" re-embed recomputes the identical vector
+  *    (TTL refreshes change created_at, never the value). A store
+  *    with mutable vectors under fixed ids would need a version
+  *    column in the diff.
   *
   * WRITER mutations (build / reconcile / balance) serialize through
   * the store's table lease ([[graft.io.Tables.withTableLock]] on the
@@ -50,7 +56,7 @@ object VectorIndex {
     * mirror.
     */
   case class Meta(provider: String, m: Int, dims: Int,
-                  nlist: Int, codebookK: Int, samplePct: Int,
+                  nlist: Int, codebookK: Int, samplePct: Int, rounds: Int,
                   centroids: Seq[(Long, Seq[Long])],
                   codebooks: Seq[(Long, Seq[Long])])
 
@@ -65,9 +71,7 @@ object VectorIndex {
     * path guards on this first (same contract as the emptied postings
     * index).
     */
-  def hasCells(path: String): Boolean =
-    Option(new java.io.File(path).listFiles()).exists(_.exists(f =>
-      f.isDirectory && f.getName.startsWith("cell=")))
+  def hasCells(path: String): Boolean = Ann.indexHasCells(path)
 
   // ------------------------------------------------------------- sidecar
 
@@ -102,6 +106,7 @@ object VectorIndex {
       (s"""{"provider":"${meta.provider}","m":${meta.m},""" +
        s""""dims":${meta.dims},"nlist":${meta.nlist},""" +
        s""""codebookK":${meta.codebookK},"samplePct":${meta.samplePct},""" +
+       s""""rounds":${meta.rounds},""" +
        s""""centroids":${fmtEntries(meta.centroids)},""" +
        s""""codebooks":${fmtEntries(meta.codebooks)}}""").getBytes("UTF-8"))
   }
@@ -125,6 +130,8 @@ object VectorIndex {
       .map(_.group(1).toInt).getOrElse(fail("codebookK"))
     val samplePct = """"samplePct":(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(fail("samplePct"))
+    val rounds = """"rounds":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(fail("rounds"))
     val ci = s.indexOf("\"centroids\":")
     val ki = s.indexOf("\"codebooks\":")
     if (ci < 0 || ki < 0 || ki < ci) fail("centroids/codebooks")
@@ -132,7 +139,7 @@ object VectorIndex {
       s.substring(ci + "\"centroids\":".length, ki).trim.stripSuffix(","))
     val books = parseEntries(
       s.substring(ki + "\"codebooks\":".length).trim.stripSuffix("}"))
-    Meta(provider, m, dims, nlist, codebookK, samplePct, cents, books)
+    Meta(provider, m, dims, nlist, codebookK, samplePct, rounds, cents, books)
   }
 
   // --------------------------------------------------------------- build
@@ -156,13 +163,7 @@ object VectorIndex {
             dims: Int = graft.embed.Embedding.Dims,
             samplePct: Int = 50, rounds: Int = 2): Meta =
     graft.io.Tables.withTableLock(path) {
-    val sample = emb.filter(
-      graft.dedup.Dedup.hashBucket(col(idCol), 100) < samplePct)
-    val nSample = sample.count()
-    val wantK = math.max(nlist, codebookK).toLong
-    val (train, nTrain) =
-      if (nSample >= wantK) (sample, nSample)
-      else { val n = emb.count(); (emb, n) }
+    val (train, nTrain) = trainingSlice(emb, idCol, nlist, codebookK, samplePct)
     require(nTrain > 0, s"no '$provider' embeddings to index at $path")
     val kC = math.min(nlist.toLong, nTrain).toInt
     val kB = math.min(codebookK.toLong, nTrain).toInt
@@ -170,11 +171,44 @@ object VectorIndex {
                                  rounds = rounds, dims = dims)
     val books = Ann.pqTrainInt(train, idCol, vecCol, k = kB,
                                rounds = rounds, m = m, dims = dims)
-    val meta = Meta(provider, m, dims, nlist, codebookK, samplePct, cents, books)
+    val meta = Meta(provider, m, dims, nlist, codebookK, samplePct, rounds, cents, books)
     Ann.ivfPqWriteIndex(emb, idCol, vecCol, cents, books, path, m, dims)
     writeMeta(path, meta)
     meta
     }
+
+  /** The build's TRAINING SLICE under a recipe: the deterministic
+    * md5-bucket sample, falling back to the full slice when the sample
+    * cannot cover the requested k — the ONE copy of the rule, shared
+    * by [[build]] and the drift check (which must replay the build
+    * recipe bit-for-bit or report phantom drift on stationary data).
+    * Returns (train, nTrain).
+    */
+  private[graft] def trainingSlice(slice: DataFrame, idCol: String,
+                                   nlist: Int, codebookK: Int,
+                                   samplePct: Int): (DataFrame, Long) = {
+    val sample = slice.filter(
+      graft.dedup.Dedup.hashBucket(col(idCol), 100) < samplePct)
+    val n = sample.count()
+    if (n >= math.max(nlist, codebookK).toLong) (sample, n)
+    else { val a = slice.count(); (slice, a) }
+  }
+
+  /** Fresh coarse centroids under `meta`'s EXACT build recipe
+    * (sample predicate, fallback rule, k clamp, round budget — all
+    * from the sidecar) — the drift check's training side. On a
+    * stationary slice the deterministic trainer reproduces the build
+    * centroids bit-for-bit.
+    */
+  def trainCoarse(slice: DataFrame, idCol: String, vecCol: String,
+                  meta: Meta): Seq[(Long, Seq[Long])] = {
+    val (train, nTrain) = trainingSlice(slice, idCol, meta.nlist,
+                                        meta.codebookK, meta.samplePct)
+    require(nTrain > 0, "no embeddings to train on")
+    Ann.kmeansFitInt(train, idCol, vecCol,
+                     k = math.min(meta.nlist.toLong, nTrain).toInt,
+                     rounds = meta.rounds, dims = meta.dims)
+  }
 
   // ----------------------------------------------------------- reconcile
 
@@ -241,9 +275,17 @@ object VectorIndex {
               maxSplits: Int = 16): Seq[Ann.BalanceAction] =
     graft.io.Tables.withTableLock(path) {
       val meta = readMeta(path)
-      val (cents, report) = Ann.ivfBalanceIndex(spark, path, meta.centroids,
-        maxRows, idCol, vecCol, dims = meta.dims, maxSplits = maxSplits)
-      if (cents != meta.centroids) writeMeta(path, meta.copy(centroids = cents))
+      // the sidecar commits after EVERY split (the onCentroidsUpdated
+      // hook), not once at the end: a crash mid-pass then loses at
+      // most the in-flight split's routing, not the whole pass's. The
+      // remaining window — between a split's directory swap and its
+      // sidecar write — leaves the children unrouted (their rows
+      // invisible to probes until `Main index` rebuilds); that resid-
+      // ual is the table-format-commit gap every maintenance op here
+      // documents.
+      val (_, report) = Ann.ivfBalanceIndex(spark, path, meta.centroids,
+        maxRows, idCol, vecCol, dims = meta.dims, maxSplits = maxSplits,
+        onCentroidsUpdated = cs => writeMeta(path, meta.copy(centroids = cs)))
       report
     }
 

@@ -179,7 +179,9 @@ object Probe {
 
   /** Skewed synthetic embeddings for the balance probe: HALF of all
     * vectors land in cluster 0 (the hot-shard / drifting-data shape),
-    * the other half spread over clusters 1..31. Clusters point along
+    * the other half spread over the 16 ODD-numbered clusters (odd ids
+    * ⇒ odd residues of id%32 — 17 populated cells of the 32
+    * centroids). Clusters point along
     * ORTHOGONAL dims (dim g = 1.0) so max-dot assignment against the
     * matching one-hot centroids is exactly g — a collinear pattern
     * would collapse the cells. Cluster-0 members carry a +0.5 bump on
@@ -284,7 +286,7 @@ object Probe {
                           cents, cents, path, 8, dims)
       // sidecar AFTER the index write — the overwrite-mode build wipes
       // the directory (same ordering as VectorIndex.build)
-      VectorIndex.writeMeta(path, VectorIndex.Meta("nomic", 8, dims, 32, 32, 50, cents, cents))
+      VectorIndex.writeMeta(path, VectorIndex.Meta("nomic", 8, dims, 32, 32, 50, 2, cents, cents))
       // the post-commit store slice: 1% fresh arrivals appended at the
       // tail, ~0.1% of the existing rows demoted away
       val slice = skewedEmbeddings(spark, n + n / 100)
@@ -971,7 +973,8 @@ object Probe {
       val sb = new StringBuilder
       sb ++= "# PROBE — hot-cell balance, measured\n\n"
       sb ++= "Skewed stored IVF-PQ index (`Probe.skewedEmbeddings`: half of\n"
-      sb ++= s"${p.nVecs} vectors in ONE of 32 cells), probed by a query routed\n"
+      sb ++= s"${p.nVecs} vectors in ONE hot cell, the rest over 16 cold\n"
+      sb ++= "cells), probed by a query routed\n"
       sb ++= "into the hot cell (nprobe=2), then `Ann.ivfBalanceIndex`\n"
       sb ++= s"(maxRows=${p.maxRows}) and the same probe under the returned\n"
       sb ++= "centroids; median-of-3 probe timings on local[" + cpus + "].\n"

@@ -34,7 +34,7 @@ class VectorIndexSpec extends SparkSpec {
       ((i * 31 + d * 17) % 13 - 6).toFloat / 1000f)
   private def slice(ids: Seq[Long]) =
     ids.map(i => (s"c$i", vec(i))).toDF("chunk_id", "embedding")
-  private def meta = VectorIndex.Meta("nomic", m, dims, 8, 8, 50, cents, cents)
+  private def meta = VectorIndex.Meta("nomic", m, dims, 8, 8, 50, 2, cents, cents)
 
   private def newIdx(): String = {
     val path = Files.createTempDirectory("graft_vidx").toString + "/vector.idx"
