@@ -54,6 +54,15 @@ object Main {
       val (n, missing) = runExport(spark, store, out, rest.headOption.getOrElse("nomic"))
       println(s"""{"exported":$n,"missing_embedding":$missing}""")
       spark.stop()
+    case "curate" :: store :: out :: rest =>
+      val spark = session()
+      val decon = rest.collectFirst {
+        case a if a.startsWith("--decon=") => a.stripPrefix("--decon=")
+      }
+      val provider = rest.filterNot(_.startsWith("--decon="))
+        .headOption.getOrElse("nomic")
+      println(runCurate(spark, store, out, provider, decon))
+      spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
@@ -117,6 +126,7 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
+        "curate <store> <outDir> [provider] [--decon=<benchDir>] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store>")
@@ -556,6 +566,122 @@ object Main {
     val m = obs.get
     (m.getOrElse("n", 0L).toString.toLong,
      m.getOrElse("n_missing", 0L).toString.toLong)
+  }
+
+  // ------------------------------------------------------------------ curate
+
+  /** `curate <store> <outDir>`: the training-ready export — [[runExport]]
+    * plus the curation tier the library already verifies, chained over
+    * the store as one product command:
+    *
+    *   1. kept docs (not failed, not demoted-duplicate — completion is
+    *      the JOBS ledger's story, the doc row keeps its upload status)
+    *      → converted text (the same [[Ingest.convertDocuments]] pass
+    *      ingest ran — the store keeps original bytes, not text);
+    *   2. per-source adaptive quality gate (q148: each content_type's
+    *      bottom stopword-density quartile drops against ITS OWN
+    *      baseline, never a global cutoff);
+    *   2b. (with `--decon=<benchDir>`) benchmark decontamination
+    *      (q61's winnowing-fingerprint scan): the benchmark dir is
+    *      read/converted exactly like an ingest upload, and any corpus
+    *      doc sharing ≥2 winnowing fingerprints with ANY benchmark doc
+    *      is dropped and counted — the eval-leakage scrub before the
+    *      export ships (docs too short to fingerprint can't match, by
+    *      winnowing's construction);
+    *   3. leakage-safe train/val/test split (q144): assigned by near-dup
+    *      CLUSTER via the STORE'S persisted minhash signatures — no
+    *      re-shingle; every cluster moves as a unit, so the held-out
+    *      splits never score near-copies of training text. (A store
+    *      ingested with keep-one leaves mostly singleton clusters; the
+    *      cluster split is what keeps that guarantee when ingest dedup
+    *      ran at a stricter threshold than eval hygiene wants.)
+    *   4. chunks joined with their embeddings (the co-bucketed join,
+    *      plans shuffle-free), shipped as gzip JSONL under
+    *      `outDir/split=train|val|test/` — ONE write pass, hive-style
+    *      partition dirs, so a trainer reads its split by path.
+    *
+    * Counts ride the lineage as observations (quality drops are counted
+    * by an observe BEFORE the keep filter — same pass, no second scan);
+    * the returned manifest reports docs in/kept/dropped, per-split chunk
+    * counts, and missing embeddings (counted, never silently dropped —
+    * the [[runExport]] contract).
+    */
+  def runCurate(spark: SparkSession, storeDir: String, outDir: String,
+                providerName: String, deconDir: Option[String] = None): String = {
+    import graft.dedup.Dedup
+    val docs = openTable(spark, storeDir, "documents")
+      .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
+    val text = Ingest.convertDocuments(docs).filter(col("text").isNotNull)
+
+    // doc-level tier: quality gate + cluster split — doc-count-sized
+    val gated = graft.text.Curation.adaptiveQualityFilter(
+        text, "doc_id", "text", "content_type")
+    val sigFile = new java.io.File(s"$storeDir/signatures.parquet")
+    val comps =
+      if (sigFile.exists())
+        Dedup.dupClustersFromSigs(docs.select(col("doc_id")), "doc_id",
+                                  spark.read.parquet(sigFile.toString))
+      else docs.select(col("doc_id"), col("doc_id").as("comp"))
+    // optional benchmark scrub: corpus ids sharing ≥2 winnowing
+    // fingerprints with any benchmark doc (contaminationPairs over the
+    // corpus∪bench union, split-labeled by side)
+    val contaminatedIds = deconDir.map { bd =>
+      val bench = Ingest.convertDocuments(
+          Ingest.toDocuments(Ingest.readBinaryDir(spark, bd)))
+        .filter(col("text").isNotNull)
+      val u = text.select(col("doc_id"), col("text"), lit("train").as("side"))
+        .unionByName(bench.select(col("doc_id"), col("text"),
+                                  lit("test").as("side")))
+      Dedup.contaminationPairs(u, "doc_id", "text", col("side"))
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+    }
+    val flagged0 = gated.join(comps, Seq("doc_id"))
+      .withColumn("split", Dedup.splitAssign(col("comp")))
+    val flagged = contaminatedIds.fold(
+        flagged0.withColumn("contaminated", lit(false)))(c =>
+      flagged0.join(c, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false))))
+    val obsDocs = new Observation("curate_docs")
+    val curated = flagged
+      .observe(obsDocs,
+        count(lit(1)).as("docs_in"),
+        count(when(col("kept") && !col("contaminated"), 1)).as("docs_kept"),
+        count(when(col("kept") && col("contaminated"), 1)).as("n_contaminated"))
+      .filter(col("kept") && !col("contaminated"))
+      .select(col("doc_id"), col("score"), col("split"))
+
+    // chunk-level tier: the export join, tagged with split + score
+    val chunks = openTable(spark, storeDir, "chunks")
+      .select(col("doc_id"), col("chunk_id"), col("content"))
+      .withColumn("n_tokens",
+        size(graft.text.TextStats.bpeTokens(col("content"))).cast("long"))
+    val emb = openTable(spark, storeDir, "embeddings")
+      .filter(col("embedding_provider") === providerName)
+      .select(col("chunk_id"), col("embedding"))
+    val obsChunks = new Observation("curate_chunks")
+    val rows = chunks.join(curated, Seq("doc_id"))
+      .join(emb, Seq("chunk_id"), "left")
+      .observe(obsChunks,
+        count(when(col("split") === "train" && col("embedding").isNotNull, 1)).as("train"),
+        count(when(col("split") === "val" && col("embedding").isNotNull, 1)).as("val"),
+        count(when(col("split") === "test" && col("embedding").isNotNull, 1)).as("test"),
+        count(when(col("embedding").isNull, 1)).as("n_missing"))
+      .filter(col("embedding").isNotNull)
+    rows.write.mode(SaveMode.Overwrite).partitionBy("split")
+      .option("compression", "gzip").json(outDir)
+
+    // empty written frame → CollectMetrics erased → empty metrics map
+    // (same guard as runIngest); report 0, don't throw
+    val md = obsDocs.get; val mc = obsChunks.get
+    def g(m: Map[String, Any], k: String) = m.getOrElse(k, 0L).toString.toLong
+    val in = g(md, "docs_in"); val kept = g(md, "docs_kept")
+    val contam = g(md, "n_contaminated")
+    s"""{"docs_in":$in,"docs_kept":$kept,""" +
+      s""""dropped_quality":${in - kept - contam},""" +
+      s""""dropped_contaminated":$contam,""" +
+      s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
+      s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")}}"""
   }
 
   // ------------------------------------------------------------------ status

@@ -1033,4 +1033,55 @@ object Dedup {
       .filter(col("edits") <= maxEdits)
       .select(col("doc_a"), col("doc_b"), col("edits"))
   }
+
+  /** EMBEDDING-SPACE DECONTAMINATION — flag corpus items whose
+    * embedding cosine to ANY benchmark item satisfies
+    * `cos > 0 ∧ cos² ≥ thresholdNum/thresholdDen`: the contamination
+    * the exact/shingle/Bloom family (q61, spans q83, Bloom q94)
+    * cannot see, because a
+    * paraphrased benchmark answer shares no verbatim n-gram with its
+    * source while its embedding stays close.
+    *
+    * Same exact-integer algebra as [[embeddingNearDupPairs]] (1e-3
+    * quantized grid, `cos ≥ t` as `dot > 0 ∧ dot²·den ≥ num·|a|²·|b|²`
+    * in DECIMAL(38,0)), but the join is ASYMMETRIC (corpus × benchmark,
+    * no `a < b` dedup) and the output is per-CORPUS-item: each
+    * contaminated corpus id reported once with its best-matching
+    * benchmark id (max dot, ties to the smaller benchmark id — the
+    * engine-wide rank convention).
+    *
+    * Scale posture: both sides block on `blockCol` (the IVF coarse
+    * cell when no metadata blocking exists — q62's learned-blocking
+    * recipe, so the ANN quantizer bounds the pair expansion); the only
+    * shuffle is the block equi-join, and the benchmark side of a real
+    * deployment is eval-suite-sized (thousands), so every block's
+    * benchmark sliver broadcasts. Pairs straddling a cell boundary are
+    * missed by construction — the standard blocked recall trade,
+    * recovered by raising nprobe-style block fan-out upstream if needed.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, bench: DataFrame,
+                             idCol: String, vecCol: String, blockCol: String,
+                             thresholdNum: Long = 16, thresholdDen: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, idAs: String, ivAs: String, n2As: String) =
+      df.select(col(blockCol).as("blk"), col(idCol).as(idAs),
+          // double multiply before round — float×int stays float in Spark
+          transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as(ivAs))
+        .withColumn(n2As,
+          graft.functions.VectorExpressions.longDot(col(ivAs), col(ivAs)))
+    val c = prep(corpus, "doc_id", "ivc", "n2c")
+    val b = prep(bench, "bench_id", "ivb", "n2b")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dot").desc, col("bench_id"))
+    c.join(b, Seq("blk"))
+      .withColumn("dot",
+        graft.functions.VectorExpressions.longDot(col("ivc"), col("ivb")))
+      // dot² can exceed int64 → compare in DECIMAL(38,0), exact
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * thresholdDen >=
+          col("n2c").cast("decimal(38,0)") * col("n2b") * thresholdNum)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("dot"))
+  }
 }

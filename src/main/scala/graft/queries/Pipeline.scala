@@ -1517,6 +1517,27 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // EMBEDDING-SPACE DECONTAMINATION: the contamination tier the
+    // verbatim family (q61 exact / q83 spans / q94 Bloom) cannot see —
+    // a paraphrased benchmark answer shares no n-gram with its source,
+    // but its embedding stays close. Benchmark = the md5-bucket ≥ 90
+    // sliver (the q58 split algebra — deterministic, replayable
+    // anywhere); corpus = the rest; blocking = the IVF coarse cells
+    // (q62's learned-blocking recipe, so the ANN quantizer bounds the
+    // pair expansion and the benchmark sliver broadcasts per cell).
+    // Each contaminated corpus vec reports its BEST benchmark match
+    // (max dot, ties to the smaller bench id). cos ≥ 0.3 as 9/100
+    // against cos², exact integers end to end.
+    "q149_embedding_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val assigned = Ann.ivfAssignInt(e, "embedding", labelCentroids(e))
+      val bkt = Dedup.hashBucket(col("vec_id"), 100)
+      Dedup.embeddingDecontaminate(
+          assigned.filter(bkt < 90), assigned.filter(bkt >= 90),
+          "vec_id", "embedding", "cell", thresholdNum = 9, thresholdDen = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // BOILERPLATE removal: lines verbatim-shared by > 10 docs are
     // template chrome, stripped with order-preserving rebuild — the
     // web-corpus cleaning pass. (The synthetic corpus is single-line,
@@ -2775,6 +2796,56 @@ object Pipeline {
                   * list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) * 100
                 >= CAST(a.n2 AS HUGEINT) * b.n2 * 16
           ORDER BY a_id, b_id""",
+
+    // q149: q62's assignment CTEs, then the ASYMMETRIC corpus×bench
+    // join (md5-bucket split, q58's algebra) with the best-match
+    // row_number pick (dot DESC, bench_id ASC).
+    "q149_embedding_decon" ->
+      """WITH iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          sums AS (
+            SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+            GROUP BY label, i),
+          counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+          cent AS (
+            SELECT s.label AS cell,
+                   list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+            FROM sums s JOIN counts c ON s.label = c.label
+            GROUP BY s.label),
+          scored AS (
+            SELECT iv.vec_id, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * cent.cv[i])) AS BIGINT) AS sim
+            FROM iv CROSS JOIN cent),
+          best AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+            FROM scored),
+          n AS (
+            SELECT b.cell, iv.vec_id, iv.v,
+                   CAST(list_sum(list_transform(iv.v, x -> x*x)) AS BIGINT) AS n2
+            FROM iv JOIN best b ON b.vec_id = iv.vec_id AND b.rn = 1),
+          tagged AS (
+            SELECT *, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bkt
+            FROM n),
+          pairs AS (
+            SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.v[i] * b.v[i])) AS BIGINT) AS dot,
+                   c.n2 AS n2c, b.n2 AS n2b
+            FROM tagged c JOIN tagged b ON c.cell = b.cell
+            WHERE c.bkt < 90 AND b.bkt >= 90),
+          hits AS (
+            SELECT doc_id, bench_id, dot,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY dot DESC, bench_id) AS rn
+            FROM pairs
+            WHERE dot > 0
+              AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(n2c AS HUGEINT) * n2b * 9)
+          SELECT doc_id, bench_id, dot FROM hits WHERE rn = 1
+          ORDER BY doc_id""",
 
     // q44's fingerprint CTEs + q58's split buckets; df-cap counts ALL
     // docs carrying the fp (any split), mirroring contaminationPairs.

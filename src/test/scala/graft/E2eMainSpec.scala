@@ -498,4 +498,75 @@ class E2eMainSpec extends SparkSpec {
     assert(gr3.forall(!_.contains(ids(loser))),
            s"recomputed result must not reference the demoted doc: $gr3")
   }
+
+  test("curate: per-source quality gate drops the gibberish doc; output is split-partitioned training JSONL") {
+    val in = Files.createTempDirectory("graft_curate_in").toFile
+    val store = Files.createTempDirectory("graft_curate_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    // five same-source docs: four normal English (stopword-dense), one
+    // zero-stopword gibberish — the per-source p25 gate (cutoff = the
+    // 2nd-smallest score at n=5) must drop exactly the gibberish
+    put("a.txt", "the quick brown fox jumps over the lazy dog and runs to the barn")
+    put("b.txt", "it is a truth universally acknowledged that a reader wants the text")
+    put("c.txt", "we are going to the market in the morning for some fresh bread")
+    put("d.txt", "this is the story of a small town and the people in it")
+    put("e.txt", "xqjzv qwerty zxcvb plugh hjkl wvxyz qqzzt")
+    val r = Main.runIngest(spark, in.toString, store, "nomic", now)
+    assert(r.nDocs === 5 && r.nFailed === 0)
+
+    val out = Files.createTempDirectory("graft_curate_out").toString
+    val manifest = Main.runCurate(spark, store, out, "nomic")
+    def m(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest"))
+    assert(m("docs_in") === 5 && m("docs_kept") === 4 &&
+           m("dropped_quality") === 1, manifest)
+    assert(m("missing_embedding") === 0, manifest)
+
+    val rows = spark.read.json(out)
+    // the gibberish doc ingested CLEANLY into the store (dropped by
+    // the gate, not by ingest) yet none of its chunks are exported
+    val docsTbl = spark.read.parquet(s"$store/documents.parquet")
+    assert(docsTbl.filter($"status".isin("failed", "duplicate")).count() === 0)
+    assert(rows.filter($"content".contains("xqjzv")).count() === 0)
+    assert(rows.select($"doc_id").distinct().count() === 4)
+
+    // split partitioning: hive-style dirs, every doc in exactly ONE
+    // split, and the manifest's per-split counts match the files
+    assert(rows.groupBy($"doc_id")
+      .agg(countDistinct($"split").as("ns"))
+      .filter($"ns" =!= 1).count() === 0)
+    val bySplit = rows.groupBy($"split").count()
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(m("train") === bySplit.getOrElse("train", 0L), manifest)
+    assert(m("val") === bySplit.getOrElse("val", 0L), manifest)
+    assert(m("test") === bySplit.getOrElse("test", 0L), manifest)
+    assert(m("train") + m("val") + m("test") === rows.count(), manifest)
+
+    // every exported row carries its embedding and a positive token
+    // count — the training surface is complete, not silently partial
+    assert(rows.filter($"embedding".isNull || size($"embedding") === 0).count() === 0)
+    assert(rows.filter($"n_tokens" <= 0).count() === 0)
+
+    // --decon: a benchmark file verbatim-copying doc c must drop it
+    // (counted as contamination, NOT as a quality drop), on top of the
+    // quality gate's gibberish drop
+    val benchDir = Files.createTempDirectory("graft_curate_bench").toFile
+    Files.write(new java.io.File(benchDir, "bench.txt").toPath,
+      "we are going to the market in the morning for some fresh bread"
+        .getBytes("UTF-8"))
+    val out2 = Files.createTempDirectory("graft_curate_out2").toString
+    val manifest2 = Main.runCurate(spark, store, out2, "nomic",
+                                   Some(benchDir.toString))
+    def m2(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest2).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest2"))
+    assert(m2("docs_in") === 5 && m2("docs_kept") === 3 &&
+           m2("dropped_quality") === 1 && m2("dropped_contaminated") === 1,
+           manifest2)
+    val rows2 = spark.read.json(out2)
+    assert(rows2.filter($"content".contains("market in the morning")).count() === 0)
+    assert(rows2.select($"doc_id").distinct().count() === 3)
+  }
 }

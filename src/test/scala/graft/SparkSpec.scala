@@ -55,6 +55,13 @@ object SparkSpec {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Pins.release dropping a dead localCheckpoint pin logs a benign
+    // "locally checkpointed ... cannot be recomputed" WARN per pin —
+    // expected-by-contract (same rationale and scope as Bench's
+    // suppression), so quiet that one logger in the test session too.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }
