@@ -1538,6 +1538,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CURATION DECISION table — the per-doc verdict `Main curate`
+    // emits, as ONE verified statement: per-source adaptive quality
+    // (q148) ∧ near-dup keep-one (q60), with the cluster-keyed
+    // train/val/test split (q144) riding along. `selected` is the
+    // "does this doc train, and in which split" answer a 100 TB
+    // pipeline materializes as its curation manifest; composing the
+    // three families in one plan shares the corpus scan and keeps
+    // each family's shuffle (source window, LSH band join + CC,
+    // comp window) — nothing new, just the decision joined up.
+    "q150_curation_decision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = Curation.adaptiveQualityFilter(docs, "doc_id", "text", "source")
+        .withColumnRenamed("kept", "kept_quality")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+      val keepers = Dedup.keepOne(docs, "doc_id", col("n_chars"), pairs,
+                                  "a_id", "b_id")
+        .select(col("doc_id"), col("comp"), col("keep").as("keeper"))
+        .withColumn("split", Dedup.splitAssign(col("comp")))
+      gated.join(keepers, Seq("doc_id"))
+        .withColumn("selected", col("kept_quality") && col("keeper"))
+        .select(col("doc_id"), col("source"), col("score"), col("cutoff"),
+                col("comp"), col("split"), col("kept_quality"), col("keeper"),
+                col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BOILERPLATE removal: lines verbatim-shared by > 10 docs are
     // template chrome, stripped with order-preserving rebuild — the
     // web-corpus cleaning pass. (The synthetic corpus is single-line,
@@ -2846,6 +2872,45 @@ object Pipeline {
               AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(n2c AS HUGEINT) * n2b * 9)
           SELECT doc_id, bench_id, dot FROM hits WHERE rn = 1
           ORDER BY doc_id""",
+
+    // q150: q148's quality CTEs + the q59/q60 cluster scaffold + the
+    // q144 comp-keyed split, joined into the per-doc decision row.
+    "q150_curation_decision" ->
+      s"""WITH RECURSIVE $ccLabelsSql,
+          s AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter($Toks,
+                     w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                        lower(w)))) * 10000 AS BIGINT)
+                   // greatest(CAST(len($Toks) AS BIGINT), 1) AS score
+            FROM documents),
+          r AS (
+            SELECT doc_id, source, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM s),
+          c AS (
+            SELECT source,
+                   max(CASE WHEN rn = (1*n + 3) // 4 THEN score END) AS cutoff
+            FROM r GROUP BY source),
+          keepers AS (
+            SELECT l.doc_id, l.comp,
+                   (row_number() OVER (PARTITION BY l.comp
+                                       ORDER BY d.n_chars DESC, l.doc_id ASC) = 1)
+                     AS keeper,
+                   CAST('0x' || substr(md5(CAST(l.comp AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS b
+            FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+          SELECT r.doc_id, r.source, r.score, c.cutoff, k.comp,
+                 CASE WHEN k.b < 80 THEN 'train'
+                      WHEN k.b < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 r.score >= c.cutoff AS kept_quality,
+                 k.keeper,
+                 (r.score >= c.cutoff AND k.keeper) AS selected
+          FROM r JOIN c USING (source) JOIN keepers k ON k.doc_id = r.doc_id
+          ORDER BY r.doc_id""",
 
     // q44's fingerprint CTEs + q58's split buckets; df-cap counts ALL
     // docs carrying the fp (any split), mirroring contaminationPairs.

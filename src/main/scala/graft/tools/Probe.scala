@@ -504,6 +504,67 @@ object Probe {
     }
   }
 
+  case class EmbDeconPoint(factor: Int, nCorpus: Long, candPairs: Long,
+                           hits: Long, tBlocked: Double, tAllPairs: Double)
+
+  /** Scale curve for embedding-space decontamination (q149): a fixed
+    * benchmark side (eval suites are thousands of items, not corpora)
+    * against a corpus growing 1×/10×/100×, both IVF-assigned under the
+    * 32 planted-cluster centroids the ANN curve uses. The structural
+    * claim under test: cell blocking bounds the pair expansion to a
+    * CONSTANT fraction (≈ 1/nlist on balanced cells) of the
+    * ¦corpus¦×¦bench¦ cross product, so candidate pairs — and
+    * wall-clock — grow linearly in the corpus while the all-pairs
+    * counterfactual grows as the product (timed at 1×/10×; at 100× the
+    * 2·10⁹-dot cross join is exactly the plan the blocking exists to
+    * avoid). Blocked hits are a subset of all-pairs hits by
+    * construction (cross-cell matches are the documented recall
+    * trade), checked per timed point.
+    */
+  def embeddingDeconCurve(spark: SparkSession, base: Long,
+                          nBench: Long = 1000,
+                          factors: Seq[Int] = Seq(1, 10, 100),
+                          reps: Int = 3): Seq[EmbDeconPoint] = {
+    import graft.search.Ann
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
+    val dims = 64
+    val centroids: Seq[(Long, Seq[Long])] = (0L until 32L).map { c =>
+      (c, (0 until dims).map(d => (((c + 1) * 37 + d * 101) % 19 - 9) * 100L))
+    }
+    // bench ids offset far past any corpus id; same generator → the
+    // planted contamination is "benchmark items present in the corpus"
+    val bench = Ann.ivfAssignInt(
+        syntheticEmbeddings(spark, nBench)
+          .withColumn("vec_id", col("vec_id") + 1000000000L),
+        "embedding", centroids).localCheckpoint(true)
+    val out = factors.map { fac =>
+      val n = base * fac
+      val corpus = Ann.ivfAssignInt(syntheticEmbeddings(spark, n),
+                                    "embedding", centroids)
+        .localCheckpoint(true)
+      val (tBlocked, hits) = med {
+        Dedup.embeddingDecontaminate(corpus, bench, "vec_id", "embedding",
+            "cell", thresholdNum = 81, thresholdDen = 100).count()
+      }
+      val candPairs = corpus.select(col("cell"))
+        .join(bench.select(col("cell")), Seq("cell")).count()
+      val (tAll, hitsAll) =
+        if (fac <= 10) med {
+          Dedup.embeddingDecontaminate(
+              corpus.withColumn("cell", lit(0L)),
+              bench.withColumn("cell", lit(0L)), "vec_id", "embedding",
+              "cell", thresholdNum = 81, thresholdDen = 100).count()
+        } else (-1.0, -1L)
+      if (hitsAll >= 0)
+        require(hits <= hitsAll,
+          s"blocked decon found MORE hits than all-pairs: $hits vs $hitsAll")
+      corpus.unpersist(true)
+      EmbDeconPoint(fac, n, candPairs, hits, tBlocked, tAll)
+    }
+    bench.unpersist(true)
+    out
+  }
+
   case class LearnScalePoint(factor: Int, nRows: Long, tStump: Double,
                              tReg: Double, tBoost: Double, tKmeans: Double)
 
@@ -764,6 +825,40 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-embdecon")) {
+      val pts = embeddingDeconCurve(spark, base = 20000L)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — embedding-decontamination scale curve\n\n"
+      sb ++= "Fixed 1000-vector benchmark side vs a corpus scaling 1×/10×/100×\n"
+      sb ++= "(`Probe.syntheticEmbeddings`: 32 planted clusters, 64 dims; bench\n"
+      sb ++= "ids reuse the generator, so contamination is planted by\n"
+      sb ++= "construction), both IVF-assigned under the ANN curve's 32\n"
+      sb ++= "centroids; q149's blocked corpus×bench cosine gate at cos ≥ 0.9,\n"
+      sb ++= "median-of-3 on local[" + cpus + "]. The all-pairs counterfactual is\n"
+      sb ++= "timed at 1×/10× only — at 100× its 2·10⁹-dot cross join is the\n"
+      sb ++= "plan the blocking exists to avoid.\n\n"
+      sb ++= "| factor | corpus | cand pairs | pair frac | hits | blocked s | all-pairs s |\n"
+      sb ++= "|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        val frac = p.candPairs.toDouble / (p.nCorpus.toDouble * 1000)
+        val ap = if (p.tAllPairs < 0) "—" else f"${p.tAllPairs}%.2f"
+        sb ++= f"| ${p.factor}%d× | ${p.nCorpus} | ${p.candPairs} | $frac%.3f | ${p.hits} | ${p.tBlocked}%.2f | $ap |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nCorpus.toDouble / a.nCorpus}%.0f× corpus → candidate pairs "
+      sb ++= f"${z.candPairs.toDouble / a.candPairs}%.1f× (pair fraction CONSTANT — "
+      sb ++= "1/nlist on perfectly balanced cells; here the planted clusters "
+      sb ++= "land unevenly, so the constant sits above it), "
+      sb ++= f"blocked time ${z.tBlocked / a.tBlocked}%.1f× — linear in the corpus, "
+      sb ++= "never in the cross product. Blocked hits stayed a subset of the\n"
+      sb ++= "all-pairs hits at every timed point (the cell-boundary recall\n"
+      sb ++= "trade q149 documents).\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE_EMBDECON.md"), sb.toString)
       spark.stop(); return
     }
 
