@@ -67,6 +67,12 @@ object Main {
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
       spark.stop()
+    case "fsck" :: store :: Nil =>
+      val spark = session()
+      val (lines, nViol) = runFsck(spark, store)
+      lines.foreach(println)
+      spark.stop()
+      if (nViol > 0) sys.exit(1)
     case "search" :: store :: query :: rest =>
       val spark = session()
       val ann = rest.contains("--ann")
@@ -127,6 +133,7 @@ object Main {
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<benchDir>] | " +
+        "fsck <store> | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store>")
@@ -682,6 +689,132 @@ object Main {
       s""""dropped_contaminated":$contam,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")}}"""
+  }
+
+  // ------------------------------------------------------------------ fsck
+
+  /** `fsck <store>`: read-only store-invariants audit — the check a
+    * 100 TB deployment runs after a crash, a migration, or on a
+    * schedule, because "the swap commit keeps tables consistent" is a
+    * claim worth VERIFYING, not assuming. Two classes of findings:
+    *
+    *  - VIOLATIONS — referential breaks between the tables one ingest
+    *    commit lands together, which nothing self-heals: chunks without
+    *    a document row, chunks/signatures surviving their doc's
+    *    demotion, embeddings without a chunk, docs whose job ledger
+    *    never reached a terminal state (or has no entry at all);
+    *  - DRIFT (violation=false) — derived tiers that are ALLOWED to
+    *    lag between batches because the next ingest reconciles them
+    *    (the postings index and the vector index vs the store slice),
+    *    plus coverage infos (chunks lacking an embedding for a stored
+    *    provider, kept docs too short to carry signatures).
+    *
+    * Every check is one anti-join/aggregate over a pinned snapshot of
+    * the tables (counts, never row collects); the audit never writes.
+    * Returns (one JSON line per check, violation total) — the CLI
+    * exits nonzero on violations so cron can page on it.
+    */
+  def runFsck(spark: SparkSession, storeDir: String): (Seq[String], Long) = {
+    import graft.search.VectorIndex
+    def tbl(name: String): Option[DataFrame] = {
+      val f = new java.io.File(s"$storeDir/$name.parquet")
+      if (f.exists()) Some(spark.read.parquet(f.toString)) else None
+    }
+    val docsOpt = tbl("documents")
+    if (docsOpt.isEmpty)
+      return (Seq("""{"check":"documents_table_present","count":1,"violation":true}"""), 1L)
+    // pin one snapshot per table: each feeds several checks, and the
+    // audit must judge a single consistent state of the store
+    val docs = docsOpt.get.localCheckpoint(true)
+    val chunksOpt = tbl("chunks").map(_.localCheckpoint(true))
+    val embOpt = tbl("embeddings").map(_.localCheckpoint(true))
+    val checks = scala.collection.mutable.ArrayBuffer[(String, Long, Boolean)]()
+    try {
+      val docIds = docs.select(col("doc_id"))
+      val deadIds = docs.filter(col("status").isin("failed", "duplicate"))
+        .select(col("doc_id"))
+
+      chunksOpt.foreach { chunks =>
+        checks += (("chunks_orphaned",
+          chunks.join(docIds, Seq("doc_id"), "left_anti").count(), true))
+        checks += (("chunks_of_dead_docs",
+          chunks.join(deadIds, Seq("doc_id"), "left_semi").count(), true))
+      }
+      for (emb <- embOpt; chunks <- chunksOpt) {
+        checks += (("embeddings_orphaned",
+          emb.join(chunks.select(col("chunk_id")), Seq("chunk_id"), "left_anti")
+            .count(), true))
+        // coverage info: (provider, chunk) pairs a stored provider is
+        // missing — runExport's "missing" count, audited at rest
+        // (counted arithmetically: ¦chunks¦·¦providers¦ − present pairs
+        // on live chunks — no cross join materialized)
+        val nProviders = emb.select(col("embedding_provider")).distinct().count()
+        val present = emb.select(col("chunk_id"), col("embedding_provider"))
+          .distinct()
+          .join(chunks.select(col("chunk_id")), Seq("chunk_id"), "left_semi")
+          .count()
+        checks += (("chunks_without_embedding",
+          chunks.count() * nProviders - present, false))
+      }
+      tbl("signatures").foreach { sigs =>
+        checks += (("signatures_orphaned",
+          sigs.join(docIds, sigs("doc") === docIds("doc_id"), "left_anti")
+            .count(), true))
+        checks += (("signatures_of_dead_docs",
+          sigs.join(deadIds, sigs("doc") === deadIds("doc_id"), "left_semi")
+            .count(), true))
+        // info: kept docs carrying no signatures — legitimate for docs
+        // too short to shingle, so never a violation
+        checks += (("docs_without_signatures",
+          docs.filter(!col("status").isin("failed", "duplicate"))
+            .select(col("doc_id"))
+            .join(sigs.select(sigs("doc").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti").count(), false))
+      }
+      tbl("jobs").foreach { jobs =>
+        val latest = Tables.latestByKey(jobs, Seq("job_id"),
+                                        Seq(col("updated_at")))
+        checks += (("jobs_nonterminal",
+          latest.filter(!col("status").isin(
+            JobStatus.Completed, JobStatus.Failed, JobStatus.Cancelled))
+            .count(), true))
+        checks += (("jobs_missing",
+          docIds.join(latest.select(col("job_id").as("doc_id")),
+                      Seq("doc_id"), "left_anti").count(), true))
+      }
+      // derived tiers: allowed to lag (the next ingest reconciles) —
+      // reported as drift, never as violations
+      val postingsF = new java.io.File(s"$storeDir/postings.idx")
+      for (chunks <- chunksOpt if postingsF.exists()) {
+        checks += (("postings_orphaned",
+          spark.read.parquet(postingsF.toString)
+            .select(col("chunk_id")).distinct()
+            .join(chunks.select(col("chunk_id")), Seq("chunk_id"), "left_anti")
+            .count(), false))
+      }
+      for (emb <- embOpt if VectorIndex.exists(storeDir)) {
+        val vecPath = VectorIndex.indexPath(storeDir)
+        val slice = emb
+          .filter(col("embedding_provider") === VectorIndex.readMeta(vecPath).provider)
+          .select(col("chunk_id"))
+        if (VectorIndex.hasCells(vecPath)) {
+          val idx = spark.read.parquet(vecPath).select(col("chunk_id"))
+          checks += (("vector_index_stale",
+            idx.join(slice, Seq("chunk_id"), "left_anti").count(), false))
+          checks += (("vector_index_missing",
+            slice.join(idx, Seq("chunk_id"), "left_anti").count(), false))
+        } else checks += (("vector_index_missing", slice.count(), false))
+      }
+    } finally {
+      docs.unpersist(false)
+      chunksOpt.foreach(_.unpersist(false))
+      embOpt.foreach(_.unpersist(false))
+    }
+    val lines = checks.toSeq.map { case (name, n, viol) =>
+      s"""{"check":"$name","count":$n,"violation":$viol}"""
+    }
+    val nViol = checks.collect { case (_, n, true) => n }.sum
+    (lines :+ s"""{"violations":$nViol}""", nViol)
   }
 
   // ------------------------------------------------------------------ status

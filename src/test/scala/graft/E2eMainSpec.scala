@@ -569,4 +569,60 @@ class E2eMainSpec extends SparkSpec {
     assert(rows2.filter($"content".contains("market in the morning")).count() === 0)
     assert(rows2.select($"doc_id").distinct().count() === 3)
   }
+
+  test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
+    val in = Files.createTempDirectory("graft_fsck_in").toFile
+    val store = Files.createTempDirectory("graft_fsck_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "the quick brown fox jumps over the lazy dog and runs home")
+    put("b.txt", "completely unrelated cooking recipe with butter and flour today")
+    put("c.txt", "distributed shuffle partitioning strategies for spark at scale")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+
+    // fresh store: zero violations AND zero drift — every count is 0
+    val (lines1, v1) = Main.runFsck(spark, store)
+    assert(v1 === 0, lines1.mkString("\n"))
+    assert(lines1.init.forall(_.contains("\"count\":0")), lines1.mkString("\n"))
+    def count(lines: Seq[String], check: String): Long =
+      lines.find(_.contains(s""""check":"$check"""")).map(l =>
+        """"count":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .getOrElse(fail(s"$check missing: ${lines.mkString("\n")}"))
+
+    // plant: an orphan chunk (doc_id with no document row), an orphan
+    // embedding (chunk_id with no chunk row), and a doc flipped to
+    // 'duplicate' WITHOUT its prune (the crash the swap commit is
+    // supposed to rule out)
+    val chunksPath = s"$store/chunks.parquet"
+    spark.read.parquet(chunksPath).limit(1)
+      .withColumn("doc_id", lit("ghost-doc"))
+      .withColumn("chunk_id", lit("ghost-chunk"))
+      .write.mode("append").parquet(chunksPath)
+    val embPath = s"$store/embeddings.parquet"
+    spark.read.parquet(embPath).limit(1)
+      .withColumn("chunk_id", lit("ghost-emb"))
+      .write.mode("append").parquet(embPath)
+    val docsPath = s"$store/documents.parquet"
+    val victim = spark.read.parquet(docsPath)
+      .filter($"filename" === "a.md").select($"doc_id").as[String].head()
+    val patched = spark.read.parquet(docsPath).localCheckpoint(true)
+      .withColumn("status",
+        when($"doc_id" === victim, lit("duplicate")).otherwise($"status"))
+    patched.write.mode("overwrite").parquet(docsPath)
+
+    val (lines2, v2) = Main.runFsck(spark, store)
+    assert(count(lines2, "chunks_orphaned") === 1, lines2.mkString("\n"))
+    assert(count(lines2, "embeddings_orphaned") === 1, lines2.mkString("\n"))
+    val deadChunks = count(lines2, "chunks_of_dead_docs")
+    val deadSigs = count(lines2, "signatures_of_dead_docs")
+    assert(deadChunks >= 1 && deadSigs >= 1, lines2.mkString("\n"))
+    assert(v2 === 2 + deadChunks + deadSigs, lines2.mkString("\n"))
+    // the orphan embedding (provider nomic) surfaces as vector-index
+    // DRIFT — the self-healing tier, counted but never a violation
+    assert(count(lines2, "vector_index_missing") === 1, lines2.mkString("\n"))
+    // the ghost chunk shows as embedding-coverage drift, not a violation
+    assert(count(lines2, "chunks_without_embedding") >= 1, lines2.mkString("\n"))
+  }
 }
