@@ -67,12 +67,25 @@ object Main {
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
       spark.stop()
-    case "fsck" :: store :: Nil =>
+    case "fsck" :: store :: rest if rest.forall(_ == "--repair") =>
       val spark = session()
       val (lines, nViol) = runFsck(spark, store)
       lines.foreach(println)
+      if (rest.contains("--repair") && nViol > 0) {
+        runFsckRepair(spark, store).foreach(println)
+        val (after, nAfter) = runFsck(spark, store)
+        after.foreach(println)
+        spark.stop()
+        if (nAfter > 0) sys.exit(1)
+      } else {
+        spark.stop()
+        if (nViol > 0) sys.exit(1)
+      }
+    case "compact" :: store :: rest =>
+      val spark = session()
+      val target = rest.headOption.map(_.toLong).getOrElse(128L << 20)
+      runCompact(spark, store, target).foreach(println)
       spark.stop()
-      if (nViol > 0) sys.exit(1)
     case "search" :: store :: query :: rest =>
       val spark = session()
       val ann = rest.contains("--ann")
@@ -133,7 +146,7 @@ object Main {
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<benchDir>] | " +
-        "fsck <store> | " +
+        "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store>")
@@ -815,6 +828,116 @@ object Main {
     }
     val nViol = checks.collect { case (_, n, true) => n }.sum
     (lines :+ s"""{"violations":$nViol}""", nViol)
+  }
+
+  // ------------------------------------------------------------- fsck repair
+
+  /** `fsck <store> --repair`: prune the [[runFsck]] VIOLATIONS — and
+    * only those. Repair deletes unreachable rows (chunks without a
+    * live document, embeddings without a chunk, signatures of dead or
+    * missing docs); it NEVER fabricates history, so job-ledger
+    * violations stay reported, not patched. Each table lands with the
+    * store's aside-rename swap under the writer lease; the derived
+    * tiers are untouched — a prune widens their drift and the next
+    * ingest reconcile heals it, exactly the contract fsck documents.
+    * Returns per-table pruned counts; re-run `fsck` after to confirm.
+    */
+  def runFsckRepair(spark: SparkSession, storeDir: String): Seq[String] = {
+    def swapRewrite(name: String, keep: DataFrame): Unit = {
+      val f = new java.io.File(s"$storeDir/$name.parquet")
+      val tmp = new java.io.File(s"$storeDir/$name.parquet.next")
+      Tables.rmTree(tmp)
+      // the co-bucketed pair keeps its layout through the repair —
+      // a plain rewrite would silently demote J1/J3 to shuffle joins
+      if (bucketedTables(name))
+        Tables.writeBucketed(keep, tmp.toString, "chunk_id", StoreBuckets)
+      else keep.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      Tables.rmTree(f)
+      require(tmp.renameTo(f), s"fsck-repair swap of $name failed")
+    }
+    def tblFile(name: String) = new java.io.File(s"$storeDir/$name.parquet")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val docs = spark.read.parquet(tblFile("documents").toString)
+    val liveIds = docs.filter(!col("status").isin("failed", "duplicate"))
+      .select(col("doc_id")).localCheckpoint(true)
+    try {
+      if (tblFile("chunks").exists()) Tables.withTableLock(tblFile("chunks").toString) {
+        val chunks = spark.read.parquet(tblFile("chunks").toString)
+        val keep = chunks.join(liveIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val pruned = chunks.count() - keep.count()
+        if (pruned > 0) swapRewrite("chunks", keep)
+        keep.unpersist(false)
+        out += s"""{"table":"chunks","pruned":$pruned}"""
+      }
+      if (tblFile("embeddings").exists() && tblFile("chunks").exists())
+        Tables.withTableLock(tblFile("embeddings").toString) {
+          val emb = spark.read.parquet(tblFile("embeddings").toString)
+          val liveChunks = spark.read.parquet(tblFile("chunks").toString)
+            .select(col("chunk_id"))
+          val keep = emb.join(liveChunks, Seq("chunk_id"), "left_semi")
+            .localCheckpoint(true)
+          val pruned = emb.count() - keep.count()
+          if (pruned > 0) swapRewrite("embeddings", keep)
+          keep.unpersist(false)
+          out += s"""{"table":"embeddings","pruned":$pruned}"""
+        }
+      if (tblFile("signatures").exists()) Tables.withTableLock(tblFile("signatures").toString) {
+        val sigs = spark.read.parquet(tblFile("signatures").toString)
+        val keep = sigs.join(liveIds, sigs("doc") === liveIds("doc_id"),
+                             "left_semi").localCheckpoint(true)
+        val pruned = sigs.count() - keep.count()
+        if (pruned > 0) swapRewrite("signatures", keep)
+        keep.unpersist(false)
+        out += s"""{"table":"signatures","pruned":$pruned}"""
+      }
+    } finally liveIds.unpersist(false)
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------ compact
+
+  /** `compact <store> [targetBytes]`: small-files maintenance over
+    * every store artifact that fragments — the ops pass a 100 TB
+    * deployment schedules, because each tiny file is a task + a
+    * namenode entry and gzip shards cap read parallelism. Plain
+    * swap-commit tables compact via [[Tables.compact]]; the postings
+    * and vector indexes compact per PARTITION (term bucket / cell)
+    * via [[Tables.compactPartitions]] under their writer lease, so
+    * untouched partitions keep their exact files and probes stay
+    * pruned. The co-bucketed chunks/embeddings tables are skipped by
+    * design: their upsert writer already lands one file per bucket on
+    * every commit, so they never fragment.
+    */
+  def runCompact(spark: SparkSession, storeDir: String,
+                 targetBytes: Long = 128L << 20): Seq[String] = {
+    import graft.search.VectorIndex
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def report(name: String, before: Int, after: Int): Unit =
+      out += s"""{"table":"$name","files_before":$before,"files_after":$after}"""
+    for (name <- Seq("documents", "jobs", "signatures", "runlog",
+                     "search_cache")) {
+      val f = new java.io.File(s"$storeDir/$name.parquet")
+      if (f.exists()) {
+        val (b, a) = Tables.compact(spark, f.toString, targetBytes)
+        report(name, b, a)
+      }
+    }
+    val postings = new java.io.File(s"$storeDir/postings.idx")
+    if (postings.exists()) {
+      val (b, a) = Tables.withTableLock(postings.toString) {
+        Tables.compactPartitions(spark, postings.toString, "tb", targetBytes)
+      }
+      report("postings.idx", b, a)
+    }
+    if (VectorIndex.exists(storeDir)) {
+      val p = VectorIndex.indexPath(storeDir)
+      val (b, a) = Tables.withTableLock(p) {
+        graft.search.Ann.ivfCompactIndex(spark, p, targetBytes)
+      }
+      report("vector.idx", b, a)
+    }
+    out.toSeq
   }
 
   // ------------------------------------------------------------------ status

@@ -624,5 +624,65 @@ class E2eMainSpec extends SparkSpec {
     assert(count(lines2, "vector_index_missing") === 1, lines2.mkString("\n"))
     // the ghost chunk shows as embedding-coverage drift, not a violation
     assert(count(lines2, "chunks_without_embedding") >= 1, lines2.mkString("\n"))
+
+    // --repair prunes exactly the unreachable rows and nothing else;
+    // afterwards fsck is violation-free and only self-healing drift
+    // remains (the demoted doc's vector stays in the index until the
+    // next ingest reconcile)
+    val repairs = Main.runFsckRepair(spark, store)
+    def pruned(t: String): Long =
+      repairs.find(_.contains(s""""table":"$t"""")).map(l =>
+        """"pruned":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .getOrElse(fail(s"$t missing: ${repairs.mkString("\n")}"))
+    assert(pruned("chunks") === 1 + deadChunks, repairs.mkString("\n"))
+    assert(pruned("embeddings") === 1 + deadChunks, repairs.mkString("\n"))
+    assert(pruned("signatures") === deadSigs, repairs.mkString("\n"))
+    val (lines3, v3) = Main.runFsck(spark, store)
+    assert(v3 === 0, lines3.mkString("\n"))
+    assert(count(lines3, "vector_index_stale") === deadChunks,
+           lines3.mkString("\n"))
+    assert(count(lines3, "vector_index_missing") === 0, lines3.mkString("\n"))
+  }
+
+  test("compact: fragmented artifacts collapse to fewer files; every probe is unchanged") {
+    val in = Files.createTempDirectory("graft_compact_in").toFile
+    val store = Files.createTempDirectory("graft_compact_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "the quick brown fox jumps over the lazy dog and runs home")
+    put("b.txt", "completely unrelated cooking recipe with butter and flour today")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    // a second batch fragments: postings append + index reconcile add
+    // part files beside the originals
+    put("c.txt", "distributed shuffle partitioning strategies for spark clusters")
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(10)))
+
+    val phraseBefore = Main.runPhrase(spark, store, "cooking recipe")
+    val annBefore = Main.runSearchAnn(spark, store, "shuffle partitioning", 3, 8)
+    val docsBefore = spark.read.parquet(s"$store/documents.parquet").count()
+
+    val reports = Main.runCompact(spark, store)
+    def nums(l: String): (String, Long, Long) = {
+      val t = """"table":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1)
+      val b = """"files_before":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
+      val a = """"files_after":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
+      (t, b, a)
+    }
+    val parsed = reports.map(nums)
+    assert(parsed.exists(_._1 == "postings.idx"), reports.mkString("\n"))
+    assert(parsed.forall { case (_, b, a) => a <= b }, reports.mkString("\n"))
+    // the appended postings/jobs really were fragmented and collapsed
+    assert(parsed.filter(p => p._1 == "postings.idx" || p._1 == "jobs")
+      .exists { case (_, b, a) => a < b }, reports.mkString("\n"))
+
+    // probes and counts identical through the rewrite
+    assert(spark.read.parquet(s"$store/documents.parquet").count() === docsBefore)
+    assert(Main.runPhrase(spark, store, "cooking recipe") === phraseBefore)
+    assert(Main.runSearchAnn(spark, store, "shuffle partitioning", 3, 8) === annBefore)
+    val (fsckLines, v) = Main.runFsck(spark, store)
+    assert(v === 0, fsckLines.mkString("\n"))
   }
 }
