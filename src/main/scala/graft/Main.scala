@@ -59,9 +59,13 @@ object Main {
       val decon = rest.collectFirst {
         case a if a.startsWith("--decon=") => a.stripPrefix("--decon=")
       }
-      val provider = rest.filterNot(_.startsWith("--decon="))
+      val embDecon = rest.collectFirst {
+        case a if a.startsWith("--embdecon=") => a.stripPrefix("--embdecon=")
+      }
+      val provider = rest
+        .filterNot(a => a.startsWith("--decon=") || a.startsWith("--embdecon="))
         .headOption.getOrElse("nomic")
-      println(runCurate(spark, store, out, provider, decon))
+      println(runCurate(spark, store, out, provider, decon, embDecon))
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -145,7 +149,7 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
-        "curate <store> <outDir> [provider] [--decon=<benchDir>] | " +
+        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -608,6 +612,13 @@ object Main {
     *      is dropped and counted — the eval-leakage scrub before the
     *      export ships (docs too short to fingerprint can't match, by
     *      winnowing's construction);
+    *   2c. (with `--embdecon=<benchDir>`) SEMANTIC decontamination
+    *      (q149 as a product stage): the benchmark dir chunks and
+    *      embeds under the vector index's provider, both sides assign
+    *      to the sidecar's trained coarse cells, and any doc with a
+    *      chunk at cos ≥ 0.9 of a benchmark chunk drops — the
+    *      paraphrase tier the verbatim scan cannot see (requires
+    *      `Main index`; the trained quantizer is the blocking key);
     *   3. leakage-safe train/val/test split (q144): assigned by near-dup
     *      CLUSTER via the STORE'S persisted minhash signatures — no
     *      re-shingle; every cluster moves as a unit, so the held-out
@@ -627,7 +638,8 @@ object Main {
     * the [[runExport]] contract).
     */
   def runCurate(spark: SparkSession, storeDir: String, outDir: String,
-                providerName: String, deconDir: Option[String] = None): String = {
+                providerName: String, deconDir: Option[String] = None,
+                embDeconDir: Option[String] = None): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
       .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
@@ -656,19 +668,61 @@ object Main {
         .select(col("train_id").as("doc_id")).distinct()
         .withColumn("contaminated", lit(true))
     }
+    // optional SEMANTIC scrub (q149 as a product stage): the benchmark
+    // dir is chunked+embedded under the INDEX's provider, both sides
+    // assign to the sidecar's trained coarse cells (the learned
+    // blocking — the ANN quantizer doubles as the decon blocking key),
+    // and any doc with a chunk at cos ≥ 0.9 of a benchmark chunk
+    // drops — the paraphrase tier the winnowing scan cannot see.
+    val semContaminatedIds = embDeconDir.map { bd =>
+      import graft.search.{Ann, VectorIndex}
+      require(VectorIndex.exists(storeDir),
+        "curate --embdecon needs a vector index (run `Main index` first) — " +
+        "its trained quantizer is the blocking key")
+      val meta = VectorIndex.readMeta(VectorIndex.indexPath(storeDir))
+      val bench = Ingest.convertDocuments(
+          Ingest.toDocuments(Ingest.readBinaryDir(spark, bd)))
+        .filter(col("text").isNotNull)
+      val benchChunks = Chunkers.chunkDocuments(
+          bench.select(col("doc_id"), col("text")), "doc_id", "text",
+          ChunkerConfig(chunkSize = 200, chunkOverlap = 20,
+                        strategy = Strategy.Hybrid))
+        .withColumn("chunk_id", concat(col("doc_id"), lit("_"), col("chunk_id")))
+      val benchEmb = Embedding.embedChunks(benchChunks, meta.provider).toDF()
+        .select(col("chunk_id"), col("embedding"))
+      val corpusEmb = openTable(spark, storeDir, "embeddings")
+        .filter(col("embedding_provider") === meta.provider)
+        .select(col("chunk_id"), col("embedding"))
+      Dedup.embeddingDecontaminate(
+          Ann.ivfAssignInt(corpusEmb, "embedding", meta.centroids),
+          Ann.ivfAssignInt(benchEmb, "embedding", meta.centroids),
+          "chunk_id", "embedding", "cell",
+          thresholdNum = 81, thresholdDen = 100)
+        // store chunk ids are `<64-hex doc_id>_<n>`
+        .select(substring(col("doc_id"), 1, 64).as("doc_id")).distinct()
+        .withColumn("sem_contaminated", lit(true))
+    }
     val flagged0 = gated.join(comps, Seq("doc_id"))
       .withColumn("split", Dedup.splitAssign(col("comp")))
-    val flagged = contaminatedIds.fold(
+    val flagged1 = contaminatedIds.fold(
         flagged0.withColumn("contaminated", lit(false)))(c =>
       flagged0.join(c, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false))))
+    val flagged = semContaminatedIds.fold(
+        flagged1.withColumn("sem_contaminated", lit(false)))(c =>
+      flagged1.join(c, Seq("doc_id"), "left")
+        .withColumn("sem_contaminated",
+                    coalesce(col("sem_contaminated"), lit(false))))
     val obsDocs = new Observation("curate_docs")
     val curated = flagged
       .observe(obsDocs,
         count(lit(1)).as("docs_in"),
-        count(when(col("kept") && !col("contaminated"), 1)).as("docs_kept"),
-        count(when(col("kept") && col("contaminated"), 1)).as("n_contaminated"))
-      .filter(col("kept") && !col("contaminated"))
+        count(when(col("kept") && !col("contaminated") &&
+                   !col("sem_contaminated"), 1)).as("docs_kept"),
+        count(when(col("kept") && col("contaminated"), 1)).as("n_contaminated"),
+        count(when(col("kept") && !col("contaminated") &&
+                   col("sem_contaminated"), 1)).as("n_semantic"))
+      .filter(col("kept") && !col("contaminated") && !col("sem_contaminated"))
       .select(col("doc_id"), col("score"), col("split"))
 
     // chunk-level tier: the export join, tagged with split + score
@@ -696,10 +750,11 @@ object Main {
     val md = obsDocs.get; val mc = obsChunks.get
     def g(m: Map[String, Any], k: String) = m.getOrElse(k, 0L).toString.toLong
     val in = g(md, "docs_in"); val kept = g(md, "docs_kept")
-    val contam = g(md, "n_contaminated")
+    val contam = g(md, "n_contaminated"); val sem = g(md, "n_semantic")
     s"""{"docs_in":$in,"docs_kept":$kept,""" +
-      s""""dropped_quality":${in - kept - contam},""" +
+      s""""dropped_quality":${in - kept - contam - sem},""" +
       s""""dropped_contaminated":$contam,""" +
+      s""""dropped_semantic":$sem,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")}}"""
   }

@@ -568,6 +568,31 @@ class E2eMainSpec extends SparkSpec {
     val rows2 = spark.read.json(out2)
     assert(rows2.filter($"content".contains("market in the morning")).count() === 0)
     assert(rows2.select($"doc_id").distinct().count() === 3)
+
+    // --embdecon without a vector index fails loudly — the trained
+    // quantizer IS the blocking key, there is no fallback
+    val benchDir2 = Files.createTempDirectory("graft_curate_bench2").toFile
+    Files.write(new java.io.File(benchDir2, "eval.txt").toPath,
+      "this is the story of a small town and the people in it".getBytes("UTF-8"))
+    val out3 = Files.createTempDirectory("graft_curate_out3").toString
+    intercept[IllegalArgumentException] {
+      Main.runCurate(spark, store, out3, "nomic", None, Some(benchDir2.toString))
+    }
+
+    // with the index built, the benchmark-equal doc drops as SEMANTIC
+    // contamination (isolated from the verbatim tier: no --decon here)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    val manifest3 = Main.runCurate(spark, store, out3, "nomic", None,
+                                   Some(benchDir2.toString))
+    def m3(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest3).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest3"))
+    assert(m3("docs_in") === 5 && m3("docs_kept") === 3 &&
+           m3("dropped_quality") === 1 && m3("dropped_semantic") === 1 &&
+           m3("dropped_contaminated") === 0, manifest3)
+    val rows3 = spark.read.json(out3)
+    assert(rows3.filter($"content".contains("story of a small town")).count() === 0)
+    assert(rows3.select($"doc_id").distinct().count() === 3)
   }
 
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
