@@ -62,10 +62,12 @@ object Main {
       val embDecon = rest.collectFirst {
         case a if a.startsWith("--embdecon=") => a.stripPrefix("--embdecon=")
       }
-      val provider = rest
-        .filterNot(a => a.startsWith("--decon=") || a.startsWith("--embdecon="))
+      val pack = rest.collectFirst {
+        case a if a.startsWith("--pack=") => a.stripPrefix("--pack=").toInt
+      }
+      val provider = rest.filterNot(_.startsWith("--"))
         .headOption.getOrElse("nomic")
-      println(runCurate(spark, store, out, provider, decon, embDecon))
+      println(runCurate(spark, store, out, provider, decon, embDecon, pack))
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -149,7 +151,7 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
-        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] | " +
+        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] [--pack=<tokens>] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -629,7 +631,10 @@ object Main {
     *   4. chunks joined with their embeddings (the co-bucketed join,
     *      plans shuffle-free), shipped as gzip JSONL under
     *      `outDir/split=train|val|test/` — ONE write pass, hive-style
-    *      partition dirs, so a trainer reads its split by path.
+    *      partition dirs, so a trainer reads its split by path; with
+    *      `--pack=<tokens>` each row additionally carries `seq_no`
+    *      (q66's bucketed running-sum packing, scoped per split), so
+    *      the trainer groups rows into fixed-token-budget sequences.
     *
     * Counts ride the lineage as observations (quality drops are counted
     * by an observe BEFORE the keep filter — same pass, no second scan);
@@ -639,7 +644,8 @@ object Main {
     */
   def runCurate(spark: SparkSession, storeDir: String, outDir: String,
                 providerName: String, deconDir: Option[String] = None,
-                embDeconDir: Option[String] = None): String = {
+                embDeconDir: Option[String] = None,
+                packBudget: Option[Int] = None): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
       .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
@@ -742,7 +748,28 @@ object Main {
         count(when(col("split") === "test" && col("embedding").isNotNull, 1)).as("test"),
         count(when(col("embedding").isNull, 1)).as("n_missing"))
       .filter(col("embedding").isNotNull)
-    rows.write.mode(SaveMode.Overwrite).partitionBy("split")
+    // optional sequence packing (q66's algebra, scoped per split —
+    // a sequence must never straddle splits): chunks hash into
+    // buckets, a per-(split,bucket) running token sum assigns
+    // `seq_no`, and the trainer groups rows by (split, seq_no) into
+    // fixed-budget training sequences. No global sort; reproducible
+    // across cluster sizes.
+    val packed = packBudget.fold(rows) { budget =>
+      val buckets = 32
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("split"), col("bucket")).orderBy(col("chunk_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      rows
+        .withColumn("bucket",
+          graft.dedup.Dedup.hashBucket(col("chunk_id"), buckets))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_no",
+          col("bucket") * lit(1L << 20) +
+            expr(s"cum_before div CAST($budget AS BIGINT)"))
+        .drop("bucket", "cum_before")
+    }
+    packed.write.mode(SaveMode.Overwrite).partitionBy("split")
       .option("compression", "gzip").json(outDir)
 
     // empty written frame → CollectMetrics erased → empty metrics map

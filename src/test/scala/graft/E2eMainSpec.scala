@@ -593,6 +593,29 @@ class E2eMainSpec extends SparkSpec {
     val rows3 = spark.read.json(out3)
     assert(rows3.filter($"content".contains("story of a small town")).count() === 0)
     assert(rows3.select($"doc_id").distinct().count() === 3)
+
+    // --pack: every row gains seq_no; within a (split, seq_no) all
+    // chunks but the last fit the running budget (the q66 div
+    // invariant), and the packing is deterministic across runs
+    val out4 = Files.createTempDirectory("graft_curate_out4").toString
+    Main.runCurate(spark, store, out4, "nomic", packBudget = Some(64))
+    val rows4 = spark.read.json(out4)
+    assert(rows4.filter($"seq_no".isNull).count() === 0)
+    val overfull = rows4
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"split", $"seq_no").orderBy($"chunk_id".desc)))
+      .filter($"rk" > 1) // all but the LAST chunk of each sequence
+      .groupBy($"split", $"seq_no").agg(sum($"n_tokens").as("t"))
+      .filter($"t" >= 64)
+    assert(overfull.count() === 0)
+    val out5 = Files.createTempDirectory("graft_curate_out5").toString
+    Main.runCurate(spark, store, out5, "nomic", packBudget = Some(64))
+    val a5 = spark.read.json(out5).select($"chunk_id", $"seq_no")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a4 = rows4.select($"chunk_id", $"seq_no")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a4 === a5, "packing must be deterministic across runs")
   }
 
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
