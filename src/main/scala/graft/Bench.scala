@@ -35,6 +35,15 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // Global windows in this engine only ever run over aggregate-
+    // bounded frames (frequency histograms, daily rollups, top-k
+    // slivers — each site documents its bound), so WindowExec's
+    // single-partition WARN fires ~135× per bench run on plans that
+    // are correct by design. The plan-shape specs, not this logger,
+    // are the guard against a corpus-sized global window appearing.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the executor/codegen/parquet-reader paths once so the first
     // timed query measures the operator, not JVM startup. Guarded: a
     // broken/missing sf dir must still reach the JSON line so the
