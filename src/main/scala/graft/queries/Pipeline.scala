@@ -1564,6 +1564,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // NDCG@10 — the GRADED twin of q143's recall gate: recall counts
+    // whether the right ids surface, NDCG scores whether they surface
+    // in the right ORDER, position-discounted. Relevance = label
+    // match; gains = Scale²/log2fp(rank+1) through the SAME
+    // fixed-point recurrence as BM25's log-IDF, so the oracle replays
+    // bit-for-bit. First 5 corpus vectors as the traffic sample.
+    "q151_search_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"),
+                col("label").cast("long"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(Ann.quantizeL).toSeq, r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      Ann.ndcgAtK(e, "vec_id", "embedding", "label", queries, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // BOILERPLATE removal: lines verbatim-shared by > 10 docs are
     // template chrome, stripped with order-preserving rebuild — the
     // web-corpus cleaning pass. (The synthetic corpus is single-line,
@@ -2911,6 +2929,53 @@ object Pipeline {
                  (r.score >= c.cutoff AND k.keeper) AS selected
           FROM r JOIN c USING (source) JOIN keepers k ON k.doc_id = r.doc_id
           ORDER BY r.doc_id""",
+
+    // q151: the fixed-point log2 recurrence (q89's CTE generator) over
+    // ranks 1..10 yields the position gains; exact ranking + label
+    // relevance + ideal-ordering IDCG, all in integer algebra.
+    "q151_search_ndcg" ->
+      s"""WITH RECURSIVE posx AS (
+            SELECT CAST(i AS BIGINT) AS rnk, CAST(i + 1 AS BIGINT) AS x
+            FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+          ${graft.functions.FixedPoint.oracleLog2Cte("posx", "rnk", "x", "l2")},
+          g AS (
+            SELECT rnk AS i, CAST(${graft.functions.FixedPoint.Scale *
+                            graft.functions.FixedPoint.Scale} // l2 AS BIGINT) AS g
+            FROM __l2),
+          iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, lbl AS qlbl, v AS qv
+                FROM iv WHERE vec_id < 5),
+          scored AS (
+            SELECT q.query_id, iv.vec_id AS cid,
+                   CASE WHEN iv.lbl = q.qlbl THEN 1 ELSE 0 END AS rel,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     j -> iv.v[j] * q.qv[j])) AS BIGINT) AS dot
+            FROM iv CROSS JOIN q),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dot DESC, cid) AS rnk
+            FROM scored),
+          per AS (
+            SELECT r.query_id,
+                   CAST(coalesce(sum(CASE WHEN r.rnk <= 10
+                                          THEN r.rel * gg.g END), 0) AS BIGINT) AS dcg,
+                   CAST(sum(r.rel) AS BIGINT) AS n_rel
+            FROM ranked r LEFT JOIN g gg ON gg.i = r.rnk
+            GROUP BY r.query_id),
+          ideal AS (
+            SELECT p.query_id, CAST(sum(gg.g) AS BIGINT) AS idcg
+            FROM per p JOIN g gg ON gg.i <= least(p.n_rel, 10)
+            GROUP BY p.query_id)
+          SELECT p.query_id, p.n_rel, p.dcg,
+                 CAST(coalesce(i.idcg, 0) AS BIGINT) AS idcg,
+                 CAST(CASE WHEN coalesce(i.idcg, 0) > 0
+                           THEN (1000000 * p.dcg) // i.idcg
+                           ELSE 0 END AS BIGINT) AS ndcg_ppm
+          FROM per p LEFT JOIN ideal i USING (query_id)
+          ORDER BY p.query_id""",
 
     // q44's fingerprint CTEs + q58's split buckets; df-cap counts ALL
     // docs carrying the fp (any split), mirroring contaminationPairs.

@@ -1175,6 +1175,63 @@ object Ann {
       .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** NDCG@k of the exact ranking under label relevance — the GRADED
+    * search-quality gate beside [[ivfRecallAtK]]'s set-overlap one:
+    * recall says whether the right ids surface, NDCG says whether they
+    * surface in the right ORDER, discounted by position. rel = 1 iff
+    * the corpus row's label equals the query's; position gains are
+    * `Scale² div log2fp(rank+1)` computed through the SAME fixed-point
+    * recurrence as BM25's log-IDF ([[graft.functions.FixedPoint]]), so
+    * a DuckDB oracle replays every bit; IDCG places all
+    * `min(n_relevant, k)` relevant docs at the top; `ndcg_ppm =
+    * 10⁶·DCG div IDCG` (0 when the query's label has no corpus rows).
+    * One scored pass over the broadcast query set (the batch-kNN
+    * shape), one window, ties dot-desc/ascending-id — exact integers
+    * end to end.
+    */
+  def ndcgAtK(corpus: DataFrame, idCol: String, vecCol: String,
+              labelCol: String, queries: Seq[(Long, Seq[Long], Long)],
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val FP = graft.functions.FixedPoint
+    // per-rank gains via the shared recurrence — k rows, driver-held
+    val pos = sp.range(1, k + 1)
+      .select(col("id").as("rnk"), (col("id") + 1).cast("long").as("x"))
+    val gains: Map[Long, Long] = FP.withLog2(pos, Seq(("x", "l2")))
+      .select(col("rnk"),
+              expr(s"(${FP.Scale} * ${FP.Scale}) div l2").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gainsArr = typedLit((1 to k).map(i => gains(i.toLong)))
+    // cum(j) = Σ gains(1..j); element_at is 1-based, entry 1 = cum(0)
+    val cumLit = typedLit(
+      (1 to k).scanLeft(0L)((a, i) => a + gains(i.toLong)).toSeq)
+    val qdf = queries.toDF("query_id", "__qv", "__qlbl")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cid"))
+    corpus
+      .select(col(idCol).as("cid"), col(labelCol).cast("long").as("lbl"),
+              intVec(col(vecCol)).as("__iv"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dot", intDot(col("__iv"), col("__qv")))
+      .withColumn("rel", (col("lbl") === col("__qlbl")).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(sum(when(col("rnk") <= k,
+          col("rel") * element_at(gainsArr, col("rnk").cast("int")))), lit(0L))
+          .as("dcg"),
+        sum(col("rel")).as("n_rel"))
+      .withColumn("idcg",
+        element_at(cumLit, (least(col("n_rel"), lit(k.toLong)) + 1).cast("int")))
+      .withColumn("ndcg_ppm",
+        when(col("idcg") > 0, expr("(1000000 * dcg) div idcg"))
+          .otherwise(lit(0L)))
+      .select(col("query_id"), col("n_rel"), col("dcg"), col("idcg"),
+              col("ndcg_ppm"))
+  }
+
   // ---- SQ8: per-dimension scalar quantization (the FAISS-SQ tier) ----
 
   /** Train the SQ8 quantizer: per-dimension (min, max) of the

@@ -289,4 +289,39 @@ class AnnRecallSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(all == Seq((0L, 26L)), s"full-coverage recall caps at the corpus: $all")
   }
+
+  test("ndcgAtK: hand-computed exact fixed-point values on a planted ranking") {
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(4 - xs.size)(0.0)).map(_.toFloat)
+    // ranking for query (1,0,0,0): a(dot 1e6) > b(0.9e6) > c(0.8e6) >
+    // d(0.2e6) > e(0.1e6); labels place the one relevant doc at rank 3
+    val corpus = Seq(
+      (10L, vec(1.0), 0L), (11L, vec(0.9), 0L), (12L, vec(0.8), 7L),
+      (13L, vec(0.2), 0L), (14L, vec(0.1), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, vec(1.0).map(Ann.quantizeL).toSeq, 7L))
+    val r = Ann.ndcgAtK(corpus, "vec_id", "embedding", "label", q, k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+                           x.getLong(3), x.getLong(4)))
+    // rank 3 → x = 4: log2fp(4) = 2·4096 EXACT → gain = 4096²/8192 =
+    // 2048; idcg = gain(1) = 4096²/4096 = 4096 → ndcg = 500000 exact
+    assert(r.toSeq == Seq((100L, 1L, 2048L, 4096L, 500000L)), r.toSeq.toString)
+
+    // perfect ordering: both relevant docs at ranks 1-2 → dcg ≡ idcg
+    // → exactly 1000000, whatever the (truncated) gain at rank 2 is
+    val corpus2 = Seq(
+      (10L, vec(1.0), 7L), (11L, vec(0.9), 7L), (12L, vec(0.8), 0L),
+      (13L, vec(0.2), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Ann.ndcgAtK(corpus2, "vec_id", "embedding", "label", q, k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(4)))
+    assert(r2.toSeq == Seq((100L, 1000000L)), r2.toSeq.toString)
+
+    // a label with no corpus rows: idcg = 0 → ndcg 0, never a crash
+    val r3 = Ann.ndcgAtK(corpus2, "vec_id", "embedding", "label",
+                         Seq((101L, vec(1.0).map(Ann.quantizeL).toSeq, 99L)),
+                         k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+    assert(r3.toSeq == Seq((101L, 0L, 0L)), r3.toSeq.toString)
+  }
 }
