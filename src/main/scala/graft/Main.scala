@@ -590,8 +590,11 @@ object Main {
     // empty written frame → CollectMetrics erased → empty metrics map
     // (same guard as runIngest); report 0, don't throw
     val m = obs.get
-    (m.getOrElse("n", 0L).toString.toLong,
-     m.getOrElse("n_missing", 0L).toString.toLong)
+    val n = m.getOrElse("n", 0L).toString.toLong
+    val missing = m.getOrElse("n_missing", 0L).toString.toLong
+    appendRunlog(spark, storeDir, "export",
+                 Seq("exported" -> n, "missing_embedding" -> missing))
+    (n, missing)
   }
 
   // ------------------------------------------------------------------ curate
@@ -778,12 +781,33 @@ object Main {
     def g(m: Map[String, Any], k: String) = m.getOrElse(k, 0L).toString.toLong
     val in = g(md, "docs_in"); val kept = g(md, "docs_kept")
     val contam = g(md, "n_contaminated"); val sem = g(md, "n_semantic")
+    // observed like ingest: the manifest rides into the runlog table,
+    // so the curation funnel is auditable beside the ingest metrics
+    appendRunlog(spark, storeDir, "curate", Seq(
+      "docs_in" -> in, "docs_kept" -> kept,
+      "dropped_quality" -> (in - kept - contam - sem),
+      "dropped_contaminated" -> contam, "dropped_semantic" -> sem,
+      "train" -> g(mc, "train"), "val" -> g(mc, "val"),
+      "test" -> g(mc, "test"), "missing_embedding" -> g(mc, "n_missing")))
     s"""{"docs_in":$in,"docs_kept":$kept,""" +
       s""""dropped_quality":${in - kept - contam - sem},""" +
       s""""dropped_contaminated":$contam,""" +
       s""""dropped_semantic":$sem,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")}}"""
+  }
+
+  /** Append one product command's counters to the store's runlog —
+    * the same (stage, metric, value, run_at) shape ingest writes, so
+    * every command's funnel is auditable from one table.
+    */
+  private def appendRunlog(spark: SparkSession, storeDir: String,
+                           stage: String, metrics: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    metrics.map { case (m, v) => (stage, m, v.toDouble) }
+      .toDF("stage", "metric", "value")
+      .withColumn("run_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(s"$storeDir/runlog.parquet")
   }
 
   // ------------------------------------------------------------------ fsck

@@ -616,6 +616,12 @@ class E2eMainSpec extends SparkSpec {
     val a4 = rows4.select($"chunk_id", $"seq_no")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a4 === a5, "packing must be deterministic across runs")
+
+    // every curate run logged its funnel to the runlog, beside ingest
+    val runlog = spark.read.parquet(s"$store/runlog.parquet")
+    assert(runlog.filter($"stage" === "curate" && $"metric" === "docs_in" &&
+                         $"value" === 5.0).count() >= 1)
+    assert(runlog.filter($"stage" === "ingest").count() >= 1)
   }
 
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
