@@ -565,6 +565,57 @@ object Probe {
     out
   }
 
+  case class BatchServePoint(batch: Int, tBatch: Double, tSingles: Double,
+                             nRows: Long)
+
+  /** Scale curve for BATCHED stored ANN serving (q147's structural
+    * claim, measured): a query batch probes the UNION of its per-query
+    * cell sets in ONE pruned read, so batch wall-clock grows
+    * SUBLINEARLY in ¦Q¦ — shared cells are read once — while the
+    * per-query singles loop pays the pruned read, job scheduling, and
+    * ADC setup ¦Q¦ times. Index built once (trained quantizers via the
+    * q140 sample recipe); row counts must agree between the batch and
+    * the singles loop at every point (q147's per-query-identical
+    * contract, here as the cheap count-level check).
+    */
+  def batchServeCurve(spark: SparkSession, n: Long = 200000L,
+                      batches: Seq[Int] = Seq(1, 8, 32, 128),
+                      reps: Int = 3): Seq[BatchServePoint] = {
+    import graft.search.Ann
+    val emb = syntheticEmbeddings(spark, n).localCheckpoint(true)
+    val sample = emb.filter(graft.dedup.Dedup.hashBucket(col("vec_id"), 100) < 10)
+    val cents = Ann.kmeansFitInt(sample, "vec_id", "embedding", k = 32)
+    val books = Ann.pqTrainInt(sample, "vec_id", "embedding", k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("probe_batchserve").toString
+    Ann.ivfPqWriteIndex(emb, "vec_id", "embedding", cents, books, dir)
+    val qAll: Seq[(Long, Seq[Long])] = emb
+      .filter(col("vec_id") < batches.max)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq))
+      .toSeq
+    val out = batches.map { b =>
+      val qs = qAll.take(b)
+      val (tB, nB) = medOf(reps) {
+        Ann.ivfPqTopKBatchStored(spark, dir, "vec_id", "embedding",
+                                 cents, books, qs, k = 10, nprobe = 2).count()
+      }
+      val (tS, nS) = medOf(reps) {
+        qs.map { case (_, qv) =>
+          Ann.ivfPqTopKStored(spark, dir, "vec_id", "embedding",
+                              cents, books, qv, k = 10, nprobe = 2).count()
+        }.sum
+      }
+      require(nB == nS,
+        s"batch row count $nB != singles total $nS at batch=$b")
+      BatchServePoint(b, tB, tS, nB)
+    }
+    emb.unpersist(true)
+    graft.io.Tables.rmTree(new java.io.File(dir))
+    out
+  }
+
   case class LearnScalePoint(factor: Int, nRows: Long, tStump: Double,
                              tReg: Double, tBoost: Double, tKmeans: Double)
 
@@ -825,6 +876,33 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("batch-serve")) {
+      val pts = batchServeCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — batched stored ANN serving\n\n"
+      sb ++= "One trained IVF-PQ index over 200k synthetic vectors (32 cells,\n"
+      sb ++= "q140 sample-trained quantizers); growing query batches served by\n"
+      sb ++= "q147's ONE-pruned-read batch probe vs a per-query singles loop\n"
+      sb ++= "(both nprobe=2, k=10; row counts required equal per point);\n"
+      sb ++= "median-of-3 on local[" + cpus + "].\n\n"
+      sb ++= "| batch | rows | batch s | singles s | singles/batch |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.batch}%d | ${p.nRows} | ${p.tBatch}%.2f | ${p.tSingles}%.2f | ${p.tSingles / p.tBatch}%.1f× |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%nBatch ${z.batch}: one read serves the union (${z.tBatch / a.tBatch}%.1f× the"
+      sb ++= f" 1-query time for ${z.batch}× the queries); the singles loop pays the"
+      sb ++= f" pruned scan + job overhead per query (${z.tSingles / z.tBatch}%.1f× the batch"
+      sb ++= " at the widest point). The cluster reading: the batch tier turns\n"
+      sb ++= "per-query scan amplification into one shared partition-pruned read —\n"
+      sb ++= "the shape a serving deployment batches traffic into.\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_BATCH_SERVE.md"), sb.toString)
       spark.stop(); return
     }
 
