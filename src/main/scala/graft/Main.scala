@@ -392,8 +392,15 @@ object Main {
     // keeper is the best-scored member, not necessarily the min id)
     val keeperOf = dupFlags.filter($"keep").select($"comp", $"doc_id".as("kept_id"))
     val docsOut = docs.join(dupFlags.join(keeperOf, Seq("comp")), Seq("doc_id"), "left")
+      // the processed-document lifecycle lands with the commit:
+      // pending → completed for every kept converted doc, exactly the
+      // reference's post-processing transition
+      // (services/document_processor.py:117-120); failures keep their
+      // error status, demoted near-dups become 'duplicate'
       .withColumn("status",
-        when($"keep" === false, lit("duplicate")).otherwise($"status"))
+        when($"keep" === false, lit("duplicate"))
+          .when($"status" === "failed", $"status")
+          .otherwise(lit(Schemas.DocumentStatus.Completed)))
       .withColumn("metadata_json",
         when($"keep" === false,
              concat(lit("{\"duplicate_of\":\""), $"kept_id", lit("\"}")))

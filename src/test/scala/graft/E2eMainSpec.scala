@@ -70,6 +70,10 @@ class E2eMainSpec extends SparkSpec {
     val kept = alphaPair.filterNot(_._2 == "duplicate")
     assert(dups.length === 1 && kept.length === 1,
            s"expected one kept + one duplicate, got $alphaPair")
+    // the commit lands the reference's post-processing transition:
+    // the kept converted doc is COMPLETED, not parked at pending
+    // (services/document_processor.py:117-120)
+    assert(kept.head._2 === "completed", alphaPair.toString)
     assert(dups.head._3 === s"""{"duplicate_of":"${kept.head._1}"}""")
     val dupChunks = spark.read.parquet(s"$store/chunks.parquet")
       .filter($"doc_id" === dups.head._1).count()
