@@ -132,6 +132,15 @@ object Main {
       val spark = session()
       runDriftCheck(spark, store).foreach(println)
       spark.stop()
+    case "reindex" :: store :: rest
+        if rest.forall(_.startsWith("--if-drift=")) =>
+      val spark = session()
+      val ifDrift = rest.collectFirst {
+        case a if a.startsWith("--if-drift=") =>
+          a.stripPrefix("--if-drift=").toLong
+      }
+      runReindex(spark, store, ifDrift).foreach(println)
+      spark.stop()
     case "profile" :: store :: Nil =>
       val spark = session()
       runProfile(spark, store).foreach(println)
@@ -155,7 +164,8 @@ object Main {
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
-        "recall <store> [k] [nprobe] [nQueries] | drift <store>")
+        "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
+        "reindex <store> [--if-drift=T]")
       sys.exit(2)
   }
 
@@ -1304,24 +1314,73 @@ object Main {
     * the signal to `Main index` (retrain + rebuild). Sample-scale cost.
     */
   def runDriftCheck(spark: SparkSession, storeDir: String): Seq[String] = {
+    val (_, shifts) = sidecarDrift(spark, storeDir)
+    shifts.map { case (c, nc, d2) =>
+      s"""{"cell":$c,"nearest_fresh":$nc,"shift_d2":$d2}"""
+    } :+ s"""{"max_shift_d2":${shifts.map(_._3).max},"mean_shift_d2":${shifts.map(_._3).sum / shifts.size}}"""
+  }
+
+  /** Sidecar-vs-fresh drift: train FRESH coarse centroids on today's
+    * store sample under the sidecar's EXACT build recipe
+    * ([[graft.search.VectorIndex.trainCoarse]] — one copy of the
+    * sample/fallback/clamp/rounds rule), then each sidecar centroid's
+    * exact L2² to its nearest fresh one
+    * ([[graft.search.Ann.centroidChamfer]] — matching-free, cell ids
+    * have no identity across trainings). Stationary data reproduces
+    * the build bit-for-bit (all shifts 0, the trainers being
+    * deterministic); drifted data leaves some sidecar centroid's
+    * region unrepresented and its shift explodes. Sample-scale cost.
+    * Shared by the monitor (`Main drift`) and the remediation's gate
+    * (`Main reindex --if-drift=T`) so the trigger measures exactly
+    * what the monitor reports. Nonzero shifts also follow cell splits
+    * since the build — a child's shift measures its distance to the
+    * parent's region: local mass worth retraining toward.
+    */
+  private def sidecarDrift(spark: SparkSession, storeDir: String)
+      : (graft.search.VectorIndex.Meta, Seq[(Long, Long, Long)]) = {
     import graft.search.{Ann, VectorIndex}
     val meta = VectorIndex.readMeta(VectorIndex.indexPath(storeDir))
     val slice = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === meta.provider)
       .select(col("chunk_id"), col("embedding"))
-    // the fresh training replays the BUILD's exact recipe straight
-    // from the sidecar (VectorIndex.trainCoarse — one copy of the
-    // sample/fallback/clamp/rounds rule), so on stationary data the
-    // deterministic trainer reproduces the build centroids bit-for-bit
-    // and every shift is 0; nonzero shifts mean the data moved (or
-    // cells were split since the build: a child's shift measures its
-    // distance to the parent's region — local mass worth retraining
-    // toward)
     val fresh = VectorIndex.trainCoarse(slice, "chunk_id", "embedding", meta)
-    val shifts = Ann.centroidChamfer(meta.centroids, fresh)
-    shifts.map { case (c, nc, d2) =>
-      s"""{"cell":$c,"nearest_fresh":$nc,"shift_d2":$d2}"""
-    } :+ s"""{"max_shift_d2":${shifts.map(_._3).max},"mean_shift_d2":${shifts.map(_._3).sum / shifts.size}}"""
+    (meta, Ann.centroidChamfer(meta.centroids, fresh))
+  }
+
+  /** `reindex <store> [--if-drift=T]`: the drift monitor's
+    * remediation, closing the monitor → retrain → serve loop the
+    * reference's vector store never needs (its quantizers are the
+    * identity). Measures sidecar-vs-fresh drift ([[sidecarDrift]] —
+    * the same number `Main drift` reports); if `--if-drift=T` is
+    * given and `max_shift_d2 <= T` the index is left untouched (the
+    * cheap steady-state outcome: one sample-scale training, no
+    * corpus pass). Otherwise retrains quantizers and rebuilds the
+    * index under the sidecar's OWN recipe
+    * ([[graft.search.VectorIndex.build]] with the sidecar's
+    * nlist/codebookK/m/samplePct/rounds — `Main index`'s flags don't
+    * have to be remembered), after which the drift reading is zero by
+    * construction and serving continues under the new sidecar.
+    */
+  def runReindex(spark: SparkSession, storeDir: String,
+                 ifDrift: Option[Long]): Seq[String] = {
+    import graft.search.VectorIndex
+    val (meta, shifts) = sidecarDrift(spark, storeDir)
+    val maxShift = shifts.map(_._3).max
+    val gate = s""""max_shift_d2":$maxShift,"threshold":${ifDrift.getOrElse(-1L)}"""
+    if (ifDrift.exists(maxShift <= _))
+      Seq(s"""{"retrained":false,$gate}""")
+    else {
+      val path = VectorIndex.indexPath(storeDir)
+      VectorIndex.build(spark,
+        openTable(spark, storeDir, "embeddings")
+          .filter(col("embedding_provider") === meta.provider)
+          .select(col("chunk_id"), col("embedding")),
+        "chunk_id", "embedding", path, meta.provider,
+        nlist = meta.nlist, codebookK = meta.codebookK, m = meta.m,
+        dims = meta.dims, samplePct = meta.samplePct, rounds = meta.rounds)
+      val n = spark.read.parquet(path).count()
+      Seq(s"""{"retrained":true,$gate,"indexed":$n}""")
+    }
   }
 
   /** `search <store> <query> --hybrid [--nprobe=N]`: fuse the two

@@ -503,6 +503,76 @@ class E2eMainSpec extends SparkSpec {
            s"recomputed result must not reference the demoted doc: $gr3")
   }
 
+  test("reindex: drift below the gate leaves the index alone; above it retrains to zero drift and exact serving") {
+    import graft.search.{Ann, VectorIndex}
+    val in = Files.createTempDirectory("graft_reidx_in").toFile
+    val store = Files.createTempDirectory("graft_reidx_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.md", "spark query engine performance tuning guide")
+    put("b.md", "unrelated cooking recipe with butter and flour")
+    put("c.md", "violin concerto in d major sheet music")
+    put("d.md", "gardening tips for tomato plants in summer")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 4)
+    val builtMeta = VectorIndex.readMeta(VectorIndex.indexPath(store))
+
+    // batch 2 drifts the corpus: new docs join the training sample, so
+    // the fresh replay no longer reproduces the sidecar's centroids
+    put("e.md", "completely new document about sailing boats and knots")
+    put("f.md", "astronomy field guide to northern constellations")
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    val drifted = Main.runDriftCheck(spark, store).last
+    val maxShift = """"max_shift_d2":(\d+)""".r.findFirstMatchIn(drifted)
+      .get.group(1).toLong
+    assert(maxShift > 0, s"batch 2 must register as drift: $drifted")
+
+    // gate above the measured drift: the cheap steady-state outcome —
+    // no retrain, the sidecar byte-identical
+    val skipped = Main.runReindex(spark, store, Some(maxShift))
+    assert(skipped === Seq(
+      s"""{"retrained":false,"max_shift_d2":$maxShift,"threshold":$maxShift}"""))
+    assert(VectorIndex.readMeta(VectorIndex.indexPath(store)) === builtMeta,
+           "a skipped reindex must not touch the sidecar")
+
+    // gate below it: retrain under the sidecar's own recipe; drift
+    // reads zero afterwards and the index mirrors the provider slice
+    val retrained = Main.runReindex(spark, store, Some(maxShift - 1))
+    assert(retrained.head.contains("\"retrained\":true"), retrained.toString)
+    val after = VectorIndex.readMeta(VectorIndex.indexPath(store))
+    assert(after.centroids !== builtMeta.centroids,
+           "retraining on a drifted corpus must move the centroids")
+    assert((after.nlist, after.codebookK, after.m, after.samplePct, after.rounds)
+      === (builtMeta.nlist, builtMeta.codebookK, builtMeta.m,
+           builtMeta.samplePct, builtMeta.rounds),
+      "the retrain must replay the sidecar's own recipe, not defaults")
+    assert(Main.runDriftCheck(spark, store).last.contains("\"max_shift_d2\":0"),
+           "post-retrain drift must read zero on the stationary store")
+
+    // the retrained index serves the exact ranking at full coverage
+    val query = "spark query engine performance"
+    val qv = graft.embed.Embedding.embedQuery(query, "nomic").toSeq.map(Ann.quantizeL)
+    val q = typedLit(qv)
+    val qn = qv.map(x => x * x).sum
+    val iv = Ann.intVec($"embedding")
+    val brute = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"embedding_provider" === "nomic")
+      .withColumn("d2", Ann.intDot(iv, iv) - lit(2L) * Ann.intDot(iv, q) + lit(qn))
+      .orderBy($"d2".asc, $"chunk_id")
+      .limit(3).select($"chunk_id", $"d2").as[(String, Long)].collect().toSeq
+    val served = Main.runSearchAnn(spark, store, query, 3, nprobe = 8).map { line =>
+      (""""chunk_id":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1),
+       """"d2":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toLong)
+    }
+    assert(served === brute, "retrained index must serve the exact top-k")
+
+    // no gate = unconditional rebuild, even at zero drift
+    val forced = Main.runReindex(spark, store, None)
+    assert(forced.head.contains("\"retrained\":true") &&
+           forced.head.contains("\"max_shift_d2\":0"), forced.toString)
+  }
+
   test("curate: per-source quality gate drops the gibberish doc; output is split-partitioned training JSONL") {
     val in = Files.createTempDirectory("graft_curate_in").toFile
     val store = Files.createTempDirectory("graft_curate_store").toString
