@@ -172,7 +172,41 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleK: Int = 3,
-                        dfCap: Int = 100): DataFrame = {
+                        dfCap: Int = 100): DataFrame =
+    ngramPairCounts(df, idCol, textCol, blockCol, shingleK, dfCap)
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+              col("uni").cast("long").as("uni"))
+
+  /** Pairwise n-gram CONTAINMENT within a blocking key — Broder's
+    * asymmetric resemblance twin: containment of the smaller set in
+    * the larger, `inter / min(na, nb)`, emitted as exact integers
+    * (`inter`, `n_small`) so thresholds are integer comparisons:
+    * containment >= 9/10  ⇔  10·inter >= 9·n_small. The case Jaccard
+    * is BLIND to: a short doc wholly embedded in a long one (page +
+    * boilerplate, quote + article, excerpt + book — the common web
+    * near-dup) has high containment but a Jaccard diluted by the long
+    * side's extra grams, so a Jaccard gate misses it at any useful
+    * threshold. Same df-capped bucket plan as [[ngramJaccardPairs]]
+    * (shared kernel), so `inter` is the df-capped lower bound while
+    * `n_small` stays the full smaller-set size — the gate only ever
+    * UNDER-claims containment, never invents it.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, shingleK: Int = 3,
+                            dfCap: Int = 100): DataFrame =
+    ngramPairCounts(df, idCol, textCol, blockCol, shingleK, dfCap)
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+              least(col("na"), col("nb")).cast("long").as("n_small"))
+
+  /** The shared pair-count kernel of the n-gram similarity family:
+    * blocked, df-capped gram buckets → (a < b) pair combinations →
+    * per-pair intersection counts, each side carrying its full
+    * distinct-shingle set size. Output: a_id, b_id, inter, na, nb.
+    */
+  private def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, shingleK: Int,
+                              dfCap: Int): DataFrame = {
     val sh = df
       .select(col(blockCol).as("blk"), col(idCol).as("doc"),
               TextStats.tokens(col(textCol)).as("toks"))
@@ -200,9 +234,6 @@ object Dedup {
       .groupBy(col("__pair.a.doc").as("a_id"), col("__pair.b.doc").as("b_id"))
       .agg(count(lit(1)).as("inter"),
            first(col("__pair.a.n")).as("na"), first(col("__pair.b.n")).as("nb"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
-              col("uni").cast("long").as("uni"))
   }
 
   /** SimHash (Charikar) signature over distinct whitespace tokens,

@@ -693,6 +693,19 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // CONTAINMENT near-dup — Broder's asymmetric twin of q23: gate on
+    // inter/min(na,nb) >= 9/10, which also fires on a short doc wholly
+    // embedded in a long one (quote-in-article, page-plus-boilerplate)
+    // where Jaccard dilutes below any useful threshold. Blocked by
+    // lang (the republished-across-sources case q23's source blocking
+    // can't see); same df-capped bucket plan, exact integers.
+    "q152_containment_neardup" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", "lang", dfCap = 20)
+        .filter(col("inter") * 10 >= col("n_small") * 9)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // MinHash-LSH candidate generation: equi-join on (band, min-hash)
     // buckets — the shuffle-friendly near-dup plan; no O(n²) anywhere.
     // One md5 per shingle; the digest's four 32-bit slices are the bands.
@@ -4407,6 +4420,29 @@ object Pipeline {
                  CAST(min(na) + min(nb) - count(*) AS BIGINT) AS uni
           FROM p GROUP BY a_id, b_id
           HAVING count(*) * 2 >= min(na) + min(nb) - count(*)
+          ORDER BY a_id, b_id""",
+
+    // q23's bucket replay with lang blocking and the containment gate:
+    // inter / least(na, nb) >= 9/10 as a pure integer comparison.
+    "q152_containment_neardup" ->
+      s"""WITH sh AS (
+            SELECT lang, doc_id, list_distinct(${shingleSql("toks")}) AS s
+            FROM (SELECT lang, doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          e AS (SELECT lang, doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+          capped AS (
+            SELECT lang, g FROM e GROUP BY lang, g
+            HAVING count(*) BETWEEN 2 AND 20),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   min(a.n) AS na, min(b.n) AS nb, count(*) AS inter
+            FROM e a
+            JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+            JOIN capped c ON c.lang = a.lang AND c.g = a.g
+            GROUP BY 1, 2)
+          SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+                 CAST(least(na, nb) AS BIGINT) AS n_small
+          FROM p WHERE inter * 10 >= least(na, nb) * 9
           ORDER BY a_id, b_id""",
 
     "q24_minhash_lsh" ->

@@ -64,6 +64,33 @@ class DedupQualitySpec extends SparkSpec {
          s"candidates ${cand.size} of ${docs.size * (docs.size - 1) / 2} pairs")
   }
 
+  test("containment catches the embedded-doc pair Jaccard is blind to; both agree on the symmetric near-dup") {
+    import org.apache.spark.sql.functions.col
+    // quote-in-article: doc 1 verbatim inside doc 2 with 3x boilerplate
+    // appended — containment of the smaller side is 1.0, Jaccard ~0.23
+    val quote = baseText(0)
+    val article = quote + " " + (0 until 75).map(j => s"bp_$j").mkString(" ")
+    // plus a symmetric near-dup pair both gates must agree on
+    val docs = Seq((1L, quote), (2L, article),
+                   (3L, baseText(1)), (4L, mutated(1, 2)),
+                   (5L, baseText(2)))
+      .toDF("doc_id", "text").withColumn("blk", org.apache.spark.sql.functions.lit("x"))
+
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "blk")
+      .filter(col("inter") * 10 >= col("n_small") * 9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "blk")
+      .filter(col("inter") * 2 >= col("uni"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+    assert(cont.contains((1L, 2L)), s"containment must catch the embedded pair: $cont")
+    assert(!jac.contains((1L, 2L)), s"Jaccard at 1/2 must be blind to it: $jac")
+    assert(cont.contains((3L, 4L)) && jac.contains((3L, 4L)),
+           s"both gates must catch the symmetric near-dup: cont=$cont jac=$jac")
+    assert(!cont.exists { case (a, b) => Set(a, b).contains(5L) },
+           "the disjoint-vocabulary doc pairs with nothing")
+  }
+
   test("leakage-safe split moves every near-dup cluster as a unit; the naive per-doc split provably leaks") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$Sf001/documents.parquet")
