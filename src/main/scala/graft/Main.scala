@@ -96,16 +96,19 @@ object Main {
       val spark = session()
       val ann = rest.contains("--ann")
       val hybrid = rest.contains("--hybrid")
+      val mmr = rest.contains("--mmr")
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
       val pos = rest.filterNot(a =>
-        a == "--ann" || a == "--hybrid" || a.startsWith("--nprobe="))
+        a == "--ann" || a == "--hybrid" || a == "--mmr" ||
+          a.startsWith("--nprobe="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
       val lines =
         if (hybrid) runSearchHybrid(spark, store, query, k, nprobe)
         else if (ann) runSearchAnn(spark, store, query, k, nprobe)
+        else if (mmr) runSearchMmr(spark, store, query, provider, k)
         else runSearch(spark, store, query, provider, k)
       lines.foreach(println)
       spark.stop()
@@ -158,7 +161,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] [--ann|--hybrid] [--nprobe=N] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] [--pack=<tokens>] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
@@ -1164,6 +1167,30 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `search <store> <query> --mmr [provider] [k]`: diversified
+    * serving — [[runSearch]]'s exact relevance pool (4k candidates),
+    * greedily re-picked by MMR ([[graft.search.Ann.mmrRerank]],
+    * λ=1/2, exact integers) so a store full of near-duplicate chunks
+    * answers with coverage instead of the same passage k times.
+    * Emits rank, the integer relevance/redundancy pair, and content.
+    */
+  def runSearchMmr(spark: SparkSession, storeDir: String, query: String,
+                   providerName: String, k: Int): Seq[String] = {
+    val qv = Embedding.embedQuery(query, providerName)
+    val emb = openTable(spark, storeDir, "embeddings")
+      .filter(col("embedding_provider") === providerName)
+    graft.search.Ann.mmrRerank(emb, "chunk_id", "embedding", qv.toSeq,
+                               k = k, poolSize = 4 * k)
+      .join(openTable(spark, storeDir, "chunks")
+              .select(col("chunk_id"), col("content")), Seq("chunk_id"))
+      .orderBy(col("rnk"))
+      .collect().map { r =>
+        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""rel":${r.getAs[Long]("rel")},"red":${r.getAs[Long]("red")},"content":"$content"}"""
       }.toSeq
   }
 

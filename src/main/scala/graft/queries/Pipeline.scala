@@ -782,6 +782,18 @@ object Pipeline {
         .orderBy(col("rnk"))
     }),
 
+    // MMR diversified rerank — q29's relevance pool, greedily re-picked
+    // to trade relevance against redundancy (λ=1/2 → pure integer
+    // rel − max-dot-to-selected). The serving answer to a near-dup
+    // corpus: top-k returns the same passage k times, MMR once.
+    "q153_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq
+      Ann.mmrRerank(e, "vec_id", "embedding", qv, k = 5, poolSize = 20)
+        .orderBy(col("rnk"))
+    }),
+
     // Embedding near-duplicate pairs (cos >= 0.4) within a label block,
     // exact integer cross-multiplied comparison — no float anywhere.
     "q30_embed_neardup" -> ((s, dir) => {
@@ -2498,6 +2510,51 @@ object Pipeline {
   private def shingleSql(toksExpr: String): String =
     s"""list_transform(generate_series(1, greatest(len($toksExpr)-2, 0)),
         i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2])"""
+
+  /** The q153 oracle: MMR's greedy selection unrolled step by step
+    * (the q131 unrolled-rounds pattern — each step is a CTE pair:
+    * `s$i` picks the argmax of rel − red over the not-yet-selected
+    * pool, `p$i` accumulates the selection), generated from the SAME
+    * k/poolSize the Spark side uses so the two cannot drift. All
+    * integer: quantized dots, λ=1/2 folded into rel − red, ties
+    * (score desc, id asc).
+    */
+  private def mmrOracleSql(k: Int, pool: Int): String = {
+    def dot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> $a.v[i] * $b.v[i])) AS BIGINT)"
+    // redundancy via a cand × selected join + max per candidate (a
+    // correlated scalar subquery can't reach `c` from inside the dot
+    // lambda in DuckDB)
+    val steps = (2 to k).map { i =>
+      s"""r$i AS (
+            SELECT c.vec_id, any_value(c.v) AS v, c.rel,
+                   max(${dot("c", "s")}) AS red
+            FROM cand c, p${i - 1} s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM p${i - 1})
+            GROUP BY c.vec_id, c.rel),
+          s$i AS (SELECT * FROM r$i ORDER BY rel - red DESC, vec_id LIMIT 1),
+          p$i AS (SELECT * FROM p${i - 1} UNION ALL SELECT * FROM s$i)"""
+    }.mkString(",\n          ")
+    val emit = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, rel, red FROM s$i")
+      .mkString("\n            UNION ALL ")
+    s"""WITH iv AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          qv AS (SELECT v FROM iv WHERE vec_id = 0),
+          cand AS (
+            SELECT b.vec_id, b.v, ${dot("a", "b")} AS rel
+            FROM qv a, iv b
+            ORDER BY rel DESC, b.vec_id LIMIT $pool),
+          s1 AS (SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS red
+                 FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+          p1 AS (SELECT * FROM s1),
+          $steps
+          SELECT rnk, vec_id, rel, red FROM (
+            $emit
+          ) ORDER BY rnk"""
+  }
 
   /** One unrolled boosting round for the q131 oracle: the stump-train
     * histogram + cumulants + fixed-point gain + global argmax, then
@@ -4544,6 +4601,10 @@ object Pipeline {
           SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id, dot
           FROM scored ORDER BY dot DESC, vec_id LIMIT 10""",
+
+    // the greedy MMR selection unrolled (generator above) — k and pool
+    // sizes shared with the Spark registration.
+    "q153_mmr_rerank" -> mmrOracleSql(k = 5, pool = 20),
 
     "q30_embed_neardup" ->
       """WITH iv AS (SELECT label, vec_id,

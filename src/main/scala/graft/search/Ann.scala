@@ -78,6 +78,79 @@ object Ann {
       .select(col("query_id"), col("rnk"), col(idCol), col("dot"))
   }
 
+  /** MMR diversified top-k — Maximal Marginal Relevance (Carbonell &
+    * Goldstein '98) over the exact integer grid: from a relevance
+    * pool (the [[intDotTopK]] top-`poolSize` scan), greedily select k
+    * results trading relevance against redundancy to what's already
+    * selected. λ is fixed at 1/2, so the marginal score is the pure
+    * integer `rel − red` (red = the candidate's max dot to any
+    * selected result; the first pick is pure relevance, red ≡ 0) —
+    * no float appears anywhere, and ties break (score desc, id asc)
+    * like every ranking here. The retrieval-side answer to a near-dup
+    * corpus: plain top-k returns the same passage k times, MMR
+    * returns it once and spends the rest of the budget on coverage.
+    *
+    * Scale shape: the corpus pays ONE distributed scored scan
+    * (TakeOrdered top-`poolSize` — no global sort); the greedy loop
+    * is driver-side over the constant-size pool (≤ poolSize² dots on
+    * ≤ poolSize rows — the standard serving-side rerank posture, same
+    * constant-size-collect contract as the recall monitor).
+    */
+  def mmrRerank(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryVec: Seq[Float], k: Int = 5,
+                poolSize: Int = 20): DataFrame = {
+    require(k <= poolSize, s"k=$k must fit in the pool ($poolSize)")
+    val spark = embeddings.sparkSession
+    val q = typedLit(queryVec.map(quantizeL))
+    val idType = embeddings.schema(idCol).dataType
+    val pool = embeddings
+      .select(col(idCol), intVec(col(vecCol)).as("__iv"))
+      .withColumn("rel", intDot(col("__iv"), q))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(poolSize)
+      .collect().toSeq
+      .map(r => (r.get(0), r.getAs[Long]("rel"),
+                 r.getSeq[Long](1).toIndexedSeq))
+    // ids order under their NATIVE type (the tie order every ranking
+    // here uses) — a string compare on numeric ids would rank 10 < 2
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.longValue < y.longValue
+      case _ => a.toString < b.toString
+    }
+    def dot(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Any, Long, Long)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Long]]
+    var remaining = pool
+    while (selected.size < math.min(k, pool.size)) {
+      val best = remaining.map { case (id, rel, v) =>
+        val red = if (selVecs.isEmpty) 0L else selVecs.iterator.map(dot(v, _)).max
+        (id, rel, red, v)
+      }.reduceLeft { (a, b) =>
+        val (sa, sb) = (a._2 - a._3, b._2 - b._3)
+        if (sb > sa || (sb == sa && idLt(b._1, a._1))) b else a
+      }
+      selected += ((best._1, best._2, best._3))
+      selVecs += best._4
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val rows = selected.zipWithIndex.map { case ((id, rel, red), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, id, rel, red)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("red",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** kNN LABEL VOTE — majority-label classification over the exact
     * integer dot-product ranking: each query's k nearest OTHER
     * vectors (the [[intDotTopKBatch]] total order (dot desc, id),

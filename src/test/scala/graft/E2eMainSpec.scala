@@ -442,6 +442,16 @@ class E2eMainSpec extends SparkSpec {
     assert(hyb.head.contains("\"n_lists\":2"),
            s"both tiers must rank the winner: ${hyb.head}")
 
+    // diversified serving: the MMR pick starts at the same exact
+    // top-1 (pure relevance, red = 0) and returns k distinct chunks
+    val mmrLines = Main.runSearchMmr(spark, store, query, "nomic", 3)
+    assert(mmrLines.size === 3)
+    assert(mmrLines.head.contains("\"rnk\":1") &&
+           mmrLines.head.contains("\"red\":0"), mmrLines.head)
+    val mmrTop = """"chunk_id":"([^"]+)"""".r.findFirstMatchIn(mmrLines.head).get.group(1)
+    assert(mmrTop === bruteTopK(1).head._1,
+           "MMR's first pick is the exact most-relevant chunk")
+
     // the monitoring commands close the loop: rebuild on the current
     // store (it drifted by construction — batch 2 added docs), then
     // the drift check replays the sidecar's own recipe on stationary
