@@ -148,6 +148,12 @@ object Main {
       val spark = session()
       runProfile(spark, store).foreach(println)
       spark.stop()
+    case "tokenizer" :: store :: rest =>
+      val spark = session()
+      val rounds = rest.headOption.map(_.toInt).getOrElse(16)
+      val n = runTrainTokenizer(spark, store, rounds)
+      println(s"""{"merges":$n,"rounds":$rounds}""")
+      spark.stop()
     case "postings" :: store :: rest =>
       val spark = session()
       val n = runBuildPostings(spark, store,
@@ -168,7 +174,7 @@ object Main {
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
-        "reindex <store> [--if-drift=T]")
+        "reindex <store> [--if-drift=T] | tokenizer <store> [rounds]")
       sys.exit(2)
   }
 
@@ -591,12 +597,73 @@ object Main {
     * counted and reported, and the caller decides whether a nonzero
     * `missing` is acceptable.
     */
+  /** `tokenizer <store> [rounds]`: train the store's OWN BPE
+    * tokenizer over the chunk contents (q145's multi-round trainer —
+    * one corpus word-count aggregate, vocab-sized rounds) and persist
+    * the ordered merge table as a store artifact. From then on
+    * [[runExport]]/[[runCurate]] count tokens under the TRAINED
+    * tokenizer instead of the BPE-lexer proxy, so a `--pack` budget
+    * means sequences of the tokenizer the model will actually train
+    * with — the artifact-to-budget loop closed, reported in the
+    * curate manifest as `tokenizer`.
+    */
+  def runTrainTokenizer(spark: SparkSession, storeDir: String,
+                        rounds: Int = 16): Long = {
+    val path = s"$storeDir/tokenizer.parquet"
+    val merges = graft.text.TextStats.bpeTrain(
+      openTable(spark, storeDir, "chunks").select(col("content")),
+      "content", rounds)
+    Tables.withTableLock(path) {
+      merges.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+    val n = spark.read.parquet(path).count()
+    appendRunlog(spark, storeDir, "tokenizer", Seq("merges" -> n))
+    n
+  }
+
+  /** The store's trained merge list in round order — None until
+    * `Main tokenizer` has run. Rounds-sized (a driver list by
+    * construction).
+    */
+  private def storedMerges(spark: SparkSession, storeDir: String)
+      : Option[Seq[(String, String)]] = {
+    val f = new java.io.File(storeDir, "tokenizer.parquet")
+    if (!f.exists()) None
+    else Some(spark.read.parquet(f.toString)
+      .orderBy(col("round"))
+      .select(col("lft"), col("rgt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  /** Per-chunk `n_tokens` under the store's tokenizer tier: the
+    * trained stored merges when present ([[graft.text.TextStats.bpeApply]]
+    * — only DISTINCT words pay the merge folds, counts come back
+    * through one vocab join; a wordless chunk counts 0), else the
+    * codegen BPE-lexer proxy. Returns the frame plus the tokenizer
+    * name for the manifest.
+    */
+  private def withTokenCounts(spark: SparkSession, storeDir: String,
+                              chunks: DataFrame): (DataFrame, String) =
+    storedMerges(spark, storeDir) match {
+      case Some(ms) =>
+        val counts = graft.text.TextStats
+          .bpeApply(chunks.select(col("chunk_id"), col("content")),
+                    "chunk_id", "content", ms)
+          .select(col("chunk_id"), col("n_tokens"))
+        (chunks.join(counts, Seq("chunk_id"), "left")
+           .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L))),
+         "stored-bpe")
+      case None =>
+        (chunks.withColumn("n_tokens",
+           size(graft.text.TextStats.bpeTokens(col("content"))).cast("long")),
+         "bpe-lexer")
+    }
+
   def runExport(spark: SparkSession, storeDir: String, outDir: String,
                 providerName: String): (Long, Long) = {
-    val chunks = openTable(spark, storeDir, "chunks")
-      .select(col("doc_id"), col("chunk_id"), col("content"))
-      .withColumn("n_tokens",
-        size(graft.text.TextStats.bpeTokens(col("content"))).cast("long"))
+    val (chunks, _) = withTokenCounts(spark, storeDir,
+      openTable(spark, storeDir, "chunks")
+        .select(col("doc_id"), col("chunk_id"), col("content")))
     val emb = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === providerName)
       .select(col("chunk_id"), col("embedding"))
@@ -754,11 +821,12 @@ object Main {
       .filter(col("kept") && !col("contaminated") && !col("sem_contaminated"))
       .select(col("doc_id"), col("score"), col("split"))
 
-    // chunk-level tier: the export join, tagged with split + score
-    val chunks = openTable(spark, storeDir, "chunks")
-      .select(col("doc_id"), col("chunk_id"), col("content"))
-      .withColumn("n_tokens",
-        size(graft.text.TextStats.bpeTokens(col("content"))).cast("long"))
+    // chunk-level tier: the export join, tagged with split + score;
+    // token counts under the store's tokenizer tier (trained merges
+    // when `Main tokenizer` has run)
+    val (chunks, tokenizerName) = withTokenCounts(spark, storeDir,
+      openTable(spark, storeDir, "chunks")
+        .select(col("doc_id"), col("chunk_id"), col("content")))
     val emb = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === providerName)
       .select(col("chunk_id"), col("embedding"))
@@ -814,7 +882,8 @@ object Main {
       s""""dropped_contaminated":$contam,""" +
       s""""dropped_semantic":$sem,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
-      s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")}}"""
+      s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")},""" +
+      s""""tokenizer":"$tokenizerName"}"""
   }
 
   /** Append one product command's counters to the store's runlog —

@@ -782,6 +782,63 @@ class E2eMainSpec extends SparkSpec {
     assert(count(lines3, "vector_index_missing") === 0, lines3.mkString("\n"))
   }
 
+  test("tokenizer: trained merges persist as a store artifact and govern export/pack token counts") {
+    val in = Files.createTempDirectory("graft_tok_in").toFile
+    val store = Files.createTempDirectory("graft_tok_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    // repetitive vocabulary so training has real pairs to merge
+    put("a.txt", "the spark engine sparks sparkly spark pipelines in the sparkpit")
+    put("b.txt", "sparking sparks spark the spark sparkpit sparkly")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+
+    // pre-training: the manifest names the lexer proxy
+    val out1 = Files.createTempDirectory("graft_tok_out1").toString
+    val m1 = Main.runCurate(spark, store, out1, "nomic")
+    assert(m1.contains("\"tokenizer\":\"bpe-lexer\""), m1)
+    val lex = spark.read.json(out1)
+      .select($"chunk_id", $"n_tokens").as[(String, Long)].collect().toMap
+
+    val nMerges = Main.runTrainTokenizer(spark, store, rounds = 4)
+    assert(nMerges >= 1)
+    val mergesF = new java.io.File(store, "tokenizer.parquet")
+    assert(mergesF.exists(), "tokenizer must persist as a store artifact")
+
+    val out2 = Files.createTempDirectory("graft_tok_out2").toString
+    val m2 = Main.runCurate(spark, store, out2, "nomic", packBudget = Some(64))
+    assert(m2.contains("\"tokenizer\":\"stored-bpe\""), m2)
+    val bpe = spark.read.json(out2)
+      .select($"chunk_id", $"n_tokens", $"content", $"seq_no")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getString(2)))).toMap
+
+    // char-level symbols minus a few merges: counts exceed the word
+    // proxy on every multi-char-word chunk
+    assert(bpe.keySet === lex.keySet)
+    assert(bpe.forall { case (id, (n, _)) => n >= lex(id) },
+           "trained counts are char-level minus merges, never below words")
+    assert(bpe.exists { case (id, (n, _)) => n > lex(id) },
+           "at least one chunk must count differently under the trained tokenizer")
+
+    // independent replay: re-apply the stored merge list with a plain
+    // Scala greedy fold and the per-chunk counts must match exactly
+    val merges = spark.read.parquet(mergesF.toString)
+      .orderBy($"round").select($"lft", $"rgt")
+      .as[(String, String)].collect().toSeq
+    def applyMerges(word: String): Int =
+      merges.foldLeft(word.map(_.toString).toList) { case (syms, (l, r)) =>
+        syms.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == l && s == r)
+            acc.init :+ (l + r)
+          else acc :+ s
+        }
+      }.size
+    bpe.foreach { case (id, (n, content)) =>
+      val expected = content.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        .map(applyMerges).sum
+      assert(n === expected, s"chunk $id: stored-bpe count $n != replay $expected")
+    }
+  }
+
   test("compact: fragmented artifacts collapse to fewer files; every probe is unchanged") {
     val in = Files.createTempDirectory("graft_compact_in").toFile
     val store = Files.createTempDirectory("graft_compact_store").toString
