@@ -148,6 +148,18 @@ object Main {
       val spark = session()
       runProfile(spark, store).foreach(println)
       spark.stop()
+    case "watch" :: inbox :: store :: rest =>
+      val spark = session()
+      val provider = rest.filterNot(_.startsWith("--")).headOption
+        .getOrElse("nomic")
+      val follow = rest.contains("--follow")
+      val trigger =
+        if (follow)
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds")
+        else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      val n = runWatch(spark, inbox, store, provider, trigger)
+      println(s"""{"drained":true,"docs_in_store":$n}""")
+      spark.stop()
     case "tokenizer" :: store :: rest =>
       val spark = session()
       val rounds = rest.headOption.map(_.toInt).getOrElse(16)
@@ -174,7 +186,8 @@ object Main {
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
-        "reindex <store> [--if-drift=T] | tokenizer <store> [rounds]")
+        "reindex <store> [--if-drift=T] | tokenizer <store> [rounds] | " +
+        "watch <inboxDir> <store> [provider] [--follow]")
       sys.exit(2)
   }
 
@@ -597,6 +610,27 @@ object Main {
     * counted and reported, and the caller decides whether a nonzero
     * `missing` is acceptable.
     */
+  /** `watch <inboxDir> <store> [provider] [--follow]`: the streaming
+    * product path — every micro-batch runs the EXACT batch ingest
+    * stages against the same store (convert → dedup/demote → chunk →
+    * embed → swap commit + postings/vector-index reconcile, one
+    * pipeline definition in two execution modes). The default
+    * AvailableNow trigger drains what's in the inbox and returns
+    * (cron-able, exactly-once per file via the stream checkpoint);
+    * `--follow` polls every 10 s until killed. Returns the store's
+    * post-drain document count.
+    */
+  def runWatch(spark: SparkSession, inboxDir: String, storeDir: String,
+               providerName: String = "nomic",
+               trigger: org.apache.spark.sql.streaming.Trigger =
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow()): Long = {
+    val q = graft.stream.Inbox.start(spark, inboxDir, storeDir,
+                                     providerName, trigger)
+    q.awaitTermination()
+    val docs = new java.io.File(s"$storeDir/documents.parquet")
+    if (docs.exists()) spark.read.parquet(docs.toString).count() else 0L
+  }
+
   /** `tokenizer <store> [rounds]`: train the store's OWN BPE
     * tokenizer over the chunk contents (q145's multi-round trainer —
     * one corpus word-count aggregate, vocab-sized rounds) and persist

@@ -2336,6 +2336,20 @@ object Pipeline {
         .orderBy(col("query_id"))
     }),
 
+    // HARD NEGATIVE MINING — for each anchor, the k nearest vectors
+    // with a DIFFERENT label: the negatives a contrastive objective
+    // learns the most from (random negatives saturate the loss). Same
+    // broadcast-anchors/one-corpus-scan shape as batch kNN.
+    "q154_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), Ann.intVec(col("embedding")).as("qv"),
+                col("label").as("ql"))
+      Ann.hardNegatives(e, "vec_id", "embedding", "label",
+                        queries, "qid", "qv", "ql", k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -4221,6 +4235,28 @@ object Pipeline {
 
     // q54's exact integer dots with the self row excluded; votes over
     // rnk<=5; argmax (votes desc, label asc).
+    // q100's scored scan, label-filtered instead of self-filtered.
+    "q154_hard_negatives" ->
+      """WITH iv AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS query_id, label AS ql, v AS qv
+                FROM iv WHERE vec_id % 97 = 0),
+          scored AS (
+            SELECT q.query_id, iv.vec_id, CAST(iv.label AS BIGINT) AS label,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot
+            FROM iv CROSS JOIN q
+            WHERE iv.label <> q.ql),
+          r AS (SELECT query_id, vec_id, dot, label,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk
+                FROM scored)
+          SELECT query_id, rnk, vec_id, dot, label
+          FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
+
     "q100_knn_label_vote" ->
       """WITH iv AS (
             SELECT vec_id, label,

@@ -187,6 +187,38 @@ object Ann {
       .select(col("query_id"), col("__nl").as("pred_label"), col("votes"))
   }
 
+  /** HARD NEGATIVE MINING — the contrastive-training data op: for
+    * each anchor, the k nearest corpus vectors carrying a DIFFERENT
+    * label (exact integer dot ranking, ties to ascending id). The
+    * nearest wrong-label neighbors are exactly the negatives a
+    * contrastive/triplet objective learns the most from (easy random
+    * negatives saturate the loss); self never appears (same label).
+    * Output: query_id, rnk, id, dot, the negative's label.
+    *
+    * Scale shape = batch kNN's: the anchor set broadcasts, the corpus
+    * is scanned ONCE regardless of anchor count, and the rank window
+    * runs per anchor on the label-filtered scores.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, queryIdCol: String,
+                    queryVecCol: String, queryLabelCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .select(col(idCol), intVec(col(vecCol)).as("__iv"),
+              col(labelCol).cast("long").as("label"))
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"),
+        col(queryLabelCol).cast("long").as("__ql"))))
+      .filter(col("label") =!= col("__ql"))
+      .withColumn("dot", intDot(col("__iv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col(idCol), col("dot"), col("label"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.

@@ -839,6 +839,22 @@ class E2eMainSpec extends SparkSpec {
     }
   }
 
+  test("watch: the streaming drain builds the same served store the batch path does") {
+    val in = Files.createTempDirectory("graft_watch_in").toFile
+    val store = Files.createTempDirectory("graft_watch_store").toString
+    Files.write(new java.io.File(in, "a.md").toPath,
+      "spark query engine performance tuning guide".getBytes("UTF-8"))
+    Files.write(new java.io.File(in, "b.txt").toPath,
+      "unrelated cooking recipe with butter and flour".getBytes("UTF-8"))
+    val n = Main.runWatch(spark, in.toString, store)
+    assert(n === 2)
+    // the drained store serves like a batch-ingested one
+    val hits = Main.runSearch(spark, store, "spark query engine", "nomic", 1)
+    assert(hits.size === 1 && hits.head.contains("spark query engine"), hits.toString)
+    // a second drain is exactly-once: nothing re-ingests
+    assert(Main.runWatch(spark, in.toString, store) === 2)
+  }
+
   test("compact: fragmented artifacts collapse to fewer files; every probe is unchanged") {
     val in = Files.createTempDirectory("graft_compact_in").toFile
     val store = Files.createTempDirectory("graft_compact_store").toString

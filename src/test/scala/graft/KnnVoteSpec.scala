@@ -53,4 +53,27 @@ class KnnVoteSpec extends SparkSpec {
     // neighbors of 10 at k=3: 1,2,3 (all label 0) -> predicted 0 ≠ own 1
     assert(vote(c, 10L, k = 3) == Seq((10L, 0L, 3L)))
   }
+
+  test("hard negatives: nearest WRONG-label vectors only — same-label near-dups never leak in") {
+    // anchor (id 1, label 0) on axis 0; its nearest neighbors 2,3 share
+    // its label and MUST be skipped; the mined negatives are the
+    // mislabeled axis-0 vector (closest wrong label) then the axis-1
+    // cluster in id order (dot 0 ties)
+    val c = corpus(
+      (1L, 0, vec(0, 1.0f)), (2L, 0, vec(0, 0.9f)), (3L, 0, vec(0, 0.8f)),
+      (4L, 1, vec(1, 1.0f)), (5L, 1, vec(1, 0.9f)),
+      (10L, 1, vec(0, 0.7f))) // the hard one: wrong label, high dot
+    val q = c.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), Ann.intVec(col("embedding")).as("qv"),
+              col("label").as("ql"))
+    val negs = Ann.hardNegatives(c, "vec_id", "embedding", "label",
+                                 q, "qid", "qv", "ql", k = 3)
+      .orderBy(col("rnk"))
+      .select(col("rnk"), col("vec_id"), col("dot"), col("label"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(negs === Seq(
+      (1L, 10L, 700000L, 1L), // 1000·700 exact
+      (2L, 4L, 0L, 1L),
+      (3L, 5L, 0L, 1L)), negs.toString)
+  }
 }
