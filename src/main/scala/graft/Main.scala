@@ -512,7 +512,7 @@ object Main {
       } ++ Seq(("chunk_write", "seconds", tChunks), ("embed_write", "seconds", tEmbed)))
       .toDF("stage", "metric", "value")
       .withColumn("run_at", lit(now))
-    runLog.write.mode(SaveMode.Append).parquet(s"$storeDir/runlog.parquet")
+    appendRunlogFrame(storeDir, runLog)
 
     val nDocs = docs.count()
     val nFailed = docs.filter($"status" === "failed").count()
@@ -648,7 +648,21 @@ object Main {
       openTable(spark, storeDir, "chunks").select(col("content")),
       "content", rounds)
     Tables.withTableLock(path) {
-      merges.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+      // tmp + checked-rename commit, not Overwrite-in-place: Overwrite
+      // deletes the live dir first, so a crash mid-write would leave a
+      // half-written merge table that storedMerges (an exists() check)
+      // would silently count tokens under
+      val live = new java.io.File(path)
+      val tmp = new java.io.File(s"$path.tmp")
+      val trash = new java.io.File(s"$path.trash")
+      if (!live.exists() && trash.exists())
+        require(trash.renameTo(live), s"recovering $path from trash failed")
+      Tables.rmTree(tmp); Tables.rmTree(trash)
+      merges.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (live.exists())
+        require(live.renameTo(trash), s"aside-rename of $path failed")
+      require(tmp.renameTo(live), s"commit rename of $path failed")
+      Tables.rmTree(trash)
     }
     val n = spark.read.parquet(path).count()
     appendRunlog(spark, storeDir, "tokenizer", Seq("merges" -> n))
@@ -857,15 +871,19 @@ object Main {
 
     // chunk-level tier: the export join, tagged with split + score;
     // token counts under the store's tokenizer tier (trained merges
-    // when `Main tokenizer` has run)
+    // when `Main tokenizer` has run). The curation join runs FIRST so
+    // the tokenizer only pays its merge folds for chunks that actually
+    // export — a heavy quality/decon drop would otherwise tokenize a
+    // corpus it then throws away.
     val (chunks, tokenizerName) = withTokenCounts(spark, storeDir,
       openTable(spark, storeDir, "chunks")
-        .select(col("doc_id"), col("chunk_id"), col("content")))
+        .select(col("doc_id"), col("chunk_id"), col("content"))
+        .join(curated, Seq("doc_id")))
     val emb = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === providerName)
       .select(col("chunk_id"), col("embedding"))
     val obsChunks = new Observation("curate_chunks")
-    val rows = chunks.join(curated, Seq("doc_id"))
+    val rows = chunks
       .join(emb, Seq("chunk_id"), "left")
       .observe(obsChunks,
         count(when(col("split") === "train" && col("embedding").isNotNull, 1)).as("train"),
@@ -927,10 +945,29 @@ object Main {
   private def appendRunlog(spark: SparkSession, storeDir: String,
                            stage: String, metrics: Seq[(String, Long)]): Unit = {
     import spark.implicits._
-    metrics.map { case (m, v) => (stage, m, v.toDouble) }
-      .toDF("stage", "metric", "value")
-      .withColumn("run_at", current_timestamp())
-      .write.mode(SaveMode.Append).parquet(s"$storeDir/runlog.parquet")
+    appendRunlogFrame(storeDir,
+      metrics.map { case (m, v) => (stage, m, v.toDouble) }
+        .toDF("stage", "metric", "value")
+        .withColumn("run_at", current_timestamp()))
+  }
+
+  /** Every runlog append — ingest's and the product commands' — takes
+    * the same table lease `Tables.compact` rewrites under: an unlocked
+    * append racing a compact either recreates the directory mid-swap
+    * (stranding the live table in `.trash`) or lands its rows in the
+    * aside copy the compact then deletes.
+    */
+  private def appendRunlogFrame(storeDir: String, frame: DataFrame): Unit = {
+    val path = s"$storeDir/runlog.parquet"
+    Tables.withTableLock(path) {
+      val dir = new java.io.File(path)
+      val trash = new java.io.File(s"$path.trash")
+      // a compact that died mid-swap parked the only complete runlog in
+      // .trash; appending first would recreate the dir and orphan it
+      if (!dir.exists() && trash.exists())
+        require(trash.renameTo(dir), s"recovering $path from trash failed")
+      frame.write.mode(SaveMode.Append).parquet(path)
+    }
   }
 
   // ------------------------------------------------------------------ fsck
@@ -965,11 +1002,33 @@ object Main {
     val docsOpt = tbl("documents")
     if (docsOpt.isEmpty)
       return (Seq("""{"check":"documents_table_present","count":1,"violation":true}"""), 1L)
-    // pin one snapshot per table: each feeds several checks, and the
-    // audit must judge a single consistent state of the store
+    // pin one snapshot per table — EVERY table the audit reads, not
+    // just the big three: each feeds several checks, the audit must
+    // judge a single consistent state of the store, and fsck takes no
+    // lock (it runs concurrent with ingest by design), so a lazy read
+    // would re-list the parquet dir at action time and die (or judge a
+    // mixed state) when an ingest swap lands mid-audit
     val docs = docsOpt.get.localCheckpoint(true)
     val chunksOpt = tbl("chunks").map(_.localCheckpoint(true))
     val embOpt = tbl("embeddings").map(_.localCheckpoint(true))
+    val sigsOpt = tbl("signatures").map(_.localCheckpoint(true))
+    val jobsOpt = tbl("jobs").map(_.localCheckpoint(true))
+    val postingsF = new java.io.File(s"$storeDir/postings.idx")
+    val postingsOpt =
+      if (postingsF.exists())
+        Some(spark.read.parquet(postingsF.toString)
+          .select(col("chunk_id")).localCheckpoint(true))
+      else None
+    val vecOpt =
+      if (VectorIndex.exists(storeDir)) {
+        val vecPath = VectorIndex.indexPath(storeDir)
+        val idx =
+          if (VectorIndex.hasCells(vecPath))
+            Some(spark.read.parquet(vecPath)
+              .select(col("chunk_id")).localCheckpoint(true))
+          else None
+        Some((VectorIndex.readMeta(vecPath).provider, idx))
+      } else None
     val checks = scala.collection.mutable.ArrayBuffer[(String, Long, Boolean)]()
     try {
       val docIds = docs.select(col("doc_id"))
@@ -998,7 +1057,7 @@ object Main {
         checks += (("chunks_without_embedding",
           chunks.count() * nProviders - present, false))
       }
-      tbl("signatures").foreach { sigs =>
+      sigsOpt.foreach { sigs =>
         checks += (("signatures_orphaned",
           sigs.join(docIds, sigs("doc") === docIds("doc_id"), "left_anti")
             .count(), true))
@@ -1013,7 +1072,7 @@ object Main {
             .join(sigs.select(sigs("doc").as("doc_id")).distinct(),
                   Seq("doc_id"), "left_anti").count(), false))
       }
-      tbl("jobs").foreach { jobs =>
+      jobsOpt.foreach { jobs =>
         val latest = Tables.latestByKey(jobs, Seq("job_id"),
                                         Seq(col("updated_at")))
         checks += (("jobs_nonterminal",
@@ -1026,31 +1085,30 @@ object Main {
       }
       // derived tiers: allowed to lag (the next ingest reconciles) —
       // reported as drift, never as violations
-      val postingsF = new java.io.File(s"$storeDir/postings.idx")
-      for (chunks <- chunksOpt if postingsF.exists()) {
+      for (chunks <- chunksOpt; postings <- postingsOpt) {
         checks += (("postings_orphaned",
-          spark.read.parquet(postingsF.toString)
-            .select(col("chunk_id")).distinct()
+          postings.distinct()
             .join(chunks.select(col("chunk_id")), Seq("chunk_id"), "left_anti")
             .count(), false))
       }
-      for (emb <- embOpt if VectorIndex.exists(storeDir)) {
-        val vecPath = VectorIndex.indexPath(storeDir)
+      for (emb <- embOpt; (provider, idxOpt) <- vecOpt) {
         val slice = emb
-          .filter(col("embedding_provider") === VectorIndex.readMeta(vecPath).provider)
+          .filter(col("embedding_provider") === provider)
           .select(col("chunk_id"))
-        if (VectorIndex.hasCells(vecPath)) {
-          val idx = spark.read.parquet(vecPath).select(col("chunk_id"))
-          checks += (("vector_index_stale",
-            idx.join(slice, Seq("chunk_id"), "left_anti").count(), false))
-          checks += (("vector_index_missing",
-            slice.join(idx, Seq("chunk_id"), "left_anti").count(), false))
-        } else checks += (("vector_index_missing", slice.count(), false))
+        idxOpt match {
+          case Some(idx) =>
+            checks += (("vector_index_stale",
+              idx.join(slice, Seq("chunk_id"), "left_anti").count(), false))
+            checks += (("vector_index_missing",
+              slice.join(idx, Seq("chunk_id"), "left_anti").count(), false))
+          case None =>
+            checks += (("vector_index_missing", slice.count(), false))
+        }
       }
     } finally {
       docs.unpersist(false)
-      chunksOpt.foreach(_.unpersist(false))
-      embOpt.foreach(_.unpersist(false))
+      (chunksOpt ++ embOpt ++ sigsOpt ++ jobsOpt ++ postingsOpt ++
+        vecOpt.flatMap(_._2)).foreach(_.unpersist(false))
     }
     val lines = checks.toSeq.map { case (name, n, viol) =>
       s"""{"check":"$name","count":$n,"violation":$viol}"""
@@ -1074,17 +1132,34 @@ object Main {
   def runFsckRepair(spark: SparkSession, storeDir: String): Seq[String] = {
     def swapRewrite(name: String, keep: DataFrame): Unit = {
       val f = new java.io.File(s"$storeDir/$name.parquet")
-      val tmp = new java.io.File(s"$storeDir/$name.parquet.next")
-      Tables.rmTree(tmp)
+      val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
+      val trash = new java.io.File(s"$storeDir/$name.parquet.trash")
+      Tables.rmTree(tmp); Tables.rmTree(trash)
       // the co-bucketed pair keeps its layout through the repair —
       // a plain rewrite would silently demote J1/J3 to shuffle joins
       if (bucketedTables(name))
         Tables.writeBucketed(keep, tmp.toString, "chunk_id", StoreBuckets)
       else keep.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      Tables.rmTree(f)
+      // writeTable's commit protocol, not delete-then-rename: the live
+      // table goes ASIDE (.trash) before the new snapshot lands, so a
+      // crash at any point leaves a complete snapshot that writeTable's
+      // recovery preamble knows how to restore
+      require(f.renameTo(trash), s"fsck-repair aside-rename of $name failed")
       require(tmp.renameTo(f), s"fsck-repair swap of $name failed")
+      Tables.rmTree(trash)
     }
     def tblFile(name: String) = new java.io.File(s"$storeDir/$name.parquet")
+    // the repair tool is what a user runs after a crash: restore any
+    // table a died swap (an earlier repair's included) left parked in
+    // .trash before auditing — the same preamble writeTable runs
+    for (name <- Seq("documents", "chunks", "embeddings", "signatures")) {
+      val f = tblFile(name)
+      val trash = new java.io.File(s"${f.getPath}.trash")
+      if (!f.exists() && trash.exists()) Tables.withTableLock(f.toString) {
+        if (!f.exists() && trash.exists())
+          require(trash.renameTo(f), s"recovering $name from trash failed")
+      }
+    }
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val docs = spark.read.parquet(tblFile("documents").toString)
     val liveIds = docs.filter(!col("status").isin("failed", "duplicate"))

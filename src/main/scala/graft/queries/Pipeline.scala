@@ -4233,8 +4233,6 @@ object Pipeline {
                  substr(text, s, e - s + 1) AS content
           FROM rows_ ORDER BY doc_id, chunk_number""",
 
-    // q54's exact integer dots with the self row excluded; votes over
-    // rnk<=5; argmax (votes desc, label asc).
     // q100's scored scan, label-filtered instead of self-filtered.
     "q154_hard_negatives" ->
       """WITH iv AS (
@@ -4257,6 +4255,8 @@ object Pipeline {
           SELECT query_id, rnk, vec_id, dot, label
           FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
 
+    // q54's exact integer dots with the self row excluded; votes over
+    // rnk<=5; argmax (votes desc, label asc).
     "q100_knn_label_vote" ->
       """WITH iv AS (
             SELECT vec_id, label,
