@@ -2350,6 +2350,44 @@ object Pipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // DOMAIN-RELEVANCE IMPORTANCE WEIGHTS (DSIR-style data selection,
+    // exact-integer linearization): hashed word features, target =
+    // the src0/src1 slice, every doc scored Σ c_f·(t_f·R − r_f·T) —
+    // positive per feature exactly when the target distribution
+    // over-represents it. One corpus explode + (doc,feat) agg; the
+    // 64-row feature table broadcasts back.
+    "q155_domain_relevance" -> ((s, dir) => {
+      Curation.domainRelevanceWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("source").isin("src0", "src1"), buckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // GOPHER RULE BUNDLE: the named heuristic battery (word count,
+    // mean word length, symbol/bullet/ellipsis ratios, alpha-word
+    // share, function-word floor) as per-doc flags + the conjunction —
+    // every ratio an exact-integer cross-multiplication. Pure per-row
+    // algebra, fused into the scan.
+    "q157_gopher_rules" -> ((s, dir) => {
+      TextStats.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+                            minWords = 50, maxWords = 100000)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CLUSTER-BALANCED SAMPLE: the q136 trained quantizer's cells as
+    // the strata — at most 10 vectors per discovered cluster, smallest
+    // ids first, so the sample covers embedding space evenly instead
+    // of echoing cluster skew. One group-key shuffle after assignment;
+    // rank<=cap pushes map-side (WindowGroupLimit).
+    "q156_balanced_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Ann.kmeansFitInt(e, "vec_id", "embedding", k = 8, rounds = 2)
+      val asg = Ann.assignMinL2Int(
+          e.withColumn("__iv", Ann.intVec(col("embedding"))), "__iv", cents)
+      Curation.balancedSample(asg.select(col("cell"), col("vec_id")),
+                              "cell", "vec_id", cap = 10)
+        .orderBy(col("cell"), col("rk"))
+    }),
+
     // S9 — PPTX conversion gate, same byte-exact contract as q56's
     // DOCX: wrap each document's text into a real minimal PPTX (one
     // slide per line), extract back through zip + DOM, chunk; the
@@ -4255,6 +4293,92 @@ object Pipeline {
           SELECT query_id, rnk, vec_id, dot, label
           FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""",
 
+    // q155: the full weight algebra replayed — md5-bucketed word
+    // features, target/rest marginals from the same (doc,feat) counts,
+    // w_f = t_f·R − r_f·T, per-doc Σ c·w.
+    "q155_domain_relevance" ->
+      """WITH toks AS (
+            SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      t -> t <> '')) AS term
+            FROM documents),
+          f AS (
+            SELECT doc_id, is_target,
+                   CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS feat
+            FROM toks),
+          dc AS (SELECT doc_id, is_target, feat, count(*) AS c
+                 FROM f GROUP BY 1, 2, 3),
+          cnt AS (
+            SELECT feat,
+                   CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_f,
+                   CAST(sum(CASE WHEN is_target THEN 0 ELSE c END) AS BIGINT) AS r_f
+            FROM dc GROUP BY 1),
+          tot AS (SELECT CAST(sum(t_f) AS BIGINT) AS t_tot,
+                         CAST(sum(r_f) AS BIGINT) AS r_tot FROM cnt),
+          w AS (SELECT feat, t_f * r_tot - r_f * t_tot AS w FROM cnt, tot)
+          SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tokens,
+                 CAST(sum(dc.c * w.w) AS BIGINT) AS score
+          FROM dc JOIN w USING (feat)
+          GROUP BY 1 ORDER BY doc_id""",
+
+    // q157: every Gopher rule replayed — same tokenization (\s+ split,
+    // non-empty), sum of word lengths as non-whitespace char count,
+    // non-overlapping regexp counts for # and ellipsis, per-rule
+    // cross-multiplied rationals.
+    "q157_gopher_rules" ->
+      """WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               w -> w <> '') AS toks,
+                   string_split(text, chr(10)) AS lines, text
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(text, '\s', '', 'g'))
+                        AS BIGINT) AS sum_word_len,
+                   CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[A-Za-z]')))
+                        AS BIGINT) AS n_alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '^[-*]')))
+                        AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(l, '\.\.\.$')))
+                        AS BIGINT) AS n_ellipsis,
+                   CAST(len(regexp_extract_all(text, '#')) +
+                        len(regexp_extract_all(text, '\.\.\.'))
+                        AS BIGINT) AS n_symbols,
+                   CAST((CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have') THEN 1 ELSE 0 END) +
+                        (CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stop_hits
+            FROM base)
+          SELECT doc_id, n_words, sum_word_len, n_alpha, n_lines, n_bullet,
+                 n_ellipsis, n_symbols, n_stop_hits,
+                 n_words >= 50 AND n_words <= 100000 AS words_ok,
+                 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+                   AS word_len_ok,
+                 n_symbols * 10 <= n_words AS symbol_ok,
+                 n_bullet * 10 <= n_lines * 9 AS bullet_ok,
+                 n_ellipsis * 10 <= n_lines * 3 AS ellipsis_ok,
+                 n_alpha * 10 >= n_words * 8 AS alpha_ok,
+                 n_stop_hits >= 2 AS stopword_ok,
+                 (n_words >= 50 AND n_words <= 100000) AND
+                 (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AND
+                 (n_symbols * 10 <= n_words) AND
+                 (n_bullet * 10 <= n_lines * 9) AND
+                 (n_ellipsis * 10 <= n_lines * 3) AND
+                 (n_alpha * 10 >= n_words * 8) AND
+                 (n_stop_hits >= 2) AS kept
+          FROM m ORDER BY doc_id""",
+
     // q54's exact integer dots with the self row excluded; votes over
     // rnk<=5; argmax (votes desc, label asc).
     "q100_knn_label_vote" ->
@@ -4326,6 +4450,19 @@ object Pipeline {
           ${kmeansRoundSql(3, "cen2")}
           SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
           FROM asg3 GROUP BY cell ORDER BY cell""",
+
+    // q156: q136's trained assignment (asg3), capped per cell by
+    // ascending vec_id rank.
+    "q156_balanced_sample" ->
+      s"""$KmeansCtes,
+          ${kmeansRoundSql(3, "cen2")},
+          rk AS (
+            SELECT cell, CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(row_number() OVER (PARTITION BY cell
+                                           ORDER BY vec_id) AS BIGINT) AS rk
+            FROM asg3)
+          SELECT cell, vec_id, rk
+          FROM rk WHERE rk <= 10 ORDER BY cell, rk""",
 
     // q137: the per-subspace trainer replayed — final codebooks
     // composed back to full-dims entries: dim d belongs to subspace

@@ -242,4 +242,72 @@ object Curation {
       .select(col(idCol), col("source"), col("score"), col("cutoff"),
               col("kept"))
   }
+
+  /** DOMAIN-RELEVANCE IMPORTANCE WEIGHTS (hashed n-gram features) —
+    * the data-selection pass that ranks a raw corpus by how much it
+    * looks like a small target domain (DSIR-style: Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169). Words hash into `buckets` feature ids
+    * ([[graft.dedup.Dedup.hashBucket]] — md5, oracle-replayable), the
+    * target/rest feature distributions come from ONE corpus count, and
+    * each document scores Σ_f c_f(doc) · w_f with the exact-integer
+    * per-feature weight
+    *
+    *   w_f = t_f·R − r_f·T
+    *
+    * (t_f/r_f = target/rest counts of feature f, T/R their totals) —
+    * positive exactly when p_target(f) > p_rest(f), i.e. the
+    * first-order linearization of the paper's log-ratio around
+    * p_t = p_r, kept linear so the whole rank is integer-exact and
+    * engine-replayable (no transcendentals in the verified surface).
+    * Magnitude bound: |score| ≤ doc_tokens · max(t_f·R, r_f·T); at
+    * corpus scale feed SAMPLED feature counts (the q140 recipe) so the
+    * products stay far inside BIGINT.
+    *
+    * Plan shape: one token explode → one (doc, feature) aggregation
+    * (the only corpus-sized shuffle, map-combined); feature stats and
+    * totals are `buckets`-sized and broadcast back; the per-doc score
+    * is a second map-combined aggregation over doc×buckets rows.
+    */
+  def domainRelevanceWeights(df: DataFrame, idCol: String, textCol: String,
+                             isTarget: Column, buckets: Int = 64): DataFrame = {
+    val toks = df
+      .select(col(idCol), isTarget.as("is_target"),
+              explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col(idCol), col("is_target"),
+              graft.dedup.Dedup.hashBucket(col("term"), buckets).as("feat"))
+    // (doc, feature) counts — the one corpus-sized aggregation; the
+    // feature marginals derive from it, so the corpus is read once
+    val dc = toks.groupBy(col(idCol), col("is_target"), col("feat"))
+      .agg(count(lit(1)).as("c"))
+    val cnt = dc.groupBy(col("feat"))
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_f"),
+           sum(when(!col("is_target"), col("c")).otherwise(0L)).as("r_f"))
+    val tot = cnt.agg(sum(col("t_f")).as("t_tot"), sum(col("r_f")).as("r_tot"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .select(col("feat"),
+              (col("t_f") * col("r_tot") - col("r_f") * col("t_tot")).as("w"))
+    dc.join(broadcast(w), Seq("feat"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+           sum(col("c") * col("w")).as("score"))
+  }
+
+  /** CLUSTER-BALANCED SAMPLE — at most `cap` rows per group, smallest
+    * ids first (total order, so the kept set is unique and
+    * reproducible). The semantic-diversity counterpart of
+    * [[capPerGroup]]: group by a TRAINED quantizer's cell instead of a
+    * metadata column and the sample covers embedding space evenly
+    * instead of echoing the corpus's cluster skew — the "balance the
+    * mixture over topics you DISCOVERED, not labels you were given"
+    * recipe. Same scale shape as [[capPerGroup]]: one group-key
+    * shuffle, rank<=cap pushed map-side by WindowGroupLimit.
+    */
+  def balancedSample(df: DataFrame, groupCol: String, idCol: String,
+                     cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
 }

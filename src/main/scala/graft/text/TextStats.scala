@@ -51,6 +51,70 @@ object TextStats {
         col("n_stopwords") * 100 >= col("n_tokens") * 2) // >= 2% stopwords
   }
 
+  /** The canonical function-word list of the Gopher "stop word"
+    * rule (Rae et al. 2021, arXiv:2112.11446 §A1.1): a kept document
+    * must contain at least 2 of these 8.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER-STYLE RULE BUNDLE (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1) — the named heuristic battery web corpora are cleaned
+    * with, reported per document as one flag per rule plus the
+    * conjunction, so a curation pass can threshold, audit, or ablate
+    * rules individually:
+    *
+    *  - `words_ok`     word count in [minWords, maxWords]
+    *  - `word_len_ok`  mean word length in [3, 10] chars
+    *  - `symbol_ok`    (# + ellipsis) to word ratio ≤ 1/10
+    *  - `bullet_ok`    ≤ 90% of lines start with a bullet
+    *  - `ellipsis_ok`  ≤ 30% of lines end with an ellipsis
+    *  - `alpha_ok`     ≥ 80% of words carry an alphabetic character
+    *  - `stopword_ok`  ≥ 2 of the 8 canonical function words present
+    *
+    * Every ratio rule is an exact-integer cross-multiplication (mean
+    * word length 3 ≤ s/n ≤ 10 becomes 3n ≤ s ≤ 10n) — no floats, so
+    * the verdicts replay bit-for-bit in another engine. Pure per-row
+    * column algebra over one tokenize + one line split: no shuffle,
+    * fused into the scan at any scale.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val m = df.select(col(idCol),
+      size(tokens(t)).cast("long").as("n_words"),
+      // Σ token length ≡ non-whitespace char count: no HOF aggregate
+      length(regexp_replace(t, "\\s", "")).cast("long").as("sum_word_len"),
+      size(filter(tokens(t), w => w.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha"),
+      size(split(t, "\n")).cast("long").as("n_lines"),
+      size(filter(split(t, "\n"), l => l.rlike("^[-*]")))
+        .cast("long").as("n_bullet"),
+      size(filter(split(t, "\n"), l => l.rlike("\\.\\.\\.$")))
+        .cast("long").as("n_ellipsis"),
+      (size(regexp_extract_all(t, lit("#"), lit(0))) +
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))))
+        .cast("long").as("n_symbols"),
+      GopherStopwords.map(sw =>
+          when(array_contains(transform(tokens(t), w => lower(w)), sw), 1L)
+            .otherwise(0L))
+        .reduce(_ + _).as("n_stop_hits"))
+    m.withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        lit(3) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10) * col("n_words"))
+      .withColumn("symbol_ok", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("bullet_ok", col("n_bullet") * 10 <= col("n_lines") * 9)
+      .withColumn("ellipsis_ok", col("n_ellipsis") * 10 <= col("n_lines") * 3)
+      .withColumn("alpha_ok", col("n_alpha") * 10 >= col("n_words") * 8)
+      .withColumn("stopword_ok", col("n_stop_hits") >= 2)
+      .withColumn("kept",
+        col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stopword_ok"))
+  }
+
   /** Language-ID marker profiles: per-language high-frequency function
     * words (public linguistic knowledge). Deterministic n-gram-free
     * heuristic: predicted = argmax language over marker hits, ties to

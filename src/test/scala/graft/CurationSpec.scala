@@ -194,4 +194,20 @@ class CurationSpec extends SparkSpec {
     // exactly the strictly-below-cutoff docs drop
     assert(got.values.count(!_._5) == 2, got.values.filterNot(_._5).toString)
   }
+
+  test("balancedSample keeps the cap smallest ids per group") {
+    val rows = Seq((3L, "a"), (1L, "a"), (2L, "a"), (5L, "a"), (10L, "b"))
+      .toDF("vec_id", "cell")
+    val got = Curation.balancedSample(rows, "cell", "vec_id", cap = 2)
+      .select($"cell", $"rk", $"vec_id").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 10L)),
+           got.mkString(", "))
+  }
+
+  test("balancedSample pushes the rank filter map-side (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("q156_balanced_sample")(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
 }
