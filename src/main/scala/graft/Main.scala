@@ -67,7 +67,8 @@ object Main {
       }
       val provider = rest.filterNot(_.startsWith("--"))
         .headOption.getOrElse("nomic")
-      println(runCurate(spark, store, out, provider, decon, embDecon, pack))
+      println(runCurate(spark, store, out, provider, decon, embDecon, pack,
+                        redact = rest.contains("--redact")))
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -181,7 +182,7 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
-        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] [--pack=<tokens>] | " +
+        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] [--pack=<tokens>] [--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -759,6 +760,11 @@ object Main {
     *      chunk at cos ≥ 0.9 of a benchmark chunk drops — the
     *      paraphrase tier the verbatim scan cannot see (requires
     *      `Main index`; the trained quantizer is the blocking key);
+    *   2d. (with `--redact`) PII scrub (the q67 redaction pass):
+    *      emails/URLs/IPv4s in the exported chunk text are replaced
+    *      with placeholder tokens BEFORE token counting — the `--pack`
+    *      budget measures the text the trainer actually sees — and the
+    *      per-category match counts land in the manifest and runlog;
     *   3. leakage-safe train/val/test split (q144): assigned by near-dup
     *      CLUSTER via the STORE'S persisted minhash signatures — no
     *      re-shingle; every cluster moves as a unit, so the held-out
@@ -783,7 +789,8 @@ object Main {
   def runCurate(spark: SparkSession, storeDir: String, outDir: String,
                 providerName: String, deconDir: Option[String] = None,
                 embDeconDir: Option[String] = None,
-                packBudget: Option[Int] = None): String = {
+                packBudget: Option[Int] = None,
+                redact: Boolean = false): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
       .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
@@ -875,22 +882,38 @@ object Main {
     // the tokenizer only pays its merge folds for chunks that actually
     // export — a heavy quality/decon drop would otherwise tokenize a
     // corpus it then throws away.
-    val (chunks, tokenizerName) = withTokenCounts(spark, storeDir,
-      openTable(spark, storeDir, "chunks")
-        .select(col("doc_id"), col("chunk_id"), col("content"))
-        .join(curated, Seq("doc_id")))
+    val keptChunks = openTable(spark, storeDir, "chunks")
+      .select(col("doc_id"), col("chunk_id"), col("content"))
+      .join(curated, Seq("doc_id"))
+    // optional PII scrub (--redact): emails/URLs/IPs replaced with
+    // placeholder tokens BEFORE token counting, so a --pack budget
+    // measures the text the trainer actually sees; per-category match
+    // counts ride the export observation into the manifest/runlog
+    val redacted =
+      if (redact)
+        graft.text.TextStats.redactPii(keptChunks, "content")
+          .drop("content").withColumnRenamed("redacted", "content")
+      else keptChunks
+    val (chunks, tokenizerName) = withTokenCounts(spark, storeDir, redacted)
     val emb = openTable(spark, storeDir, "embeddings")
       .filter(col("embedding_provider") === providerName)
       .select(col("chunk_id"), col("embedding"))
     val obsChunks = new Observation("curate_chunks")
-    val rows = chunks
-      .join(emb, Seq("chunk_id"), "left")
-      .observe(obsChunks,
+    val chunkAggs = Seq(
         count(when(col("split") === "train" && col("embedding").isNotNull, 1)).as("train"),
         count(when(col("split") === "val" && col("embedding").isNotNull, 1)).as("val"),
         count(when(col("split") === "test" && col("embedding").isNotNull, 1)).as("test"),
-        count(when(col("embedding").isNull, 1)).as("n_missing"))
+        count(when(col("embedding").isNull, 1)).as("n_missing")) ++
+      (if (redact)
+         Seq(sum(col("n_email")).as("pii_email"),
+             sum(col("n_url")).as("pii_url"),
+             sum(col("n_ip")).as("pii_ip"))
+       else Nil)
+    val rows = chunks
+      .join(emb, Seq("chunk_id"), "left")
+      .observe(obsChunks, chunkAggs.head, chunkAggs.tail: _*)
       .filter(col("embedding").isNotNull)
+      .drop("n_email", "n_url", "n_ip")
     // optional sequence packing (q66's algebra, scoped per split —
     // a sequence must never straddle splits): chunks hash into
     // buckets, a per-(split,bucket) running token sum assigns
@@ -923,18 +946,25 @@ object Main {
     val contam = g(md, "n_contaminated"); val sem = g(md, "n_semantic")
     // observed like ingest: the manifest rides into the runlog table,
     // so the curation funnel is auditable beside the ingest metrics
+    val redactLog =
+      if (redact) Seq("pii_email" -> g(mc, "pii_email"),
+                      "pii_url" -> g(mc, "pii_url"),
+                      "pii_ip" -> g(mc, "pii_ip"))
+      else Nil
     appendRunlog(spark, storeDir, "curate", Seq(
       "docs_in" -> in, "docs_kept" -> kept,
       "dropped_quality" -> (in - kept - contam - sem),
       "dropped_contaminated" -> contam, "dropped_semantic" -> sem,
       "train" -> g(mc, "train"), "val" -> g(mc, "val"),
-      "test" -> g(mc, "test"), "missing_embedding" -> g(mc, "n_missing")))
+      "test" -> g(mc, "test"), "missing_embedding" -> g(mc, "n_missing"))
+      ++ redactLog)
     s"""{"docs_in":$in,"docs_kept":$kept,""" +
       s""""dropped_quality":${in - kept - contam - sem},""" +
       s""""dropped_contaminated":$contam,""" +
       s""""dropped_semantic":$sem,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")},""" +
+      redactLog.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""tokenizer":"$tokenizerName"}"""
   }
 

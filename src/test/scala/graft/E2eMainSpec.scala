@@ -708,6 +708,53 @@ class E2eMainSpec extends SparkSpec {
     assert(runlog.filter($"stage" === "ingest").count() >= 1)
   }
 
+  test("curate --redact: exported text is scrubbed, counted per category, and token-counted AFTER the scrub") {
+    val in = Files.createTempDirectory("graft_redact_in").toFile
+    val store = Files.createTempDirectory("graft_redact_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "contact the editor at jane.doe@example.com for the " +
+                 "full notes and see https://example.com/more today")
+    put("b.txt", "the server at 10.0.0.1 is where we keep all of the data for it")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+
+    val out = Files.createTempDirectory("graft_redact_out").toString
+    val manifest = Main.runCurate(spark, store, out, "nomic", redact = true)
+    def m(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest"))
+    assert(m("pii_email") === 1 && m("pii_url") === 1 && m("pii_ip") === 1,
+           manifest)
+
+    val rows = spark.read.json(out)
+    // the raw PII never reaches the export; the placeholders do
+    assert(rows.filter($"content".contains("jane.doe") ||
+                       $"content".contains("example.com") ||
+                       $"content".contains("10.0.0.1")).count() === 0)
+    assert(rows.filter($"content".contains("<EMAIL>")).count() === 1)
+    assert(rows.filter($"content".contains("<URL>")).count() === 1)
+    assert(rows.filter($"content".contains("<IP>")).count() === 1)
+    // per-row audit columns were internal — they must not ship
+    assert(!rows.columns.contains("n_email"), rows.columns.mkString(","))
+    // n_tokens measures the REDACTED text (what the trainer sees), not
+    // the original: recomputing the lexer count over the exported
+    // content must agree row for row
+    assert(rows.filter(
+      size(graft.text.TextStats.bpeTokens($"content")).cast("long")
+        =!= $"n_tokens").count() === 0)
+    // the scrub counts land in the runlog beside the funnel
+    val runlog = spark.read.parquet(s"$store/runlog.parquet")
+    assert(runlog.filter($"stage" === "curate" && $"metric" === "pii_email" &&
+                         $"value" === 1.0).count() === 1)
+    // without --redact the same store exports the raw text and no
+    // pii keys appear — the scrub is opt-in, never silent
+    val out2 = Files.createTempDirectory("graft_redact_out2").toString
+    val manifest2 = Main.runCurate(spark, store, out2, "nomic")
+    assert(!manifest2.contains("pii_email"), manifest2)
+    assert(spark.read.json(out2)
+      .filter($"content".contains("jane.doe@example.com")).count() === 1)
+  }
+
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
     val in = Files.createTempDirectory("graft_fsck_in").toFile
     val store = Files.createTempDirectory("graft_fsck_store").toString
