@@ -2362,6 +2362,34 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // MAXSIM LATE INTERACTION: multi-vector retrieval — docs are bags
+    // of 10 vectors (vec_id div 10), the query is doc 0's bag, score =
+    // Σ_q max_d dot. The query bag broadcasts; corpus scanned once;
+    // map-combined max+sum aggregations; TakeOrderedAndProject cut.
+    "q158_maxsim_late_interaction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val docs = e.select(expr("vec_id div 10").as("doc"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qi"), Ann.intVec(col("embedding")).as("qv"))
+      Ann.maxSimTopK(docs, "doc", "embedding", queries, "qi", "qv", k = 10)
+        .orderBy(col("rnk"))
+    }),
+
+    // MATRYOSHKA OVERLAP: per query, how much of the full-dim exact
+    // top-10 the first-16-dims ranking retains — the eval that decides
+    // whether a truncated tier can front the index.
+    "q159_matryoshka_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq))
+        .toSeq.sortBy(_._1)
+      Ann.truncatedOverlapAtK(e, "vec_id", "embedding", queries,
+                              k = 10, dims = 16)
+        .orderBy(col("query_id"))
+    }),
+
     // GOPHER RULE BUNDLE: the named heuristic battery (word count,
     // mean word length, symbol/bullet/ellipsis ratios, alpha-word
     // share, function-word floor) as per-doc flags + the conjunction —
@@ -4378,6 +4406,61 @@ object Pipeline {
                  (n_alpha * 10 >= n_words * 8) AND
                  (n_stop_hits >= 2) AS kept
           FROM m ORDER BY doc_id""",
+
+    // q158: the MaxSim algebra replayed — per-(doc, query-vector) max
+    // dot, per-doc sum, top 10 by (score desc, doc).
+    "q158_maxsim_late_interaction" ->
+      """WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          d AS (SELECT vec_id // 10 AS doc, v FROM iv),
+          q AS (SELECT vec_id AS qi, v AS qv FROM iv WHERE vec_id < 10),
+          dots AS (
+            SELECT d.doc, q.qi,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> d.v[i] * q.qv[i])) AS BIGINT) AS dot
+            FROM d CROSS JOIN q),
+          mx AS (SELECT doc, qi, max(dot) AS m FROM dots GROUP BY 1, 2),
+          sc AS (SELECT doc, CAST(sum(m) AS BIGINT) AS score
+                 FROM mx GROUP BY 1),
+          r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc)
+                            AS BIGINT) AS rnk,
+                       CAST(doc AS BIGINT) AS doc, score
+                FROM sc)
+          SELECT rnk, doc, score FROM r WHERE rnk <= 10 ORDER BY rnk""",
+
+    // q159: both rankings replayed — full 64-dim and first-16-dim
+    // integer dots, top-10 each (dot desc, vec_id), intersection
+    // counted per query; starved queries kept at 0.
+    "q159_matryoshka_overlap" ->
+      """WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          qs AS (SELECT CAST(vec_id AS BIGINT) AS query_id, v AS qv
+                 FROM iv WHERE vec_id < 5),
+          sc AS (
+            SELECT q.query_id, iv.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot_full,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                     i -> iv.v[i] * q.qv[i])) AS BIGINT) AS dot_trunc
+            FROM iv CROSS JOIN qs q),
+          rf AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_full DESC, vec_id) AS rn_f,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_trunc DESC, vec_id) AS rn_t
+            FROM sc),
+          h AS (SELECT query_id, count(*) AS n FROM rf
+                WHERE rn_f <= 10 AND rn_t <= 10 GROUP BY 1)
+          SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap
+          FROM qs q LEFT JOIN h USING (query_id)
+          ORDER BY query_id""",
 
     // q54's exact integer dots with the self row excluded; votes over
     // rnk<=5; argmax (votes desc, label asc).

@@ -219,6 +219,79 @@ object Ann {
       .select(col("query_id"), col("rnk"), col(idCol), col("dot"), col("label"))
   }
 
+  /** MAXSIM LATE-INTERACTION SCORING — multi-vector retrieval (the
+    * ColBERT family: Khattab & Zaharia 2020, arXiv:2004.12832): a
+    * document is a BAG of token/chunk vectors, the query is a bag of
+    * query vectors, and the document's score is Σ_q max_d ⟨q, d⟩ —
+    * every query vector finds its best-matching document vector and
+    * the per-query maxima sum. Catches term-level matches a single
+    * pooled vector blurs away. Exact integer dots; ties score-desc
+    * then ascending doc.
+    *
+    * Scale shape: the query bag broadcasts, the corpus's vector table
+    * is scanned ONCE; both the per-(doc, query-vector) max and the
+    * per-doc sum are map-combined aggregations keyed by doc, and the
+    * final cut is TakeOrderedAndProject (never a global sort).
+    */
+  def maxSimTopK(corpus: DataFrame, docCol: String, vecCol: String,
+                 queries: DataFrame, queryIdxCol: String,
+                 queryVecCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .select(col(docCol).as("doc"), intVec(col(vecCol)).as("__iv"))
+      .crossJoin(broadcast(queries.select(
+        col(queryIdxCol).as("__qi"), col(queryVecCol).as("__qv"))))
+      .withColumn("dot", intDot(col("__iv"), col("__qv")))
+    val sums = scored.groupBy(col("doc"), col("__qi"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("doc")).agg(sum(col("m")).as("score"))
+      .orderBy(col("score").desc, col("doc")).limit(k)
+    // rank assigned AFTER the top-k cut: the window runs over k rows,
+    // not the corpus
+    sums.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc")))
+          .cast("long"))
+      .select(col("rnk"), col("doc"), col("score"))
+  }
+
+  /** TRUNCATED-DIMENSION RETRIEVAL EVAL — the matryoshka-embedding
+    * question (Kusupati et al. 2022, arXiv:2205.13147): if the index
+    * kept only the first `dims` dimensions, how much of the full-dim
+    * exact top-k would it still retrieve? Reports per query the
+    * overlap between the full-dim top-k and the truncated-dim top-k
+    * (both exact integer dots, ties dot-desc then ascending id) — the
+    * measurement that decides whether a cheaper truncated tier can
+    * front the index. One scored pass over the broadcast query set,
+    * two windows; starved queries report 0 through the left join.
+    */
+  def truncatedOverlapAtK(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: Seq[(Long, Seq[Long])],
+                          k: Int = 10, dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val qdf = queries.toDF("query_id", "__qv")
+    val scored = corpus
+      .select(col(idCol), intVec(col(vecCol)).as("__iv"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dot_full", intDot(col("__iv"), col("__qv")))
+      .withColumn("dot_trunc", intDot(slice(col("__iv"), 1, dims),
+                                      slice(col("__qv"), 1, dims)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_full").desc, col(idCol))
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_trunc").desc, col(idCol))
+    val hits = scored
+      .withColumn("rn_f", row_number().over(wf))
+      .withColumn("rn_t", row_number().over(wt))
+      .filter(col("rn_f") <= k && col("rn_t") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    qdf.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.
