@@ -67,8 +67,17 @@ object Main {
       }
       val provider = rest.filterNot(_.startsWith("--"))
         .headOption.getOrElse("nomic")
+      val target = rest.collectFirst {
+        case a if a.startsWith("--target=") => a.stripPrefix("--target=")
+      }
+      val gopher = rest.collectFirst {
+        case a if a.startsWith("--gopher=") =>
+          a.stripPrefix("--gopher=").toInt
+        case "--gopher" => 50
+      }
       println(runCurate(spark, store, out, provider, decon, embDecon, pack,
-                        redact = rest.contains("--redact")))
+                        redact = rest.contains("--redact"),
+                        targetDir = target, gopherMinWords = gopher))
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -182,7 +191,8 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
-        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] [--pack=<tokens>] [--redact] | " +
+        "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
+        "[--target=<dir>] [--gopher[=minWords]] [--pack=<tokens>] [--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -760,7 +770,16 @@ object Main {
     *      chunk at cos ≥ 0.9 of a benchmark chunk drops — the
     *      paraphrase tier the verbatim scan cannot see (requires
     *      `Main index`; the trained quantizer is the blocking key);
-    *   2d. (with `--redact`) PII scrub (the q67 redaction pass):
+    *   2d. (with `--target=<dir>`) DSIR-style target-domain selection
+    *      (q155 as a product stage): the target dir converts like an
+    *      ingest upload, both sides feed one hashed-feature count, and
+    *      a doc survives iff its exact-integer linearized importance
+    *      weight is positive (its token mass leans target, not rest);
+    *   2e. (with `--gopher[=minWords]`) the Gopher rule bundle (q157):
+    *      word-count/word-length/symbol/bullet/ellipsis/alpha/function-
+    *      word heuristics, each an integer rational — the classic
+    *      web-corpus battery as an opt-in second gate;
+    *   2f. (with `--redact`) PII scrub (the q67 redaction pass):
     *      emails/URLs/IPv4s in the exported chunk text are replaced
     *      with placeholder tokens BEFORE token counting — the `--pack`
     *      budget measures the text the trainer actually sees — and the
@@ -790,7 +809,9 @@ object Main {
                 providerName: String, deconDir: Option[String] = None,
                 embDeconDir: Option[String] = None,
                 packBudget: Option[Int] = None,
-                redact: Boolean = false): String = {
+                redact: Boolean = false,
+                targetDir: Option[String] = None,
+                gopherMinWords: Option[Int] = None): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
       .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
@@ -859,21 +880,61 @@ object Main {
         flagged0.withColumn("contaminated", lit(false)))(c =>
       flagged0.join(c, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false))))
-    val flagged = semContaminatedIds.fold(
+    val flagged2 = semContaminatedIds.fold(
         flagged1.withColumn("sem_contaminated", lit(false)))(c =>
       flagged1.join(c, Seq("doc_id"), "left")
         .withColumn("sem_contaminated",
                     coalesce(col("sem_contaminated"), lit(false))))
+    // optional DSIR-style target-domain selection (q155 as a product
+    // stage): the target dir is read/converted exactly like an ingest
+    // upload (ids prefixed — a target doc byte-equal to a store doc
+    // must not merge with it), both sides feed ONE hashed-feature
+    // count, and a store doc survives iff its linearized importance
+    // weight is positive — i.e. its token mass leans target, not rest.
+    val relevantIds = targetDir.map { td =>
+      val tgt = Ingest.convertDocuments(
+          Ingest.toDocuments(Ingest.readBinaryDir(spark, td)))
+        .filter(col("text").isNotNull)
+      val u = text.select(col("doc_id"), col("text"),
+                          lit(false).as("is_tgt"))
+        .unionByName(tgt.select(concat(lit("tgt_"), col("doc_id")).as("doc_id"),
+                                col("text"), lit(true).as("is_tgt")))
+      graft.text.Curation.domainRelevanceWeights(
+          u, "doc_id", "text", col("is_tgt"))
+        .filter(!col("doc_id").startsWith("tgt_") && col("score") > 0)
+        .select(col("doc_id")).withColumn("relevant", lit(true))
+    }
+    val flagged3 = relevantIds.fold(
+        flagged2.withColumn("relevant", lit(true)))(r =>
+      flagged2.join(r, Seq("doc_id"), "left")
+        .withColumn("relevant", coalesce(col("relevant"), lit(false))))
+    // optional Gopher rule bundle (q157 as a product stage): the named
+    // heuristic battery over the converted text, minWords caller-set
+    val flagged = gopherMinWords.fold(
+        flagged3.withColumn("gopher_ok", lit(true)))(mw =>
+      flagged3.join(
+        graft.text.TextStats.gopherRules(text, "doc_id", "text",
+                                         minWords = mw)
+          .select(col("doc_id"), col("kept").as("gopher_ok")),
+        Seq("doc_id"), "left")
+        .withColumn("gopher_ok", coalesce(col("gopher_ok"), lit(false))))
+    val allPass = col("kept") && !col("contaminated") &&
+      !col("sem_contaminated") && col("relevant") && col("gopher_ok")
     val obsDocs = new Observation("curate_docs")
     val curated = flagged
       .observe(obsDocs,
         count(lit(1)).as("docs_in"),
-        count(when(col("kept") && !col("contaminated") &&
-                   !col("sem_contaminated"), 1)).as("docs_kept"),
+        count(when(allPass, 1)).as("docs_kept"),
         count(when(col("kept") && col("contaminated"), 1)).as("n_contaminated"),
         count(when(col("kept") && !col("contaminated") &&
-                   col("sem_contaminated"), 1)).as("n_semantic"))
-      .filter(col("kept") && !col("contaminated") && !col("sem_contaminated"))
+                   col("sem_contaminated"), 1)).as("n_semantic"),
+        count(when(col("kept") && !col("contaminated") &&
+                   !col("sem_contaminated") && !col("relevant"), 1))
+          .as("n_irrelevant"),
+        count(when(col("kept") && !col("contaminated") &&
+                   !col("sem_contaminated") && col("relevant") &&
+                   !col("gopher_ok"), 1)).as("n_gopher"))
+      .filter(allPass)
       .select(col("doc_id"), col("score"), col("split"))
 
     // chunk-level tier: the export join, tagged with split + score;
@@ -944,27 +1005,31 @@ object Main {
     def g(m: Map[String, Any], k: String) = m.getOrElse(k, 0L).toString.toLong
     val in = g(md, "docs_in"); val kept = g(md, "docs_kept")
     val contam = g(md, "n_contaminated"); val sem = g(md, "n_semantic")
+    val irrel = g(md, "n_irrelevant"); val goph = g(md, "n_gopher")
     // observed like ingest: the manifest rides into the runlog table,
     // so the curation funnel is auditable beside the ingest metrics
-    val redactLog =
-      if (redact) Seq("pii_email" -> g(mc, "pii_email"),
-                      "pii_url" -> g(mc, "pii_url"),
-                      "pii_ip" -> g(mc, "pii_ip"))
-      else Nil
+    val optLog =
+      (if (redact) Seq("pii_email" -> g(mc, "pii_email"),
+                       "pii_url" -> g(mc, "pii_url"),
+                       "pii_ip" -> g(mc, "pii_ip"))
+       else Nil) ++
+      (if (targetDir.isDefined) Seq("dropped_irrelevant" -> irrel) else Nil) ++
+      (if (gopherMinWords.isDefined) Seq("dropped_gopher" -> goph) else Nil)
+    val droppedQuality = in - kept - contam - sem - irrel - goph
     appendRunlog(spark, storeDir, "curate", Seq(
       "docs_in" -> in, "docs_kept" -> kept,
-      "dropped_quality" -> (in - kept - contam - sem),
+      "dropped_quality" -> droppedQuality,
       "dropped_contaminated" -> contam, "dropped_semantic" -> sem,
       "train" -> g(mc, "train"), "val" -> g(mc, "val"),
       "test" -> g(mc, "test"), "missing_embedding" -> g(mc, "n_missing"))
-      ++ redactLog)
+      ++ optLog)
     s"""{"docs_in":$in,"docs_kept":$kept,""" +
-      s""""dropped_quality":${in - kept - contam - sem},""" +
+      s""""dropped_quality":$droppedQuality,""" +
       s""""dropped_contaminated":$contam,""" +
       s""""dropped_semantic":$sem,""" +
       s""""train":${g(mc, "train")},"val":${g(mc, "val")},""" +
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")},""" +
-      redactLog.map { case (k, v) => s""""$k":$v,""" }.mkString +
+      optLog.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""tokenizer":"$tokenizerName"}"""
   }
 

@@ -755,6 +755,64 @@ class E2eMainSpec extends SparkSpec {
       .filter($"content".contains("jane.doe@example.com")).count() === 1)
   }
 
+  test("curate --target/--gopher: DSIR selection keeps the target-leaning docs; the rule bundle drops the bullet doc; gates chain in order") {
+    val in = Files.createTempDirectory("graft_sel_in").toFile
+    val store = Files.createTempDirectory("graft_sel_store").toString
+    def put(dir: java.io.File, name: String, text: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath, text.getBytes("UTF-8"))
+    // all five docs tie on stopword density (the adaptive gate keeps
+    // every one), so the drops below are attributable to the NEW gates
+    put(in, "phys1.txt", "the quantum lattice of spin coherence with detector measured drift")
+    put(in, "phys2.txt", "the quantum lattice of spin entanglement with measurement decay cycle")
+    put(in, "cook1.txt", "the butter flour of sugar oven with whisk batter tray")
+    put(in, "cook2.txt", "the butter flour of sugar pan with dough yeast loaf")
+    put(in, "bullets.txt", "- the gadget of parts with gears\n- the gadget of parts with gears")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    val targetDir = Files.createTempDirectory("graft_sel_target").toFile
+    put(targetDir, "domain.txt",
+        "the quantum lattice of spin coherence with entanglement measurement detector")
+
+    def m(manifest: String, k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest"))
+
+    // --target: only the physics docs carry positive importance weight
+    val outT = Files.createTempDirectory("graft_sel_outT").toString
+    val mT = Main.runCurate(spark, store, outT, "nomic",
+                            targetDir = Some(targetDir.toString))
+    assert(m(mT, "docs_in") === 5 && m(mT, "docs_kept") === 2 &&
+           m(mT, "dropped_irrelevant") === 3 &&
+           m(mT, "dropped_quality") === 0, mT)
+    val rowsT = spark.read.json(outT)
+    assert(rowsT.filter($"content".contains("butter")).count() === 0)
+    assert(rowsT.filter($"content".contains("quantum")).count() === 2)
+
+    // --gopher: only the all-bullet doc violates the bundle (word
+    // floor lowered to 10 — the fixtures are short on purpose)
+    val outG = Files.createTempDirectory("graft_sel_outG").toString
+    val mG = Main.runCurate(spark, store, outG, "nomic",
+                            gopherMinWords = Some(10))
+    assert(m(mG, "docs_in") === 5 && m(mG, "docs_kept") === 4 &&
+           m(mG, "dropped_gopher") === 1, mG)
+    assert(spark.read.json(outG)
+      .filter($"content".contains("gadget")).count() === 0)
+
+    // both: the bullet doc is ALSO irrelevant, and relevance sits
+    // before the rule bundle in the chain — it must be counted there,
+    // never twice
+    val outB = Files.createTempDirectory("graft_sel_outB").toString
+    val mB = Main.runCurate(spark, store, outB, "nomic",
+                            targetDir = Some(targetDir.toString),
+                            gopherMinWords = Some(10))
+    assert(m(mB, "docs_kept") === 2 && m(mB, "dropped_irrelevant") === 3 &&
+           m(mB, "dropped_gopher") === 0, mB)
+    // flags off → no selection keys in the manifest (opt-in, like pii)
+    val mOff = Main.runCurate(spark, store,
+      Files.createTempDirectory("graft_sel_outO").toString, "nomic")
+    assert(!mOff.contains("dropped_irrelevant") &&
+           !mOff.contains("dropped_gopher"), mOff)
+  }
+
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
     val in = Files.createTempDirectory("graft_fsck_in").toFile
     val store = Files.createTempDirectory("graft_fsck_store").toString
