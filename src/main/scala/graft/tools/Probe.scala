@@ -318,12 +318,59 @@ object Probe {
     * any super-linear probe time is the operator's fault.
     */
   def syntheticWordDocs(spark: SparkSession, n: Long,
-                        wordsPerDoc: Int = 50): org.apache.spark.sql.DataFrame =
+                        wordsPerDoc: Int = 50,
+                        vocab: Int = 1000): org.apache.spark.sql.DataFrame =
     spark.range(n).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until wordsPerDoc).map(k =>
-        concat(lit("w"), ((col("id") * 31 + k * 7) % 1000).cast("string"))): _*)
+        concat(lit("w"), ((col("id") * 31 + k * 7) % vocab).cast("string"))): _*)
         .as("text"))
+
+  case class RelevanceScalePoint(factor: Int, nDocs: Long, nScored: Long,
+                                 nPositive: Long, t: Double)
+
+  /** Measured scale curve for DSIR-style domain-relevance weighting
+    * (q155, `Curation.domainRelevanceWeights`): a FIXED 1000-doc
+    * target side drawn from the first fifth of the vocabulary
+    * (`vocab = 200` vs the corpus's 1000 — the planted "domain") vs a
+    * corpus scaling 1×/10×/100×. Structural claims under test: cost =
+    * the token explode + ONE (doc, feature) aggregation, linear in
+    * corpus tokens; the feature table is `buckets` rows at EVERY
+    * scale and broadcasts back, so no corpus-sized join ever forms;
+    * and the positive (target-leaning) fraction stays roughly
+    * constant, because the corpus's overlap with the planted domain
+    * is scale-free by construction.
+    */
+  def relevanceScaleCurve(spark: SparkSession, base: Long,
+                          factors: Seq[Int] = Seq(1, 10, 100),
+                          reps: Int = 3): Seq[RelevanceScalePoint] = {
+    import graft.text.Curation
+    def med(f: => Long): (Double, Long) = medOf(reps)(f)
+    factors.map { fac =>
+      val n = base * fac
+      val tmp = java.nio.file.Files.createTempDirectory("graft_relscale")
+      try {
+        val path = s"$tmp/docs"
+        syntheticWordDocs(spark, n).select(
+            col("doc_id").cast("string").as("doc_id"), col("text"),
+            lit(false).as("is_tgt"))
+          .unionByName(syntheticWordDocs(spark, 1000, vocab = 200).select(
+            concat(lit("tgt_"), col("doc_id")).as("doc_id"), col("text"),
+            lit(true).as("is_tgt")))
+          .write.parquet(path)
+        val u = spark.read.parquet(path)
+        val (t, nScored) = med {
+          Curation.domainRelevanceWeights(u, "doc_id", "text",
+                                          col("is_tgt")).count()
+        }
+        val nPos = Curation.domainRelevanceWeights(u, "doc_id", "text",
+                                                   col("is_tgt"))
+          .filter(!col("doc_id").startsWith("tgt_") && col("score") > 0)
+          .count()
+        RelevanceScalePoint(fac, n, nScored, nPos, t)
+      } finally graft.io.Tables.rmTree(tmp.toFile)
+    }
+  }
 
   case class SearchScalePoint(factor: Int, nDocs: Long, postingsRows: Long,
                               probedRows: Long, nMatches: Long,
@@ -965,6 +1012,35 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE_LEARN.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-relevance")) {
+      val pts = relevanceScaleCurve(spark, base = 20000L)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — domain-relevance weighting scale curve\n\n"
+      sb ++= "Fixed 1000-doc target side drawn from the first fifth of the\n"
+      sb ++= "vocabulary (vocab 200 vs the corpus's 1000 — the planted\n"
+      sb ++= "domain) vs a corpus scaling 1×/10×/100× (50-word docs);\n"
+      sb ++= "q155's hashed-feature importance weighting end to end,\n"
+      sb ++= "median-of-3 on local[" + cpus + "]. Cost claims under test: one token\n"
+      sb ++= "explode + one (doc, feature) aggregation — LINEAR in corpus\n"
+      sb ++= "tokens; the feature table is 64 rows at every scale and\n"
+      sb ++= "broadcasts back, so no corpus-sized join ever forms; the\n"
+      sb ++= "positive fraction is scale-free because the corpus's overlap\n"
+      sb ++= "with the planted domain is fixed by the generator.\n\n"
+      sb ++= "| factor | corpus docs | scored | positive | pos frac | time s |\n"
+      sb ++= "|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nDocs} | ${p.nScored} | ${p.nPositive} | ${p.nPositive.toDouble / p.nDocs}%.3f | ${p.t}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nDocs.toDouble / a.nDocs}%.0f× corpus → time ${z.t / a.t}%.1f× "
+      sb ++= f"(linear in tokens), positive fraction ${a.nPositive.toDouble / a.nDocs}%.3f → "
+      sb ++= f"${z.nPositive.toDouble / z.nDocs}%.3f.%n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_SCALE_RELEVANCE.md"), sb.toString)
       spark.stop(); return
     }
 
