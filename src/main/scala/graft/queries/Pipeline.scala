@@ -2362,6 +2362,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-WEIGHTED KEEP-ONE: q60's canonical selection with the
+    // survivor chosen by QUALITY (q148's stopword-density score), not
+    // length — dedup that improves the corpus instead of just
+    // shrinking it (near-dup clusters usually hold a clean original
+    // and boilerplate-wrapped copies; min-id/longest keeps whichever
+    // landed first). Total order (score desc, id asc) keeps the
+    // survivor set unique; same CC shuffle shape as q60.
+    "q160_keep_best_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextStats.qualitySignals(docs, "text")
+        .withColumn("qscore",
+          expr("(n_stopwords * 10000) div greatest(n_tokens, 1)"))
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
+      Dedup.keepOne(scored, "doc_id", col("qscore"), pairs, "a_id", "b_id")
+        .select(col("doc_id"), col("comp"), col("qscore"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MAXSIM LATE INTERACTION: multi-vector retrieval — docs are bags
     // of 10 vectors (vec_id div 10), the query is doc 0's bag, score =
     // Σ_q max_d dot. The query bag broadcasts; corpus scanned once;
@@ -4502,6 +4520,24 @@ object Pipeline {
                                      ORDER BY d.n_chars DESC, l.doc_id ASC) = 1)
                    AS keep
           FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+          ORDER BY l.doc_id""",
+
+    // q160: q60's cluster scaffold with the survivor ranked by q148's
+    // quality score instead of n_chars.
+    "q160_keep_best_quality" ->
+      s"""WITH RECURSIVE $ccLabelsSql,
+          s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter($Toks,
+                     w -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                        lower(w)))) * 10000 AS BIGINT)
+                   // greatest(CAST(len($Toks) AS BIGINT), 1) AS qscore
+            FROM documents)
+          SELECT l.doc_id, l.comp, s.qscore,
+                 (row_number() OVER (PARTITION BY l.comp
+                                     ORDER BY s.qscore DESC, l.doc_id ASC) = 1)
+                   AS keep
+          FROM lab l JOIN s USING (doc_id)
           ORDER BY l.doc_id""",
 
     // q134 ≡ q60 through the stored signature table (see q133).
