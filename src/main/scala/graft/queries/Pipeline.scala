@@ -2362,6 +2362,30 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word of the q145
+    // trained tokenizer aggregated per language — the metric that
+    // decides whether one tokenizer serves a multilingual corpus or
+    // starves a language (high fertility = more tokens per word =
+    // less content per context window). Exact integers: per-mille
+    // ratio via integer division; one vocab-join pass (q146) + one
+    // lang-keyed aggregation.
+    "q161_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = TextStats.bpeTrain(docs, "text", rounds = 3)
+        .orderBy(col("round")).select(col("lft"), col("rgt"))
+        .as[(String, String)].collect().toSeq
+      TextStats.bpeApply(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_words")).as("n_words"),
+             sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("tokens_per_kword",
+          expr("(n_tokens * 1000) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     // QUALITY-WEIGHTED KEEP-ONE: q60's canonical selection with the
     // survivor chosen by QUALITY (q148's stopword-density score), not
     // length — dedup that improves the corpus instead of just
@@ -2948,6 +2972,42 @@ object Pipeline {
                  CAST(sum(n) AS BIGINT) AS n_tokens
           FROM dtoks JOIN wn USING (w)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    // q161: q146's trained-apply CTEs aggregated per language, the
+    // per-mille fertility via integer division.
+    "q161_tokenizer_fertility" ->
+      s"""WITH dtoks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS w
+            FROM documents),
+          vocab AS (SELECT w, count(*) AS f FROM dtoks GROUP BY w),
+          v0 AS (
+            SELECT w, f, chr(1)||chr(1) ||
+                   array_to_string(string_split_regex(w, ''),
+                                   chr(1)||chr(1)) ||
+                   chr(1)||chr(1) AS s
+            FROM vocab),
+          ${bpeRoundSql(1)},
+          ${bpeRoundSql(2)},
+          ${bpeRoundSql(3)},
+          wn AS (
+            SELECT w,
+                   len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+                     AS n
+            FROM v3),
+          pd AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM dtoks JOIN wn USING (w)
+            GROUP BY doc_id)
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+                 CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(pd.n_tokens) * 1000 // sum(pd.n_words) AS BIGINT)
+                   AS tokens_per_kword
+          FROM pd JOIN documents d USING (doc_id)
+          GROUP BY d.lang ORDER BY d.lang""",
 
     // q144: q59's cluster labels + the q58 md5-bucket split algebra
     // keyed on the COMP label instead of the doc id.
