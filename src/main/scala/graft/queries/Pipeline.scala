@@ -2392,14 +2392,16 @@ object Pipeline {
     // shrinking it (near-dup clusters usually hold a clean original
     // and boilerplate-wrapped copies; min-id/longest keeps whichever
     // landed first). Total order (score desc, id asc) keeps the
-    // survivor set unique; same CC shuffle shape as q60.
+    // survivor set unique; candidates come from the STORED signature
+    // table (the q133/q134 production posture — bit-identical to the
+    // re-shingle path, the corpus pays only the quality scan).
     "q160_keep_best_quality" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = TextStats.qualitySignals(docs, "text")
         .withColumn("qscore",
           expr("(n_stopwords * 10000) div greatest(n_tokens, 1)"))
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
-      Dedup.keepOne(scored, "doc_id", col("qscore"), pairs, "a_id", "b_id")
+      Dedup.keepOneFromSigs(scored, "doc_id", col("qscore"),
+                            storedSigs(s, dir))
         .select(col("doc_id"), col("comp"), col("qscore"), col("keep"))
         .orderBy(col("doc_id"))
     }),
