@@ -1483,11 +1483,11 @@ object Pipeline {
     // "held-out" eval then scores near-copies of training text. Every
     // member inherits its cluster label's bucket (singletons hash on
     // their own id = their comp), so the cluster moves as a unit; the
-    // same q59 clustering the dedup tier already runs, one extra hash.
+    // same q59 clustering the dedup tier already runs, one extra hash;
+    // candidates from the STORED signature table (q133's posture).
     "q144_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
-      Dedup.dupClusters(docs, "doc_id", pairs, "a_id", "b_id")
+      Dedup.dupClustersFromSigs(docs, "doc_id", storedSigs(s, dir))
         .withColumn("split", Dedup.splitAssign(col("comp")))
         .select(col("doc_id"), col("comp"), col("split"))
         .orderBy(col("doc_id"))
@@ -1576,9 +1576,8 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val gated = Curation.adaptiveQualityFilter(docs, "doc_id", "text", "source")
         .withColumnRenamed("kept", "kept_quality")
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", nBands = 4)
-      val keepers = Dedup.keepOne(docs, "doc_id", col("n_chars"), pairs,
-                                  "a_id", "b_id")
+      val keepers = Dedup.keepOneFromSigs(docs, "doc_id", col("n_chars"),
+                                          storedSigs(s, dir))
         .select(col("doc_id"), col("comp"), col("keep").as("keeper"))
         .withColumn("split", Dedup.splitAssign(col("comp")))
       gated.join(keepers, Seq("doc_id"))
