@@ -2361,6 +2361,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TOP-N-GRAM CHAR FRACTION: the repetition block's char-fraction
+    // half (q69 covers the frequency half) — fraction of characters
+    // covered by the most common word {2,3,4}-gram (thresholds
+    // 0.20/0.18/0.16 as integer rationals). One (doc, n, gram) count
+    // shuffle over a 3-size union explode, rank-1 window, pivot.
+    "q162_top_ngram_fraction" -> ((s, dir) => {
+      TextStats.topNgramSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKENIZER FERTILITY BY LANGUAGE: tokens-per-word of the q145
     // trained tokenizer aggregated per language — the metric that
     // decides whether one tokenizer serves a multilingual corpus or
@@ -2973,6 +2983,52 @@ object Pipeline {
                  CAST(sum(n) AS BIGINT) AS n_tokens
           FROM dtoks JOIN wn USING (w)
           GROUP BY doc_id ORDER BY doc_id""",
+
+    // q162: every repetition rule replayed — same tokenization, the
+    // top gram per (doc, n) by (count desc, gram asc), chars-in-gram
+    // as occurrences × non-space gram length, cross-multiplied
+    // thresholds; docs shorter than n grams coalesce to 0.
+    "q162_top_ngram_fraction" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS tk,
+                   CAST(length(regexp_replace(lower(text), '\s', '', 'g'))
+                        AS BIGINT) AS total_chars
+            FROM documents),
+          grams AS (
+            SELECT doc_id, n, array_to_string(tk[i : i+n-1], ' ') AS g
+            FROM (SELECT t.doc_id, nn.n, t.tk,
+                         unnest(generate_series(1, len(t.tk) - nn.n + 1)) AS i
+                  FROM toks t, (SELECT unnest([2, 3, 4]) AS n) nn
+                  WHERE len(t.tk) >= nn.n)),
+          cnt AS (SELECT doc_id, n, g, count(*) AS c
+                  FROM grams GROUP BY 1, 2, 3),
+          top AS (
+            SELECT doc_id, n,
+                   CAST(c * (length(g) - (n-1)) AS BIGINT) AS tc
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, g ASC) AS rn
+                  FROM cnt) WHERE rn = 1),
+          pv AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(CASE WHEN n = 2 THEN tc END), 0) AS BIGINT) AS top2_chars,
+                   CAST(coalesce(sum(CASE WHEN n = 3 THEN tc END), 0) AS BIGINT) AS top3_chars,
+                   CAST(coalesce(sum(CASE WHEN n = 4 THEN tc END), 0) AS BIGINT) AS top4_chars
+            FROM top GROUP BY 1)
+          SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+                 t.total_chars,
+                 coalesce(pv.top2_chars, 0) AS top2_chars,
+                 coalesce(pv.top3_chars, 0) AS top3_chars,
+                 coalesce(pv.top4_chars, 0) AS top4_chars,
+                 coalesce(pv.top2_chars, 0) * 5 <= t.total_chars AS rep2_ok,
+                 coalesce(pv.top3_chars, 0) * 50 <= t.total_chars * 9 AS rep3_ok,
+                 coalesce(pv.top4_chars, 0) * 25 <= t.total_chars * 4 AS rep4_ok,
+                 (coalesce(pv.top2_chars, 0) * 5 <= t.total_chars) AND
+                 (coalesce(pv.top3_chars, 0) * 50 <= t.total_chars * 9) AND
+                 (coalesce(pv.top4_chars, 0) * 25 <= t.total_chars * 4) AS kept
+          FROM toks t LEFT JOIN pv USING (doc_id)
+          ORDER BY t.doc_id""",
 
     // q161: q146's trained-apply CTEs aggregated per language, the
     // per-mille fertility via integer division.

@@ -115,6 +115,60 @@ object TextStats {
           col("stopword_ok"))
   }
 
+  /** TOP-N-GRAM CHARACTER FRACTION (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1, the repetition block's char-fraction half — the
+    * frequency-ratio half, dup lines + top-bigram count, is
+    * [[repetitionSignals]]/q69): for n ∈ {2, 3, 4}, the fraction of a
+    * document's characters covered by its MOST COMMON word n-gram (a
+    * looping template or a stuck generator repeats one phrase;
+    * thresholds 0.20 / 0.18 / 0.16). Characters-in-gram = occurrences
+    * · non-space gram length; totals are the doc's non-whitespace
+    * chars; every threshold a cross-multiplied integer rational (0.18
+    * becomes 50·top ≤ 9·total). Top-gram ties break lexicographically
+    * so the verdict is total.
+    *
+    * Plan shape: the three gram sizes explode in one union (3× token
+    * rows, narrow), ONE (doc, n, gram) count shuffle, a per-(doc, n)
+    * rank-1 window, and a doc-keyed pivot — all corpus-linear; no
+    * pairwise anything.
+    */
+  def topNgramSignals(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    def base = df.select(col(idCol), tokens(t).as("__toks"),
+      length(regexp_replace(t, "\\s", "")).cast("long").as("total_chars"))
+    val grams = Seq(2, 3, 4).map { n =>
+      base.select(col(idCol), lit(n).as("n"),
+        explode(when(size(col("__toks")) >= n,
+            transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+              i => array_join(slice(col("__toks"), i, lit(n)), " ")))
+          // sequence(1, 0) DESCENDS — short docs must explode nothing
+          .otherwise(array().cast("array<string>"))).as("g"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n")).orderBy(col("c").desc, col("g").asc)
+    val top = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("n"),
+              (col("c") * (length(col("g")) - (col("n") - 1))).as("tc"))
+    val pivoted = top.groupBy(col(idCol))
+      .agg(sum(when(col("n") === 2, col("tc")).otherwise(0L)).as("top2_chars"),
+           sum(when(col("n") === 3, col("tc")).otherwise(0L)).as("top3_chars"),
+           sum(when(col("n") === 4, col("tc")).otherwise(0L)).as("top4_chars"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_words"),
+                col("total_chars"))
+      .join(pivoted, Seq(idCol), "left")
+      .withColumn("top2_chars", coalesce(col("top2_chars"), lit(0L)))
+      .withColumn("top3_chars", coalesce(col("top3_chars"), lit(0L)))
+      .withColumn("top4_chars", coalesce(col("top4_chars"), lit(0L)))
+      .withColumn("rep2_ok", col("top2_chars") * 5 <= col("total_chars"))
+      .withColumn("rep3_ok", col("top3_chars") * 50 <= col("total_chars") * 9)
+      .withColumn("rep4_ok", col("top4_chars") * 25 <= col("total_chars") * 4)
+      .withColumn("kept",
+        col("rep2_ok") && col("rep3_ok") && col("rep4_ok"))
+  }
+
   /** Language-ID marker profiles: per-language high-frequency function
     * words (public linguistic knowledge). Deterministic n-gram-free
     * heuristic: predicted = argmax language over marker hits, ties to

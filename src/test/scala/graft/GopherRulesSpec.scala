@@ -45,6 +45,35 @@ class GopherRulesSpec extends SparkSpec {
     assert(!got(6L).getAs[Boolean]("stopword_ok") && got(6L).getAs[Boolean]("alpha_ok"))
   }
 
+  test("topNgramSignals: char fractions exact; spam trips, diverse text passes") {
+    val healthy = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 unique 3-char words
+    val rows = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, healthy),
+      (3L, "one two one"),  // 3 words: no 4-gram exists
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextStats.topNgramSignals(rows, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // spam: total 16 chars; "spam spam"×3 → 24, ×2 3-gram → 24, ×1 4-gram → 16
+    val s = got(1L)
+    assert(s.getAs[Long]("total_chars") == 16L &&
+           s.getAs[Long]("top2_chars") == 24L &&
+           s.getAs[Long]("top3_chars") == 24L &&
+           s.getAs[Long]("top4_chars") == 16L, s.toString)
+    for (f <- Seq("rep2_ok", "rep3_ok", "rep4_ok", "kept"))
+      assert(!s.getAs[Boolean](f), s"$f must trip on spam: $s")
+    // all-unique words: every top gram occurs once; all rationals pass
+    val h = got(2L)
+    assert(h.getAs[Long]("top2_chars") == 6L && h.getAs[Boolean]("kept"),
+           h.toString)
+    // too short for a 4-gram → 0 chars, vacuously ok
+    assert(got(3L).getAs[Long]("top4_chars") == 0L &&
+           got(3L).getAs[Boolean]("rep4_ok"), got(3L).toString)
+    // empty doc: all zero, kept (0 ≤ 0 on every rule)
+    assert(got(4L).getAs[Long]("n_words") == 0L &&
+           got(4L).getAs[Boolean]("kept"), got(4L).toString)
+  }
+
   test("mean-word-length bounds are exact cross-multiplications") {
     // 50 words of length 2 → 3n > s, fails; 50 words of length 3 → passes
     val short = ("ab " * 50).trim
