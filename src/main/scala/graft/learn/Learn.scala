@@ -218,4 +218,41 @@ object Learn {
     trace.toSeq.toDF("round", "feat", "threshold", "n_left", "n_right",
                      "mean_left", "mean_right", "sse_after")
   }
+
+  /** BOOSTED-MODEL FITTED VALUES — the inference half that closes the
+    * train→score loop [[boostStumps]] opens: train the additive stump
+    * model, then fold its trace into ONE codegen'd prediction column
+    * (p0 + Σ per-round leaf value) and report per feature-cell the
+    * fitted prediction and the exact residual SSE. The prediction
+    * depends only on the features, so the per-cell grouping loses
+    * nothing and gives the output a stable key. Inference is a
+    * broadcast-free scan — the model is `rounds` rows of driver state,
+    * folded into a literal when-chain; at 100 TB scoring costs one
+    * map-side pass + one feature-cell aggregation.
+    */
+  def boostFittedValues(df: DataFrame, features: Seq[String],
+                        targetCol: String, rounds: Int = 2,
+                        gainScale: Long = 1000L): DataFrame = {
+    val model = boostStumps(df, features, targetCol, rounds, gainScale)
+      .orderBy(col("round"))
+      .select(col("feat"), col("threshold"),
+              col("mean_left"), col("mean_right"))
+      .collect()
+    val clean = df.select(
+        features.map(f => col(f).cast("long").as(f)) :+
+          col(targetCol).cast("long").as("__y"): _*)
+      .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
+              col("__y").isNotNull)
+    val first = clean.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
+    val p0 = first.getLong(0) / first.getLong(1) // same truncation as training
+    val pred = model.foldLeft(lit(p0)) { (acc, r) =>
+      acc + when(col(r.getString(0)) < r.getLong(1), r.getLong(2))
+              .otherwise(r.getLong(3))
+    }
+    clean.withColumn("__p", pred)
+      .groupBy(features.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), max(col("__p")).as("pred"),
+           sum((col("__y") - col("__p")) * (col("__y") - col("__p")))
+             .as("sse"))
+  }
 }

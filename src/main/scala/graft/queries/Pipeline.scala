@@ -2127,6 +2127,21 @@ object Pipeline {
         .orderBy(col("round"))
     }),
 
+    // BOOSTED INFERENCE: q131's trained additive model APPLIED — the
+    // fitted prediction per feature cell plus the exact residual SSE,
+    // closing the train→score loop on the verified surface. The model
+    // folds into one literal when-chain; scoring is a map-side pass +
+    // one feature-cell aggregation.
+    "q163_boost_inference" -> ((s, dir) => {
+      val feats = t(s, dir, "events").select(
+        expr("user_id % 7").cast("long").as("user_mod7"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.learn.Learn.boostFittedValues(
+          feats, Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+        .orderBy(col("user_mod7"), col("hour_of_day"))
+    }),
+
     // UNICODE NFC NORMALIZATION: the canonical-composition pass every
     // training pipeline runs before dedup/tokenization — precomposed
     // and decomposed encodings of the same visible text must hash
@@ -2752,12 +2767,28 @@ object Pipeline {
   /** The full q131 oracle: base features + `rounds` unrolled rounds +
     * the per-round trace union.
     */
-  private def boostOracleSql(feats: Seq[String], rounds: Int,
+  /** Shared WITH-prefix of the boosting oracles: base features, the
+    * truncating global mean, and `rounds` unrolled rounds ending in
+    * the per-row table `rr{rounds}` (features, y, pred, r).
+    */
+  private def boostPrefixSql(feats: Seq[String], rounds: Int,
                              gainScale: Long): String = {
     val roundsSql = (1 to rounds)
       .map(i => boostRoundSql(i, if (i == 1) "rr0" else s"rr${i - 1}",
                               feats, gainScale))
       .mkString(",\n")
+    s"""WITH e AS (
+          SELECT CAST(user_id % 7 AS BIGINT) AS user_mod7,
+                 CAST(hour(ts) AS BIGINT) AS hour_of_day,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events),
+        p0 AS (SELECT sum(y) // count(*) AS p FROM e),
+        rr0 AS (SELECT e.*, p0.p AS pred, e.y - p0.p AS r FROM e, p0),
+        $roundsSql"""
+  }
+
+  private def boostOracleSql(feats: Seq[String], rounds: Int,
+                             gainScale: Long): String = {
     val trace = (1 to rounds).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS round, w$i.feat,
                  CAST(w$i.thr AS BIGINT) AS threshold,
@@ -2767,14 +2798,7 @@ object Pipeline {
                  CAST(m$i.mR AS BIGINT) AS mean_right,
                  CAST(q$i.sse AS BIGINT) AS sse_after
           FROM w$i, m$i, q$i""").mkString("\n UNION ALL ")
-    s"""WITH e AS (
-          SELECT CAST(user_id % 7 AS BIGINT) AS user_mod7,
-                 CAST(hour(ts) AS BIGINT) AS hour_of_day,
-                 CAST(round(value * 100) AS BIGINT) AS y
-          FROM events),
-        p0 AS (SELECT sum(y) // count(*) AS p FROM e),
-        rr0 AS (SELECT e.*, p0.p AS pred, e.y - p0.p AS r FROM e, p0),
-        $roundsSql
+    s"""${boostPrefixSql(feats, rounds, gainScale)}
        $trace ORDER BY round"""
   }
 
@@ -3724,6 +3748,18 @@ object Pipeline {
     "q131_boost_stumps" ->
       boostOracleSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
                      gainScale = 1000L),
+
+    // q163: the same unrolled training prefix, final per-row table
+    // rr2 grouped by feature cell (pred is feature-determined, so
+    // max(pred) is THE cell prediction).
+    "q163_boost_inference" ->
+      s"""${boostPrefixSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
+                           gainScale = 1000L)}
+          SELECT user_mod7, hour_of_day,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(max(pred) AS BIGINT) AS pred,
+                 CAST(sum(r * r) AS BIGINT) AS sse
+          FROM rr2 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the same decomposed suffix (chr() = codepoint in DuckDB:
     // 769 = U+0301 combining acute, 8491 = U+212B angstrom sign,

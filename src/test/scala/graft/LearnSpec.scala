@@ -185,6 +185,17 @@ class LearnSpec extends SparkSpec {
     assert(reg.head._1 == "a" && reg.head._4 + reg.head._5 == 3L)
   }
 
+  test("boostFittedValues: fitted preds are p0 + leaf values, residual SSE exact") {
+    // two clean cells: y=10 at a=0, y=30 at a=100; p0=20, round 1
+    // splits at a<100 with leaves -10/+10, round 2 has zero residual —
+    // fitted preds land exactly on the cell means, SSE 0
+    val rows = Seq((0L, 10L), (0L, 10L), (100L, 30L), (100L, 30L))
+      .toDF("a", "y")
+    val got = Learn.boostFittedValues(rows, Seq("a"), "y", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 10L, 0L), (100L, 2L, 30L, 0L)), got.toString)
+  }
+
   test("plan: one corpus pass, histogram-sized windows, no cartesian/UDF") {
     val df = (1L to 100L).map(i => (i % 13, i % 7, if (i % 2 == 0) 1L else -1L))
       .toDF("a", "b", "y")
