@@ -2127,6 +2127,17 @@ object Pipeline {
         .orderBy(col("round"))
     }),
 
+    // PSEUDO-RELEVANCE FEEDBACK: RM3-style query expansion — seed
+    // retrieval on the literal terms, top-TF-IDF expansion terms mined
+    // from the seed docs, re-retrieval under the expanded set. The
+    // vocabulary-mismatch fix, exact integers, every cut
+    // TakeOrderedAndProject over map-combined aggregations.
+    "q164_prf_expansion" -> ((s, dir) => {
+      Search.prfTopK(t(s, dir, "documents"), "doc_id", "text",
+                     "stream window", seedK = 3, expand = 2, k = 10)
+        .orderBy(col("rnk"))
+    }),
+
     // BOOSTED INFERENCE: q131's trained additive model APPLIED — the
     // fitted prediction per feature cell plus the exact residual SSE,
     // closing the train→score loop on the verified surface. The model
@@ -3748,6 +3759,40 @@ object Pipeline {
     "q131_boost_stumps" ->
       boostOracleSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
                      gainScale = 1000L),
+
+    // q164: all three PRF stages as data-dependent CTEs — seed count
+    // ranking, TF-IDF expansion mining (seed terms excluded), expanded
+    // re-rank; every cut carries its id/term tiebreaker.
+    "q164_prf_expansion" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS term
+            FROM documents),
+          seed AS (SELECT unnest(['stream', 'window']) AS term),
+          top3 AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, count(*) AS score0
+              FROM toks JOIN seed USING (term) GROUP BY 1)
+            ORDER BY score0 DESC, doc_id LIMIT 3),
+          dfreq AS (SELECT term, count(*) AS df
+                    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+          cand AS (
+            SELECT t.term, count(*) AS tf
+            FROM toks t JOIN top3 USING (doc_id)
+            WHERE t.term NOT IN (SELECT term FROM seed)
+            GROUP BY 1),
+          expd AS (
+            SELECT c.term FROM cand c JOIN dfreq d USING (term)
+            ORDER BY c.tf * 1000000 // d.df DESC, c.term LIMIT 2),
+          allt AS (SELECT term FROM seed UNION SELECT term FROM expd),
+          s3 AS (SELECT doc_id, count(*) AS score
+                 FROM toks JOIN allt USING (term) GROUP BY 1),
+          r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rnk,
+                       doc_id, CAST(score AS BIGINT) AS score
+                FROM s3)
+          SELECT rnk, doc_id, score FROM r WHERE rnk <= 10 ORDER BY rnk""",
 
     // q163: the same unrolled training prefix, final per-row table
     // rr2 grouped by feature cell (pred is feature-determined, so

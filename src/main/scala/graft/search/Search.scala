@@ -331,6 +331,62 @@ object Search {
     graft.functions.NormalizeExpressions.nfcString(query)
       .toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
 
+  /** PSEUDO-RELEVANCE FEEDBACK — RM3/Rocchio-style query expansion
+    * (Rocchio 1971; Abdul-Jaleel et al. 2004, the RM3 TREC report):
+    * retrieve a small seed set for the literal query, mine the terms
+    * that characterize those docs, and re-retrieve with the expanded
+    * query — the classic fix for vocabulary mismatch (a query says
+    * "stream", the best docs also say "watermark"). Three exact stages:
+    *
+    *   1. seed ranking — total occurrences of the query's terms,
+    *      top `seedK` docs (score desc, id asc);
+    *   2. expansion — the top `expand` non-query terms of the seed
+    *      docs by integer TF-IDF (tf·10⁶ div corpus df — q65's
+    *      convention), ties to the lexicographically first term;
+    *   3. re-ranking — the same occurrence count under the expanded
+    *      term set, top `k`.
+    *
+    * Scale shape: the corpus token stream is the only big thing; each
+    * stage aggregates it by term or id (map-combined), the seed-doc
+    * and term sets are constant-size and broadcast, and both cuts are
+    * TakeOrderedAndProject. Exact integers end to end.
+    */
+  def prfTopK(df: DataFrame, idCol: String, contentCol: String,
+              query: String, seedK: Int = 3, expand: Int = 2,
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = df.sparkSession
+    import sp.implicits._
+    val qts = queryTokens(query).distinct
+    require(qts.nonEmpty, "query must contain at least one word token")
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(coalesce(col(contentCol), lit(""))), "\\W+"),
+                     t => t =!= "")).as("term"))
+    val seed = qts.toDF("term")
+    val top = toks.join(broadcast(seed), Seq("term"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("score0"))
+      .orderBy(col("score0").desc, col(idCol).asc).limit(seedK)
+      .select(col(idCol))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expanded = toks.join(broadcast(top), Seq(idCol))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(seed), Seq("term"), "left_anti")
+      .join(dfreq, Seq("term"))
+      .withColumn("tfidf", expr("tf * 1000000 div df"))
+      .orderBy(col("tfidf").desc, col("term").asc).limit(expand)
+      .select(col("term"))
+    val allTerms = seed.unionByName(expanded).distinct()
+    val res = toks.join(broadcast(allTerms), Seq("term"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+    // rank assigned AFTER the cut — the window runs over k rows
+    res.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+          .cast("long"))
+      .select(col("rnk"), col(idCol), col("score"))
+  }
+
   /** The anchor-vote stage shared by the inline and the STORED phrase
     * paths: postings = (id, pos 1-based, tok); only the phrase's
     * terms survive the first filter, so every exchange below runs on
