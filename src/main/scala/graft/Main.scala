@@ -107,11 +107,12 @@ object Main {
       val ann = rest.contains("--ann")
       val hybrid = rest.contains("--hybrid")
       val mmr = rest.contains("--mmr")
+      val prf = rest.contains("--prf")
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
       val pos = rest.filterNot(a =>
-        a == "--ann" || a == "--hybrid" || a == "--mmr" ||
+        a == "--ann" || a == "--hybrid" || a == "--mmr" || a == "--prf" ||
           a.startsWith("--nprobe="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -119,6 +120,7 @@ object Main {
         if (hybrid) runSearchHybrid(spark, store, query, k, nprobe)
         else if (ann) runSearchAnn(spark, store, query, k, nprobe)
         else if (mmr) runSearchMmr(spark, store, query, provider, k)
+        else if (prf) runSearchPrf(spark, store, query, k)
         else runSearch(spark, store, query, provider, k)
       lines.foreach(println)
       spark.stop()
@@ -189,7 +191,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr] [--nprobe=N] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--pack=<tokens>] [--redact] | " +
@@ -1464,6 +1466,28 @@ object Main {
         val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
         s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""rel":${r.getAs[Long]("rel")},"red":${r.getAs[Long]("red")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `search <store> <query> --prf`: lexical retrieval through the
+    * q164 pseudo-relevance-feedback loop over the store's chunks —
+    * seed docs on the literal terms, TF-IDF-mined expansion terms,
+    * re-retrieval under the expanded set. The lexical answer to
+    * vocabulary mismatch, serving beside `--hybrid`'s vector tier.
+    */
+  def runSearchPrf(spark: SparkSession, storeDir: String, query: String,
+                   k: Int): Seq[String] = {
+    graft.search.Search.prfTopK(
+        openTable(spark, storeDir, "chunks"), "chunk_id", "content", query,
+        seedK = 3, expand = 2, k = k)
+      .join(openTable(spark, storeDir, "chunks")
+              .select(col("chunk_id"), col("content")), Seq("chunk_id"))
+      .orderBy(col("rnk"))
+      .collect().map { r =>
+        val content = r.getAs[String]("content")
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""score":${r.getAs[Long]("score")},"content":"$content"}"""
       }.toSeq
   }
 

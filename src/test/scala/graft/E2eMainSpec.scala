@@ -813,6 +813,26 @@ class E2eMainSpec extends SparkSpec {
            !mOff.contains("dropped_gopher"), mOff)
   }
 
+  test("search --prf: expansion surfaces a store chunk the literal query cannot see") {
+    val in = Files.createTempDirectory("graft_prf_in").toFile
+    val store = Files.createTempDirectory("graft_prf_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "streaming watermark watermark watermark lateness")
+    put("b.txt", "watermark lateness watermark note")
+    put("c.txt", "cooking bread butter flour morning meal")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    val lines = Main.runSearchPrf(spark, store, "streaming", k = 10)
+    // doc b shares no term with the query — only the mined expansion
+    // (watermark, from the seed doc) can surface it
+    assert(lines.exists(_.contains("watermark lateness watermark note")),
+           lines.mkString("\n"))
+    assert(!lines.exists(_.contains("cooking")), lines.mkString("\n"))
+    // the seed doc still ranks first (it matches seed AND expansion)
+    assert(lines.head.contains("\"rnk\":1") &&
+           lines.head.contains("streaming"), lines.head)
+  }
+
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
     val in = Files.createTempDirectory("graft_fsck_in").toFile
     val store = Files.createTempDirectory("graft_fsck_store").toString
