@@ -1786,6 +1786,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // PACKING EFFICIENCY: the audit for q66/--pack — per training
+    // sequence, how many docs landed in it and what fraction of the
+    // token budget they fill (per-mille, integer division; >1000 on
+    // the straddling doc the running-sum assignment allows). The
+    // report that sizes budget/buckets before a 100 TB export ships.
+    "q165_packing_efficiency" -> ((s, dir) => {
+      TextStats.packSequences(t(s, dir, "documents"), "doc_id", "text",
+                              budget = 512, buckets = 32)
+        .groupBy(col("seq_no"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fill_permille", expr("(n_tokens * 1000) div 512"))
+        .orderBy(col("seq_no"))
+    }),
+
     // TF-IDF top terms per doc (keyword extraction): exact integer
     // scores (tf·10⁶ div df), lexicographic ties — two map-combined
     // aggregations + one window rank, hash-identical in DuckDB.
@@ -6154,6 +6168,30 @@ object Pipeline {
           SELECT doc_id, bucket, n_tokens, cum_before,
                  CAST(bucket * 1048576 + cum_before // 512 AS BIGINT) AS seq_no
           FROM c ORDER BY doc_id""",
+
+    // q165: q66's packing CTEs grouped per sequence, fill as per-mille
+    // of the 512-token budget.
+    "q165_packing_efficiency" ->
+      """WITH d AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS bucket,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS cum_before
+            FROM d),
+          sq AS (
+            SELECT doc_id, n_tokens,
+                   CAST(bucket * 1048576 + cum_before // 512 AS BIGINT) AS seq_no
+            FROM c)
+          SELECT seq_no, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_tokens) * 1000 // 512 AS BIGINT) AS fill_permille
+          FROM sq GROUP BY 1 ORDER BY seq_no""",
 
     "q65_tfidf_topterms" ->
       """WITH toks AS (
