@@ -689,6 +689,16 @@ object Main {
   private def storedMerges(spark: SparkSession, storeDir: String)
       : Option[Seq[(String, String)]] = {
     val f = new java.io.File(storeDir, "tokenizer.parquet")
+    val trash = new java.io.File(storeDir, "tokenizer.parquet.trash")
+    // a trainer that died between aside-rename and commit parked the
+    // only merge table in .trash; a bare exists() check here would
+    // silently demote every export to the lexer fallback — restore
+    // under the writer lease first
+    if (!f.exists() && trash.exists())
+      Tables.withTableLock(f.toString) {
+        if (!f.exists() && trash.exists())
+          require(trash.renameTo(f), "recovering tokenizer from trash failed")
+      }
     if (!f.exists()) None
     else Some(spark.read.parquet(f.toString)
       .orderBy(col("round"))
@@ -897,6 +907,12 @@ object Main {
       val tgt = Ingest.convertDocuments(
           Ingest.toDocuments(Ingest.readBinaryDir(spark, td)))
         .filter(col("text").isNotNull)
+      // loud guard, same posture as --embdecon's: an empty target side
+      // makes every weight 0 and would silently mark the WHOLE corpus
+      // irrelevant (score > 0 never holds)
+      require(!tgt.isEmpty,
+        s"curate --target: no convertible documents in $td — an empty " +
+        "target would drop the entire corpus")
       val u = text.select(col("doc_id"), col("text"),
                           lit(false).as("is_tgt"))
         .unionByName(tgt.select(concat(lit("tgt_"), col("doc_id")).as("doc_id"),
@@ -968,9 +984,15 @@ object Main {
         count(when(col("split") === "test" && col("embedding").isNotNull, 1)).as("test"),
         count(when(col("embedding").isNull, 1)).as("n_missing")) ++
       (if (redact)
-         Seq(sum(col("n_email")).as("pii_email"),
-             sum(col("n_url")).as("pii_url"),
-             sum(col("n_ip")).as("pii_ip"))
+         // counted over rows that EXPORT (embedding present) — the
+         // manifest must describe the text the trainer receives, not
+         // chunks the missing-embedding filter then drops
+         Seq(sum(when(col("embedding").isNotNull, col("n_email"))
+               .otherwise(0L)).as("pii_email"),
+             sum(when(col("embedding").isNotNull, col("n_url"))
+               .otherwise(0L)).as("pii_url"),
+             sum(when(col("embedding").isNotNull, col("n_ip"))
+               .otherwise(0L)).as("pii_ip"))
        else Nil)
     val rows = chunks
       .join(emb, Seq("chunk_id"), "left")
@@ -1033,6 +1055,25 @@ object Main {
       s""""test":${g(mc, "test")},"missing_embedding":${g(mc, "n_missing")},""" +
       optLog.map { case (k, v) => s""""$k":$v,""" }.mkString +
       s""""tokenizer":"$tokenizerName"}"""
+  }
+
+
+  /** Escape a string for embedding in a JSON literal: backslash,
+    * quote, and ALL control chars (a chunk's newlines would otherwise
+    * break the one-JSON-object-per-line output contract).
+    */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b ++= "\\\\"
+      case '"'  => b ++= "\\\""
+      case '\n' => b ++= "\\n"
+      case '\r' => b ++= "\\r"
+      case '\t' => b ++= "\\t"
+      case c if c < ' ' => b ++= f"\\u${c.toInt}%04x"
+      case c => b += c
+    }
+    b.toString
   }
 
   /** Append one product command's counters to the store's runlog —
@@ -1110,14 +1151,17 @@ object Main {
     val embOpt = tbl("embeddings").map(_.localCheckpoint(true))
     val sigsOpt = tbl("signatures").map(_.localCheckpoint(true))
     val jobsOpt = tbl("jobs").map(_.localCheckpoint(true))
+    // derived-tier snapshots are pinned ONLY when the partner table
+    // their checks join against exists — otherwise the checks are
+    // skipped and the pin would be pure wasted executor memory
     val postingsF = new java.io.File(s"$storeDir/postings.idx")
     val postingsOpt =
-      if (postingsF.exists())
+      if (chunksOpt.isDefined && postingsF.exists())
         Some(spark.read.parquet(postingsF.toString)
           .select(col("chunk_id")).localCheckpoint(true))
       else None
     val vecOpt =
-      if (VectorIndex.exists(storeDir)) {
+      if (embOpt.isDefined && VectorIndex.exists(storeDir)) {
         val vecPath = VectorIndex.indexPath(storeDir)
         val idx =
           if (VectorIndex.hasCells(vecPath))
@@ -1249,7 +1293,8 @@ object Main {
     // the repair tool is what a user runs after a crash: restore any
     // table a died swap (an earlier repair's included) left parked in
     // .trash before auditing — the same preamble writeTable runs
-    for (name <- Seq("documents", "chunks", "embeddings", "signatures")) {
+    for (name <- Seq("documents", "chunks", "embeddings", "signatures",
+                     "tokenizer", "runlog")) {
       val f = tblFile(name)
       val trash = new java.io.File(s"${f.getPath}.trash")
       if (!f.exists() && trash.exists()) Tables.withTableLock(f.toString) {
@@ -1439,7 +1484,7 @@ object Main {
                .select(col("chunk_id"), col("content")), Seq("chunk_id"))
       .orderBy(col("score").desc, col("chunk_id"))
       .collect().map { r =>
-        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        val content = jsonEscape(r.getAs[String]("content"))
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Double]("score")},"content":"$content"}"""
       }.toSeq
@@ -1463,7 +1508,7 @@ object Main {
               .select(col("chunk_id"), col("content")), Seq("chunk_id"))
       .orderBy(col("rnk"))
       .collect().map { r =>
-        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        val content = jsonEscape(r.getAs[String]("content"))
         s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""rel":${r.getAs[Long]("rel")},"red":${r.getAs[Long]("red")},"content":"$content"}"""
       }.toSeq
@@ -1484,8 +1529,7 @@ object Main {
               .select(col("chunk_id"), col("content")), Seq("chunk_id"))
       .orderBy(col("rnk"))
       .collect().map { r =>
-        val content = r.getAs[String]("content")
-          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val content = jsonEscape(r.getAs[String]("content"))
         s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Long]("score")},"content":"$content"}"""
       }.toSeq
@@ -1533,7 +1577,7 @@ object Main {
         }
       else (0, 0)
     report.map { a =>
-      val oc = a.outcome.replace("\\", "\\\\").replace("\"", "\\\"")
+      val oc = jsonEscape(a.outcome)
       s"""{"cell":${a.cell},"n_rows":${a.nRows},"outcome":"$oc"}"""
     } :+
       s"""{"files_before":$fBefore,"files_after":$fAfter}"""
@@ -1563,7 +1607,7 @@ object Main {
               .select(col("chunk_id"), col("content")), Seq("chunk_id"))
       .orderBy(col("d2").asc, col("chunk_id"))
       .collect().map { r =>
-        val content = r.getAs[String]("content").replace("\\", "\\\\").replace("\"", "\\\"")
+        val content = jsonEscape(r.getAs[String]("content"))
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""d2":${r.getAs[Long]("d2")},"content":"$content"}"""
       }.toSeq

@@ -176,19 +176,29 @@ object Learn {
     * here is 10^3, an order below the single-stump default.
     */
   def boostStumps(df: DataFrame, features: Seq[String], targetCol: String,
-                  rounds: Int = 2, gainScale: Long = 1000L): DataFrame = {
+                  rounds: Int = 2, gainScale: Long = 1000L): DataFrame =
+    boostCore(df, features, targetCol, rounds, gainScale)._1
+
+  /** The one shared training core behind [[boostStumps]] and
+    * [[boostFittedValues]]: returns (trace, p0, the cleaned feature
+    * frame) so inference never re-runs the null-filter prologue or the
+    * global-mean aggregate on its own drifting copy.
+    */
+  private def boostCore(df: DataFrame, features: Seq[String],
+                        targetCol: String, rounds: Int, gainScale: Long)
+      : (DataFrame, Long, DataFrame) = {
     require(rounds >= 1)
     val sp = df.sparkSession
     import sp.implicits._
-    var cur = df.select(
+    val clean = df.select(
         features.map(f => col(f).cast("long").as(f)) :+
           col(targetCol).cast("long").as("__y"): _*)
       .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
               col("__y").isNotNull)
-    val first = cur.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
+    val first = clean.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
     require(first.getLong(1) > 0, "boostStumps needs at least one row")
     val p0 = first.getLong(0) / first.getLong(1) // truncating, = div / //
-    cur = cur.withColumn("__pred", lit(p0))
+    var cur = clean.withColumn("__pred", lit(p0))
     val trace = scala.collection.mutable.ListBuffer
       .empty[(Long, String, Long, Long, Long, Long, Long, Long)]
     for (r <- 1 to rounds) {
@@ -215,8 +225,9 @@ object Learn {
         .head().getLong(0)
       trace += ((r.toLong, feat, thr, nL, nR, meanL, meanR, sse))
     }
-    trace.toSeq.toDF("round", "feat", "threshold", "n_left", "n_right",
-                     "mean_left", "mean_right", "sse_after")
+    (trace.toSeq.toDF("round", "feat", "threshold", "n_left", "n_right",
+                      "mean_left", "mean_right", "sse_after"),
+     p0, clean)
   }
 
   /** BOOSTED-MODEL FITTED VALUES — the inference half that closes the
@@ -233,18 +244,12 @@ object Learn {
   def boostFittedValues(df: DataFrame, features: Seq[String],
                         targetCol: String, rounds: Int = 2,
                         gainScale: Long = 1000L): DataFrame = {
-    val model = boostStumps(df, features, targetCol, rounds, gainScale)
-      .orderBy(col("round"))
+    val (trace, p0, clean) =
+      boostCore(df, features, targetCol, rounds, gainScale)
+    val model = trace.orderBy(col("round"))
       .select(col("feat"), col("threshold"),
               col("mean_left"), col("mean_right"))
       .collect()
-    val clean = df.select(
-        features.map(f => col(f).cast("long").as(f)) :+
-          col(targetCol).cast("long").as("__y"): _*)
-      .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
-              col("__y").isNotNull)
-    val first = clean.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
-    val p0 = first.getLong(0) / first.getLong(1) // same truncation as training
     val pred = model.foldLeft(lit(p0)) { (acc, r) =>
       acc + when(col(r.getString(0)) < r.getLong(1), r.getLong(2))
               .otherwise(r.getLong(3))
