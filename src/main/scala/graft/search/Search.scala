@@ -346,10 +346,16 @@ object Search {
     *   3. re-ranking — the same occurrence count under the expanded
     *      term set, top `k`.
     *
-    * Scale shape: the corpus token stream is the only big thing; each
-    * stage aggregates it by term or id (map-combined), the seed-doc
-    * and term sets are constant-size and broadcast, and both cuts are
-    * TakeOrderedAndProject. Exact integers end to end.
+    * Scale shape: the corpus pays ONE tokenize+explode and ONE
+    * (doc, term) aggregation, pinned; all three stages then read the
+    * tf table (far smaller than the token stream — Spark shares no
+    * subtrees across DataFrame branches, so without the pin each
+    * stage would re-parse the corpus). Seed-doc and term sets are
+    * constant-size and broadcast; both cuts are
+    * TakeOrderedAndProject. Exact integers end to end. Caller owns
+    * releasing the pin via the returned frame's lifecycle (it is
+    * dropped with the JVM; per-query serving should route through a
+    * longer-lived term index like the postings table instead).
     */
   def prfTopK(df: DataFrame, idCol: String, contentCol: String,
               query: String, seedK: Int = 3, expand: Int = 2,
@@ -359,26 +365,28 @@ object Search {
     import sp.implicits._
     val qts = queryTokens(query).distinct
     require(qts.nonEmpty, "query must contain at least one word token")
-    val toks = df.select(col(idCol),
-      explode(filter(split(lower(coalesce(col(contentCol), lit(""))), "\\W+"),
-                     t => t =!= "")).as("term"))
+    val tf = df.select(col(idCol),
+        explode(filter(split(lower(coalesce(col(contentCol), lit(""))),
+                             "\\W+"),
+                       t => t =!= "")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val seed = qts.toDF("term")
-    val top = toks.join(broadcast(seed), Seq("term"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("score0"))
+    val top = tf.join(broadcast(seed), Seq("term"))
+      .groupBy(col(idCol)).agg(sum(col("tf")).as("score0"))
       .orderBy(col("score0").desc, col(idCol).asc).limit(seedK)
       .select(col(idCol))
-    val dfreq = toks.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val expanded = toks.join(broadcast(top), Seq(idCol))
-      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val expanded = tf.join(broadcast(top), Seq(idCol))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf"))
       .join(broadcast(seed), Seq("term"), "left_anti")
       .join(dfreq, Seq("term"))
       .withColumn("tfidf", expr("tf * 1000000 div df"))
       .orderBy(col("tfidf").desc, col("term").asc).limit(expand)
       .select(col("term"))
     val allTerms = seed.unionByName(expanded).distinct()
-    val res = toks.join(broadcast(allTerms), Seq("term"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("score"))
+    val res = tf.join(broadcast(allTerms), Seq("term"))
+      .groupBy(col(idCol)).agg(sum(col("tf")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc).limit(k)
     // rank assigned AFTER the cut — the window runs over k rows
     res.withColumn("rnk",
