@@ -278,9 +278,14 @@ object Curation {
       .select(col(idCol), col("is_target"),
               graft.dedup.Dedup.hashBucket(col("term"), buckets).as("feat"))
     // (doc, feature) counts — the one corpus-sized aggregation; the
-    // feature marginals derive from it, so the corpus is read once
+    // feature marginals AND the per-doc scores both derive from it, so
+    // the pin is what makes "the corpus is read once" true (Spark
+    // shares no subtrees across DataFrame branches — unpinned, the
+    // marginal branch and the score branch would each re-explode the
+    // corpus). Doc×buckets-sized; swept by the harness between queries.
     val dc = toks.groupBy(col(idCol), col("is_target"), col("feat"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val cnt = dc.groupBy(col("feat"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_f"),
            sum(when(!col("is_target"), col("c")).otherwise(0L)).as("r_f"))

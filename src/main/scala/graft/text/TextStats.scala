@@ -137,14 +137,22 @@ object TextStats {
     val t = lower(col(textCol))
     def base = df.select(col(idCol), tokens(t).as("__toks"),
       length(regexp_replace(t, "\\s", "")).cast("long").as("total_chars"))
-    val grams = Seq(2, 3, 4).map { n =>
-      base.select(col(idCol), lit(n).as("n"),
-        explode(when(size(col("__toks")) >= n,
-            transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-              i => array_join(slice(col("__toks"), i, lit(n)), " ")))
-          // sequence(1, 0) DESCENDS — short docs must explode nothing
-          .otherwise(array().cast("array<string>"))).as("g"))
-    }.reduce(_ unionByName _)
+    // all three gram sizes generate from ONE tokenize pass: per row,
+    // each size contributes an array of (n, gram) structs and the
+    // concatenation explodes once — a per-size union would re-parse
+    // the corpus three times (no subtree sharing across branches)
+    val gramArrs = Seq(2, 3, 4).map { n =>
+      when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => struct(lit(n).as("n"),
+                        array_join(slice(col("__toks"), i, lit(n)), " ")
+                          .as("g"))))
+        // sequence(1, 0) DESCENDS — short docs must contribute nothing
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }
+    val grams = base
+      .select(col(idCol), explode(concat(gramArrs: _*)).as("__ng"))
+      .select(col(idCol), col("__ng.n").as("n"), col("__ng.g").as("g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol), col("n")).orderBy(col("c").desc, col("g").asc)
     val top = grams.groupBy(col(idCol), col("n"), col("g"))
