@@ -706,6 +706,28 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // MULTI-RELATION CLUSTERING: the full near-dup graph — Jaccard
+    // (q23's symmetric gate) and containment (q152's asymmetric gate)
+    // edge families UNIONED before connected components, so a chain
+    // like excerpt⊂page≈mirror collapses into ONE cluster even though
+    // no single relation links its ends. Both families share the
+    // df-capped bucket kernel under lang blocking; one extra
+    // edge-union before the same CC iteration.
+    "q166_multi_relation_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+                                        dfCap = 20)
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("a_id"), col("b_id"))
+      val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang",
+                                             dfCap = 20)
+        .filter(col("inter") * 10 >= col("n_small") * 9)
+        .select(col("a_id"), col("b_id"))
+      Dedup.dupClusters(docs, "doc_id", jac.unionByName(cont).distinct(),
+                        "a_id", "b_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH candidate generation: equi-join on (band, min-hash)
     // buckets — the shuffle-friendly near-dup plan; no O(n²) anywhere.
     // One md5 per shingle; the digest's four 32-bit slices are the bands.
@@ -5005,6 +5027,41 @@ object Pipeline {
                  CAST(least(na, nb) AS BIGINT) AS n_small
           FROM p WHERE inter * 10 >= least(na, nb) * 9
           ORDER BY a_id, b_id""",
+
+    // q166: the shared pair-count CTEs gated by EITHER relation, the
+    // union closed transitively (q59's recursive-CTE algebra — a
+    // deliberately different algorithm than Spark's pointer jumping).
+    "q166_multi_relation_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT lang, doc_id, list_distinct(${shingleSql("toks")}) AS s
+            FROM (SELECT lang, doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          e AS (SELECT lang, doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+          capped AS (
+            SELECT lang, g FROM e GROUP BY lang, g
+            HAVING count(*) BETWEEN 2 AND 20),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   min(a.n) AS na, min(b.n) AS nb, count(*) AS inter
+            FROM e a
+            JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+            JOIN capped c ON c.lang = a.lang AND c.g = a.g
+            GROUP BY 1, 2),
+          ed AS (
+            SELECT a_id AS u, b_id AS v FROM p
+            WHERE inter * 2 >= (na + nb - inter)
+               OR inter * 10 >= least(na, nb) * 9),
+          edges AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+          reach(id, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT rc.id, e2.v FROM reach rc JOIN edges e2 ON e2.u = rc.r),
+          lab AS (
+            SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS comp
+            FROM documents d
+            LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) m
+              ON m.id = d.doc_id)
+          SELECT doc_id, comp FROM lab ORDER BY doc_id""",
 
     "q24_minhash_lsh" ->
       s"""WITH sh AS (
