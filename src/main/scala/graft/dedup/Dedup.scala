@@ -1115,4 +1115,41 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("bench_id"), col("dot"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the semantic
+    * dedup VERDICT the pair list ([[embeddingNearDupPairs]], q62)
+    * stops short of: within each coarse cell, pairs at
+    * `cos > 0 ∧ cos² ≥ thresholdNum/thresholdDen` are duplicate
+    * edges; [[dupClusters]] labels the groups (transitively, so a
+    * paraphrase chain collapses even when its ends aren't directly
+    * close); the survivor per group is the member LEAST similar to
+    * its cell centroid — the paper's diversity-keeping rule (the
+    * near-centroid members are the redundant mass), expressed on the
+    * engine's exact-integer dot (`cdotCol`, ties ascending id).
+    *
+    * Input is an [[graft.search.Ann.ivfAssignInt]]-assigned frame
+    * (id, vec, cell, cdot). Scale posture: the pair expansion is
+    * blocked by the quantizer cell exactly like q62 — the paper's own
+    * recipe (k grows with the corpus, so per-cell cost is bounded, and
+    * the hot-cell split maintenance keeps it that way); the CC
+    * iteration runs on within-cell edges only, and the keep window
+    * shuffles once on the comp label.
+    */
+  def semDedup(assigned: DataFrame, idCol: String, vecCol: String,
+               cellCol: String = "cell", cdotCol: String = "cdot",
+               thresholdNum: Long = 81, thresholdDen: Long = 100,
+               checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = embeddingNearDupPairs(assigned, idCol, vecCol, cellCol,
+                                      thresholdNum, thresholdDen)
+    val labeled = assigned
+      .select(col(idCol), col(cellCol), col(cdotCol))
+      .join(dupClusters(assigned, idCol, edges, "a_id", "b_id",
+                        checkpointDir), Seq(idCol))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col(cdotCol).asc, col(idCol).asc)
+    labeled.withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col(cellCol), col("comp"), col(cdotCol),
+              col("keep"))
+  }
 }

@@ -1564,6 +1564,21 @@ object Pipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): the semantic-dedup VERDICT q62's
+    // pair list stops short of — within-cell cosine edges (cos ≥ 0.4,
+    // q62's exact-integer gate) closed transitively into groups, the
+    // survivor per group the member LEAST similar to its cell
+    // centroid (the paper's diversity rule, on the engine's integer
+    // centroid dot, ties ascending id). Blocked by the quantizer
+    // cell, CC on within-cell edges, one comp-keyed keep window.
+    "q167_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.semDedup(Ann.ivfAssignInt(e, "embedding", labelCentroids(e)),
+                     "vec_id", "embedding",
+                     thresholdNum = 16, thresholdDen = 100)
+        .orderBy(col("vec_id"))
+    }),
+
     // EMBEDDING-SPACE DECONTAMINATION: the contamination tier the
     // verbatim family (q61 exact / q83 spans / q94 Bloom) cannot see —
     // a paraphrased benchmark answer shares no n-gram with its source,
@@ -3196,6 +3211,60 @@ object Pipeline {
                   * list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) * 100
                 >= CAST(a.n2 AS HUGEINT) * b.n2 * 16
           ORDER BY a_id, b_id""",
+
+    // q167: q62's assignment + pair CTEs (sim carried through as the
+    // centroid dot), the edge set closed transitively by q59's
+    // recursive-CTE algebra, survivor per comp by (cdot ASC, id ASC).
+    "q167_semdedup" ->
+      """WITH RECURSIVE iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          sums AS (
+            SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+            FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) ii
+            GROUP BY label, i),
+          counts AS (SELECT label, count(*) AS n FROM iv GROUP BY label),
+          cent AS (
+            SELECT s.label AS cell,
+                   list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.i) AS cv
+            FROM sums s JOIN counts c ON s.label = c.label
+            GROUP BY s.label),
+          scored AS (
+            SELECT iv.vec_id, cent.cell,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> iv.v[i] * cent.cv[i])) AS BIGINT) AS sim
+            FROM iv CROSS JOIN cent),
+          best AS (
+            SELECT vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+            FROM scored),
+          n AS (
+            SELECT b.cell, b.sim AS cdot, iv.vec_id, iv.v,
+                   CAST(list_sum(list_transform(iv.v, x -> x*x)) AS BIGINT) AS n2
+            FROM iv JOIN best b ON b.vec_id = iv.vec_id AND b.rn = 1),
+          ed AS (
+            SELECT a.vec_id AS u, b.vec_id AS w
+            FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) > 0
+              AND CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS HUGEINT)
+                    * list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) * 100
+                  >= CAST(a.n2 AS HUGEINT) * b.n2 * 16),
+          edges AS (SELECT u, w FROM ed UNION ALL SELECT w, u FROM ed),
+          reach(id, r) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT rc.id, e2.w FROM reach rc JOIN edges e2 ON e2.u = rc.r),
+          lab AS (
+            SELECT n.vec_id, n.cell, n.cdot,
+                   coalesce(m.comp, n.vec_id) AS comp
+            FROM n
+            LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) m
+              ON m.id = n.vec_id)
+          SELECT vec_id, cell, comp, cdot,
+                 (row_number() OVER (PARTITION BY comp
+                                     ORDER BY cdot ASC, vec_id ASC) = 1) AS keep
+          FROM lab ORDER BY vec_id""",
 
     // q149: q62's assignment CTEs, then the ASYMMETRIC corpus×bench
     // join (md5-bucket split, q58's algebra) with the best-match
