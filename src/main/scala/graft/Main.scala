@@ -77,7 +77,8 @@ object Main {
       }
       println(runCurate(spark, store, out, provider, decon, embDecon, pack,
                         redact = rest.contains("--redact"),
-                        targetDir = target, gopherMinWords = gopher))
+                        targetDir = target, gopherMinWords = gopher,
+                        semDedup = rest.contains("--semdedup")))
       spark.stop()
     case "status" :: store :: docId :: Nil =>
       val spark = session()
@@ -194,7 +195,8 @@ object Main {
         "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
-        "[--target=<dir>] [--gopher[=minWords]] [--pack=<tokens>] [--redact] | " +
+        "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
+        "[--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -796,6 +798,15 @@ object Main {
     *      with placeholder tokens BEFORE token counting — the `--pack`
     *      budget measures the text the trainer actually sees — and the
     *      per-category match counts land in the manifest and runlog;
+    *   2g. (with `--semdedup`) within-corpus SEMANTIC dedup (q167's
+    *      SemDeDup as a product stage): chunk embeddings assign to the
+    *      vector index's trained cells, within-cell chunk pairs at
+    *      cos ≥ 0.9 project to doc edges, connected components label
+    *      the groups, and one doc per group survives — the
+    *      best-quality member still passing every other gate (ties
+    *      ascending doc_id); the near-dup tier ingest's minhash cannot
+    *      see (a shared verbatim passage inside otherwise-different
+    *      docs; requires `Main index`, like `--embdecon`);
     *   3. leakage-safe train/val/test split (q144): assigned by near-dup
     *      CLUSTER via the STORE'S persisted minhash signatures — no
     *      re-shingle; every cluster moves as a unit, so the held-out
@@ -823,7 +834,8 @@ object Main {
                 packBudget: Option[Int] = None,
                 redact: Boolean = false,
                 targetDir: Option[String] = None,
-                gopherMinWords: Option[Int] = None): String = {
+                gopherMinWords: Option[Int] = None,
+                semDedup: Boolean = false): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
       .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
@@ -886,6 +898,38 @@ object Main {
         .select(substring(col("doc_id"), 1, 64).as("doc_id")).distinct()
         .withColumn("sem_contaminated", lit(true))
     }
+    // optional within-corpus SEMANTIC dedup (--semdedup — q167's
+    // SemDeDup as a product stage): chunk embeddings assign to the
+    // index's trained coarse cells, within-cell chunk pairs at
+    // cos ≥ 0.9 project to DOC edges, and connected components label
+    // the semantic groups. The survivor per group is chosen below,
+    // once quality scores exist: the best-quality member still passing
+    // every other gate (q160's keep-best posture — the curate tier has
+    // a quality score, so "least-central chunk" would waste it), ties
+    // ascending doc_id. Requires `Main index`, same as --embdecon.
+    val semComps = if (!semDedup) None else Some {
+      import graft.search.{Ann, VectorIndex}
+      require(VectorIndex.exists(storeDir),
+        "curate --semdedup needs a vector index (run `Main index` first) — " +
+        "its trained quantizer is the blocking key")
+      val meta = VectorIndex.readMeta(VectorIndex.indexPath(storeDir))
+      val corpusEmb = openTable(spark, storeDir, "embeddings")
+        .filter(col("embedding_provider") === meta.provider)
+        .select(col("chunk_id"), col("embedding"))
+      val docEdges = Dedup.embeddingNearDupPairs(
+          Ann.ivfAssignInt(corpusEmb, "embedding", meta.centroids),
+          "chunk_id", "embedding", "cell",
+          thresholdNum = 81, thresholdDen = 100)
+        // store chunk ids are `<64-hex doc_id>_<n>`; same-doc chunk
+        // pairs are not edges
+        .select(substring(col("a_id"), 1, 64).as("a_id"),
+                substring(col("b_id"), 1, 64).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()
+      Dedup.dupClusters(docs.select(col("doc_id")), "doc_id",
+                        docEdges, "a_id", "b_id")
+        .withColumnRenamed("comp", "sem_comp")
+    }
     val flagged0 = gated.join(comps, Seq("doc_id"))
       .withColumn("split", Dedup.splitAssign(col("comp")))
     val flagged1 = contaminatedIds.fold(
@@ -928,7 +972,7 @@ object Main {
         .withColumn("relevant", coalesce(col("relevant"), lit(false))))
     // optional Gopher rule bundle (q157 as a product stage): the named
     // heuristic battery over the converted text, minWords caller-set
-    val flagged = gopherMinWords.fold(
+    val flagged4 = gopherMinWords.fold(
         flagged3.withColumn("gopher_ok", lit(true)))(mw =>
       flagged3.join(
         graft.text.TextStats.gopherRules(text, "doc_id", "text",
@@ -936,8 +980,22 @@ object Main {
           .select(col("doc_id"), col("kept").as("gopher_ok")),
         Seq("doc_id"), "left")
         .withColumn("gopher_ok", coalesce(col("gopher_ok"), lit(false))))
-    val allPass = col("kept") && !col("contaminated") &&
+    val otherPass = col("kept") && !col("contaminated") &&
       !col("sem_contaminated") && col("relevant") && col("gopher_ok")
+    // semantic keep-one: survivor per sem_comp = the best-quality
+    // member still passing every other gate (otherPass sorts first so
+    // a contaminated top-scorer never uses up the group's slot), ties
+    // ascending doc_id. Singletons are trivially their own survivor.
+    val flagged = semComps.fold(
+        flagged4.withColumn("sem_keeper", lit(true))) { sc =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sem_comp"))
+        .orderBy(otherPass.desc, col("score").desc, col("doc_id").asc)
+      flagged4.join(sc, Seq("doc_id"))
+        .withColumn("sem_keeper", row_number().over(w) === 1)
+        .drop("sem_comp")
+    }
+    val allPass = otherPass && col("sem_keeper")
     val obsDocs = new Observation("curate_docs")
     val curated = flagged
       .observe(obsDocs,
@@ -951,7 +1009,8 @@ object Main {
           .as("n_irrelevant"),
         count(when(col("kept") && !col("contaminated") &&
                    !col("sem_contaminated") && col("relevant") &&
-                   !col("gopher_ok"), 1)).as("n_gopher"))
+                   !col("gopher_ok"), 1)).as("n_gopher"),
+        count(when(otherPass && !col("sem_keeper"), 1)).as("n_semdup"))
       .filter(allPass)
       .select(col("doc_id"), col("score"), col("split"))
 
@@ -1030,6 +1089,7 @@ object Main {
     val in = g(md, "docs_in"); val kept = g(md, "docs_kept")
     val contam = g(md, "n_contaminated"); val sem = g(md, "n_semantic")
     val irrel = g(md, "n_irrelevant"); val goph = g(md, "n_gopher")
+    val semdup = g(md, "n_semdup")
     // observed like ingest: the manifest rides into the runlog table,
     // so the curation funnel is auditable beside the ingest metrics
     val optLog =
@@ -1038,8 +1098,9 @@ object Main {
                        "pii_ip" -> g(mc, "pii_ip"))
        else Nil) ++
       (if (targetDir.isDefined) Seq("dropped_irrelevant" -> irrel) else Nil) ++
-      (if (gopherMinWords.isDefined) Seq("dropped_gopher" -> goph) else Nil)
-    val droppedQuality = in - kept - contam - sem - irrel - goph
+      (if (gopherMinWords.isDefined) Seq("dropped_gopher" -> goph) else Nil) ++
+      (if (semDedup) Seq("dropped_semdup" -> semdup) else Nil)
+    val droppedQuality = in - kept - contam - sem - irrel - goph - semdup
     appendRunlog(spark, storeDir, "curate", Seq(
       "docs_in" -> in, "docs_kept" -> kept,
       "dropped_quality" -> droppedQuality,

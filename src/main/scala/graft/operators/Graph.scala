@@ -64,4 +64,56 @@ object Graph {
     pr.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
       .select(col("node"), col("deg"), col("pr"))
   }
+
+  /** CLAMPED LABEL PROPAGATION over an undirected edge list (Zhu &
+    * Ghahramani 2002, CMU-CALD-02-107) — the semi-supervised
+    * weak-labeling pass: a small seed set carries trusted labels, and
+    * each synchronous round every still-unlabeled node adjacent to a
+    * labeled node takes the MAJORITY label among its labeled
+    * neighbors (ties to the smallest label — total order, so the
+    * fixed `iters` rounds give ONE exact answer). Labeled nodes are
+    * CLAMPED — a label never flips once assigned — so labels flood
+    * outward one hop per round and the `round` column records the
+    * hop distance from the seed set (0 = seed).
+    *
+    * The counting vote needs no floats and no damping: it is
+    * bit-reproducible across engines and partitionings, unlike the
+    * usual normalized-weight formulation.
+    *
+    * Scale posture: the Pregel shape again — per round ONE edge⋈label
+    * join and ONE (node,label) count aggregate, both on the node key;
+    * the adjacency materializes once and every round reads it; the
+    * label table grows monotonically (clamping), so round cost is
+    * bounded by the frontier's edges, and `iters` is a small constant
+    * (labels rarely carry meaning past a few near-dup hops).
+    */
+  def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
+                     seeds: DataFrame, idCol: String, labelCol: String,
+                     iters: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var lab = seeds
+      .select(col(idCol).as("node"), col(labelCol).as("plabel"),
+              lit(0L).as("round"))
+      .localCheckpoint()
+    for (r <- 1 to iters) {
+      val votes = sym
+        .join(lab.select(col("node").as("src"), col("plabel")), Seq("src"))
+        .groupBy(col("dst"), col("plabel"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("n").desc, col("plabel").asc)
+      val newly = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("plabel"),
+                lit(r.toLong).as("round"))
+        .join(lab.select(col("node")), Seq("node"), "left_anti")
+      lab = lab.unionByName(newly).localCheckpoint()
+    }
+    lab
+  }
 }

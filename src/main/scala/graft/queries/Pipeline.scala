@@ -2238,6 +2238,27 @@ object Pipeline {
         .orderBy(col("pr").desc, col("node"))
     }),
 
+    // CLAMPED LABEL PROPAGATION (Zhu & Ghahramani 2002): the
+    // weak-supervision pass — a 10% md5-bucket seed set carries
+    // trusted lang labels, and each round every unlabeled doc
+    // adjacent (shingle-share near-dup graph, q130's edges) to
+    // labeled docs takes the majority neighbor label (ties to the
+    // smallest label), clamped once assigned. `round` = hop distance
+    // from the seeds; unreached docs stay null — the report says
+    // exactly how far a labeling budget reaches through the corpus.
+    "q168_label_propagation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.shingleShareEdges(docs, "doc_id", "text")
+      val seeds = docs.filter(Dedup.hashBucket(col("doc_id"), 100) < 10)
+        .select(col("doc_id"), col("lang"))
+      val lab = graft.operators.Graph.labelPropagate(
+          edges, "doc_a", "doc_b", seeds, "doc_id", "lang", iters = 2)
+      docs.select(col("doc_id"))
+        .join(lab.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("plabel"), col("round"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REGRESSION STUMP: the variance-reduction split (the regression-
     // tree inner loop) — per-feature best threshold by fixed-point
     // gain S_L^2/n_L + S_R^2/n_R over strict-prefix cumulants, with
@@ -3926,6 +3947,58 @@ object Pipeline {
                  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
                  md5(nfc_normalize(raw)) AS nfc_md5
           FROM raw ORDER BY doc_id""",
+
+    // q168: q130's edge CTEs, then two unrolled propagation rounds —
+    // majority vote per frontier node (row_number ties plabel ASC),
+    // clamped by the NOT-IN anti-join, seeds = md5 bucket < 10.
+    "q168_label_propagation" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT DISTINCT doc_id,
+                   substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 8) AS h
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, greatest(len(tk)-4, 0))) AS i
+                  FROM toks)),
+          grp AS (SELECT h, count(*) AS df FROM hs GROUP BY 1),
+          ed AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+                 FROM hs a JOIN hs b USING (h) JOIN grp USING (h)
+                 WHERE grp.df BETWEEN 2 AND 20 AND b.doc_id > a.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= 3),
+          sym AS (SELECT da AS s, db AS d FROM ed
+                  UNION ALL SELECT db, da FROM ed),
+          l0 AS (SELECT doc_id AS node, lang AS plabel,
+                        CAST(0 AS BIGINT) AS round
+                 FROM documents
+                 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 100 < 10),
+          v1 AS (SELECT sym.d AS node, l0.plabel, count(*) AS n
+                 FROM sym JOIN l0 ON l0.node = sym.s GROUP BY 1, 2),
+          w1 AS (SELECT node, plabel,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY n DESC, plabel ASC) AS rn
+                 FROM v1),
+          n1 AS (SELECT node, plabel, CAST(1 AS BIGINT) AS round
+                 FROM w1 WHERE rn = 1
+                   AND node NOT IN (SELECT node FROM l0)),
+          l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+          v2 AS (SELECT sym.d AS node, l1.plabel, count(*) AS n
+                 FROM sym JOIN l1 ON l1.node = sym.s GROUP BY 1, 2),
+          w2 AS (SELECT node, plabel,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY n DESC, plabel ASC) AS rn
+                 FROM v2),
+          n2 AS (SELECT node, plabel, CAST(2 AS BIGINT) AS round
+                 FROM w2 WHERE rn = 1
+                   AND node NOT IN (SELECT node FROM l1)),
+          l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+          SELECT d.doc_id, l2.plabel, l2.round
+          FROM documents d LEFT JOIN l2 ON l2.node = d.doc_id
+          ORDER BY d.doc_id""",
 
     // q110's shingle-hash space builds the edges; three unrolled
     // power-iteration CTEs replay the same truncating algebra.

@@ -583,6 +583,66 @@ class E2eMainSpec extends SparkSpec {
            forced.head.contains("\"max_shift_d2\":0"), forced.toString)
   }
 
+  test("curate --semdedup: a shared verbatim chunk links docs the minhash tier keeps; one survivor exports") {
+    val in = Files.createTempDirectory("graft_semdedup_in").toFile
+    val store = Files.createTempDirectory("graft_semdedup_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    // docs A and B share a REPEATED 264-word opening passage (few
+    // distinct shingles — doc-level minhash Jaccard stays tiny, so
+    // ingest dedup keeps both) followed by long fully-distinct tails.
+    // The chunker cuts their identical first chunk out of the shared
+    // prefix → identical chunk content → identical provider embedding
+    // → a cos=1 within-cell pair → a doc edge only --semdedup sees.
+    val shared = Seq.fill(12)(
+      "the quick brown fox jumps over the lazy dog while the bright " +
+      "morning sun rises over the quiet valley and the river flows").mkString(" ")
+    val tailA = (1 to 60).map(i => s"va$i wa$i xa$i").mkString(" ")
+    val tailB = (1 to 60).map(i => s"vb$i wb$i xb$i").mkString(" ")
+    put("a.txt", s"$shared $tailA")
+    put("b.txt", s"$shared $tailB")
+    put("c.txt", "we walked to the old library in the afternoon and read the books there")
+    put("d.txt", "the small boat sailed across the calm lake before the evening came down")
+    val r = Main.runIngest(spark, in.toString, store, "nomic", now)
+    assert(r.nDocs === 4 && r.nFailed === 0)
+    // precondition: the minhash tier kept BOTH shared-passage docs
+    val docsTbl = spark.read.parquet(s"$store/documents.parquet")
+    assert(docsTbl.filter($"status" === "duplicate").count() === 0,
+      "fixture broke: ingest minhash demoted a doc the test needs kept")
+
+    // --semdedup without a vector index fails loudly, like --embdecon
+    val outFail = Files.createTempDirectory("graft_semdedup_out0").toString
+    intercept[IllegalArgumentException] {
+      Main.runCurate(spark, store, outFail, "nomic", semDedup = true)
+    }
+
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    val out = Files.createTempDirectory("graft_semdedup_out").toString
+    val manifest = Main.runCurate(spark, store, out, "nomic", semDedup = true)
+    def m(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+        .getOrElse(fail(s"$k missing from manifest: $manifest"))
+    assert(m("docs_in") === 4 && m("docs_kept") === 3 &&
+           m("dropped_semdup") === 1 && m("dropped_quality") === 0, manifest)
+    val rows = spark.read.json(out)
+    // exactly ONE of the two shared-passage docs exports (the group's
+    // survivor); the loser contributes no chunks at all
+    val sharedDocs = rows.filter($"content".contains("quick brown fox"))
+      .select($"doc_id").distinct().collect().map(_.getString(0)).toSeq
+    assert(sharedDocs.size === 1, s"expected one survivor, got $sharedDocs")
+    assert(rows.select($"doc_id").distinct().count() === 3)
+    val loserTail = if (rows.filter($"content".contains("va1 ")).count() > 0)
+      "vb1 " else "va1 "
+    assert(rows.filter($"content".contains(loserTail)).count() === 0)
+
+    // without the flag the same store exports all four docs — the
+    // stage is strictly opt-in
+    val out2 = Files.createTempDirectory("graft_semdedup_out2").toString
+    val manifest2 = Main.runCurate(spark, store, out2, "nomic")
+    assert(!manifest2.contains("dropped_semdup"), manifest2)
+    assert(spark.read.json(out2).select($"doc_id").distinct().count() === 4)
+  }
+
   test("curate: per-source quality gate drops the gibberish doc; output is split-partitioned training JSONL") {
     val in = Files.createTempDirectory("graft_curate_in").toFile
     val store = Files.createTempDirectory("graft_curate_store").toString

@@ -67,4 +67,46 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("UDF("), plan)
   }
+
+  private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+                        iters: Int = 2): Seq[(Long, String, Long)] =
+    Graph.labelPropagate(edges.toDF("a", "b"), "a", "b",
+                         seeds.toDF("id", "lab"), "id", "lab", iters)
+      .orderBy("node").as[(Long, String, Long)].collect().toSeq
+
+  test("label propagation: labels flood one hop per round, round = hop distance, frontier stops at iters") {
+    // path 1-2-3-4, seed at 1: round1 → 2, round2 → 3, 4 unreached
+    val out = propagate(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L -> "x"))
+    assert(out == Seq((1L, "x", 0L), (2L, "x", 1L), (3L, "x", 2L)), out.toString)
+  }
+
+  test("label propagation: majority vote wins; exact ties take the smallest label") {
+    // node 10 has neighbors 1,2 labeled x and 3 labeled y → x;
+    // node 20 has neighbors 4 (x) and 5 (y) tied → 'x' < 'y'
+    val out = propagate(
+      Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L)),
+      Seq(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "x", 5L -> "y"),
+      iters = 1)
+    assert(out.find(_._1 == 10L).map(_._2).contains("x"), out.toString)
+    assert(out.find(_._1 == 20L).map(_._2).contains("x"), out.toString)
+  }
+
+  test("label propagation: seeds are clamped — an outvoted seed never flips") {
+    // seed 1 = 'y' surrounded by three 'x' seeds: stays 'y' at round 0
+    val out = propagate(
+      Seq((2L, 1L), (3L, 1L), (4L, 1L)),
+      Seq(1L -> "y", 2L -> "x", 3L -> "x", 4L -> "x"))
+    assert(out.find(_._1 == 1L).contains((1L, "y", 0L)), out.toString)
+  }
+
+  test("label propagation: a round-1 label is clamped against round-2 re-votes") {
+    // 5 gets 'x' in round 1 (only labeled neighbor is seed 6=x);
+    // in round 2 its neighborhood is majority 'y' (7,8 labeled y in
+    // round 1 via y-seeds 9,10) — but 5 must keep 'x'
+    val out = propagate(
+      Seq((6L, 5L), (7L, 5L), (8L, 5L), (9L, 7L), (10L, 8L)),
+      Seq(6L -> "x", 9L -> "y", 10L -> "y"))
+    assert(out.find(_._1 == 5L).contains((5L, "x", 1L)), out.toString)
+    assert(out.find(_._1 == 7L).contains((7L, "y", 1L)), out.toString)
+  }
 }
