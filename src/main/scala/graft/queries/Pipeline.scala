@@ -2238,6 +2238,12 @@ object Pipeline {
         .orderBy(col("pr").desc, col("node"))
     }),
 
+    // ZIPF SLOPE: the rank-frequency log-log regression in exact
+    // division-free rationals over fixed-point logs — see
+    // TextStats.zipfSlope.
+    "q169_zipf_slope" -> ((s, dir) =>
+      TextStats.zipfSlope(t(s, dir, "documents"), "text")),
+
     // CLAMPED LABEL PROPAGATION (Zhu & Ghahramani 2002): the
     // weak-supervision pass — a 10% md5-bucket seed set carries
     // trusted lang labels, and each round every unlabeled doc
@@ -3947,6 +3953,37 @@ object Pipeline {
                  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
                  md5(nfc_normalize(raw)) AS nfc_md5
           FROM raw ORDER BY doc_id""",
+
+    // q169: the same top-64 tail, both axes through the q89 log2
+    // recurrence, the slope left as the division-free rational.
+    "q169_zipf_slope" ->
+      s"""WITH RECURSIVE tf AS (
+            SELECT t AS term, count(*) AS freq
+            FROM (SELECT unnest(list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+                  FROM documents)
+            GROUP BY 1),
+          top AS (
+            SELECT term, freq,
+                   row_number() OVER (ORDER BY freq DESC, term) AS rank
+            FROM tf
+            QUALIFY rank <= 64),
+          xs AS (
+            SELECT 'r' || rank AS k, CAST(rank AS BIGINT) AS x FROM top
+            UNION ALL
+            SELECT 'f' || rank, CAST(freq AS BIGINT) FROM top),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          pts AS (
+            SELECT lr.l2 AS lx, lf.l2 AS ly
+            FROM top t
+            JOIN __l2 lr ON lr.k = 'r' || t.rank
+            JOIN __l2 lf ON lf.k = 'f' || t.rank)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(count(*) * sum(lx*ly) - sum(lx) * sum(ly) AS BIGINT)
+                   AS slope_num,
+                 CAST(count(*) * sum(lx*lx) - sum(lx) * sum(lx) AS BIGINT)
+                   AS slope_den
+          FROM pts""",
 
     // q168: q130's edge CTEs, then two unrolled propagation rounds —
     // majority vote per frontier node (row_number ties plabel ASC),

@@ -598,6 +598,38 @@ object TextStats {
       .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** ZIPF SLOPE — the corpus-health scalar from the rank-frequency
+    * log-log plot (natural text ≈ −1; template spam flattens it,
+    * truncated vocab steepens it), computed EXACTLY: top-`topK` terms
+    * by (freq desc, term asc), both axes through
+    * [[graft.functions.FixedPoint]]'s log2fp, least-squares slope kept
+    * as the DIVISION-FREE rational (num, den) = (nΣxy − ΣxΣy,
+    * nΣx² − (Σx)²) — num is negative and a truncating divide would
+    * diverge between engines, so it never divides. One token-count
+    * shuffle + a `topK`-row tail: corpus-linear at any scale.
+    *
+    * Output: one row (n_terms, slope_num, slope_den).
+    */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 64): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term"))))
+    graft.functions.FixedPoint
+      .withLog2(top, Seq("rank" -> "lx", "freq" -> "ly"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+           sum(col("lx") * col("ly")).as("sxy"),
+           sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("n_terms"),
+              (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+                .as("slope_num"),
+              (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+                .as("slope_den"))
+  }
+
   /** Per-doc TOKEN ENTROPY — the Shannon-diversity quality signal
     * (template/boilerplate docs score low, natural prose high; the
     * standard complement to [[repetitionSignals]]' n-gram gates) in
