@@ -203,10 +203,15 @@ object Dedup {
     * blocked, df-capped gram buckets → (a < b) pair combinations →
     * per-pair intersection counts, each side carrying its full
     * distinct-shingle set size. Output: a_id, b_id, inter, na, nb.
+    * Public so a MULTI-relation consumer (q166) can evaluate the
+    * corpus pass ONCE and derive every gate — Jaccard
+    * (2·inter ≥ na+nb−inter) and containment (10·inter ≥
+    * 9·min(na,nb)) — from the same frame instead of re-shingling per
+    * relation.
     */
-  private def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
-                              blockCol: String, shingleK: Int,
-                              dfCap: Int): DataFrame = {
+  def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, shingleK: Int = 3,
+                      dfCap: Int = 100): DataFrame = {
     val sh = df
       .select(col(blockCol).as("blk"), col(idCol).as("doc"),
               TextStats.tokens(col(textCol)).as("toks"))

@@ -708,23 +708,21 @@ object Pipeline {
 
     // MULTI-RELATION CLUSTERING: the full near-dup graph — Jaccard
     // (q23's symmetric gate) and containment (q152's asymmetric gate)
-    // edge families UNIONED before connected components, so a chain
+    // edge families OR-ed before connected components, so a chain
     // like excerpt⊂page≈mirror collapses into ONE cluster even though
-    // no single relation links its ends. Both families share the
-    // df-capped bucket kernel under lang blocking; one extra
-    // edge-union before the same CC iteration.
+    // no single relation links its ends. The corpus pass runs ONCE:
+    // both gates are integer predicates over the same df-capped
+    // pair-count frame (inter, na, nb) under lang blocking — adding a
+    // relation adds a predicate, never a shingle pass.
     "q166_multi_relation_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
-                                        dfCap = 20)
-        .filter(col("inter") * 2 >= col("uni"))
+      val p = Dedup.ngramPairCounts(docs, "doc_id", "text", "lang",
+                                    dfCap = 20)
+      val edges = p.filter(
+          col("inter") * 2 >= col("na") + col("nb") - col("inter") ||
+          col("inter") * 10 >= least(col("na"), col("nb")) * 9)
         .select(col("a_id"), col("b_id"))
-      val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "lang",
-                                             dfCap = 20)
-        .filter(col("inter") * 10 >= col("n_small") * 9)
-        .select(col("a_id"), col("b_id"))
-      Dedup.dupClusters(docs, "doc_id", jac.unionByName(cont).distinct(),
-                        "a_id", "b_id")
+      Dedup.dupClusters(docs, "doc_id", edges, "a_id", "b_id")
         .orderBy(col("doc_id"))
     }),
 
