@@ -1892,12 +1892,20 @@ object Main {
   def runProfile(spark: SparkSession, storeDir: String): Seq[String] = {
     val chunks = openTable(spark, storeDir, "chunks")
       .withColumn("len", length(col("content")))
-    graft.text.Profile.lengthProfile(chunks, "strategy", "len")
+    val perStrategy = graft.text.Profile.lengthProfile(chunks, "strategy", "len")
       .orderBy(col("strategy"))
       .collect().map { r =>
         s"""{"strategy":"${r.getAs[String]("strategy")}",""" +
         s""""n_docs":${r.getAs[Long]("n_docs")},"p50_lb":${r.getAs[Long]("p50_lb")},""" +
         s""""p90_lb":${r.getAs[Long]("p90_lb")},"p99_lb":${r.getAs[Long]("p99_lb")}}"""
       }.toSeq
+    // corpus-level health: the exact Zipf rank-frequency slope over
+    // the stored chunk text (q169) — slope ≈ −1 reads natural, a flat
+    // slope flags template/boilerplate mass worth a dedup pass
+    val z = graft.text.TextStats.zipfSlope(chunks, "content").head()
+    perStrategy :+
+      (s"""{"zipf_n_terms":${z.getLong(0)},""" +
+       s""""zipf_slope_num":${z.getLong(1)},""" +
+       s""""zipf_slope_den":${z.getLong(2)}}""")
   }
 }

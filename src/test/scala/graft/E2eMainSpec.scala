@@ -136,6 +136,13 @@ class E2eMainSpec extends SparkSpec {
       val p50bin = sorted((sorted.size * 50 + 99) / 100 - 1)
       assert(line.contains(s""""p50_lb":${1L << (p50bin - 1)}"""), s"$line vs bin $p50bin")
     }
+    // the corpus-health tail line carries the exact Zipf rational with
+    // a meaningful (nonzero-denominator) fit over real chunk text
+    val zipfLine = profLines.last
+    assert(zipfLine.contains("\"zipf_n_terms\":"), zipfLine)
+    val zden = """"zipf_slope_den":(-?\d+)""".r.findFirstMatchIn(zipfLine)
+      .map(_.group(1).toLong).getOrElse(fail(zipfLine))
+    assert(zden > 0, zipfLine)
 
     // idempotent re-ingest: upsert keeps key cardinality stable
     Main.runIngest(spark, in, store, "nomic",
