@@ -65,6 +65,79 @@ object Graph {
       .select(col("node"), col("deg"), col("pr"))
   }
 
+  /** TRIANGLE COUNT + local clustering coefficient over an undirected
+    * edge list — the graph-density diagnostic for the near-dup corpus:
+    * a doc whose neighbors also pair with EACH OTHER sits inside a
+    * mirror/template clique (high coefficient), while a hub whose
+    * neighbors are mutually unrelated is boilerplate glue (high degree,
+    * low coefficient) — the distinction PageRank (q130) cannot draw,
+    * since both shapes collect rank.
+    *
+    * Scale posture is the whole point (Suri & Vassilvitskii, "Counting
+    * triangles and the curse of the last reducer", WWW'11): the naive
+    * wedge join pays Σ_v deg(v)² — one million-degree template hub
+    * makes that 10¹² wedge rows. Orienting every edge from its
+    * lower-(deg,id) endpoint to its higher one first caps each node's
+    * OUT-degree at O(√m), so the wedge join is O(m^{3/2}) worst case
+    * regardless of hubs, and every triangle {a,b,c} (ordered by
+    * (deg,id)) is generated exactly once — as the wedge at its
+    * smallest vertex closed by the oriented edge between the larger
+    * two. Three shuffles total (degree agg, wedge self-join, closing
+    * semi-join + per-node count); the adjacency materializes once.
+    *
+    * All-integer output: per node with ≥1 edge, its degree, triangle
+    * count, and the local clustering coefficient as PER-MILLE
+    * truncating rational `2000·tri div (deg·(deg−1))` (0 when deg < 2
+    * — a one-edge node closes nothing by definition).
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient u—v from its lower (deg, id) endpoint; carry the head's
+    // (deg, id) so the wedge join can order its two heads without
+    // another degree lookup
+    val orient = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddeg"))
+      .localCheckpoint()
+    val o1 = orient.select(col("src"), col("dst").as("y"),
+                           col("ddeg").as("dy"))
+    val o2 = orient.select(col("src"), col("dst").as("z"),
+                           col("ddeg").as("dz"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dy") < col("dz") ||
+              (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tris = wedges.join(
+        orient.select(col("src").as("y"), col("dst").as("z")),
+        Seq("y", "z"), "left_semi")
+    val triPerNode = tris.select(col("x").as("n"))
+      .union(tris.select(col("y").as("n")))
+      .union(tris.select(col("z").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri_cnt"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("deg") >= 2,
+             expr("2000 * coalesce(tri_cnt, CAST(0 AS BIGINT)) " +
+                  "div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_pm"))
+  }
+
   /** CLAMPED LABEL PROPAGATION over an undirected edge list (Zhu &
     * Ghahramani 2002, CMU-CALD-02-107) — the semi-supervised
     * weak-labeling pass: a small seed set carries trusted labels, and

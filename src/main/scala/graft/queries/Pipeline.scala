@@ -2236,6 +2236,19 @@ object Pipeline {
         .orderBy(col("pr").desc, col("node"))
     }),
 
+    // TRIANGLE CENSUS: per-node triangle count + local clustering
+    // coefficient over the q130 near-dup graph, degree-oriented so no
+    // template hub can explode the wedge join (Suri & Vassilvitskii
+    // WWW'11 — O(m^{3/2}) regardless of skew). High coefficient =
+    // mirror/template clique; high degree + low coefficient =
+    // boilerplate glue — the shape split PageRank alone cannot draw.
+    "q171_triangle_census" -> ((s, dir) => {
+      val edges = Dedup.shingleShareEdges(t(s, dir, "documents"),
+                                          "doc_id", "text")
+      graft.operators.Graph.triangleCounts(edges, "doc_a", "doc_b")
+        .orderBy(col("node"))
+    }),
+
     // ZIPF SLOPE: the rank-frequency log-log regression in exact
     // division-free rationals over fixed-point logs — see
     // TextStats.zipfSlope.
@@ -4081,6 +4094,60 @@ object Pipeline {
                 CAST(p3.pr AS BIGINT) AS pr
          FROM p3 JOIN deg ON deg.s = p3.node
          ORDER BY pr DESC, node""",
+
+    // q171: q130's edge CTEs, then the same lower-(deg,id)→higher
+    // orientation, wedge join at the smallest vertex, and closing-edge
+    // check; coefficient = 2000·tri // (deg·(deg−1)) truncating.
+    "q171_triangle_census" ->
+      """WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+          hs AS (
+            SELECT DISTINCT doc_id,
+                   substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 8) AS h
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, greatest(len(tk)-4, 0))) AS i
+                  FROM toks)),
+          grp AS (SELECT h, count(*) AS df FROM hs GROUP BY 1),
+          ed AS (SELECT a.doc_id AS u, b.doc_id AS v
+                 FROM hs a JOIN hs b USING (h) JOIN grp USING (h)
+                 WHERE grp.df BETWEEN 2 AND 20 AND b.doc_id > a.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= 3),
+          deg AS (SELECT n, count(*) AS deg
+                  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed)
+                  GROUP BY 1),
+          orient AS (
+            SELECT CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND ed.u < ed.v)
+                        THEN ed.u ELSE ed.v END AS src,
+                   CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND ed.u < ed.v)
+                        THEN ed.v ELSE ed.u END AS dst,
+                   greatest(da.deg, db.deg) AS ddeg
+            FROM ed JOIN deg da ON da.n = ed.u JOIN deg db ON db.n = ed.v),
+          wedges AS (
+            SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM orient a JOIN orient b ON a.src = b.src
+            WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
+          tris AS (
+            SELECT x, y, z FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM orient t
+                          WHERE t.src = w.y AND t.dst = w.z)),
+          tcnt AS (SELECT n, count(*) AS tri
+                   FROM (SELECT x AS n FROM tris UNION ALL
+                         SELECT y FROM tris UNION ALL SELECT z FROM tris)
+                   GROUP BY 1)
+         SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS deg,
+                CAST(coalesce(tri, 0) AS BIGINT) AS tri_cnt,
+                CAST(CASE WHEN deg.deg >= 2
+                          THEN 2000 * coalesce(tri, 0)
+                               // (deg.deg * (deg.deg - 1))
+                          ELSE 0 END AS BIGINT) AS cc_pm
+         FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+         ORDER BY node""",
 
     // the same strict-prefix cumulants and HUGEINT fixed-point gain.
     "q129_regression_stump" ->

@@ -68,6 +68,57 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("UDF("), plan)
   }
 
+  test("triangles: K4 — every node sits in 3 triangles at coefficient 1000‰") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+                    (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b").orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L).map(n => (n, 3L, 3L, 1000L)))
+  }
+
+  test("triangles: a path closes nothing; degree-1 endpoints report 0‰ by definition") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b").orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L),
+                      (3L, 2L, 0L, 0L), (4L, 1L, 0L, 0L)))
+  }
+
+  test("triangles: exact twin on a hub-skewed graph; self loops and duplicate directions ignored") {
+    // deterministic pseudo-random edges plus a hub (node 1 linked to
+    // everyone) — the shape whose wedges explode without orientation —
+    // and noise the normalizer must drop
+    val pairs = (for {
+      i <- 1L to 24L; j <- (i + 1L) to 24L
+      if (i * 31L + j * 17L) % 5L == 0L
+    } yield (i, j)) ++ (2L to 24L).map(j => (1L, j))
+    val noisy = pairs ++ pairs.map(_.swap) ++ Seq((3L, 3L), (7L, 7L))
+    val got = Graph.triangleCounts(noisy.toDF("a", "b"), "a", "b")
+      .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+    // brute-force twin over the clean adjacency
+    val und = pairs.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, g) => n -> g.map(_._2).toSet }
+    val expect = adj.keys.toSeq.sorted.map { n =>
+      val nb = adj(n).toSeq
+      val tri = (for {
+        ai <- nb.indices; bi <- (ai + 1) until nb.size
+        if adj(nb(ai)).contains(nb(bi))
+      } yield 1).size.toLong
+      val d = nb.size.toLong
+      (n, d, tri, if (d >= 2) 2000L * tri / (d * (d - 1)) else 0L)
+    }
+    assert(got == expect)
+  }
+
+  test("triangles: plan has no cartesian product and no UDF") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val plan = Graph.triangleCounts(edges, "a", "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("UDF("), plan)
+  }
+
   private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
                         iters: Int = 2): Seq[(Long, String, Long)] =
     Graph.labelPropagate(edges.toDF("a", "b"), "a", "b",
