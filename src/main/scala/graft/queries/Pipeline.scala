@@ -2315,6 +2315,23 @@ object Pipeline {
         .orderBy(col("day"))
     }),
 
+    // SKETCH SET ALGEBRA: vocabulary overlap between every source
+    // pair from the q90 HLL registers alone — union exact on the
+    // sketch (register-wise max IS the union's sketch), intersection
+    // by inclusion–exclusion clamped at 0, Jaccard per-mille
+    // truncating. 256 register rows per source answer what an exact
+    // distinct-intersection would shuffle the whole vocabulary for.
+    "q170_sketch_overlap" -> ((s, dir) => {
+      import graft.text.Profile
+      val toks = t(s, dir, "documents").select(
+        col("source"),
+        explode(filter(split(lower(coalesce(col("text"), lit(""))), "\\W+"),
+                       tk => tk =!= "")).as("__tok"))
+      Profile.sketchOverlap(Profile.hllRegisters(toks, "source", "__tok"),
+                            "source")
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
     // HYBRID RETRIEVAL by RECIPROCAL-RANK FUSION: the q81 BM25 bag
     // ranking and the q109 exact-phrase ranking for the same query,
     // fused as sum of 10^6 div (60 + rank) — agreement wins without
@@ -5764,6 +5781,64 @@ object Pipeline {
                         // (dn + (256 - registers_used) * ${graft.text.Profile.HllEmptyTerm})
                         // ${graft.text.Profile.HllDen} AS BIGINT) AS est_distinct
           FROM agg ORDER BY source""",
+
+    // q170: q90's register construction per source, then pair algebra
+    // — pairs from register co-occupancy, union registers by max,
+    // the same harmonic-sum estimate on single and merged registers,
+    // inclusion–exclusion intersection clamped at 0.
+    "q170_sketch_overlap" ->
+      s"""WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                      t -> t <> '')) AS tok
+            FROM documents),
+          h AS (
+            SELECT source,
+                   CAST('0x' || substr(md5(tok), 1, 2) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(tok), 3, 8) AS BIGINT) AS v
+            FROM toks),
+          regs AS (
+            SELECT source, bucket,
+                   max(CASE WHEN v = 0 THEN 33
+                            ELSE 33 - length(bin(v)) END) AS m_reg
+            FROM h GROUP BY 1, 2),
+          single AS (
+            SELECT source,
+                   CAST(${graft.text.Profile.HllNum}
+                        // (sum(${graft.text.Profile.HllEmptyTerm} >> CAST(m_reg AS INT))
+                            + (256 - count(*)) * ${graft.text.Profile.HllEmptyTerm})
+                        // ${graft.text.Profile.HllDen} AS BIGINT) AS est
+            FROM regs GROUP BY source),
+          pairs AS (
+            SELECT DISTINCT a.source AS g_a, b.source AS g_b
+            FROM regs a JOIN regs b USING (bucket)
+            WHERE a.source < b.source),
+          contrib AS (
+            SELECT p.g_a, p.g_b, r.bucket, r.m_reg
+            FROM pairs p JOIN regs r ON r.source = p.g_a
+            UNION ALL
+            SELECT p.g_a, p.g_b, r.bucket, r.m_reg
+            FROM pairs p JOIN regs r ON r.source = p.g_b),
+          merged AS (
+            SELECT g_a, g_b, bucket, max(m_reg) AS m_reg
+            FROM contrib GROUP BY 1, 2, 3),
+          u AS (
+            SELECT g_a, g_b,
+                   CAST(${graft.text.Profile.HllNum}
+                        // (sum(${graft.text.Profile.HllEmptyTerm} >> CAST(m_reg AS INT))
+                            + (256 - count(*)) * ${graft.text.Profile.HllEmptyTerm})
+                        // ${graft.text.Profile.HllDen} AS BIGINT) AS est_union
+            FROM merged GROUP BY 1, 2)
+          SELECT u.g_a, u.g_b, sa.est AS est_a, sb.est AS est_b, u.est_union,
+                 CAST(greatest(0, sa.est + sb.est - u.est_union) AS BIGINT)
+                   AS est_intersect,
+                 CAST(CASE WHEN u.est_union > 0
+                           THEN 1000 * greatest(0, sa.est + sb.est - u.est_union)
+                                // u.est_union
+                           ELSE 0 END AS BIGINT) AS jaccard_pm
+          FROM u JOIN single sa ON sa.source = u.g_a
+                 JOIN single sb ON sb.source = u.g_b
+          ORDER BY g_a, g_b""",
 
     // the same salt|id md5 permutation: shard = first 32 hash bits mod
     // 8, pos = rank within shard under (hash, id).

@@ -146,6 +146,83 @@ object Profile {
                        t => t =!= "")).as("__tok")),
       groupCol, "__tok")
 
+  /** The raw REGISTER TABLE behind [[distinctSketch]] — one row per
+    * (group, occupied register) with its max rho, same md5-bit recipe.
+    * This is the mergeable representation: registers of any union of
+    * row sets are the register-wise MAX of the parts, exactly — which
+    * is what [[sketchOverlap]] exploits for set algebra between
+    * groups. ≤ m=256 rows per group at any corpus size.
+    */
+  def hllRegisters(toks: DataFrame, groupCol: String, tokCol: String): DataFrame =
+    toks.select(
+        col(groupCol),
+        expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+        expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v"))
+      .withColumn("rho", expr(
+        "CASE WHEN v = 0 THEN CAST(33 AS BIGINT) ELSE 33 - CAST(length(bin(v)) AS BIGINT) END"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("m_reg"))
+
+  /** The [[distinctSketch]] estimate re-derived from a register table:
+    * same harmonic-sum integer algebra, keyed by `keys`.
+    */
+  private def estimateFromRegs(regs: DataFrame, keys: Seq[String],
+                               out: String): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__used"),
+           sum(expr("shiftright(CAST(1073741824 AS BIGINT), CAST(m_reg AS INT))"))
+             .as("__dn"))
+      .withColumn(out, expr(
+        s"$HllNum div (__dn + ($HllBuckets - __used) * $HllEmptyTerm) div $HllDen"))
+      .drop("__used", "__dn")
+
+  /** SKETCH SET ALGEBRA between groups — the 100 TB answer to "how
+    * much vocabulary do these two sources share": exact set
+    * intersection needs a distinct-value shuffle per pair; the HLL
+    * registers answer it from m=256 rows per group. Union is EXACT on
+    * the sketch (register-wise max IS the sketch of the union — the
+    * HLL mergeability theorem); intersection is inclusion–exclusion
+    * |A|+|B|−|A∪B| on the three estimates, clamped at 0 (sketch error
+    * can drive the difference negative for near-disjoint sets);
+    * `jaccard_pm` = 1000·∩ div ∪ truncating.
+    *
+    * Pairs are the groups CO-OCCUPYING at least one register — an
+    * equi-join on the register id, never a cartesian pairing (two
+    * groups sharing zero of the 256 registers have no overlap worth
+    * reporting; any group with ≥ a few hundred tokens occupies most
+    * registers, so real pairs always appear).
+    *
+    * Scale shape: the corpus is touched ONCE (building `regs`,
+    * map-side combined); everything here joins ≤ m·G register rows —
+    * the register table is pinned so the probe-side joins never
+    * re-read the corpus.
+    */
+  def sketchOverlap(regs: DataFrame, groupCol: String): DataFrame = {
+    val r = regs.localCheckpoint()
+    val single = estimateFromRegs(r, Seq(groupCol), "est")
+    val pairs = r.select(col(groupCol).as("g_a"), col("bucket"))
+      .join(r.select(col(groupCol).as("g_b"), col("bucket")), Seq("bucket"))
+      .filter(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b")).distinct()
+    val contrib = pairs
+      .join(r.withColumnRenamed(groupCol, "g_a"), Seq("g_a"))
+      .select(col("g_a"), col("g_b"), col("bucket"), col("m_reg"))
+      .union(pairs
+        .join(r.withColumnRenamed(groupCol, "g_b"), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("bucket"), col("m_reg")))
+    val merged = contrib.groupBy(col("g_a"), col("g_b"), col("bucket"))
+      .agg(max(col("m_reg")).as("m_reg"))
+    estimateFromRegs(merged, Seq("g_a", "g_b"), "est_union")
+      .join(single.select(col(groupCol).as("g_a"), col("est").as("est_a")), Seq("g_a"))
+      .join(single.select(col(groupCol).as("g_b"), col("est").as("est_b")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+      .withColumn("jaccard_pm", expr(
+        "CASE WHEN est_union > 0 THEN 1000 * est_intersect div est_union " +
+        "ELSE CAST(0 AS BIGINT) END"))
+  }
+
   // ---- frequency sketch (Count-Min, exact algebra) ----
 
   /** bucket of token t in CMS row j: first 32 bits of md5("j|t") mod w

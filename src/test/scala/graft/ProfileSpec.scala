@@ -145,6 +145,57 @@ class ProfileSpec extends SparkSpec {
     }.min
   }
 
+  test("sketchOverlap: union on registers IS the sketch of the concatenated data — exact") {
+    // the HLL mergeability theorem, checked bit-for-bit: est_union of
+    // (a, b) equals est_distinct of a++b re-sketched from scratch
+    val ta = (1 to 4000).map(i => ("a", s"tok${i % 900}"))
+    val tb = (1 to 4000).map(i => ("b", s"alt${i % 700}"))
+    val regs = Profile.hllRegisters((ta ++ tb).toDF("source", "tok"),
+                                    "source", "tok")
+    val got = Profile.sketchOverlap(regs, "source")
+      .select("g_a", "g_b", "est_union").as[(String, String, Long)].head()
+    val whole = Profile.distinctSketch(
+        (ta ++ tb).map { case (_, t) => ("u", t) }.toDF("source", "tok"),
+        "source", "tok")
+      .select("est_distinct").as[Long].head()
+    assert(got == (("a", "b", whole)))
+  }
+
+  test("sketchOverlap: identical groups overlap fully — intersection = singles, jaccard 1000") {
+    val toks = (1 to 3000).map(i => s"tok${i % 800}")
+    val df = (toks.map(("x", _)) ++ toks.map(("y", _))).toDF("source", "tok")
+    val row = Profile.sketchOverlap(Profile.hllRegisters(df, "source", "tok"),
+                                    "source")
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    val (ga, gb, ea, eb, eu, ei, j) = row
+    assert((ga, gb) == (("x", "y")))
+    assert(ea == eb && eu == ea && ei == ea && j == 1000L, row.toString)
+  }
+
+  test("sketchOverlap: near-disjoint vocabularies report a small clamped intersection") {
+    val df = ((1 to 5000).map(i => ("a", s"left${i % 1200}")) ++
+              (1 to 5000).map(i => ("b", s"right${i % 1200}"))).toDF("source", "tok")
+    val row = Profile.sketchOverlap(Profile.hllRegisters(df, "source", "tok"),
+                                    "source")
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    val (_, _, ea, eb, eu, ei, j) = row
+    assert(ei >= 0L && eu <= ea + eb, row.toString)
+    // truly disjoint sets: intersection estimate stays inside sketch
+    // noise — far below either single cardinality
+    assert(ei < ea / 4 && ei < eb / 4, row.toString)
+    assert(j < 250L, row.toString)
+  }
+
+  test("sketchOverlap plan: no cartesian product, no UDF; pairs via register equi-join") {
+    val df = ((1 to 200).map(i => ("a", s"t$i")) ++
+              (1 to 200).map(i => ("b", s"t${i + 100}"))).toDF("source", "tok")
+    val plan = Profile.sketchOverlap(Profile.hllRegisters(df, "source", "tok"),
+                                     "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("UDF("), plan)
+  }
+
   test("cmsSketch estimates match the driver twin and never under-count") {
     val tokens = (1 to 8000).map(i => s"tok${i % 700}") ++ (1 to 500).map(_ => "hot")
     val df = tokens.map(Tuple1(_)).toDF("tok")
