@@ -109,12 +109,13 @@ object Main {
       val hybrid = rest.contains("--hybrid")
       val mmr = rest.contains("--mmr")
       val prf = rest.contains("--prf")
+      val suggest = rest.contains("--suggest")
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
       val pos = rest.filterNot(a =>
         a == "--ann" || a == "--hybrid" || a == "--mmr" || a == "--prf" ||
-          a.startsWith("--nprobe="))
+          a == "--suggest" || a.startsWith("--nprobe="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
       val lines =
@@ -122,6 +123,7 @@ object Main {
         else if (ann) runSearchAnn(spark, store, query, k, nprobe)
         else if (mmr) runSearchMmr(spark, store, query, provider, k)
         else if (prf) runSearchPrf(spark, store, query, k)
+        else if (suggest) runSearchSuggest(spark, store, query, k)
         else runSearch(spark, store, query, provider, k)
       lines.foreach(println)
       spark.stop()
@@ -192,7 +194,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf] [--nprobe=N] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
@@ -1593,6 +1595,29 @@ object Main {
         val content = jsonEscape(r.getAs[String]("content"))
         s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Long]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `search <store> <query> --suggest`: "did you mean" — exact
+    * Levenshtein-1 neighbors of each query term from the store's chunk
+    * vocabulary via the SymSpell delete-variant join (q172,
+    * [[graft.search.Search.spellSuggest]]), ranked by corpus
+    * frequency. The serving answer when a query term is a typo the
+    * lexical tiers would otherwise silently zero-hit on.
+    */
+  def runSearchSuggest(spark: SparkSession, storeDir: String, query: String,
+                       k: Int): Seq[String] = {
+    import spark.implicits._
+    val terms = Search.queryTokens(query)
+    require(terms.nonEmpty, "query must contain at least one word token")
+    Search.spellSuggest(openTable(spark, storeDir, "chunks"), "content",
+                        terms.toDF("probe"), "probe", k = k)
+      .orderBy(col("probe"), col("rnk"))
+      .collect().map { r =>
+        s"""{"probe":"${jsonEscape(r.getAs[String]("probe"))}",""" +
+        s""""rnk":${r.getAs[Long]("rnk")},""" +
+        s""""term":"${jsonEscape(r.getAs[String]("term"))}",""" +
+        s""""tf":${r.getAs[Long]("tf")}}"""
       }.toSeq
   }
 

@@ -2332,6 +2332,29 @@ object Pipeline {
         .orderBy(col("g_a"), col("g_b"))
     }),
 
+    // SPELLING SUGGESTION: exact Levenshtein-1 "did you mean" from
+    // the corpus vocabulary via SymSpell delete-variant equi-joins —
+    // no edit-distance DP, no candidate scan. Probes are the top-20
+    // frequent terms (len ≥ 5) with their middle character deleted —
+    // deterministic misspellings derived from the corpus itself.
+    // Candidates rank by (tf desc, term), top 3 per probe.
+    "q172_spell_suggest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs.select(
+          explode(filter(split(lower(coalesce(col("text"), lit(""))), "\\W+"),
+                         tk => tk =!= "")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val probes = vocab.filter(length(col("tok")) >= 5)
+        .orderBy(col("tf").desc, col("tok")).limit(20)
+        .select(expr(
+          "concat(substring(tok, 1, CAST(length(tok) / 2 AS INT)), " +
+          "substring(tok, CAST(length(tok) / 2 AS INT) + 2, length(tok)))")
+          .as("probe"))
+        .distinct()
+      Search.spellSuggest(docs, "text", probes, "probe", k = 3)
+        .orderBy(col("probe"), col("rnk"))
+    }),
+
     // HYBRID RETRIEVAL by RECIPROCAL-RANK FUSION: the q81 BM25 bag
     // ranking and the q109 exact-phrase ranking for the same query,
     // fused as sum of 10^6 div (60 + rank) — agreement wins without
@@ -5839,6 +5862,49 @@ object Pipeline {
           FROM u JOIN single sa ON sa.source = u.g_a
                  JOIN single sb ON sb.source = u.g_b
           ORDER BY g_a, g_b""",
+
+    // q172: the same delete-variant construction (identity at pos 0,
+    // single-character deletes at pos i) on both the vocabulary and
+    // the derived probes, the same three distance-1 position rules,
+    // and the (tf desc, term) top-3 ranking.
+    "q172_spell_suggest" ->
+      """WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS tok
+            FROM documents),
+          vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+          probes AS (
+            SELECT DISTINCT
+                   substr(tok, 1, length(tok) // 2)
+                   || substr(tok, length(tok) // 2 + 2) AS probe
+            FROM (SELECT tok FROM vocab WHERE length(tok) >= 5
+                  ORDER BY tf DESC, tok LIMIT 20)),
+          tvar AS (
+            SELECT tok AS term, 0 AS pos, tok AS v FROM vocab
+            UNION ALL
+            SELECT tok, i, substr(tok, 1, i - 1) || substr(tok, i + 1)
+            FROM (SELECT tok, unnest(generate_series(1, length(tok))) AS i
+                  FROM vocab)),
+          pvar AS (
+            SELECT probe, 0 AS pos, probe AS v FROM probes
+            UNION ALL
+            SELECT probe, i, substr(probe, 1, i - 1) || substr(probe, i + 1)
+            FROM (SELECT probe, unnest(generate_series(1, length(probe))) AS i
+                  FROM probes)),
+          cand AS (
+            SELECT DISTINCT p.probe, t.term
+            FROM pvar p JOIN tvar t USING (v)
+            WHERE p.probe <> t.term
+              AND ((p.pos = 0 AND t.pos > 0) OR (p.pos > 0 AND t.pos = 0)
+                   OR (p.pos > 0 AND t.pos = p.pos))),
+          ranked AS (
+            SELECT probe, term, tf,
+                   row_number() OVER (PARTITION BY probe
+                                      ORDER BY tf DESC, term) AS rnk
+            FROM cand JOIN vocab ON vocab.tok = cand.term)
+         SELECT probe, CAST(rnk AS BIGINT) AS rnk, term,
+                CAST(tf AS BIGINT) AS tf
+         FROM ranked WHERE rnk <= 3 ORDER BY probe, rnk""",
 
     // the same salt|id md5 permutation: shard = first 32 hash bits mod
     // 8, pos = rank within shard under (hash, id).

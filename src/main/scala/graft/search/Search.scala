@@ -327,7 +327,7 @@ object Search {
     * decomposed query of composed stored text must not silently miss),
     * then the engine's `\W+` lowercase token model.
     */
-  private def queryTokens(query: String): Seq[String] =
+  private[graft] def queryTokens(query: String): Seq[String] =
     graft.functions.NormalizeExpressions.nfcString(query)
       .toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
 
@@ -421,6 +421,70 @@ object Search {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_occurrences"),
            min(col("__anchor")).cast("long").as("first_pos"))
+  }
+
+  /** All single-character DELETE VARIANTS of a string column, plus the
+    * identity at pos 0 — the SymSpell key set (Garbe's symmetric
+    * delete algorithm, the public spelling-correction standard): two
+    * strings are Levenshtein-distance-1 iff their variant sets meet
+    * under the position rules [[spellSuggest]] applies. Output
+    * `(s, pos, v)`; the variant construction sits in its own
+    * projection after the explode (the HOF-inlining rule).
+    */
+  private def deleteVariants(df: DataFrame, c: String): DataFrame =
+    df.select(col(c).as("s"), lit(0L).as("pos"), col(c).as("v"))
+      .union(
+        df.select(col(c).as("s"),
+                  explode(expr(s"sequence(1, length($c))")).as("pos"))
+          .select(col("s"), col("pos").cast("long").as("pos"),
+            expr("concat(substring(s, 1, CAST(pos AS INT) - 1), " +
+                 "substring(s, CAST(pos AS INT) + 1, length(s)))").as("v")))
+
+  /** SPELLING SUGGESTION — exact Levenshtein-1 candidates from the
+    * corpus vocabulary, by delete-variant equi-joins (no edit-distance
+    * DP anywhere): probe p and term t are distance 1 iff
+    *
+    *   - p equals a delete of t        (t has one extra character),
+    *   - a delete of p equals t        (p has one extra character), or
+    *   - delete_i(p) = delete_i(t) at the SAME position i
+    *     (substitution at i; equal deletes at equal positions force
+    *     equal lengths, so no length guard is needed).
+    *
+    * Exact distance-0 hits are excluded (an existing word still gets
+    * its neighbors listed — the "did you mean" contract). Candidates
+    * rank by corpus frequency (tf desc, term asc), top `k` per probe.
+    *
+    * Scale shape: the corpus is touched once (vocab tf aggregate,
+    * map-side combined, then pinned); variants explode the VOCABULARY
+    * (Σ len+1 rows per distinct token — bounded by vocab size × max
+    * token length, never by corpus size), and the probe side is a
+    * handful of query terms. One equi-join on the variant string.
+    */
+  def spellSuggest(docs: DataFrame, textCol: String,
+                   probes: DataFrame, probeCol: String,
+                   k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+                     t => t =!= "")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tvar = deleteVariants(vocab.select(col("tok")), "tok")
+      .select(col("s").as("term"), col("pos").as("tpos"), col("v"))
+    val pvar = deleteVariants(probes.select(col(probeCol)).distinct(), probeCol)
+      .select(col("s").as("probe"), col("pos").as("ppos"), col("v"))
+    val cand = pvar.join(tvar, Seq("v"))
+      .filter(col("probe") =!= col("term"))
+      .filter((col("ppos") === 0 && col("tpos") > 0) ||
+              (col("ppos") > 0 && col("tpos") === 0) ||
+              (col("ppos") > 0 && col("tpos") === col("ppos")))
+      .select(col("probe"), col("term")).distinct()
+    cand.join(vocab.withColumnRenamed("tok", "term"), Seq("term"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe"))
+          .orderBy(col("tf").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe"), col("rnk"), col("term"), col("tf"))
   }
 
   /** Term bucket for the stored postings layout: first 32 md5 bits of

@@ -900,6 +900,26 @@ class E2eMainSpec extends SparkSpec {
            lines.head.contains("streaming"), lines.head)
   }
 
+  test("search --suggest: a typo'd query term gets its stored spelling back, ranked by corpus frequency") {
+    val in = Files.createTempDirectory("graft_sug_in").toFile
+    val store = Files.createTempDirectory("graft_sug_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "watermark watermark watermark lateness streaming")
+    put("b.txt", "watermark lateness checkpoint recovery")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    // "watermar" is distance 1 from "watermark" (one deletion)
+    val lines = Main.runSearchSuggest(spark, store, "watermar lateness", k = 3)
+    val wm = lines.filter(_.contains("\"probe\":\"watermar\""))
+    assert(wm.nonEmpty && wm.head.contains("\"rnk\":1") &&
+           wm.head.contains("\"term\":\"watermark\"") &&
+           wm.head.contains("\"tf\":4"), lines.mkString("\n"))
+    // an exact vocabulary hit is never suggested for itself —
+    // "lateness" has no distance-1 neighbor in this store
+    assert(!lines.exists(_.contains("\"term\":\"lateness\"")),
+           lines.mkString("\n"))
+  }
+
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
     val in = Files.createTempDirectory("graft_fsck_in").toFile
     val store = Files.createTempDirectory("graft_fsck_store").toString

@@ -19,6 +19,39 @@ class SearchSpec extends SparkSpec {
     assert(got.forall { case (c, s) => math.abs(s - (c + 1.0)) < 1e-12 })
   }
 
+  test("spellSuggest: exactly the Levenshtein-1 neighborhood — deletion, insertion, substitution — ranked by corpus frequency") {
+    val docs = Seq("hello hello hello help banana").toDF("content")
+    val probes = Seq("hell", "xhello", "hallo", "ohell", "hello")
+      .toDF("probe")
+    val got = Search.spellSuggest(docs, "content", probes, "probe")
+      .orderBy("probe", "rnk").as[(String, Long, String, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      // substitution at one position
+      ("hallo", 1L, "hello", 3L),
+      // "hell": hello minus its last char (deletion) AND help via
+      // substitution — both, frequency-ranked
+      ("hell", 1L, "hello", 3L),
+      ("hell", 2L, "help", 1L),
+      // "xhello": one inserted char; "ohell" is distance 2 (a
+      // transposition is NOT Levenshtein-1) — no row; an exact vocab
+      // hit ("hello") is never suggested for itself — no row
+      ("xhello", 1L, "hello", 3L)), got.toString)
+  }
+
+  test("spellSuggest: repeated-letter deletes collapse to one candidate row; plan is UDF- and cartesian-free") {
+    // "helo" reaches "hello" by deleting either 'l' — the candidate
+    // must appear once, not twice
+    val docs = Seq("hello hello wing").toDF("content")
+    val df = Search.spellSuggest(docs, "content",
+                                 Seq("helo").toDF("probe"), "probe")
+    val got = df.as[(String, Long, String, Long)].collect().toSeq
+    assert(got == Seq(("helo", 1L, "hello", 2L)), got.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("UDF("), plan)
+  }
+
   test("knn: top-k by score desc with provider filter (Q1+P2)") {
     val emb = Seq(
       ("e1", "nomic", Seq(1.0f, 0.0f)),
