@@ -792,6 +792,90 @@ object Probe {
     }
   }
 
+  case class TrianglePoint(factor: Int, nNodes: Long, nEdges: Long,
+                           hubDeg: Long, wNaive: Long, wOriented: Long,
+                           nTriangles: Long, tNaive: Double, tOriented: Double)
+
+  /** Hub-skewed undirected graph: a ring (i—i+1), a deterministic
+    * skip chord (i—3i+7 mod n), a closing chord every third node
+    * (i—i+2, which turns each ring step pair into a triangle), and ONE
+    * hub wired to every 10th node — the boilerplate-template shape
+    * whose deg² wedges break naive triangle counting.
+    */
+  def hubGraph(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    val ids = spark.range(n)
+    val ring = ids.select(col("id").as("a"), ((col("id") + 1) % n).as("b"))
+    val skip = ids.select(col("id").as("a"), ((col("id") * 3 + 7) % n).as("b"))
+    val clos = ids.filter(col("id") % 3 === 0)
+      .select(col("id").as("a"), ((col("id") + 2) % n).as("b"))
+    val hub = ids.filter(col("id") % 10 === 0 && col("id") =!= 0)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    ring.union(skip).union(clos).union(hub)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v"))
+      .distinct()
+  }
+
+  /** Measured evidence for q171's degree orientation (Suri &
+    * Vassilvitskii WWW'11): count triangles two ways on [[hubGraph]] —
+    *
+    *  - naive: wedges generated at EVERY center from the symmetric
+    *    adjacency (y < z), closed by a semi-join — pays Σ_c C(deg c, 2),
+    *    i.e. C(hubDeg, 2) for the hub alone, quadratic in the hub;
+    *  - oriented: [[graft.operators.Graph.triangleCounts]] — every
+    *    hub edge points INTO the hub (the max-(deg,id) endpoint), so
+    *    the hub generates ZERO wedges and the join is O(m^1.5)-bounded.
+    *
+    * Both must return the identical triangle total (required).
+    */
+  def triangleCurve(spark: SparkSession, base: Long = 20000L,
+                    factors: Seq[Int] = Seq(1, 4, 8),
+                    reps: Int = 3): Seq[TrianglePoint] = {
+    import spark.implicits._
+    factors.map { fac =>
+      val n = base * fac
+      val edges = hubGraph(spark, n).localCheckpoint(true)
+      val nEdges = edges.count()
+      val sym = edges.select(col("u").as("c"), col("v").as("y"))
+        .union(edges.select(col("v").as("c"), col("u").as("y")))
+        .localCheckpoint(true)
+      val deg = sym.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val hubDeg = deg.agg(max(col("deg"))).as[Long].head()
+      // wedge populations, exact from the degree tables: naive pays
+      // C(deg, 2) at every center; oriented pays C(outdeg, 2) with
+      // outdeg counted under the lower-(deg, id) orientation rule
+      val wNaive = deg.agg(sum(expr("deg * (deg - 1) div 2"))).as[Long].head()
+      val wOriented = edges
+        .join(deg.select(col("c").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("c").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(when(col("du") < col("dv") ||
+                     (col("du") === col("dv") && col("u") < col("v")),
+                     col("u")).otherwise(col("v")).as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2"))).as[Long].head()
+      val (tOriented, triOriented) = medOf(reps) {
+        graft.operators.Graph.triangleCounts(edges, "u", "v")
+          .agg(sum(col("tri_cnt"))).as[Long].head() / 3
+      }
+      val (tNaive, triNaive) = medOf(reps) {
+        sym.select(col("c"), col("y"))
+          .join(sym.select(col("c"), col("y").as("z")), Seq("c"))
+          .filter(col("y") < col("z"))
+          .join(edges.select(col("u").as("y"), col("v").as("z")),
+                Seq("y", "z"), "left_semi")
+          .count()
+      }
+      require(triNaive == 3 * triOriented,
+        s"triangle totals diverged: naive(3T)=$triNaive oriented(T)=$triOriented")
+      edges.unpersist(true); sym.unpersist(true); deg.unpersist(true)
+      graft.io.Pins.sweepAll(spark)
+      TrianglePoint(fac, n, nEdges, hubDeg, wNaive, wOriented,
+                    triOriented, tNaive, tOriented)
+    }
+  }
+
   case class InboxPoint(factor: Int, nFiles: Int, nChunks: Long,
                         nBatches: Long, wallS: Double, filesPerSec: Double)
 
@@ -1149,6 +1233,38 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SKEW.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("scale-graph")) {
+      val pts = triangleCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — triangle counting, degree-oriented vs naive\n\n"
+      sb ++= "Hub-skewed graph (`Probe.hubGraph`: ring + chords + ONE hub on\n"
+      sb ++= "every 10th node — the boilerplate-template shape), triangles\n"
+      sb ++= "counted two ways, median-of-3 on local[" + cpus + "]. naive =\n"
+      sb ++= "wedges at every center from the symmetric adjacency (pays\n"
+      sb ++= "C(deg,2) per node — C(hubDeg,2) for the hub alone); oriented =\n"
+      sb ++= "q171's lower-(deg,id)→higher orientation (every hub edge points\n"
+      sb ++= "INTO the hub, so the hub generates zero wedges — Suri &\n"
+      sb ++= "Vassilvitskii WWW'11). Identical triangle totals required.\n\n"
+      sb ++= "| factor | nodes | edges | hub deg | naive wedges | oriented wedges | triangles | naive s | oriented s |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nNodes} | ${p.nEdges} | ${p.hubDeg} | ${p.wNaive} | ${p.wOriented} | ${p.nTriangles} | ${p.tNaive}%.2f | ${p.tOriented}%.2f |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nNodes.toDouble / a.nNodes}%.0f× nodes → naive wedges "
+      sb ++= f"${z.wNaive.toDouble / a.wNaive}%.1f× (hub-quadratic), oriented "
+      sb ++= f"${z.wOriented.toDouble / a.wOriented}%.1f×; naive wall "
+      sb ++= f"${z.tNaive / a.tNaive}%.1f×, oriented ${z.tOriented / a.tOriented}%.1f×. "
+      sb ++= f"At ${z.factor}× the oriented join is ${z.tNaive / z.tOriented}%.1f× faster —%n"
+      sb ++= "and the gap is pure wedge population, so it widens with the\n"
+      sb ++= "hub: one million-degree template hub at corpus scale is 10^12\n"
+      sb ++= "naive wedge rows vs zero oriented ones.\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_GRAPH.md"), sb.toString)
       spark.stop(); return
     }
 
