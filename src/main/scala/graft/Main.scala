@@ -163,6 +163,11 @@ object Main {
       val spark = session()
       runProfile(spark, store).foreach(println)
       spark.stop()
+    case "dupreport" :: inDir :: rest =>
+      val spark = session()
+      val topK = rest.headOption.map(_.toInt).getOrElse(5)
+      runDupReport(spark, inDir, topK).foreach(println)
+      spark.stop()
     case "watch" :: inbox :: store :: rest =>
       val spark = session()
       val provider = rest.filterNot(_.startsWith("--")).headOption
@@ -200,7 +205,8 @@ object Main {
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
-        "profile <store> | postings <store> [nBuckets] | phrase <store> <phrase> | " +
+        "profile <store> | dupreport <inDir> [topK] | " +
+        "postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
         "reindex <store> [--if-drift=T] | tokenizer <store> [rounds] | " +
@@ -1932,5 +1938,62 @@ object Main {
       (s"""{"zipf_n_terms":${z.getLong(0)},""" +
        s""""zipf_slope_num":${z.getLong(1)},""" +
        s""""zipf_slope_den":${z.getLong(2)}}""")
+  }
+
+  /** `dupreport <inDir> [topK]`: PREFLIGHT near-dup triage over a raw
+    * upload directory, BEFORE any ingest commits — the "what will
+    * dedup do" answer. (Post-ingest the kept store is edge-free by
+    * construction: keep-one retains one doc per LSH cluster and prunes
+    * demoted signatures, so this diagnosis only exists pre-commit.)
+    * The batch converts exactly like an ingest upload, signs with the
+    * same 4-band MinHash, and the LSH candidate graph is read two
+    * ways: the q171 triangle census (a doc whose neighbors also pair
+    * with each other sits in a template/mirror CLIQUE — `clique_docs`
+    * counts the docs whose whole neighborhood closes) and q130's
+    * fixed-point PageRank (the template CENTERS — the docs to inspect
+    * first). One summary line, then the topK hubs by (pr desc, id)
+    * with their degree/triangle/coefficient row.
+    *
+    * Scale shape: edges come from the banded LSH buckets (never
+    * all-pairs), the census is degree-oriented (O(m^1.5) no matter how
+    * hot a template hub gets), PageRank is 3 Pregel rounds; the edge
+    * list is pinned once and feeds both reads.
+    */
+  def runDupReport(spark: SparkSession, inDir: String,
+                   topK: Int = 5): Seq[String] = {
+    import graft.operators.Graph
+    val docs = Ingest.convertDocuments(
+        Ingest.toDocuments(Ingest.readBinaryDir(spark, inDir)))
+      .filter(col("text").isNotNull)
+    val nDocs = docs.count()
+    val edges = graft.dedup.Dedup
+      .candidatesFromSigs(graft.dedup.Dedup.minhashSignatures(
+        docs, "doc_id", "text", nBands = 4))
+      .localCheckpoint(true)
+    val tri = Graph.triangleCounts(edges, "a_id", "b_id").localCheckpoint(true)
+    val agg = tri.agg(
+        count(lit(1)).as("nodes"),
+        sum(col("tri_cnt")).as("tri3"),
+        sum(when(col("deg") >= 2 && col("cc_pm") === 1000, 1L)
+              .otherwise(0L)).as("clique_docs"))
+      .head()
+    val summary =
+      s"""{"docs":$nDocs,"linked_docs":${agg.getLong(0)},""" +
+      s""""edges":${edges.count()},""" +
+      s""""triangles":${Option(agg.get(1)).map(_.asInstanceOf[Long] / 3).getOrElse(0L)},""" +
+      s""""clique_docs":${agg.getLong(2)}}"""
+    // rank hubs by (pr desc, deg desc, id): PageRank is uniform on
+    // REGULAR components (a pair and a clique both sit at the base
+    // rank), so degree breaks those ties before the id does
+    val hubs = Graph.pageRank(edges, "a_id", "b_id", iters = 3)
+      .join(tri.select(col("node"), col("tri_cnt"), col("cc_pm")), Seq("node"))
+      .orderBy(col("pr").desc, col("deg").desc, col("node")).limit(topK)
+      .collect().map { r =>
+        s"""{"doc_id":"${jsonEscape(r.getAs[String]("node"))}",""" +
+        s""""deg":${r.getAs[Long]("deg")},"pr":${r.getAs[Long]("pr")},""" +
+        s""""tri_cnt":${r.getAs[Long]("tri_cnt")},""" +
+        s""""cc_pm":${r.getAs[Long]("cc_pm")}}"""
+      }.toSeq
+    summary +: hubs
   }
 }

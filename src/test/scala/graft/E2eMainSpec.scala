@@ -920,6 +920,37 @@ class E2eMainSpec extends SparkSpec {
            lines.mkString("\n"))
   }
 
+  test("dupreport: preflight triage names the template clique and its hubs before any ingest") {
+    val in = Files.createTempDirectory("graft_dup_in").toFile
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    // a 3-doc template clique: the same boilerplate with one unique
+    // token each (byte-distinct so content-keyed ids can't merge)
+    val boiler = "quarterly report generated by the standard template " +
+      "engine with identical header and footer blocks throughout"
+    put("t1.txt", s"$boiler alpha")
+    put("t2.txt", s"$boiler bravo")
+    put("t3.txt", s"$boiler carol")
+    // an unrelated pair sharing their own phrasing, and a loner
+    put("p1.txt", "completely different cooking recipe with butter flour sugar eggs and a pinch of salt for baking")
+    put("p2.txt", "completely different cooking recipe with butter flour sugar eggs and a spoon of salt for baking")
+    put("u1.txt", "nothing here resembles anything else in this batch at all whatsoever")
+    val lines = Main.runDupReport(spark, in.toString, topK = 3)
+    // summary: 6 docs, the clique's 3 + the pair's 2 linked, 4 edges
+    // (3 clique + 1 pair), ONE triangle, all 3 clique docs at 1000‰
+    assert(lines.head ==
+      """{"docs":6,"linked_docs":5,"edges":4,"triangles":1,"clique_docs":3}""",
+      lines.mkString("\n"))
+    // hubs: the clique members (deg 2, coefficient 1000‰) outrank the
+    // pair (deg 1) under PageRank on this topology
+    val hubs = lines.tail
+    assert(hubs.size == 3, lines.mkString("\n"))
+    hubs.foreach { h =>
+      assert(h.contains("\"deg\":2") && h.contains("\"tri_cnt\":1") &&
+             h.contains("\"cc_pm\":1000"), h)
+    }
+  }
+
   test("fsck: a fresh store audits clean; planted corruption is counted exactly") {
     val in = Files.createTempDirectory("graft_fsck_in").toFile
     val store = Files.createTempDirectory("graft_fsck_store").toString
