@@ -2315,6 +2315,41 @@ object Pipeline {
         .orderBy(col("day"))
     }),
 
+    // CUMULATIVE DISTINCT CURVE: "distinct users seen BY day d" for
+    // every d from the running union of daily HLL registers —
+    // per-bucket running max, delta-aggregated so no day×bucket grid
+    // ever materializes; exact cumulative count (running first-seen
+    // sum) beside the estimate. The growth report a 100 TB event log
+    // answers from register algebra, never an expanding distinct.
+    "q173_cumulative_distinct_hll" -> ((s, dir) => {
+      import graft.text.Profile
+      val ev = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+      Profile.cumulativeDistinct(ev, "day", "uid").orderBy(col("day"))
+    }),
+
+    // RETENTION COHORTS: users grouped by first-seen day, activity
+    // counted at each day offset, retention per-mille truncating —
+    // the cohort table every large-scale event pipeline reports. One
+    // (uid, day) distinct, one cohort groupBy, one join back.
+    "q174_retention_cohorts" -> ((s, dir) => {
+      val ua = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("user_id").as("uid")).distinct()
+      val cohort = ua.groupBy(col("uid")).agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      ua.join(cohort, Seq("uid"))
+        .select(col("cohort_day"),
+                datediff(col("day"), col("cohort_day")).cast("long")
+                  .as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(sizes, Seq("cohort_day"))
+        .withColumn("retention_pm",
+                    expr("1000 * active_users div cohort_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // SKETCH SET ALGEBRA: vocabulary overlap between every source
     // pair from the q90 HLL registers alone — union exact on the
     // sketch (register-wise max IS the union's sketch), intersection
@@ -5804,6 +5839,92 @@ object Pipeline {
                         // (dn + (256 - registers_used) * ${graft.text.Profile.HllEmptyTerm})
                         // ${graft.text.Profile.HllDen} AS BIGINT) AS est_distinct
           FROM agg ORDER BY source""",
+
+    // q173: q90's register construction per DAY, per-bucket running
+    // max as windowed delta events, one day window for the cumulative
+    // harmonic sum — same constants, same empty-register baseline.
+    "q173_cumulative_distinct_hll" ->
+      s"""WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS uid
+            FROM events),
+          h AS (
+            SELECT day,
+                   CAST('0x' || substr(md5(uid), 1, 2) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(uid), 3, 8) AS BIGINT) AS v
+            FROM ev),
+          regs AS (
+            SELECT day, bucket,
+                   max(CASE WHEN v = 0 THEN 33
+                            ELSE 33 - length(bin(v)) END) AS m_reg
+            FROM h GROUP BY 1, 2),
+          r2 AS (
+            SELECT day, bucket,
+                   max(m_reg) OVER (PARTITION BY bucket ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS run
+            FROM regs),
+          r3 AS (
+            SELECT day, bucket, run,
+                   lag(run) OVER (PARTITION BY bucket ORDER BY day) AS prev
+            FROM r2),
+          inc AS (
+            SELECT day,
+                   (${graft.text.Profile.HllEmptyTerm} >> CAST(run AS INT))
+                   - CASE WHEN prev IS NULL
+                          THEN ${graft.text.Profile.HllEmptyTerm}
+                          ELSE (${graft.text.Profile.HllEmptyTerm}
+                                >> CAST(prev AS INT)) END AS d_dn,
+                   CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS d_used
+            FROM r3 WHERE prev IS NULL OR run > prev),
+          daily AS (SELECT day, sum(d_dn) AS d_dn, sum(d_used) AS d_used
+                    FROM inc GROUP BY 1),
+          nu AS (SELECT day, count(*) AS new_keys
+                 FROM (SELECT uid, min(day) AS day FROM ev GROUP BY 1)
+                 GROUP BY 1),
+          base AS (
+            SELECT d.day, coalesce(daily.d_dn, 0) AS d_dn,
+                   coalesce(daily.d_used, 0) AS d_used,
+                   coalesce(nu.new_keys, 0) AS new_keys
+            FROM (SELECT DISTINCT day FROM ev) d
+            LEFT JOIN daily USING (day) LEFT JOIN nu USING (day)),
+          cum AS (
+            SELECT day,
+                   sum(d_used) OVER w AS cum_registers_used,
+                   ${256L * graft.text.Profile.HllEmptyTerm}
+                     + sum(d_dn) OVER w AS dn,
+                   sum(new_keys) OVER w AS true_cum
+            FROM base
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW))
+          SELECT day, CAST(cum_registers_used AS BIGINT) AS cum_registers_used,
+                 CAST(${graft.text.Profile.HllNum} // dn
+                      // ${graft.text.Profile.HllDen} AS BIGINT)
+                   AS est_cum_distinct,
+                 CAST(true_cum AS BIGINT) AS true_cum_distinct
+          FROM cum ORDER BY day""",
+
+    // q174: the same first-seen cohorting, offset in days, per-mille
+    // truncating retention.
+    "q174_retention_cohorts" ->
+      """WITH ua AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS uid
+            FROM events),
+          cohort AS (SELECT uid, min(day) AS cohort_day FROM ua GROUP BY 1),
+          sizes AS (SELECT cohort_day, count(*) AS cohort_users
+                    FROM cohort GROUP BY 1),
+          act AS (
+            SELECT c.cohort_day,
+                   CAST(ua.day - c.cohort_day AS BIGINT) AS day_offset,
+                   count(*) AS active_users
+            FROM ua JOIN cohort c USING (uid)
+            GROUP BY 1, 2)
+          SELECT act.cohort_day, act.day_offset,
+                 CAST(act.active_users AS BIGINT) AS active_users,
+                 CAST(s.cohort_users AS BIGINT) AS cohort_users,
+                 CAST(1000 * act.active_users // s.cohort_users AS BIGINT)
+                   AS retention_pm
+          FROM act JOIN sizes s USING (cohort_day)
+          ORDER BY cohort_day, day_offset""",
 
     // q170: q90's register construction per source, then pair algebra
     // — pairs from register co-occupancy, union registers by max,

@@ -223,6 +223,64 @@ object Profile {
         "ELSE CAST(0 AS BIGINT) END"))
   }
 
+  /** CUMULATIVE distinct-count curve — "how many distinct users/tokens
+    * had we seen BY day d", for every d, from the registers alone: the
+    * running union of daily sketches is the per-bucket RUNNING MAX
+    * (the same mergeability [[sketchOverlap]] uses, folded along
+    * time). Computed without materializing a day×bucket grid: a
+    * bucket contributes a DELTA only on days its running max strictly
+    * increases (first appearance counts from the empty-register term),
+    * the deltas aggregate per day, and one bounded window over the
+    * ≤#days daily rows turns them into the harmonic denominator — so
+    * the estimate for EVERY prefix costs one corpus pass plus
+    * register-table algebra. The exact cumulative count (running sum
+    * of first-seen keys) rides beside the estimate (the
+    * truth-next-to-estimate convention).
+    *
+    * Scale shape: the corpus pays the register aggregate and one
+    * first-seen groupBy; every window runs over ≤ m·#days register
+    * rows or ≤ #days daily rows (the single-partition day window is
+    * deliberate — bounded by the calendar, not the data).
+    */
+  def cumulativeDistinct(toks: DataFrame, dayCol: String,
+                         tokCol: String): DataFrame = {
+    val regs = hllRegisters(toks, dayCol, tokCol)
+    val wb = Window.partitionBy(col("bucket")).orderBy(col(dayCol))
+    val inc = regs
+      .withColumn("run", max(col("m_reg")).over(wb))
+      .withColumn("prev", lag(col("run"), 1).over(wb))
+      .filter(col("prev").isNull || col("run") > col("prev"))
+      .select(col(dayCol),
+        (expr("shiftright(CAST(1073741824 AS BIGINT), CAST(run AS INT))")
+          - when(col("prev").isNull, lit(HllEmptyTerm))
+              .otherwise(expr(
+                "shiftright(CAST(1073741824 AS BIGINT), CAST(prev AS INT))")))
+          .as("d_dn"),
+        when(col("prev").isNull, lit(1L)).otherwise(lit(0L)).as("d_used"))
+    val daily = inc.groupBy(col(dayCol))
+      .agg(sum(col("d_dn")).as("d_dn"), sum(col("d_used")).as("d_used"))
+    val newKeys = toks.groupBy(col(tokCol))
+      .agg(min(col(dayCol)).as(dayCol))
+      .groupBy(col(dayCol)).agg(count(lit(1)).as("new_keys"))
+    val base = toks.select(col(dayCol)).distinct()
+      .join(daily, Seq(dayCol), "left")
+      .join(newKeys, Seq(dayCol), "left")
+      .select(col(dayCol),
+        coalesce(col("d_dn"), lit(0L)).as("d_dn"),
+        coalesce(col("d_used"), lit(0L)).as("d_used"),
+        coalesce(col("new_keys"), lit(0L)).as("new_keys"))
+    val wd = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.select(col(dayCol),
+        sum(col("d_used")).over(wd).as("cum_registers_used"),
+        (lit(HllBuckets * HllEmptyTerm) + sum(col("d_dn")).over(wd)).as("__dn"),
+        sum(col("new_keys")).over(wd).as("true_cum_distinct"))
+      .withColumn("est_cum_distinct",
+        expr(s"$HllNum div __dn div $HllDen"))
+      .select(col(dayCol), col("cum_registers_used"),
+              col("est_cum_distinct"), col("true_cum_distinct"))
+  }
+
   // ---- frequency sketch (Count-Min, exact algebra) ----
 
   /** bucket of token t in CMS row j: first 32 bits of md5("j|t") mod w

@@ -196,6 +196,25 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("UDF("), plan)
   }
 
+  test("cumulativeDistinct: every prefix equals re-sketching it from scratch; truth rides beside") {
+    // day 2 repeats day 1 exactly (no new information), day 3 adds a
+    // disjoint key set — the curve must be flat through day 2 and the
+    // per-day values must equal independent sketches of each prefix
+    val d1 = (1 to 800).map(i => (1, s"u$i"))
+    val d2 = (1 to 800).map(i => (2, s"u$i"))
+    val d3 = (1 to 400).map(i => (3, s"w$i"))
+    val got = Profile.cumulativeDistinct((d1 ++ d2 ++ d3).toDF("day", "uid"),
+                                         "day", "uid")
+      .orderBy("day").as[(Int, Long, Long, Long)].collect().toSeq
+    def sk(rows: Seq[(Int, String)]): (Long, Long) = Profile.distinctSketch(
+        rows.map { case (_, u) => ("g", u) }.toDF("g", "uid"), "g", "uid")
+      .select("registers_used", "est_distinct").as[(Long, Long)].head()
+    val p1 = sk(d1); val p2 = sk(d1 ++ d2); val p3 = sk(d1 ++ d2 ++ d3)
+    assert(got == Seq((1, p1._1, p1._2, 800L),
+                      (2, p2._1, p2._2, 800L),
+                      (3, p3._1, p3._2, 1200L)), got.toString)
+  }
+
   test("cmsSketch estimates match the driver twin and never under-count") {
     val tokens = (1 to 8000).map(i => s"tok${i % 700}") ++ (1 to 500).map(_ => "hot")
     val df = tokens.map(Tuple1(_)).toDF("tok")
