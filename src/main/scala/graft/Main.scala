@@ -110,12 +110,13 @@ object Main {
       val mmr = rest.contains("--mmr")
       val prf = rest.contains("--prf")
       val suggest = rest.contains("--suggest")
+      val bm25 = rest.contains("--bm25")
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
       val pos = rest.filterNot(a =>
         a == "--ann" || a == "--hybrid" || a == "--mmr" || a == "--prf" ||
-          a == "--suggest" || a.startsWith("--nprobe="))
+          a == "--suggest" || a == "--bm25" || a.startsWith("--nprobe="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
       val lines =
@@ -124,6 +125,7 @@ object Main {
         else if (mmr) runSearchMmr(spark, store, query, provider, k)
         else if (prf) runSearchPrf(spark, store, query, k)
         else if (suggest) runSearchSuggest(spark, store, query, k)
+        else if (bm25) runSearchBm25(spark, store, query, k)
         else runSearch(spark, store, query, provider, k)
       lines.foreach(println)
       spark.stop()
@@ -199,7 +201,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest] [--nprobe=N] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest|--bm25] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
@@ -1601,6 +1603,34 @@ object Main {
         val content = jsonEscape(r.getAs[String]("content"))
         s"""{"rnk":${r.getAs[Long]("rnk")},"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""score":${r.getAs[Long]("score")},"content":"$content"}"""
+      }.toSeq
+  }
+
+  /** `search <store> <query> --bm25`: LEXICAL ranking — BM25 with the
+    * Lucene-parity log IDF over the store's chunks. Serves from the
+    * STORED postings index + norms sidecar when `Main postings` built
+    * one (term-bucket-pruned candidate scan, corpus text never
+    * touched — q175's posture); falls back to the inline scan
+    * otherwise. Both paths produce the IDENTICAL ranking (spec-pinned
+    * in `Bm25LogSpec`), so index presence changes cost, never answers.
+    */
+  def runSearchBm25(spark: SparkSession, storeDir: String, query: String,
+                    k: Int): Seq[String] = {
+    val idx = s"$storeDir/postings.idx"
+    val ranked =
+      if (Search.postingsServesBm25(idx))
+        Search.bm25LogTopKStored(spark, idx, "chunk_id", query, k = k)
+      else
+        Search.bm25LogTopK(openTable(spark, storeDir, "chunks"),
+                           "chunk_id", "content", query, k = k)
+    ranked.join(openTable(spark, storeDir, "chunks")
+                  .select(col("chunk_id"), col("content")), Seq("chunk_id"))
+      .orderBy(col("score").desc, col("chunk_id"))
+      .collect().map { r =>
+        val content = jsonEscape(r.getAs[String]("content"))
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""score":${r.getAs[Long]("score")},"dl":${r.getAs[Long]("dl")},""" +
+        s""""content":"$content"}"""
       }.toSeq
   }
 

@@ -344,6 +344,28 @@ object Pipeline {
     s.read.parquet(path)
   }
 
+  /** q175's persisted POSTINGS index + norms sidecar — the stored
+    * lexical-serving twin of q89's inline scan (same build-once-per-JVM
+    * gating as the signature store): the first sample pays the index
+    * build, the bench median times the pruned probe — the posture a
+    * production lexical tier has (Lucene's inverted index + norms).
+    */
+  private def postingsStorePath(sfDir: String): String =
+    s"$q36Root/${new java.io.File(sfDir).getName}/bm25_postings.idx"
+  private val builtPostingsStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def storedPostingsPath(s: SparkSession, sfDir: String): String = {
+    val path = postingsStorePath(sfDir)
+    builtPostingsStores.synchronized {
+      if (!builtPostingsStores.contains(path)) {
+        Search.writePostings(t(s, sfDir, "documents"), "doc_id", "text",
+                             path, nBuckets = 64)
+        builtPostingsStores.add(path)
+      }
+    }
+    path
+  }
+
   /** q141's persisted TRAINED IVF-PQ index — the stored-serving twin
     * of q138's in-memory stack: the same deterministic trainers feed
     * [[graft.search.Ann.ivfPqWriteIndex]], and the probe runs through
@@ -542,6 +564,51 @@ object Pipeline {
     * VERBATIM by q138 (in-memory) and q141 (stored index): the serving
     * tier must be indistinguishable from the in-memory stack.
     */
+  /** The q89 BM25 log-IDF oracle — shared VERBATIM by q89 (inline
+    * corpus scan) and q175 (stored postings + norms serving): a
+    * correct index server is indistinguishable from the scan.
+    */
+  private lazy val Bm25LogOracle: String =
+    s"""WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\W+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+          base AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, t -> t = 'stream')) AS tf0,
+                   len(list_filter(toks, t -> t = 'window')) AS tf1
+            FROM toks),
+          stats AS (
+            SELECT sum(dl) AS T, count(*) AS N,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+            FROM base),
+          xs AS (
+            SELECT 'n' AS k, CAST(2*N + 2 AS BIGINT) AS x FROM stats
+            UNION ALL SELECT 'd0', CAST(2*df0 + 1 AS BIGINT) FROM stats
+            UNION ALL SELECT 'd1', CAST(2*df1 + 1 AS BIGINT) FROM stats),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          idf AS (
+            SELECT (SELECT l2 FROM __l2 WHERE k = 'n')
+                     - (SELECT l2 FROM __l2 WHERE k = 'd0') AS idf0,
+                   (SELECT l2 FROM __l2 WHERE k = 'n')
+                     - (SELECT l2 FROM __l2 WHERE k = 'd1') AS idf1),
+          clamped AS (
+            SELECT doc_id, dl, least(tf0, 1048576) AS tf0,
+                   least(tf1, 1048576) AS tf1
+            FROM base),
+          scored AS (
+            SELECT b.doc_id, b.dl,
+                   idf0 * ((10000 * 22 * tf0 * T)
+                             // (10*T*tf0 + 3*T + 9*b.dl*N))
+                 + idf1 * ((10000 * 22 * tf1 * T)
+                             // (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
+            FROM clamped b, stats, idf)
+          SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
+          FROM scored WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 10"""
+
   private lazy val TrainedSearchOracle: String =
     s"""$TrainedStackCtes,
           encd AS (
@@ -1776,6 +1843,18 @@ object Pipeline {
     "q89_bm25_log_rank" -> ((s, dir) => {
       Search.bm25LogTopK(t(s, dir, "documents"), "doc_id", "text",
                          "stream window", k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // BM25 SERVED FROM THE STORED INDEX: q89's ranking answered from
+    // the persisted postings (term-bucket-pruned candidate scan) and
+    // the norms sidecar (per-doc lengths + N/T — the corpus text is
+    // never touched). Build-once per JVM; the bench median times the
+    // probe. Oracle = q89's SQL verbatim: a correct lexical server is
+    // indistinguishable from the inline scan.
+    "q175_bm25_stored" -> ((s, dir) => {
+      Search.bm25LogTopKStored(s, storedPostingsPath(s, dir), "doc_id",
+                               "stream window", k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
@@ -6539,46 +6618,13 @@ object Pipeline {
     // FixedPoint.withLog2 runs (S=20 mantissa bits, F=12 fraction
     // bits, digit extraction by squaring) as a recursive CTE; idf =
     // l2(2N+2) - l2(2df+1), score = sum idf*floor(1e4*tfnorm).
-    "q89_bm25_log_rank" ->
-      s"""WITH RECURSIVE toks AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\W+'),
-                               t -> t <> '') AS toks
-            FROM documents),
-          base AS (
-            SELECT doc_id, len(toks) AS dl,
-                   len(list_filter(toks, t -> t = 'stream')) AS tf0,
-                   len(list_filter(toks, t -> t = 'window')) AS tf1
-            FROM toks),
-          stats AS (
-            SELECT sum(dl) AS T, count(*) AS N,
-                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
-            FROM base),
-          xs AS (
-            SELECT 'n' AS k, CAST(2*N + 2 AS BIGINT) AS x FROM stats
-            UNION ALL SELECT 'd0', CAST(2*df0 + 1 AS BIGINT) FROM stats
-            UNION ALL SELECT 'd1', CAST(2*df1 + 1 AS BIGINT) FROM stats),
-          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
-          idf AS (
-            SELECT (SELECT l2 FROM __l2 WHERE k = 'n')
-                     - (SELECT l2 FROM __l2 WHERE k = 'd0') AS idf0,
-                   (SELECT l2 FROM __l2 WHERE k = 'n')
-                     - (SELECT l2 FROM __l2 WHERE k = 'd1') AS idf1),
-          clamped AS (
-            SELECT doc_id, dl, least(tf0, 1048576) AS tf0,
-                   least(tf1, 1048576) AS tf1
-            FROM base),
-          scored AS (
-            SELECT b.doc_id, b.dl,
-                   idf0 * ((10000 * 22 * tf0 * T)
-                             // (10*T*tf0 + 3*T + 9*b.dl*N))
-                 + idf1 * ((10000 * 22 * tf1 * T)
-                             // (10*T*tf1 + 3*T + 9*b.dl*N)) AS score
-            FROM clamped b, stats, idf)
-          SELECT doc_id, CAST(dl AS BIGINT) AS dl, CAST(score AS BIGINT) AS score
-          FROM scored WHERE score > 0
-          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q89_bm25_log_rank" -> Bm25LogOracle,
+
+    // BM25 log-IDF served from the STORED postings index + norms
+    // sidecar: the serving tier must be indistinguishable from the
+    // inline scan, so it shares q89's oracle VERBATIM (the q141
+    // convention).
+    "q175_bm25_stored" -> Bm25LogOracle,
 
     // q76's positioned BPE tokens built into bigrams; train-split
     // counts; s = 10^6*(cbi+1) // (cuni+V), fluency = sum(s) // n_pairs

@@ -224,11 +224,24 @@ object Search {
     val statsX = qts.indices.foldLeft(stats0) { (d, i) =>
       d.withColumn(s"__xd$i", lit(2L) * col(s"__df$i") + lit(1L))
     }
+    bm25LogScore(withTf, statsX, idCol, qts.size, k)
+  }
+
+  /** The shared BM25 log-IDF scoring fold: `cands` carries
+    * (idCol, __dl, __tf0..__tf{n-1}), `statsX` is the 1-row corpus
+    * stats (__N, __T, __xn, __xd_i). Extracted so the inline scan
+    * ([[bm25LogTopK]]) and the stored-postings server
+    * ([[bm25LogTopKStored]]) score through the IDENTICAL algebra —
+    * the two forms must be indistinguishable row for row.
+    */
+  private def bm25LogScore(cands: DataFrame, statsX: DataFrame,
+                           idCol: String, nTerms: Int, k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val stats = graft.functions.FixedPoint.withLog2(
       statsX,
-      ("__xn", "__l2n") +: qts.indices.map(i => (s"__xd$i", s"__l2d$i")))
-    val joined = withTf.crossJoin(broadcast(stats))
-    val scored = qts.indices.foldLeft(joined) { (d, i) =>
+      ("__xn", "__l2n") +: (0 until nTerms).map(i => (s"__xd$i", s"__l2d$i")))
+    val joined = cands.crossJoin(broadcast(stats))
+    val scored = (0 until nTerms).foldLeft(joined) { (d, i) =>
       val tf = least(col(s"__tf$i"), lit(1048576L)).cast(dec)
       val n = col("__N").cast(dec)
       val t = col("__T").cast(dec)
@@ -241,11 +254,86 @@ object Search {
           s"(__l2n - __l2d$i) * CAST(__num$i div __den$i AS BIGINT)"))
     }
     scored
-      .withColumn("score", qts.indices.map(i => col(s"__c$i")).reduce(_ + _))
+      .withColumn("score", (0 until nTerms).map(i => col(s"__c$i")).reduce(_ + _))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("__dl").as("dl"), col("score"))
+  }
+
+  /** True when a stored postings index can serve BM25 — it carries the
+    * norms sidecar (indexes written since norms existed). Callers use
+    * this to pick stored serving vs the inline corpus scan; both
+    * produce the identical ranking (spec-pinned), so the choice is
+    * pure cost.
+    */
+  def postingsServesBm25(path: String): Boolean =
+    new java.io.File(path, "_graft_postings_meta.json").exists() &&
+      new java.io.File(normsPath(path)).exists()
+
+  /** BM25 (log IDF) served from the STORED postings index — lexical
+    * ranking WITHOUT scanning the corpus, the posture a 100 TB
+    * deployment actually serves from (what ES/Lucene do with the
+    * inverted index + norms):
+    *
+    *  - candidates and term frequencies come from the ≤ ¦terms¦
+    *    pruned `tb=` buckets (directory-level PartitionFilters — the
+    *    rest of the index is never opened);
+    *  - per-doc lengths, N and T come from the norms sidecar (one row
+    *    per doc, written at build time, maintained by append/remove) —
+    *    the corpus text is never touched;
+    *  - scoring is [[bm25LogScore]], so the ranking is IDENTICAL to
+    *    the inline [[bm25LogTopK]] scan row for row (spec-pinned).
+    *
+    * Requires a norms sidecar; an index written before norms existed
+    * must be rebuilt (loud require — a partial answer would silently
+    * mis-rank).
+    */
+  def bm25LogTopKStored(spark: org.apache.spark.sql.SparkSession,
+                        path: String, idCol: String, query: String,
+                        k: Int = 10): DataFrame = {
+    val qts = queryTokens(query).distinct
+    require(qts.nonEmpty, "query must contain at least one word token")
+    val norms = new java.io.File(normsPath(path))
+    require(norms.exists(),
+      s"no norms sidecar at $norms — rebuild the index with writePostings")
+    val nBuckets = postingsNBuckets(path)
+    val normsDf = spark.read.parquet(norms.toString)
+    val statsNT = normsDf.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__T"))
+    if (postingsIsEmpty(path)) {
+      // emptied index: nothing can score — same (id, dl, score) shape
+      import org.apache.spark.sql.types._
+      val idType = postingsIdType(path).getOrElse(StringType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, idType),
+                       StructField("dl", LongType),
+                       StructField("score", LongType))))
+    }
+    val buckets = qts
+      .map(t => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16) % nBuckets)
+      .distinct
+    val pruned = spark.read.parquet(path)
+      .filter(col("tb").isInCollection(buckets))
+      .filter(col("tok").isin(qts: _*))
+    val tfAggs = qts.zipWithIndex.map { case (qt, i) =>
+      sum(when(col("tok") === qt, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val cands = pruned.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+      .join(normsDf.withColumnRenamed("dl", "__dl"), Seq(idCol))
+    val dfAggs = qts.zipWithIndex.map { case (qt, i) =>
+      countDistinct(when(col("tok") === qt, col(idCol))).as(s"__df$i")
+    }
+    val statsX0 = statsNT.crossJoin(broadcast(
+        pruned.agg(dfAggs.head, dfAggs.tail: _*)))
+      .withColumn("__xn", lit(2L) * col("__N") + lit(2L))
+    val statsX = qts.indices.foldLeft(statsX0) { (d, i) =>
+      d.withColumn(s"__xd$i", lit(2L) * col(s"__df$i") + lit(1L))
+    }
+    bm25LogScore(cands, statsX, idCol, qts.size, k)
   }
 
   /** RECIPROCAL-RANK FUSION — the hybrid-retrieval combiner: merge any
@@ -515,10 +603,28 @@ object Search {
     * `nBuckets` than the writer would prune to partitions the terms
     * were never written to and silently return partial matches.
     */
+  /** The NORMS sidecar — (id, dl) with dl the doc's token count under
+    * the index's own token model, one row per SOURCE doc (a zero-token
+    * doc gets dl=0 — it has no postings rows, but BM25's corpus stats
+    * N/T must still count it, exactly as the inline scan does). The
+    * underscore prefix keeps the directory invisible to the postings
+    * parquet reader. This is Lucene's norms file re-expressed: the
+    * per-doc lengths BM25 needs, persisted at build time so serving
+    * never re-scans the corpus.
+    */
+  private def normsPath(path: String) = s"$path/_graft_norms"
+
+  private def docNorms(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(filter(split(lower(col(textCol)), "\\W+"), t => t =!= ""))
+        .cast("long").as("dl"))
+
   def writePostings(df: DataFrame, idCol: String, textCol: String,
                     path: String, nBuckets: Int = 64): Unit = {
     buildPostings(df, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    docNorms(df, idCol, textCol)
+      .write.mode("overwrite").parquet(normsPath(path))
     // idTypeDdl: the id column's type travels with the index so a
     // probe over an EMPTIED index (all buckets removed — no parquet
     // footer left to infer from) still returns the schema every
@@ -567,9 +673,16 @@ object Search {
     */
   def appendPostings(spark: org.apache.spark.sql.SparkSession,
                      df: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit =
+                     path: String): Unit = {
     buildPostings(df, idCol, textCol, postingsNBuckets(path))
       .write.mode("append").partitionBy("tb").parquet(path)
+    // norms ride every append (indexes written before the sidecar
+    // existed gain it on their next full rebuild, not piecemeal —
+    // a partial norms table would silently mis-count N/T)
+    if (new java.io.File(normsPath(path)).exists())
+      docNorms(df, idCol, textCol)
+        .write.mode("append").parquet(normsPath(path))
+  }
 
   /** INCREMENTAL postings maintenance, remove side — the inverse
     * [[appendPostings]] was missing: a document takedown (dedup
@@ -614,6 +727,22 @@ object Search {
                          path: String): Unit = {
     import spark.implicits._
     val nBuckets = postingsNBuckets(path)
+    // the norms sidecar drops the removed ids even when the removal
+    // has no postings to prune (a zero-token doc still has a norms
+    // row, and N/T must stop counting a taken-down doc)
+    val norms = new java.io.File(normsPath(path))
+    if (norms.exists()) {
+      val kept = spark.read.parquet(norms.toString)
+        .join(removals.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true) // pinned BEFORE the dir it read is swapped
+      val tmp = new java.io.File(s"${norms.getPath}.tmp")
+      val trash = new java.io.File(s"${norms.getParent}/._graft_norms.trash")
+      graft.io.Tables.rmTree(tmp); graft.io.Tables.rmTree(trash)
+      kept.write.mode("overwrite").parquet(tmp.toString)
+      require(norms.renameTo(trash), s"aside-rename of $norms failed")
+      require(tmp.renameTo(norms), s"commit rename of $norms failed")
+      graft.io.Tables.rmTree(trash)
+    }
     if (postingsIsEmpty(path)) return // already-empty index: no-op
     val buckets = buildPostings(removals, idCol, textCol, nBuckets)
       .select(col("tb")).distinct().as[Long].collect().sorted.toSeq
@@ -633,8 +762,19 @@ object Search {
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
                       path: String,
-                      targetBytes: Long = 128L << 20): (Int, Int) =
-    graft.io.Tables.compactPartitions(spark, path, "tb", targetBytes)
+                      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val (b, a) = graft.io.Tables.compactPartitions(spark, path, "tb", targetBytes)
+    // the norms sidecar accumulates one file per append batch — same
+    // small-files tax, same swap; single-file (or absent) norms are
+    // left alone but still counted so callers see the whole index
+    val normsDir = new java.io.File(normsPath(path))
+    val normsFiles = Option(normsDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    if (normsFiles > 1) {
+      val (nb, na) = graft.io.Tables.compact(spark, normsDir.getPath, targetBytes)
+      (b + nb, a + na)
+    } else (b + normsFiles, a + normsFiles)
+  }
 
   /** PHRASE search over the STORED postings index — the probe-many
     * side: the scan is pruned to the ≤ ¦distinct terms¦ buckets the

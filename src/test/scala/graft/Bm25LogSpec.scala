@@ -117,6 +117,59 @@ class Bm25LogSpec extends SparkSpec {
            "fixture must actually exercise the rational/log divergence")
   }
 
+  test("stored postings + norms serve the IDENTICAL ranking to the inline scan; the probe prunes to term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Search.writePostings(docs, "doc_id", "text", s"$dir/idx", nBuckets = 16)
+    val inline = Search.bm25LogTopK(docs, "doc_id", "text", Query, k = K)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val served = Search.bm25LogTopKStored(spark, s"$dir/idx", "doc_id",
+                                          Query, k = K)
+    val stored = served.orderBy(col("score").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == inline, s"stored=$stored inline=$inline")
+    // the candidate scan must prune at the DIRECTORY level
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*tb.*\\].*"),
+           s"term buckets must prune as partitions: ${plan.take(3000)}")
+  }
+
+  test("append and remove keep the norms in sync: the served ranking tracks every corpus state exactly") {
+    import spark.implicits._
+    // 'stream window' docs with distinct tf/dl shapes, plus filler the
+    // pruned probe never opens; one zero-relevance doc that still
+    // counts in N/T
+    val first = Seq(
+      (1L, "stream window stream window lateness"),
+      (2L, "stream processing with one window only and padding words"),
+      (3L, "cooking recipe with butter and flour")) // irrelevant, in N/T
+    val later = Seq(
+      (4L, "window window window stream stream checkpoint"),
+      (5L, "stream alone here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25inc").toString
+    Search.writePostings(first.toDF("doc_id", "text"), "doc_id", "text",
+                         s"$dir/idx", nBuckets = 8)
+    Search.appendPostings(spark, later.toDF("doc_id", "text"), "doc_id",
+                          "text", s"$dir/idx")
+    def inline(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+      Search.bm25LogTopK(rows.toDF("doc_id", "text"), "doc_id", "text",
+                         Query, k = K)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+    def stored(): Seq[(Long, Long, Long)] =
+      Search.bm25LogTopKStored(spark, s"$dir/idx", "doc_id", Query, k = K)
+        .orderBy(col("score").desc, col("doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(stored() == inline(first ++ later))
+    // takedown: doc 4 (relevant) AND doc 3 (zero-posting overlap with
+    // the query, but its norms row must still leave N/T)
+    Search.removeFromPostings(
+      spark, Seq((4L, later.head._2), (3L, first(2)._2)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    assert(stored() == inline(Seq(first.head, first(1), later(1))))
+  }
+
   test("plan: one tokenizer per corpus pass, no corpus shuffle, TakeOrderedAndProject top-k") {
     val plan = Search.bm25LogTopK(docs, "doc_id", "text", Query, k = K)
       .queryExecution.executedPlan.toString

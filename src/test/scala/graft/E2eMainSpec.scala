@@ -920,6 +920,26 @@ class E2eMainSpec extends SparkSpec {
            lines.mkString("\n"))
   }
 
+  test("search --bm25: identical answers before and after the postings index exists; the index actually serves") {
+    val in = Files.createTempDirectory("graft_bm25_in").toFile
+    val store = Files.createTempDirectory("graft_bm25_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "stream window stream window lateness marker")
+    put("b.txt", "stream processing with one window only")
+    put("c.txt", "cooking recipe with butter and flour")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    val scanned = Main.runSearchBm25(spark, store, "stream window", k = 5)
+    assert(scanned.nonEmpty && scanned.head.contains("lateness marker"),
+           scanned.mkString("\n"))
+    assert(!scanned.exists(_.contains("cooking")), scanned.mkString("\n"))
+    // build the index: serving flips to the stored path (norms present)
+    // and the answers must not move
+    Main.runBuildPostings(spark, store)
+    assert(Search.postingsServesBm25(s"$store/postings.idx"))
+    assert(Main.runSearchBm25(spark, store, "stream window", k = 5) == scanned)
+  }
+
   test("dupreport: preflight triage names the template clique and its hubs before any ingest") {
     val in = Files.createTempDirectory("graft_dup_in").toFile
     def put(name: String, text: String): Unit =

@@ -121,7 +121,12 @@ class PhraseSearchSpec extends SparkSpec {
           md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
           16) % 32))
     }
-    val untouched = before.keySet.filterNot(rel => touched.exists(rel.startsWith))
+    // the norms sidecar is rewritten BY DESIGN on every removal (N/T
+    // must stop counting the removed docs) — only tb= buckets carry
+    // the untouched-bytes contract
+    val untouched = before.keySet
+      .filterNot(rel => touched.exists(rel.startsWith))
+      .filterNot(_.startsWith("_graft_norms"))
     assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
     untouched.foreach { rel =>
       assert(after.get(rel) == before.get(rel),
@@ -141,8 +146,10 @@ class PhraseSearchSpec extends SparkSpec {
                          s"$dir/idx", nBuckets = 8)
     Search.removeFromPostings(spark, doc.toDF("doc_id", "text"),
                               "doc_id", "text", s"$dir/idx")
-    // every bucket held only doc 1 → all tb= dirs are gone
-    assert(snapshot(s"$dir/idx").isEmpty, "all buckets should be removed")
+    // every bucket held only doc 1 → all tb= dirs are gone (the norms
+    // sidecar remains, emptied, so N/T read as zero)
+    assert(snapshot(s"$dir/idx").keySet.forall(_.startsWith("_graft_norms")),
+           "all buckets should be removed")
     val emptyProbe = Search.phraseOccurrencesStored(spark, s"$dir/idx",
                                                     "doc_id", "table scan")
     assert(emptyProbe.count() == 0)
