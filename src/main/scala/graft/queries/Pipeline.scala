@@ -2712,6 +2712,23 @@ object Pipeline {
         .orderBy(col("query_id"))
     }),
 
+    // SIGN RANDOM-PROJECTION OVERLAP: q159's truncation question for
+    // embeddings NOT trained matryoshka-style — a ±1 md5-derived
+    // projection (Achlioptas/JL) mixes every input dimension into each
+    // of 16 outputs, so dot products survive ANY coordinate layout;
+    // overlap@10 vs the full-dim exact ranking, exact integers.
+    "q176_sign_projection_overlap" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(Ann.quantizeL).toSeq))
+        .toSeq.sortBy(_._1)
+      Ann.signProjectionOverlapAtK(e, "vec_id", "embedding", queries,
+                                   k = 10, rDims = 16)
+        .orderBy(col("query_id"))
+    }),
+
     // GOPHER RULE BUNDLE: the named heuristic battery (word count,
     // mean word length, symbol/bullet/ellipsis ratios, alpha-word
     // share, function-word floor) as per-doc flags + the conjunction —
@@ -5111,6 +5128,47 @@ object Pipeline {
           SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap
           FROM qs q LEFT JOIN h USING (query_id)
           ORDER BY query_id""",
+
+    // q176: the same ±1 plane table spliced as literals (the sign-LSH
+    // oracle convention), corpus and query vectors projected by the
+    // identical Σ s(j,i)·v[i] sums, both rankings replayed.
+    "q176_sign_projection_overlap" -> {
+      val signs = graft.search.Ann.planeSigns(16, 64)
+      val projList = (0 until 16).map { j =>
+        "(" + (0 until 64).map(i => s"(${signs(j)(i)})*v[${i + 1}]")
+          .mkString(" + ") + ")"
+      }.mkString(",\n                    ")
+      s"""WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+            FROM embeddings),
+          pv AS (
+            SELECT vec_id, v,
+                   [$projList] AS p
+            FROM iv),
+          qs AS (SELECT CAST(vec_id AS BIGINT) AS query_id, v AS qv, p AS qp
+                 FROM pv WHERE vec_id < 5),
+          sc AS (
+            SELECT q.query_id, pv.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                     i -> pv.v[i] * q.qv[i])) AS BIGINT) AS dot_full,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                     j -> pv.p[j] * q.qp[j])) AS BIGINT) AS dot_proj
+            FROM pv CROSS JOIN qs q),
+          rf AS (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_full DESC, vec_id) AS rn_f,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_proj DESC, vec_id) AS rn_p
+            FROM sc),
+          h AS (SELECT query_id, count(*) AS n FROM rf
+                WHERE rn_f <= 10 AND rn_p <= 10 GROUP BY 1)
+          SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap
+          FROM qs q LEFT JOIN h USING (query_id)
+          ORDER BY query_id"""
+    },
 
     // q54's exact integer dots with the self row excluded; votes over
     // rnk<=5; argmax (votes desc, label asc).

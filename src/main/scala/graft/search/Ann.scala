@@ -292,6 +292,59 @@ object Ann {
               coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** SIGN RANDOM-PROJECTION retrieval eval — [[truncatedOverlapAtK]]'s
+    * question for embeddings NOT trained matryoshka-style (Achlioptas
+    * 2003's ±1 projections, the database-friendly JL transform):
+    * prefix truncation only works when the training packed information
+    * into the leading dimensions, while a ±1 random projection
+    * y_j = Σ_i s(j,i)·x_i mixes EVERY input dimension into each of the
+    * r output dimensions, preserving dots in expectation for any
+    * coordinate layout. Signs come from the engine's md5 plane table
+    * ([[planeSigns]] — the same table sign-LSH bakes), so an oracle
+    * splices identical literals. Per query: overlap between the
+    * full-dim exact top-k and the r-dim projected top-k, exact
+    * integers end-to-end, both rankings tie-broken (dot desc, id).
+    *
+    * Scale shape: one corpus scan computes the projection inside the
+    * row (r native dots against literal sign vectors — no shuffle),
+    * queries broadcast, two rank windows per query partition.
+    */
+  def signProjectionOverlapAtK(corpus: DataFrame, idCol: String,
+                               vecCol: String,
+                               queries: Seq[(Long, Seq[Long])],
+                               k: Int = 10, rDims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val dims = queries.head._2.size
+    val signs = planeSigns(rDims, dims)
+    def projCol(v: Column): Column =
+      array(signs.map(row => intDot(v, typedLit(row))): _*)
+    val qdf = queries.map { case (id, qv) =>
+      (id, qv,
+       signs.map(row => row.zip(qv).map { case (s, x) => s * x }.sum))
+    }.toDF("query_id", "__qv", "__qp")
+    val scored = corpus
+      .select(col(idCol), intVec(col(vecCol)).as("__iv"))
+      .withColumn("__ip", projCol(col("__iv")))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dot_full", intDot(col("__iv"), col("__qv")))
+      .withColumn("dot_proj", intDot(col("__ip"), col("__qp")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_full").desc, col(idCol))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_proj").desc, col(idCol))
+    val hits = scored
+      .withColumn("rn_f", row_number().over(wf))
+      .withColumn("rn_p", row_number().over(wp))
+      .filter(col("rn_f") <= k && col("rn_p") <= k)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    qdf.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * ±1 from the md5 top bit of "p|d" — the hashing-trick analogue of a
     * Gaussian plane, good enough for sign-LSH and exactly reproducible.

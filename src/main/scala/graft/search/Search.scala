@@ -606,13 +606,16 @@ object Search {
   /** The NORMS sidecar — (id, dl) with dl the doc's token count under
     * the index's own token model, one row per SOURCE doc (a zero-token
     * doc gets dl=0 — it has no postings rows, but BM25's corpus stats
-    * N/T must still count it, exactly as the inline scan does). The
-    * underscore prefix keeps the directory invisible to the postings
-    * parquet reader. This is Lucene's norms file re-expressed: the
+    * N/T must still count it, exactly as the inline scan does). It
+    * lives BESIDE the index root (the `.tmp`/`.trash` sibling
+    * convention), not under it: a nested directory would either break
+    * the root read's `tb=` partition discovery or need a hidden
+    * underscore prefix that Spark's path filter then warns about on
+    * every probe. This is Lucene's norms file re-expressed: the
     * per-doc lengths BM25 needs, persisted at build time so serving
     * never re-scans the corpus.
     */
-  private def normsPath(path: String) = s"$path/_graft_norms"
+  private def normsPath(path: String) = s"$path.norms"
 
   private def docNorms(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
@@ -736,7 +739,7 @@ object Search {
         .join(removals.select(col(idCol)), Seq(idCol), "left_anti")
         .localCheckpoint(true) // pinned BEFORE the dir it read is swapped
       val tmp = new java.io.File(s"${norms.getPath}.tmp")
-      val trash = new java.io.File(s"${norms.getParent}/._graft_norms.trash")
+      val trash = new java.io.File(s"${norms.getPath}.trash")
       graft.io.Tables.rmTree(tmp); graft.io.Tables.rmTree(trash)
       kept.write.mode("overwrite").parquet(tmp.toString)
       require(norms.renameTo(trash), s"aside-rename of $norms failed")

@@ -374,7 +374,8 @@ object Probe {
 
   case class SearchScalePoint(factor: Int, nDocs: Long, postingsRows: Long,
                               probedRows: Long, nMatches: Long,
-                              tBuild: Double, tStored: Double, tInline: Double)
+                              tBuild: Double, tStored: Double, tInline: Double,
+                              tBm25Stored: Double, tBm25Inline: Double)
 
   /** Measured scale curve for the STORED POSTINGS phrase index vs the
     * inline phrase scan, over 1×/10×/100× corpora. Build = tokenize +
@@ -444,8 +445,28 @@ object Probe {
         }
         require(nMatches == nInline,
           s"stored ($nMatches) and inline ($nInline) phrase matches diverged")
+        // the BM25 serving pair over the same index/corpus: the stored
+        // path reads pruned buckets + the norms sidecar, the inline
+        // path re-tokenizes the corpus; both must rank identically
+        def bmRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+          df.orderBy(col("score").desc, col("doc_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        var bmStored: Seq[(Long, Long, Long)] = Nil
+        val (tBm25Stored, _) = med {
+          bmStored = bmRows(Search.bm25LogTopKStored(
+            spark, finalIdx, "doc_id", phrase, k = 10))
+          bmStored.size.toLong
+        }
+        var bmInline: Seq[(Long, Long, Long)] = Nil
+        val (tBm25Inline, _) = med {
+          bmInline = bmRows(Search.bm25LogTopK(
+            docsDisk, "doc_id", "text", phrase, k = 10))
+          bmInline.size.toLong
+        }
+        require(bmStored == bmInline,
+          s"stored and inline BM25 rankings diverged: $bmStored vs $bmInline")
         SearchScalePoint(fac, n, postingsRows, probedRows, nMatches,
-                         tBuild, tStored, tInline)
+                         tBuild, tStored, tInline, tBm25Stored, tBm25Inline)
       } finally graft.io.Tables.rmTree(tmp.toFile)
     }
   }
@@ -1149,15 +1170,17 @@ object Probe {
       sb ++= "stored probe = PartitionFilters-pruned bucket read + anchor\n"
       sb ++= "votes; inline = the full-corpus phrase scan reading the same\n"
       sb ++= "on-disk docs parquet.\n\n"
-      sb ++= "| factor | docs | postings | probed rows | probed frac | matches | build s | stored s | inline s | stored/inline |\n"
-      sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+      sb ++= "| factor | docs | postings | probed rows | probed frac | matches | build s | phrase stored s | phrase inline s | bm25 stored s | bm25 inline s |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|---|---|\n"
       pts.foreach { p =>
-        sb ++= f"| ${p.factor}%d× | ${p.nDocs} | ${p.postingsRows} | ${p.probedRows} | ${p.probedRows.toDouble / p.postingsRows}%.3f | ${p.nMatches} | ${p.tBuild}%.2f | ${p.tStored}%.2f | ${p.tInline}%.2f | ${p.tStored / p.tInline}%.2f |%n"
+        sb ++= f"| ${p.factor}%d× | ${p.nDocs} | ${p.postingsRows} | ${p.probedRows} | ${p.probedRows.toDouble / p.postingsRows}%.3f | ${p.nMatches} | ${p.tBuild}%.2f | ${p.tStored}%.2f | ${p.tInline}%.2f | ${p.tBm25Stored}%.2f | ${p.tBm25Inline}%.2f |%n"
       }
       val a = pts.head; val z = pts.last
       sb ++= f"%n${z.nDocs.toDouble / a.nDocs}%.0f× rows → probed fraction "
       sb ++= f"${a.probedRows.toDouble / a.postingsRows}%.3f → ${z.probedRows.toDouble / z.postingsRows}%.3f (constant), "
-      sb ++= f"build ${z.tBuild / a.tBuild}%.1f× time, stored/inline ${z.tStored / z.tInline}%.2f at ${z.factor}×.%n"
+      sb ++= f"build ${z.tBuild / a.tBuild}%.1f× time, phrase stored/inline ${z.tStored / z.tInline}%.2f "
+      sb ++= f"and bm25 stored/inline ${z.tBm25Stored / z.tBm25Inline}%.2f at ${z.factor}× "
+      sb ++= f"(both serving tiers rank identically to their scans by construction — required per point).%n"
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_SCALE_SEARCH.md"), sb.toString)

@@ -50,4 +50,41 @@ class MaxSimSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((10L, 2L), (11L, 1L)), got.toString)
   }
+
+  test("signProjectionOverlapAtK: brute-force twin over the same md5 plane table") {
+    // deterministic 8-dim corpus with structure (two rough clusters),
+    // r=4 projection; the expected overlap is recomputed from first
+    // principles with the SAME sign table
+    val dims = 8; val r = 4; val k = 3
+    def vec(i: Long): Seq[Float] =
+      (0 until dims).map { d =>
+        val base = if (i % 2 == 0) d.toFloat else (dims - d).toFloat
+        (base + ((i * 31 + d * 17) % 5).toFloat / 10f) / 10f
+      }
+    val corpus = (1L to 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = Seq(1L, 2L).map(i =>
+      (i, vec(i).map(Ann.quantizeL).toSeq))
+    val got = Ann.signProjectionOverlapAtK(corpus, "vec_id", "embedding",
+                                           queries, k = k, rDims = r)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // driver twin
+    val signs = Ann.planeSigns(r, dims)
+    val iv = (1L to 24L).map(i => i -> vec(i).map(Ann.quantizeL).toSeq).toMap
+    val expect = queries.map { case (qid, qv) =>
+      val qp = signs.map(row => row.zip(qv).map { case (s, x) => s * x }.sum)
+      def topk(score: Long => Long): Seq[Long] =
+        iv.keys.toSeq.sortBy(id => (-score(id), id)).take(k)
+      val full = topk(id => iv(id).zip(qv).map { case (a, b) => a * b }.sum)
+      val proj = topk { id =>
+        val p = signs.map(row => row.zip(iv(id)).map { case (s, x) => s * x }.sum)
+        p.zip(qp).map { case (a, b) => a * b }.sum
+      }
+      (qid, full.toSet.intersect(proj.toSet).size.toLong)
+    }
+    assert(got == expect, s"got=$got expect=$expect")
+    // the projection carries signal on this fixture (not all-zero
+    // overlap); per-query zero is legitimate — under MIPS a query's
+    // own vector need not rank top even unprojected
+    assert(got.map(_._2).sum >= 1L, got.toString)
+  }
 }

@@ -121,12 +121,7 @@ class PhraseSearchSpec extends SparkSpec {
           md.digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
           16) % 32))
     }
-    // the norms sidecar is rewritten BY DESIGN on every removal (N/T
-    // must stop counting the removed docs) — only tb= buckets carry
-    // the untouched-bytes contract
-    val untouched = before.keySet
-      .filterNot(rel => touched.exists(rel.startsWith))
-      .filterNot(_.startsWith("_graft_norms"))
+    val untouched = before.keySet.filterNot(rel => touched.exists(rel.startsWith))
     assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
     untouched.foreach { rel =>
       assert(after.get(rel) == before.get(rel),
@@ -147,9 +142,8 @@ class PhraseSearchSpec extends SparkSpec {
     Search.removeFromPostings(spark, doc.toDF("doc_id", "text"),
                               "doc_id", "text", s"$dir/idx")
     // every bucket held only doc 1 → all tb= dirs are gone (the norms
-    // sidecar remains, emptied, so N/T read as zero)
-    assert(snapshot(s"$dir/idx").keySet.forall(_.startsWith("_graft_norms")),
-           "all buckets should be removed")
+    // SIBLING remains, emptied, so N/T read as zero)
+    assert(snapshot(s"$dir/idx").isEmpty, "all buckets should be removed")
     val emptyProbe = Search.phraseOccurrencesStored(spark, s"$dir/idx",
                                                     "doc_id", "table scan")
     assert(emptyProbe.count() == 0)
@@ -179,11 +173,16 @@ class PhraseSearchSpec extends SparkSpec {
     val beforeProbe = Search.phraseOccurrencesStored(spark, s"$dir/idx",
                                                      "doc_id", "table scan")
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
-    val beforeFiles = snapshot(s"$dir/idx").size
+    // compaction reports the WHOLE index: tb= buckets plus the norms
+    // sibling (which accumulates one file per append batch)
+    val beforeFiles =
+      snapshot(s"$dir/idx").size + snapshot(s"$dir/idx.norms").size
 
     val (nBefore, nAfter) = Search.compactPostings(spark, s"$dir/idx")
     assert(nBefore == beforeFiles && nAfter < nBefore,
            s"compaction must shrink file count, $nBefore -> $nAfter")
+    assert(snapshot(s"$dir/idx.norms").size == 1,
+           "norms sibling must compact to one file")
 
     val stored = Search.phraseOccurrencesStored(spark, s"$dir/idx",
                                                 "doc_id", "table scan")
