@@ -210,6 +210,56 @@ class StreamingSpec extends SparkSpec {
     query.stop()
   }
 
+  test("distinct monitor: the stream's running estimate is bit-identical to re-sketching everything seen") {
+    import graft.stream.DistinctMonitor
+    import graft.stream.DistinctMonitor.{Arrival, DistinctEstimate}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Arrival]
+    val query = DistinctMonitor.run(mem.toDS())
+      .writeStream.format("memory").queryName("distinct_est")
+      .outputMode(OutputMode.Update()).start()
+
+    val batch1 = (1 to 900).map(i => Arrival("s", s"u${i % 400}"))
+    val batch2 = (1 to 900).map(i => Arrival("s", s"u${i % 700}")) // 300 new keys
+    mem.addData(batch1: _*)
+    query.processAllAvailable()
+    mem.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val est = spark.table("distinct_est").as[DistinctEstimate].collect()
+      .filter(_.scope == "s").maxBy(_.n_seen)
+    // batch twin: one sketch over EVERYTHING the stream has seen
+    val twin = graft.text.Profile.distinctSketch(
+        (batch1 ++ batch2).map(a => (a.scope, a.key)).toDF("scope", "key"),
+        "scope", "key")
+      .select("registers_used", "est_distinct", "n_tokens")
+      .as[(Long, Long, Long)].head()
+    assert((est.registers_used, est.est_distinct, est.n_seen) == twin,
+           s"stream=$est twin=$twin")
+  }
+
+  test("distinct monitor fold: merge-order-invariant; state bounded at 256 registers (pure unit)") {
+    import graft.stream.DistinctMonitor
+    val keys = (1 to 5000).map(i => s"k${i % 1700}")
+    val oneShot = DistinctMonitor.mergeKeys(Map.empty, keys.iterator)
+    // any batching converges to the same registers
+    val batched = keys.grouped(137).foldLeft(Map.empty[Int, Long]) {
+      (st, b) => DistinctMonitor.mergeKeys(st, b.iterator)
+    }
+    val reversed = keys.reverse.grouped(911).foldLeft(Map.empty[Int, Long]) {
+      (st, b) => DistinctMonitor.mergeKeys(st, b.iterator)
+    }
+    assert(batched == oneShot && reversed == oneShot)
+    assert(oneShot.size <= 256, s"state must stay bounded: ${oneShot.size}")
+    // the fold's registers equal the engine-side register table
+    val engine = graft.text.Profile.hllRegisters(
+        keys.map(("s", _)).toDF("scope", "key"), "scope", "key")
+      .selectExpr("CAST(bucket AS INT)", "m_reg")
+      .as[(Int, Long)].collect().toMap
+    assert(oneShot == engine)
+  }
+
   test("watermarked tumbling window emits finalized windows, drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
