@@ -1387,6 +1387,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TRIANGLE CENSUS over the STORED-signature LSH graph: q171's
+    // degree-oriented algebra with edges probed from the persisted
+    // signature table (q133's posture — the corpus is never
+    // re-shingled). A different graph than q171's shingle-share edges:
+    // this one is the exact candidate set ingest dedup acts on, so a
+    // clique here is a cluster keep-one WILL collapse.
+    "q177_triangle_census_sigs" -> ((s, dir) => {
+      val edges = Dedup.candidatesFromSigs(storedSigs(s, dir))
+      graft.operators.Graph.triangleCounts(edges, "a_id", "b_id")
+        .orderBy(col("node"))
+    }),
+
     // q60 from the stored signature table — keep-one without
     // re-shingling; same oracle as q60.
     "q134_keep_one_stored" -> ((s, dir) => {
@@ -3102,7 +3114,52 @@ object Pipeline {
     * singletons self-assigned. Deliberately a DIFFERENT algorithm than
     * the Spark side's pointer-jumping loop — the two must agree.
     */
-  private def ccLabelsSql: String =
+  /** The q171 degree-oriented triangle algebra as a WITH-tail over an
+    * edge CTE holding distinct (u, v) pairs with u < v: degrees,
+    * lower-(deg,id)→higher orientation, wedge join at the smallest
+    * vertex, closing-edge check, per-node counts and per-mille
+    * coefficient. Shared by q171 (shingle-share edges) and q177
+    * (stored-signature LSH edges).
+    */
+  private def triangleTailSql(ed: String): String =
+    s"""deg AS (SELECT n, count(*) AS deg
+                FROM (SELECT u AS n FROM $ed UNION ALL SELECT v FROM $ed)
+                GROUP BY 1),
+          orient AS (
+            SELECT CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND $ed.u < $ed.v)
+                        THEN $ed.u ELSE $ed.v END AS src,
+                   CASE WHEN da.deg < db.deg
+                          OR (da.deg = db.deg AND $ed.u < $ed.v)
+                        THEN $ed.v ELSE $ed.u END AS dst,
+                   greatest(da.deg, db.deg) AS ddeg
+            FROM $ed JOIN deg da ON da.n = $ed.u JOIN deg db ON db.n = $ed.v),
+          wedges AS (
+            SELECT a.src AS x, a.dst AS y, b.dst AS z
+            FROM orient a JOIN orient b ON a.src = b.src
+            WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
+          tris AS (
+            SELECT x, y, z FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM orient t
+                          WHERE t.src = w.y AND t.dst = w.z)),
+          tcnt AS (SELECT n, count(*) AS tri
+                   FROM (SELECT x AS n FROM tris UNION ALL
+                         SELECT y FROM tris UNION ALL SELECT z FROM tris)
+                   GROUP BY 1)
+         SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS deg,
+                CAST(coalesce(tri, 0) AS BIGINT) AS tri_cnt,
+                CAST(CASE WHEN deg.deg >= 2
+                          THEN 2000 * coalesce(tri, 0)
+                               // (deg.deg * (deg.deg - 1))
+                          ELSE 0 END AS BIGINT) AS cc_pm
+         FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+         ORDER BY node"""
+
+  /** q24's LSH candidate-pair CTEs alone (sh → sigs → pairs, u < v
+    * distinct) — the edge set of the stored-signature graph, shared by
+    * the CC closure below and the q177 triangle tail.
+    */
+  private def minhashPairsSql: String =
     s"""sh AS (
           SELECT doc_id, ${shingleSql("toks")} AS s
           FROM (SELECT doc_id, $Toks AS toks FROM documents)
@@ -3116,7 +3173,10 @@ object Pipeline {
           SELECT a.doc_id AS u, b.doc_id AS v
           FROM sigs a JOIN sigs b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+
+  private def ccLabelsSql: String =
+    s"""$minhashPairsSql,
         edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
         reach(id, r) AS (
           SELECT DISTINCT u, u FROM edges
@@ -4270,9 +4330,9 @@ object Pipeline {
     // orientation, wedge join at the smallest vertex, and closing-edge
     // check; coefficient = 2000·tri // (deg·(deg−1)) truncating.
     "q171_triangle_census" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
+                   list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '') AS tk
             FROM documents),
           hs AS (
@@ -4287,38 +4347,15 @@ object Pipeline {
                  FROM hs a JOIN hs b USING (h) JOIN grp USING (h)
                  WHERE grp.df BETWEEN 2 AND 20 AND b.doc_id > a.doc_id
                  GROUP BY 1, 2 HAVING count(*) >= 3),
-          deg AS (SELECT n, count(*) AS deg
-                  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed)
-                  GROUP BY 1),
-          orient AS (
-            SELECT CASE WHEN da.deg < db.deg
-                          OR (da.deg = db.deg AND ed.u < ed.v)
-                        THEN ed.u ELSE ed.v END AS src,
-                   CASE WHEN da.deg < db.deg
-                          OR (da.deg = db.deg AND ed.u < ed.v)
-                        THEN ed.v ELSE ed.u END AS dst,
-                   greatest(da.deg, db.deg) AS ddeg
-            FROM ed JOIN deg da ON da.n = ed.u JOIN deg db ON db.n = ed.v),
-          wedges AS (
-            SELECT a.src AS x, a.dst AS y, b.dst AS z
-            FROM orient a JOIN orient b ON a.src = b.src
-            WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
-          tris AS (
-            SELECT x, y, z FROM wedges w
-            WHERE EXISTS (SELECT 1 FROM orient t
-                          WHERE t.src = w.y AND t.dst = w.z)),
-          tcnt AS (SELECT n, count(*) AS tri
-                   FROM (SELECT x AS n FROM tris UNION ALL
-                         SELECT y FROM tris UNION ALL SELECT z FROM tris)
-                   GROUP BY 1)
-         SELECT deg.n AS node, CAST(deg.deg AS BIGINT) AS deg,
-                CAST(coalesce(tri, 0) AS BIGINT) AS tri_cnt,
-                CAST(CASE WHEN deg.deg >= 2
-                          THEN 2000 * coalesce(tri, 0)
-                               // (deg.deg * (deg.deg - 1))
-                          ELSE 0 END AS BIGINT) AS cc_pm
-         FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
-         ORDER BY node""",
+          ${triangleTailSql("ed")}""",
+
+    // q177: the same triangle tail over the STORED-signature LSH
+    // candidate graph (q59's pairs CTEs) — graph analytics at the
+    // production posture: the probe side never re-shingles the corpus,
+    // and the oracle replays the signature construction from scratch.
+    "q177_triangle_census_sigs" ->
+      s"""WITH $minhashPairsSql,
+          ${triangleTailSql("pairs")}""",
 
     // the same strict-prefix cumulants and HUGEINT fixed-point gain.
     "q129_regression_stump" ->
