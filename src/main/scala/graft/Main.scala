@@ -170,6 +170,11 @@ object Main {
       val topK = rest.headOption.map(_.toInt).getOrElse(5)
       runDupReport(spark, inDir, topK).foreach(println)
       spark.stop()
+    case "exportwds" :: store :: out :: rest =>
+      val spark = session()
+      val nShards = rest.headOption.map(_.toInt).getOrElse(4)
+      runExportWds(spark, store, out, nShards).foreach(println)
+      spark.stop()
     case "watch" :: inbox :: store :: rest =>
       val spark = session()
       val provider = rest.filterNot(_.startsWith("--")).headOption
@@ -203,6 +208,7 @@ object Main {
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest|--bm25] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
+        "exportwds <store> <outDir> [nShards] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
@@ -1968,6 +1974,60 @@ object Main {
       (s"""{"zipf_n_terms":${z.getLong(0)},""" +
        s""""zipf_slope_num":${z.getLong(1)},""" +
        s""""zipf_slope_den":${z.getLong(2)}}""")
+  }
+
+  /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training
+    * export as WebDataset-style tar shards — the raw-bytes twin of
+    * [[runExport]]'s text JSONL: every kept doc contributes its
+    * ORIGINAL payload under a mime-derived extension, its converted
+    * text (when conversion succeeded) as `<key>.txt`, and a small
+    * `<key>.json` metadata member, grouped per sample inside
+    * `shard-NNNNN.tar` files a trainer streams sequentially. Shard
+    * assignment is the engine's deterministic md5 bucket, member order
+    * is (shard, doc_id), and the tar writer pins mtime — a re-export
+    * is byte-identical ([[graft.io.Wds]]).
+    */
+  def runExportWds(spark: SparkSession, storeDir: String, outDir: String,
+                   nShards: Int = 4): Seq[String] = {
+    val docs = openTable(spark, storeDir, "documents")
+      .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
+    val ext =
+      when(col("content_type") === "application/pdf", "pdf")
+        .when(col("content_type") === "image/png", "png")
+        .when(col("content_type") === "image/jpeg", "jpg")
+        .when(col("content_type") === "image/gif", "gif")
+        .when(col("content_type") === "image/bmp", "bmp")
+        .when(col("content_type") === "audio/wav", "wav")
+        .when(col("content_type") === "video/avi", "avi")
+        .when(col("content_type") === "text/markdown", "md")
+        // text/plain payload must not collide with the converted-text
+        // .txt member — the raw source travels as .raw
+        .when(col("content_type").startsWith("text/"), "raw")
+        .otherwise("bin")
+    val rows = graft.ingest.Ingest.convertDocuments(docs).select(
+      graft.dedup.Dedup.hashBucket(col("doc_id"), nShards).as("shard"),
+      col("doc_id"),
+      unbase64(col("content_b64")).as("payload"),
+      ext.as("payload_ext"),
+      col("text"),
+      to_json(struct(col("filename"), col("content_type"),
+                     col("status"))).as("meta"))
+    // per-row payload extension: Wds entry suffixes are static per
+    // column, so write the payload under each extension's own column
+    // (exactly one is non-null per row — NULL members are skipped)
+    val exts = Seq("pdf", "png", "jpg", "gif", "bmp", "wav", "avi",
+                   "md", "raw", "bin")
+    val widened = exts.foldLeft(rows) { (d, e) =>
+      d.withColumn(s"__p_$e",
+        when(col("payload_ext") === e, col("payload")))
+    }
+    val stats = graft.io.Wds.writeShards(
+      spark, widened, "shard", "doc_id",
+      exts.map(e => s"__p_$e" -> e) ++ Seq("text" -> "txt", "meta" -> "json"),
+      outDir, nShards)
+    stats.map { case (shard, n, bytes) =>
+      s"""{"shard":$shard,"n_samples":$n,"bytes":$bytes}"""
+    }
   }
 
   /** `dupreport <inDir> [topK]`: PREFLIGHT near-dup triage over a raw

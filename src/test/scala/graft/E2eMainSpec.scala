@@ -920,6 +920,55 @@ class E2eMainSpec extends SparkSpec {
            lines.mkString("\n"))
   }
 
+  test("exportwds: every kept doc ships its original bytes + converted text as webdataset tar shards") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    val out = Files.createTempDirectory("graft_wds_out").toString
+    val lines = Main.runExportWds(spark, store, out, nShards = 2)
+    assert(lines.nonEmpty, "at least one shard")
+    // read every shard back
+    val entries = new java.io.File(out).listFiles().toSeq
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .flatMap(f => graft.io.Wds.readTar(
+        java.nio.file.Files.readAllBytes(f.toPath)))
+    val byName = entries.toMap
+    val kept = spark.read.parquet(s"$store/documents.parquet")
+      .filter(!col("status").isin("failed", "duplicate"))
+      .select(col("doc_id"), col("content_type"),
+              unbase64(col("content_b64")).as("bytes"))
+      .collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val id = r.getAs[String]("doc_id")
+      val ext = r.getAs[String]("content_type") match {
+        case "application/pdf" => "pdf"
+        case "image/png" => "png"
+        case ct if ct.startsWith("text/") => "raw"
+        case _ => "bin" // docx sniffs as application/zip
+      }
+      val payload = byName.getOrElse(s"$id.$ext",
+        fail(s"missing payload member $id.$ext in ${byName.keys.toSeq.sorted}"))
+      assert(payload.sameElements(r.getAs[Array[Byte]]("bytes")),
+             s"payload bytes must be the store's original for $id")
+      assert(byName.contains(s"$id.json"), s"missing $id.json")
+    }
+    // a text doc's converted-text member matches the converter
+    val md = kept.find(_.getAs[String]("content_type") == "text/plain").get
+    val mdId = md.getAs[String]("doc_id")
+    val expectText = graft.ingest.Ingest.convertDocuments(
+        spark.read.parquet(s"$store/documents.parquet")
+          .filter(col("doc_id") === mdId))
+      .select(col("text")).collect().head.getString(0)
+    assert(new String(byName(s"$mdId.txt"), "UTF-8") == expectText)
+    // the demoted near-dup never ships
+    val demoted = spark.read.parquet(s"$store/documents.parquet")
+      .filter(col("status") === "duplicate").select("doc_id")
+      .collect().map(_.getString(0))
+    demoted.foreach { id =>
+      assert(!byName.keys.exists(_.startsWith(id)), s"demoted $id must not ship")
+    }
+  }
+
   test("search --bm25: identical answers before and after the postings index exists; the index actually serves") {
     val in = Files.createTempDirectory("graft_bm25_in").toFile
     val store = Files.createTempDirectory("graft_bm25_store").toString
