@@ -2724,6 +2724,15 @@ object Pipeline {
         .orderBy(col("query_id"))
     }),
 
+    // PMI COLLOCATIONS: the phrase-mining pass — adjacent word pairs
+    // co-occurring far beyond their parts' prediction, ranked by the
+    // exp-free integer rational 10⁶·c_xy·N div (c_x·c_y) (log is
+    // monotone — identical order, no transcendental), positional
+    // marginals, hapax guard at c_xy ≥ 5, top-20.
+    "q178_pmi_collocations" -> ((s, dir) =>
+      TextStats.pmiCollocations(t(s, dir, "documents"), "text",
+                                minCount = 5, k = 20)),
+
     // SIGN RANDOM-PROJECTION OVERLAP: q159's truncation question for
     // embeddings NOT trained matryoshka-style — a ±1 md5-derived
     // projection (Achlioptas/JL) mixes every input dimension into each
@@ -5165,6 +5174,30 @@ object Pipeline {
           SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap
           FROM qs q LEFT JOIN h USING (query_id)
           ORDER BY query_id""",
+
+    // q178: the same bigram event space (positional marginals, pair
+    // total), HUGEINT fixed-point ratio, hapax gate, (score desc, w1,
+    // w2) top-20.
+    "q178_pmi_collocations" ->
+      """WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                               t -> t <> '') AS tk
+            FROM documents),
+          pairs AS (
+            SELECT tk[i] AS w1, tk[i+1] AS w2
+            FROM (SELECT tk,
+                         unnest(generate_series(1, greatest(len(tk)-1, 0))) AS i
+                  FROM toks)),
+          cbi AS (SELECT w1, w2, count(*) AS c_xy FROM pairs
+                  GROUP BY 1, 2 HAVING count(*) >= 5),
+          cx AS (SELECT w1, count(*) AS c_x FROM pairs GROUP BY 1),
+          cy AS (SELECT w2, count(*) AS c_y FROM pairs GROUP BY 1),
+          n AS (SELECT count(*) AS N FROM pairs)
+          SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+                 CAST((1000000::HUGEINT * b.c_xy * n.N)
+                      // (c_x::HUGEINT * c_y) AS BIGINT) AS pmi_fp
+          FROM cbi b JOIN cx USING (w1) JOIN cy USING (w2), n
+          ORDER BY pmi_fp DESC, w1, w2 LIMIT 20""",
 
     // q176: the same ±1 plane table spliced as literals (the sign-LSH
     // oracle convention), corpus and query vectors projected by the

@@ -516,6 +516,54 @@ object TextStats {
         coalesce(col("fluency"), lit(0L)).as("fluency"))
   }
 
+  /** PMI COLLOCATIONS — the phrase-mining pass (Church & Hanks 1990's
+    * word-association ratio): the adjacent word pairs that co-occur
+    * far more than their parts predict name the corpus's fixed
+    * phrases — the multi-word units a tokenizer or vocab builder
+    * should learn whole. PMI = log p(x,y)/(p(x)p(y)); log is monotone,
+    * so the EXP-FREE integer rational 10⁶·c_xy·N div (c_x·c_y) ranks
+    * identically with no transcendental (the engine-wide convention).
+    * Marginals are POSITIONAL over the bigram event space (c_x = pairs
+    * with x first, c_y = pairs with y second, N = total pairs) so the
+    * three counts describe one probability space. Pairs below
+    * `minCount` are noise-gated (a hapax pair maximizes PMI trivially
+    * — the standard guard).
+    *
+    * Scale shape: one corpus tokenize into the pinned pair stream;
+    * three map-combined aggregates over it; the scored join runs on
+    * the ≥minCount bigram table (vocabulary-sized); top-k is
+    * TakeOrderedAndProject. Products in decimal(38,0): c_xy·N at
+    * 2.5·10¹⁴ corpus tokens stays exact where int64 would overflow.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+                      t => t =!= "")
+    val base = df.select(toks.as("__toks"))
+      .select(col("__toks"),
+              greatest(size(col("__toks")) - 1, lit(0)).as("__np"))
+    val pairs = base
+      .select(explode(zip_with(
+          slice(col("__toks"), lit(1), col("__np")),
+          slice(col("__toks"), lit(2), col("__np")),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .localCheckpoint(true) // four readers: bigram, both marginals, N
+    val cBi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val cX = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
+    val cY = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c_y"))
+    val n = pairs.agg(count(lit(1)).as("N"))
+    cBi.join(cX, Seq("w1")).join(cY, Seq("w2")).crossJoin(broadcast(n))
+      .withColumn("pmi_fp", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * c_xy * N) div " +
+        "(CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi_fp"))
+  }
+
   /** VOCABULARY INDUCTION + TOKENIZE-TO-IDS — the last text step
     * before tensors: a fixed vocabulary is induced from the TRAIN
     * split (terms with ≥ `minCount` occurrences, ids ranked by

@@ -80,4 +80,29 @@ class LmFluencySpec extends SparkSpec {
     assert(count(plan, "regexp_extract_all") <= 1,
            s"pair table must be materialized once:\n${plan.take(3000)}")
   }
+
+  test("pmiCollocations: hand-computed positional-marginal scores; hapax pairs gated; ties (w1, w2)") {
+    // doc1 pairs: ab ba ab ba ab bc cd; doc2 pairs: cd dc cd dx xy
+    // minCount 2 keeps ab(3) ba(2) cd(3); N=12
+    // c_x: a3 b3 c3; c_y: b3 a2 d3 -> all three score 1e6*cxy*12/(cx*cy) = 4e6
+    val docs = Seq("a b a b a b c d", "c d c d x y").toDF("text")
+    val got = TextStats.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 4000000L),
+      ("b", "a", 2L, 4000000L),
+      ("c", "d", 3L, 4000000L)), got.toString)
+  }
+
+  test("pmiCollocations: a fixed phrase outranks a frequent-but-independent pair") {
+    // "tail risk" always adjacent (PMI high); "the data" frequent but
+    // 'the' pairs with everything (PMI low)
+    val docs = (1 to 30).map(i =>
+      s"the w$i saw the data and tail risk near the w${i + 1}").toDF("text")
+    val got = TextStats.pmiCollocations(docs, "text", minCount = 5, k = 50)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val score = got.map { case (a, b, _, s) => (a, b) -> s }.toMap
+    assert(score(("tail", "risk")) > score(("the", "data")),
+           got.toString)
+  }
 }
