@@ -175,6 +175,13 @@ object Main {
       val nShards = rest.headOption.map(_.toInt).getOrElse(4)
       runExportWds(spark, store, out, nShards).foreach(println)
       spark.stop()
+    // snapshot/rollback are pure file-protocol ops — no Spark session
+    case "snapshot" :: store :: name :: Nil =>
+      val (n, bytes) = graft.io.Snapshots.create(store, name)
+      println(s"""{"snapshot":"$name","n_files":$n,"bytes":$bytes}""")
+    case "rollback" :: store :: name :: Nil =>
+      val (n, bytes) = graft.io.Snapshots.restore(store, name)
+      println(s"""{"restored":"$name","n_files":$n,"bytes":$bytes}""")
     case "watch" :: inbox :: store :: rest =>
       val spark = session()
       val provider = rest.filterNot(_.startsWith("--")).headOption
@@ -213,6 +220,7 @@ object Main {
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
+        "snapshot <store> <name> | rollback <store> <name> | " +
         "profile <store> | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +

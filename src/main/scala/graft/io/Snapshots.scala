@@ -1,0 +1,120 @@
+package graft.io
+
+import java.io.File
+import java.nio.file.Files
+
+/** STORE SNAPSHOT / ROLLBACK — poor-man's time travel for the swap-
+  * committed store: every writer in this engine lands data as NEW
+  * files and commits by directory rename (never an in-place byte
+  * edit), so a HARDLINK copy of the store's files is a consistent,
+  * immutable point-in-time snapshot at near-zero cost — later
+  * compactions and removals unlink the old inodes from the live tree,
+  * but the snapshot's links keep them alive. This is the single-
+  * filesystem analogue of a table-format snapshot (Iceberg/Delta keep
+  * a manifest of immutable files; we keep the links themselves), and
+  * the ops answer to "an ingest went wrong, put the store back".
+  *
+  * Scope and caveats (documented, not hidden): snapshots live under
+  * `store/.snapshots/<name>` on the SAME filesystem (hardlink
+  * requirement); create/restore run under the store-level writer
+  * lease, single-writer like every other maintenance op; transient
+  * `.lock` / `.tmp` / `.trash` entries are not part of a snapshot.
+  */
+object Snapshots {
+
+  private def isTransient(name: String): Boolean =
+    name == ".snapshots" || name == ".rollback_trash" ||
+      name.endsWith(".lock") || name.endsWith(".lock.guard") ||
+      name.endsWith(".tmp") || name.endsWith(".trash") ||
+      name.startsWith(".") && name.endsWith(".trash")
+
+  private def walk(f: File): Seq[File] =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    else Seq(f)
+
+  /** Hardlink-copy `src`'s tree under `dst` (dirs recreated, files
+    * linked — never copied).
+    */
+  private def linkTree(src: File, dst: File): (Long, Long) = {
+    var n = 0L; var bytes = 0L
+    walk(src).foreach { f =>
+      val rel = src.toPath.relativize(f.toPath)
+      val target = dst.toPath.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.createLink(target, f.toPath)
+      n += 1L; bytes += f.length()
+    }
+    (n, bytes)
+  }
+
+  /** Create snapshot `name`: one hardlink per data file, a manifest
+    * beside them. Returns (n_files, n_bytes). Refuses to overwrite an
+    * existing snapshot (a snapshot is immutable history).
+    */
+  def create(storeDir: String, name: String): (Long, Long) =
+    Tables.withTableLock(s"$storeDir/.store") {
+      require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+        s"snapshot name must be a plain identifier: $name")
+      val root = new File(storeDir)
+      require(root.isDirectory, s"no store at $storeDir")
+      val snap = new File(root, s".snapshots/$name")
+      require(!snap.exists(), s"snapshot $name already exists — immutable")
+      Files.createDirectories(snap.toPath)
+      var n = 0L; var bytes = 0L
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filterNot(e => isTransient(e.getName)).foreach { e =>
+          val (dn, db) =
+            if (e.isDirectory) linkTree(e, new File(snap, e.getName))
+            else {
+              Files.createLink(new File(snap, e.getName).toPath, e.toPath)
+              (1L, e.length())
+            }
+          n += dn; bytes += db
+        }
+      Files.write(new File(snap, "_graft_snapshot.json").toPath,
+        s"""{"name": "$name", "n_files": $n, "n_bytes": $bytes}"""
+          .getBytes("UTF-8"))
+      (n, bytes)
+    }
+
+  /** Restore the store to snapshot `name`: the CURRENT entries park in
+    * `.rollback_trash` first (crash between park and restore leaves
+    * both the parked state and the intact snapshot — nothing is ever
+    * the only copy), then the snapshot hardlinks back into place, then
+    * the parked state drops. Snapshots taken AFTER `name` survive a
+    * rollback (history is not rewritten, only the live tree).
+    */
+  def restore(storeDir: String, name: String): (Long, Long) =
+    Tables.withTableLock(s"$storeDir/.store") {
+      val root = new File(storeDir)
+      val snap = new File(root, s".snapshots/$name")
+      require(snap.isDirectory, s"no snapshot $name under $storeDir")
+      val trash = new File(root, ".rollback_trash")
+      Tables.rmTree(trash)
+      Files.createDirectories(trash.toPath)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filterNot(e => isTransient(e.getName)).foreach { e =>
+          require(e.renameTo(new File(trash, e.getName)),
+            s"parking $e for rollback failed")
+        }
+      var n = 0L; var bytes = 0L
+      Option(snap.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName == "_graft_snapshot.json").foreach { e =>
+          val (dn, db) =
+            if (e.isDirectory) linkTree(e, new File(root, e.getName))
+            else {
+              Files.createLink(new File(root, e.getName).toPath, e.toPath)
+              (1L, e.length())
+            }
+          n += dn; bytes += db
+        }
+      Tables.rmTree(trash)
+      (n, bytes)
+    }
+
+  /** Names of existing snapshots, sorted. */
+  def list(storeDir: String): Seq[String] =
+    Option(new File(storeDir, ".snapshots").listFiles())
+      .getOrElse(Array.empty).toSeq.filter(_.isDirectory).map(_.getName).sorted
+}

@@ -920,6 +920,49 @@ class E2eMainSpec extends SparkSpec {
            lines.mkString("\n"))
   }
 
+  test("snapshot/rollback: hardlink time travel — a bad ingest unwinds exactly; later snapshots survive") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    def state(): (Seq[(String, String)], Long, Long, Seq[String]) = (
+      spark.read.parquet(s"$store/documents.parquet")
+        .select("doc_id", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted,
+      spark.read.parquet(s"$store/chunks.parquet").count(),
+      spark.read.parquet(s"$store/embeddings.parquet").count(),
+      Main.runSearch(spark, store, "spark shuffle", "nomic", 3))
+    val stateA = state()
+    Main.main(Array("snapshot", store, "s1"))
+
+    // a second batch: one new doc plus a near-dup that DEMOTES a
+    // stored doc — the "bad ingest" to unwind
+    val in2 = Files.createTempDirectory("graft_snap_in2").toFile
+    Files.write(new java.io.File(in2, "zeta.txt").toPath,
+      "a brand new document about watermark semantics".getBytes("UTF-8"))
+    Files.write(new java.io.File(in2, "alpha_longer.txt").toPath,
+      "# Spark\nspark query engine performance tuning guide with extra trailing words"
+        .getBytes("UTF-8"))
+    Main.runIngest(spark, in2.toString, store, "nomic",
+                   java.sql.Timestamp.valueOf("2025-06-02 12:00:00"))
+    val stateB = state()
+    assert(stateB != stateA, "the second ingest must change the store")
+    Main.main(Array("snapshot", store, "s2"))
+
+    // rollback to s1: the live tree equals state A again, and fsck is
+    // clean over the restored referential structure
+    graft.io.Snapshots.restore(store, "s1")
+    assert(state() == stateA, "rollback must restore the exact pre-ingest state")
+    val (fsckLines, fsckViolations) = Main.runFsck(spark, store)
+    assert(fsckViolations == 0L, fsckLines.mkString("\n"))
+    // history is not rewritten: s2 still restores the later state
+    graft.io.Snapshots.restore(store, "s2")
+    assert(state() == stateB, "a later snapshot must survive a rollback")
+    // snapshots are immutable
+    intercept[IllegalArgumentException] {
+      graft.io.Snapshots.create(store, "s1")
+    }
+    assert(graft.io.Snapshots.list(store) == Seq("s1", "s2"))
+  }
+
   test("exportwds: every kept doc ships its original bytes + converted text as webdataset tar shards") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)
