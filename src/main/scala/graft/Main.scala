@@ -182,6 +182,12 @@ object Main {
     case "rollback" :: store :: name :: Nil =>
       val (n, bytes) = graft.io.Snapshots.restore(store, name)
       println(s"""{"restored":"$name","n_files":$n,"bytes":$bytes}""")
+    case "snapshots" :: store :: Nil =>
+      graft.io.Snapshots.list(store)
+        .foreach(n => println(s"""{"snapshot":"$n"}"""))
+    case "dropsnapshot" :: store :: name :: Nil =>
+      graft.io.Snapshots.drop(store, name)
+      println(s"""{"dropped":"$name"}""")
     case "watch" :: inbox :: store :: rest =>
       val spark = session()
       val provider = rest.filterNot(_.startsWith("--")).headOption
@@ -220,7 +226,7 @@ object Main {
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
-        "snapshot <store> <name> | rollback <store> <name> | " +
+        "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +

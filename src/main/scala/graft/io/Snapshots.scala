@@ -117,4 +117,16 @@ object Snapshots {
   def list(storeDir: String): Seq[String] =
     Option(new File(storeDir, ".snapshots").listFiles())
       .getOrElse(Array.empty).toSeq.filter(_.isDirectory).map(_.getName).sorted
+
+  /** Drop snapshot `name` — unlinks its hardlinks, so inodes shared
+    * with the live tree (or other snapshots) survive and only
+    * snapshot-exclusive bytes are reclaimed. Under the same writer
+    * lease as create/restore.
+    */
+  def drop(storeDir: String, name: String): Unit =
+    Tables.withTableLock(s"$storeDir/.store") {
+      val snap = new File(storeDir, s".snapshots/$name")
+      require(snap.isDirectory, s"no snapshot $name under $storeDir")
+      Tables.rmTree(snap)
+    }
 }

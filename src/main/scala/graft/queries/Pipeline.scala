@@ -2724,6 +2724,36 @@ object Pipeline {
         .orderBy(col("query_id"))
     }),
 
+    // DEDUP THRESHOLD SWEEP: the sensitivity report for the single
+    // most consequential curation knob — per Jaccard gate t ∈
+    // {50..90}%, how many candidate pairs and distinct docs the cut
+    // implicates, ALL tiers from ONE df-capped pair-count pass (the
+    // q166 convention: adding a gate adds a predicate, never a
+    // shingle pass). Gates as cross-multiplied integer rationals:
+    // J ≥ t/100 ⇔ 100·inter ≥ t·(na+nb−inter).
+    "q179_dedup_threshold_sweep" -> ((s, dir) => {
+      val pc = Dedup.ngramPairCounts(t(s, dir, "documents"), "doc_id",
+                                     "text", "lang", dfCap = 20)
+        .localCheckpoint(true)
+      val ths = Seq(50L, 60L, 70L, 80L, 90L)
+      val gated = pc.select(col("a_id"), col("b_id"), col("inter"),
+                            col("na"), col("nb"),
+                            explode(typedLit(ths)).as("t_pct"))
+        .filter(col("inter") * 100 >=
+                col("t_pct") * (col("na") + col("nb") - col("inter")))
+      val np = gated.groupBy(col("t_pct")).agg(count(lit(1)).as("n_pairs"))
+      val nd = gated
+        .select(col("t_pct"),
+                explode(array(col("a_id"), col("b_id"))).as("d"))
+        .groupBy(col("t_pct")).agg(countDistinct(col("d")).as("n_docs"))
+      s.range(1).select(explode(typedLit(ths)).as("t_pct"))
+        .join(np, Seq("t_pct"), "left").join(nd, Seq("t_pct"), "left")
+        .select(col("t_pct"),
+                coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+                coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("t_pct"))
+    }),
+
     // PMI COLLOCATIONS: the phrase-mining pass — adjacent word pairs
     // co-occurring far beyond their parts' prediction, ranked by the
     // exp-free integer rational 10⁶·c_xy·N div (c_x·c_y) (log is
@@ -5174,6 +5204,41 @@ object Pipeline {
           SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap
           FROM qs q LEFT JOIN h USING (query_id)
           ORDER BY query_id""",
+
+    // q179: q152's lang-blocked df-capped pair kernel, the five gates
+    // as cross-multiplied rationals over one pair table, zero-filled
+    // tiers kept.
+    "q179_dedup_threshold_sweep" ->
+      s"""WITH sh AS (
+            SELECT lang, doc_id, list_distinct(${shingleSql("toks")}) AS s
+            FROM (SELECT lang, doc_id, $Toks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          e AS (SELECT lang, doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+          capped AS (
+            SELECT lang, g FROM e GROUP BY lang, g
+            HAVING count(*) BETWEEN 2 AND 20),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   min(a.n) AS na, min(b.n) AS nb, count(*) AS inter
+            FROM e a
+            JOIN e b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+            JOIN capped c ON c.lang = a.lang AND c.g = a.g
+            GROUP BY 1, 2),
+          th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t_pct),
+          gated AS (
+            SELECT th.t_pct, p.a_id, p.b_id
+            FROM p CROSS JOIN th
+            WHERE p.inter * 100 >= th.t_pct * (p.na + p.nb - p.inter)),
+          np AS (SELECT t_pct, count(*) AS n_pairs FROM gated GROUP BY 1),
+          nd AS (SELECT t_pct, count(DISTINCT d) AS n_docs
+                 FROM (SELECT t_pct, a_id AS d FROM gated
+                       UNION ALL SELECT t_pct, b_id FROM gated)
+                 GROUP BY 1)
+          SELECT CAST(th.t_pct AS BIGINT) AS t_pct,
+                 CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                 CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+          FROM th LEFT JOIN np USING (t_pct) LEFT JOIN nd USING (t_pct)
+          ORDER BY t_pct""",
 
     // q178: the same bigram event space (positional marginals, pair
     // total), HUGEINT fixed-point ratio, hapax gate, (score desc, w1,

@@ -115,4 +115,25 @@ class DedupQualitySpec extends SparkSpec {
     assert(multi.exists { case (_, ms) => ms.map(_._4).distinct.size > 1 },
            "per-doc split should leak on this corpus — fixture too easy?")
   }
+
+  test("threshold sweep: hand-computed gate boundaries over one pair-count pass") {
+    import org.apache.spark.sql.functions._
+    // A="a b c d e f" (4 shingles), B="a b c d e g" (inter 3, union 5,
+    // J=0.6 -> passes 50/60, fails 70+); C shares only "a b c" with
+    // each (J=1/7 -> never passes)
+    val docs = Seq(
+      (1L, "en", "a b c d e f"),
+      (2L, "en", "a b c d e g"),
+      (3L, "en", "a b c x y z")).toDF("doc_id", "lang", "text")
+    val pc = Dedup.ngramPairCounts(docs, "doc_id", "text", "lang", dfCap = 20)
+    val gated = pc.select(col("a_id"), col("b_id"), col("inter"),
+                          col("na"), col("nb"),
+                          explode(typedLit(Seq(50L, 60L, 70L, 80L, 90L)))
+                            .as("t_pct"))
+      .filter(col("inter") * 100 >=
+              col("t_pct") * (col("na") + col("nb") - col("inter")))
+      .select(col("t_pct"), col("a_id"), col("b_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gated == Seq((50L, 1L, 2L), (60L, 1L, 2L)), gated.toString)
+  }
 }
