@@ -2419,6 +2419,19 @@ object Pipeline {
       Profile.cumulativeDistinct(ev, "day", "uid").orderBy(col("day"))
     }),
 
+    // ROLLING 7-DAY ACTIVE USERS: the WAU curve from register algebra
+    // — window union = per-bucket max over a CALENDAR range frame
+    // (gap days age keys out), the day×bucket grid bounded by
+    // calendar × 256, exact trailing count beside the estimate via
+    // the linear explode-forward trick.
+    "q180_rolling_active_users" -> ((s, dir) => {
+      import graft.text.Profile
+      val ev = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("user_id").cast("string").as("uid"))
+      Profile.rollingDistinct(ev, "day", "uid", windowDays = 7)
+        .orderBy(col("day"))
+    }),
+
     // RETENTION COHORTS: users grouped by first-seen day, activity
     // counted at each day offset, retention per-mille truncating —
     // the cohort table every large-scale event pipeline reports. One
@@ -6174,6 +6187,61 @@ object Pipeline {
                    AS est_cum_distinct,
                  CAST(true_cum AS BIGINT) AS true_cum_distinct
           FROM cum ORDER BY day""",
+
+    // q180: the same day-register construction, day×bucket grid, the
+    // calendar RANGE window max, harmonic sum with empty-term fill,
+    // and the explode-forward exact trailing count.
+    "q180_rolling_active_users" ->
+      s"""WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS uid
+            FROM events),
+          h AS (
+            SELECT day,
+                   CAST('0x' || substr(md5(uid), 1, 2) AS BIGINT) AS bucket,
+                   CAST('0x' || substr(md5(uid), 3, 8) AS BIGINT) AS v
+            FROM ev),
+          regs AS (
+            SELECT day, bucket,
+                   max(CASE WHEN v = 0 THEN 33
+                            ELSE 33 - length(bin(v)) END) AS m_reg
+            FROM h GROUP BY 1, 2),
+          days AS (SELECT DISTINCT day FROM ev),
+          grid AS (
+            SELECT d.day, b.bucket,
+                   CAST(d.day - DATE '1970-01-01' AS BIGINT) AS dnum
+            FROM days d CROSS JOIN
+                 (SELECT unnest(generate_series(0, 255)) AS bucket) b),
+          g2 AS (
+            SELECT grid.day, grid.bucket, grid.dnum, regs.m_reg
+            FROM grid LEFT JOIN regs
+              ON regs.day = grid.day AND regs.bucket = grid.bucket),
+          win AS (
+            SELECT day, bucket,
+                   max(m_reg) OVER (PARTITION BY bucket ORDER BY dnum
+                                    RANGE BETWEEN 6 PRECEDING
+                                              AND CURRENT ROW) AS mw
+            FROM g2),
+          agg AS (
+            SELECT day,
+                   sum(CASE WHEN mw IS NULL
+                            THEN ${graft.text.Profile.HllEmptyTerm}
+                            ELSE (${graft.text.Profile.HllEmptyTerm}
+                                  >> CAST(mw AS INT)) END) AS dnsum,
+                   sum(CASE WHEN mw IS NULL THEN 0 ELSE 1 END) AS used
+            FROM win GROUP BY 1),
+          tx AS (SELECT DISTINCT uid, day FROM ev),
+          ex AS (SELECT DISTINCT uid, day + CAST(o AS INT) AS day
+                 FROM tx, (SELECT unnest(generate_series(0, 6)) AS o) os),
+          truth AS (
+            SELECT e.day, count(*) AS true_w
+            FROM ex e JOIN days USING (day) GROUP BY 1)
+          SELECT agg.day, CAST(agg.used AS BIGINT) AS registers_used,
+                 CAST(${graft.text.Profile.HllNum} // dnsum
+                      // ${graft.text.Profile.HllDen} AS BIGINT)
+                   AS est_window_distinct,
+                 CAST(truth.true_w AS BIGINT) AS true_window_distinct
+          FROM agg JOIN truth USING (day)
+          ORDER BY day""",
 
     // q174: the same first-seen cohorting, offset in days, per-mille
     // truncating retention.

@@ -281,6 +281,57 @@ object Profile {
               col("est_cum_distinct"), col("true_cum_distinct"))
   }
 
+  /** ROLLING distinct-count curve — the WAU/MAU-style "distinct keys
+    * in the trailing `windowDays` days" for every day, from register
+    * algebra: the window union is the per-bucket max over a CALENDAR
+    * range frame (rangeBetween on the epoch day number, so a gap day
+    * ages old keys out correctly — a rows frame would silently stretch
+    * the window across gaps). Unlike the cumulative curve
+    * ([[cumulativeDistinct]]) a sliding max does not telescope, so the
+    * day×bucket GRID materializes — bounded by calendar × m=256, never
+    * by the data (a year is ~93k rows). Exact trailing-window count
+    * rides beside the estimate via the explode-forward trick: each
+    * (key, day) first-seen-in-window contributes to the next
+    * `windowDays` report days — linear, never a range self-join.
+    */
+  def rollingDistinct(toks: DataFrame, dayCol: String, tokCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val spark = toks.sparkSession
+    val regs = hllRegisters(toks, dayCol, tokCol)
+    val days = toks.select(col(dayCol)).distinct()
+    val grid = days
+      .crossJoin(broadcast(
+        spark.range(HllBuckets).select(col("id").as("bucket"))))
+      .join(regs, Seq(dayCol, "bucket"), "left")
+      .withColumn("__dn", datediff(col(dayCol), to_date(lit("1970-01-01")))
+                            .cast("long"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__dn"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val agg = grid
+      .withColumn("__mw", max(col("m_reg")).over(w))
+      .groupBy(col(dayCol))
+      .agg(sum(when(col("__mw").isNull, lit(HllEmptyTerm))
+                 .otherwise(expr(
+                   "shiftright(CAST(1073741824 AS BIGINT), CAST(__mw AS INT))")))
+             .as("__dnsum"),
+           sum(when(col("__mw").isNull, 0L).otherwise(1L))
+             .as("registers_used"))
+      .withColumn("est_window_distinct",
+                  expr(s"$HllNum div __dnsum div $HllDen"))
+    val truth = toks.select(col(tokCol).as("__k"), col(dayCol)).distinct()
+      .select(col("__k"),
+              explode(expr(s"sequence(0, ${windowDays - 1})")).as("__off"),
+              col(dayCol))
+      .select(col("__k"), date_add(col(dayCol), col("__off")).as(dayCol))
+      .distinct()
+      .join(days, Seq(dayCol), "left_semi")
+      .groupBy(col(dayCol)).agg(count(lit(1)).as("true_window_distinct"))
+    agg.join(truth, Seq(dayCol))
+      .select(col(dayCol), col("registers_used"),
+              col("est_window_distinct"), col("true_window_distinct"))
+  }
+
   // ---- frequency sketch (Count-Min, exact algebra) ----
 
   /** bucket of token t in CMS row j: first 32 bits of md5("j|t") mod w

@@ -215,6 +215,29 @@ class ProfileSpec extends SparkSpec {
                       (3, p3._1, p3._2, 1200L)), got.toString)
   }
 
+  test("rollingDistinct: each day's window equals re-sketching its union; a calendar gap ages keys out") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // days 1, 2, then a gap to day 9: the 7-day window at day 9 covers
+    // days 3..9 — only day 9's own keys remain
+    val day1 = (1 to 400).map(i => (d("2025-01-01"), s"u$i"))
+    val day2 = (200 to 600).map(i => (d("2025-01-02"), s"u$i"))
+    val day9 = (1 to 300).map(i => (d("2025-01-09"), s"w$i"))
+    val got = Profile.rollingDistinct(
+        (day1 ++ day2 ++ day9).toDF("day", "uid"), "day", "uid",
+        windowDays = 7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    def sk(rows: Seq[(java.sql.Date, String)]): (Long, Long) =
+      Profile.distinctSketch(
+          rows.map { case (_, u) => ("g", u) }.toDF("g", "uid"), "g", "uid")
+        .select("registers_used", "est_distinct").as[(Long, Long)].head()
+    val w1 = sk(day1); val w2 = sk(day1 ++ day2); val w9 = sk(day9)
+    assert(got == Seq(
+      (d("2025-01-01"), w1._1, w1._2, 400L),
+      (d("2025-01-02"), w2._1, w2._2, 600L),
+      (d("2025-01-09"), w9._1, w9._2, 300L)), got.toString)
+  }
+
   test("cmsSketch estimates match the driver twin and never under-count") {
     val tokens = (1 to 8000).map(i => s"tok${i % 700}") ++ (1 to 500).map(_ => "hot")
     val df = tokens.map(Tuple1(_)).toDF("tok")
