@@ -287,7 +287,21 @@ object Main {
     */
   def ingestBatch(spark: SparkSession, docsIn: DataFrame, storeDir: String,
                   providerName: String, now: Timestamp,
-                  streaming: Boolean = false): IngestReport = {
+                  streaming: Boolean = false): IngestReport =
+    // the ingest transaction holds the STORE-level lease end to end:
+    // per-table leases make each table's read-merge-swap atomic, but a
+    // snapshot (or another multi-table writer) interleaving BETWEEN
+    // two of this batch's table commits would capture/produce a torn
+    // cross-table state — the .store lease is the transaction boundary
+    // Snapshots.create/restore serialize against
+    Tables.withTableLock(s"$storeDir/.store") {
+      ingestBatchInner(spark, docsIn, storeDir, providerName, now, streaming)
+    }
+
+  private def ingestBatchInner(spark: SparkSession, docsIn: DataFrame,
+                               storeDir: String, providerName: String,
+                               now: Timestamp,
+                               streaming: Boolean): IngestReport = {
     import spark.implicits._
 
     // One row per doc_id: the same file delivered twice in one batch
@@ -1361,7 +1375,16 @@ object Main {
     * ingest reconcile heals it, exactly the contract fsck documents.
     * Returns per-table pruned counts; re-run `fsck` after to confirm.
     */
-  def runFsckRepair(spark: SparkSession, storeDir: String): Seq[String] = {
+  def runFsckRepair(spark: SparkSession, storeDir: String): Seq[String] =
+    // multi-table writer: same store-level transaction lease as the
+    // ingest commit (see ingestBatch) so a snapshot never captures a
+    // half-repaired cross-table state
+    Tables.withTableLock(s"$storeDir/.store") {
+      runFsckRepairInner(spark, storeDir)
+    }
+
+  private def runFsckRepairInner(spark: SparkSession,
+                                 storeDir: String): Seq[String] = {
     def swapRewrite(name: String, keep: DataFrame): Unit = {
       val f = new java.io.File(s"$storeDir/$name.parquet")
       val tmp = new java.io.File(s"$storeDir/$name.parquet.tmp")
@@ -2066,25 +2089,32 @@ object Main {
   def runDupReport(spark: SparkSession, inDir: String,
                    topK: Int = 5): Seq[String] = {
     import graft.operators.Graph
+    // pinned: conversion (real PDF/Office/image decode) is the
+    // expensive stage, and both the count and the signature build
+    // read it
     val docs = Ingest.convertDocuments(
         Ingest.toDocuments(Ingest.readBinaryDir(spark, inDir)))
       .filter(col("text").isNotNull)
+      .localCheckpoint(true)
     val nDocs = docs.count()
     val edges = graft.dedup.Dedup
       .candidatesFromSigs(graft.dedup.Dedup.minhashSignatures(
         docs, "doc_id", "text", nBands = 4))
       .localCheckpoint(true)
     val tri = Graph.triangleCounts(edges, "a_id", "b_id").localCheckpoint(true)
+    // coalesce inside the agg: a clean batch has ZERO edges, so the
+    // sums aggregate no rows and return null — the common case must
+    // print zeros, not NPE
     val agg = tri.agg(
         count(lit(1)).as("nodes"),
-        sum(col("tri_cnt")).as("tri3"),
-        sum(when(col("deg") >= 2 && col("cc_pm") === 1000, 1L)
-              .otherwise(0L)).as("clique_docs"))
+        coalesce(sum(col("tri_cnt")), lit(0L)).as("tri3"),
+        coalesce(sum(when(col("deg") >= 2 && col("cc_pm") === 1000, 1L)
+                       .otherwise(0L)), lit(0L)).as("clique_docs"))
       .head()
     val summary =
       s"""{"docs":$nDocs,"linked_docs":${agg.getLong(0)},""" +
       s""""edges":${edges.count()},""" +
-      s""""triangles":${Option(agg.get(1)).map(_.asInstanceOf[Long] / 3).getOrElse(0L)},""" +
+      s""""triangles":${agg.getLong(1) / 3},""" +
       s""""clique_docs":${agg.getLong(2)}}"""
     // rank hubs by (pr desc, deg desc, id): PageRank is uniform on
     // REGULAR components (a pair and a clique both sit at the base

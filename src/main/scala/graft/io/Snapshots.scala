@@ -16,17 +16,39 @@ import java.nio.file.Files
   *
   * Scope and caveats (documented, not hidden): snapshots live under
   * `store/.snapshots/<name>` on the SAME filesystem (hardlink
-  * requirement); create/restore run under the store-level writer
-  * lease, single-writer like every other maintenance op; transient
-  * `.lock` / `.tmp` / `.trash` entries are not part of a snapshot.
+  * requirement); transient `.lock` / `.tmp` / `.trash` entries are not
+  * part of a snapshot. Exclusion is two-level and REAL, not advisory:
+  * the `.store` lease serializes snapshot ops against the multi-table
+  * transactions that honor it (the ingest commit and fsck --repair
+  * hold it end to end), and each entry's own table lease — held across
+  * the whole walk — excludes the single-table maintenance swaps
+  * (compact, postings/vector index maintenance), so no entry is ever
+  * captured or parked mid-aside-rename. Sidecar writers must REPLACE,
+  * never truncate (VectorIndex.writeMeta's tmp+atomic-move) — an
+  * in-place write to a hardlinked inode would rewrite history.
   */
 object Snapshots {
 
   private def isTransient(name: String): Boolean =
     name == ".snapshots" || name == ".rollback_trash" ||
       name.endsWith(".lock") || name.endsWith(".lock.guard") ||
-      name.endsWith(".tmp") || name.endsWith(".trash") ||
-      name.startsWith(".") && name.endsWith(".trash")
+      name.endsWith(".tmp") || name.endsWith(".trash")
+
+  /** Every entry point validates the name — a relative-path name like
+    * ".." would otherwise resolve `.snapshots/<name>` to the store
+    * root itself, turning `dropsnapshot` into "delete the store".
+    */
+  private def checkName(name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+      s"snapshot name must be a plain identifier: $name")
+
+  /** Hold every lease in `paths` (sorted — one global order, so two
+    * multi-lock holders cannot deadlock) around `body`.
+    */
+  private def withAllLocks[A](paths: Seq[String])(body: => A): A =
+    paths.sorted.distinct
+      .foldRight(() => body)((p, acc) => () => Tables.withTableLock(p)(acc()))
+      .apply()
 
   private def walk(f: File): Seq[File] =
     if (f.isDirectory)
@@ -54,16 +76,23 @@ object Snapshots {
     */
   def create(storeDir: String, name: String): (Long, Long) =
     Tables.withTableLock(s"$storeDir/.store") {
-      require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
-        s"snapshot name must be a plain identifier: $name")
+      checkName(name)
       val root = new File(storeDir)
       require(root.isDirectory, s"no store at $storeDir")
       val snap = new File(root, s".snapshots/$name")
       require(!snap.exists(), s"snapshot $name already exists — immutable")
       Files.createDirectories(snap.toPath)
-      var n = 0L; var bytes = 0L
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filterNot(e => isTransient(e.getName)).foreach { e =>
+      // exclusion is two-level: the `.store` lease serializes against
+      // the MULTI-table writers that honor it (the ingest transaction,
+      // fsck --repair, other snapshot ops), and each entry's own table
+      // lease — held across the WHOLE walk — excludes the single-table
+      // maintenance swaps (compact, postings/vector maintenance), so
+      // no entry is captured mid-aside-rename
+      val entries = Option(root.listFiles()).getOrElse(Array.empty)
+        .filterNot(e => isTransient(e.getName)).toSeq
+      withAllLocks(entries.map(_.getPath)) {
+        var n = 0L; var bytes = 0L
+        entries.foreach { e =>
           val (dn, db) =
             if (e.isDirectory) linkTree(e, new File(snap, e.getName))
             else {
@@ -72,10 +101,11 @@ object Snapshots {
             }
           n += dn; bytes += db
         }
-      Files.write(new File(snap, "_graft_snapshot.json").toPath,
-        s"""{"name": "$name", "n_files": $n, "n_bytes": $bytes}"""
-          .getBytes("UTF-8"))
-      (n, bytes)
+        Files.write(new File(snap, "_graft_snapshot.json").toPath,
+          s"""{"name": "$name", "n_files": $n, "n_bytes": $bytes}"""
+            .getBytes("UTF-8"))
+        (n, bytes)
+      }
     }
 
   /** Restore the store to snapshot `name`: the CURRENT entries park in
@@ -87,20 +117,29 @@ object Snapshots {
     */
   def restore(storeDir: String, name: String): (Long, Long) =
     Tables.withTableLock(s"$storeDir/.store") {
+      checkName(name)
       val root = new File(storeDir)
       val snap = new File(root, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
       val trash = new File(root, ".rollback_trash")
-      Tables.rmTree(trash)
-      Files.createDirectories(trash.toPath)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filterNot(e => isTransient(e.getName)).foreach { e =>
+      val current = Option(root.listFiles()).getOrElse(Array.empty)
+        .filterNot(e => isTransient(e.getName)).toSeq
+      val restored = Option(snap.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName == "_graft_snapshot.json").toSeq
+      // hold every affected entry's lease (current AND restored names)
+      // for the whole park-and-relink — a single-table maintenance op
+      // must never find its directory parked out from under its lease
+      val leases = (current.map(_.getPath) ++
+        restored.map(e => new File(root, e.getName).getPath)).distinct
+      withAllLocks(leases) {
+        Tables.rmTree(trash)
+        Files.createDirectories(trash.toPath)
+        current.foreach { e =>
           require(e.renameTo(new File(trash, e.getName)),
             s"parking $e for rollback failed")
         }
-      var n = 0L; var bytes = 0L
-      Option(snap.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.getName == "_graft_snapshot.json").foreach { e =>
+        var n = 0L; var bytes = 0L
+        restored.foreach { e =>
           val (dn, db) =
             if (e.isDirectory) linkTree(e, new File(root, e.getName))
             else {
@@ -109,8 +148,9 @@ object Snapshots {
             }
           n += dn; bytes += db
         }
-      Tables.rmTree(trash)
-      (n, bytes)
+        Tables.rmTree(trash)
+        (n, bytes)
+      }
     }
 
   /** Names of existing snapshots, sorted. */
@@ -125,6 +165,7 @@ object Snapshots {
     */
   def drop(storeDir: String, name: String): Unit =
     Tables.withTableLock(s"$storeDir/.store") {
+      checkName(name)
       val snap = new File(storeDir, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
       Tables.rmTree(snap)

@@ -68,17 +68,23 @@ object Wds {
     */
   def readTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-    var off = 0
-    while (off + 512 <= bytes.length && bytes(off) != 0) {
-      val name = new String(bytes, off, 100, "UTF-8")
+    // Long offsets throughout: an Int accumulator wraps past 2 GiB of
+    // cumulative shard bytes and would silently truncate the member
+    // list; a single member larger than the in-memory array this
+    // reader takes fails loudly instead of mis-slicing.
+    var off = 0L
+    while (off + 512 <= bytes.length && bytes(off.toInt) != 0) {
+      val name = new String(bytes, off.toInt, 100, "UTF-8")
         .takeWhile(_ != 0.toChar)
       val size = java.lang.Long.parseLong(
-        new String(bytes, off + 124, 12, "UTF-8")
+        new String(bytes, off.toInt + 124, 12, "UTF-8")
           .takeWhile(c => c >= '0' && c <= '7'), 8)
+      require(off + 512 + size <= bytes.length,
+        s"tar member $name claims $size bytes past the archive end")
       val data = java.util.Arrays.copyOfRange(
-        bytes, off + 512, off + 512 + size.toInt)
+        bytes, off.toInt + 512, (off + 512 + size).toInt)
       out += ((name, data))
-      off += 512 + ((size.toInt + 511) / 512) * 512
+      off += 512 + ((size + 511) / 512) * 512
     }
     out.toSeq
   }

@@ -310,12 +310,7 @@ object Search {
                        StructField("dl", LongType),
                        StructField("score", LongType))))
     }
-    val buckets = qts
-      .map(t => java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
-        16) % nBuckets)
-      .distinct
+    val buckets = qts.map(termBucketOf(_, nBuckets)).distinct
     val pruned = spark.read.parquet(path)
       .filter(col("tb").isInCollection(buckets))
       .filter(col("tok").isin(qts: _*))
@@ -580,6 +575,18 @@ object Search {
     * sides (the sketch-family convention), deterministic across
     * sessions and engines.
     */
+  /** Driver-side twin of [[termBucket]] — the ONE bucket recipe every
+    * probe must share with the writer (a drifted copy prunes to
+    * partitions the terms were never written to and silently returns
+    * partial matches), so both stored probes call this instead of
+    * re-deriving it.
+    */
+  private def termBucketOf(t: String, nBuckets: Int): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16) % nBuckets
+
   private def termBucket(tok: Column, nBuckets: Int): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
 
@@ -806,12 +813,7 @@ object Search {
                        StructField("first_pos", LongType))))
     }
     val terms = phraseTerms(phrase)
-    val buckets = terms.distinct
-      .map(t => java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
-        16) % nBuckets)
-      .distinct
+    val buckets = terms.distinct.map(termBucketOf(_, nBuckets)).distinct
     val postings = spark.read.parquet(path)
       .filter(col("tb").isInCollection(buckets))
     anchorVotes(postings, idCol, terms)

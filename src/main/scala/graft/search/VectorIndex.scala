@@ -101,14 +101,25 @@ object VectorIndex {
     require(meta.dims % meta.m == 0,
       s"dims=${meta.dims} must split into m=${meta.m} subspaces")
     new java.io.File(path).mkdirs()
+    // REPLACE, never truncate: maintenance (balance/reindex/reconcile)
+    // rewrites the sidecar of a LIVE index, and an in-place truncation
+    // mutates the same inode a store snapshot hardlinked — rewriting
+    // history and pairing a rolled-back cell tree with post-split
+    // centroids. The tmp+atomic-move swaps the directory entry to a
+    // NEW inode; the snapshot's link keeps the old bytes.
+    val target = new java.io.File(path, MetaFile).toPath
+    val tmp = new java.io.File(path, s"$MetaFile.tmp").toPath
     java.nio.file.Files.write(
-      new java.io.File(path, MetaFile).toPath,
+      tmp,
       (s"""{"provider":"${meta.provider}","m":${meta.m},""" +
        s""""dims":${meta.dims},"nlist":${meta.nlist},""" +
        s""""codebookK":${meta.codebookK},"samplePct":${meta.samplePct},""" +
        s""""rounds":${meta.rounds},""" +
        s""""centroids":${fmtEntries(meta.centroids)},""" +
        s""""codebooks":${fmtEntries(meta.codebooks)}}""").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readMeta(path: String): Meta = {

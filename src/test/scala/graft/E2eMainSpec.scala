@@ -963,6 +963,53 @@ class E2eMainSpec extends SparkSpec {
     assert(graft.io.Snapshots.list(store) == Seq("s1", "s2"))
   }
 
+  test("dupreport: a clean batch (zero candidates) reports zeros instead of crashing") {
+    val in = Files.createTempDirectory("graft_dup_clean").toFile
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("a.txt", "completely unique first document with its own words")
+    put("b.txt", "another entirely different text sharing no phrasing at all")
+    val lines = Main.runDupReport(spark, in.toString)
+    assert(lines == Seq(
+      """{"docs":2,"linked_docs":0,"edges":0,"triangles":0,"clique_docs":0}"""),
+      lines.mkString("\n"))
+  }
+
+  test("snapshot names are validated everywhere: a path-traversal name cannot touch the store") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    Main.main(Array("snapshot", store, "ok"))
+    val docsBefore = spark.read.parquet(s"$store/documents.parquet").count()
+    // ".." would resolve .snapshots/.. to the store root itself
+    intercept[IllegalArgumentException] { graft.io.Snapshots.drop(store, "..") }
+    intercept[IllegalArgumentException] { graft.io.Snapshots.restore(store, "..") }
+    intercept[IllegalArgumentException] { graft.io.Snapshots.create(store, "../x") }
+    assert(spark.read.parquet(s"$store/documents.parquet").count() == docsBefore)
+    assert(graft.io.Snapshots.list(store) == Seq("ok"))
+  }
+
+  test("a snapshot's hardlinked vector-index sidecar survives a later writeMeta (replace, never truncate)") {
+    import graft.search.VectorIndex
+    val dir = Files.createTempDirectory("graft_meta_im").toString
+    val idx = s"$dir/vector.idx"
+    val meta = VectorIndex.Meta("nomic", m = 8, dims = 64, nlist = 4,
+      codebookK = 16, samplePct = 100, rounds = 2,
+      centroids = Seq((0L, Seq.fill(64)(1L))),
+      codebooks = Seq((0L, Seq.fill(8)(1L))))
+    VectorIndex.writeMeta(idx, meta)
+    val live = new java.io.File(idx, "_graft_vector_meta.json")
+    val linked = new java.io.File(dir, "snap_meta.json")
+    java.nio.file.Files.createLink(linked.toPath, live.toPath)
+    val before = java.nio.file.Files.readAllBytes(linked.toPath)
+    // maintenance rewrites the sidecar of the LIVE index
+    VectorIndex.writeMeta(idx, meta.copy(nlist = 8,
+      centroids = Seq((0L, Seq.fill(64)(1L)), (1L, Seq.fill(64)(2L)))))
+    assert(java.nio.file.Files.readAllBytes(linked.toPath)
+             .sameElements(before),
+           "the snapshot's hardlink must keep the OLD bytes")
+    assert(VectorIndex.readMeta(idx).nlist == 8, "the live sidecar must update")
+  }
+
   test("exportwds: every kept doc ships its original bytes + converted text as webdataset tar shards") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)
