@@ -564,6 +564,27 @@ object Pipeline {
     * VERBATIM by q138 (in-memory) and q141 (stored index): the serving
     * tier must be indistinguishable from the in-memory stack.
     */
+  /** The q109 phrase oracle — shared VERBATIM by q109 (inline scan)
+    * and q181 (stored postings serving): a correct phrase index is
+    * indistinguishable from the scan.
+    */
+  private lazy val PhraseSearchOracle: String =
+    """WITH c AS (
+           SELECT doc_id,
+                  ' ' || replace(trim(regexp_replace(lower(text), '\W+', ' ', 'g')),
+                                 ' ', '  ') || ' ' AS s
+           FROM documents),
+         m AS (
+           SELECT doc_id, s, strpos(s, ' table  scan ') AS q,
+                  (length(s) - length(replace(s, ' table  scan ', '')))
+                    // length(' table  scan ') AS n_occ
+           FROM c)
+         SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occurrences,
+                CAST((q - 1 - length(replace(substr(s, 1, CAST(q AS INT) - 1),
+                                             ' ', ''))) // 2 + 1 AS BIGINT)
+                  AS first_pos
+         FROM m WHERE n_occ > 0 ORDER BY doc_id"""
+
   /** The q89 BM25 log-IDF oracle — shared VERBATIM by q89 (inline
     * corpus scan) and q175 (stored postings + norms serving): a
     * correct index server is indistinguishable from the scan.
@@ -1856,6 +1877,18 @@ object Pipeline {
       Search.bm25LogTopK(t(s, dir, "documents"), "doc_id", "text",
                          "stream window", k = 10)
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // PHRASE SEARCH SERVED FROM THE STORED INDEX: q109's exact
+    // consecutive-token match answered from the persisted postings —
+    // the probe reads only the phrase terms' tb= buckets (directory
+    // pruning), the corpus text is never touched. Shares the stored
+    // index (and its build-once gating) with q175; oracle = q109's
+    // verbatim.
+    "q181_phrase_search_stored" -> ((s, dir) => {
+      Search.phraseOccurrencesStored(s, storedPostingsPath(s, dir),
+                                     "doc_id", "table scan")
+        .orderBy(col("doc_id"))
     }),
 
     // BM25 SERVED FROM THE STORED INDEX: q89's ranking answered from
@@ -4030,22 +4063,12 @@ object Pipeline {
     // the token index from the match's character offset (the doubled
     // string has exactly 2 spaces per preceding token). Equal to the
     // position-algebra count because "table scan" has no self-border.
-    "q109_phrase_search" ->
-      """WITH c AS (
-           SELECT doc_id,
-                  ' ' || replace(trim(regexp_replace(lower(text), '\W+', ' ', 'g')),
-                                 ' ', '  ') || ' ' AS s
-           FROM documents),
-         m AS (
-           SELECT doc_id, s, strpos(s, ' table  scan ') AS q,
-                  (length(s) - length(replace(s, ' table  scan ', '')))
-                    // length(' table  scan ') AS n_occ
-           FROM c)
-         SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occurrences,
-                CAST((q - 1 - length(replace(substr(s, 1, CAST(q AS INT) - 1),
-                                             ' ', ''))) // 2 + 1 AS BIGINT)
-                  AS first_pos
-         FROM m WHERE n_occ > 0 ORDER BY doc_id""",
+    "q109_phrase_search" -> PhraseSearchOracle,
+
+    // q181: phrase search served from the STORED postings index —
+    // identical by construction to the inline scan, so it shares
+    // q109's oracle VERBATIM (the q141/q175 convention).
+    "q181_phrase_search_stored" -> PhraseSearchOracle,
 
     // q83's positioned-shingle + islands algebra, self-applied: the
     // shared set is hashes carried by >= 2 DISTINCT docs (within-doc
