@@ -100,6 +100,17 @@ object Wds {
     * column value skips that entry for the row (a text-less image
     * sample simply has no .txt member). Binary columns are written
     * raw; string columns as UTF-8.
+    *
+    * Commit protocol (task-retry/speculation-safe): each attempt
+    * streams into `shard-NNNNN.tar.tmp-<taskAttemptId>` and commits by
+    * atomic rename onto the final name only after the trailer is
+    * written. A final-named shard is therefore always complete; a
+    * failed attempt deletes its tmp and leaves nothing final-named; a
+    * speculative duplicate attempt writes its OWN tmp and its rename
+    * replaces the twin's byte-identical bytes (the writer is
+    * deterministic: mtime 0, fixed order). The export job you run with
+    * speculation on at 100 TB must never corrupt a shard a reader
+    * would trust.
     */
   def writeShards(spark: SparkSession, rows: DataFrame, shardCol: String,
                   keyCol: String, entryCols: Seq[(String, String)],
@@ -110,44 +121,66 @@ object Wds {
       (keyCol +: entryCols.map(_._1)).map(col)
     val suffixes = entryCols.map(_._2)
     val dir = outDir
-    rows.select(cols: _*)
+    val shards = rows.select(cols: _*)
       .repartition(nShards, col(shardCol))
       .sortWithinPartitions(col(shardCol), col(keyCol))
       .mapPartitions { it =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         var cur: Long = -1L
         var out: java.io.FileOutputStream = null
+        var tmp: java.io.File = null
         var n = 0L; var b = 0L
-        def close(): Unit = if (out != null) {
+        // Finish the current shard: trailer, close, THEN the atomic
+        // rename that makes it visible under its final name.
+        def commit(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // tar trailer
           out.close()
-          stats += ((cur, n, b + 1024L))
           out = null
+          java.nio.file.Files.move(
+            tmp.toPath,
+            new java.io.File(dir, f"shard-$cur%05d.tar").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          tmp = null
+          stats += ((cur, n, b + 1024L))
         }
-        it.foreach { row =>
-          val shard = row.getLong(0)
-          if (shard != cur) {
-            close()
-            cur = shard; n = 0L; b = 0L
-            out = new java.io.FileOutputStream(
-              new java.io.File(dir, f"shard-$shard%05d.tar"))
-          }
-          val key = row.get(1).toString
-          suffixes.zipWithIndex.foreach { case (suffix, i) =>
-            if (!row.isNullAt(2 + i)) {
-              val bytes = row.get(2 + i) match {
-                case a: Array[Byte] => a
-                case s: String => s.getBytes("UTF-8")
-                case other => other.toString.getBytes("UTF-8")
-              }
-              writeEntry(out, s"$key.$suffix", bytes)
-              b += 512L + ((bytes.length + 511L) / 512L) * 512L
+        try {
+          it.foreach { row =>
+            val shard = row.getLong(0)
+            if (shard != cur) {
+              commit()
+              cur = shard; n = 0L; b = 0L
+              tmp = new java.io.File(dir, f"shard-$shard%05d.tar.tmp-$attempt")
+              out = new java.io.FileOutputStream(tmp)
             }
+            val key = row.get(1).toString
+            suffixes.zipWithIndex.foreach { case (suffix, i) =>
+              if (!row.isNullAt(2 + i)) {
+                val bytes = row.get(2 + i) match {
+                  case a: Array[Byte] => a
+                  case s: String => s.getBytes("UTF-8")
+                  case other => other.toString.getBytes("UTF-8")
+                }
+                writeEntry(out, s"$key.$suffix", bytes)
+                b += 512L + ((bytes.length + 511L) / 512L) * 512L
+              }
+            }
+            n += 1L
           }
-          n += 1L
+          commit()
+        } finally {
+          // Failure path only (success leaves out/tmp null): close the
+          // stream and remove the partial tmp so nothing with this
+          // attempt's name survives to be mistaken for a shard.
+          if (out != null) {
+            try out.close() catch { case _: java.io.IOException => () }
+            out = null
+          }
+          if (tmp != null) { tmp.delete(); tmp = null }
         }
-        close()
         stats.iterator
       }.collect().toSeq.sortBy(_._1)
+    shards
   }
 }

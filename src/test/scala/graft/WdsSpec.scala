@@ -88,5 +88,58 @@ class WdsSpec extends SparkSpec {
         java.nio.file.Paths.get(dir2, f"shard-$shard%05d.tar"))
       assert(a.sameElements(b), s"shard $shard must re-export byte-identical")
     }
+    // commit protocol left no attempt-tmp residue behind the finals
+    Seq(dir, dir2).foreach { d =>
+      val residue = new java.io.File(d).list().filter(_.contains(".tmp-"))
+      assert(residue.isEmpty, s"stale tmp shards in $d: ${residue.mkString(",")}")
+    }
+  }
+
+  test("writeShards commit protocol: failed attempt leaves nothing final-named; no tmp residue") {
+    // The oversized key trips header()'s require MID-SHARD, after a
+    // good row has already streamed into the attempt's tmp file — the
+    // crash shape a reader must never observe as a final-named shard.
+    val rows = Seq(
+      (0L, "aaa", "first".getBytes("UTF-8")),
+      (0L, "x" * 101, "boom".getBytes("UTF-8"))
+    ).toDF("shard", "key", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_fail").toString
+    intercept[org.apache.spark.SparkException] {
+      Wds.writeShards(spark, rows, "shard", "key",
+                      Seq("payload" -> "bin"), dir, nShards = 1)
+    }
+    val left = new java.io.File(dir).list().toSeq
+    assert(!left.exists(_.matches("shard-\\d{5}\\.tar")),
+      s"failed attempt must not publish a final-named shard: $left")
+    assert(!left.exists(_.contains(".tmp-")),
+      s"failed attempt must delete its tmp file: $left")
+  }
+
+  test("writeShards commit protocol: duplicate attempt over existing finals commits byte-identically; stale twin tmp never trusted") {
+    val rows = (1L to 12L).map(i => (i % 2, s"doc$i", s"payload $i"))
+      .toDF("shard", "key", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds_dup").toString
+    Wds.writeShards(spark, rows, "shard", "key", Seq("text" -> "txt"), dir, 2)
+    val before = (0L to 1L).map { s =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f"shard-$s%05d.tar"))
+    }
+    // plant a partial tmp from a "crashed twin attempt" — a reader and
+    // a re-export must both ignore it
+    val stale = new java.io.File(dir, "shard-00000.tar.tmp-99999")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    // a speculative duplicate is exactly a second attempt renaming its
+    // own tmp onto an already-published final — run the export again
+    // into the SAME dir and require the finals stay intact
+    Wds.writeShards(spark, rows, "shard", "key", Seq("text" -> "txt"), dir, 2)
+    (0L to 1L).foreach { s =>
+      val after = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f"shard-$s%05d.tar"))
+      assert(after.sameElements(before(s.toInt)),
+        s"shard $s corrupted by duplicate-attempt commit")
+      // still a well-formed tar with all six samples
+      assert(Wds.readTar(after).size == 6)
+    }
+    assert(stale.exists(), "planted twin tmp is inert, not adopted")
   }
 }
