@@ -166,9 +166,27 @@ object Bench {
     // exact q01..q20 match — a prefix compare would misfile q100+
     val rel = subtotal(k => k.matches("^q(0[1-9]|1[0-9]|20)_.*"))
     val ext = total - rel
+    // Two lines, headline LAST: the driver captures a bounded TAIL of
+    // stdout, and at 181 queries the full per-query map alone overruns
+    // it — r12's capture lost metric/value/calibration entirely
+    // (parsed:null; total reconstructed from subtotals). The first
+    // line carries the complete per-query map for logs/humans; the
+    // final line is a short, self-contained JSON object (headline +
+    // error summary + the r01-comparable q01–q20 map, bounded at 20
+    // entries ≈ 300 chars) that ALWAYS fits the tail window whole.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
             s""""queries":$qs,""" + errJson +
+            s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
+            s""""sf":"$sfDir"}""")
+    val relQs = results.toSeq.filter(_._1.matches("^q(0[1-9]|1[0-9]|20)_.*"))
+      .sortBy(_._1)
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+            s""""calibration_vs_r01":${r3(calibration)},""" +
+            s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+            s""""queries":$relQs,""" +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
     } finally {
