@@ -1232,19 +1232,29 @@ object Main {
     *    provider, kept docs too short to carry signatures).
     *
     * Every check is one anti-join/aggregate over a pinned snapshot of
-    * the tables (counts, never row collects); the audit never writes.
-    * Returns (one JSON line per check, violation total) — the CLI
-    * exits nonzero on violations so cron can page on it.
+    * the tables (counts, never row collects); the audit itself never
+    * writes. ONE convergence preamble runs first (the storedMerges
+    * restore-from-trash convention, store-level): a non-empty
+    * `.rollback_trash` means a snapshot restore died mid-flight and
+    * may have left the live tree empty — [[graft.io.Snapshots.recover]]
+    * rolls it forward (or parks back) under the `.store` lease before
+    * anything is audited, and the action is reported as its own check
+    * line. Returns (one JSON line per check, violation total) — the
+    * CLI exits nonzero on violations so cron can page on it.
     */
   def runFsck(spark: SparkSession, storeDir: String): (Seq[String], Long) = {
     import graft.search.VectorIndex
+    val converged = graft.io.Snapshots.recover(storeDir).map { action =>
+      s"""{"check":"interrupted_restore_converged","count":1,"violation":false,"action":"$action"}"""
+    }.toSeq
     def tbl(name: String): Option[DataFrame] = {
       val f = new java.io.File(s"$storeDir/$name.parquet")
       if (f.exists()) Some(spark.read.parquet(f.toString)) else None
     }
     val docsOpt = tbl("documents")
     if (docsOpt.isEmpty)
-      return (Seq("""{"check":"documents_table_present","count":1,"violation":true}"""), 1L)
+      return (converged :+
+        """{"check":"documents_table_present","count":1,"violation":true}""", 1L)
     // pin one snapshot per table — EVERY table the audit reads, not
     // just the big three: each feeds several checks, the audit must
     // judge a single consistent state of the store, and fsck takes no
@@ -1360,7 +1370,7 @@ object Main {
       s"""{"check":"$name","count":$n,"violation":$viol}"""
     }
     val nViol = checks.collect { case (_, n, true) => n }.sum
-    (lines :+ s"""{"violations":$nViol}""", nViol)
+    (converged ++ lines :+ s"""{"violations":$nViol}""", nViol)
   }
 
   // ------------------------------------------------------------- fsck repair

@@ -70,15 +70,94 @@ object Snapshots {
     (n, bytes)
   }
 
+  /** Marker written into `.rollback_trash` BEFORE any entry parks: it
+    * names the snapshot a restore is rolling to, so recovery after a
+    * crash knows the direction to converge (roll FORWARD — the
+    * snapshot is immutable and complete). Underscore-prefixed like the
+    * manifest: never a table name (checkName rejects leading dots and
+    * slashes, table entries never start with `_restore`).
+    */
+  private val IntentFile = "_restore_from"
+
+  /** Converge an interrupted `restore`: a non-empty `.rollback_trash`
+    * means a restore died between parking the live entries and
+    * relinking the snapshot — the live tree may be EMPTY or partial
+    * while both copies (parked + snapshot) survive. If the intent
+    * marker names a snapshot that still exists, roll FORWARD: finish
+    * the relink (dropping any partially-relinked live entries first —
+    * trash and snapshot still hold every byte) and drop the trash,
+    * exactly what the crashed restore would have done. If the intent
+    * is unreadable or the snapshot is gone (unreachable under the
+    * `.store` lease, kept as a fallback), park BACK: the pre-restore
+    * live state returns, preferring the parked copy on a name clash so
+    * the result is one consistent state, never a mix. Idempotent —
+    * re-running after any crash point converges to the same store.
+    *
+    * Returns a description of the action taken, or None if there was
+    * no interrupted restore to converge.
+    */
+  def recover(storeDir: String): Option[String] =
+    Tables.withTableLock(s"$storeDir/.store") {
+      recoverLocked(new File(storeDir))
+    }
+
+  private def recoverLocked(root: File): Option[String] = {
+    val trash = new File(root, ".rollback_trash")
+    if (!trash.isDirectory) return None
+    val marker = new File(trash, IntentFile)
+    val intent =
+      if (marker.isFile)
+        Some(new String(Files.readAllBytes(marker.toPath), "UTF-8").trim)
+      else None
+    val result = intent.filter(n => new File(root, s".snapshots/$n").isDirectory) match {
+      case Some(n) =>
+        val snap = new File(root, s".snapshots/$n")
+        val restored = Option(snap.listFiles()).getOrElse(Array.empty)
+          .filterNot(_.getName == "_graft_snapshot.json").toSeq
+        val leases = (restored.map(e => new File(root, e.getName).getPath) ++
+          Option(trash.listFiles()).getOrElse(Array.empty)
+            .filterNot(_.getName == IntentFile)
+            .map(e => new File(root, e.getName).getPath)).distinct
+        withAllLocks(leases) {
+          restored.foreach { e =>
+            val live = new File(root, e.getName)
+            // a partially-relinked entry from the crashed attempt is
+            // safe to drop: the snapshot still holds every byte
+            if (live.exists()) Tables.rmTree(live)
+            if (e.isDirectory) linkTree(e, live)
+            else Files.createLink(live.toPath, e.toPath)
+          }
+          Tables.rmTree(trash)
+        }
+        s"completed interrupted restore from snapshot $n"
+      case None =>
+        val parked = Option(trash.listFiles()).getOrElse(Array.empty)
+          .filterNot(_.getName == IntentFile).toSeq
+        withAllLocks(parked.map(e => new File(root, e.getName).getPath)) {
+          parked.foreach { e =>
+            val live = new File(root, e.getName)
+            if (live.exists()) Tables.rmTree(live)
+            require(e.renameTo(live), s"parking back $e failed")
+          }
+          Tables.rmTree(trash)
+        }
+        "parked interrupted rollback state back into the live store"
+    }
+    Some(result)
+  }
+
   /** Create snapshot `name`: one hardlink per data file, a manifest
     * beside them. Returns (n_files, n_bytes). Refuses to overwrite an
-    * existing snapshot (a snapshot is immutable history).
+    * existing snapshot (a snapshot is immutable history). Converges
+    * any interrupted restore first — snapshotting a half-relinked live
+    * tree would freeze the crash state into history.
     */
   def create(storeDir: String, name: String): (Long, Long) =
     Tables.withTableLock(s"$storeDir/.store") {
       checkName(name)
       val root = new File(storeDir)
       require(root.isDirectory, s"no store at $storeDir")
+      recoverLocked(root)
       val snap = new File(root, s".snapshots/$name")
       require(!snap.exists(), s"snapshot $name already exists — immutable")
       Files.createDirectories(snap.toPath)
@@ -119,6 +198,11 @@ object Snapshots {
     Tables.withTableLock(s"$storeDir/.store") {
       checkName(name)
       val root = new File(storeDir)
+      // converge any earlier interrupted restore BEFORE parking: the
+      // parked state under .rollback_trash may be the ONLY copy of the
+      // pre-crash live tree, and the old code's rmTree(trash) below
+      // would have destroyed it while the live tree was still partial
+      recoverLocked(root)
       val snap = new File(root, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
       val trash = new File(root, ".rollback_trash")
@@ -134,6 +218,10 @@ object Snapshots {
       withAllLocks(leases) {
         Tables.rmTree(trash)
         Files.createDirectories(trash.toPath)
+        // intent FIRST: from here on, a crash at ANY point leaves a
+        // .rollback_trash whose marker names the snapshot, so recovery
+        // (fsck preamble, or the next snapshot op) rolls forward
+        Files.write(new File(trash, IntentFile).toPath, name.getBytes("UTF-8"))
         current.foreach { e =>
           require(e.renameTo(new File(trash, e.getName)),
             s"parking $e for rollback failed")

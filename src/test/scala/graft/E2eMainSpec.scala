@@ -975,6 +975,86 @@ class E2eMainSpec extends SparkSpec {
       lines.mkString("\n"))
   }
 
+  test("interrupted snapshot restore: fsck rolls a park-without-relink crash forward; a marker-less park parks back") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    def state(): (Seq[(String, String)], Long, Seq[String]) = (
+      spark.read.parquet(s"$store/documents.parquet")
+        .select("doc_id", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted,
+      spark.read.parquet(s"$store/chunks.parquet").count(),
+      Main.runSearch(spark, store, "spark shuffle", "nomic", 3))
+    val stateA = state()
+    Main.main(Array("snapshot", store, "s1"))
+    val in2 = Files.createTempDirectory("graft_crash_in2").toFile
+    Files.write(new java.io.File(in2, "zeta.txt").toPath,
+      "a brand new document about watermark semantics".getBytes("UTF-8"))
+    Main.runIngest(spark, in2.toString, store, "nomic",
+                   java.sql.Timestamp.valueOf("2025-06-02 12:00:00"))
+    val stateB = state()
+    assert(stateB != stateA)
+
+    // manufacture the exact crash state restore(s1) leaves if killed
+    // between park and relink: intent marker written, every live entry
+    // parked, NOTHING relinked — the live tree is empty
+    def isTransient(n: String): Boolean =
+      n == ".snapshots" || n == ".rollback_trash" ||
+        n.endsWith(".lock") || n.endsWith(".lock.guard") ||
+        n.endsWith(".tmp") || n.endsWith(".trash")
+    def park(marker: Option[String]): Unit = {
+      val root = new java.io.File(store)
+      val trash = new java.io.File(root, ".rollback_trash")
+      graft.io.Tables.rmTree(trash)
+      Files.createDirectories(trash.toPath)
+      marker.foreach { m =>
+        Files.write(new java.io.File(trash, "_restore_from").toPath,
+                    m.getBytes("UTF-8"))
+      }
+      root.listFiles().filterNot(e => isTransient(e.getName)).foreach { e =>
+        assert(e.renameTo(new java.io.File(trash, e.getName)))
+      }
+    }
+    park(Some("s1"))
+    assert(!new java.io.File(store, "documents.parquet").exists(),
+      "crash state: live tree must be empty")
+    // next fsck converges: completes the restore to s1, audits clean
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(lines.head.contains("interrupted_restore_converged") &&
+           lines.head.contains("completed interrupted restore from snapshot s1"),
+      lines.mkString("\n"))
+    assert(nViol == 0L, lines.mkString("\n"))
+    assert(state() == stateA, "fsck must converge the store to snapshot s1")
+    assert(!new java.io.File(store, ".rollback_trash").exists())
+    // idempotent: a second fsck reports nothing to converge
+    val (lines2, _) = Main.runFsck(spark, store)
+    assert(!lines2.exists(_.contains("interrupted_restore_converged")))
+
+    // crash shape 2: parked state with NO intent marker (unknown
+    // direction) — recovery must park BACK, restoring the pre-crash
+    // live tree (stateA here), never leaving the store empty
+    park(None)
+    val (lines3, nViol3) = Main.runFsck(spark, store)
+    assert(lines3.head.contains("parked interrupted rollback state back"),
+      lines3.mkString("\n"))
+    assert(nViol3 == 0L && state() == stateA, lines3.mkString("\n"))
+
+    // crash shape 3: killed MID-relink — marker present, one entry
+    // already relinked, the rest still parked; snapshot ops themselves
+    // (create) converge before acting, so history never freezes a
+    // half-relinked tree
+    park(Some("s1"))
+    val snapDocs = new java.io.File(store, ".snapshots/s1/documents.parquet")
+    val live = new java.io.File(store, "documents.parquet")
+    Files.createDirectories(live.toPath)
+    snapDocs.listFiles().take(1).foreach { f =>
+      Files.createLink(new java.io.File(live, f.getName).toPath, f.toPath)
+    }
+    Main.main(Array("snapshot", store, "s3"))
+    assert(state() == stateA, "create must converge the crash state first")
+    graft.io.Snapshots.restore(store, "s3")
+    assert(state() == stateA, "s3 must hold the CONVERGED tree, not the partial one")
+  }
+
   test("snapshot names are validated everywhere: a path-traversal name cannot touch the store") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)
