@@ -206,6 +206,15 @@ object Main {
       val n = runTrainTokenizer(spark, store, rounds)
       println(s"""{"merges":$n,"rounds":$rounds}""")
       spark.stop()
+    case "train" :: store :: rest =>
+      val spark = session()
+      runTrainModel(spark, store, rest.headOption.map(_.toInt).getOrElse(2))
+        .foreach(println)
+      spark.stop()
+    case "score" :: store :: Nil =>
+      val spark = session()
+      runScoreModel(spark, store).foreach(println)
+      spark.stop()
     case "postings" :: store :: rest =>
       val spark = session()
       val n = runBuildPostings(spark, store,
@@ -232,6 +241,7 @@ object Main {
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
         "reindex <store> [--if-drift=T] | tokenizer <store> [rounds] | " +
+        "train <store> [rounds] | score <store> | " +
         "watch <inboxDir> <store> [provider] [--follow]")
       sys.exit(2)
   }
@@ -706,26 +716,115 @@ object Main {
     val merges = graft.text.TextStats.bpeTrain(
       openTable(spark, storeDir, "chunks").select(col("content")),
       "content", rounds)
+    commitArtifact(path) { tmp =>
+      merges.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    val n = spark.read.parquet(path).count()
+    appendRunlog(spark, storeDir, "tokenizer", Seq("merges" -> n))
+    n
+  }
+
+  /** tmp + aside-rename(.trash) + checked-renames commit of a small
+    * store artifact under its table lease — the tokenizer.parquet
+    * protocol, shared by every trained-artifact writer. NOT
+    * Overwrite-in-place: Overwrite deletes the live dir first, so a
+    * crash mid-write would leave a half-written artifact an exists()
+    * check would silently serve. The restore-from-trash preamble heals
+    * a writer that died between aside-rename and commit.
+    */
+  private def commitArtifact(path: String)(writeTmp: String => Unit): Unit =
     Tables.withTableLock(path) {
-      // tmp + checked-rename commit, not Overwrite-in-place: Overwrite
-      // deletes the live dir first, so a crash mid-write would leave a
-      // half-written merge table that storedMerges (an exists() check)
-      // would silently count tokens under
       val live = new java.io.File(path)
       val tmp = new java.io.File(s"$path.tmp")
       val trash = new java.io.File(s"$path.trash")
       if (!live.exists() && trash.exists())
         require(trash.renameTo(live), s"recovering $path from trash failed")
       Tables.rmTree(tmp); Tables.rmTree(trash)
-      merges.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      writeTmp(tmp.toString)
       if (live.exists())
         require(live.renameTo(trash), s"aside-rename of $path failed")
       require(tmp.renameTo(live), s"commit rename of $path failed")
       Tables.rmTree(trash)
     }
-    val n = spark.read.parquet(path).count()
-    appendRunlog(spark, storeDir, "tokenizer", Seq("merges" -> n))
-    n
+
+  /** A stored artifact frame with the same restore-from-trash preamble
+    * every artifact READER needs (storedMerges' contract): a writer
+    * that died between aside-rename and commit parked the only copy in
+    * `.trash`, and a bare exists() check would silently report "no
+    * artifact".
+    */
+  private def storedArtifact(spark: SparkSession, storeDir: String,
+                             name: String): Option[DataFrame] = {
+    val f = new java.io.File(storeDir, name)
+    val trash = new java.io.File(storeDir, s"$name.trash")
+    if (!f.exists() && trash.exists())
+      Tables.withTableLock(f.toString) {
+        if (!f.exists() && trash.exists())
+          require(trash.renameTo(f), s"recovering $name from trash failed")
+      }
+    if (!f.exists()) None else Some(spark.read.parquet(f.toString))
+  }
+
+  // ----------------------------------------------------------- train / score
+
+  /** The boost-model feature frame over the store's chunks: predict a
+    * chunk's content length from its position features
+    * (chunk_number, total_chunks) — the store's own size model, the
+    * operational twin of q131's events trace. One definition so train
+    * and score see the identical input.
+    */
+  private def modelFeatures(spark: SparkSession, storeDir: String): DataFrame =
+    openTable(spark, storeDir, "chunks").select(
+      col("chunk_number").cast("long").as("chunk_number"),
+      col("total_chunks").cast("long").as("total_chunks"),
+      length(col("content")).cast("long").as("n_chars"))
+
+  /** `train <store> [rounds]`: train the boosted-stump model over the
+    * store's chunks and persist the trace + base prediction as
+    * `model_boost.parquet` (the tokenizer.parquet convention). At
+    * 100 TB training is the corpus pass you run ONCE; `score` is the
+    * map-side pass you run per batch — this command closes the learn
+    * tier's train→persist→serve loop. Returns the trace as JSON lines.
+    */
+  def runTrainModel(spark: SparkSession, storeDir: String,
+                    rounds: Int = 2): Seq[String] = {
+    val path = s"$storeDir/model_boost.parquet"
+    val model = graft.learn.Learn.boostTrainModel(
+      modelFeatures(spark, storeDir),
+      Seq("chunk_number", "total_chunks"), "n_chars", rounds)
+    commitArtifact(path) { tmp =>
+      model.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    appendRunlog(spark, storeDir, "train", Seq("rounds" -> rounds.toLong))
+    spark.read.parquet(path).orderBy(col("round")).collect().toSeq.map { r =>
+      s"""{"round":${r.getAs[Long]("round")},"feat":"${r.getAs[String]("feat")}",""" +
+        s""""threshold":${r.getAs[Long]("threshold")},""" +
+        s""""mean_left":${r.getAs[Long]("mean_left")},""" +
+        s""""mean_right":${r.getAs[Long]("mean_right")},""" +
+        s""""sse_after":${r.getAs[Long]("sse_after")},""" +
+        s""""p0":${r.getAs[Long]("p0")}}"""
+    }
+  }
+
+  /** `score <store>`: score the store's chunks under the STORED model
+    * — inference only, never retraining (fails loudly if `train` has
+    * not run). One JSON line per feature cell (cell count is bounded
+    * by the chunking config, never corpus-sized): the fitted
+    * prediction and exact residual SSE, [[graft.learn.Learn.boostScoreCells]].
+    */
+  def runScoreModel(spark: SparkSession, storeDir: String): Seq[String] = {
+    val model = storedArtifact(spark, storeDir, "model_boost.parquet")
+      .getOrElse(sys.error(s"no model_boost.parquet under $storeDir — run `train` first"))
+    graft.learn.Learn.boostScoreCells(
+        modelFeatures(spark, storeDir),
+        Seq("chunk_number", "total_chunks"), "n_chars", model)
+      .orderBy(col("chunk_number"), col("total_chunks"))
+      .collect().toSeq.map { r =>
+        s"""{"chunk_number":${r.getAs[Long]("chunk_number")},""" +
+          s""""total_chunks":${r.getAs[Long]("total_chunks")},""" +
+          s""""n_rows":${r.getAs[Long]("n_rows")},""" +
+          s""""pred":${r.getAs[Long]("pred")},"sse":${r.getAs[Long]("sse")}}"""
+      }
   }
 
   /** The store's trained merge list in round order — None until

@@ -1,6 +1,6 @@
 package graft.learn
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed model training primitives — the pieces of the
@@ -246,18 +246,68 @@ object Learn {
                         gainScale: Long = 1000L): DataFrame = {
     val (trace, p0, clean) =
       boostCore(df, features, targetCol, rounds, gainScale)
-    val model = trace.orderBy(col("round"))
+    scoreCells(clean, features,
+               foldPred(collectModel(trace.withColumn("p0", lit(p0)))))
+  }
+
+  /** THE TRAINED MODEL AS DATA — [[boostStumps]]'s trace plus the base
+    * prediction `p0` on every row, self-contained for persistence: at
+    * 100 TB training is the expensive corpus pass you run ONCE, scoring
+    * the map-side pass you run per batch, so the artifact must carry
+    * everything inference needs (the tokenizer.parquet convention).
+    * Rounds-sized — a driver list by construction.
+    */
+  def boostTrainModel(df: DataFrame, features: Seq[String],
+                      targetCol: String, rounds: Int = 2,
+                      gainScale: Long = 1000L): DataFrame = {
+    val (trace, p0, _) = boostCore(df, features, targetCol, rounds, gainScale)
+    trace.withColumn("p0", lit(p0))
+  }
+
+  /** Score under a STORED model — the serving half of the
+    * train→persist→serve loop: `model` is a persisted
+    * [[boostTrainModel]] frame (rounds-sized; collecting it is the
+    * allowed k-row pattern), folded into ONE literal when-chain, so
+    * inference is a broadcast-free map-side pass + one feature-cell
+    * aggregation. A correct stored model is indistinguishable from
+    * inline training: output ≡ [[boostFittedValues]] bit-for-bit.
+    */
+  def boostScoreCells(df: DataFrame, features: Seq[String],
+                      targetCol: String, model: DataFrame): DataFrame = {
+    val rows = collectModel(model)
+    val clean = df.select(
+        features.map(f => col(f).cast("long").as(f)) :+
+          col(targetCol).cast("long").as("__y"): _*)
+      .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
+              col("__y").isNotNull)
+    scoreCells(clean, features, foldPred(rows))
+  }
+
+  /** (p0, per-round (feat, threshold, mean_left, mean_right)) off a
+    * model frame, round order.
+    */
+  private def collectModel(model: DataFrame)
+      : (Long, Seq[(String, Long, Long, Long)]) = {
+    val rows = model.orderBy(col("round"))
       .select(col("feat"), col("threshold"),
-              col("mean_left"), col("mean_right"))
+              col("mean_left"), col("mean_right"), col("p0"))
       .collect()
-    val pred = model.foldLeft(lit(p0)) { (acc, r) =>
-      acc + when(col(r.getString(0)) < r.getLong(1), r.getLong(2))
-              .otherwise(r.getLong(3))
+    require(rows.nonEmpty, "boost model is empty")
+    (rows.head.getLong(4),
+     rows.toSeq.map(r =>
+       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+  }
+
+  private def foldPred(m: (Long, Seq[(String, Long, Long, Long)])): Column =
+    m._2.foldLeft(lit(m._1)) { case (acc, (feat, thr, mL, mR)) =>
+      acc + when(col(feat) < thr, mL).otherwise(mR)
     }
+
+  private def scoreCells(clean: DataFrame, features: Seq[String],
+                         pred: Column): DataFrame =
     clean.withColumn("__p", pred)
       .groupBy(features.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), max(col("__p")).as("pred"),
            sum((col("__y") - col("__p")) * (col("__y") - col("__p")))
              .as("sse"))
-  }
 }

@@ -397,6 +397,41 @@ object Pipeline {
     (path, cents, books)
   }
 
+  /** q182's persisted BOOST MODEL — the stored-serving twin of q163's
+    * inline train-then-score (same build-once-per-JVM gating as the
+    * signature store): the first sample pays q131's two training
+    * rounds and persists the trace + base prediction
+    * ([[graft.learn.Learn.boostTrainModel]]); the bench median times
+    * INFERENCE under the stored artifact — the posture a production
+    * scoring pass has (train once, score per batch).
+    */
+  private def boostModelPath(sfDir: String): String =
+    s"$q36Root/${new java.io.File(sfDir).getName}/boost_model.parquet"
+  private val builtBoostModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def storedBoostModel(s: SparkSession, sfDir: String): DataFrame = {
+    val path = boostModelPath(sfDir)
+    builtBoostModels.synchronized {
+      if (!builtBoostModels.contains(path)) {
+        graft.learn.Learn.boostTrainModel(
+            boostEventFeatures(s, sfDir),
+            Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        builtBoostModels.add(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** The q131/q163/q182 feature frame — one definition so the trained
+    * and served models see the identical input.
+    */
+  private def boostEventFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      expr("user_id % 7").cast("long").as("user_mod7"),
+      hour(col("ts")).cast("long").as("hour_of_day"),
+      round(col("value") * 100).cast("long").as("cents"))
+
   /** q36 persists its quantized-embedding intermediate ONLY on the
     * verify path ([[graft.Verify]] sets this property in-JVM before
     * running queries). Bench and plan tests skip the corpus-sized
@@ -584,6 +619,17 @@ object Pipeline {
                                              ' ', ''))) // 2 + 1 AS BIGINT)
                   AS first_pos
          FROM m WHERE n_occ > 0 ORDER BY doc_id"""
+
+  /** The q39 text-match oracle — shared VERBATIM by q39 (inline
+    * corpus scan) and q183 (stored postings serving): a correct index
+    * probe is indistinguishable from the scan.
+    */
+  private lazy val TextMatchOracle: String =
+    """SELECT doc_id FROM documents
+       WHERE list_has_any(
+         list_distinct(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')),
+         ['stream', 'window'])
+       ORDER BY doc_id"""
 
   /** The q89 BM25 log-IDF oracle — shared VERBATIM by q89 (inline
     * corpus scan) and q175 (stored postings + norms serving): a
@@ -2291,12 +2337,9 @@ object Pipeline {
     // trace. Exactly the XGBoost loop at shrinkage 1 in exact integer
     // algebra; the oracle unrolls both rounds as generated CTEs.
     "q131_boost_stumps" -> ((s, dir) => {
-      val feats = t(s, dir, "events").select(
-        expr("user_id % 7").cast("long").as("user_mod7"),
-        hour(col("ts")).cast("long").as("hour_of_day"),
-        round(col("value") * 100).cast("long").as("cents"))
       graft.learn.Learn.boostStumps(
-          feats, Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+          boostEventFeatures(s, dir),
+          Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
         .orderBy(col("round"))
     }),
 
@@ -2317,13 +2360,46 @@ object Pipeline {
     // folds into one literal when-chain; scoring is a map-side pass +
     // one feature-cell aggregation.
     "q163_boost_inference" -> ((s, dir) => {
-      val feats = t(s, dir, "events").select(
-        expr("user_id % 7").cast("long").as("user_mod7"),
-        hour(col("ts")).cast("long").as("hour_of_day"),
-        round(col("value") * 100).cast("long").as("cents"))
       graft.learn.Learn.boostFittedValues(
-          feats, Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+          boostEventFeatures(s, dir),
+          Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
         .orderBy(col("user_mod7"), col("hour_of_day"))
+    }),
+
+    // BOOSTED INFERENCE FROM THE STORED MODEL: q163's twin served from
+    // the PERSISTED artifact (train once per JVM, score from the
+    // rounds-sized model frame — the q141/q175 stored-serving
+    // convention). A correct stored model is indistinguishable from
+    // inline training, so the oracle is q163's SQL verbatim.
+    "q182_boost_serve" -> ((s, dir) => {
+      graft.learn.Learn.boostScoreCells(
+          boostEventFeatures(s, dir),
+          Seq("user_mod7", "hour_of_day"), "cents",
+          storedBoostModel(s, dir))
+        .orderBy(col("user_mod7"), col("hour_of_day"))
+    }),
+
+    // TEXT MATCH FROM THE STORED POSTINGS INDEX: q39's ES-match
+    // semantics served as a pruned index probe (the q175/q181
+    // convention — the corpus text is never opened; oracle shared
+    // verbatim with q39).
+    "q183_text_match_stored" -> ((s, dir) => {
+      Search.textMatchStored(s, storedPostingsPath(s, dir), "doc_id",
+                             "stream window")
+        .orderBy(col("doc_id"))
+    }),
+
+    // METADATA SEARCH SERVED FROM THE INDEX — the reference's
+    // `GET /documents/search/metadata` shape: candidate ids off the
+    // stored postings probe, then the metadata-filtered store row
+    // fetch (semi-join — ids never widen the scan).
+    "q184_metadata_search_stored" -> ((s, dir) => {
+      val ids = Search.textMatchStored(s, storedPostingsPath(s, dir),
+                                       "doc_id", "stream window")
+      t(s, dir, "documents").filter(col("lang") === "en")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // UNICODE NFC NORMALIZATION: the canonical-composition pass every
@@ -3154,6 +3230,20 @@ object Pipeline {
         rr0 AS (SELECT e.*, p0.p AS pred, e.y - p0.p AS r FROM e, p0),
         $roundsSql"""
   }
+
+  /** The q163 boosted-inference oracle — shared VERBATIM by q163
+    * (inline train-then-score) and q182 (scoring under the STORED
+    * model): a correct persisted model is indistinguishable from
+    * inline training.
+    */
+  private lazy val BoostInferenceOracle: String =
+    s"""${boostPrefixSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
+                         gainScale = 1000L)}
+        SELECT user_mod7, hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(pred) AS BIGINT) AS pred,
+               CAST(sum(r * r) AS BIGINT) AS sse
+        FROM rr2 GROUP BY 1, 2 ORDER BY 1, 2"""
 
   private def boostOracleSql(feats: Seq[String], rounds: Int,
                              gainScale: Long): String = {
@@ -4246,14 +4336,12 @@ object Pipeline {
     // q163: the same unrolled training prefix, final per-row table
     // rr2 grouped by feature cell (pred is feature-determined, so
     // max(pred) is THE cell prediction).
-    "q163_boost_inference" ->
-      s"""${boostPrefixSql(Seq("user_mod7", "hour_of_day"), rounds = 2,
-                           gainScale = 1000L)}
-          SELECT user_mod7, hour_of_day,
-                 CAST(count(*) AS BIGINT) AS n_rows,
-                 CAST(max(pred) AS BIGINT) AS pred,
-                 CAST(sum(r * r) AS BIGINT) AS sse
-          FROM rr2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q163_boost_inference" -> BoostInferenceOracle,
+
+    // q182: inference served from the STORED model — oracle shared
+    // VERBATIM with q163 (the q141/q175 stored-serving convention: a
+    // correct persisted artifact is indistinguishable from inline).
+    "q182_boost_serve" -> BoostInferenceOracle,
 
     // the same decomposed suffix (chr() = codepoint in DuckDB:
     // 769 = U+0301 combining acute, 8491 = U+212B angstrom sign,
@@ -5882,9 +5970,19 @@ object Pipeline {
                  FROM documents))
          GROUP BY 1 ORDER BY chunk_number""",
 
-    "q39_text_match" ->
-      """SELECT doc_id FROM documents
-         WHERE list_has_any(
+    "q39_text_match" -> TextMatchOracle,
+
+    // q183: text match served from the STORED postings index — oracle
+    // shared VERBATIM with q39 (the q175/q181 stored-serving
+    // convention: a correct index probe is indistinguishable from the
+    // corpus scan).
+    "q183_text_match_stored" -> TextMatchOracle,
+
+    // q184: the metadata-search endpoint — q39's token predicate ∧ the
+    // metadata equality filter, the index-candidates + row-fetch shape.
+    "q184_metadata_search_stored" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE lang = 'en' AND list_has_any(
            list_distinct(list_filter(string_split_regex(lower(text), '\W+'), t -> t <> '')),
            ['stream', 'window'])
          ORDER BY doc_id""",

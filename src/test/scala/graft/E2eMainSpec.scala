@@ -975,6 +975,39 @@ class E2eMainSpec extends SparkSpec {
       lines.mkString("\n"))
   }
 
+  test("train/score: the boost model persists as a store artifact; score serves the stored model bit-identically") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    // score before train fails loudly — inference never silently retrains
+    intercept[RuntimeException] { Main.runScoreModel(spark, store) }
+    val trace = Main.runTrainModel(spark, store, rounds = 2)
+    assert(trace.size == 2 && trace.head.contains("\"round\":1") &&
+           trace.forall(_.contains("\"p0\":")), trace.mkString("\n"))
+    assert(new java.io.File(store, "model_boost.parquet").isDirectory)
+    val lines = Main.runScoreModel(spark, store)
+    assert(lines.nonEmpty && lines.forall(_.contains("\"pred\":")),
+      lines.mkString("\n"))
+    // stored-model serving ≡ a fresh inline train over the same store
+    val feats = spark.read.parquet(s"$store/chunks.parquet").select(
+      col("chunk_number").cast("long").as("chunk_number"),
+      col("total_chunks").cast("long").as("total_chunks"),
+      length(col("content")).cast("long").as("n_chars"))
+    val inline = graft.learn.Learn.boostFittedValues(
+        feats, Seq("chunk_number", "total_chunks"), "n_chars", rounds = 2)
+      .orderBy(col("chunk_number"), col("total_chunks"))
+      .collect().toSeq.map(r =>
+        s"""{"chunk_number":${r.getLong(0)},"total_chunks":${r.getLong(1)},""" +
+          s""""n_rows":${r.getLong(2)},"pred":${r.getLong(3)},"sse":${r.getLong(4)}}""")
+    assert(lines == inline, s"stored ≡ inline:\n$lines\nvs\n$inline")
+    // artifact-writer crash between aside-rename and commit: the only
+    // model copy sits in .trash — the reader preamble restores it
+    val live = new java.io.File(store, "model_boost.parquet")
+    val trash = new java.io.File(store, "model_boost.parquet.trash")
+    assert(live.renameTo(trash))
+    assert(Main.runScoreModel(spark, store) == lines)
+    assert(live.exists() && !trash.exists())
+  }
+
   test("interrupted snapshot restore: fsck rolls a park-without-relink crash forward; a marker-less park parks back") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)

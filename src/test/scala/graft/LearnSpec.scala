@@ -196,6 +196,32 @@ class LearnSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 10L, 0L), (100L, 2L, 30L, 0L)), got.toString)
   }
 
+  test("stored model ≡ inline: persist boostTrainModel, score under the read-back frame") {
+    val rows = (1L to 200L)
+      .map(i => (i % 5, i % 3, (i % 5) * 100 + (i % 3) * 10 + (i % 2)))
+      .toDF("a", "b", "y")
+    val inline = Learn.boostFittedValues(rows, Seq("a", "b"), "y", rounds = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_boost_model")
+    val path = s"$dir/model_boost.parquet"
+    Learn.boostTrainModel(rows, Seq("a", "b"), "y", rounds = 2)
+      .write.parquet(path)
+    // a fresh read-back frame — the serving path never sees the trainer
+    val stored = Learn.boostScoreCells(rows, Seq("a", "b"), "y",
+                                       spark.read.parquet(path))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(stored == inline,
+      s"stored-model scoring must be bit-identical to inline:\n$stored\nvs\n$inline")
+    // the artifact is self-contained: rounds rows, constant p0, trace cols
+    val m = spark.read.parquet(path)
+    assert(m.count() == 2L)
+    assert(m.select("p0").distinct().count() == 1L)
+    // an empty model fails loudly, never scores as a zero-model
+    intercept[IllegalArgumentException] {
+      Learn.boostScoreCells(rows, Seq("a", "b"), "y", m.limit(0))
+    }
+  }
+
   test("plan: one corpus pass, histogram-sized windows, no cartesian/UDF") {
     val df = (1L to 100L).map(i => (i % 13, i % 7, if (i % 2 == 0) 1L else -1L))
       .toDF("a", "b", "y")
