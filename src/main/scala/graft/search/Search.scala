@@ -819,6 +819,36 @@ object Search {
     anchorVotes(postings, idCol, terms)
   }
 
+  /** Q3 served from the STORED postings index — [[textMatch]]'s ES
+    * `match` semantics (any query token present) as an index probe:
+    * the scan prunes to the ≤ ¦distinct terms¦ `tb=` buckets the query
+    * terms hash to (directory-level PartitionFilters), filters to the
+    * terms themselves, and distincts the ids — term-posting-sized work,
+    * the corpus text is never opened. The metadata-search endpoint's
+    * candidate step (`README.md:127` declares
+    * `GET /documents/search/metadata`): ids come off the index, the
+    * store row fetch follows. Identical ids to the inline scan by
+    * construction (oracle shared verbatim with q39).
+    */
+  def textMatchStored(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String,
+                      query: String): DataFrame = {
+    val nBuckets = postingsNBuckets(path)
+    val terms = queryTokens(query).distinct
+    if (postingsIsEmpty(path) || terms.isEmpty) {
+      import org.apache.spark.sql.types._
+      val idType = postingsIdType(path).getOrElse(StringType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, idType))))
+    }
+    val buckets = terms.map(termBucketOf(_, nBuckets)).distinct
+    spark.read.parquet(path)
+      .filter(col("tb").isInCollection(buckets) &&
+              col("tok").isInCollection(terms))
+      .select(col(idCol)).distinct()
+  }
+
   /** Q4 — deterministic search-cache key:
     * sha256(embedding|provider|filters|k) (`services/search_cache.py:18-33`).
     */

@@ -65,6 +65,32 @@ class PhraseSearchSpec extends SparkSpec {
            s"term buckets must prune as partitions: $plan")
   }
 
+  test("textMatchStored: ids equal the inline match; the scan prunes to term buckets; empty probes are typed") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) s"alpha table beta w$i" else s"gamma scan delta w$i"))
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_tm").toString
+    Search.writePostings(df, "doc_id", "text", s"$dir/idx", nBuckets = 16)
+    val stored = Search.textMatchStored(spark, s"$dir/idx", "doc_id",
+                                        "table scan")
+    val inline = Search.textMatch(df, "text", "table scan").select("doc_id")
+    assert(stored.orderBy("doc_id").as[Long].collect().toSeq ==
+           inline.orderBy("doc_id").as[Long].collect().toSeq)
+    assert(stored.count() == 40L, "every doc matches one of the two terms")
+    // the probe must prune at the DIRECTORY level: tb in PartitionFilters
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[.*tb.*\\].*"),
+           s"term buckets must prune as partitions: $plan")
+    // a token absent from the corpus matches nothing; a tokenless
+    // query returns the typed empty frame, not a crash
+    assert(Search.textMatchStored(spark, s"$dir/idx", "doc_id",
+                                  "zzznope").count() == 0L)
+    val empty = Search.textMatchStored(spark, s"$dir/idx", "doc_id", "...")
+    assert(empty.count() == 0L &&
+           empty.schema.head.dataType.sql.toLowerCase == "bigint")
+  }
+
   test("appendPostings: incremental docs probe identically to a full rebuild") {
     val first = (1L to 20L).map(i => (i, s"alpha table scan beta w$i"))
     val later = (21L to 30L).map(i => (i, s"gamma table scan delta w$i"))
