@@ -658,9 +658,12 @@ object Main {
     // any point leaves a complete old or new snapshot on disk, and the
     // recovery above knows which one to trust. Renames are CHECKED: a
     // silently failed swap would drop the new snapshot on the floor.
+    graft.io.Faults.point("writeTable.after-tmp")
     if (path.exists())
       require(path.renameTo(trash), s"aside-rename of live $name failed")
+    graft.io.Faults.point("writeTable.after-aside")
     require(tmp.renameTo(path), s"commit rename of $name failed")
+    graft.io.Faults.point("writeTable.after-commit")
     rmTree(trash)
     }
   }
@@ -741,9 +744,12 @@ object Main {
         require(trash.renameTo(live), s"recovering $path from trash failed")
       Tables.rmTree(tmp); Tables.rmTree(trash)
       writeTmp(tmp.toString)
+      graft.io.Faults.point("commitArtifact.after-tmp")
       if (live.exists())
         require(live.renameTo(trash), s"aside-rename of $path failed")
+      graft.io.Faults.point("commitArtifact.after-aside")
       require(tmp.renameTo(live), s"commit rename of $path failed")
+      graft.io.Faults.point("commitArtifact.after-commit")
       Tables.rmTree(trash)
     }
 
@@ -1345,7 +1351,28 @@ object Main {
     import graft.search.VectorIndex
     val converged = graft.io.Snapshots.recover(storeDir).map { action =>
       s"""{"check":"interrupted_restore_converged","count":1,"violation":false,"action":"$action"}"""
-    }.toSeq
+    }.toSeq ++ {
+      // table-level twin of the writer preamble: a writeTable that died
+      // between aside-rename and commit parked the only complete copy
+      // in <table>.parquet.trash — the next WRITE would heal it, but an
+      // audit (or any read) arriving first must not report a
+      // missing-table violation over a recoverable crash state
+      Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet.trash")).sortBy(_.getName)
+        .flatMap { trash =>
+          val live = new java.io.File(
+            storeDir, trash.getName.stripSuffix(".trash"))
+          if (live.exists()) None
+          else Tables.withTableLock(live.toString) {
+            if (!live.exists() && trash.exists()) {
+              require(trash.renameTo(live),
+                s"restoring ${live.getName} from trash failed")
+              Some(s"""{"check":"table_restored_from_trash","count":1,""" +
+                s""""violation":false,"table":"${live.getName}"}""")
+            } else None
+          }
+        }.toSeq
+    }
     def tbl(name: String): Option[DataFrame] = {
       val f = new java.io.File(s"$storeDir/$name.parquet")
       if (f.exists()) Some(spark.read.parquet(f.toString)) else None
@@ -1508,8 +1535,11 @@ object Main {
       // table goes ASIDE (.trash) before the new snapshot lands, so a
       // crash at any point leaves a complete snapshot that writeTable's
       // recovery preamble knows how to restore
+      graft.io.Faults.point("fsckRepair.after-tmp")
       require(f.renameTo(trash), s"fsck-repair aside-rename of $name failed")
+      graft.io.Faults.point("fsckRepair.after-aside")
       require(tmp.renameTo(f), s"fsck-repair swap of $name failed")
+      graft.io.Faults.point("fsckRepair.after-commit")
       Tables.rmTree(trash)
     }
     def tblFile(name: String) = new java.io.File(s"$storeDir/$name.parquet")

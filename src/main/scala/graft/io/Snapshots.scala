@@ -79,6 +79,12 @@ object Snapshots {
     */
   private val IntentFile = "_restore_from"
 
+  /** The snapshot's commit marker — written LAST by `create`, required
+    * by `restore`/`list`: a snapshot directory without it is a crashed
+    * create, never history.
+    */
+  private val ManifestFile = "_graft_snapshot.json"
+
   /** Converge an interrupted `restore`: a non-empty `.rollback_trash`
     * means a restore died between parking the live entries and
     * relinking the snapshot — the live tree may be EMPTY or partial
@@ -113,7 +119,7 @@ object Snapshots {
       case Some(n) =>
         val snap = new File(root, s".snapshots/$n")
         val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-          .filterNot(_.getName == "_graft_snapshot.json").toSeq
+          .filterNot(_.getName == ManifestFile).toSeq
         val leases = (restored.map(e => new File(root, e.getName).getPath) ++
           Option(trash.listFiles()).getOrElse(Array.empty)
             .filterNot(_.getName == IntentFile)
@@ -159,6 +165,12 @@ object Snapshots {
       require(root.isDirectory, s"no store at $storeDir")
       recoverLocked(root)
       val snap = new File(root, s".snapshots/$name")
+      // the manifest is the snapshot's COMMIT MARKER (written last): a
+      // dir without one is a crashed create — incomplete, not history.
+      // Immutability protects completed snapshots only; a crashed
+      // create retries clean instead of wedging the name forever.
+      if (snap.exists() && !new File(snap, ManifestFile).exists())
+        Tables.rmTree(snap)
       require(!snap.exists(), s"snapshot $name already exists — immutable")
       Files.createDirectories(snap.toPath)
       // exclusion is two-level: the `.store` lease serializes against
@@ -180,7 +192,8 @@ object Snapshots {
             }
           n += dn; bytes += db
         }
-        Files.write(new File(snap, "_graft_snapshot.json").toPath,
+        Faults.point("snapshot.create.after-links")
+        Files.write(new File(snap, ManifestFile).toPath,
           s"""{"name": "$name", "n_files": $n, "n_bytes": $bytes}"""
             .getBytes("UTF-8"))
         (n, bytes)
@@ -205,11 +218,13 @@ object Snapshots {
       recoverLocked(root)
       val snap = new File(root, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
+      require(new File(snap, ManifestFile).exists(),
+        s"snapshot $name has no manifest — a crashed create, not history")
       val trash = new File(root, ".rollback_trash")
       val current = Option(root.listFiles()).getOrElse(Array.empty)
         .filterNot(e => isTransient(e.getName)).toSeq
       val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.getName == "_graft_snapshot.json").toSeq
+        .filterNot(_.getName == ManifestFile).toSeq
       // hold every affected entry's lease (current AND restored names)
       // for the whole park-and-relink — a single-table maintenance op
       // must never find its directory parked out from under its lease
@@ -222,10 +237,12 @@ object Snapshots {
         // .rollback_trash whose marker names the snapshot, so recovery
         // (fsck preamble, or the next snapshot op) rolls forward
         Files.write(new File(trash, IntentFile).toPath, name.getBytes("UTF-8"))
+        Faults.point("snapshot.restore.after-intent")
         current.foreach { e =>
           require(e.renameTo(new File(trash, e.getName)),
             s"parking $e for rollback failed")
         }
+        Faults.point("snapshot.restore.after-park")
         var n = 0L; var bytes = 0L
         restored.foreach { e =>
           val (dn, db) =
@@ -235,16 +252,22 @@ object Snapshots {
               (1L, e.length())
             }
           n += dn; bytes += db
+          Faults.point("snapshot.restore.mid-relink")
         }
+        Faults.point("snapshot.restore.after-relink")
         Tables.rmTree(trash)
         (n, bytes)
       }
     }
 
-  /** Names of existing snapshots, sorted. */
+  /** Names of COMPLETED snapshots (manifest present), sorted — a
+    * crashed create's partial dir is not history and never lists.
+    */
   def list(storeDir: String): Seq[String] =
     Option(new File(storeDir, ".snapshots").listFiles())
-      .getOrElse(Array.empty).toSeq.filter(_.isDirectory).map(_.getName).sorted
+      .getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && new File(d, ManifestFile).exists())
+      .map(_.getName).sorted
 
   /** Drop snapshot `name` — unlinks its hardlinks, so inodes shared
     * with the live tree (or other snapshots) survive and only

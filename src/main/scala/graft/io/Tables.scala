@@ -367,6 +367,7 @@ object Tables {
   def replacePartitions(spark: SparkSession, path: String, partCol: String,
                         values: Seq[Long], replacement: DataFrame): Unit = {
     if (values.isEmpty) return
+    recoverPartitionTrash(path, partCol)
     val tmp = new java.io.File(s"$path.tmp")
     rmTree(tmp)
     replacement.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
@@ -376,11 +377,40 @@ object Tables {
       val trash = new java.io.File(s"$path/.$partCol=$v.trash")
       rmTree(trash)
       if (live.exists) require(live.renameTo(trash), s"aside-rename of $live failed")
+      Faults.point("replacePartitions.after-aside")
       if (fresh.exists) require(fresh.renameTo(live), s"commit rename into $live failed")
+      Faults.point("replacePartitions.after-commit")
       rmTree(trash)
     }
     rmTree(tmp)
   }
+
+  /** Converge crashed per-partition swaps before the next maintenance
+    * pass touches the layout: a swap that died between aside-rename
+    * and commit left the only complete copy of a partition parked in
+    * its dot-prefixed `.trash` aside (live dir absent) — rename it
+    * back; a swap that died after its commit left a STALE aside next
+    * to the fresh live dir — drop it. Either way the layout is whole
+    * again and the re-run starts from a consistent tree (the
+    * partition-level twin of writeTable's restore-from-trash
+    * preamble). PUBLIC because every maintenance op must run it
+    * BEFORE reading the layout it will transform: `spark.read` lists
+    * files at analysis time, so a parked partition recovered only
+    * inside [[replacePartitions]] would be invisible to the
+    * replacement frame — its rows absent, the partition then deleted
+    * as "emptied" at the swap.
+    */
+  def recoverPartitionTrash(path: String, partCol: String): Unit =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s".$partCol=") &&
+                   d.getName.endsWith(".trash"))
+      .foreach { trash =>
+        val live = new java.io.File(
+          path, trash.getName.stripPrefix(".").stripSuffix(".trash"))
+        if (!live.exists())
+          require(trash.renameTo(live), s"recovering $live from $trash failed")
+        else rmTree(trash)
+      }
 
   /** Per-partition small-file compaction for a `partCol`-partitioned
     * layout — the shared engine behind the IVF cell and postings
@@ -392,6 +422,7 @@ object Tables {
     */
   def compactPartitions(spark: SparkSession, path: String, partCol: String,
                         targetBytes: Long = 128L << 20): (Int, Int) = {
+    recoverPartitionTrash(path, partCol)
     val partDirs = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty).toSeq
       .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
@@ -408,6 +439,7 @@ object Tables {
         spark.read.parquet(d.toString).repartition(nShards)
           .write.mode("overwrite").parquet(tmp.toString)
         require(d.renameTo(trash), s"aside-rename of $d failed")
+        Faults.point("compactPartitions.after-aside")
         require(tmp.renameTo(d), s"commit rename of $d failed")
         rmTree(trash)
         val after = Option(d.listFiles()).getOrElse(Array.empty)
@@ -450,6 +482,7 @@ object Tables {
     if (format == "parquet") w.parquet(tmp.toString)
     else w.option("compression", codec).json(tmp.toString)
     require(dir.renameTo(trash), s"aside-rename of $path failed")
+    Faults.point("compact.after-aside")
     require(tmp.renameTo(dir), s"commit rename of $path failed")
     rmTree(trash)
     (before.size, dataFiles(dir).size)

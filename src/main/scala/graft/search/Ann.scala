@@ -838,6 +838,10 @@ object Ann {
     val cells = removals.select(col("cell").cast("long")).distinct()
       .as[Long].collect().sorted
     if (cells.isEmpty) return
+    // converge any crashed earlier swap before listing the layout
+    // (Tables.recoverPartitionTrash doc: a parked cell would be
+    // missing from `kept` and deleted as "emptied" at the swap)
+    graft.io.Tables.recoverPartitionTrash(path, "cell")
     val affected = spark.read.parquet(path)
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isInCollection(cells))
@@ -889,6 +893,7 @@ object Ann {
       throw new UnsplittableCellException(s"unknown cell $cell")
     // pin: training + re-assignment read the members repeatedly, and
     // the swap must never re-read the live directory it is replacing
+    graft.io.Tables.recoverPartitionTrash(path, "cell")
     val members = spark.read.parquet(path)
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell") === cell)

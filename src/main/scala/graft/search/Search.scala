@@ -737,6 +737,10 @@ object Search {
                          path: String): Unit = {
     import spark.implicits._
     val nBuckets = postingsNBuckets(path)
+    // converge any crashed earlier swap BEFORE the reads below list
+    // the layout — a bucket parked in its .trash aside would otherwise
+    // be missing from `kept` and deleted as "emptied" at the swap
+    graft.io.Tables.recoverPartitionTrash(path, "tb")
     // the norms sidecar drops the removed ids even when the removal
     // has no postings to prune (a zero-token doc still has a norms
     // row, and N/T must stop counting a taken-down doc)

@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Faults
+import graft.search.Search
+
+/** SYSTEMATIC CRASH-INJECTION SWEEP over the swap-commit machinery:
+  * every multi-step commit protocol declares a [[graft.io.Faults]]
+  * point between each pair of steps; this suite arms each point in
+  * turn, runs the operation until it dies exactly there, then asserts
+  * the DOCUMENTED recovery (fsck preambles, reader preambles, re-run
+  * idempotence) converges the store to the state a never-crashed twin
+  * reaches. The invariant under test is global: no crash window in
+  * the table swap, artifact commit, repair swap, partition
+  * maintenance, or snapshot create/restore leaves a state the engine
+  * cannot heal.
+  */
+class CrashSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+  private val later = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+
+  private def mkInputs(docs: (String, String)*): String = {
+    val in = Files.createTempDirectory("graft_sweep_in").toFile
+    docs.foreach { case (name, text) =>
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    }
+    in.toString
+  }
+
+  private val batch1 = Seq(
+    "a.txt" -> "spark query engine performance tuning guide",
+    "b.txt" -> "watermark lateness checkpoint recovery streaming")
+  private val batch2 = Seq(
+    "c.txt" -> "distributed shuffle partitioning strategies at scale",
+    "d.txt" -> "vector index probes and cell balancing notes")
+
+  /** Deterministic full-store state: doc statuses, chunk ids,
+    * embedding count, a search answer — everything ingest commits.
+    */
+  private def state(store: String): (Seq[(String, String)], Seq[String], Long, Seq[String]) = (
+    spark.read.parquet(s"$store/documents.parquet")
+      .select("doc_id", "status").as[(String, String)].collect().toSeq.sorted,
+    spark.read.parquet(s"$store/chunks.parquet")
+      .select("chunk_id").as[String].collect().toSeq.sorted,
+    spark.read.parquet(s"$store/embeddings.parquet").count(),
+    Main.runSearch(spark, store, "spark shuffle", "nomic", 3))
+
+  override def afterAll(): Unit = { Faults.reset(); super.afterAll() }
+
+  test("writeTable: a crash at every commit step converges via fsck preamble + re-ingest") {
+    val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
+    val control = Files.createTempDirectory("graft_sweep_ctl").toString
+    Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runIngest(spark, in2, control, "nomic", later)
+    val want = state(control)
+    for (pt <- Seq("writeTable.after-tmp", "writeTable.after-aside",
+                   "writeTable.after-commit")) {
+      val store = Files.createTempDirectory(s"graft_sweep_wt").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      Faults.arm(pt)
+      val e = intercept[Faults.InjectedCrash] {
+        Main.runIngest(spark, in2, store, "nomic", later)
+      }
+      assert(e.point == pt)
+      Faults.reset()
+      // documented recovery: fsck converges any table parked in trash,
+      // then the batch re-runs (upsert — idempotent)
+      val (pre, _) = Main.runFsck(spark, store)
+      Main.runIngest(spark, in2, store, "nomic", later)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      assert(state(store) == want, s"$pt diverged from the never-crashed twin\n${pre.mkString("\n")}")
+    }
+  }
+
+  test("commitArtifact: a crash at every step converges via re-train; readers restore from trash") {
+    val in1 = mkInputs(batch1: _*)
+    val control = Files.createTempDirectory("graft_sweep_actl").toString
+    Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runTrainModel(spark, control, rounds = 2)
+    val want = Main.runScoreModel(spark, control)
+    for (pt <- Seq("commitArtifact.after-tmp", "commitArtifact.after-aside",
+                   "commitArtifact.after-commit")) {
+      val store = Files.createTempDirectory("graft_sweep_art").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      Main.runTrainModel(spark, store, rounds = 2) // a live artifact to aside
+      Faults.arm(pt)
+      intercept[Faults.InjectedCrash] { Main.runTrainModel(spark, store, 2) }
+      Faults.reset()
+      // after-aside parks the ONLY model copy in .trash — a bare score
+      // must still serve (reader preamble), never "no model"
+      assert(Main.runScoreModel(spark, store) == want, s"$pt: reader preamble")
+      Main.runTrainModel(spark, store, rounds = 2)
+      assert(Main.runScoreModel(spark, store) == want, s"$pt: re-train")
+      val left = new java.io.File(store).list()
+        .filter(_.contains("model_boost.parquet."))
+        .filterNot(n => n.endsWith(".lock") || n.endsWith(".lock.guard"))
+      assert(left.isEmpty,
+        s"$pt: no tmp/trash residue after heal, got ${left.mkString(",")}")
+    }
+  }
+
+  test("fsck --repair: a crash at every swap step re-repairs to the never-crashed result") {
+    def planted(): String = {
+      val store = Files.createTempDirectory("graft_sweep_rep").toString
+      Main.runIngest(spark, mkInputs(batch1: _*), store, "nomic", now)
+      val chunksPath = s"$store/chunks.parquet"
+      spark.read.parquet(chunksPath).limit(1)
+        .withColumn("doc_id", lit("ghost-doc"))
+        .withColumn("chunk_id", lit("ghost-chunk"))
+        .write.mode("append").parquet(chunksPath)
+      val embPath = s"$store/embeddings.parquet"
+      spark.read.parquet(embPath).limit(1)
+        .withColumn("chunk_id", lit("ghost-emb"))
+        .write.mode("append").parquet(embPath)
+      store
+    }
+    val control = planted()
+    Main.runFsckRepair(spark, control)
+    val want = state(control)
+    for (pt <- Seq("fsckRepair.after-tmp", "fsckRepair.after-aside",
+                   "fsckRepair.after-commit")) {
+      val store = planted()
+      Faults.arm(pt)
+      intercept[Faults.InjectedCrash] { Main.runFsckRepair(spark, store) }
+      Faults.reset()
+      // documented recovery: repair is idempotent and restores parked
+      // tables in its own preamble
+      Main.runFsckRepair(spark, store)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      assert(state(store) == want, s"$pt diverged from the never-crashed twin")
+    }
+  }
+
+  test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
+    val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
+    val store = Files.createTempDirectory("graft_sweep_snap").toString
+    Main.runIngest(spark, in1, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val wantA = state(store)
+    Main.runIngest(spark, in2, store, "nomic", later)
+    graft.io.Snapshots.create(store, "s2")
+    val wantB = state(store)
+    for (pt <- Seq("snapshot.restore.after-intent", "snapshot.restore.after-park",
+                   "snapshot.restore.mid-relink", "snapshot.restore.after-relink")) {
+      Faults.arm(pt)
+      intercept[Faults.InjectedCrash] { graft.io.Snapshots.restore(store, "s1") }
+      Faults.reset()
+      val (lines, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${lines.mkString("\n")}")
+      assert(state(store) == wantA, s"$pt must converge to snapshot s1")
+      assert(!new java.io.File(store, ".rollback_trash").exists(), pt)
+      // flip back to the post-batch2 state for the next injection
+      graft.io.Snapshots.restore(store, "s2")
+      assert(state(store) == wantB, s"$pt: s2 flip-back")
+    }
+  }
+
+  test("snapshot create: a crashed create is not history — it never lists, never restores, retries clean") {
+    val store = Files.createTempDirectory("graft_sweep_csnap").toString
+    Main.runIngest(spark, mkInputs(batch1: _*), store, "nomic", now)
+    val want = state(store)
+    Faults.arm("snapshot.create.after-links")
+    intercept[Faults.InjectedCrash] { graft.io.Snapshots.create(store, "sx") }
+    Faults.reset()
+    // the partial dir exists but has no manifest: invisible + unrestorable
+    assert(new java.io.File(store, ".snapshots/sx").isDirectory)
+    assert(!graft.io.Snapshots.list(store).contains("sx"))
+    intercept[IllegalArgumentException] { graft.io.Snapshots.restore(store, "sx") }
+    // the retry does not hit the immutability guard — the manifest is
+    // the commit marker, and a marker-less dir is a crashed create
+    graft.io.Snapshots.create(store, "sx")
+    assert(graft.io.Snapshots.list(store).contains("sx"))
+    graft.io.Snapshots.restore(store, "sx")
+    assert(state(store) == want)
+  }
+
+  test("postings maintenance: partition-swap crashes converge on the next maintenance pass") {
+    val docs = (1L to 40L).map(i => (i, s"alpha table scan beta w$i extra words here"))
+    val df = docs.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_sweep_post").toString
+    val idx = s"$dir/idx"
+    def probe() = Search.phraseOccurrencesStored(spark, idx, "doc_id", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    // control: build, append, remove, compact — never crashed
+    val control = s"$dir/ctl"
+    Search.writePostings(df, "doc_id", "text", control, nBuckets = 8)
+    Search.removeFromPostings(spark,
+      Seq((3L, "alpha table scan beta w3 extra words here")).toDF("doc_id", "text"),
+      "doc_id", "text", control)
+    val want = Search.phraseOccurrencesStored(spark, control, "doc_id", "table scan")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    for (pt <- Seq("replacePartitions.after-aside", "replacePartitions.after-commit")) {
+      graft.io.Tables.rmTree(new java.io.File(idx))
+      Search.writePostings(df, "doc_id", "text", idx, nBuckets = 8)
+      Faults.arm(pt)
+      intercept[Faults.InjectedCrash] {
+        Search.removeFromPostings(spark,
+          Seq((3L, "alpha table scan beta w3 extra words here")).toDF("doc_id", "text"),
+          "doc_id", "text", idx)
+      }
+      Faults.reset()
+      // documented recovery: re-run the maintenance op — its
+      // partition-trash preamble converges the layout first
+      Search.removeFromPostings(spark,
+        Seq((3L, "alpha table scan beta w3 extra words here")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      assert(probe() == want, s"$pt diverged from the never-crashed twin")
+    }
+
+    // compaction crash: the aside-parked bucket returns on the next pass
+    graft.io.Tables.rmTree(new java.io.File(idx))
+    Search.writePostings(df.filter(col("doc_id") <= 20L), "doc_id", "text", idx, nBuckets = 8)
+    Search.appendPostings(spark, df.filter(col("doc_id") > 20L), "doc_id", "text", idx)
+    val beforeCompact = probe()
+    Faults.arm("compactPartitions.after-aside")
+    intercept[Faults.InjectedCrash] { Search.compactPostings(spark, idx) }
+    Faults.reset()
+    Search.compactPostings(spark, idx)
+    assert(probe() == beforeCompact, "compaction crash must not lose a bucket")
+  }
+
+  test("table compaction: an after-aside crash restores from trash on the re-run") {
+    val dir = Files.createTempDirectory("graft_sweep_cmp").toString
+    val path = s"$dir/t.parquet"
+    (1L to 100L).toDF("v").repartition(8).write.parquet(path)
+    val want = spark.read.parquet(path).as[Long].collect().toSeq.sorted
+    Faults.arm("compact.after-aside")
+    intercept[Faults.InjectedCrash] { graft.io.Tables.compact(spark, path) }
+    Faults.reset()
+    assert(!new java.io.File(path).exists(), "crash window: live dir is aside")
+    val (_, after) = graft.io.Tables.compact(spark, path)
+    assert(after == 1)
+    assert(spark.read.parquet(path).as[Long].collect().toSeq.sorted == want)
+  }
+}
