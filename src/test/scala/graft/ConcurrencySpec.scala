@@ -48,6 +48,61 @@ class ConcurrencySpec extends SparkSpec {
     assert(!new java.io.File(s"$store/t.parquet.lock").exists())
   }
 
+  test("two full concurrent ingests against one store: commits serialize on the store lease, both batches land, fsck clean") {
+    // the .store lease's real job — the case the single-table writer
+    // test above cannot cover: two whole multi-table ingest
+    // transactions racing. The lease primitive is a marker file plus a
+    // kernel-held micro-guard, so two threads exercise exactly the
+    // path two PROCESSES take (in-JVM overlap surfaces as the same
+    // busy-retry, Tables.underLockGuard doc).
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val now2 = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    def mkIn(docs: (String, String)*): String = {
+      val in = Files.createTempDirectory("graft_race_in").toFile
+      docs.foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8"))
+      }
+      in.toString
+    }
+    // clearly-distinct docs: the end state is order-independent, so
+    // either serialization order must equal the sequential control
+    val in1 = mkIn("a.txt" -> "spark query engine performance tuning guide",
+                   "b.txt" -> "watermark lateness checkpoint recovery streaming")
+    val in2 = mkIn("c.txt" -> "distributed shuffle partitioning strategies at scale",
+                   "d.txt" -> "vector cell balancing and probe budgeting notes")
+    def state(store: String): (Seq[(String, String)], Long, Long) = (
+      spark.read.parquet(s"$store/documents.parquet")
+        .select("doc_id", "status").as[(String, String)].collect().toSeq.sorted,
+      spark.read.parquet(s"$store/chunks.parquet").count(),
+      spark.read.parquet(s"$store/embeddings.parquet").count())
+    val control = Files.createTempDirectory("graft_race_ctl").toString
+    Main.runIngest(spark, in1, control, "nomic", now1)
+    Main.runIngest(spark, in2, control, "nomic", now2)
+    val want = state(control)
+
+    val store = Files.createTempDirectory("graft_race_store").toString
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq((in1, now1), (in2, now2)).foreach { case (in, ts) =>
+      pool.execute { () =>
+        try { start.await(); Main.runIngest(spark, in, store, "nomic", ts) }
+        catch { case t: Throwable => failures.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "ingests hung")
+    assert(failures.isEmpty, s"concurrent ingest failed: ${failures.peek()}")
+    assert(state(store) == want,
+      "both racing batches must land exactly as the sequential control")
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(nViol == 0L, lines.mkString("\n"))
+    // every lease released
+    val locks = new java.io.File(store).list().filter(_.endsWith(".lock"))
+    assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
+  }
+
   test("withTableLock: mutual exclusion, queued contender proceeds on release") {
     val path = Files.createTempDirectory("graft_lock_prim").toString + "/tbl"
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
