@@ -112,16 +112,43 @@ object Profile {
     * occurrences is the sketch's own job (same token → same register,
     * max collapses it).
     */
-  def distinctSketch(toks: DataFrame, groupCol: String, tokCol: String): DataFrame = {
-    val h = toks.select(
-      col(groupCol),
-      expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
-      expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v"))
+  def distinctSketch(toks: DataFrame, groupCol: String, tokCol: String): DataFrame =
+    sketchFromState(sketchState(toks, groupCol, tokCol), groupCol)
+
+  /** MERGEABLE SKETCH STATE — the persistable representation behind
+    * [[distinctSketch]]: one row per (group, occupied register) with
+    * its max rho AND the additive occurrence count. The two merge laws
+    * are the whole incremental story: `m_reg` merges by MAX (the HLL
+    * mergeability theorem) and `occ` by SUM — both exact — so a corpus
+    * folded in ANY batching reaches the same state as a one-shot pass,
+    * bit-for-bit. ≤ m=256 rows per group at any corpus size: the
+    * artifact a 100 TB deployment UPDATES per ingest batch instead of
+    * rescanning history for every profile.
+    */
+  def sketchState(toks: DataFrame, groupCol: String, tokCol: String): DataFrame =
+    toks.select(
+        col(groupCol),
+        expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+        expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v"))
       .withColumn("rho", expr(
         "CASE WHEN v = 0 THEN CAST(33 AS BIGINT) ELSE 33 - CAST(length(bin(v)) AS BIGINT) END"))
-    val regs = h.groupBy(col(groupCol), col("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("occ"))
-    regs.groupBy(col(groupCol))
+
+  /** Fold sketch states (a stored state + a new batch's delta, or any
+    * number of parts): register-wise max, occurrence sum. Associative
+    * and commutative — merge order can never change the result.
+    */
+  def mergeSketchStates(groupCol: String, states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("m_reg")).as("m_reg"), sum(col("occ")).as("occ"))
+
+  /** Serve the [[distinctSketch]] report from a (stored) state table —
+    * identical output to the one-shot form by construction.
+    */
+  def sketchFromState(state: DataFrame, groupCol: String): DataFrame =
+    state.groupBy(col(groupCol))
       .agg(sum(col("occ")).as("n_tokens"),
            count(lit(1)).as("registers_used"),
            // the register term MUST shift a BIGINT: an INT literal
@@ -133,7 +160,16 @@ object Profile {
       .withColumn("est_distinct", expr(
         s"$HllNum div (__dn + (${HllBuckets} - registers_used) * $HllEmptyTerm) div $HllDen"))
       .drop("__dn")
-  }
+
+  /** Fold length-histogram sketches ([[lengthHistogram]] outputs) —
+    * counts are additive, so the merged histogram of any batching
+    * equals the one-shot histogram exactly and
+    * [[histogramQuantiles]] over it serves identical quantiles.
+    */
+  def mergeHistograms(groupCol: String, hists: DataFrame*): DataFrame =
+    hists.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** [[distinctSketch]] over the `\W+` lowercase token model (the
     * search/BM25 token convention) of a document table.

@@ -145,6 +145,40 @@ class ProfileSpec extends SparkSpec {
     }.min
   }
 
+  test("incremental fold: any batching of sketch states and histograms is bit-identical to one-shot") {
+    val docs = (1L to 300L)
+      .map(i => (s"s${i % 3}", s"tok${i % 41} tok${i % 67} word$i", (i * 7 % 500 + 1)))
+      .toDF("source", "text", "n_chars")
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    def report(state: org.apache.spark.sql.DataFrame) =
+      Profile.sketchFromState(state, "source")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val oneShot = report(Profile.sketchState(toks, "source", "tok"))
+    // three disjoint batchings, folded LEFT-TO-RIGHT and in a permuted
+    // order — the per-ingest read-merge-rewrite loop in miniature
+    val parts = (0 to 2).map(b =>
+      Profile.sketchState(toks.filter(abs(hash(col("tok"))) % 3 === b),
+                          "source", "tok"))
+    assert(report(Profile.mergeSketchStates("source", parts: _*)) == oneShot)
+    assert(report(Profile.mergeSketchStates("source",
+      Profile.mergeSketchStates("source", parts(2), parts(0)), parts(1))) == oneShot)
+    // histograms: additive counts, same law; quantiles identical
+    def quants(h: org.apache.spark.sql.DataFrame) =
+      Profile.histogramQuantiles(h, "source", Seq(50, 90, 99))
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val oneHist = quants(Profile.lengthHistogram(docs, "source", "n_chars"))
+    val hParts = (0 to 2).map(b =>
+      Profile.lengthHistogram(docs.filter(col("n_chars") % 3 === b),
+                              "source", "n_chars"))
+    assert(quants(Profile.mergeHistograms("source", hParts(1), hParts(2), hParts(0)))
+             == oneHist)
+    // the state stays register-bounded through any number of merges
+    assert(Profile.mergeSketchStates("source", parts: _*)
+      .groupBy("source").count().as[(String, Long)].collect()
+      .forall(_._2 <= 256L))
+  }
+
   test("sketchOverlap: union on registers IS the sketch of the concatenated data — exact") {
     // the HLL mergeability theorem, checked bit-for-bit: est_union of
     // (a, b) equals est_distinct of a++b re-sketched from scratch
