@@ -228,6 +228,47 @@ class CrashSweepSpec extends SparkSpec {
     assert(probe() == beforeCompact, "compaction crash must not lose a bucket")
   }
 
+  test("vector-index maintenance: a cell-swap crash converges on the re-run without losing rows") {
+    import graft.search.Ann
+    val dims = 8
+    def vec(i: Long): Seq[Float] =
+      (0 until dims).map(d => ((i % 5).toFloat - 2f) * (d + 1) / 10f)
+    val centroids: Seq[(Long, Seq[Long])] = (0L until 5L).map { c =>
+      (c, (0 until dims).map(d => (c - 2L) * (d + 1) * 100L))
+    }
+    val qv: Seq[Long] = (0 until dims).map(d => 150L * (d + 1))
+    val emb = (0L until 50L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def probe(path: String) =
+      Ann.ivfTopKStoredInt(spark, path, "vec_id", "embedding",
+                           centroids, qv, k = 50, nprobe = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val removals = (0L until 50L).filter(_ % 7 == 0)
+      .map(i => (i, i % 5)).toDF("vec_id", "cell")
+
+    val control = Files.createTempDirectory("graft_sweep_ivf").toString + "/ctl"
+    Ann.ivfWriteIndex(Ann.ivfAssignInt(emb, "embedding", centroids), control)
+    Ann.ivfRemoveFromIndex(spark, control, removals, "vec_id")
+    val want = probe(control)
+
+    for (pt <- Seq("replacePartitions.after-aside", "replacePartitions.after-commit")) {
+      val path = Files.createTempDirectory("graft_sweep_ivf").toString + "/idx"
+      Ann.ivfWriteIndex(Ann.ivfAssignInt(emb, "embedding", centroids), path)
+      Faults.arm(pt)
+      intercept[Faults.InjectedCrash] {
+        Ann.ivfRemoveFromIndex(spark, path, removals, "vec_id")
+      }
+      Faults.reset()
+      // the re-run's recoverPartitionTrash preamble restores the parked
+      // cell BEFORE the layout is listed — without it the cell's
+      // surviving rows would be missing from `kept` and dropped
+      Ann.ivfRemoveFromIndex(spark, path, removals, "vec_id")
+      assert(probe(path) == want, s"$pt diverged from the never-crashed twin")
+      val asides = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".trash"))
+      assert(asides.isEmpty, s"$pt: trash residue ${asides.mkString(",")}")
+    }
+  }
+
   test("table compaction: an after-aside crash restores from trash on the re-run") {
     val dir = Files.createTempDirectory("graft_sweep_cmp").toString
     val path = s"$dir/t.parquet"
