@@ -137,9 +137,10 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val qs = results.toSeq.sortBy(_._1)
+    def fmtMap(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val qs = fmtMap(results.toSeq)
     // Errored queries appear here (qNN -> first error line) and are
     // ABSENT from "queries"/totals — the artifact itself now says "this
     // query did not run", instead of leaving a fail-fast wall time for
@@ -179,10 +180,12 @@ object Bench {
             s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
-    val relQs = results.toSeq.filter(_._1.matches("^q(0[1-9]|1[0-9]|20)_.*"))
-      .sortBy(_._1)
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // the discriminator stays "metric":"total" on BOTH lines by
+    // design: the driver selects the last complete JSON line of its
+    // tail capture, and an unknown parser keying on the metric name
+    // must find the headline whichever line survives truncation
+    val relQs = fmtMap(results.toSeq.filter(
+      _._1.matches("^q(0[1-9]|1[0-9]|20)_.*")))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
             s""""n_queries":${results.size},"n_errors":${errors.size},""" +

@@ -115,16 +115,38 @@ object Snapshots {
       if (marker.isFile)
         Some(new String(Files.readAllBytes(marker.toPath), "UTF-8").trim)
       else None
-    val result = intent.filter(n => new File(root, s".snapshots/$n").isDirectory) match {
-      case Some(n) =>
-        val snap = new File(root, s".snapshots/$n")
+    // the marker travels THROUGH a crash, so its content gets the same
+    // validation as every other snapshot-name entry point (a corrupt or
+    // crafted ".." would resolve `.snapshots/<name>` to the store root
+    // and recovery would destroy the store while "converging" it), and
+    // roll-forward requires a COMPLETED snapshot — manifest present —
+    // exactly like restore itself (a crashed create is never a restore
+    // source)
+    val target = intent
+      .filter(n => scala.util.Try(checkName(n)).isSuccess)
+      .map(n => new File(root, s".snapshots/$n"))
+      .filter(s => s.isDirectory && new File(s, ManifestFile).exists())
+    val result = target match {
+      case Some(snap) =>
         val restored = Option(snap.listFiles()).getOrElse(Array.empty)
           .filterNot(_.getName == ManifestFile).toSeq
+        val liveNow = Option(root.listFiles()).getOrElse(Array.empty)
+          .filterNot(e => isTransient(e.getName)).toSeq
         val leases = (restored.map(e => new File(root, e.getName).getPath) ++
+          liveNow.map(_.getPath) ++
           Option(trash.listFiles()).getOrElse(Array.empty)
             .filterNot(_.getName == IntentFile)
             .map(e => new File(root, e.getName).getPath)).distinct
         withAllLocks(leases) {
+          // a COMPLETED restore ends with ONLY the snapshot's entries
+          // live: every current entry was parked and then dropped with
+          // the trash. Converge to exactly that — live entries absent
+          // from the snapshot (crash-before-park leftovers, or entries
+          // created after the snapshot) go too; the snapshot + trash
+          // still hold everything the converged state needs.
+          val snapNames = restored.map(_.getName).toSet
+          liveNow.filterNot(e => snapNames.contains(e.getName))
+            .foreach(Tables.rmTree)
           restored.foreach { e =>
             val live = new File(root, e.getName)
             // a partially-relinked entry from the crashed attempt is
@@ -135,8 +157,15 @@ object Snapshots {
           }
           Tables.rmTree(trash)
         }
-        s"completed interrupted restore from snapshot $n"
+        s"completed interrupted restore from snapshot ${snap.getName}"
       case None =>
+        // direction unknown (no/invalid marker, or the snapshot is
+        // incomplete/gone). With the marker written before ANY park and
+        // `drop` converging before it deletes, the only states that
+        // reach here in practice hold an EMPTY trash (crash between
+        // mkdir and marker write) — park-back is the conservative
+        // fallback for manually-damaged stores: parked entries return,
+        // preferring the parked copy on a name clash.
         val parked = Option(trash.listFiles()).getOrElse(Array.empty)
           .filterNot(_.getName == IntentFile).toSeq
         withAllLocks(parked.map(e => new File(root, e.getName).getPath)) {
@@ -277,6 +306,10 @@ object Snapshots {
   def drop(storeDir: String, name: String): Unit =
     Tables.withTableLock(s"$storeDir/.store") {
       checkName(name)
+      // converge a pending interrupted restore FIRST — its intent
+      // marker may name exactly this snapshot, and deleting the roll-
+      // forward source would strand the parked state with no direction
+      recoverLocked(new File(storeDir))
       val snap = new File(storeDir, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
       Tables.rmTree(snap)

@@ -479,8 +479,19 @@ object Pipeline {
               .write.mode("overwrite").parquet(nh)
           }
         }
-        new java.io.File(s"$sketchPath.step2").renameTo(new java.io.File(sketchPath))
-        new java.io.File(s"$histPath.step2").renameTo(new java.io.File(histPath))
+        // commit by OVERWRITE-rewrite of the tiny final state (≤256
+        // register rows/group), not renameTo: a second JVM over the
+        // same persistent q36Root already has the final path on disk,
+        // and a POSIX rename onto a non-empty dir silently fails —
+        // the repo convention is checked renames or overwrite writes
+        (0 to 2).foreach { step =>
+          Seq(sketchPath, histPath).foreach { base =>
+            val (src, dst) = (s"$base.step$step", base)
+            if (step == 2)
+              s.read.parquet(src).write.mode("overwrite").parquet(dst)
+            graft.io.Tables.rmTree(new java.io.File(src))
+          }
+        }
         builtProfileStates.add(root)
       }
     }

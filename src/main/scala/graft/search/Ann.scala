@@ -812,9 +812,15 @@ object Ann {
     * probes identically to a full rebuild over the union.
     */
   def ivfAppendIndex(newBatch: DataFrame, vecCol: String,
-                     centroids: Seq[(Long, Seq[Long])], path: String): Unit =
+                     centroids: Seq[(Long, Seq[Long])], path: String): Unit = {
+    // converge a crashed earlier swap FIRST: an append that recreates a
+    // parked cell's live dir would make the next recovery pass see
+    // "live exists" and drop the .trash aside — the parked only-copy of
+    // every pre-crash row in that cell, destroyed by an append
+    graft.io.Tables.recoverPartitionTrash(path, "cell")
     ivfAssignInt(newBatch, vecCol, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
 
   /** INCREMENTAL index maintenance, remove side (dedup demotion, PII
     * takedown): the caller supplies `(idCol, cell)` pairs — the cells
@@ -1326,10 +1332,14 @@ object Ann {
   def ivfPqAppendIndex(newBatch: DataFrame, idCol: String, vecCol: String,
                        centroids: Seq[(Long, Seq[Long])],
                        codebooks: Seq[(Long, Seq[Long])], path: String,
-                       m: Int = 8, dims: Int = 64): Unit =
+                       m: Int = 8, dims: Int = 64): Unit = {
+    // same crash-convergence preamble as ivfAppendIndex — an append
+    // must never recreate a parked cell's live dir
+    graft.io.Tables.recoverPartitionTrash(path, "cell")
     pqEncodeInt(ivfAssignInt(newBatch, vecCol, centroids),
                 idCol, vecCol, codebooks, m, dims)
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
 
   /** INCREMENTAL IVF-PQ maintenance, remove side (dedup demotion, PII
     * takedown): the stored IVF-PQ layout is the plain IVF layout plus

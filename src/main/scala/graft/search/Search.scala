@@ -684,6 +684,11 @@ object Search {
   def appendPostings(spark: org.apache.spark.sql.SparkSession,
                      df: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
+    // converge a crashed earlier swap FIRST: an append that recreates a
+    // parked bucket's live dir would make the next recovery pass drop
+    // the .trash aside — the parked only-copy of every pre-crash
+    // posting in that bucket, destroyed by an append
+    graft.io.Tables.recoverPartitionTrash(path, "tb")
     buildPostings(df, idCol, textCol, postingsNBuckets(path))
       .write.mode("append").partitionBy("tb").parquet(path)
     // norms ride every append (indexes written before the sidecar

@@ -162,6 +162,63 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("snapshot recovery hardening: post-snapshot entries drop on roll-forward; corrupt markers park back; drop converges first") {
+    val store = Files.createTempDirectory("graft_sweep_hard").toString
+    Main.runIngest(spark, mkInputs(batch1: _*), store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val wantA = state(store)
+    // an artifact created AFTER s1: a completed restore deletes it, so
+    // roll-forward must too — not leave a stale model over the
+    // rolled-back corpus
+    Main.runTrainModel(spark, store, rounds = 2)
+    assert(new java.io.File(store, "model_boost.parquet").isDirectory)
+    Faults.arm("snapshot.restore.after-intent")
+    intercept[Faults.InjectedCrash] { graft.io.Snapshots.restore(store, "s1") }
+    Faults.reset()
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(nViol == 0L && state(store) == wantA, lines.mkString("\n"))
+    assert(!new java.io.File(store, "model_boost.parquet").exists(),
+      "roll-forward must drop entries a completed restore would have deleted")
+
+    // a corrupt/crafted marker must NEVER roll "forward" from an
+    // arbitrary path — ".." resolves .snapshots/.. to the store root
+    // itself; recovery takes the conservative park-back instead
+    val trash = new java.io.File(store, ".rollback_trash")
+    Files.createDirectories(trash.toPath)
+    Files.write(new java.io.File(trash, "_restore_from").toPath,
+                "..".getBytes("UTF-8"))
+    val docsLive = new java.io.File(store, "documents.parquet")
+    assert(docsLive.renameTo(new java.io.File(trash, "documents.parquet")))
+    val (lines2, nViol2) = Main.runFsck(spark, store)
+    assert(lines2.head.contains("parked interrupted rollback state back"),
+      lines2.mkString("\n"))
+    assert(nViol2 == 0L && state(store) == wantA, lines2.mkString("\n"))
+
+    // a marker naming a CRASHED create (no manifest) is not a restore
+    // source either — park back, never relink a partial snapshot
+    Files.createDirectories(
+      new java.io.File(store, ".snapshots/partial").toPath)
+    Files.createDirectories(trash.toPath)
+    Files.write(new java.io.File(trash, "_restore_from").toPath,
+                "partial".getBytes("UTF-8"))
+    assert(docsLive.renameTo(new java.io.File(trash, "documents.parquet")))
+    val (lines3, nViol3) = Main.runFsck(spark, store)
+    assert(lines3.head.contains("parked interrupted rollback state back") &&
+           nViol3 == 0L && state(store) == wantA, lines3.mkString("\n"))
+    graft.io.Tables.rmTree(new java.io.File(store, ".snapshots/partial"))
+
+    // drop converges a pending restore BEFORE deleting — the marker may
+    // name exactly the snapshot being dropped
+    graft.io.Snapshots.create(store, "s2")
+    Faults.arm("snapshot.restore.after-park")
+    intercept[Faults.InjectedCrash] { graft.io.Snapshots.restore(store, "s1") }
+    Faults.reset()
+    graft.io.Snapshots.drop(store, "s1")
+    assert(state(store) == wantA,
+      "drop must converge the pending restore before deleting its source")
+    assert(graft.io.Snapshots.list(store) == Seq("s2"))
+  }
+
   test("snapshot create: a crashed create is not history — it never lists, never restores, retries clean") {
     val store = Files.createTempDirectory("graft_sweep_csnap").toString
     Main.runIngest(spark, mkInputs(batch1: _*), store, "nomic", now)
@@ -215,6 +272,29 @@ class CrashSweepSpec extends SparkSpec {
         "doc_id", "text", idx)
       assert(probe() == want, s"$pt diverged from the never-crashed twin")
     }
+
+    // the review-found killer: an APPEND between the crash and the next
+    // maintenance pass must not recreate the parked bucket's live dir —
+    // recovery would then drop the .trash aside holding the only copy
+    // of every pre-crash posting in that bucket
+    graft.io.Tables.rmTree(new java.io.File(idx))
+    Search.writePostings(df, "doc_id", "text", idx, nBuckets = 8)
+    Faults.arm("replacePartitions.after-aside")
+    intercept[Faults.InjectedCrash] {
+      Search.removeFromPostings(spark,
+        Seq((3L, "alpha table scan beta w3 extra words here")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+    }
+    Faults.reset()
+    Search.appendPostings(spark,
+      Seq((99L, "alpha table scan beta w99 extra words here")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    Search.removeFromPostings(spark,
+      Seq((3L, "alpha table scan beta w3 extra words here")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val healed = probe()
+    assert(healed.map(_._1).toSet == (1L to 40L).toSet - 3L + 99L,
+      s"append after a crashed swap must lose no pre-crash postings: ${healed.map(_._1)}")
 
     // compaction crash: the aside-parked bucket returns on the next pass
     graft.io.Tables.rmTree(new java.io.File(idx))
