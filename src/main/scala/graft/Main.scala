@@ -225,6 +225,13 @@ object Main {
       val spark = session()
       runPhrase(spark, store, q).foreach(println)
       spark.stop()
+    case "metasearch" :: store :: q :: rest if rest.forall(_.contains("=")) =>
+      val spark = session()
+      val filters = rest.map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toMap
+      runMetaSearch(spark, store, q, filters).foreach(println)
+      spark.stop()
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
@@ -238,6 +245,7 @@ object Main {
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
+        "metasearch <store> <query> [col=value ...] | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
         "recall <store> [k] [nprobe] [nQueries] | drift <store> | " +
         "reindex <store> [--if-drift=T] | tokenizer <store> [rounds] | " +
@@ -2123,6 +2131,45 @@ object Main {
         s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
         s""""n_occurrences":${r.getAs[Long]("n_occurrences")},""" +
         s""""first_pos":${r.getAs[Long]("first_pos")}}"""
+      }.toSeq
+  }
+
+  /** `metasearch <store> <query> [k=v ...]`: the reference's
+    * `GET /documents/search/metadata` endpoint as a product command —
+    * text match (ES `match` semantics, Q3) candidates from the STORED
+    * postings index when `Main postings` has built one (pruned probe —
+    * corpus text never opened), inline scan otherwise, intersected
+    * with conjunctive metadata equality filters over the documents
+    * table (Q2). Output is doc-level: id, filename, matched-chunk
+    * count. Unknown filter columns fail loudly — a typo'd filter must
+    * never silently widen to the whole store.
+    */
+  def runMetaSearch(spark: SparkSession, storeDir: String, query: String,
+                    filters: Map[String, String]): Seq[String] = {
+    val chunks = openTable(spark, storeDir, "chunks")
+    val idx = new java.io.File(s"$storeDir/postings.idx")
+    val matched =
+      if (idx.exists())
+        Search.textMatchStored(spark, idx.toString, "chunk_id", query)
+      else Search.textMatch(chunks, "content", query).select(col("chunk_id"))
+    val docs = openTable(spark, storeDir, "documents")
+    filters.keys.foreach(k => require(docs.columns.contains(k),
+      s"unknown metadata column '$k' — documents has: ${docs.columns.sorted.mkString(", ")}"))
+    val filtered = filters.foldLeft(
+        docs.filter(!col("status").isin(Schemas.DocumentStatus.Failed,
+                                        "duplicate"))) {
+      case (d, (k, v)) => d.filter(col(k).cast("string") === v)
+    }
+    val hits = chunks.select(col("chunk_id"), col("doc_id"))
+      .join(matched, Seq("chunk_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    filtered.select(col("doc_id"), col("filename"))
+      .join(hits, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+      .collect().map { r =>
+        s"""{"doc_id":"${r.getAs[String]("doc_id")}",""" +
+        s""""filename":"${jsonEscape(r.getAs[String]("filename"))}",""" +
+        s""""n_chunks":${r.getAs[Long]("n_chunks")}}"""
       }.toSeq
   }
 

@@ -975,6 +975,32 @@ class E2eMainSpec extends SparkSpec {
       lines.mkString("\n"))
   }
 
+  test("metasearch: metadata-filtered text match; stored-postings and inline paths answer identically") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    // inline path first (no postings index yet)
+    val inline = Main.runMetaSearch(spark, store, "spark engine", Map.empty)
+    assert(inline.nonEmpty && inline.forall(_.contains("\"n_chunks\":")),
+      inline.mkString("\n"))
+    // the stored-postings path must answer identically
+    Main.runBuildPostings(spark, store)
+    assert(Main.runMetaSearch(spark, store, "spark engine", Map.empty) == inline,
+      "stored-postings candidates must equal the inline scan")
+    // a metadata filter narrows to the matching doc only
+    val name = inline.head.split("\"filename\":\"")(1).split("\"")(0)
+    val filtered = Main.runMetaSearch(spark, store, "spark engine",
+                                      Map("filename" -> name))
+    assert(filtered.size == 1 && filtered.head.contains(name),
+      filtered.mkString("\n"))
+    // a mismatching filter returns empty, not everything
+    assert(Main.runMetaSearch(spark, store, "spark engine",
+                              Map("content_type" -> "video/mp4")).isEmpty)
+    // a typo'd filter column fails loudly, never widens
+    intercept[IllegalArgumentException] {
+      Main.runMetaSearch(spark, store, "spark engine", Map("filenme" -> name))
+    }
+  }
+
   test("train/score: the boost model persists as a store artifact; score serves the stored model bit-identically") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)
