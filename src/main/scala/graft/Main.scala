@@ -84,6 +84,14 @@ object Main {
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
       spark.stop()
+    case "get" :: store :: docId :: Nil =>
+      val spark = session()
+      runGet(spark, store, docId).foreach(println)
+      spark.stop()
+    case "embeddings" :: store :: docId :: rest if rest.size <= 1 =>
+      val spark = session()
+      runGetEmbeddings(spark, store, docId, rest.headOption).foreach(println)
+      spark.stop()
     case "fsck" :: store :: rest if rest.forall(_ == "--repair") =>
       val spark = session()
       val (lines, nViol) = runFsck(spark, store)
@@ -235,6 +243,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
+        "get <store> <docId> | embeddings <store> <docId> [provider] | " +
         "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest|--bm25] [--nprobe=N] | " +
         "export <store> <outDir> [provider] | " +
         "exportwds <store> <outDir> [nShards] | " +
@@ -1661,6 +1670,60 @@ object Main {
       .collect().map(r =>
         s"""{"doc_id":"$docId","doc_status":"${r.getAs[String]("status")}"}""").toSeq
     job ++ doc
+  }
+
+  /** `get <store> <docId>`: the reference's `GET /documents/{doc_id}`
+    * — the document row plus its chunks in order, reassembled over the
+    * co-bucketed store (J3 — plans without a shuffle). Fails loudly on
+    * an unknown id: an empty 200 is the API bug the reference's 404
+    * exists to prevent.
+    */
+  def runGet(spark: SparkSession, storeDir: String, docId: String): Seq[String] = {
+    val doc = Tables.pointLookup(
+        openTable(spark, storeDir, "documents"), "doc_id", docId)
+      .collect().map { r =>
+        s"""{"doc_id":"$docId","filename":"${jsonEscape(r.getAs[String]("filename"))}",""" +
+        s""""content_type":"${r.getAs[String]("content_type")}",""" +
+        s""""status":"${r.getAs[String]("status")}"}"""
+      }.toSeq
+    require(doc.nonEmpty, s"no document $docId in $storeDir")
+    val chunks = openTable(spark, storeDir, "chunks")
+      .filter(col("doc_id") === docId)
+      .orderBy(col("chunk_number"))
+      .collect().map { r =>
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""chunk_number":${r.getAs[Int]("chunk_number")},""" +
+        s""""total_chunks":${r.getAs[Int]("total_chunks")},""" +
+        s""""content":"${jsonEscape(r.getAs[String]("content"))}"}"""
+      }.toSeq
+    doc ++ chunks
+  }
+
+  /** `embeddings <store> <docId> [provider]`: the reference's
+    * `GET /documents/{doc_id}/generate-embeddings` read side — the
+    * doc's stored chunk embeddings (chunk, provider, model, dims; the
+    * vector itself stays in the store — a CLI that prints 768 floats
+    * per chunk is a pager, not an API). The chunk⋈embedding join runs
+    * over the co-bucketed pair, shuffle-free.
+    */
+  def runGetEmbeddings(spark: SparkSession, storeDir: String, docId: String,
+                       provider: Option[String]): Seq[String] = {
+    val chunks = openTable(spark, storeDir, "chunks")
+      .filter(col("doc_id") === docId)
+      .select(col("chunk_id"), col("chunk_number"))
+    val emb = provider.foldLeft(openTable(spark, storeDir, "embeddings"))(
+      (e, p) => e.filter(col("embedding_provider") === p))
+    chunks.join(emb, Seq("chunk_id"))
+      .select(col("chunk_id"), col("chunk_number"),
+              col("embedding_provider"), col("model"),
+              size(col("embedding")).as("dims"))
+      .orderBy(col("chunk_number"), col("embedding_provider"))
+      .collect().map { r =>
+        s"""{"chunk_id":"${r.getAs[String]("chunk_id")}",""" +
+        s""""chunk_number":${r.getAs[Int]("chunk_number")},""" +
+        s""""provider":"${r.getAs[String]("embedding_provider")}",""" +
+        s""""model":"${r.getAs[String]("model")}","dims":${r.getAs[Int]("dims")}}"""
+      }.toSeq
   }
 
   // ------------------------------------------------------------ search cache

@@ -975,6 +975,30 @@ class E2eMainSpec extends SparkSpec {
       lines.mkString("\n"))
   }
 
+  test("get/embeddings: document details and embedding inventory by id; unknown ids fail loudly") {
+    val (in, store) = fixtureDirs()
+    Main.runIngest(spark, in, store, "nomic", now)
+    val docId = spark.read.parquet(s"$store/documents.parquet")
+      .filter(col("status") === "completed")
+      .select("doc_id").as[String].head()
+    val got = Main.runGet(spark, store, docId)
+    assert(got.head.contains(s""""doc_id":"$docId"""") &&
+           got.head.contains("\"status\":\"completed\""), got.mkString("\n"))
+    val nChunks = spark.read.parquet(s"$store/chunks.parquet")
+      .filter(col("doc_id") === docId).count()
+    assert(got.size.toLong == 1 + nChunks, got.mkString("\n"))
+    // chunks arrive in order with their content
+    assert(got(1).contains("\"chunk_number\":") && got(1).contains("\"content\":"))
+    intercept[IllegalArgumentException] { Main.runGet(spark, store, "no-such-doc") }
+
+    val embs = Main.runGetEmbeddings(spark, store, docId, Some("nomic"))
+    assert(embs.size.toLong == nChunks, embs.mkString("\n"))
+    assert(embs.forall(l => l.contains("\"provider\":\"nomic\"") &&
+                            l.contains("\"dims\":")), embs.mkString("\n"))
+    // an unknown provider yields empty (nothing stored), never a crash
+    assert(Main.runGetEmbeddings(spark, store, docId, Some("nope")).isEmpty)
+  }
+
   test("metasearch: metadata-filtered text match; stored-postings and inline paths answer identically") {
     val (in, store) = fixtureDirs()
     Main.runIngest(spark, in, store, "nomic", now)
