@@ -184,6 +184,10 @@ object VectorIndex {
                                rounds = rounds, m = m, dims = dims)
     val meta = Meta(provider, m, dims, nlist, codebookK, samplePct, rounds, cents, books)
     Ann.ivfPqWriteIndex(emb, idCol, vecCol, cents, books, path, m, dims)
+    // sidecar LAST — it is the index's commit marker (`exists` keys on
+    // it): a crash here leaves cells without a sidecar, which every
+    // reader treats as "no index" and the next build overwrites clean
+    graft.io.Faults.point("vectorindex.build.after-index-write")
     writeMeta(path, meta)
     meta
     }

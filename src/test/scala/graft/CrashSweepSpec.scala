@@ -349,6 +349,31 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("vector-index build: a crash before the sidecar leaves 'no index'; the rebuild converges") {
+    val (in, store) = (mkInputs(batch1: _*),
+                       Files.createTempDirectory("graft_sweep_vb").toString)
+    Main.runIngest(spark, in, store, "nomic", now)
+    Faults.arm("vectorindex.build.after-index-write")
+    intercept[Faults.InjectedCrash] {
+      Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    }
+    Faults.reset()
+    // cells exist but the sidecar (the commit marker) does not: every
+    // reader sees "no index" — never a half-trusted probe
+    val idxPath = graft.search.VectorIndex.indexPath(store)
+    assert(new java.io.File(idxPath).exists())
+    assert(!graft.search.VectorIndex.exists(store),
+      "an index without its sidecar must read as absent")
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(nViol == 0L, lines.mkString("\n"))
+    // the rebuild overwrites the orphan cells and commits the sidecar
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    assert(graft.search.VectorIndex.exists(store))
+    val ann = Main.runSearchAnn(spark, store, "spark shuffle",
+                                k = 3, nprobe = 2)
+    assert(ann.nonEmpty, "the rebuilt index must serve")
+  }
+
   test("table compaction: an after-aside crash restores from trash on the re-run") {
     val dir = Files.createTempDirectory("graft_sweep_cmp").toString
     val path = s"$dir/t.parquet"
