@@ -234,10 +234,15 @@ object Main {
       runPhrase(spark, store, q).foreach(println)
       spark.stop()
     case "metasearch" :: store :: q :: rest if rest.forall(_.contains("=")) =>
-      val spark = session()
-      val filters = rest.map { kv =>
+      val pairs = rest.map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
-      }.toMap
+      }
+      // conjunctive semantics: a repeated column is a contradiction the
+      // user should hear about, not a silent last-one-wins widening
+      require(pairs.map(_._1).distinct.size == pairs.size,
+        s"repeated filter column(s): ${pairs.map(_._1).diff(pairs.map(_._1).distinct).distinct.mkString(", ")}")
+      val filters = pairs.toMap
+      val spark = session()
       runMetaSearch(spark, store, q, filters).foreach(println)
       spark.stop()
     case _ =>
@@ -1708,6 +1713,11 @@ object Main {
     */
   def runGetEmbeddings(spark: SparkSession, storeDir: String, docId: String,
                        provider: Option[String]): Seq[String] = {
+    // same 404 contract as runGet: an unknown id fails loudly — an
+    // empty list must mean "no embeddings stored", never "typo'd id"
+    require(Tables.pointLookup(openTable(spark, storeDir, "documents"),
+                               "doc_id", docId).limit(1).count() > 0,
+      s"no document $docId in $storeDir")
     val chunks = openTable(spark, storeDir, "chunks")
       .filter(col("doc_id") === docId)
       .select(col("chunk_id"), col("chunk_number"))
@@ -1973,7 +1983,12 @@ object Main {
                    k: Int, nprobe: Int = 2): Seq[String] = {
     import graft.search.VectorIndex
     val path = VectorIndex.indexPath(storeDir)
-    if (!VectorIndex.hasCells(path)) return Seq.empty
+    // gate on the SIDECAR (the index's commit marker), then on cells:
+    // a build that crashed before writeMeta leaves cells without a
+    // sidecar, and that state must read as "no index" — a hasCells-only
+    // gate would pass and readMeta would throw
+    if (!VectorIndex.exists(storeDir) || !VectorIndex.hasCells(path))
+      return Seq.empty
     val meta = VectorIndex.readMeta(path)
     val qv = Embedding.embedQuery(query, meta.provider).toSeq
       .map(graft.search.Ann.quantizeL)
@@ -2147,7 +2162,8 @@ object Main {
         Window.orderBy(col("score").desc, col("chunk_id"))).cast("long"))
     val path = VectorIndex.indexPath(storeDir)
     val rankings =
-      if (!VectorIndex.hasCells(path)) Seq(sparse)
+      if (!VectorIndex.exists(storeDir) || !VectorIndex.hasCells(path))
+        Seq(sparse)
       else {
         val meta = VectorIndex.readMeta(path)
         val qv = Embedding.embedQuery(query, meta.provider).toSeq
@@ -2209,12 +2225,12 @@ object Main {
     */
   def runMetaSearch(spark: SparkSession, storeDir: String, query: String,
                     filters: Map[String, String]): Seq[String] = {
-    val chunks = openTable(spark, storeDir, "chunks")
     val idx = new java.io.File(s"$storeDir/postings.idx")
     val matched =
       if (idx.exists())
         Search.textMatchStored(spark, idx.toString, "chunk_id", query)
-      else Search.textMatch(chunks, "content", query).select(col("chunk_id"))
+      else Search.textMatch(openTable(spark, storeDir, "chunks"),
+                            "content", query).select(col("chunk_id"))
     val docs = openTable(spark, storeDir, "documents")
     filters.keys.foreach(k => require(docs.columns.contains(k),
       s"unknown metadata column '$k' — documents has: ${docs.columns.sorted.mkString(", ")}"))
@@ -2223,9 +2239,13 @@ object Main {
                                         "duplicate"))) {
       case (d, (k, v)) => d.filter(col(k).cast("string") === v)
     }
-    val hits = chunks.select(col("chunk_id"), col("doc_id"))
-      .join(matched, Seq("chunk_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    // doc ids are the fixed-width sha256 prefix of the chunk_id (the
+    // ingest maintenance convention) — the stored path must not scan
+    // the corpus-sized chunks table just to recover them, or the
+    // index's term-posting-sized advantage evaporates
+    val hits = matched
+      .groupBy(substring(col("chunk_id"), 1, 64).as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
     filtered.select(col("doc_id"), col("filename"))
       .join(hits, Seq("doc_id"))
       .orderBy(col("doc_id"))

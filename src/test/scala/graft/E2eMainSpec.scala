@@ -997,6 +997,11 @@ class E2eMainSpec extends SparkSpec {
                             l.contains("\"dims\":")), embs.mkString("\n"))
     // an unknown provider yields empty (nothing stored), never a crash
     assert(Main.runGetEmbeddings(spark, store, docId, Some("nope")).isEmpty)
+    // but an unknown DOC id fails loudly — empty must mean "no
+    // embeddings stored", never "typo'd id"
+    intercept[IllegalArgumentException] {
+      Main.runGetEmbeddings(spark, store, "no-such-doc", None)
+    }
   }
 
   test("metasearch: metadata-filtered text match; stored-postings and inline paths answer identically") {
@@ -1023,6 +1028,22 @@ class E2eMainSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Main.runMetaSearch(spark, store, "spark engine", Map("filenme" -> name))
     }
+    // a repeated filter column is a contradiction, not last-one-wins
+    intercept[IllegalArgumentException] {
+      Main.main(Array("metasearch", store, "spark engine",
+                      "content_type=text/plain", "content_type=text/markdown"))
+    }
+    // the stored path must serve candidates without scanning the
+    // chunks table: doc ids come off the chunk_id prefix
+    val plan = {
+      import graft.search.Search
+      val ids = Search.textMatchStored(spark, s"$store/postings.idx",
+                                       "chunk_id", "spark engine")
+      ids.groupBy(substring(col("chunk_id"), 1, 64).as("doc_id"))
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("chunks.parquet"),
+      s"stored metasearch candidates must not scan the chunks table: $plan")
   }
 
   test("train/score: the boost model persists as a store artifact; score serves the stored model bit-identically") {
