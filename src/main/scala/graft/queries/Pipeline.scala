@@ -448,10 +448,11 @@ object Pipeline {
   private val builtProfileStates =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def storedProfileState(s: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val root = profileStateRoot(sfDir)
     val sketchPath = s"$root/sketch_state.parquet"
     val histPath = s"$root/length_hist.parquet"
+    val cmsPath = s"$root/cms_state.parquet"
     builtProfileStates.synchronized {
       if (!builtProfileStates.contains(root)) {
         val docs = t(s, sfDir, "documents")
@@ -464,12 +465,16 @@ object Pipeline {
                            t => t =!= "")).as("__tok"))
           val deltaSketch = graft.text.Profile.sketchState(toks, "source", "__tok")
           val deltaHist = graft.text.Profile.lengthHistogram(batch, "source", "n_chars")
+          val deltaCms = graft.text.Profile.cmsSketch(
+            toks.select(col("__tok").as("token")), "token")
           // read stored + merge delta + rewrite — the per-ingest loop;
           // step-versioned paths so a write never reads its own input
-          val (ns, nh) = (s"$sketchPath.step$b", s"$histPath.step$b")
+          val (ns, nh, nc) = (s"$sketchPath.step$b", s"$histPath.step$b",
+                              s"$cmsPath.step$b")
           if (b == 0) {
             deltaSketch.write.mode("overwrite").parquet(ns)
             deltaHist.write.mode("overwrite").parquet(nh)
+            deltaCms.write.mode("overwrite").parquet(nc)
           } else {
             graft.text.Profile.mergeSketchStates("source",
                 s.read.parquet(s"$sketchPath.step${b - 1}"), deltaSketch)
@@ -477,6 +482,9 @@ object Pipeline {
             graft.text.Profile.mergeHistograms("source",
                 s.read.parquet(s"$histPath.step${b - 1}"), deltaHist)
               .write.mode("overwrite").parquet(nh)
+            graft.text.Profile.mergeCmsSketches(
+                s.read.parquet(s"$cmsPath.step${b - 1}"), deltaCms)
+              .write.mode("overwrite").parquet(nc)
           }
         }
         // commit by OVERWRITE-rewrite of the tiny final state (≤256
@@ -485,7 +493,7 @@ object Pipeline {
         // and a POSIX rename onto a non-empty dir silently fails —
         // the repo convention is checked renames or overwrite writes
         (0 to 2).foreach { step =>
-          Seq(sketchPath, histPath).foreach { base =>
+          Seq(sketchPath, histPath, cmsPath).foreach { base =>
             val (src, dst) = (s"$base.step$step", base)
             if (step == 2)
               s.read.parquet(src).write.mode("overwrite").parquet(dst)
@@ -495,7 +503,8 @@ object Pipeline {
         builtProfileStates.add(root)
       }
     }
-    (s.read.parquet(sketchPath), s.read.parquet(histPath))
+    (s.read.parquet(sketchPath), s.read.parquet(histPath),
+     s.read.parquet(cmsPath))
   }
 
   /** q36 persists its quantized-embedding intermediate ONLY on the
@@ -685,6 +694,41 @@ object Pipeline {
                                              ' ', ''))) // 2 + 1 AS BIGINT)
                   AS first_pos
          FROM m WHERE n_occ > 0 ORDER BY doc_id"""
+
+  /** The q93 CMS heavy-hitters oracle — shared VERBATIM by q93
+    * (one-shot sketch) and q187 (probes against the incrementally-
+    * folded STORED counter state): counters are additive, any batching
+    * folds exactly.
+    */
+  private lazy val CmsHeavyHittersOracle: String =
+    """WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                      t -> t <> '')) AS token
+            FROM documents),
+          sketch AS (
+            SELECT j.j,
+                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || token), 1, 8)
+                        AS BIGINT) % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) j
+            GROUP BY 1, 2),
+          top AS (
+            SELECT token, count(*) AS true_cnt
+            FROM toks GROUP BY token
+            ORDER BY true_cnt DESC, token ASC LIMIT 20),
+          probed_keys AS (
+            SELECT t.token, t.true_cnt, j.j,
+                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || t.token), 1, 8)
+                        AS BIGINT) % 1024 AS bucket
+            FROM top t, (SELECT unnest(generate_series(0, 3)) AS j) j),
+          probed AS (
+            SELECT k.token, k.true_cnt, min(coalesce(s.cnt, 0)) AS est_cnt
+            FROM probed_keys k
+            LEFT JOIN sketch s ON s.j = k.j AND s.bucket = k.bucket
+            GROUP BY k.token, k.true_cnt)
+          SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+                 CAST(est_cnt AS BIGINT) AS est_cnt
+          FROM probed ORDER BY true_cnt DESC, token ASC"""
 
   /** The q87 length-profile oracle — shared VERBATIM by q87 (one-shot
     * histogram) and q186 (quantiles off the incrementally-folded
@@ -2542,6 +2586,22 @@ object Pipeline {
       graft.text.Profile.histogramQuantiles(
           storedProfileState(s, dir)._2, "source", Seq(50, 90, 99))
         .orderBy(col("source"))
+    }),
+
+    // INCREMENTAL CMS: q93's heavy-hitter report probed against the
+    // STORED counter state after the same 3-batch fold (counters are
+    // additive — the third mergeable law). Oracle = q93's SQL verbatim.
+    "q187_incremental_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
+          .as("token"))
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("token").asc)
+        .limit(20)
+      graft.text.Profile.cmsEstimate(storedProfileState(s, dir)._3, top,
+                                     "token")
+        .orderBy(col("true_cnt").desc, col("token").asc)
     }),
 
     // UNICODE NFC NORMALIZATION: the canonical-composition pass every
@@ -6614,35 +6674,11 @@ object Pipeline {
     // the same d=4 x w=1024 Count-Min construction: bucket(j, t) =
     // first 32 bits of md5('j|t') mod 1024, counters summed, estimate
     // = min over rows (0 for empty buckets via the left join).
-    "q93_cms_heavy_hitters" ->
-      """WITH toks AS (
-            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                      t -> t <> '')) AS token
-            FROM documents),
-          sketch AS (
-            SELECT j.j,
-                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || token), 1, 8)
-                        AS BIGINT) % 1024 AS bucket,
-                   count(*) AS cnt
-            FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) j
-            GROUP BY 1, 2),
-          top AS (
-            SELECT token, count(*) AS true_cnt
-            FROM toks GROUP BY token
-            ORDER BY true_cnt DESC, token ASC LIMIT 20),
-          probed_keys AS (
-            SELECT t.token, t.true_cnt, j.j,
-                   CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || t.token), 1, 8)
-                        AS BIGINT) % 1024 AS bucket
-            FROM top t, (SELECT unnest(generate_series(0, 3)) AS j) j),
-          probed AS (
-            SELECT k.token, k.true_cnt, min(coalesce(s.cnt, 0)) AS est_cnt
-            FROM probed_keys k
-            LEFT JOIN sketch s ON s.j = k.j AND s.bucket = k.bucket
-            GROUP BY k.token, k.true_cnt)
-          SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
-                 CAST(est_cnt AS BIGINT) AS est_cnt
-          FROM probed ORDER BY true_cnt DESC, token ASC""",
+    "q93_cms_heavy_hitters" -> CmsHeavyHittersOracle,
+
+    // q187: the same report probed against the incrementally-folded
+    // stored counter state — oracle shared VERBATIM with q93.
+    "q187_incremental_cms" -> CmsHeavyHittersOracle,
 
     // the same (doc, token) count table and fixed-point log2
     // recurrence (recursive CTE over the DISTINCT count/total values,

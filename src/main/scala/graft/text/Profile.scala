@@ -398,6 +398,17 @@ object Profile {
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Fold Count-Min sketches — counters are ADDITIVE, so the merged
+    * sketch of any batching equals the one-shot sketch exactly (the
+    * third mergeable law beside register max and histogram sum) and
+    * every estimate served from the folded artifact is bit-identical.
+    * ≤ d·w rows per part at any corpus size.
+    */
+  def mergeCmsSketches(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate each probe row's `tokCol` against a built sketch:
     * min over the d rows, 0 when a bucket is empty (left join — an
     * unseen token can still hit only-empty buckets). The sketch side

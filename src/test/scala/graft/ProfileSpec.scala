@@ -177,6 +177,18 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.mergeSketchStates("source", parts: _*)
       .groupBy("source").count().as[(String, Long)].collect()
       .forall(_._2 <= 256L))
+    // third law: CMS counters add — the folded sketch estimates
+    // bit-identically to the one-shot sketch on every probe
+    val tokOnly = toks.select(col("tok").as("token"))
+    val probes = tokOnly.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    def est(sketch: org.apache.spark.sql.DataFrame) =
+      Profile.cmsEstimate(sketch, probes, "token")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    val cmsParts = (0 to 2).map(b =>
+      Profile.cmsSketch(tokOnly.filter(abs(hash(col("token"))) % 3 === b),
+                        "token"))
+    assert(est(Profile.mergeCmsSketches(cmsParts(2), cmsParts(0), cmsParts(1)))
+             == est(Profile.cmsSketch(tokOnly, "token")))
   }
 
   test("sketchOverlap: union on registers IS the sketch of the concatenated data — exact") {
