@@ -1716,7 +1716,7 @@ object Main {
     // same 404 contract as runGet: an unknown id fails loudly — an
     // empty list must mean "no embeddings stored", never "typo'd id"
     require(Tables.pointLookup(openTable(spark, storeDir, "documents"),
-                               "doc_id", docId).limit(1).count() > 0,
+                               "doc_id", docId).count() > 0,
       s"no document $docId in $storeDir")
     val chunks = openTable(spark, storeDir, "chunks")
       .filter(col("doc_id") === docId)
@@ -1983,12 +1983,10 @@ object Main {
                    k: Int, nprobe: Int = 2): Seq[String] = {
     import graft.search.VectorIndex
     val path = VectorIndex.indexPath(storeDir)
-    // gate on the SIDECAR (the index's commit marker), then on cells:
-    // a build that crashed before writeMeta leaves cells without a
-    // sidecar, and that state must read as "no index" — a hasCells-only
-    // gate would pass and readMeta would throw
-    if (!VectorIndex.exists(storeDir) || !VectorIndex.hasCells(path))
-      return Seq.empty
+    // the one serving gate (sidecar commit marker AND cells): a build
+    // that crashed before writeMeta must read as "no index", never
+    // reach readMeta
+    if (!VectorIndex.servable(storeDir)) return Seq.empty
     val meta = VectorIndex.readMeta(path)
     val qv = Embedding.embedQuery(query, meta.provider).toSeq
       .map(graft.search.Ann.quantizeL)
@@ -2162,8 +2160,7 @@ object Main {
         Window.orderBy(col("score").desc, col("chunk_id"))).cast("long"))
     val path = VectorIndex.indexPath(storeDir)
     val rankings =
-      if (!VectorIndex.exists(storeDir) || !VectorIndex.hasCells(path))
-        Seq(sparse)
+      if (!VectorIndex.servable(storeDir)) Seq(sparse)
       else {
         val meta = VectorIndex.readMeta(path)
         val qv = Embedding.embedQuery(query, meta.provider).toSeq
@@ -2225,12 +2222,6 @@ object Main {
     */
   def runMetaSearch(spark: SparkSession, storeDir: String, query: String,
                     filters: Map[String, String]): Seq[String] = {
-    val idx = new java.io.File(s"$storeDir/postings.idx")
-    val matched =
-      if (idx.exists())
-        Search.textMatchStored(spark, idx.toString, "chunk_id", query)
-      else Search.textMatch(openTable(spark, storeDir, "chunks"),
-                            "content", query).select(col("chunk_id"))
     val docs = openTable(spark, storeDir, "documents")
     filters.keys.foreach(k => require(docs.columns.contains(k),
       s"unknown metadata column '$k' — documents has: ${docs.columns.sorted.mkString(", ")}"))
@@ -2239,13 +2230,7 @@ object Main {
                                         "duplicate"))) {
       case (d, (k, v)) => d.filter(col(k).cast("string") === v)
     }
-    // doc ids are the fixed-width sha256 prefix of the chunk_id (the
-    // ingest maintenance convention) — the stored path must not scan
-    // the corpus-sized chunks table just to recover them, or the
-    // index's term-posting-sized advantage evaporates
-    val hits = matched
-      .groupBy(substring(col("chunk_id"), 1, 64).as("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"))
+    val hits = metaSearchHits(spark, storeDir, query)
     filtered.select(col("doc_id"), col("filename"))
       .join(hits, Seq("doc_id"))
       .orderBy(col("doc_id"))
@@ -2254,6 +2239,27 @@ object Main {
         s""""filename":"${jsonEscape(r.getAs[String]("filename"))}",""" +
         s""""n_chunks":${r.getAs[Long]("n_chunks")}}"""
       }.toSeq
+  }
+
+  /** [[runMetaSearch]]'s candidate step, exposed so the spec asserts
+    * the PRODUCTION plan: matched chunk ids (stored-postings probe when
+    * the index exists, inline scan otherwise) grouped to per-doc hit
+    * counts. Doc ids are the fixed-width sha256 prefix of the chunk_id
+    * (the ingest maintenance convention) — the stored path must not
+    * scan the corpus-sized chunks table just to recover them, or the
+    * index's term-posting-sized advantage evaporates.
+    */
+  private[graft] def metaSearchHits(spark: SparkSession, storeDir: String,
+                                    query: String): DataFrame = {
+    val idx = new java.io.File(s"$storeDir/postings.idx")
+    val matched =
+      if (idx.exists())
+        Search.textMatchStored(spark, idx.toString, "chunk_id", query)
+      else Search.textMatch(openTable(spark, storeDir, "chunks"),
+                            "content", query).select(col("chunk_id"))
+    matched
+      .groupBy(substring(col("chunk_id"), 1, 64).as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
   }
 
   /** Corpus profile over the stored chunks: per chunking strategy, the

@@ -507,6 +507,24 @@ object Pipeline {
      s.read.parquet(cmsPath))
   }
 
+  /** The q93/q187 probe derivation — ONE copy of the token explode and
+    * the exact top-20 (count desc, token asc), shared by the one-shot
+    * and stored-serving forms so the "indistinguishable" contract the
+    * shared oracle enforces cannot drift between them. Returns
+    * (toks, top).
+    */
+  private def cmsHeavyHitterProbes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val toks = t(s, dir, "documents").select(
+      explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
+        .as("token"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token").asc)
+      .limit(20)
+    (toks, top)
+  }
+
   /** q36 persists its quantized-embedding intermediate ONLY on the
     * verify path ([[graft.Verify]] sets this property in-JVM before
     * running queries). Bench and plan tests skip the corpus-sized
@@ -2592,13 +2610,7 @@ object Pipeline {
     // STORED counter state after the same 3-batch fold (counters are
     // additive — the third mergeable law). Oracle = q93's SQL verbatim.
     "q187_incremental_cms" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(
-        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
-          .as("token"))
-      val top = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("true_cnt"))
-        .orderBy(col("true_cnt").desc, col("token").asc)
-        .limit(20)
+      val (_, top) = cmsHeavyHitterProbes(s, dir)
       graft.text.Profile.cmsEstimate(storedProfileState(s, dir)._3, top,
                                      "token")
         .orderBy(col("true_cnt").desc, col("token").asc)
@@ -3237,14 +3249,8 @@ object Pipeline {
     // sketch runs). est_cnt >= true_cnt always — CMS error is
     // one-sided.
     "q93_cms_heavy_hitters" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(
-        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
-          .as("token"))
+      val (toks, top) = cmsHeavyHitterProbes(s, dir)
       val sketch = graft.text.Profile.cmsSketch(toks, "token")
-      val top = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("true_cnt"))
-        .orderBy(col("true_cnt").desc, col("token").asc)
-        .limit(20)
       graft.text.Profile.cmsEstimate(sketch, top, "token")
         .orderBy(col("true_cnt").desc, col("token").asc)
     }),

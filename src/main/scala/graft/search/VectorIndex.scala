@@ -73,6 +73,14 @@ object VectorIndex {
     */
   def hasCells(path: String): Boolean = Ann.indexHasCells(path)
 
+  /** The ONE serving gate: sidecar committed (the build's commit
+    * marker — a crashed build's orphan cells must read as "no index",
+    * never reach readMeta) AND at least one cell to probe. Every
+    * reader that would otherwise probe/readMeta goes through this.
+    */
+  def servable(storeDir: String): Boolean =
+    exists(storeDir) && hasCells(indexPath(storeDir))
+
   // ------------------------------------------------------------- sidecar
 
   private def fmtEntries(es: Seq[(Long, Seq[Long])]): String =

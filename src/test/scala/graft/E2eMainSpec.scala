@@ -1034,14 +1034,10 @@ class E2eMainSpec extends SparkSpec {
                       "content_type=text/plain", "content_type=text/markdown"))
     }
     // the stored path must serve candidates without scanning the
-    // chunks table: doc ids come off the chunk_id prefix
-    val plan = {
-      import graft.search.Search
-      val ids = Search.textMatchStored(spark, s"$store/postings.idx",
-                                       "chunk_id", "spark engine")
-      ids.groupBy(substring(col("chunk_id"), 1, 64).as("doc_id"))
-        .agg(count(lit(1))).queryExecution.executedPlan.toString
-    }
+    // chunks table: doc ids come off the chunk_id prefix — asserted on
+    // the PRODUCTION dataflow, not a rebuilt copy
+    val plan = Main.metaSearchHits(spark, store, "spark engine")
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("chunks.parquet"),
       s"stored metasearch candidates must not scan the chunks table: $plan")
   }

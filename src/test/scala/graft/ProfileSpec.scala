@@ -158,8 +158,9 @@ class ProfileSpec extends SparkSpec {
     // three disjoint batchings, folded LEFT-TO-RIGHT and in a permuted
     // order — the per-ingest read-merge-rewrite loop in miniature
     val parts = (0 to 2).map(b =>
-      Profile.sketchState(toks.filter(abs(hash(col("tok"))) % 3 === b),
-                          "source", "tok"))
+      Profile.sketchState(
+        toks.filter(graft.dedup.Dedup.hashBucket(col("tok"), 3) === b),
+        "source", "tok"))
     assert(report(Profile.mergeSketchStates("source", parts: _*)) == oneShot)
     assert(report(Profile.mergeSketchStates("source",
       Profile.mergeSketchStates("source", parts(2), parts(0)), parts(1))) == oneShot)
@@ -185,8 +186,9 @@ class ProfileSpec extends SparkSpec {
       Profile.cmsEstimate(sketch, probes, "token")
         .as[(String, Long, Long)].collect().sorted.toSeq
     val cmsParts = (0 to 2).map(b =>
-      Profile.cmsSketch(tokOnly.filter(abs(hash(col("token"))) % 3 === b),
-                        "token"))
+      Profile.cmsSketch(
+        tokOnly.filter(graft.dedup.Dedup.hashBucket(col("token"), 3) === b),
+        "token"))
     assert(est(Profile.mergeCmsSketches(cmsParts(2), cmsParts(0), cmsParts(1)))
              == est(Profile.cmsSketch(tokOnly, "token")))
   }
