@@ -260,6 +260,78 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot == engine)
   }
 
+  test("frequency monitor: stream heavy hitters match the batch CMS over everything seen; tail never reported") {
+    import graft.stream.FrequencyMonitor
+    import graft.stream.FrequencyMonitor.{Arrival, HeavyHitter}
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Arrival]
+    val query = FrequencyMonitor.run(mem.toDS())
+      .writeStream.format("memory").queryName("freq_hitters")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: "hot" is 30% of mass; batch 2 adds "warm" at ~20% and a
+    // long unique tail that dilutes nothing into the 2% gate
+    val batch1 = (1 to 300).map(_ => Arrival("s", "hot")) ++
+      (1 to 700).map(i => Arrival("s", s"tail$i"))
+    val batch2 = (1 to 200).map(_ => Arrival("s", "warm")) ++
+      (1 to 100).map(_ => Arrival("s", "hot")) ++
+      (1 to 700).map(i => Arrival("s", s"tail${700 + i}"))
+    mem.addData(batch1: _*)
+    query.processAllAvailable()
+    mem.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("freq_hitters").as[HeavyHitter].collect()
+      .filter(_.scope == "s")
+    val last = out.filter(_.n_seen == 2000L)
+    assert(last.map(_.token).toSet.intersect(Set("hot", "warm")) ==
+             Set("hot", "warm"), s"both hitters must report: ${last.toSeq}")
+    // bit-identical to the batch sketch probed over EVERYTHING seen
+    val everything = (batch1 ++ batch2).map(a => a.token).toDF("token")
+    val sketch = graft.text.Profile.cmsSketch(everything, "token")
+    val batchEst = graft.text.Profile.cmsEstimate(
+        sketch, Seq("hot", "warm").toDF("token"), "token")
+      .as[(String, Long)].collect().toMap
+    last.filter(t => Set("hot", "warm")(t.token)).foreach { h =>
+      assert(h.est_cnt == batchEst(h.token),
+        s"stream est must equal the batch sketch: $h vs ${batchEst(h.token)}")
+    }
+    // a uniform tail token is never a heavy hitter (CMS error is
+    // one-sided but bounded far below the 2% gate at w=1024)
+    assert(!out.exists(_.token.startsWith("tail")), out.toSeq.mkString("\n"))
+    // once-heavy decays out: "hot" was 30% at n=1000; if the next
+    // window's mass dwarfs it the gate drops it — candidates re-gate
+    // on CURRENT totals, not their entry-time share
+    assert(out.filter(_.n_seen == 1000L).map(_.token).toSet == Set("hot"))
+  }
+
+  test("frequency monitor fold: counter sums are order-invariant and equal the engine's sketch (pure unit)") {
+    import graft.stream.FrequencyMonitor
+    val toks = (1 to 4000).map(i => s"t${i % 37}")
+    val a = new Array[Long](4 * 1024)
+    FrequencyMonitor.mergeTokens(a, toks.iterator, 4, 1024)
+    val b = new Array[Long](4 * 1024)
+    toks.reverse.grouped(311).foreach(g =>
+      FrequencyMonitor.mergeTokens(b, g.iterator, 4, 1024))
+    assert(a.sameElements(b), "counter fold must be order-invariant")
+    // the fold's counters equal the engine-side sketch table
+    val engine = graft.text.Profile.cmsSketch(toks.toDF("token"), "token")
+      .selectExpr("CAST(j AS INT)", "CAST(bucket AS INT)", "cnt")
+      .as[(Int, Int, Long)].collect()
+      .map { case (j, bkt, c) => (j * 1024 + bkt, c) }.toMap
+    a.zipWithIndex.foreach { case (c, i) =>
+      assert(c == engine.getOrElse(i, 0L), s"counter $i: $c vs engine")
+    }
+    // pack/unpack round-trips the full table
+    assert(FrequencyMonitor.unpack(FrequencyMonitor.pack(a), a.length)
+      .sameElements(a))
+    // the reserved separator is rejected, not silently folded
+    intercept[IllegalArgumentException] {
+      FrequencyMonitor.mergeTokens(a, Iterator("badtok"), 4, 1024)
+    }
+  }
+
   test("watermarked tumbling window emits finalized windows, drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
