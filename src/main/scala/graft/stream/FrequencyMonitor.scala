@@ -23,9 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * deterministic whatever order the group iterator yields arrivals: a
   * token is reported iff `est · minFrac ≥ n_seen` (cross-multiplied
   * integers; minFrac=50 → the 2% rule). The candidate set is pruned
-  * deterministically (est desc, token asc) to `maxCandidates`, and
-  * CMS error is one-sided, so a TRUE heavy hitter can never be
-  * excluded by under-counting — only collision-inflated extras join.
+  * deterministically (est desc, token asc) to `maxCandidates`. CMS
+  * error is one-sided, so a TRUE heavy hitter can never be excluded
+  * by UNDER-counting; the only exclusion risk is candidate-list
+  * overflow, and true hitters are ≤ minFrac by mass (Σ true = n), so
+  * the default bound of 4·minFrac leaves 3·minFrac slots for
+  * collision-inflated extras — `run` enforces maxCandidates ≥
+  * 2·minFrac so the bound can never be configured below the
+  * guarantee's working room.
   *
   * Scale posture: state is d·w counters + a bounded candidate list per
   * scope, partitioned by scope and checkpointed by Structured
@@ -61,32 +66,56 @@ object FrequencyMonitor {
     * first 8 hex digits mod w), so stream and batch estimates are
     * bit-identical.
     */
-  private[stream] def bucketOf(j: Int, token: String, w: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j|$token".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.take(8), 16) % w).toInt
+  def bucketOf(j: Int, token: String, w: Int): Int =
+    bucketWith(java.security.MessageDigest.getInstance("MD5"), j, token, w)
+
+  /** The same bucket off an existing digest instance — the hot-path
+    * form ([[bucketOf]] allocates; the fold pays d buckets per arrival
+    * and must not allocate a MessageDigest + 32 hex chars for each):
+    * the first 4 digest bytes as an unsigned int ARE
+    * parseLong(hex.take(8), 16).
+    */
+  private def bucketWith(md: java.security.MessageDigest, j: Int,
+                         token: String, w: Int): Int = {
+    val b = md.digest(s"$j|$token".getBytes("UTF-8")) // digest() resets md
+    val v = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    (v % w).toInt
   }
 
   /** Pure fold, unit-testable: add a batch of tokens into the counter
-    * table (sum — order-independent).
+    * table (sum — order-independent). Empty tokens and tokens carrying
+    * the reserved separator are rejected loudly — the engine's `\W+`
+    * token model produces neither, and both would silently vanish from
+    * the candidate list's flat string round-trip.
     */
   def mergeTokens(counters: Array[Long], tokens: Iterator[String],
-                  d: Int, w: Int): Unit =
+                  d: Int, w: Int): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     tokens.foreach { t =>
-      require(!t.contains('\u0001'),
-        "token contains the reserved candidate separator \\u0001")
+      require(t.nonEmpty && !t.contains('\u0001'),
+        "token must be non-empty and free of the reserved separator U+0001")
       var j = 0
-      while (j < d) { counters(j * w + bucketOf(j, t, w)) += 1L; j += 1 }
+      while (j < d) { counters(j * w + bucketWith(md, j, t, w)) += 1L; j += 1 }
     }
+  }
 
   /** The point estimate off the counter table: min over the d rows —
     * identical to [[graft.text.Profile.cmsEstimate]]'s algebra.
     */
-  def estimate(counters: Array[Long], token: String, d: Int, w: Int): Long =
-    (0 until d).map(j => counters(j * w + bucketOf(j, token, w))).min
+  def estimate(counters: Array[Long], token: String, d: Int, w: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map(j => counters(j * w + bucketWith(md, j, token, w))).min
+  }
 
   private[graft] def pack(counters: Array[Long]): String =
-    counters.map(c => f"$c%012x").mkString
+    counters.map { c =>
+      // fail LOUDLY past the 48-bit field: a 13-digit counter would
+      // shift every later field and silently poison the checkpoint
+      require(c >= 0L && c <= 0xffffffffffffL,
+        s"counter $c exceeds the packed 48-bit width")
+      f"$c%012x"
+    }.mkString
 
   private[graft] def unpack(s: String, n: Int): Array[Long] = {
     val out = new Array[Long](n)
@@ -101,10 +130,10 @@ object FrequencyMonitor {
   private def stateFunc(d: Int, w: Int, minFrac: Long, maxCandidates: Int)(
       scope: String, arrivals: Iterator[Arrival],
       state: GroupState[FreqState]): Iterator[HeavyHitter] = {
-    val prior = state.getOption.getOrElse(
-      FreqState(pack(new Array[Long](d * w)), 0L, ""))
-    val counters = unpack(prior.counters, d * w)
-    var n = prior.nSeen
+    val counters = state.getOption
+      .map(p => unpack(p.counters, d * w))
+      .getOrElse(new Array[Long](d * w))
+    var n = state.getOption.map(_.nSeen).getOrElse(0L)
     val batchTokens = scala.collection.mutable.LinkedHashSet.empty[String]
     mergeTokens(counters, arrivals.map { a =>
       n += 1; batchTokens += a.token; a.token
@@ -113,9 +142,8 @@ object FrequencyMonitor {
     // ALL evaluated on the final counters (deterministic regardless of
     // the group iterator's order), gated by est·minFrac ≥ n, pruned
     // (est desc, token asc) to the bound
-    val prevCands =
-      if (prior.candidates.isEmpty) Seq.empty[String]
-      else prior.candidates.split('\u0001').toSeq
+    val prevCands = state.getOption.map(_.candidates).filter(_.nonEmpty)
+      .map(_.split('\u0001').toSeq).getOrElse(Seq.empty)
     val hitters = (prevCands ++ batchTokens).distinct
       .map(t => (t, estimate(counters, t, d, w)))
       .filter { case (_, est) => est * minFrac >= n }
@@ -132,8 +160,18 @@ object FrequencyMonitor {
     * Use with `.writeStream.outputMode("update")`.
     */
   def run(arrivals: Dataset[Arrival], d: Int = 4, w: Int = 1024,
-          minFrac: Long = 50L, maxCandidates: Int = 256)
+          minFrac: Long = 50L, maxCandidates: Int = 0)
       : Dataset[HeavyHitter] = {
+    // 0 = derive from the gate: true hitters are ≤ minFrac by mass, so
+    // 4·minFrac leaves 3× working room for collision-inflated extras;
+    // an explicit bound below 2·minFrac would quietly void the
+    // no-true-hitter-excluded guarantee — refuse it
+    val cap =
+      if (maxCandidates == 0) (4L * minFrac).min(Int.MaxValue.toLong).toInt
+      else maxCandidates
+    require(cap >= 2L * minFrac,
+      s"maxCandidates=$cap is below 2×minFrac=$minFrac — true heavy " +
+        "hitters could be pruned out of the candidate list")
     implicit val ae = Encoders.product[Arrival]
     implicit val he = Encoders.product[HeavyHitter]
     implicit val ke = Encoders.STRING
@@ -141,6 +179,6 @@ object FrequencyMonitor {
     arrivals.groupByKey(_.scope)
       .flatMapGroupsWithState(OutputMode.Update(),
                               GroupStateTimeout.NoTimeout())(
-        stateFunc(d, w, minFrac, maxCandidates))
+        stateFunc(d, w, minFrac, cap))
   }
 }

@@ -269,13 +269,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("freq_hitters")
       .outputMode(OutputMode.Update()).start()
 
-    // batch 1: "hot" is 30% of mass; batch 2 adds "warm" at ~20% and a
-    // long unique tail that dilutes nothing into the 2% gate
+    // batch 1: "hot" is 30% of mass. batch 2 is 20× the size, carried
+    // by "warm" (~6%) and a long unique tail — it DILUTES "hot" (300
+    // of 20,900 ≈ 1.4%) below the 2% gate without another arrival, so
+    // decay is actually exercised: candidates re-gate on CURRENT
+    // totals, never their entry-time share.
     val batch1 = (1 to 300).map(_ => Arrival("s", "hot")) ++
       (1 to 700).map(i => Arrival("s", s"tail$i"))
-    val batch2 = (1 to 200).map(_ => Arrival("s", "warm")) ++
-      (1 to 100).map(_ => Arrival("s", "hot")) ++
-      (1 to 700).map(i => Arrival("s", s"tail${700 + i}"))
+    val batch2 = (1 to 1200).map(_ => Arrival("s", "warm")) ++
+      (1 to 18700).map(i => Arrival("s", s"tail${700 + i}"))
     mem.addData(batch1: _*)
     query.processAllAvailable()
     mem.addData(batch2: _*)
@@ -284,26 +286,30 @@ class StreamingSpec extends SparkSpec {
 
     val out = spark.table("freq_hitters").as[HeavyHitter].collect()
       .filter(_.scope == "s")
-    val last = out.filter(_.n_seen == 2000L)
-    assert(last.map(_.token).toSet.intersect(Set("hot", "warm")) ==
-             Set("hot", "warm"), s"both hitters must report: ${last.toSeq}")
+    // after batch 1 (n=1000, gate 20): "hot" alone
+    assert(out.filter(_.n_seen == 1000L).map(_.token).toSet == Set("hot"),
+      out.toSeq.mkString("\n"))
+    // after batch 2 (n=20900, gate 418): "warm" reports, "hot" DECAYED
+    val last = out.filter(_.n_seen == 20900L)
+    assert(last.map(_.token).toSet == Set("warm"),
+      s"hot must decay below the re-evaluated gate: ${last.toSeq}")
     // bit-identical to the batch sketch probed over EVERYTHING seen
     val everything = (batch1 ++ batch2).map(a => a.token).toDF("token")
     val sketch = graft.text.Profile.cmsSketch(everything, "token")
     val batchEst = graft.text.Profile.cmsEstimate(
         sketch, Seq("hot", "warm").toDF("token"), "token")
       .as[(String, Long)].collect().toMap
-    last.filter(t => Set("hot", "warm")(t.token)).foreach { h =>
+    last.foreach { h =>
       assert(h.est_cnt == batchEst(h.token),
         s"stream est must equal the batch sketch: $h vs ${batchEst(h.token)}")
     }
+    // the decayed token really is below the gate on the final totals
+    // (one-sided: est ≥ 300 true, but far under 418)
+    assert(batchEst("hot") * 50 < 20900L,
+      s"fixture drift: hot is not below the gate (${batchEst("hot")})")
     // a uniform tail token is never a heavy hitter (CMS error is
     // one-sided but bounded far below the 2% gate at w=1024)
     assert(!out.exists(_.token.startsWith("tail")), out.toSeq.mkString("\n"))
-    // once-heavy decays out: "hot" was 30% at n=1000; if the next
-    // window's mass dwarfs it the gate drops it — candidates re-gate
-    // on CURRENT totals, not their entry-time share
-    assert(out.filter(_.n_seen == 1000L).map(_.token).toSet == Set("hot"))
   }
 
   test("frequency monitor fold: counter sums are order-invariant and equal the engine's sketch (pure unit)") {
