@@ -183,13 +183,16 @@ object Bench {
     // the discriminator stays "metric":"total" on BOTH lines by
     // design: the driver selects the last complete JSON line of its
     // tail capture, and an unknown parser keying on the metric name
-    // must find the headline whichever line survives truncation
+    // must find the headline whichever line survives truncation. The
+    // subset map travels under its OWN key ("queries_q01_q20", never
+    // "queries") so a key-based parser of the prior contract can't
+    // mistake the 20-entry r01-comparable slice for the full suite.
     val relQs = fmtMap(results.toSeq.filter(
       _._1.matches("^q(0[1-9]|1[0-9]|20)_.*")))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
             s""""n_queries":${results.size},"n_errors":${errors.size},""" +
-            s""""queries":$relQs,""" +
+            s""""queries_q01_q20":$relQs,""" +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
     } finally {

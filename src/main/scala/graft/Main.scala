@@ -749,31 +749,13 @@ object Main {
     n
   }
 
-  /** tmp + aside-rename(.trash) + checked-renames commit of a small
-    * store artifact under its table lease — the tokenizer.parquet
-    * protocol, shared by every trained-artifact writer. NOT
-    * Overwrite-in-place: Overwrite deletes the live dir first, so a
-    * crash mid-write would leave a half-written artifact an exists()
-    * check would silently serve. The restore-from-trash preamble heals
-    * a writer that died between aside-rename and commit.
+  /** The shared artifact commit protocol, now hosted in
+    * [[graft.io.Tables.commitArtifact]] so non-Main writers (the bench
+    * fixtures in queries/Pipeline) land artifacts under the same
+    * tmp + aside-rename + checked-renames discipline.
     */
   private def commitArtifact(path: String)(writeTmp: String => Unit): Unit =
-    Tables.withTableLock(path) {
-      val live = new java.io.File(path)
-      val tmp = new java.io.File(s"$path.tmp")
-      val trash = new java.io.File(s"$path.trash")
-      if (!live.exists() && trash.exists())
-        require(trash.renameTo(live), s"recovering $path from trash failed")
-      Tables.rmTree(tmp); Tables.rmTree(trash)
-      writeTmp(tmp.toString)
-      graft.io.Faults.point("commitArtifact.after-tmp")
-      if (live.exists())
-        require(live.renameTo(trash), s"aside-rename of $path failed")
-      graft.io.Faults.point("commitArtifact.after-aside")
-      require(tmp.renameTo(live), s"commit rename of $path failed")
-      graft.io.Faults.point("commitArtifact.after-commit")
-      Tables.rmTree(trash)
-    }
+    Tables.commitArtifact(path)(writeTmp)
 
   /** A stored artifact frame with the same restore-from-trash preamble
     * every artifact READER needs (storedMerges' contract): a writer

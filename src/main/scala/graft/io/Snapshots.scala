@@ -168,6 +168,20 @@ object Snapshots {
         // preferring the parked copy on a name clash.
         val parked = Option(trash.listFiles()).getOrElse(Array.empty)
           .filterNot(_.getName == IntentFile).toSeq
+        // live entries whose names are NOT in the parked set are kept:
+        // with a partially-parked trash they may be the only copy of
+        // healthy pre-restore tables, so deleting them is never safe
+        // here — but when the trash is non-empty they may also be a
+        // crashed relink's leftovers, i.e. the converged store can be a
+        // MIX of pre-restore and snapshot entries. Surface the
+        // survivors in the action string so fsck/operators see the mix
+        // instead of a silent "converged".
+        val parkedNames = parked.map(_.getName).toSet
+        val extras =
+          if (parked.isEmpty) Seq.empty
+          else Option(root.listFiles()).getOrElse(Array.empty)
+            .filterNot(e => isTransient(e.getName))
+            .map(_.getName).filterNot(parkedNames.contains).sorted.toSeq
         withAllLocks(parked.map(e => new File(root, e.getName).getPath)) {
           parked.foreach { e =>
             val live = new File(root, e.getName)
@@ -176,7 +190,10 @@ object Snapshots {
           }
           Tables.rmTree(trash)
         }
-        "parked interrupted rollback state back into the live store"
+        "parked interrupted rollback state back into the live store" +
+          (if (extras.isEmpty) ""
+           else s"; kept live entries not in the parked set (inspect: " +
+             s"possible crashed-relink leftovers): ${extras.mkString(", ")}")
     }
     Some(result)
   }

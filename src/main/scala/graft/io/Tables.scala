@@ -449,6 +449,33 @@ object Tables {
     }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
   }
 
+  /** tmp + aside-rename(.trash) + checked-renames commit of a small
+    * store artifact under its table lease — the tokenizer.parquet
+    * protocol, shared by every trained/derived-artifact writer. NOT
+    * Overwrite-in-place: Overwrite deletes the live dir first, so a
+    * crash mid-write would leave a half-written artifact an exists()
+    * check would silently serve. The restore-from-trash preamble heals
+    * a writer that died between aside-rename and commit; READERS need
+    * the same preamble (see Main.storedArtifact).
+    */
+  def commitArtifact(path: String)(writeTmp: String => Unit): Unit =
+    withTableLock(path) {
+      val live = new java.io.File(path)
+      val tmp = new java.io.File(s"$path.tmp")
+      val trash = new java.io.File(s"$path.trash")
+      if (!live.exists() && trash.exists())
+        require(trash.renameTo(live), s"recovering $path from trash failed")
+      rmTree(tmp); rmTree(trash)
+      writeTmp(tmp.toString)
+      Faults.point("commitArtifact.after-tmp")
+      if (live.exists())
+        require(live.renameTo(trash), s"aside-rename of $path failed")
+      Faults.point("commitArtifact.after-aside")
+      require(tmp.renameTo(live), s"commit rename of $path failed")
+      Faults.point("commitArtifact.after-commit")
+      rmTree(trash)
+    }
+
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
               format: String = "parquet", codec: String = "gzip"): (Int, Int) =
     withTableLock(path) {

@@ -117,6 +117,16 @@ object Wds {
                   outDir: String, nShards: Int): Seq[(Long, Long, Long)] = {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
+    // Stale-tmp sweep: a task's finally removes its own tmp on
+    // IN-PROCESS failure, but a hard-killed JVM leaves
+    // shard-N.tar.tmp-<attemptId> residue, and re-exports commit under
+    // NEW attempt ids — without this sweep the dir accumulates dead
+    // tmp files forever. Safe at job start: no concurrent export
+    // shares an outDir mid-job (final-named shards are never touched).
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("shard-") &&
+                   f.getName.contains(".tar.tmp-"))
+      .foreach(_.delete())
     val cols = col(shardCol).cast("long") +:
       (keyCol +: entryCols.map(_._1)).map(col)
     val suffixes = entryCols.map(_._2)

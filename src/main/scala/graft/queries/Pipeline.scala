@@ -413,10 +413,16 @@ object Pipeline {
     val path = boostModelPath(sfDir)
     builtBoostModels.synchronized {
       if (!builtBoostModels.contains(path)) {
-        graft.learn.Learn.boostTrainModel(
-            boostEventFeatures(s, sfDir),
-            Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
-          .coalesce(1).write.mode("overwrite").parquet(path)
+        // tmp + checked-rename commit (Tables.commitArtifact), not a
+        // bare Overwrite to the final path: q36Root persists across
+        // JVMs, and a crash mid-Overwrite would leave a half-written
+        // model a LATER JVM's exists()-style gate could silently read
+        graft.io.Tables.commitArtifact(path) { tmp =>
+          graft.learn.Learn.boostTrainModel(
+              boostEventFeatures(s, sfDir),
+              Seq("user_mod7", "hour_of_day"), "cents", rounds = 2)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        }
         builtBoostModels.add(path)
       }
     }

@@ -108,13 +108,21 @@ object FrequencyMonitor {
     (0 until d).map(j => counters(j * w + bucketWith(md, j, token, w))).min
   }
 
+  /** A counter SATURATES at the packed 48-bit ceiling (~2.8e14
+    * arrivals per scope) instead of failing: a `require` here would be
+    * a poison pill — the state update would throw on every restart
+    * from the checkpoint and the query could never advance again. At
+    * saturation the estimate stays one-sided in the only direction
+    * that matters operationally (a saturated bucket still reports
+    * ~2.8e14 — far past any frequency resolution a heavy-hitter gate
+    * reads) and the scope keeps flowing.
+    */
+  private[graft] val CounterMax = 0xffffffffffffL
+
   private[graft] def pack(counters: Array[Long]): String =
     counters.map { c =>
-      // fail LOUDLY past the 48-bit field: a 13-digit counter would
-      // shift every later field and silently poison the checkpoint
-      require(c >= 0L && c <= 0xffffffffffffL,
-        s"counter $c exceeds the packed 48-bit width")
-      f"$c%012x"
+      require(c >= 0L, s"negative counter $c cannot be packed")
+      f"${math.min(c, CounterMax)}%012x"
     }.mkString
 
   private[graft] def unpack(s: String, n: Int): Array[Long] = {

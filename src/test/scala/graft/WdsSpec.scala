@@ -140,6 +140,12 @@ class WdsSpec extends SparkSpec {
       // still a well-formed tar with all six samples
       assert(Wds.readTar(after).size == 6)
     }
-    assert(stale.exists(), "planted twin tmp is inert, not adopted")
+    // the re-export's start-of-job sweep GARBAGE-COLLECTS the dead twin
+    // (a hard-killed JVM's residue would otherwise accumulate forever —
+    // in-process failures clean up via the task's finally, but nothing
+    // else ever deletes a foreign attempt id); it was never adopted:
+    // the finals above are byte-identical to the pre-plant export
+    assert(!stale.exists(),
+      "stale twin tmp swept at the next export's start, never adopted")
   }
 }
