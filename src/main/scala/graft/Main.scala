@@ -169,9 +169,14 @@ object Main {
       }
       runReindex(spark, store, ifDrift).foreach(println)
       spark.stop()
-    case "profile" :: store :: Nil =>
+    case "profile" :: store :: rest
+        if rest.forall(a => a == "--rebuild" || a.startsWith("--token=")) =>
       val spark = session()
-      runProfile(spark, store).foreach(println)
+      runProfile(spark, store,
+                 rebuild = rest.contains("--rebuild"),
+                 probeTokens = rest.collect {
+                   case a if a.startsWith("--token=") => a.stripPrefix("--token=")
+                 }).foreach(println)
       spark.stop()
     case "dupreport" :: inDir :: rest =>
       val spark = session()
@@ -257,7 +262,7 @@ object Main {
         "[--redact] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
-        "profile <store> | dupreport <inDir> [topK] | " +
+        "profile <store> [--rebuild] [--token=<t> ...] | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "metasearch <store> <query> [col=value ...] | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -423,15 +428,40 @@ object Main {
     // chunk set is pinned EAGERLY: a lazy read here must not outlive
     // the chunks table's swap-rename commit.
     val postingsPath = new java.io.File(s"$storeDir/postings.idx")
-    val postingsRemovals =
-      if (postingsPath.exists && new java.io.File(s"$storeDir/chunks.parquet").exists) {
+    val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
+    // Profile-state sync gate (PRE-commit): the stored artifact's fold
+    // is only valid when its recorded fingerprint matches the table it
+    // claims to summarize — any crash window between a chunks commit
+    // and the artifact commit, or a foreign rewrite (compact, repair),
+    // reads as a mismatch and the state rebuilds from the committed
+    // table below instead of folding onto a stale base. A fresh store
+    // folds from empty.
+    val (profileFoldable, oldProfile) =
+      if (!chunksDirF.exists()) (true, None)
+      else graft.text.ProfileState.read(spark, storeDir) match {
+        case Some((p, fp))
+            if fp == graft.text.ProfileState.dirFingerprint(chunksDirF) =>
+          (true, Some(p))
+        case _ => (false, None)
+      }
+    // Stale stored chunks: the rows this commit will replace
+    // (re-ingested docs) or prune (demotions) — consumed by the
+    // postings swap AND the profile-state subtraction. Pinned EAGERLY:
+    // a lazy read here must not outlive the chunks table's swap-rename
+    // commit.
+    val staleStored =
+      if (chunksDirF.exists() && (postingsPath.exists || profileFoldable)) {
         val stale = dupIds.unionByName(ok.select($"doc_id")).distinct()
         Some(openTable(spark, storeDir, "chunks")
           .join(stale.select($"doc_id".as("__sd")),
                 substring($"chunk_id", 1, 64) === $"__sd", "left_semi")
-          .select($"chunk_id", $"content")
+          .select($"chunk_id", $"content", $"strategy")
           .localCheckpoint(true))
       } else None
+    val postingsRemovals =
+      if (postingsPath.exists)
+        staleStored.map(_.select($"chunk_id", $"content"))
+      else None
 
     val chunked = Chunkers.chunkDocuments(
         kept.select($"doc_id", $"text"), "doc_id", "text",
@@ -473,6 +503,24 @@ object Main {
       // of re-scanning the whole bucketed chunks table + semi-join
       Search.appendPostings(spark, chunked.select($"chunk_id", $"content"),
                             "chunk_id", "content", postingsPath.toString)
+    }
+    // Profile-state maintenance rides the chunks commit
+    // ([[graft.text.ProfileState]]): fold the batch's delta in —
+    // subtracting exactly what the commit replaced or pruned — when
+    // the stored state matched the pre-commit table; otherwise rebuild
+    // from the committed table (first batch on a legacy store, or any
+    // divergence the fingerprint gate detected). The artifact records
+    // the POST-commit fingerprint, so `Main profile` serves from it
+    // only while it is provably in sync.
+    locally {
+      val newFp = graft.text.ProfileState.dirFingerprint(chunksDirF)
+      val profileParts =
+        if (profileFoldable)
+          graft.text.ProfileState.fold(oldProfile, chunked, staleStored)
+        else graft.text.ProfileState.fromChunks(
+          openTable(spark, storeDir, "chunks"))
+      graft.io.Faults.point("profileState.before-commit")
+      graft.text.ProfileState.write(spark, storeDir, profileParts, newFp)
     }
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
@@ -2246,28 +2294,86 @@ object Main {
 
   /** Corpus profile over the stored chunks: per chunking strategy, the
     * chunk-content length quantiles from the mergeable log2-histogram
-    * sketch ([[graft.text.Profile]]) — the operational "is the store
+    * sketch plus the exact Zipf rank-frequency slope and the
+    * distinct-token register estimate — the operational "is the store
     * healthy" summary (a runaway chunker or a truncating converter
-    * shows up as a collapsed p50/p99 immediately), at sketch cost.
+    * shows up as a collapsed p50/p99 immediately; template/boilerplate
+    * mass flattens the slope).
+    *
+    * SERVED FROM THE STORED `profile_state` ARTIFACT
+    * ([[graft.text.ProfileState]]) whenever its fingerprint matches
+    * the live chunks table — the report then costs a register/
+    * histogram/vocab-sized read, not a corpus scan + re-tokenize. On
+    * any mismatch (legacy store, crash window, foreign rewrite) it
+    * falls back to a full rescan and, unless `readOnly`, HEALS the
+    * artifact from that rescan. `rebuild` forces the rescan path (the
+    * escape hatch that also resets the history-monotone register
+    * part). `probeTokens` adds one Count-Min point-estimate line per
+    * token (normalized into the sketch's lowercase token model; ≥ the
+    * true count, one-sided). The report is BIT-IDENTICAL between the
+    * state-served and rescan paths — except the register line after a
+    * demotion, which reads "distinct tokens ever kept" until a
+    * rebuild (the documented HLL no-deletion trade; spec-pinned).
     */
-  def runProfile(spark: SparkSession, storeDir: String): Seq[String] = {
-    val chunks = openTable(spark, storeDir, "chunks")
-      .withColumn("len", length(col("content")))
-    val perStrategy = graft.text.Profile.lengthProfile(chunks, "strategy", "len")
+  def runProfile(spark: SparkSession, storeDir: String,
+                 rebuild: Boolean = false,
+                 probeTokens: Seq[String] = Nil,
+                 readOnly: Boolean = false): Seq[String] = {
+    import graft.text.ProfileState
+    val chunksDir = new java.io.File(s"$storeDir/chunks.parquet")
+    require(chunksDir.exists(), s"no chunks table under $storeDir — ingest first")
+    val parts =
+      (if (rebuild) None else ProfileState.readSynced(spark, storeDir, chunksDir))
+        .getOrElse {
+          // fingerprint BEFORE the scan frames are built — the pair
+          // written below must describe the listing the scan read
+          val fp = ProfileState.dirFingerprint(chunksDir)
+          val scanned = ProfileState.fromChunks(
+            openTable(spark, storeDir, "chunks"))
+          if (readOnly) scanned
+          else {
+            ProfileState.write(spark, storeDir, scanned, fp)
+            // serve from the committed artifact: each report family
+            // below is its own action, and the artifact read is
+            // sketch-sized while the scan plan re-tokenizes per action
+            ProfileState.read(spark, storeDir).get._1
+          }
+        }
+    val perStrategy = graft.text.Profile
+      .histogramQuantiles(parts.hist, "strategy", Seq(50, 90, 99))
       .orderBy(col("strategy"))
       .collect().map { r =>
         s"""{"strategy":"${r.getAs[String]("strategy")}",""" +
         s""""n_docs":${r.getAs[Long]("n_docs")},"p50_lb":${r.getAs[Long]("p50_lb")},""" +
         s""""p90_lb":${r.getAs[Long]("p90_lb")},"p99_lb":${r.getAs[Long]("p99_lb")}}"""
       }.toSeq
-    // corpus-level health: the exact Zipf rank-frequency slope over
-    // the stored chunk text (q169) — slope ≈ −1 reads natural, a flat
-    // slope flags template/boilerplate mass worth a dedup pass
-    val z = graft.text.TextStats.zipfSlope(chunks, "content").head()
-    perStrategy :+
-      (s"""{"zipf_n_terms":${z.getLong(0)},""" +
-       s""""zipf_slope_num":${z.getLong(1)},""" +
-       s""""zipf_slope_den":${z.getLong(2)}}""")
+    val z = graft.text.TextStats.zipfSlopeFromVocab(parts.vocab).head()
+    val zipfLine =
+      s"""{"zipf_n_terms":${z.getLong(0)},""" +
+      s""""zipf_slope_num":${z.getLong(1)},""" +
+      s""""zipf_slope_den":${z.getLong(2)}}"""
+    val sketchLines = graft.text.Profile
+      .distinctFromRegisters(parts.regs, "strategy")
+      .orderBy(col("strategy"))
+      .collect().map { r =>
+        s"""{"strategy":"${r.getAs[String]("strategy")}",""" +
+        s""""registers_used":${r.getAs[Long]("registers_used")},""" +
+        s""""est_distinct":${r.getAs[Long]("est_distinct")}}"""
+      }.toSeq
+    val probeLines =
+      if (probeTokens.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val norm = probeTokens.map(_.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty).distinct
+        val est = graft.text.Profile
+          .cmsEstimate(parts.cms, norm.toDF("token"), "token")
+          .collect().map(r => r.getAs[String]("token") ->
+                              r.getAs[Long]("est_cnt")).toMap
+        norm.map(t =>
+          s"""{"token":"${jsonEscape(t)}","est_cnt":${est.getOrElse(t, 0L)}}""")
+      }
+    (perStrategy :+ zipfLine) ++ sketchLines ++ probeLines
   }
 
   /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training

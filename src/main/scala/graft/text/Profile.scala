@@ -161,6 +161,26 @@ object Profile {
         s"$HllNum div (__dn + (${HllBuckets} - registers_used) * $HllEmptyTerm) div $HllDen"))
       .drop("__dn")
 
+  /** The distinct-count REPORT off a stored sketch state, REGISTERS
+    * ONLY — no `n_tokens`: the register half of the state (bucket →
+    * max rho) is idempotent under re-adding the same tokens, so the
+    * served estimate equals a fresh one-shot sketch after any
+    * re-ingest; the additive `occ` half counts token ARRIVALS over
+    * ingest history and diverges from a live-store recount the moment
+    * a doc is re-delivered — a product profile that must read
+    * "identical to a rescan" serves the register columns and leaves
+    * occ in the artifact as a history diagnostic. Same harmonic-sum
+    * integer algebra as [[sketchFromState]].
+    */
+  def distinctFromRegisters(state: DataFrame, groupCol: String): DataFrame =
+    state.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("registers_used"),
+           sum(expr("shiftright(CAST(1073741824 AS BIGINT), CAST(m_reg AS INT))"))
+             .as("__dn"))
+      .withColumn("est_distinct", expr(
+        s"$HllNum div (__dn + (${HllBuckets} - registers_used) * $HllEmptyTerm) div $HllDen"))
+      .drop("__dn")
+
   /** Fold length-histogram sketches ([[lengthHistogram]] outputs) —
     * counts are additive, so the merged histogram of any batching
     * equals the one-shot histogram exactly and

@@ -658,9 +658,26 @@ object TextStats {
     *
     * Output: one row (n_terms, slope_num, slope_den).
     */
-  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 64): DataFrame = {
-    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 64): DataFrame =
+    zipfSlopeFromVocab(termFrequencies(df, textCol), topK)
+
+  /** The corpus term-frequency table behind [[zipfSlope]] (whitespace
+    * tokens, case-preserving — the zipf token model): one (term, freq)
+    * row per distinct term. This is the zipf family's MERGEABLE
+    * representation — freq is additive, so batch deltas fold (and
+    * demotions subtract) EXACTLY, which is what lets a stored
+    * `profile_state` serve [[zipfSlopeFromVocab]] bit-identically to a
+    * full recompute. Vocabulary-sized (corpus-sublinear under Heaps'
+    * law), never corpus-sized.
+    */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+
+  /** [[zipfSlope]] served from a (term, freq) table — the stored-state
+    * form: identical algebra from the top-`topK` tail down.
+    */
+  def zipfSlopeFromVocab(tf: DataFrame, topK: Int = 64): DataFrame = {
     val top = tf.orderBy(col("freq").desc, col("term")).limit(topK)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

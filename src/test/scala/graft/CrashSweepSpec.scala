@@ -138,6 +138,53 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("profile-state commit: a crash at every step serves a correct profile and heals on re-ingest") {
+    val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
+    val control = Files.createTempDirectory("graft_sweep_pctl").toString
+    Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runIngest(spark, in2, control, "nomic", later)
+    val wantProfile = Main.runProfile(spark, control)
+    val want = state(control)
+    // the profile artifact commits LAST inside the ingest transaction's
+    // chunk stage, so every injected crash leaves committed tables with
+    // a stale/absent/parked artifact — the fingerprint gate must route
+    // every such window to the rescan fallback (correct answers
+    // immediately), and the re-run batch must re-sync the state
+    for (pt <- Seq("profileState.before-commit", "commitArtifact.after-tmp",
+                   "commitArtifact.after-aside", "commitArtifact.after-commit")) {
+      val store = Files.createTempDirectory("graft_sweep_prof").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      Faults.arm(pt)
+      val e = intercept[Faults.InjectedCrash] {
+        Main.runIngest(spark, in2, store, "nomic", later)
+      }
+      assert(e.point == pt)
+      Faults.reset()
+      // fallback correctness: the crashed window's artifact (stale,
+      // mid-commit, or parked in trash) must never serve — profile
+      // answers from the rescan path and equals the never-crashed twin
+      assert(Main.runProfile(spark, store) == wantProfile,
+        s"$pt: post-crash profile must fall back to a correct rescan")
+      // the fallback HEALED the artifact (rescan path rewrites it): a
+      // fresh read now serves from state, still equal
+      assert(graft.text.ProfileState
+        .readSynced(spark, store,
+                    new java.io.File(s"$store/chunks.parquet")).isDefined,
+        s"$pt: the rescan fallback must re-sync the artifact")
+      // re-running the batch (upsert — idempotent) converges everything
+      Main.runIngest(spark, in2, store, "nomic", later)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      assert(state(store) == want && Main.runProfile(spark, store) == wantProfile,
+        s"$pt diverged from the never-crashed twin")
+      val left = new java.io.File(store).list()
+        .filter(_.contains("profile_state.parquet."))
+        .filterNot(n => n.endsWith(".lock") || n.endsWith(".lock.guard"))
+      assert(left.isEmpty,
+        s"$pt: no tmp/trash residue after heal, got ${left.mkString(",")}")
+    }
+  }
+
   test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
     val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
     val store = Files.createTempDirectory("graft_sweep_snap").toString
