@@ -178,6 +178,10 @@ object Main {
                    case a if a.startsWith("--token=") => a.stripPrefix("--token=")
                  }).foreach(println)
       spark.stop()
+    case "delete" :: store :: docId :: Nil =>
+      val spark = session()
+      runDelete(spark, store, docId).foreach(println)
+      spark.stop()
     case "dupreport" :: inDir :: rest =>
       val spark = session()
       val topK = rest.headOption.map(_.toInt).getOrElse(5)
@@ -260,6 +264,7 @@ object Main {
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
+        "delete <store> <docId> | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> [--rebuild] [--token=<t> ...] | dupreport <inDir> [topK] | " +
@@ -346,7 +351,25 @@ object Main {
     // since `now` is batch-constant) is ONE upload. Without this the
     // keep-one window sees the id twice and flags one row !keep — the
     // doc lands in dupIds and prunes ITS OWN chunks from the commit.
-    val docs = docsIn.dropDuplicates("doc_id").cache()
+    val docsAll = docsIn.dropDuplicates("doc_id").cache()
+    // Takedown tombstones BLOCK resurrection: an arriving upload whose
+    // doc_id matches a 'removed' documents row (same bytes + filename
+    // → same id) leaves the batch before any stage sees it — a
+    // re-upload must never silently undo a `Main delete`. The
+    // tombstone id set is pinned EAGERLY (takedown-count-sized), so no
+    // downstream lineage reads the documents table across its own
+    // swap; the dropped count lands in the run log as n_tombstoned.
+    val docsTablePath0 = new java.io.File(s"$storeDir/documents.parquet")
+    val removedIds =
+      if (docsTablePath0.exists())
+        Some(spark.read.parquet(docsTablePath0.toString)
+          .filter($"status" === Schemas.DocumentStatus.Removed)
+          .select($"doc_id").localCheckpoint(true))
+      else None
+    val docs = removedIds match {
+      case Some(r) => docsAll.join(r, Seq("doc_id"), "left_anti")
+      case None => docsAll
+    }
     // storage snapshot: everything pinned after this point (the dedup
     // clustering's per-round label tables) is this run's scratch and is
     // freed before returning — a long-lived session must not accumulate
@@ -646,15 +669,18 @@ object Main {
       } else chunkObs.get ++
         Map("n_embedded" -> embedObs.get.getOrElse("n_embedded", 0L),
             "n_providers" -> embedObs.get.getOrElse("n_providers", 0L))
+    val nDocs = docs.count()
+    val nFailed = docs.filter($"status" === "failed").count()
+    val nTombstoned =
+      if (removedIds.isDefined) docsAll.count() - nDocs else 0L
     val runLog = (obs.toSeq.map { case (m, v) =>
         ("ingest", m, Option(v).map(_.toString.toDouble).getOrElse(0.0))
-      } ++ Seq(("chunk_write", "seconds", tChunks), ("embed_write", "seconds", tEmbed)))
+      } ++ Seq(("chunk_write", "seconds", tChunks),
+               ("embed_write", "seconds", tEmbed),
+               ("ingest", "n_tombstoned", nTombstoned.toDouble)))
       .toDF("stage", "metric", "value")
       .withColumn("run_at", lit(now))
     appendRunlogFrame(storeDir, runLog)
-
-    val nDocs = docs.count()
-    val nFailed = docs.filter($"status" === "failed").count()
     if (streaming) {
       // unpersist() does not drop a localCheckpoint pin — release at
       // the RDD level (the pinnedBefore sweep below would catch these
@@ -662,7 +688,7 @@ object Main {
       graft.io.Pins.release(chunksObserved)
       graft.io.Pins.release(embedded)
     }
-    docs.unpersist()
+    docsAll.unpersist()
     // free this run's dedup scratch pins (see snapshot above)
     spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => pinnedBefore.contains(id) }
@@ -1039,7 +1065,7 @@ object Main {
                 semDedup: Boolean = false): String = {
     import graft.dedup.Dedup
     val docs = openTable(spark, storeDir, "documents")
-      .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
+      .filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))
     val text = Ingest.convertDocuments(docs).filter(col("text").isNotNull)
 
     // doc-level tier: quality gate + cluster split — doc-count-sized
@@ -1466,7 +1492,7 @@ object Main {
     val checks = scala.collection.mutable.ArrayBuffer[(String, Long, Boolean)]()
     try {
       val docIds = docs.select(col("doc_id"))
-      val deadIds = docs.filter(col("status").isin("failed", "duplicate"))
+      val deadIds = docs.filter(col("status").isin(Schemas.DocumentStatus.Dead: _*))
         .select(col("doc_id"))
 
       chunksOpt.foreach { chunks =>
@@ -1501,7 +1527,7 @@ object Main {
         // info: kept docs carrying no signatures — legitimate for docs
         // too short to shingle, so never a violation
         checks += (("docs_without_signatures",
-          docs.filter(!col("status").isin("failed", "duplicate"))
+          docs.filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))
             .select(col("doc_id"))
             .join(sigs.select(sigs("doc").as("doc_id")).distinct(),
                   Seq("doc_id"), "left_anti").count(), false))
@@ -1609,7 +1635,7 @@ object Main {
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val docs = spark.read.parquet(tblFile("documents").toString)
-    val liveIds = docs.filter(!col("status").isin("failed", "duplicate"))
+    val liveIds = docs.filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))
       .select(col("doc_id")).localCheckpoint(true)
     try {
       if (tblFile("chunks").exists()) Tables.withTableLock(tblFile("chunks").toString) {
@@ -2256,8 +2282,7 @@ object Main {
     filters.keys.foreach(k => require(docs.columns.contains(k),
       s"unknown metadata column '$k' — documents has: ${docs.columns.sorted.mkString(", ")}"))
     val filtered = filters.foldLeft(
-        docs.filter(!col("status").isin(Schemas.DocumentStatus.Failed,
-                                        "duplicate"))) {
+        docs.filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))) {
       case (d, (k, v)) => d.filter(col(k).cast("string") === v)
     }
     val hits = metaSearchHits(spark, storeDir, query)
@@ -2376,6 +2401,153 @@ object Main {
     (perStrategy :+ zipfLine) ++ sketchLines ++ probeLines
   }
 
+  // ------------------------------------------------------------------ delete
+
+  /** `delete <store> <docId>` — the takedown/compliance transaction:
+    * ONE lease-held commit that removes a document's content from
+    * every serving tier while leaving a tombstone row. Demotion only
+    * removes docs as a side effect of dedup at ingest; this is the
+    * direct removal a takedown/GDPR request needs. Composes the same
+    * maintenance ops a demotion uses, in RE-RUNNABLE order:
+    *
+    *  1. chunks pruned; the profile state folds the exact subtraction
+    *  2. postings swapped out (bucket-pruned — cost scales with the
+    *     doc's vocabulary, not the index)
+    *  3. embeddings pruned (every provider); stored vector index
+    *     reconciled against the pruned slice
+    *  4. signatures pruned (the doc leaves the dedup index)
+    *  5. search cache dropped wholesale (any provider's cached ranking
+    *     may cite the deleted chunks)
+    *  6. documents row → status 'removed', content_b64 NULLED — THE
+    *     COMMIT POINT: everything before it is idempotent maintenance,
+    *     so a crash anywhere converges by re-running the delete; only
+    *     after this flip does a second delete fail loudly.
+    *
+    * The tombstone both audits the takedown and blocks resurrection:
+    * [[ingestBatch]] drops any arriving upload whose doc_id matches a
+    * removed row (same bytes + filename → same id), so a re-upload
+    * cannot silently undo a compliance action. Unknown ids fail
+    * loudly (the reference's 404 contract, `api/routes/documents.py`).
+    */
+  def runDelete(spark: SparkSession, storeDir: String, docId: String,
+                now: Timestamp = new Timestamp(System.currentTimeMillis()))
+      : Seq[String] =
+    Tables.withTableLock(s"$storeDir/.store") {
+      import spark.implicits._
+      import graft.text.ProfileState
+      // writer-crash preamble (fsck's table preamble, inlined): a prior
+      // crashed commit may have parked a table's only copy in .trash —
+      // restore BEFORE the exists() checks below decide which tiers to
+      // prune, or a re-run delete would silently skip a parked tier
+      Seq("documents", "chunks", "embeddings", "signatures").foreach { t =>
+        val live = new java.io.File(s"$storeDir/$t.parquet")
+        val trash = new java.io.File(s"$storeDir/$t.parquet.trash")
+        if (!live.exists() && trash.exists())
+          Tables.withTableLock(live.toString) {
+            if (!live.exists() && trash.exists())
+              require(trash.renameTo(live), s"restoring $t from trash failed")
+          }
+      }
+      val docsPath = new java.io.File(s"$storeDir/documents.parquet")
+      require(docsPath.exists(), s"no documents table under $storeDir")
+      val status = spark.read.parquet(docsPath.toString)
+        .filter($"doc_id" === docId).select($"status").as[String].collect()
+      require(status.nonEmpty, s"no document $docId under $storeDir")
+      require(status.head != Schemas.DocumentStatus.Removed,
+        s"document $docId is already removed")
+
+      val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
+      // profile-state sync gate + the doc's stored chunks, captured
+      // EAGERLY before the prune swaps the table (the ingest pattern)
+      val (profileFoldable, oldProfile) =
+        if (!chunksDirF.exists()) (true, None)
+        else ProfileState.read(spark, storeDir) match {
+          case Some((p, fp))
+              if fp == ProfileState.dirFingerprint(chunksDirF) =>
+            (true, Some(p))
+          case _ => (false, None)
+        }
+      val docChunks =
+        if (chunksDirF.exists())
+          Some(openTable(spark, storeDir, "chunks")
+            .filter($"doc_id" === docId)
+            .select($"chunk_id", $"content", $"strategy")
+            .localCheckpoint(true))
+        else None
+      val nChunks = docChunks.map(_.count()).getOrElse(0L)
+
+      if (chunksDirF.exists()) {
+        writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
+                   storeDir, "chunks", keys = Seq("chunk_id"),
+                   version = Seq(lit(1)),
+                   prune = m => m.filter($"doc_id" =!= docId))
+        val newFp = ProfileState.dirFingerprint(chunksDirF)
+        val parts =
+          if (profileFoldable)
+            ProfileState.fold(oldProfile, docChunks.get.limit(0), docChunks)
+          else ProfileState.fromChunks(openTable(spark, storeDir, "chunks"))
+        graft.io.Faults.point("profileState.before-commit")
+        ProfileState.write(spark, storeDir, parts, newFp)
+      }
+      val postingsPath = new java.io.File(s"$storeDir/postings.idx")
+      if (postingsPath.exists())
+        docChunks.foreach(rm =>
+          Search.removeFromPostings(spark, rm.select($"chunk_id", $"content"),
+                                    "chunk_id", "content",
+                                    postingsPath.toString))
+      val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
+      val nEmb =
+        if (embPath.exists())
+          openTable(spark, storeDir, "embeddings")
+            .filter(substring($"chunk_id", 1, 64) === docId).count()
+        else 0L
+      if (embPath.exists()) {
+        writeTable(spark, openTable(spark, storeDir, "embeddings").limit(0),
+                   storeDir, "embeddings",
+                   keys = Seq("chunk_id", "embedding_provider"),
+                   version = Seq(lit(1)),
+                   prune = m => m.filter(substring($"chunk_id", 1, 64) =!= docId))
+        if (search.VectorIndex.exists(storeDir)) {
+          val vecPath = search.VectorIndex.indexPath(storeDir)
+          val idxProvider = search.VectorIndex.readMeta(vecPath).provider
+          search.VectorIndex.reconcile(spark, vecPath,
+            openTable(spark, storeDir, "embeddings")
+              .filter($"embedding_provider" === idxProvider),
+            "chunk_id", "embedding")
+        }
+      }
+      val sigPath = new java.io.File(s"$storeDir/signatures.parquet")
+      val nSigs =
+        if (sigPath.exists())
+          spark.read.parquet(sigPath.toString)
+            .filter($"doc" === docId).count()
+        else 0L
+      if (sigPath.exists())
+        writeTable(spark,
+                   spark.read.parquet(sigPath.toString).limit(0),
+                   storeDir, "signatures", keys = Seq("doc", "band"),
+                   version = Seq(lit(1)),
+                   prune = m => m.filter($"doc" =!= docId))
+      invalidateSearchCache(spark, storeDir, None)
+      // THE COMMIT POINT: the tombstone row — status flipped, content
+      // gone. updated_at = now wins the upsert's latest-per-key.
+      val tombstone = spark.read.parquet(docsPath.toString)
+        .filter($"doc_id" === docId)
+        .withColumn("status", lit(Schemas.DocumentStatus.Removed))
+        .withColumn("content_b64", lit(null).cast("string"))
+        .withColumn("error_message", lit(null).cast("string"))
+        .withColumn("metadata_json", lit("{}"))
+        .withColumn("updated_at", lit(now))
+      writeTable(spark, tombstone, storeDir, "documents",
+                 keys = Seq("doc_id"), version = Seq(col("updated_at")))
+      appendRunlog(spark, storeDir, "delete",
+                   Seq("n_chunks_removed" -> nChunks,
+                       "n_embeddings_removed" -> nEmb,
+                       "n_signatures_removed" -> nSigs))
+      Seq(s"""{"deleted":"${jsonEscape(docId)}","chunks_removed":$nChunks,""" +
+          s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs}""")
+    }
+
   /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training
     * export as WebDataset-style tar shards — the raw-bytes twin of
     * [[runExport]]'s text JSONL: every kept doc contributes its
@@ -2390,7 +2562,7 @@ object Main {
   def runExportWds(spark: SparkSession, storeDir: String, outDir: String,
                    nShards: Int = 4): Seq[String] = {
     val docs = openTable(spark, storeDir, "documents")
-      .filter(!col("status").isin(Schemas.DocumentStatus.Failed, "duplicate"))
+      .filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))
     val ext =
       when(col("content_type") === "application/pdf", "pdf")
         .when(col("content_type") === "image/png", "png")

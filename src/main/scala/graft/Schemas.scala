@@ -19,7 +19,17 @@ object Schemas {
     val Completed  = "completed"
     val Failed     = "failed"
     val Cancelled  = "cancelled"
-    val all: Set[String] = Set(Pending, Processing, Completed, Failed, Cancelled)
+    // engine extensions beyond models/document.py:7-12: near-dup
+    // keep-one demotion, and the `Main delete` takedown tombstone
+    val Duplicate  = "duplicate"
+    val Removed    = "removed"
+    val all: Set[String] = Set(Pending, Processing, Completed, Failed, Cancelled,
+                               Duplicate, Removed)
+    /** Statuses whose docs must have NO serving-tier presence (no
+      * chunks/embeddings/signatures/postings/index rows) — the filter
+      * every export/search/audit path shares.
+      */
+    val Dead: Seq[String] = Seq(Failed, Duplicate, Removed)
   }
 
   /** `models/job.py:6-12` JobStatus. */

@@ -185,6 +185,63 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("delete: a crash at every commit step converges via fsck + re-run; the tombstone still blocks resurrection") {
+    val in1 = mkInputs(batch1: _*)
+    def target(store: String): String =
+      spark.read.parquet(s"$store/documents.parquet")
+        .filter(col("filename") === "a.md") // txt→md rewrite at ingest
+        .select("doc_id").as[String].head()
+    val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
+    val control = Files.createTempDirectory("graft_sweep_dctl").toString
+    Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runDelete(spark, control, target(control), delAt)
+    val want = state(control)
+    // rebuild = the register history resets to the live store on both
+    // sides — a crashed profile commit heals by rescan, which loses
+    // the (documented, monotone-only) register history a never-crashed
+    // fold would keep, so the comparable profile is the rebuilt one
+    val wantProfile = Main.runProfile(spark, control, rebuild = true)
+    // the delete transaction crosses four commit protocols (chunks
+    // prune, profile artifact, embeddings prune, documents flip) —
+    // every injected window must converge by the documented recovery:
+    // fsck preamble restores parked tables, then the delete RE-RUNS
+    // (everything before the documents flip is idempotent maintenance)
+    for (pt <- Seq("writeTable.after-tmp", "writeTable.after-aside",
+                   "writeTable.after-commit", "profileState.before-commit",
+                   "commitArtifact.after-aside")) {
+      val store = Files.createTempDirectory("graft_sweep_del").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      val id = target(store)
+      Faults.arm(pt)
+      val e = intercept[Faults.InjectedCrash] {
+        Main.runDelete(spark, store, id, delAt)
+      }
+      assert(e.point == pt)
+      Faults.reset()
+      val (pre, _) = Main.runFsck(spark, store)
+      Main.runDelete(spark, store, id, delAt)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      assert(state(store) == want,
+        s"$pt diverged from the never-crashed twin\n${pre.mkString("\n")}")
+      // additive profile lines converge for every window; whether the
+      // register history survived depends on which side of the profile
+      // commit the crash fell (fold keeps it, rescan-heal resets it) —
+      // both documented — so registers compare on the rebuilt form
+      assert(Main.runProfile(spark, store)
+               .filterNot(_.contains("\"est_distinct\":")) ==
+             wantProfile.filterNot(_.contains("\"est_distinct\":")),
+        s"$pt: additive profile lines")
+      assert(Main.runProfile(spark, store, rebuild = true) == wantProfile,
+        s"$pt: rebuilt profile")
+      // the tombstone gate holds through the recovered store
+      Main.runIngest(spark, in1, store, "nomic", later)
+      assert(spark.read.parquet(s"$store/documents.parquet")
+        .filter(col("doc_id") === id).select("status").as[String].head()
+        == "removed", s"$pt: resurrection blocked")
+    }
+  }
+
   test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
     val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
     val store = Files.createTempDirectory("graft_sweep_snap").toString

@@ -368,6 +368,102 @@ class E2eMainSpec extends SparkSpec {
     assert(served(probes) === rescan(probes))
   }
 
+  test("delete: a takedown removes the doc from every serving tier, tombstones it, and blocks re-upload; a second delete fails loudly") {
+    val in = Files.createTempDirectory("graft_del_in").toFile
+    val store = Files.createTempDirectory("graft_del_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("target.md", "confidential zebra takedown spark query engine tuning")
+    put("keep.md", "watermark lateness checkpoint recovery for streaming")
+    put("keep2.md", "vector index probes and cell balancing maintenance notes")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    // the full serving surface: postings index + vector index
+    Main.runBuildPostings(spark, store, 8)
+    Main.runBuildVectorIndex(spark, store, "nomic", 2)
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    // pre-delete: every tier serves the doc
+    assert(Main.runSearch(spark, store, "zebra takedown", "nomic", 3)
+      .exists(_.contains("zebra")))
+    assert(Main.runPhrase(spark, store, "zebra takedown").nonEmpty)
+
+    val report = Main.runDelete(spark, store, id,
+      Timestamp.from(now.toInstant.plusMillis(50)))
+    assert(report.head.contains(s""""deleted":"$id""""), report.head)
+    assert(report.head.contains("\"chunks_removed\":1"), report.head)
+
+    // tombstone: status removed, content GONE, row still addressable
+    val row = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === id)
+      .select($"status", $"content_b64").collect()
+    assert(row.length === 1)
+    assert(row.head.getString(0) === "removed")
+    assert(row.head.isNullAt(1), "takedown must null the stored content")
+    val got = Main.runGet(spark, store, id)
+    assert(got.head.contains("\"status\":\"removed\"") && got.length === 1,
+      s"get must serve the tombstone with zero chunks: $got")
+
+    // every serving tier: no chunks, embeddings, signatures, postings,
+    // vector-index rows; search/phrase no longer surface it
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === id).count() === 0)
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(id)).count() === 0)
+    assert(spark.read.parquet(s"$store/signatures.parquet")
+      .filter($"doc" === id).count() === 0)
+    assert(spark.read.parquet(s"$store/postings.idx")
+      .filter($"chunk_id".startsWith(id)).count() === 0,
+      "postings of a deleted doc must leave the index")
+    assert(spark.read.parquet(graft.search.VectorIndex.indexPath(store))
+      .filter($"chunk_id".startsWith(id)).count() === 0,
+      "vector-index rows of a deleted doc must leave the index")
+    assert(!Main.runSearch(spark, store, "zebra takedown", "nomic", 3)
+      .exists(_.contains("zebra")))
+    assert(Main.runPhrase(spark, store, "zebra takedown").isEmpty)
+    // profile state folded the subtraction exactly: the additive lines
+    // serve ≡ rescan; the register line is history-monotone (a delete
+    // is a demotion-class event — see the profile-state test), and
+    // the rebuild resets it, after which served ≡ rescan entirely
+    val (svReg0, svAdd0) = Main.runProfile(spark, store)
+      .partition(_.contains("\"est_distinct\":"))
+    val (rsReg0, rsAdd0) = Main.runProfile(spark, store, rebuild = true)
+      .partition(_.contains("\"est_distinct\":"))
+    assert(svAdd0 === rsAdd0)
+    assert(svReg0.size === rsReg0.size)
+    assert(Main.runProfile(spark, store) ===
+           Main.runProfile(spark, store, rebuild = true))
+    // the store audits clean after the takedown
+    val (fsckLines, nViol) = Main.runFsck(spark, store)
+    assert(nViol === 0L, fsckLines.mkString("\n"))
+
+    // a second delete fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.runDelete(spark, store, id,
+        Timestamp.from(now.toInstant.plusMillis(60)))
+    }
+    assert(e.getMessage.contains("already removed"))
+    // and an unknown id fails loudly too
+    intercept[IllegalArgumentException] {
+      Main.runDelete(spark, store, "no-such-doc")
+    }
+
+    // resurrection blocked: re-uploading the same file is dropped by
+    // the tombstone gate — status stays removed, no chunks come back,
+    // and the drop is counted in the run log
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(100)))
+    val after = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === id).select($"status").as[String].collect()
+    assert(after.toSeq === Seq("removed"),
+      "a re-upload must not resurrect a taken-down doc")
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === id).count() === 0)
+    val tombLog = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"metric" === "n_tombstoned").select($"value")
+      .as[Double].collect()
+    assert(tombLog.contains(1.0), s"run log must count the blocked upload: ${tombLog.toSeq}")
+  }
+
   test("a stored postings index follows demotion and re-ingest: stale docs stop matching, no double postings") {
     import graft.ingest.Ingest
     val in = Files.createTempDirectory("graft_postdem_in").toFile
