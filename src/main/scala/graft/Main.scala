@@ -84,9 +84,13 @@ object Main {
       val spark = session()
       runStatus(spark, store, docId).foreach(println)
       spark.stop()
-    case "get" :: store :: docId :: Nil =>
+    case "get" :: store :: docId :: rest
+        if rest.forall(_.startsWith("--snapshot=")) && rest.size <= 1 =>
       val spark = session()
-      runGet(spark, store, docId).foreach(println)
+      val root = rest.headOption
+        .map(a => graft.io.Snapshots.openRoot(store, a.stripPrefix("--snapshot=")))
+        .getOrElse(store)
+      runGet(spark, root, docId).foreach(println)
       spark.stop()
     case "embeddings" :: store :: docId :: rest if rest.size <= 1 =>
       val spark = session()
@@ -122,19 +126,27 @@ object Main {
       val nprobe = rest.collectFirst {
         case a if a.startsWith("--nprobe=") => a.stripPrefix("--nprobe=").toInt
       }.getOrElse(2)
+      // --snapshot=<name>: read-only time travel — every table/index
+      // read below resolves into the snapshot's hardlink tree; all
+      // search variants are pure reads, so nothing else changes
+      val root = rest.collectFirst {
+        case a if a.startsWith("--snapshot=") =>
+          graft.io.Snapshots.openRoot(store, a.stripPrefix("--snapshot="))
+      }.getOrElse(store)
       val pos = rest.filterNot(a =>
         a == "--ann" || a == "--hybrid" || a == "--mmr" || a == "--prf" ||
-          a == "--suggest" || a == "--bm25" || a.startsWith("--nprobe="))
+          a == "--suggest" || a == "--bm25" || a.startsWith("--nprobe=") ||
+          a.startsWith("--snapshot="))
       val provider = pos.headOption.getOrElse("nomic")
       val k = pos.drop(1).headOption.map(_.toInt).getOrElse(10)
       val lines =
-        if (hybrid) runSearchHybrid(spark, store, query, k, nprobe)
-        else if (ann) runSearchAnn(spark, store, query, k, nprobe)
-        else if (mmr) runSearchMmr(spark, store, query, provider, k)
-        else if (prf) runSearchPrf(spark, store, query, k)
-        else if (suggest) runSearchSuggest(spark, store, query, k)
-        else if (bm25) runSearchBm25(spark, store, query, k)
-        else runSearch(spark, store, query, provider, k)
+        if (hybrid) runSearchHybrid(spark, root, query, k, nprobe)
+        else if (ann) runSearchAnn(spark, root, query, k, nprobe)
+        else if (mmr) runSearchMmr(spark, root, query, provider, k)
+        else if (prf) runSearchPrf(spark, root, query, k)
+        else if (suggest) runSearchSuggest(spark, root, query, k)
+        else if (bm25) runSearchBm25(spark, root, query, k)
+        else runSearch(spark, root, query, provider, k)
       lines.foreach(println)
       spark.stop()
     case "index" :: store :: rest =>
@@ -170,13 +182,25 @@ object Main {
       runReindex(spark, store, ifDrift).foreach(println)
       spark.stop()
     case "profile" :: store :: rest
-        if rest.forall(a => a == "--rebuild" || a.startsWith("--token=")) =>
+        if rest.forall(a => a == "--rebuild" || a.startsWith("--token=") ||
+                            a.startsWith("--snapshot=")) =>
+      val snap = rest.collectFirst {
+        case a if a.startsWith("--snapshot=") => a.stripPrefix("--snapshot=")
+      }
+      // a snapshot is immutable history: profiling it is read-only by
+      // construction (no heal write), and rebuilding it is a writing
+      // op that must be refused, not silently skipped
+      require(snap.isEmpty || !rest.contains("--rebuild"),
+        "--rebuild writes the profile artifact and cannot target a snapshot")
       val spark = session()
-      runProfile(spark, store,
+      runProfile(spark,
+                 snap.map(n => graft.io.Snapshots.openRoot(store, n))
+                   .getOrElse(store),
                  rebuild = rest.contains("--rebuild"),
                  probeTokens = rest.collect {
                    case a if a.startsWith("--token=") => a.stripPrefix("--token=")
-                 }).foreach(println)
+                 },
+                 readOnly = snap.isDefined).foreach(println)
       spark.stop()
     case "delete" :: store :: docId :: Nil =>
       val spark = session()
@@ -257,8 +281,8 @@ object Main {
     case _ =>
       System.err.println(
         "usage: ingest <inDir> <store> [provider] | status <store> <docId> | " +
-        "get <store> <docId> | embeddings <store> <docId> [provider] | " +
-        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest|--bm25] [--nprobe=N] | " +
+        "get <store> <docId> [--snapshot=<name>] | embeddings <store> <docId> [provider] | " +
+        "search <store> <query> [provider] [k] [--ann|--hybrid|--mmr|--prf|--suggest|--bm25] [--nprobe=N] [--snapshot=<name>] | " +
         "export <store> <outDir> [provider] | " +
         "exportwds <store> <outDir> [nShards] | " +
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
@@ -267,7 +291,7 @@ object Main {
         "delete <store> <docId> | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
-        "profile <store> [--rebuild] [--token=<t> ...] | dupreport <inDir> [topK] | " +
+        "profile <store> [--rebuild] [--token=<t> ...] [--snapshot=<name>] | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
         "metasearch <store> <query> [col=value ...] | " +
         "index <store> [provider] [nlist] | balance <store> [maxRows] | " +
@@ -787,14 +811,26 @@ object Main {
     * (cron-able, exactly-once per file via the stream checkpoint);
     * `--follow` polls every 10 s until killed. Returns the store's
     * post-drain document count.
+    *
+    * LIVE MONITOR LINES ride the drain
+    * ([[graft.stream.Inbox.startMonitors]]): per micro-batch, per
+    * content-type scope, a distinct-payload estimate (HLL registers)
+    * and the heavy-hitter payloads (Count-Min + bounded candidates) —
+    * the running "is this inbox spamming me duplicates" answer, with
+    * bounded state however long `--follow` runs. `emit` receives each
+    * line (stdout in the CLI).
     */
   def runWatch(spark: SparkSession, inboxDir: String, storeDir: String,
                providerName: String = "nomic",
                trigger: org.apache.spark.sql.streaming.Trigger =
-                 org.apache.spark.sql.streaming.Trigger.AvailableNow()): Long = {
+                 org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+               emit: String => Unit = println): Long = {
+    val monitors = graft.stream.Inbox.startMonitors(
+      spark, inboxDir, storeDir, emit, trigger)
     val q = graft.stream.Inbox.start(spark, inboxDir, storeDir,
                                      providerName, trigger)
     q.awaitTermination()
+    monitors.foreach(_.awaitTermination())
     val docs = new java.io.File(s"$storeDir/documents.parquet")
     if (docs.exists()) spark.read.parquet(docs.toString).count() else 0L
   }
@@ -1350,7 +1386,7 @@ object Main {
     * quote, and ALL control chars (a chunk's newlines would otherwise
     * break the one-JSON-object-per-line output contract).
     */
-  private def jsonEscape(s: String): String = {
+  private[graft] def jsonEscape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
       case '\\' => b ++= "\\\\"

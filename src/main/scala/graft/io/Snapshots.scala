@@ -306,6 +306,24 @@ object Snapshots {
       }
     }
 
+  /** Resolve a snapshot for READ-ONLY querying (`Main search/get/
+    * profile --snapshot=<name>`): the hardlink tree under
+    * `.snapshots/<name>` is a complete, consistent, immutable store of
+    * its moment — every table, index, sidecar, and artifact — so
+    * queries open tables from it IN PLACE: no park, no relink, no
+    * lease, the live store untouched. "What did this query return
+    * before yesterday's ingest" without a rollback. Same name
+    * validation as every snapshot entry point; requires a COMPLETED
+    * snapshot (manifest present — a crashed create is not history).
+    */
+  def openRoot(storeDir: String, name: String): String = {
+    checkName(name)
+    val snap = new File(storeDir, s".snapshots/$name")
+    require(snap.isDirectory && new File(snap, ManifestFile).exists(),
+      s"no snapshot $name under $storeDir")
+    snap.toString
+  }
+
   /** Names of COMPLETED snapshots (manifest present), sorted — a
     * crashed create's partial dir is not history and never lists.
     */

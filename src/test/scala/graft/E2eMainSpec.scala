@@ -464,6 +464,71 @@ class E2eMainSpec extends SparkSpec {
     assert(tombLog.contains(1.0), s"run log must count the blocked upload: ${tombLog.toSeq}")
   }
 
+  test("--snapshot queries: read-only time travel answers from history while the live store answers fresh; the snapshot stays byte-untouched") {
+    val in1 = Files.createTempDirectory("graft_tt_in1").toFile
+    val in2 = Files.createTempDirectory("graft_tt_in2").toFile
+    val store = Files.createTempDirectory("graft_tt_store").toString
+    def put(dir: java.io.File, name: String, text: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath, text.getBytes("UTF-8"))
+    val base = "spark query engine zebra performance tuning guide for " +
+      "training pipelines with shuffle partitioning and broadcast joins"
+    put(in1, "a.md", base)
+    put(in1, "b.txt", "watermark lateness checkpoint recovery for streaming")
+    // the near-dup that will DEMOTE a.md after the snapshot is taken
+    put(in2, "a2.md", base.replace("zebra", "alpaca") +
+      " plus watermark checkpoints and recovery drills at scale")
+
+    Main.runIngest(spark, in1.toString, store, "nomic", now)
+    val aId = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "a.md").select($"doc_id").as[String].head()
+    val preProfile = Main.runProfile(spark, store)
+    graft.io.Snapshots.create(store, "s1")
+    Main.runIngest(spark, in2.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === aId).select($"status").as[String].head()
+      === "duplicate", "fixture must demote the snapshotted doc")
+
+    val snapRoot = graft.io.Snapshots.openRoot(store, "s1")
+    val fpBefore = graft.text.ProfileState
+      .dirFingerprint(new java.io.File(snapRoot))
+
+    // search: the live store no longer knows 'zebra' (the winner spells
+    // it 'alpaca'); the snapshot still answers with the original chunk
+    assert(!Main.runSearch(spark, store, "zebra performance", "nomic", 3)
+      .exists(_.contains("zebra")))
+    assert(Main.runSearch(spark, snapRoot, "zebra performance", "nomic", 3)
+      .exists(_.contains("zebra")))
+    // get: live serves the demoted tombstone-ish row (duplicate, no
+    // chunks); the snapshot serves the pre-ingest completed doc WITH
+    // its chunks
+    val liveGet = Main.runGet(spark, store, aId)
+    assert(liveGet.head.contains("\"status\":\"duplicate\"") &&
+           liveGet.length === 1, liveGet.mkString("\n"))
+    val snapGet = Main.runGet(spark, snapRoot, aId)
+    assert(snapGet.head.contains("\"status\":\"completed\"") &&
+           snapGet.length > 1, snapGet.mkString("\n"))
+    // profile: the snapshot's own profile_state artifact travels in the
+    // hardlink tree and is IN SYNC with the snapshot's chunks table
+    // (relative names + sizes survive linking), so the read-only path
+    // serves from state — and answers exactly the pre-ingest report
+    assert(Main.runProfile(spark, snapRoot, readOnly = true) === preProfile)
+    assert(Main.runProfile(spark, store) !== preProfile,
+      "the live profile must have moved on")
+    // immutability: every query above left the snapshot byte-untouched
+    assert(graft.text.ProfileState
+      .dirFingerprint(new java.io.File(snapRoot)) === fpBefore,
+      "read-only snapshot queries must not write into the snapshot tree")
+    // the writing escape hatch is refused on snapshots at the CLI gate
+    // (Main.main), and unknown snapshot names fail loudly everywhere
+    intercept[IllegalArgumentException] {
+      graft.io.Snapshots.openRoot(store, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.Snapshots.openRoot(store, "../escape")
+    }
+  }
+
   test("a stored postings index follows demotion and re-ingest: stale docs stop matching, no double postings") {
     import graft.ingest.Ingest
     val in = Files.createTempDirectory("graft_postdem_in").toFile

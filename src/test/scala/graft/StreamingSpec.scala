@@ -62,6 +62,70 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("watch monitors: a duplicate-heavy inbox drain reports the planted hitter with its exact batch-sketch estimate") {
+    import graft.stream.{DistinctMonitor, FrequencyMonitor}
+    val in = Files.createTempDirectory("graft_mon_in").toFile
+    val store = Files.createTempDirectory("graft_mon_store").toString
+    val dup = "the same spammy payload delivered again and again"
+    (0 until 6).foreach(i =>
+      Files.writeString(new java.io.File(in, s"dup$i.txt").toPath, dup))
+    val uniques = Seq("alpha unique content entirely",
+                      "beta other unique content",
+                      "gamma further unique content",
+                      "delta last unique content")
+    uniques.zipWithIndex.foreach { case (t, i) =>
+      Files.writeString(new java.io.File(in, s"u$i.txt").toPath, t) }
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = Main.runWatch(spark, in.toString, store,
+      emit = l => lines.synchronized { lines += l; () })
+    assert(n === 10, "drain must land all ten uploads")
+
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val plantedSha = sha(dup)
+    val allShas = Seq.fill(6)(plantedSha) ++ uniques.map(sha)
+
+    // the heavy-hitter line for the planted payload carries EXACTLY the
+    // batch-sketch estimate over everything the stream saw — computed
+    // here through the monitor's own pure driver twin (spec-pinned
+    // bit-identical to graft.text.Profile.cmsSketch elsewhere)
+    val counters = new Array[Long](4 * 1024)
+    FrequencyMonitor.mergeTokens(counters, allShas.iterator, 4, 1024)
+    val wantEst = FrequencyMonitor.estimate(counters, plantedSha, 4, 1024)
+    assert(wantEst >= 6L)
+    val hitterLines = lines.filter(_.contains("\"monitor\":\"hitter\""))
+    assert(hitterLines.nonEmpty, lines.mkString("\n"))
+    // emitted (est desc, token) per scope — the planted payload leads
+    assert(hitterLines.head.contains(s""""token":"$plantedSha""""),
+      hitterLines.mkString("\n"))
+    assert(hitterLines.head.contains(s""""est_cnt":$wantEst""") &&
+           hitterLines.head.contains("\"n_seen\":10"), hitterLines.head)
+
+    // the distinct line: register estimate over the 5 DISTINCT payloads
+    // beside the 10 raw arrivals — duplicate mass visible at a glance
+    val (wantUsed, wantDistinct) =
+      DistinctMonitor.estimate(DistinctMonitor.mergeKeys(Map.empty, allShas.iterator))
+    val distinctLines = lines.filter(_.contains("\"monitor\":\"distinct\""))
+    assert(distinctLines.nonEmpty, lines.mkString("\n"))
+    assert(distinctLines.head.contains(s""""registers_used":$wantUsed""") &&
+           distinctLines.head.contains(s""""est_distinct":$wantDistinct""") &&
+           distinctLines.head.contains("\"n_seen\":10"), distinctLines.head)
+
+    // a SECOND drain of new files folds onto the checkpointed state:
+    // n_seen grows past the first batch, the planted hitter persists
+    // in the candidate set (it is still ≥ 2% of all arrivals)
+    Files.writeString(new java.io.File(in, "late.txt").toPath,
+      "an eleventh late unique arrival")
+    val lines2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    Main.runWatch(spark, in.toString, store,
+      emit = l => lines2.synchronized { lines2 += l; () })
+    val hit2 = lines2.filter(_.contains("\"monitor\":\"hitter\""))
+    assert(hit2.exists(l => l.contains(s""""token":"$plantedSha"""") &&
+                            l.contains("\"n_seen\":11")),
+      s"checkpointed monitor state must carry across drains:\n${lines2.mkString("\n")}")
+  }
+
   test("inbox restart: checkpoint resumes exactly-once, no reprocessing") {
     val in = Files.createTempDirectory("graft_inbox2").toFile
     val store = Files.createTempDirectory("graft_store2").toFile
