@@ -454,11 +454,12 @@ object Pipeline {
   private val builtProfileStates =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def storedProfileState(s: SparkSession, sfDir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val root = profileStateRoot(sfDir)
     val sketchPath = s"$root/sketch_state.parquet"
     val histPath = s"$root/length_hist.parquet"
     val cmsPath = s"$root/cms_state.parquet"
+    val vocabPath = s"$root/vocab_state.parquet"
     builtProfileStates.synchronized {
       if (!builtProfileStates.contains(root)) {
         val docs = t(s, sfDir, "documents")
@@ -473,14 +474,16 @@ object Pipeline {
           val deltaHist = graft.text.Profile.lengthHistogram(batch, "source", "n_chars")
           val deltaCms = graft.text.Profile.cmsSketch(
             toks.select(col("__tok").as("token")), "token")
+          val deltaVocab = graft.text.TextStats.termFrequencies(batch, "text")
           // read stored + merge delta + rewrite — the per-ingest loop;
           // step-versioned paths so a write never reads its own input
-          val (ns, nh, nc) = (s"$sketchPath.step$b", s"$histPath.step$b",
-                              s"$cmsPath.step$b")
+          val (ns, nh, nc, nv) = (s"$sketchPath.step$b", s"$histPath.step$b",
+                                  s"$cmsPath.step$b", s"$vocabPath.step$b")
           if (b == 0) {
             deltaSketch.write.mode("overwrite").parquet(ns)
             deltaHist.write.mode("overwrite").parquet(nh)
             deltaCms.write.mode("overwrite").parquet(nc)
+            deltaVocab.write.mode("overwrite").parquet(nv)
           } else {
             graft.text.Profile.mergeSketchStates("source",
                 s.read.parquet(s"$sketchPath.step${b - 1}"), deltaSketch)
@@ -491,6 +494,11 @@ object Pipeline {
             graft.text.Profile.mergeCmsSketches(
                 s.read.parquet(s"$cmsPath.step${b - 1}"), deltaCms)
               .write.mode("overwrite").parquet(nc)
+            // term frequencies are additive — the zipf family's
+            // mergeable representation (vocabulary-sized, never corpus)
+            s.read.parquet(s"$vocabPath.step${b - 1}").unionByName(deltaVocab)
+              .groupBy(col("term")).agg(sum(col("freq")).as("freq"))
+              .write.mode("overwrite").parquet(nv)
           }
         }
         // commit by OVERWRITE-rewrite of the tiny final state (≤256
@@ -499,7 +507,7 @@ object Pipeline {
         // and a POSIX rename onto a non-empty dir silently fails —
         // the repo convention is checked renames or overwrite writes
         (0 to 2).foreach { step =>
-          Seq(sketchPath, histPath, cmsPath).foreach { base =>
+          Seq(sketchPath, histPath, cmsPath, vocabPath).foreach { base =>
             val (src, dst) = (s"$base.step$step", base)
             if (step == 2)
               s.read.parquet(src).write.mode("overwrite").parquet(dst)
@@ -510,7 +518,7 @@ object Pipeline {
       }
     }
     (s.read.parquet(sketchPath), s.read.parquet(histPath),
-     s.read.parquet(cmsPath))
+     s.read.parquet(cmsPath), s.read.parquet(vocabPath))
   }
 
   /** The q93/q187 probe derivation — ONE copy of the token explode and
@@ -724,11 +732,11 @@ object Pipeline {
     * folded STORED counter state): counters are additive, any batching
     * folds exactly.
     */
-  private lazy val CmsHeavyHittersOracle: String =
-    """WITH toks AS (
-            SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+  private def cmsHeavyHittersOracleSql(src: String): String =
+    s"""WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
                                       t -> t <> '')) AS token
-            FROM documents),
+            FROM $src),
           sketch AS (
             SELECT j.j,
                    CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || token), 1, 8)
@@ -754,15 +762,18 @@ object Pipeline {
                  CAST(est_cnt AS BIGINT) AS est_cnt
           FROM probed ORDER BY true_cnt DESC, token ASC"""
 
+  private lazy val CmsHeavyHittersOracle: String =
+    cmsHeavyHittersOracleSql("documents")
+
   /** The q87 length-profile oracle — shared VERBATIM by q87 (one-shot
     * histogram) and q186 (quantiles off the incrementally-folded
     * STORED histogram): additive counts make any batching exact.
     */
-  private lazy val LengthProfileOracle: String =
-    """WITH h AS (
+  private def lengthProfileOracleSql(src: String): String =
+    s"""WITH h AS (
            SELECT source, CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS b,
                   count(*) AS c
-           FROM documents GROUP BY 1, 2),
+           FROM $src GROUP BY 1, 2),
          cum AS (
            SELECT source, b, c,
                   sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
@@ -776,6 +787,54 @@ object Pipeline {
                 (CAST(1 AS BIGINT) <<
                  (CAST(min(CASE WHEN cum * 100 >= n * 99 THEN b END) AS INT) - 1)) AS p99_lb
          FROM cum GROUP BY source ORDER BY source"""
+
+  private lazy val LengthProfileOracle: String =
+    lengthProfileOracleSql("documents")
+
+  /** The q169 zipf-slope oracle — shared VERBATIM by q169 (one-shot
+    * corpus tokenize) and q190 (slope served from the incrementally-
+    * folded STORED term-frequency table): term counts are additive, so
+    * any batching of the vocab fold is exact and the top-64 regression
+    * replays bit-for-bit.
+    */
+  private lazy val ZipfSlopeOracle: String =
+    s"""WITH RECURSIVE tf AS (
+            SELECT t AS term, count(*) AS freq
+            FROM (SELECT unnest(list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+                  FROM documents)
+            GROUP BY 1),
+          top AS (
+            SELECT term, freq,
+                   row_number() OVER (ORDER BY freq DESC, term) AS rank
+            FROM tf
+            QUALIFY rank <= 64),
+          xs AS (
+            SELECT 'r' || rank AS k, CAST(rank AS BIGINT) AS x FROM top
+            UNION ALL
+            SELECT 'f' || rank, CAST(freq AS BIGINT) FROM top),
+          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
+          pts AS (
+            SELECT lr.l2 AS lx, lf.l2 AS ly
+            FROM top t
+            JOIN __l2 lr ON lr.k = 'r' || t.rank
+            JOIN __l2 lf ON lf.k = 'f' || t.rank)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(count(*) * sum(lx*ly) - sum(lx) * sum(ly) AS BIGINT)
+                   AS slope_num,
+                 CAST(count(*) * sum(lx*lx) - sum(lx) * sum(lx) AS BIGINT)
+                   AS slope_den
+          FROM pts"""
+
+  /** The engine's md5 doc-id bucket (q58's convention) as a DuckDB
+    * subquery source — `documents` minus batch 2 of the 3-way split,
+    * the REMAINING corpus the subtractive-fold queries (q188/q189)
+    * must reproduce exactly.
+    */
+  private val DocsMinusBatch2: String =
+    """(SELECT * FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 3 <> 2) d"""
 
   /** The q90 distinct-sketch oracle — shared VERBATIM by q90 (one-shot
     * registers) and q185 (the report off the incrementally-folded
@@ -2621,6 +2680,56 @@ object Pipeline {
                                      "token")
         .orderBy(col("true_cnt").desc, col("token").asc)
     }),
+
+    // SUBTRACTIVE LENGTH PROFILE: the DELETION side of the mergeable-
+    // histogram law (the Main delete / demotion fold): batch 2's delta
+    // is subtracted from the fully-folded stored state — counts are
+    // additive, so the result must be INDISTINGUISHABLE from a one-shot
+    // histogram over the remaining corpus (oracle = q87's SQL over
+    // `documents` minus batch 2). Zero rows drop exactly like a rescan.
+    "q188_subtractive_length_profile" -> ((s, dir) => {
+      val hist = storedProfileState(s, dir)._2
+      val b2 = t(s, dir, "documents")
+        .filter(graft.dedup.Dedup.hashBucket(col("doc_id"), 3) === 2)
+      val remaining = graft.text.Profile.mergeHistograms("source",
+          hist,
+          graft.text.Profile.lengthHistogram(b2, "source", "n_chars")
+            .withColumn("cnt", -col("cnt")))
+        .filter(col("cnt") =!= 0L)
+      graft.text.Profile.histogramQuantiles(remaining, "source", Seq(50, 90, 99))
+        .orderBy(col("source"))
+    }),
+
+    // SUBTRACTIVE CMS: the same deletion law for the Count-Min state —
+    // batch 2's counters subtract exactly, and probing the remaining
+    // sketch for the REMAINING corpus's top-20 answers bit-identically
+    // to a one-shot sketch that never saw batch 2.
+    "q189_subtractive_cms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__b", graft.dedup.Dedup.hashBucket(col("doc_id"), 3))
+      def toks(d: DataFrame) = d.select(
+        explode(filter(split(lower(col("text")), "\\W+"), x => x =!= ""))
+          .as("token"))
+      val remaining = graft.text.Profile.mergeCmsSketches(
+          storedProfileState(s, dir)._3,
+          graft.text.Profile.cmsSketch(toks(docs.filter(col("__b") === 2)),
+                                       "token")
+            .withColumn("cnt", -col("cnt")))
+        .filter(col("cnt") =!= 0L)
+      val top = toks(docs.filter(col("__b") =!= 2))
+        .groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("token").asc)
+        .limit(20)
+      graft.text.Profile.cmsEstimate(remaining, top, "token")
+        .orderBy(col("true_cnt").desc, col("token").asc)
+    }),
+
+    // ZIPF SLOPE FROM THE STORED VOCAB: q169's corpus-health scalar
+    // served from the incrementally-folded term-frequency state (term
+    // counts are additive — the zipf family's mergeable form) instead
+    // of re-tokenizing the corpus. Oracle = q169's SQL verbatim.
+    "q190_zipf_stored_vocab" -> ((s, dir) =>
+      TextStats.zipfSlopeFromVocab(storedProfileState(s, dir)._4)),
 
     // UNICODE NFC NORMALIZATION: the canonical-composition pass every
     // training pipeline runs before dedup/tokenization — precomposed
@@ -4575,34 +4684,11 @@ object Pipeline {
 
     // q169: the same top-64 tail, both axes through the q89 log2
     // recurrence, the slope left as the division-free rational.
-    "q169_zipf_slope" ->
-      s"""WITH RECURSIVE tf AS (
-            SELECT t AS term, count(*) AS freq
-            FROM (SELECT unnest(list_filter(
-                    string_split_regex(text, '\\s+'), x -> x <> '')) AS t
-                  FROM documents)
-            GROUP BY 1),
-          top AS (
-            SELECT term, freq,
-                   row_number() OVER (ORDER BY freq DESC, term) AS rank
-            FROM tf
-            QUALIFY rank <= 64),
-          xs AS (
-            SELECT 'r' || rank AS k, CAST(rank AS BIGINT) AS x FROM top
-            UNION ALL
-            SELECT 'f' || rank, CAST(freq AS BIGINT) FROM top),
-          ${graft.functions.FixedPoint.oracleLog2Cte("xs", "k", "x", "l2")},
-          pts AS (
-            SELECT lr.l2 AS lx, lf.l2 AS ly
-            FROM top t
-            JOIN __l2 lr ON lr.k = 'r' || t.rank
-            JOIN __l2 lf ON lf.k = 'f' || t.rank)
-          SELECT CAST(count(*) AS BIGINT) AS n_terms,
-                 CAST(count(*) * sum(lx*ly) - sum(lx) * sum(ly) AS BIGINT)
-                   AS slope_num,
-                 CAST(count(*) * sum(lx*lx) - sum(lx) * sum(lx) AS BIGINT)
-                   AS slope_den
-          FROM pts""",
+    "q169_zipf_slope" -> ZipfSlopeOracle,
+
+    // q190: the SAME SQL verbatim — the stored-vocab serving path must
+    // be indistinguishable from the one-shot corpus tokenize.
+    "q190_zipf_stored_vocab" -> ZipfSlopeOracle,
 
     // q168: q130's edge CTEs, then two unrolled propagation rounds —
     // majority vote per frontier node (row_number ties plabel ASC),
@@ -6415,6 +6501,15 @@ object Pipeline {
     // stored histogram — oracle shared VERBATIM with q87 (incremental
     // maintenance must be indistinguishable from a full recompute).
     "q186_incremental_length_profile" -> LengthProfileOracle,
+
+    // q188/q189: the deletion side of the mergeable laws — the oracle
+    // is the ONE-SHOT sketch over the corpus that never contained
+    // batch 2 (the engine's md5 bucket split, q58's convention); an
+    // exact subtraction is indistinguishable from never having folded
+    // the batch in.
+    "q188_subtractive_length_profile" ->
+      lengthProfileOracleSql(DocsMinusBatch2),
+    "q189_subtractive_cms" -> cmsHeavyHittersOracleSql(DocsMinusBatch2),
 
     // the same md5-bit register construction and harmonic-sum integer
     // algebra as Profile.distinctSketch (register = first md5 byte,

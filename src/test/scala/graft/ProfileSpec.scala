@@ -193,6 +193,54 @@ class ProfileSpec extends SparkSpec {
              == est(Profile.cmsSketch(tokOnly, "token")))
   }
 
+  test("subtractive fold: removing a batch's delta is bit-identical to never folding it; registers serve without occ") {
+    val docs = (1L to 300L)
+      .map(i => (s"s${i % 3}", s"tok${i % 41} tok${i % 67} word$i", (i * 7 % 500 + 1)))
+      .toDF("source", "text", "n_chars")
+    val b2 = col("n_chars") % 3 === 2
+    // histogram: fold ALL, subtract batch 2's delta, drop zero rows →
+    // exactly the histogram of the corpus that never held batch 2
+    def quants(h: org.apache.spark.sql.DataFrame) =
+      Profile.histogramQuantiles(h, "source", Seq(50, 90, 99))
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val subtracted = Profile.mergeHistograms("source",
+        Profile.lengthHistogram(docs, "source", "n_chars"),
+        Profile.lengthHistogram(docs.filter(b2), "source", "n_chars")
+          .withColumn("cnt", -col("cnt")))
+      .filter(col("cnt") =!= 0L)
+    assert(quants(subtracted) ==
+           quants(Profile.lengthHistogram(docs.filter(!b2), "source", "n_chars")))
+    // same law for CMS counters, probed on the remaining corpus
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val remTok = docs.filter(!b2).select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val probes = remTok.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      Profile.cmsEstimate(sk, probes, "token")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    val subCms = Profile.mergeCmsSketches(
+        Profile.cmsSketch(toks.select(col("token")), "token"),
+        Profile.cmsSketch(
+          docs.filter(b2).select(col("source"),
+            explode(split(col("text"), " ")).as("token"))
+            .select(col("token")), "token")
+          .withColumn("cnt", -col("cnt")))
+      .filter(col("cnt") =!= 0L)
+    assert(est(subCms) == est(Profile.cmsSketch(remTok.select(col("token")), "token")))
+    // the registers-only serving (no occ — the product profile's form)
+    // agrees with sketchFromState on est_distinct and registers_used
+    val state = Profile.sketchState(toks.withColumnRenamed("token", "tok"),
+                                    "source", "tok")
+    val full = Profile.sketchFromState(state, "source")
+      .select(col("source"), col("registers_used"), col("est_distinct"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val regsOnly = Profile.distinctFromRegisters(state, "source")
+      .select(col("source"), col("registers_used"), col("est_distinct"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(regsOnly == full)
+  }
+
   test("sketchOverlap: union on registers IS the sketch of the concatenated data — exact") {
     // the HLL mergeability theorem, checked bit-for-bit: est_union of
     // (a, b) equals est_distinct of a++b re-sketched from scratch

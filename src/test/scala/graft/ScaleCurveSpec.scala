@@ -95,6 +95,27 @@ class ScaleCurveSpec extends SparkSpec {
            s"bloom scan must stay near-linear: ${a.tBloom}s -> ${z.tBloom}s")
   }
 
+  test("heavy-hitter monitor: state flat at one row per scope while arrivals grow 100×; stream ≡ batch twin at every wave") {
+    val pts = Probe.freqStateCurve(spark, scopes = 2,
+                                   waves = Seq(300, 2700, 27000))
+    val a = pts.head; val z = pts.last
+    assert(z.totalArrivals >= 100L * a.totalArrivals,
+           s"fixture must grow 100×: ${a.totalArrivals} -> ${z.totalArrivals}")
+    // the bounded-state claim: one state row per scope FOREVER — a
+    // per-token regression would track the wave-unique tail vocabulary
+    assert(pts.forall(_.stateRows == 2L),
+           s"state rows must stay one per scope: ${pts.map(_.stateRows)}")
+    // the mergeability contract, re-checked per wave: every emitted
+    // estimate for the planted hitter equals the pure driver twin over
+    // everything the scope has seen (cms counters fold by sum)
+    pts.foreach(p => assert(p.hotEst == p.twinEst && p.hotEst > 0,
+      s"wave ${p.wave}: stream est ${p.hotEst} != batch twin ${p.twinEst}"))
+    // the candidate gate holds: only the planted hitter per scope — the
+    // wave-unique tail (est·minFrac < n) is never reported
+    assert(pts.forall(_.nHitters == 2L),
+           s"tail tokens must never be reported: ${pts.map(_.nHitters)}")
+  }
+
   test("training tier: 100× rows within the linearity bound for all three trainers") {
     val pts = Probe.learnScaleCurve(spark, base = 2000L,
                                     factors = Seq(1, 100), reps = 1)

@@ -396,6 +396,17 @@ class StreamingSpec extends SparkSpec {
     // pack/unpack round-trips the full table
     assert(FrequencyMonitor.unpack(FrequencyMonitor.pack(a), a.length)
       .sameElements(a))
+    // a counter past the 48-bit field SATURATES instead of throwing —
+    // a require here would crash the state update on every restart
+    // from the checkpoint, wedging the query forever; negatives (a
+    // corrupt fold) still fail loudly
+    val over = Array(FrequencyMonitor.CounterMax + 5L, 3L)
+    assert(FrequencyMonitor.unpack(FrequencyMonitor.pack(over), 2)
+      .sameElements(Array(FrequencyMonitor.CounterMax, 3L)),
+      "overflow must saturate at the packed ceiling")
+    intercept[IllegalArgumentException] {
+      FrequencyMonitor.pack(Array(-1L))
+    }
     // the reserved separator is rejected, not silently folded
     intercept[IllegalArgumentException] {
       FrequencyMonitor.mergeTokens(a, Iterator("badtok"), 4, 1024)
