@@ -383,9 +383,14 @@ object Main {
     // tombstone id set is pinned EAGERLY (takedown-count-sized), so no
     // downstream lineage reads the documents table across its own
     // swap; the dropped count lands in the run log as n_tombstoned.
+    // trash-restore preamble BEFORE the exists() decision: a crashed
+    // documents commit parks the only copy (tombstones included) in
+    // .trash, and skipping the gate on "table missing" would let a
+    // re-upload resurrect a taken-down doc when the later writeTable
+    // restores the table and upserts over it
     val docsTablePath0 = new java.io.File(s"$storeDir/documents.parquet")
     val removedIds =
-      if (docsTablePath0.exists())
+      if (Tables.restoreFromTrash(docsTablePath0.toString))
         Some(spark.read.parquet(docsTablePath0.toString)
           .filter($"status" === Schemas.DocumentStatus.Removed)
           .select($"doc_id").localCheckpoint(true))
@@ -484,13 +489,7 @@ object Main {
     // table below instead of folding onto a stale base. A fresh store
     // folds from empty.
     val (profileFoldable, oldProfile) =
-      if (!chunksDirF.exists()) (true, None)
-      else graft.text.ProfileState.read(spark, storeDir) match {
-        case Some((p, fp))
-            if fp == graft.text.ProfileState.dirFingerprint(chunksDirF) =>
-          (true, Some(p))
-        case _ => (false, None)
-      }
+      graft.text.ProfileState.preCommitGate(spark, storeDir, chunksDirF)
     // Stale stored chunks: the rows this commit will replace
     // (re-ingested docs) or prune (demotions) — consumed by the
     // postings swap AND the profile-state subtraction. Pinned EAGERLY:
@@ -559,16 +558,10 @@ object Main {
     // divergence the fingerprint gate detected). The artifact records
     // the POST-commit fingerprint, so `Main profile` serves from it
     // only while it is provably in sync.
-    locally {
-      val newFp = graft.text.ProfileState.dirFingerprint(chunksDirF)
-      val profileParts =
-        if (profileFoldable)
-          graft.text.ProfileState.fold(oldProfile, chunked, staleStored)
-        else graft.text.ProfileState.fromChunks(
-          openTable(spark, storeDir, "chunks"))
-      graft.io.Faults.point("profileState.before-commit")
-      graft.text.ProfileState.write(spark, storeDir, profileParts, newFp)
-    }
+    graft.text.ProfileState.commitAfterChunks(spark, storeDir, chunksDirF,
+      profileFoldable, oldProfile, addChunks = chunked,
+      subChunks = staleStored,
+      rebuildFrom = openTable(spark, storeDir, "chunks"))
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
     // alternative recomputes the whole corpus every run.
@@ -876,13 +869,8 @@ object Main {
   private def storedArtifact(spark: SparkSession, storeDir: String,
                              name: String): Option[DataFrame] = {
     val f = new java.io.File(storeDir, name)
-    val trash = new java.io.File(storeDir, s"$name.trash")
-    if (!f.exists() && trash.exists())
-      Tables.withTableLock(f.toString) {
-        if (!f.exists() && trash.exists())
-          require(trash.renameTo(f), s"recovering $name from trash failed")
-      }
-    if (!f.exists()) None else Some(spark.read.parquet(f.toString))
+    if (!Tables.restoreFromTrash(f.toString)) None
+    else Some(spark.read.parquet(f.toString))
   }
 
   // ----------------------------------------------------------- train / score
@@ -954,17 +942,10 @@ object Main {
   private def storedMerges(spark: SparkSession, storeDir: String)
       : Option[Seq[(String, String)]] = {
     val f = new java.io.File(storeDir, "tokenizer.parquet")
-    val trash = new java.io.File(storeDir, "tokenizer.parquet.trash")
     // a trainer that died between aside-rename and commit parked the
     // only merge table in .trash; a bare exists() check here would
-    // silently demote every export to the lexer fallback — restore
-    // under the writer lease first
-    if (!f.exists() && trash.exists())
-      Tables.withTableLock(f.toString) {
-        if (!f.exists() && trash.exists())
-          require(trash.renameTo(f), "recovering tokenizer from trash failed")
-      }
-    if (!f.exists()) None
+    // silently demote every export to the lexer fallback
+    if (!Tables.restoreFromTrash(f.toString)) None
     else Some(spark.read.parquet(f.toString)
       .orderBy(col("round"))
       .select(col("lft"), col("rgt"))
@@ -2471,38 +2452,33 @@ object Main {
     Tables.withTableLock(s"$storeDir/.store") {
       import spark.implicits._
       import graft.text.ProfileState
-      // writer-crash preamble (fsck's table preamble, inlined): a prior
+      // writer-crash preamble (the shared reader idiom): a prior
       // crashed commit may have parked a table's only copy in .trash —
       // restore BEFORE the exists() checks below decide which tiers to
       // prune, or a re-run delete would silently skip a parked tier
-      Seq("documents", "chunks", "embeddings", "signatures").foreach { t =>
-        val live = new java.io.File(s"$storeDir/$t.parquet")
-        val trash = new java.io.File(s"$storeDir/$t.parquet.trash")
-        if (!live.exists() && trash.exists())
-          Tables.withTableLock(live.toString) {
-            if (!live.exists() && trash.exists())
-              require(trash.renameTo(live), s"restoring $t from trash failed")
-          }
-      }
+      Seq("documents", "chunks", "embeddings", "signatures")
+        .foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
       val docsPath = new java.io.File(s"$storeDir/documents.parquet")
       require(docsPath.exists(), s"no documents table under $storeDir")
-      val status = spark.read.parquet(docsPath.toString)
-        .filter($"doc_id" === docId).select($"status").as[String].collect()
-      require(status.nonEmpty, s"no document $docId under $storeDir")
-      require(status.head != Schemas.DocumentStatus.Removed,
+      val docRow = spark.read.parquet(docsPath.toString)
+        .filter($"doc_id" === docId)
+        .select($"status", $"updated_at").as[(String, Timestamp)].collect()
+      require(docRow.nonEmpty, s"no document $docId under $storeDir")
+      require(docRow.head._1 != Schemas.DocumentStatus.Removed,
         s"document $docId is already removed")
+      // the tombstone MUST win the documents upsert's latest-per-key:
+      // a delete stamped at-or-before the stored updated_at (same-ms
+      // delete-after-ingest, or a clock step-back) would silently lose
+      // the merge and leave the content live behind a "deleted" report
+      val tombstoneAt =
+        if (now.after(docRow.head._2)) now
+        else Timestamp.from(docRow.head._2.toInstant.plusMillis(1))
 
       val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
       // profile-state sync gate + the doc's stored chunks, captured
       // EAGERLY before the prune swaps the table (the ingest pattern)
       val (profileFoldable, oldProfile) =
-        if (!chunksDirF.exists()) (true, None)
-        else ProfileState.read(spark, storeDir) match {
-          case Some((p, fp))
-              if fp == ProfileState.dirFingerprint(chunksDirF) =>
-            (true, Some(p))
-          case _ => (false, None)
-        }
+        ProfileState.preCommitGate(spark, storeDir, chunksDirF)
       val docChunks =
         if (chunksDirF.exists())
           Some(openTable(spark, storeDir, "chunks")
@@ -2512,25 +2488,29 @@ object Main {
         else None
       val nChunks = docChunks.map(_.count()).getOrElse(0L)
 
-      if (chunksDirF.exists()) {
-        writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
-                   storeDir, "chunks", keys = Seq("chunk_id"),
-                   version = Seq(lit(1)),
-                   prune = m => m.filter($"doc_id" =!= docId))
-        val newFp = ProfileState.dirFingerprint(chunksDirF)
-        val parts =
-          if (profileFoldable)
-            ProfileState.fold(oldProfile, docChunks.get.limit(0), docChunks)
-          else ProfileState.fromChunks(openTable(spark, storeDir, "chunks"))
-        graft.io.Faults.point("profileState.before-commit")
-        ProfileState.write(spark, storeDir, parts, newFp)
-      }
+      // postings leave FIRST, from the pre-prune capture: the reverse
+      // order has an unrecoverable window — a crash after the chunks
+      // prune makes a re-run's capture empty, and the tombstone gate
+      // keeps the doc out of every future batch, so nothing would ever
+      // remove its postings (or its bm25 norms row) again. This order
+      // is idempotent both ways: re-removing absent postings is a
+      // no-op, and the chunks prune below re-runs unchanged.
       val postingsPath = new java.io.File(s"$storeDir/postings.idx")
       if (postingsPath.exists())
         docChunks.foreach(rm =>
           Search.removeFromPostings(spark, rm.select($"chunk_id", $"content"),
                                     "chunk_id", "content",
                                     postingsPath.toString))
+      if (chunksDirF.exists()) {
+        writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
+                   storeDir, "chunks", keys = Seq("chunk_id"),
+                   version = Seq(lit(1)),
+                   prune = m => m.filter($"doc_id" =!= docId))
+        ProfileState.commitAfterChunks(spark, storeDir, chunksDirF,
+          profileFoldable, oldProfile,
+          addChunks = docChunks.get.limit(0), subChunks = docChunks,
+          rebuildFrom = openTable(spark, storeDir, "chunks"))
+      }
       val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
       val nEmb =
         if (embPath.exists())
@@ -2566,14 +2546,15 @@ object Main {
                    prune = m => m.filter($"doc" =!= docId))
       invalidateSearchCache(spark, storeDir, None)
       // THE COMMIT POINT: the tombstone row — status flipped, content
-      // gone. updated_at = now wins the upsert's latest-per-key.
+      // gone. Stamped strictly after the stored row so it always wins
+      // the upsert's latest-per-key (see tombstoneAt above).
       val tombstone = spark.read.parquet(docsPath.toString)
         .filter($"doc_id" === docId)
         .withColumn("status", lit(Schemas.DocumentStatus.Removed))
         .withColumn("content_b64", lit(null).cast("string"))
         .withColumn("error_message", lit(null).cast("string"))
         .withColumn("metadata_json", lit("{}"))
-        .withColumn("updated_at", lit(now))
+        .withColumn("updated_at", lit(tombstoneAt))
       writeTable(spark, tombstone, storeDir, "documents",
                  keys = Seq("doc_id"), version = Seq(col("updated_at")))
       appendRunlog(spark, storeDir, "delete",

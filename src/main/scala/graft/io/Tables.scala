@@ -449,6 +449,25 @@ object Tables {
     }.foldLeft((0, 0)) { case ((a, b), (c, d)) => (a + c, b + d) }
   }
 
+  /** READER-SIDE crash preamble, shared by every table/artifact read
+    * that must not silently miss a parked copy: a writer that died
+    * between aside-rename and commit left the ONLY complete copy at
+    * `<path>.trash` (live gone) — restore it under the writer lease
+    * before any exists()/read decision. Returns true when the live
+    * path exists afterwards. Double-checked inside the lease so
+    * concurrent readers race safely.
+    */
+  def restoreFromTrash(path: String): Boolean = {
+    val live = new java.io.File(path)
+    val trash = new java.io.File(s"$path.trash")
+    if (!live.exists() && trash.exists())
+      withTableLock(path) {
+        if (!live.exists() && trash.exists())
+          require(trash.renameTo(live), s"restoring $path from trash failed")
+      }
+    live.exists()
+  }
+
   /** tmp + aside-rename(.trash) + checked-renames commit of a small
     * store artifact under its table lease — the tokenizer.parquet
     * protocol, shared by every trained/derived-artifact writer. NOT

@@ -135,6 +135,27 @@ object FrequencyMonitor {
     out
   }
 
+  /** Candidate (re)evaluation on the POST-batch counters — candidates
+    * = survivors of the prior set ∪ this batch's tokens, ALL evaluated
+    * on the final counters (deterministic whatever order the group
+    * iterator yields arrivals), gated by `est·minFrac ≥ n`
+    * (cross-multiplied integers), pruned (est desc, token asc) to the
+    * bound. Shared by the standalone monitor and the combined inbox
+    * monitor ([[InboxMonitor]]) so the selection rule cannot drift
+    * between them.
+    */
+  private[stream] def evalCandidates(counters: Array[Long], n: Long,
+      prevCands: Seq[String], batchTokens: Iterable[String],
+      d: Int, w: Int, minFrac: Long, cap: Int): Seq[(String, Long)] =
+    (prevCands ++ batchTokens).toSeq.distinct
+      .map(t => (t, estimate(counters, t, d, w)))
+      .filter { case (_, est) => est * minFrac >= n }
+      .sortBy { case (t, est) => (-est, t) }
+      .take(cap)
+
+  private[stream] def splitCandidates(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty else s.split('\u0001').toSeq
+
   private def stateFunc(d: Int, w: Int, minFrac: Long, maxCandidates: Int)(
       scope: String, arrivals: Iterator[Arrival],
       state: GroupState[FreqState]): Iterator[HeavyHitter] = {
@@ -146,17 +167,10 @@ object FrequencyMonitor {
     mergeTokens(counters, arrivals.map { a =>
       n += 1; batchTokens += a.token; a.token
     }, d, w)
-    // candidates = survivors of the prior set ∪ this batch's tokens,
-    // ALL evaluated on the final counters (deterministic regardless of
-    // the group iterator's order), gated by est·minFrac ≥ n, pruned
-    // (est desc, token asc) to the bound
-    val prevCands = state.getOption.map(_.candidates).filter(_.nonEmpty)
-      .map(_.split('\u0001').toSeq).getOrElse(Seq.empty)
-    val hitters = (prevCands ++ batchTokens).distinct
-      .map(t => (t, estimate(counters, t, d, w)))
-      .filter { case (_, est) => est * minFrac >= n }
-      .sortBy { case (t, est) => (-est, t) }
-      .take(maxCandidates)
+    val prevCands = state.getOption.map(p => splitCandidates(p.candidates))
+      .getOrElse(Seq.empty)
+    val hitters = evalCandidates(counters, n, prevCands, batchTokens,
+                                 d, w, minFrac, maxCandidates)
     state.update(FreqState(pack(counters), n,
                            hitters.map(_._1).mkString("\u0001")))
     hitters.iterator.map { case (t, est) => HeavyHitter(scope, t, est, n) }

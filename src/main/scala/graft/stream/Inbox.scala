@@ -53,22 +53,27 @@ object Inbox {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
 
-  /** LIVE INBOX MONITORS riding the same stream the consumer drains —
-    * the product surface of [[DistinctMonitor]] and
-    * [[FrequencyMonitor]]: per micro-batch, per scope (the sniffed
-    * content type), one distinct-count line and one line per heavy
-    * hitter, keyed by the CONTENT digest — the live "is this inbox
-    * feeding me duplicates/spam right now" answer (a repeated payload
-    * is a heavy hitter whatever it is named; n_seen − est_distinct ≈
-    * duplicate mass). Estimates are bit-identical to the batch
-    * sketches over everything the stream has seen (the monitors'
-    * mergeability contract), and state is bounded: 256 registers +
-    * d·w counters + a capped candidate list per scope, checkpointed —
-    * a `--follow` consumer runs forever without growth.
+  /** LIVE INBOX MONITORS riding the drain — the product surface of the
+    * distinct-count and heavy-hitter sketches ([[InboxMonitor]], which
+    * folds BOTH through the standalone monitors' own kernels in one
+    * stateful stream): per micro-batch, per scope (the sniffed content
+    * type), one distinct-count line and one line per heavy hitter,
+    * keyed by the CONTENT digest — the live "is this inbox feeding me
+    * duplicates/spam right now" answer (a repeated payload is a heavy
+    * hitter whatever it is named; n_seen − est_distinct ≈ duplicate
+    * mass). Estimates are bit-identical to the batch sketches over
+    * everything the stream has seen (the monitors' mergeability
+    * contract), and state is bounded: 256 registers + d·w counters + a
+    * capped candidate list per scope, checkpointed — a `--follow`
+    * consumer runs forever without growth.
     *
+    * ONE monitor stream beside the ingest stream (two source reads of
+    * each file total, not three): both sketches share the single
+    * (scope, digest) projection, while staying a separate query from
+    * the ingest so a monitor emission can never stall the drain.
     * Emission goes through `emit` (stdout in the CLI; a collector in
-    * specs), driver-side from each monitor's own `foreachBatch` —
-    * output is scope-count-sized per batch, never file-sized.
+    * specs), driver-side from `foreachBatch` — scope-count-sized per
+    * batch, never file-sized.
     */
   def startMonitors(spark: SparkSession, inboxDir: String, storeDir: String,
                     emit: String => Unit,
@@ -76,38 +81,18 @@ object Inbox {
                     maxFilesPerTrigger: Int = 50): Seq[StreamingQuery] = {
     import org.apache.spark.sql.Dataset
     import spark.implicits._
-    def keyed(as: (String, String)) =
-      readInbox(spark, inboxDir, maxFilesPerTrigger).select(
-        Ingest.detectMime(col("content")).as(as._1),
-        sha2(col("content"), 256).as(as._2))
-    def esc(s: String) = graft.Main.jsonEscape(s)
-    val distinct = DistinctMonitor
-      .run(keyed("scope" -> "key").as[DistinctMonitor.Arrival])
-      .writeStream
-      .option("checkpointLocation", s"$storeDir/_monitor_checkpoint/distinct")
+    val arrivals = readInbox(spark, inboxDir, maxFilesPerTrigger).select(
+        Ingest.detectMime(col("content")).as("scope"),
+        sha2(col("content"), 256).as("key"))
+      .as[InboxMonitor.Arrival]
+    val q = InboxMonitor.run(arrivals).writeStream
+      .option("checkpointLocation", s"$storeDir/_monitor_checkpoint")
       .outputMode("update").trigger(trigger)
-      .foreachBatch { (ds: Dataset[DistinctMonitor.DistinctEstimate], _: Long) =>
-        ds.collect().sortBy(_.scope).foreach { e =>
-          emit(s"""{"monitor":"distinct","scope":"${esc(e.scope)}",""" +
-               s""""registers_used":${e.registers_used},""" +
-               s""""est_distinct":${e.est_distinct},"n_seen":${e.n_seen}}""")
-        }
+      .foreachBatch { (ds: Dataset[(String, String)], _: Long) =>
+        ds.collect().sortBy(_._1).foreach(p => emit(p._2))
         ()
       }.start()
-    val hitters = FrequencyMonitor
-      .run(keyed("scope" -> "token").as[FrequencyMonitor.Arrival])
-      .writeStream
-      .option("checkpointLocation", s"$storeDir/_monitor_checkpoint/freq")
-      .outputMode("update").trigger(trigger)
-      .foreachBatch { (ds: Dataset[FrequencyMonitor.HeavyHitter], _: Long) =>
-        ds.collect().sortBy(h => (h.scope, -h.est_cnt, h.token)).foreach { h =>
-          emit(s"""{"monitor":"hitter","scope":"${esc(h.scope)}",""" +
-               s""""token":"${esc(h.token)}","est_cnt":${h.est_cnt},""" +
-               s""""n_seen":${h.n_seen}}""")
-        }
-        ()
-      }.start()
-    Seq(distinct, hitters)
+    Seq(q)
   }
 
   /** ST1+ST3 — full streaming pipeline: for each micro-batch, run the

@@ -173,13 +173,13 @@ object Profile {
     * integer algebra as [[sketchFromState]].
     */
   def distinctFromRegisters(state: DataFrame, groupCol: String): DataFrame =
-    state.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("registers_used"),
-           sum(expr("shiftright(CAST(1073741824 AS BIGINT), CAST(m_reg AS INT))"))
-             .as("__dn"))
-      .withColumn("est_distinct", expr(
-        s"$HllNum div (__dn + (${HllBuckets} - registers_used) * $HllEmptyTerm) div $HllDen"))
-      .drop("__dn")
+    sketchFromState(
+      // occ is ignored by construction — a register-only table (no occ
+      // column) serves too, via a zero stand-in; ONE copy of the
+      // estimate algebra lives in sketchFromState
+      if (state.columns.contains("occ")) state
+      else state.withColumn("occ", lit(0L)),
+      groupCol).drop("n_tokens")
 
   /** Fold length-histogram sketches ([[lengthHistogram]] outputs) —
     * counts are additive, so the merged histogram of any batching

@@ -126,6 +126,39 @@ object ProfileState {
     merge((old.toSeq :+ fromChunks(addChunks)) ++
       subChunks.map(s => negate(fromChunks(s))): _*)
 
+  /** PRE-commit half of the maintenance both chunk-table writers
+    * (ingest, delete) share: is the stored state in sync with the
+    * table about to be rewritten — i.e. is a fold valid — and if so,
+    * what is the base. A fresh store (no table yet) folds from empty;
+    * an absent or out-of-sync artifact means "rebuild after commit".
+    */
+  def preCommitGate(spark: SparkSession, storeDir: String,
+                    chunksDir: java.io.File): (Boolean, Option[Parts]) =
+    if (!chunksDir.exists()) (true, None)
+    else read(spark, storeDir) match {
+      case Some((p, fp)) if fp == dirFingerprint(chunksDir) => (true, Some(p))
+      case _ => (false, None)
+    }
+
+  /** POST-commit half: fold the writer's add/subtract deltas onto the
+    * gated base (or rebuild from the freshly-committed table when the
+    * gate said out-of-sync) and commit with the post-commit
+    * fingerprint — one definition, so ingest's and delete's fold
+    * semantics cannot drift.
+    */
+  def commitAfterChunks(spark: SparkSession, storeDir: String,
+                        chunksDir: java.io.File, foldable: Boolean,
+                        oldParts: Option[Parts], addChunks: DataFrame,
+                        subChunks: Option[DataFrame],
+                        rebuildFrom: => DataFrame): Unit = {
+    val newFp = dirFingerprint(chunksDir)
+    val parts =
+      if (foldable) fold(oldParts, addChunks, subChunks)
+      else fromChunks(rebuildFrom)
+    graft.io.Faults.point("profileState.before-commit")
+    write(spark, storeDir, parts, newFp)
+  }
+
   /** Deterministic identity of a table directory: md5 over the sorted
     * (relative-path, length) listing. Every swap commit in this
     * engine writes fresh part-file names, so any committed change —
@@ -174,12 +207,7 @@ object ProfileState {
   def read(spark: SparkSession, storeDir: String)
       : Option[(Parts, String)] = {
     val f = new java.io.File(artifactPath(storeDir))
-    val trash = new java.io.File(s"${artifactPath(storeDir)}.trash")
-    if (!f.exists() && trash.exists())
-      Tables.withTableLock(f.toString) {
-        if (!f.exists() && trash.exists())
-          require(trash.renameTo(f), s"recovering $ArtifactName from trash failed")
-      }
+    Tables.restoreFromTrash(f.toString)
     val sync = new java.io.File(f, SyncFile)
     val complete = f.isDirectory && sync.isFile &&
       Seq("hist", "regs", "cms", "vocab")

@@ -194,6 +194,7 @@ class CrashSweepSpec extends SparkSpec {
     val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
     val control = Files.createTempDirectory("graft_sweep_dctl").toString
     Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runBuildPostings(spark, control, 8)
     Main.runDelete(spark, control, target(control), delAt)
     val want = state(control)
     // rebuild = the register history resets to the live store on both
@@ -211,6 +212,7 @@ class CrashSweepSpec extends SparkSpec {
                    "commitArtifact.after-aside")) {
       val store = Files.createTempDirectory("graft_sweep_del").toString
       Main.runIngest(spark, in1, store, "nomic", now)
+      Main.runBuildPostings(spark, store, 8)
       val id = target(store)
       Faults.arm(pt)
       val e = intercept[Faults.InjectedCrash] {
@@ -222,6 +224,14 @@ class CrashSweepSpec extends SparkSpec {
       Main.runDelete(spark, store, id, delAt)
       val (post, nViol) = Main.runFsck(spark, store)
       assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      // the postings window specifically: the doc's postings (and its
+      // bm25 norms row) must be GONE after convergence — postings are
+      // removed BEFORE the chunks prune precisely so a crash between
+      // them stays re-runnable (the reverse order's re-run would
+      // capture an empty chunk set and strand the postings forever)
+      assert(spark.read.parquet(s"$store/postings.idx")
+        .filter(col("chunk_id").startsWith(id)).count() == 0L,
+        s"$pt: deleted doc's postings must leave the index")
       assert(state(store) == want,
         s"$pt diverged from the never-crashed twin\n${pre.mkString("\n")}")
       // additive profile lines converge for every window; whether the

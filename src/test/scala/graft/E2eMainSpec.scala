@@ -462,6 +462,20 @@ class E2eMainSpec extends SparkSpec {
       .filter($"metric" === "n_tombstoned").select($"value")
       .as[Double].collect()
     assert(tombLog.contains(1.0), s"run log must count the blocked upload: ${tombLog.toSeq}")
+
+    // the tombstone wins the documents upsert even at a TIMESTAMP TIE
+    // with the stored row (same-millisecond delete-after-ingest): the
+    // commit stamps strictly after the stored updated_at, so the
+    // latest-per-key window can never discard the takedown
+    val keepId = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "keep.md").select($"doc_id").as[String].head()
+    Main.runDelete(spark, store, keepId, now) // == the ingest stamp
+    val keepRow = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === keepId)
+      .select($"status", $"content_b64").collect()
+    assert(keepRow.length === 1 && keepRow.head.getString(0) === "removed" &&
+           keepRow.head.isNullAt(1),
+      "a timestamp-tied delete must still win the upsert")
   }
 
   test("--snapshot queries: read-only time travel answers from history while the live store answers fresh; the snapshot stays byte-untouched") {
