@@ -376,6 +376,22 @@ object Main {
     // keep-one window sees the id twice and flags one row !keep — the
     // doc lands in dupIds and prunes ITS OWN chunks from the commit.
     val docsAll = docsIn.dropDuplicates("doc_id").cache()
+    // storage snapshot: everything pinned after this point (the
+    // tombstone id set, the stale-chunk capture, the dedup clustering's
+    // per-round label tables) is this run's scratch and is freed before
+    // returning — a long-lived session (the --follow consumer) must not
+    // accumulate pinned tables per ingest.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // Trash-restore preamble BEFORE any exists() decision below: a
+    // crashed prior commit parks a table's ONLY copy in .trash, and
+    // every gate keyed on existence would otherwise misread the window
+    // — the tombstone gate would let a re-upload resurrect a taken-down
+    // doc, the profile gate would fold a batch-only artifact over a
+    // table writeTable later restores, the signature probe would let a
+    // near-dup of the stored corpus slip past dedup, and the postings
+    // maintenance would skip its stale-doc removals.
+    Seq("documents", "chunks", "embeddings", "signatures")
+      .foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
     // Takedown tombstones BLOCK resurrection: an arriving upload whose
     // doc_id matches a 'removed' documents row (same bytes + filename
     // → same id) leaves the batch before any stage sees it — a
@@ -383,14 +399,9 @@ object Main {
     // tombstone id set is pinned EAGERLY (takedown-count-sized), so no
     // downstream lineage reads the documents table across its own
     // swap; the dropped count lands in the run log as n_tombstoned.
-    // trash-restore preamble BEFORE the exists() decision: a crashed
-    // documents commit parks the only copy (tombstones included) in
-    // .trash, and skipping the gate on "table missing" would let a
-    // re-upload resurrect a taken-down doc when the later writeTable
-    // restores the table and upserts over it
     val docsTablePath0 = new java.io.File(s"$storeDir/documents.parquet")
     val removedIds =
-      if (Tables.restoreFromTrash(docsTablePath0.toString))
+      if (docsTablePath0.exists())
         Some(spark.read.parquet(docsTablePath0.toString)
           .filter($"status" === Schemas.DocumentStatus.Removed)
           .select($"doc_id").localCheckpoint(true))
@@ -399,11 +410,6 @@ object Main {
       case Some(r) => docsAll.join(r, Seq("doc_id"), "left_anti")
       case None => docsAll
     }
-    // storage snapshot: everything pinned after this point (the dedup
-    // clustering's per-round label tables) is this run's scratch and is
-    // freed before returning — a long-lived session must not accumulate
-    // one pinned label table per ingest.
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
 
     // ledger: queued at t, then running, then completed/failed — three
     // appended versions per doc; latest-wins is the current state
@@ -820,10 +826,16 @@ object Main {
                emit: String => Unit = println): Long = {
     val monitors = graft.stream.Inbox.startMonitors(
       spark, inboxDir, storeDir, emit, trigger)
-    val q = graft.stream.Inbox.start(spark, inboxDir, storeDir,
-                                     providerName, trigger)
-    q.awaitTermination()
-    monitors.foreach(_.awaitTermination())
+    // a failed ingest drain must not orphan the monitor query: it
+    // would keep polling (and checkpoint-writing) detached after the
+    // failure propagated — stop it on ANY non-normal exit
+    try {
+      val q = graft.stream.Inbox.start(spark, inboxDir, storeDir,
+                                       providerName, trigger)
+      try q.awaitTermination()
+      catch { case e: Throwable => q.stop(); throw e }
+      monitors.foreach(_.awaitTermination())
+    } finally monitors.filter(_.isActive).foreach(_.stop())
     val docs = new java.io.File(s"$storeDir/documents.parquet")
     if (docs.exists()) spark.read.parquet(docs.toString).count() else 0L
   }
@@ -2364,14 +2376,20 @@ object Main {
     import graft.text.ProfileState
     val chunksDir = new java.io.File(s"$storeDir/chunks.parquet")
     require(chunksDir.exists(), s"no chunks table under $storeDir — ingest first")
+    // released after the report collects (rescan paths only — the
+    // serving actions below would otherwise re-scan/re-tokenize the
+    // corpus once per report family)
+    var scanPin: Option[DataFrame] = None
     val parts =
       (if (rebuild) None else ProfileState.readSynced(spark, storeDir, chunksDir))
         .getOrElse {
           // fingerprint BEFORE the scan frames are built — the pair
           // written below must describe the listing the scan read
           val fp = ProfileState.dirFingerprint(chunksDir)
-          val scanned = ProfileState.fromChunks(
-            openTable(spark, storeDir, "chunks"))
+          val base = openTable(spark, storeDir, "chunks")
+            .select(col("strategy"), col("content")).localCheckpoint(true)
+          scanPin = Some(base)
+          val scanned = ProfileState.fromChunks(base)
           if (readOnly) scanned
           else {
             ProfileState.write(spark, storeDir, scanned, fp)
@@ -2381,6 +2399,7 @@ object Main {
             ProfileState.read(spark, storeDir).get._1
           }
         }
+    try {
     val perStrategy = graft.text.Profile
       .histogramQuantiles(parts.hist, "strategy", Seq(50, 90, 99))
       .orderBy(col("strategy"))
@@ -2416,6 +2435,7 @@ object Main {
           s"""{"token":"${jsonEscape(t)}","est_cnt":${est.getOrElse(t, 0L)}}""")
       }
     (perStrategy :+ zipfLine) ++ sketchLines ++ probeLines
+    } finally scanPin.foreach(graft.io.Pins.release)
   }
 
   // ------------------------------------------------------------------ delete
@@ -2445,6 +2465,13 @@ object Main {
     * removed row (same bytes + filename → same id), so a re-upload
     * cannot silently undo a compliance action. Unknown ids fail
     * loudly (the reference's 404 contract, `api/routes/documents.py`).
+    *
+    * SNAPSHOT CARVE-OUT: snapshots are immutable history whose
+    * hardlinks keep pre-delete files alive — `--snapshot=` reads still
+    * serve the doc and a `rollback` resurrects it (the gate guards
+    * ingest, not time travel). The report NAMES every snapshot still
+    * holding the doc (`snapshots_holding`); `dropsnapshot` them to
+    * complete the erasure.
     */
   def runDelete(spark: SparkSession, storeDir: String, docId: String,
                 now: Timestamp = new Timestamp(System.currentTimeMillis()))
@@ -2557,12 +2584,27 @@ object Main {
         .withColumn("updated_at", lit(tombstoneAt))
       writeTable(spark, tombstone, storeDir, "documents",
                  keys = Seq("doc_id"), version = Seq(col("updated_at")))
+      // Snapshots are immutable history: their hardlinks keep the
+      // PRE-delete table files alive, so any snapshot taken before this
+      // takedown still serves the doc's content (via `--snapshot=`
+      // reads) and a `rollback` to it resurrects the live row — the
+      // tombstone gate guards INGEST, not time travel. A full
+      // compliance erasure must also drop those snapshots; the report
+      // NAMES them so the operator can act instead of discovering the
+      // copy in an audit.
+      val holding = graft.io.Snapshots.list(storeDir).filter { name =>
+        val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
+        f.exists() && !spark.read.parquet(f.toString)
+          .filter($"doc_id" === docId).isEmpty
+      }
       appendRunlog(spark, storeDir, "delete",
                    Seq("n_chunks_removed" -> nChunks,
                        "n_embeddings_removed" -> nEmb,
-                       "n_signatures_removed" -> nSigs))
+                       "n_signatures_removed" -> nSigs,
+                       "n_snapshots_holding" -> holding.size.toLong))
       Seq(s"""{"deleted":"${jsonEscape(docId)}","chunks_removed":$nChunks,""" +
-          s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs}""")
+          s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs,""" +
+          s""""snapshots_holding":[${holding.map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
     }
 
   /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training

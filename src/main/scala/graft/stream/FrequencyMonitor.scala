@@ -111,11 +111,13 @@ object FrequencyMonitor {
   /** A counter SATURATES at the packed 48-bit ceiling (~2.8e14
     * arrivals per scope) instead of failing: a `require` here would be
     * a poison pill — the state update would throw on every restart
-    * from the checkpoint and the query could never advance again. At
-    * saturation the estimate stays one-sided in the only direction
-    * that matters operationally (a saturated bucket still reports
-    * ~2.8e14 — far past any frequency resolution a heavy-hitter gate
-    * reads) and the scope keeps flowing.
+    * from the checkpoint and the query could never advance again.
+    * CAVEAT (the price of saturating): past the ceiling an estimate
+    * can UNDER-report, so the one-sided guarantee holds only below it;
+    * the candidate gate compensates by treating a saturated estimate
+    * ("at least the ceiling") as an unconditional candidate, so a
+    * dominant token is still reported — its printed estimate is then a
+    * floor, not a bound from above.
     */
   private[graft] val CounterMax = 0xffffffffffffL
 
@@ -149,7 +151,12 @@ object FrequencyMonitor {
       d: Int, w: Int, minFrac: Long, cap: Int): Seq[(String, Long)] =
     (prevCands ++ batchTokens).toSeq.distinct
       .map(t => (t, estimate(counters, t, d, w)))
-      .filter { case (_, est) => est * minFrac >= n }
+      // a SATURATED estimate passes unconditionally: past the packed
+      // ceiling the counter under-reports (the estimate stops being
+      // one-sided), so once n_seen exceeds CounterMax·minFrac the
+      // cross-multiplied gate would silently drop even a 100%-dominant
+      // token — "at least the ceiling" is always a candidate
+      .filter { case (_, est) => est >= CounterMax || est * minFrac >= n }
       .sortBy { case (t, est) => (-est, t) }
       .take(cap)
 

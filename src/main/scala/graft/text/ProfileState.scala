@@ -152,11 +152,19 @@ object ProfileState {
                         subChunks: Option[DataFrame],
                         rebuildFrom: => DataFrame): Unit = {
     val newFp = dirFingerprint(chunksDir)
-    val parts =
-      if (foldable) fold(oldParts, addChunks, subChunks)
-      else fromChunks(rebuildFrom)
-    graft.io.Faults.point("profileState.before-commit")
-    write(spark, storeDir, parts, newFp)
+    // pin the (strategy, content) input ONCE: the four part writes are
+    // four actions, and an unpinned input would re-chunk/re-tokenize
+    // per part (4 batch passes on the fold path, 4 table scans on the
+    // rebuild path); the pin is released with the commit
+    val base = (if (foldable) addChunks else rebuildFrom)
+      .select(col("strategy"), col("content")).localCheckpoint(true)
+    try {
+      val parts =
+        if (foldable) fold(oldParts, base, subChunks)
+        else fromChunks(base)
+      graft.io.Faults.point("profileState.before-commit")
+      write(spark, storeDir, parts, newFp)
+    } finally graft.io.Pins.release(base)
   }
 
   /** Deterministic identity of a table directory: md5 over the sorted

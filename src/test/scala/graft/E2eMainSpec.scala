@@ -377,9 +377,11 @@ class E2eMainSpec extends SparkSpec {
     put("keep.md", "watermark lateness checkpoint recovery for streaming")
     put("keep2.md", "vector index probes and cell balancing maintenance notes")
     Main.runIngest(spark, in.toString, store, "nomic", now)
-    // the full serving surface: postings index + vector index
+    // the full serving surface: postings index + vector index — plus a
+    // snapshot, which is immutable history the takedown must AUDIT
     Main.runBuildPostings(spark, store, 8)
     Main.runBuildVectorIndex(spark, store, "nomic", 2)
+    graft.io.Snapshots.create(store, "pre")
     val id = spark.read.parquet(s"$store/documents.parquet")
       .filter($"filename" === "target.md").select($"doc_id").as[String].head()
     // pre-delete: every tier serves the doc
@@ -391,6 +393,9 @@ class E2eMainSpec extends SparkSpec {
       Timestamp.from(now.toInstant.plusMillis(50)))
     assert(report.head.contains(s""""deleted":"$id""""), report.head)
     assert(report.head.contains("\"chunks_removed\":1"), report.head)
+    // the snapshot carve-out is AUDITED, not silent: immutable history
+    // still holds the doc, and the report names it for dropsnapshot
+    assert(report.head.contains(""""snapshots_holding":["pre"]"""), report.head)
 
     // tombstone: status removed, content GONE, row still addressable
     val row = spark.read.parquet(s"$store/documents.parquet")
