@@ -390,8 +390,7 @@ object Main {
     // table writeTable later restores, the signature probe would let a
     // near-dup of the stored corpus slip past dedup, and the postings
     // maintenance would skip its stale-doc removals.
-    Seq("documents", "chunks", "embeddings", "signatures")
-      .foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
+    StoreTables.foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
     // Takedown tombstones BLOCK resurrection: an arriving upload whose
     // doc_id matches a 'removed' documents row (same bytes + filename
     // → same id) leaves the batch before any stage sees it — a
@@ -734,6 +733,14 @@ object Main {
   val StoreBuckets = 32
   private val bucketedTables = Set("chunks", "embeddings")
 
+  /** The swap-committed store tables every existence-keyed gate must
+    * trash-restore before reading — ONE list shared by ingest and
+    * delete so a future fifth table cannot drift between them (fsck's
+    * generic `*.parquet.trash` sweep covers audits).
+    */
+  private val StoreTables = Seq("documents", "chunks", "embeddings",
+                                "signatures")
+
   /** Open a store table the fast way: through the catalog with
     * bucketing metadata attached when the table is one of the
     * co-bucketed pair (falls back to a plain read for old stores).
@@ -828,14 +835,24 @@ object Main {
       spark, inboxDir, storeDir, emit, trigger)
     // a failed ingest drain must not orphan the monitor query: it
     // would keep polling (and checkpoint-writing) detached after the
-    // failure propagated — stop it on ANY non-normal exit
+    // failure propagated — stop it on ANY non-normal exit. The stop()
+    // calls are best-effort: a stop that itself throws (context
+    // already shutting down, stop timeout) must never MASK the real
+    // streaming failure that is propagating.
     try {
       val q = graft.stream.Inbox.start(spark, inboxDir, storeDir,
                                        providerName, trigger)
       try q.awaitTermination()
-      catch { case e: Throwable => q.stop(); throw e }
+      catch {
+        case e: Throwable =>
+          try q.stop()
+          catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+      }
       monitors.foreach(_.awaitTermination())
-    } finally monitors.filter(_.isActive).foreach(_.stop())
+    } finally monitors.filter(_.isActive).foreach(m =>
+      try m.stop()
+      catch { case scala.util.control.NonFatal(_) => () })
     val docs = new java.io.File(s"$storeDir/documents.parquet")
     if (docs.exists()) spark.read.parquet(docs.toString).count() else 0L
   }
@@ -2378,8 +2395,10 @@ object Main {
     require(chunksDir.exists(), s"no chunks table under $storeDir — ingest first")
     // released after the report collects (rescan paths only — the
     // serving actions below would otherwise re-scan/re-tokenize the
-    // corpus once per report family)
+    // corpus once per report family); the try spans from the pin's
+    // creation, so a failing heal write cannot leak a corpus-sized pin
     var scanPin: Option[DataFrame] = None
+    try {
     val parts =
       (if (rebuild) None else ProfileState.readSynced(spark, storeDir, chunksDir))
         .getOrElse {
@@ -2399,7 +2418,6 @@ object Main {
             ProfileState.read(spark, storeDir).get._1
           }
         }
-    try {
     val perStrategy = graft.text.Profile
       .histogramQuantiles(parts.hist, "strategy", Seq(50, 90, 99))
       .orderBy(col("strategy"))
@@ -2483,8 +2501,7 @@ object Main {
       // crashed commit may have parked a table's only copy in .trash —
       // restore BEFORE the exists() checks below decide which tiers to
       // prune, or a re-run delete would silently skip a parked tier
-      Seq("documents", "chunks", "embeddings", "signatures")
-        .foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
+      StoreTables.foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
       val docsPath = new java.io.File(s"$storeDir/documents.parquet")
       require(docsPath.exists(), s"no documents table under $storeDir")
       val docRow = spark.read.parquet(docsPath.toString)
@@ -2500,6 +2517,20 @@ object Main {
       val tombstoneAt =
         if (now.after(docRow.head._2)) now
         else Timestamp.from(docRow.head._2.toInstant.plusMillis(1))
+
+      // Snapshot audit BEFORE the commit point (see the report note
+      // below): snapshots are immutable, so the set cannot change
+      // mid-transaction, and a failure reading a damaged snapshot here
+      // leaves the delete UN-committed — re-runnable — instead of
+      // wedging a committed delete behind "already removed". A
+      // snapshot holding ONLY the content-nulled tombstone (an earlier
+      // delete+rollback cycle) does not count as holding the doc.
+      val holding = graft.io.Snapshots.list(storeDir).filter { name =>
+        val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
+        f.exists() && !spark.read.parquet(f.toString)
+          .filter($"doc_id" === docId &&
+                  $"status" =!= Schemas.DocumentStatus.Removed).isEmpty
+      }
 
       val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
       // profile-state sync gate + the doc's stored chunks, captured
@@ -2590,13 +2621,8 @@ object Main {
       // reads) and a `rollback` to it resurrects the live row — the
       // tombstone gate guards INGEST, not time travel. A full
       // compliance erasure must also drop those snapshots; the report
-      // NAMES them so the operator can act instead of discovering the
-      // copy in an audit.
-      val holding = graft.io.Snapshots.list(storeDir).filter { name =>
-        val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
-        f.exists() && !spark.read.parquet(f.toString)
-          .filter($"doc_id" === docId).isEmpty
-      }
+      // NAMES them (`holding`, audited pre-commit above) so the
+      // operator can act instead of discovering the copy in an audit.
       appendRunlog(spark, storeDir, "delete",
                    Seq("n_chunks_removed" -> nChunks,
                        "n_embeddings_removed" -> nEmb,
