@@ -850,9 +850,22 @@ object Main {
           throw e
       }
       monitors.foreach(_.awaitTermination())
-    } finally monitors.filter(_.isActive).foreach(m =>
+    } finally monitors.filter(_.isActive).foreach { m =>
+      // catch Throwable, not just NonFatal: an InterruptedException
+      // escaping this finally would REPLACE the real streaming failure
+      // mid-propagation and skip stopping the remaining monitors. The
+      // failure is signalled (an orphaned monitor keeps polling and
+      // checkpoint-writing — the operator must hear about it) and the
+      // interrupt flag is preserved rather than swallowed.
       try m.stop()
-      catch { case scala.util.control.NonFatal(_) => () })
+      catch {
+        case s: Throwable =>
+          emit(s"""{"monitor":"stop_failed","detail":"${jsonEscape(
+            Option(s.getMessage).getOrElse(s.getClass.getSimpleName))}"}""")
+          if (s.isInstanceOf[InterruptedException])
+            Thread.currentThread().interrupt()
+      }
+    }
     val docs = new java.io.File(s"$storeDir/documents.parquet")
     if (docs.exists()) spark.read.parquet(docs.toString).count() else 0L
   }
@@ -2525,11 +2538,17 @@ object Main {
       // wedging a committed delete behind "already removed". A
       // snapshot holding ONLY the content-nulled tombstone (an earlier
       // delete+rollback cycle) does not count as holding the doc.
+      // An UNREADABLE snapshot must not block the erasure (the whole
+      // command exists to remove content — "content retained because a
+      // backup is damaged" is the worst outcome): treat it as holding,
+      // conservatively, and let the operator inspect/drop it.
       val holding = graft.io.Snapshots.list(storeDir).filter { name =>
         val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
-        f.exists() && !spark.read.parquet(f.toString)
-          .filter($"doc_id" === docId &&
-                  $"status" =!= Schemas.DocumentStatus.Removed).isEmpty
+        f.exists() && scala.util.Try(
+          !spark.read.parquet(f.toString)
+            .filter($"doc_id" === docId &&
+                    $"status" =!= Schemas.DocumentStatus.Removed).isEmpty
+        ).getOrElse(true)
       }
 
       val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
