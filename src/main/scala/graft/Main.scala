@@ -202,9 +202,21 @@ object Main {
                  },
                  readOnly = snap.isDefined).foreach(println)
       spark.stop()
-    case "delete" :: store :: docId :: Nil =>
+    case "delete" :: store :: rest if rest.exists(!_.startsWith("--")) ||
+        rest.exists(_.startsWith("--ids-file=")) =>
       val spark = session()
-      runDelete(spark, store, docId).foreach(println)
+      val fromFile = rest.collectFirst {
+        case a if a.startsWith("--ids-file=") =>
+          scala.io.Source.fromFile(a.stripPrefix("--ids-file="), "UTF-8")
+      }.map { src =>
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally src.close()
+      }.getOrElse(Nil)
+      val ids = rest.filterNot(_.startsWith("--")) ++ fromFile
+      runDelete(spark, store, ids,
+                new Timestamp(System.currentTimeMillis()),
+                purgeSnapshots = rest.contains("--purge-snapshots"))
+        .foreach(println)
       spark.stop()
     case "dupreport" :: inDir :: rest =>
       val spark = session()
@@ -288,7 +300,7 @@ object Main {
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
-        "delete <store> <docId> | " +
+        "delete <store> <docId> [docId ...] [--ids-file=F] [--purge-snapshots] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> [--rebuild] [--token=<t> ...] [--snapshot=<name>] | dupreport <inDir> [topK] | " +
@@ -501,12 +513,12 @@ object Main {
     // a lazy read here must not outlive the chunks table's swap-rename
     // commit.
     val staleStored =
-      if (chunksDirF.exists() && (postingsPath.exists || profileFoldable)) {
+      if (chunksDirF.exists()) {
         val stale = dupIds.unionByName(ok.select($"doc_id")).distinct()
         Some(openTable(spark, storeDir, "chunks")
           .join(stale.select($"doc_id".as("__sd")),
                 substring($"chunk_id", 1, 64) === $"__sd", "left_semi")
-          .select($"chunk_id", $"content", $"strategy")
+          .select($"doc_id", $"chunk_id", $"content", $"strategy")
           .localCheckpoint(true))
       } else None
     val postingsRemovals =
@@ -518,6 +530,18 @@ object Main {
         kept.select($"doc_id", $"text"), "doc_id", "text",
         ChunkerConfig(chunkSize = 200, chunkOverlap = 20, strategy = Strategy.Hybrid))
       .withColumn("chunk_id", concat($"doc_id", lit("_"), $"chunk_id"))
+    // Stale chunk_ids the new chunking does NOT reproduce (a re-ingested
+    // doc that now chunks differently — fewer pieces, a changed chunker
+    // config): the upsert's latest-per-chunk_id replaces reproduced ids
+    // but would silently RETAIN the orphans, leaving the table (and the
+    // embeddings keyed on those ids) serving chunks their doc no longer
+    // has — and diverging from the profile artifact, which subtracts the
+    // doc's ENTIRE stored chunk set. Pinned: consumed by two table
+    // prunes below, and the anti-join's chunker re-run must not outlive
+    // the table swap.
+    val staleDropIds = staleStored.map(_.select($"chunk_id")
+      .join(chunked.select($"chunk_id"), Seq("chunk_id"), "left_anti")
+      .localCheckpoint(true))
 
     val chunkObs = new Observation("chunks")
     val embedObs = new Observation("embeddings")
@@ -536,7 +560,12 @@ object Main {
     val (_, tChunks) = Metrics.timed {
       writeTable(spark, chunksObserved, storeDir, "chunks",
                  keys = Seq("chunk_id"), version = Seq(lit(1)),
-                 prune = m => m.join(dupIds, Seq("doc_id"), "left_anti"))
+                 prune = m => {
+                   val noDup = m.join(dupIds, Seq("doc_id"), "left_anti")
+                   staleDropIds.map(sd =>
+                       noDup.join(sd, Seq("chunk_id"), "left_anti"))
+                     .getOrElse(noDup)
+                 })
     }
     // postings maintenance rides the chunks commit: stale docs out
     // (partition-pruned per-bucket swap), this batch's kept chunks in
@@ -583,9 +612,16 @@ object Main {
     val (_, tEmbed) = Metrics.timed {
       writeTable(spark, embedded, storeDir, "embeddings",
                  keys = Seq("chunk_id", "embedding_provider"), version = Seq(lit(1)),
-                 prune = m => m.join(dupIds.select($"doc_id".as("__dup")),
-                                     substring(col("chunk_id"), 1, 64) === col("__dup"),
-                                     "left_anti"))
+                 prune = m => {
+                   val noDup = m.join(dupIds.select($"doc_id".as("__dup")),
+                                      substring(col("chunk_id"), 1, 64) === col("__dup"),
+                                      "left_anti")
+                   // embeddings of chunk_ids the re-chunking dropped
+                   // leave with their chunks (same staleDropIds set)
+                   staleDropIds.map(sd =>
+                       noDup.join(sd, Seq("chunk_id"), "left_anti"))
+                     .getOrElse(noDup)
+                 })
     }
     // A stored vector index (built by `Main index`) is maintained
     // alongside the embeddings it serves, the way the postings index
@@ -744,12 +780,21 @@ object Main {
   /** Open a store table the fast way: through the catalog with
     * bucketing metadata attached when the table is one of the
     * co-bucketed pair (falls back to a plain read for old stores).
+    * The catalog name carries a PATH hash: `--snapshot=` reads mix a
+    * snapshot root and the live root in one session, and a fixed name
+    * re-registered per open would silently re-resolve a lazily-held
+    * frame from one root to the most recently opened other — distinct
+    * roots must be distinct catalog entries.
     */
   def openTable(spark: SparkSession, storeDir: String, name: String): DataFrame =
-    if (bucketedTables(name))
-      Tables.openBucketed(spark, s"graft_$name", s"$storeDir/$name.parquet",
+    if (bucketedTables(name)) {
+      val path = s"$storeDir/$name.parquet"
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(path).getAbsolutePath.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      Tables.openBucketed(spark, s"graft_${name}_$pathTag", path,
                           "chunk_id", StoreBuckets)
-    else spark.read.parquet(s"$storeDir/$name.parquet")
+    } else spark.read.parquet(s"$storeDir/$name.parquet")
 
   private[graft] def writeTable(spark: SparkSession, updates: DataFrame, storeDir: String,
                          name: String, keys: Seq[String],
@@ -1442,7 +1487,7 @@ object Main {
     * (stranding the live table in `.trash`) or lands its rows in the
     * aside copy the compact then deletes.
     */
-  private def appendRunlogFrame(storeDir: String, frame: DataFrame): Unit = {
+  private[graft] def appendRunlogFrame(storeDir: String, frame: DataFrame): Unit = {
     val path = s"$storeDir/runlog.parquet"
     Tables.withTableLock(path) {
       val dir = new java.io.File(path)
@@ -2419,7 +2464,8 @@ object Main {
           // written below must describe the listing the scan read
           val fp = ProfileState.dirFingerprint(chunksDir)
           val base = openTable(spark, storeDir, "chunks")
-            .select(col("strategy"), col("content")).localCheckpoint(true)
+            .select(col("doc_id"), col("strategy"), col("content"))
+            .localCheckpoint(true)
           scanPin = Some(base)
           val scanned = ProfileState.fromChunks(base)
           if (readOnly) scanned
@@ -2445,7 +2491,8 @@ object Main {
       s""""zipf_slope_num":${z.getLong(1)},""" +
       s""""zipf_slope_den":${z.getLong(2)}}"""
     val sketchLines = graft.text.Profile
-      .distinctFromRegisters(parts.regs, "strategy")
+      .distinctFromRegisters(ProfileState.registersAcrossShards(parts.regs),
+                             "strategy")
       .orderBy(col("strategy"))
       .collect().map { r =>
         s"""{"strategy":"${r.getAs[String]("strategy")}",""" +
@@ -2471,186 +2518,283 @@ object Main {
 
   // ------------------------------------------------------------------ delete
 
-  /** `delete <store> <docId>` — the takedown/compliance transaction:
-    * ONE lease-held commit that removes a document's content from
-    * every serving tier while leaving a tombstone row. Demotion only
-    * removes docs as a side effect of dedup at ingest; this is the
-    * direct removal a takedown/GDPR request needs. Composes the same
-    * maintenance ops a demotion uses, in RE-RUNNABLE order:
+  /** `delete <store> <docId> [docId ...] [--ids-file=F]
+    * [--purge-snapshots]` — the takedown/compliance transaction: ONE
+    * lease-held commit that removes an ID SET's content from every
+    * serving tier while leaving tombstone rows. Demotion only removes
+    * docs as a side effect of dedup at ingest; this is the direct
+    * removal a takedown/GDPR request needs — and real requests arrive
+    * as LISTS, so the whole stage order below runs ONCE over the set
+    * (one swap per table, one postings pass, one profile fold, one
+    * reconcile), not once per id: a 10,000-id batch costs one store
+    * rewrite, not 10,000. Stage order, RE-RUNNABLE:
     *
-    *  1. chunks pruned; the profile state folds the exact subtraction
-    *  2. postings swapped out (bucket-pruned — cost scales with the
-    *     doc's vocabulary, not the index)
+    *  1. chunks pruned (one anti-join); the profile state folds the
+    *     exact subtraction, and the register shards the ids touch are
+    *     REBUILT from survivors — post-delete the distinct-token line
+    *     serves ≡ rescan ([[graft.text.ProfileState.commitAfterDelete]])
+    *  2. postings swapped out FIRST, from the pre-prune capture
+    *     (bucket-pruned — cost scales with the docs' vocabulary)
     *  3. embeddings pruned (every provider); stored vector index
-    *     reconciled against the pruned slice
-    *  4. signatures pruned (the doc leaves the dedup index)
+    *     reconciled once against the pruned slice
+    *  4. signatures pruned (the docs leave the dedup index)
     *  5. search cache dropped wholesale (any provider's cached ranking
     *     may cite the deleted chunks)
-    *  6. documents row → status 'removed', content_b64 NULLED — THE
-    *     COMMIT POINT: everything before it is idempotent maintenance,
-    *     so a crash anywhere converges by re-running the delete; only
+    *  6. documents rows → status 'removed', content_b64 NULLED, in ONE
+    *     table swap — THE COMMIT POINT: everything before it is
+    *     idempotent maintenance, so a crash anywhere (including
+    *     mid-batch) converges by re-running the same delete; only
     *     after this flip does a second delete fail loudly.
     *
-    * The tombstone both audits the takedown and blocks resurrection:
+    * BATCH CONTRACT: an unknown or already-removed id anywhere in the
+    * set fails the WHOLE batch loudly BEFORE any mutation — a partial
+    * compliance action that silently skipped ids is worse than a
+    * retryable error (the reference's 404 contract, set-valued).
+    *
+    * The tombstones audit the takedown and block resurrection:
     * [[ingestBatch]] drops any arriving upload whose doc_id matches a
-    * removed row (same bytes + filename → same id), so a re-upload
-    * cannot silently undo a compliance action. Unknown ids fail
-    * loudly (the reference's 404 contract, `api/routes/documents.py`).
+    * removed row (same bytes + filename → same id).
     *
     * SNAPSHOT CARVE-OUT: snapshots are immutable history whose
     * hardlinks keep pre-delete files alive — `--snapshot=` reads still
-    * serve the doc and a `rollback` resurrects it (the gate guards
-    * ingest, not time travel). The report NAMES every snapshot still
-    * holding the doc (`snapshots_holding`); `dropsnapshot` them to
-    * complete the erasure.
+    * serve the docs and a `rollback` resurrects them (the gate guards
+    * ingest, not time travel). Each report line NAMES the snapshots
+    * still holding that doc (`snapshots_holding`). With
+    * `--purge-snapshots` the erasure completes in one command: AFTER
+    * the commit point (and outside the store lease — [[graft.io
+    * .Snapshots.drop]] takes it itself), every named snapshot is
+    * dropped; a snapshot whose drop fails is reported loudly while the
+    * committed delete stands (retry = `dropsnapshot` by hand — the
+    * failure message names the survivors).
     */
   def runDelete(spark: SparkSession, storeDir: String, docId: String,
                 now: Timestamp = new Timestamp(System.currentTimeMillis()))
       : Seq[String] =
-    Tables.withTableLock(s"$storeDir/.store") {
-      import spark.implicits._
-      import graft.text.ProfileState
-      // writer-crash preamble (the shared reader idiom): a prior
-      // crashed commit may have parked a table's only copy in .trash —
-      // restore BEFORE the exists() checks below decide which tiers to
-      // prune, or a re-run delete would silently skip a parked tier
-      StoreTables.foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
-      val docsPath = new java.io.File(s"$storeDir/documents.parquet")
-      require(docsPath.exists(), s"no documents table under $storeDir")
-      val docRow = spark.read.parquet(docsPath.toString)
-        .filter($"doc_id" === docId)
-        .select($"status", $"updated_at").as[(String, Timestamp)].collect()
-      require(docRow.nonEmpty, s"no document $docId under $storeDir")
-      require(docRow.head._1 != Schemas.DocumentStatus.Removed,
-        s"document $docId is already removed")
-      // the tombstone MUST win the documents upsert's latest-per-key:
-      // a delete stamped at-or-before the stored updated_at (same-ms
-      // delete-after-ingest, or a clock step-back) would silently lose
-      // the merge and leave the content live behind a "deleted" report
-      val tombstoneAt =
-        if (now.after(docRow.head._2)) now
-        else Timestamp.from(docRow.head._2.toInstant.plusMillis(1))
+    runDelete(spark, storeDir, Seq(docId), now, purgeSnapshots = false)
 
-      // Snapshot audit BEFORE the commit point (see the report note
-      // below): snapshots are immutable, so the set cannot change
-      // mid-transaction, and a failure reading a damaged snapshot here
-      // leaves the delete UN-committed — re-runnable — instead of
-      // wedging a committed delete behind "already removed". A
-      // snapshot holding ONLY the content-nulled tombstone (an earlier
-      // delete+rollback cycle) does not count as holding the doc.
-      // An UNREADABLE snapshot must not block the erasure (the whole
-      // command exists to remove content — "content retained because a
-      // backup is damaged" is the worst outcome): treat it as holding,
-      // conservatively, and let the operator inspect/drop it.
-      val holding = graft.io.Snapshots.list(storeDir).filter { name =>
+  def runDelete(spark: SparkSession, storeDir: String, docIds: Seq[String],
+                now: Timestamp, purgeSnapshots: Boolean): Seq[String] = {
+    require(docIds.nonEmpty, "delete needs at least one docId")
+    val ids = docIds.distinct
+    // (per-doc counts, per-doc holding snapshots) out of the lease-held
+    // transaction; the purge below must run OUTSIDE the .store lease
+    val (counts, holding) = Tables.withTableLock(s"$storeDir/.store") {
+      // this transaction's scratch pins (the id set, the chunk capture)
+      // are freed before returning — repeated takedowns in a long-lived
+      // session must not accumulate pinned RDDs (the ingestBatch
+      // convention)
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      try deleteTransaction(spark, storeDir, ids, now)
+      finally spark.sparkContext.getPersistentRDDs
+        .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+    val toPurge =
+      if (purgeSnapshots) ids.flatMap(holding(_)).distinct.sorted else Nil
+    val failed = toPurge.flatMap { n =>
+      scala.util.Try(graft.io.Snapshots.drop(storeDir, n)) match {
+        case scala.util.Success(_) => None
+        case scala.util.Failure(e) => Some(n -> e)
+      }
+    }
+    val purgedSet = toPurge.toSet -- failed.map(_._1)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"delete of ${ids.size} doc(s) COMMITTED, but purging snapshots " +
+          s"failed for [${failed.map(_._1).mkString(", ")}] " +
+          s"(purged ok: [${purgedSet.toSeq.sorted.mkString(", ")}]): " +
+          s"${failed.head._2.getMessage}; drop the survivors with dropsnapshot",
+        failed.head._2)
+    val lines = ids.map { id =>
+      val (nChunks, nEmb, nSigs) = counts(id)
+      val held = holding(id).filterNot(purgedSet).sorted
+      s"""{"deleted":"${jsonEscape(id)}","chunks_removed":$nChunks,""" +
+        s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs,""" +
+        s""""snapshots_holding":[${held.map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}"""
+    }
+    if (purgeSnapshots)
+      lines :+ s"""{"snapshots_purged":[${purgedSet.toSeq.sorted
+        .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}"""
+    else lines
+  }
+
+  /** The lease-held body of [[runDelete]]: every stage is one
+    * DataFrame operation over the id set. Returns per-doc
+    * (chunks, embeddings, signatures) counts and the per-doc
+    * snapshots-holding map.
+    */
+  private def deleteTransaction(spark: SparkSession, storeDir: String,
+                                ids: Seq[String], now: Timestamp)
+      : (Map[String, (Long, Long, Long)], Map[String, Seq[String]]) = {
+    import spark.implicits._
+    import graft.text.ProfileState
+    // writer-crash preamble (the shared reader idiom): a prior
+    // crashed commit may have parked a table's only copy in .trash —
+    // restore BEFORE the exists() checks below decide which tiers to
+    // prune, or a re-run delete would silently skip a parked tier
+    StoreTables.foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
+    val docsPath = new java.io.File(s"$storeDir/documents.parquet")
+    require(docsPath.exists(), s"no documents table under $storeDir")
+    // the id set as a (tiny, broadcast) join side — an isin literal of
+    // a 10,000-id GDPR list would be a 10,000-node expression tree
+    val idsDf = ids.toDF("doc_id").localCheckpoint(true)
+    val stored = spark.read.parquet(docsPath.toString)
+      .join(idsDf, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"status")
+      .as[(String, String)].collect().toMap
+    // BATCH CONTRACT: any bad id fails the whole set before mutation
+    ids.filterNot(stored.contains).headOption.foreach(id =>
+      throw new IllegalArgumentException(s"no document $id under $storeDir"))
+    ids.filter(stored(_) == Schemas.DocumentStatus.Removed).headOption
+      .foreach(id => throw new IllegalArgumentException(
+        s"document $id is already removed"))
+
+    // Snapshot audit BEFORE the commit point: snapshots are immutable,
+    // so the set cannot change mid-transaction, and a failure reading a
+    // damaged snapshot here leaves the delete UN-committed —
+    // re-runnable — instead of wedging a committed delete behind
+    // "already removed". A snapshot holding ONLY content-nulled
+    // tombstones (an earlier delete+rollback cycle) does not count.
+    // An UNREADABLE snapshot must not block the erasure (the whole
+    // command exists to remove content — "content retained because a
+    // backup is damaged" is the worst outcome): treat it as holding
+    // EVERY id, conservatively, and let the operator inspect/drop it.
+    val holdingPairs: Seq[(String, Seq[String])] =
+      graft.io.Snapshots.list(storeDir).flatMap { name =>
         val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
-        f.exists() && scala.util.Try(
-          !spark.read.parquet(f.toString)
-            .filter($"doc_id" === docId &&
-                    $"status" =!= Schemas.DocumentStatus.Removed).isEmpty
-        ).getOrElse(true)
-      }
-
-      val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
-      // profile-state sync gate + the doc's stored chunks, captured
-      // EAGERLY before the prune swaps the table (the ingest pattern)
-      val (profileFoldable, oldProfile) =
-        ProfileState.preCommitGate(spark, storeDir, chunksDirF)
-      val docChunks =
-        if (chunksDirF.exists())
-          Some(openTable(spark, storeDir, "chunks")
-            .filter($"doc_id" === docId)
-            .select($"chunk_id", $"content", $"strategy")
-            .localCheckpoint(true))
-        else None
-      val nChunks = docChunks.map(_.count()).getOrElse(0L)
-
-      // postings leave FIRST, from the pre-prune capture: the reverse
-      // order has an unrecoverable window — a crash after the chunks
-      // prune makes a re-run's capture empty, and the tombstone gate
-      // keeps the doc out of every future batch, so nothing would ever
-      // remove its postings (or its bm25 norms row) again. This order
-      // is idempotent both ways: re-removing absent postings is a
-      // no-op, and the chunks prune below re-runs unchanged.
-      val postingsPath = new java.io.File(s"$storeDir/postings.idx")
-      if (postingsPath.exists())
-        docChunks.foreach(rm =>
-          Search.removeFromPostings(spark, rm.select($"chunk_id", $"content"),
-                                    "chunk_id", "content",
-                                    postingsPath.toString))
-      if (chunksDirF.exists()) {
-        writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
-                   storeDir, "chunks", keys = Seq("chunk_id"),
-                   version = Seq(lit(1)),
-                   prune = m => m.filter($"doc_id" =!= docId))
-        ProfileState.commitAfterChunks(spark, storeDir, chunksDirF,
-          profileFoldable, oldProfile,
-          addChunks = docChunks.get.limit(0), subChunks = docChunks,
-          rebuildFrom = openTable(spark, storeDir, "chunks"))
-      }
-      val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
-      val nEmb =
-        if (embPath.exists())
-          openTable(spark, storeDir, "embeddings")
-            .filter(substring($"chunk_id", 1, 64) === docId).count()
-        else 0L
-      if (embPath.exists()) {
-        writeTable(spark, openTable(spark, storeDir, "embeddings").limit(0),
-                   storeDir, "embeddings",
-                   keys = Seq("chunk_id", "embedding_provider"),
-                   version = Seq(lit(1)),
-                   prune = m => m.filter(substring($"chunk_id", 1, 64) =!= docId))
-        if (search.VectorIndex.exists(storeDir)) {
-          val vecPath = search.VectorIndex.indexPath(storeDir)
-          val idxProvider = search.VectorIndex.readMeta(vecPath).provider
-          search.VectorIndex.reconcile(spark, vecPath,
-            openTable(spark, storeDir, "embeddings")
-              .filter($"embedding_provider" === idxProvider),
-            "chunk_id", "embedding")
+        if (!f.exists()) None
+        else scala.util.Try(
+          spark.read.parquet(f.toString)
+            .join(idsDf, Seq("doc_id"), "left_semi")
+            .filter($"status" =!= Schemas.DocumentStatus.Removed)
+            .select($"doc_id").as[String].collect().toSeq
+        ) match {
+          case scala.util.Success(held) if held.nonEmpty => Some(name -> held)
+          case scala.util.Success(_) => None
+          case scala.util.Failure(_) => Some(name -> ids)
         }
       }
-      val sigPath = new java.io.File(s"$storeDir/signatures.parquet")
-      val nSigs =
-        if (sigPath.exists())
-          spark.read.parquet(sigPath.toString)
-            .filter($"doc" === docId).count()
-        else 0L
-      if (sigPath.exists())
-        writeTable(spark,
-                   spark.read.parquet(sigPath.toString).limit(0),
-                   storeDir, "signatures", keys = Seq("doc", "band"),
-                   version = Seq(lit(1)),
-                   prune = m => m.filter($"doc" =!= docId))
-      invalidateSearchCache(spark, storeDir, None)
-      // THE COMMIT POINT: the tombstone row — status flipped, content
-      // gone. Stamped strictly after the stored row so it always wins
-      // the upsert's latest-per-key (see tombstoneAt above).
-      val tombstone = spark.read.parquet(docsPath.toString)
-        .filter($"doc_id" === docId)
-        .withColumn("status", lit(Schemas.DocumentStatus.Removed))
-        .withColumn("content_b64", lit(null).cast("string"))
-        .withColumn("error_message", lit(null).cast("string"))
-        .withColumn("metadata_json", lit("{}"))
-        .withColumn("updated_at", lit(tombstoneAt))
-      writeTable(spark, tombstone, storeDir, "documents",
-                 keys = Seq("doc_id"), version = Seq(col("updated_at")))
-      // Snapshots are immutable history: their hardlinks keep the
-      // PRE-delete table files alive, so any snapshot taken before this
-      // takedown still serves the doc's content (via `--snapshot=`
-      // reads) and a `rollback` to it resurrects the live row — the
-      // tombstone gate guards INGEST, not time travel. A full
-      // compliance erasure must also drop those snapshots; the report
-      // NAMES them (`holding`, audited pre-commit above) so the
-      // operator can act instead of discovering the copy in an audit.
-      appendRunlog(spark, storeDir, "delete",
-                   Seq("n_chunks_removed" -> nChunks,
-                       "n_embeddings_removed" -> nEmb,
-                       "n_signatures_removed" -> nSigs,
-                       "n_snapshots_holding" -> holding.size.toLong))
-      Seq(s"""{"deleted":"${jsonEscape(docId)}","chunks_removed":$nChunks,""" +
-          s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs,""" +
-          s""""snapshots_holding":[${holding.map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
+    val holding: Map[String, Seq[String]] = ids.map { id =>
+      id -> holdingPairs.collect { case (n, held) if held.contains(id) => n }
+    }.toMap
+
+    val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
+    // profile-state sync gate + the docs' stored chunks, captured
+    // EAGERLY before the prune swaps the table (the ingest pattern)
+    val (profileFoldable, oldProfile) =
+      ProfileState.preCommitGate(spark, storeDir, chunksDirF)
+    val docChunks =
+      if (chunksDirF.exists())
+        Some(openTable(spark, storeDir, "chunks")
+          .join(idsDf, Seq("doc_id"), "left_semi")
+          .select($"doc_id", $"chunk_id", $"content", $"strategy")
+          .localCheckpoint(true))
+      else None
+    val chunksByDoc: Map[String, Long] = docChunks
+      .map(_.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap)
+      .getOrElse(Map.empty)
+
+    // postings leave FIRST, from the pre-prune capture: the reverse
+    // order has an unrecoverable window — a crash after the chunks
+    // prune makes a re-run's capture empty, and the tombstone gate
+    // keeps the docs out of every future batch, so nothing would ever
+    // remove their postings (or bm25 norms rows) again. This order
+    // is idempotent both ways: re-removing absent postings is a
+    // no-op, and the chunks prune below re-runs unchanged.
+    val postingsPath = new java.io.File(s"$storeDir/postings.idx")
+    if (postingsPath.exists())
+      docChunks.foreach(rm =>
+        Search.removeFromPostings(spark, rm.select($"chunk_id", $"content"),
+                                  "chunk_id", "content",
+                                  postingsPath.toString))
+    var regsRescanned: Option[Long] = None
+    if (chunksDirF.exists()) {
+      writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
+                 storeDir, "chunks", keys = Seq("chunk_id"),
+                 version = Seq(lit(1)),
+                 prune = m => m.join(idsDf, Seq("doc_id"), "left_anti"))
+      regsRescanned = ProfileState.commitAfterDelete(spark, storeDir,
+        chunksDirF, profileFoldable, oldProfile,
+        subChunks = docChunks.get, deletedIds = ids,
+        liveChunks = openTable(spark, storeDir, "chunks"))
     }
+    val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
+    val embByDoc: Map[String, Long] =
+      if (embPath.exists())
+        openTable(spark, storeDir, "embeddings")
+          .select(substring($"chunk_id", 1, 64).as("doc_id"))
+          .join(idsDf, Seq("doc_id"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+      else Map.empty
+    if (embPath.exists()) {
+      writeTable(spark, openTable(spark, storeDir, "embeddings").limit(0),
+                 storeDir, "embeddings",
+                 keys = Seq("chunk_id", "embedding_provider"),
+                 version = Seq(lit(1)),
+                 prune = m => m.join(
+                   idsDf.select($"doc_id".as("__dd")),
+                   substring(col("chunk_id"), 1, 64) === col("__dd"),
+                   "left_anti"))
+      if (search.VectorIndex.exists(storeDir)) {
+        val vecPath = search.VectorIndex.indexPath(storeDir)
+        val idxProvider = search.VectorIndex.readMeta(vecPath).provider
+        search.VectorIndex.reconcile(spark, vecPath,
+          openTable(spark, storeDir, "embeddings")
+            .filter($"embedding_provider" === idxProvider),
+          "chunk_id", "embedding")
+      }
+    }
+    val sigPath = new java.io.File(s"$storeDir/signatures.parquet")
+    val sigsByDoc: Map[String, Long] =
+      if (sigPath.exists())
+        spark.read.parquet(sigPath.toString)
+          .join(idsDf.select($"doc_id".as("doc")), Seq("doc"), "left_semi")
+          .groupBy($"doc").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+      else Map.empty
+    if (sigPath.exists())
+      writeTable(spark,
+                 spark.read.parquet(sigPath.toString).limit(0),
+                 storeDir, "signatures", keys = Seq("doc", "band"),
+                 version = Seq(lit(1)),
+                 prune = m => m.join(idsDf.select($"doc_id".as("doc")),
+                                     Seq("doc"), "left_anti"))
+    invalidateSearchCache(spark, storeDir, None)
+    // THE COMMIT POINT: the tombstone rows — status flipped, content
+    // gone, ONE documents swap for the whole set. Each row is stamped
+    // strictly after ITS stored updated_at (same-ms delete-after-
+    // ingest, or a clock step-back, would otherwise silently lose the
+    // upsert's latest-per-key merge and leave content live behind a
+    // "deleted" report).
+    val tombstone = spark.read.parquet(docsPath.toString)
+      .join(idsDf, Seq("doc_id"), "left_semi")
+      .withColumn("status", lit(Schemas.DocumentStatus.Removed))
+      .withColumn("content_b64", lit(null).cast("string"))
+      .withColumn("error_message", lit(null).cast("string"))
+      .withColumn("metadata_json", lit("{}"))
+      .withColumn("updated_at",
+        when(lit(now) > $"updated_at", lit(now))
+          .otherwise(expr("updated_at + INTERVAL 1 MILLISECOND")))
+    writeTable(spark, tombstone, storeDir, "documents",
+               keys = Seq("doc_id"), version = Seq(col("updated_at")))
+    // ONE runlog entry for the whole batch (spec-pinned): aggregate
+    // counts plus the register-rebuild scan bound (see
+    // ProfileState.commitAfterDelete — shard-bounded, asserted < the
+    // live table in E2eMainSpec).
+    appendRunlog(spark, storeDir, "delete",
+                 Seq("n_docs_deleted" -> ids.size.toLong,
+                     "n_chunks_removed" -> chunksByDoc.values.sum,
+                     "n_embeddings_removed" -> embByDoc.values.sum,
+                     "n_signatures_removed" -> sigsByDoc.values.sum,
+                     "n_snapshots_holding" -> holdingPairs.size.toLong) ++
+                   regsRescanned.map("n_chunks_rescanned_for_regs" -> _))
+    val counts = ids.map(id => id -> ((chunksByDoc.getOrElse(id, 0L),
+                                       embByDoc.getOrElse(id, 0L),
+                                       sigsByDoc.getOrElse(id, 0L)))).toMap
+    (counts, holding)
+  }
 
   /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training
     * export as WebDataset-style tar shards — the raw-bytes twin of

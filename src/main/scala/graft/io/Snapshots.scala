@@ -347,6 +347,7 @@ object Snapshots {
       recoverLocked(new File(storeDir))
       val snap = new File(storeDir, s".snapshots/$name")
       require(snap.isDirectory, s"no snapshot $name under $storeDir")
+      Faults.point("snapshot.drop.before-rm")
       Tables.rmTree(snap)
     }
 }

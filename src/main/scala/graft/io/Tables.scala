@@ -58,10 +58,21 @@ object Tables {
       .drop("__graft_rn")
   }
 
-  /** Upsert: existing ∪ updates, then latest-wins per key. */
+  /** Upsert: existing ∪ updates, then latest-wins per key — with
+    * UPDATES WINNING VERSION TIES. ES index-by-_id always replaces;
+    * an arbitrary tie-break here silently kept a STALE row whenever a
+    * key was re-delivered under an unchanged version (the chunk
+    * tables version by `lit(1)`, so a re-ingested doc whose content
+    * changed could serve its old chunk text forever). The source rank
+    * rides the same window — no extra shuffle.
+    */
   def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
              version: Seq[Column]): DataFrame =
-    latestByKey(existing.unionByName(updates), keys, version)
+    latestByKey(
+      existing.withColumn("__graft_src", lit(0))
+        .unionByName(updates.withColumn("__graft_src", lit(1))),
+      keys, version :+ col("__graft_src"))
+      .drop("__graft_src")
 
   /** CHANGELOG APPLICATION — [[upsert]] with TOMBSTONES: fold an
     * I/U/D changelog into a snapshot. The latest entry per key wins

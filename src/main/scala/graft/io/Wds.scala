@@ -114,15 +114,33 @@ object Wds {
     */
   def writeShards(spark: SparkSession, rows: DataFrame, shardCol: String,
                   keyCol: String, entryCols: Seq[(String, String)],
-                  outDir: String, nShards: Int): Seq[(Long, Long, Long)] = {
+                  outDir: String, nShards: Int): Seq[(Long, Long, Long)] =
+    // the whole export holds the outDir lease: the stale-tmp sweep
+    // below deletes in-flight tmp files indiscriminately, so two
+    // concurrent exports sharing an outDir would sweep each other and
+    // fail at commit rename — the lease makes "no concurrent export
+    // shares an outDir mid-job" an enforced invariant, not an
+    // assumption (a crashed holder's lease goes stale and is taken
+    // over, same as every table lease)
+    Tables.withTableLock(outDir) {
+      writeShardsLocked(spark, rows, shardCol, keyCol, entryCols, outDir,
+                        nShards)
+    }
+
+  private def writeShardsLocked(spark: SparkSession, rows: DataFrame,
+                                shardCol: String, keyCol: String,
+                                entryCols: Seq[(String, String)],
+                                outDir: String, nShards: Int)
+      : Seq[(Long, Long, Long)] = {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
     // Stale-tmp sweep: a task's finally removes its own tmp on
     // IN-PROCESS failure, but a hard-killed JVM leaves
     // shard-N.tar.tmp-<attemptId> residue, and re-exports commit under
     // NEW attempt ids — without this sweep the dir accumulates dead
-    // tmp files forever. Safe at job start: no concurrent export
-    // shares an outDir mid-job (final-named shards are never touched).
+    // tmp files forever. Safe at job start: the outDir lease above
+    // guarantees no concurrent export shares this dir mid-job
+    // (final-named shards are never touched).
     Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("shard-") &&
                    f.getName.contains(".tar.tmp-"))

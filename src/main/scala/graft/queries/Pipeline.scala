@@ -2731,6 +2731,29 @@ object Pipeline {
     "q190_zipf_stored_vocab" -> ((s, dir) =>
       TextStats.zipfSlopeFromVocab(storedProfileState(s, dir)._4)),
 
+    // SHARDED-REGISTER COLLAPSE LAW: the register state built under a
+    // doc-shard dimension (the layout `Main delete` exploits to
+    // rebuild ONE shard's registers exactly — ProfileState.RegShards)
+    // collapses by register-wise max across shards to the UNSHARDED
+    // state bit-for-bit: max is associative over any partition of the
+    // docs. Oracle = q90's SQL verbatim — the sharding must be
+    // invisible to the served report.
+    "q191_sharded_register_collapse" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        col("source"),
+        graft.dedup.Dedup.hashBucket(col("doc_id"),
+          graft.text.ProfileState.RegShards).as("shard"),
+        explode(filter(split(lower(coalesce(col("text"), lit(""))), "\\W+"),
+                       t => t =!= "")).as("__tok"))
+      val sharded = graft.text.Profile
+        .sketchStateBy(toks, Seq("shard", "source"), "__tok")
+      graft.text.Profile.sketchFromState(
+          graft.text.Profile.mergeSketchStatesBy(Seq("source"),
+                                                 sharded.drop("shard")),
+          "source")
+        .orderBy(col("source"))
+    }),
+
     // UNICODE NFC NORMALIZATION: the canonical-composition pass every
     // training pipeline runs before dedup/tokenization — precomposed
     // and decomposed encodings of the same visible text must hash
@@ -6520,6 +6543,10 @@ object Pipeline {
     // q185: the same report served from the incrementally-folded
     // stored register state — oracle shared VERBATIM with q90.
     "q185_incremental_sketch" -> DistinctSketchOracle,
+
+    // q191: the doc-sharded register layout collapsed across shards —
+    // the sharding must be invisible, so the oracle is q90's VERBATIM.
+    "q191_sharded_register_collapse" -> DistinctSketchOracle,
 
     // q173: q90's register construction per DAY, per-bucket running
     // max as windowed delta events, one day window for the cumulative

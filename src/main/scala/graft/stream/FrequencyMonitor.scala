@@ -48,9 +48,13 @@ object FrequencyMonitor {
 
   /** Emitted per heavy hitter per micro-batch: the CMS estimate (≥ the
     * true count — one-sided) beside the scope's total arrivals.
+    * `saturated` marks an estimate that hit the packed 48-bit counter
+    * ceiling ([[CounterMax]]): past it the value is a FLOOR, not an
+    * upper bound — downstream consumers must be able to tell the two
+    * apart instead of trusting a silently-clamped "bound".
     */
   case class HeavyHitter(scope: String, token: String, est_cnt: Long,
-                         n_seen: Long)
+                         n_seen: Long, saturated: Boolean)
 
   /** Checkpointed state, flat scalars only (a Map/Seq field trips
     * janino under the forked-classloader codegen — the DistinctMonitor
@@ -180,7 +184,9 @@ object FrequencyMonitor {
                                  d, w, minFrac, maxCandidates)
     state.update(FreqState(pack(counters), n,
                            hitters.map(_._1).mkString("\u0001")))
-    hitters.iterator.map { case (t, est) => HeavyHitter(scope, t, est, n) }
+    hitters.iterator.map { case (t, est) =>
+      HeavyHitter(scope, t, est, n, saturated = est >= CounterMax)
+    }
   }
 
   /** Streaming entry: arrivals → heavy hitters per scope per

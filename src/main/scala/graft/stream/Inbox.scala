@@ -88,8 +88,21 @@ object Inbox {
     val q = InboxMonitor.run(arrivals).writeStream
       .option("checkpointLocation", s"$storeDir/_monitor_checkpoint")
       .outputMode("update").trigger(trigger)
-      .foreachBatch { (ds: Dataset[(String, String)], _: Long) =>
-        ds.collect().sortBy(_._1).foreach(p => emit(p._2))
+      .foreachBatch { (ds: Dataset[InboxMonitor.MonitorLine], _: Long) =>
+        val rows = ds.collect().sortBy(_.sortKey)
+        rows.foreach(r => emit(r.line))
+        // persist each micro-batch's monitor lines to the store runlog
+        // (the appendRunlog discipline, monitor-scoped metric keys) —
+        // "was the inbox spamming us last Tuesday" must survive the
+        // console. Bounded rows per batch: scopes × (1 + candidate cap).
+        if (rows.nonEmpty) {
+          val sess = ds.sparkSession
+          import sess.implicits._
+          Main.appendRunlogFrame(storeDir,
+            rows.toSeq.map(r => ("watch_monitor", r.metric, r.value))
+              .toDF("stage", "metric", "value")
+              .withColumn("run_at", current_timestamp()))
+        }
         ()
       }.start()
     Seq(q)

@@ -32,6 +32,16 @@ object InboxMonitor {
     */
   case class Arrival(scope: String, key: String)
 
+  /** One emitted monitor row: the rendered JSON line plus the
+    * structured (metric, value) pair the runlog persists — so "was the
+    * inbox spamming us last Tuesday" survives the console. `metric` is
+    * `distinct:<scope>` or `hitter:<scope>:<token>`; `value` the
+    * estimate (exact in a Double below 2^53 — far above the 48-bit
+    * counter ceiling).
+    */
+  case class MonitorLine(sortKey: String, line: String, metric: String,
+                         value: Double)
+
   private[stream] case class MonState(regs: String, counters: String,
                                       nSeen: Long, candidates: String)
 
@@ -39,7 +49,7 @@ object InboxMonitor {
 
   private def stateFunc(d: Int, w: Int, minFrac: Long, cap: Int)(
       scope: String, arrivals: Iterator[Arrival],
-      state: GroupState[MonState]): Iterator[(String, String)] = {
+      state: GroupState[MonState]): Iterator[MonitorLine] = {
     val prior = state.getOption
     val counters = prior.map(p => FrequencyMonitor.unpack(p.counters, d * w))
       .getOrElse(new Array[Long](d * w))
@@ -63,29 +73,35 @@ object InboxMonitor {
                           FrequencyMonitor.pack(counters), n,
                           hitters.map(_._1).mkString("\u0001")))
     val (used, est) = DistinctMonitor.estimate(regs)
-    val dLine = (s"$scope|0",
+    val dLine = MonitorLine(s"$scope|0",
       s"""{"monitor":"distinct","scope":"${esc(scope)}",""" +
-        s""""registers_used":$used,"est_distinct":$est,"n_seen":$n}""")
+        s""""registers_used":$used,"est_distinct":$est,"n_seen":$n}""",
+      s"distinct:$scope", est.toDouble)
     val hLines = hitters.map { case (t, e) =>
-      (f"$scope|1|${Long.MaxValue - e}%019d|$t",
-       s"""{"monitor":"hitter","scope":"${esc(scope)}",""" +
-         s""""token":"${esc(t)}","est_cnt":$e,"n_seen":$n}""")
+      // a saturated estimate is a FLOOR, not an upper bound — flagged
+      // on the line so a consumer can tell (FrequencyMonitor.CounterMax)
+      val sat =
+        if (e >= FrequencyMonitor.CounterMax) ""","saturated":true""" else ""
+      MonitorLine(f"$scope|1|${Long.MaxValue - e}%019d|$t",
+        s"""{"monitor":"hitter","scope":"${esc(scope)}",""" +
+          s""""token":"${esc(t)}","est_cnt":$e,"n_seen":$n$sat}""",
+        s"hitter:$scope:$t", e.toDouble)
     }
     (dLine +: hLines).iterator
   }
 
-  /** Streaming entry: arrivals → (sortKey, line) per scope per
+  /** Streaming entry: arrivals → [[MonitorLine]]s per scope per
     * micro-batch. Defaults mirror the standalone monitors (d=4,
     * w=1024, minFrac=50 → the 2% rule, candidate cap 4·minFrac).
     * Use with `.writeStream.outputMode("update")`.
     */
   def run(arrivals: Dataset[Arrival], d: Int = 4, w: Int = 1024,
-          minFrac: Long = 50L): Dataset[(String, String)] = {
+          minFrac: Long = 50L): Dataset[MonitorLine] = {
     val cap = (4L * minFrac).min(Int.MaxValue.toLong).toInt
     implicit val ae = Encoders.product[Arrival]
     implicit val se = Encoders.product[MonState]
     implicit val ke = Encoders.STRING
-    implicit val oe = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val oe = Encoders.product[MonitorLine]
     arrivals.groupByKey(_.scope)
       .flatMapGroupsWithState(OutputMode.Update(),
                               GroupStateTimeout.NoTimeout())(

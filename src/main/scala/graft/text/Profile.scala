@@ -126,13 +126,24 @@ object Profile {
     * rescanning history for every profile.
     */
   def sketchState(toks: DataFrame, groupCol: String, tokCol: String): DataFrame =
+    sketchStateBy(toks, Seq(groupCol), tokCol)
+
+  /** [[sketchState]] under a COMPOSITE group key — the sharded form:
+    * [[graft.text.ProfileState]] keys its register part by
+    * (doc-shard, strategy) so a takedown can rebuild ONE shard's
+    * registers exactly instead of rescanning the corpus; max over the
+    * shard dimension recovers the single-key state bit-for-bit (max is
+    * associative over any partition of the docs).
+    */
+  def sketchStateBy(toks: DataFrame, groupCols: Seq[String],
+                    tokCol: String): DataFrame =
     toks.select(
-        col(groupCol),
-        expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
-        expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v"))
+        groupCols.map(col) ++ Seq(
+          expr(s"CAST(conv(substring(md5($tokCol), 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+          expr(s"CAST(conv(substring(md5($tokCol), 3, 8), 16, 10) AS BIGINT)").as("v")): _*)
       .withColumn("rho", expr(
         "CASE WHEN v = 0 THEN CAST(33 AS BIGINT) ELSE 33 - CAST(length(bin(v)) AS BIGINT) END"))
-      .groupBy(col(groupCol), col("bucket"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("occ"))
 
   /** Fold sketch states (a stored state + a new batch's delta, or any
@@ -140,8 +151,16 @@ object Profile {
     * and commutative — merge order can never change the result.
     */
   def mergeSketchStates(groupCol: String, states: DataFrame*): DataFrame =
+    mergeSketchStatesBy(Seq(groupCol), states: _*)
+
+  /** [[mergeSketchStates]] under a composite group key (see
+    * [[sketchStateBy]]). Also the CROSS-SHARD collapse: merging a
+    * sharded state with the shard column dropped serves the single-key
+    * registers.
+    */
+  def mergeSketchStatesBy(groupCols: Seq[String], states: DataFrame*): DataFrame =
     states.reduce(_.unionByName(_))
-      .groupBy(col(groupCol), col("bucket"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("m_reg")).as("m_reg"), sum(col("occ")).as("occ"))
 
   /** Serve the [[distinctSketch]] report from a (stored) state table —

@@ -25,20 +25,35 @@ import graft.io.Tables
   *    and demotions SUBTRACT exactly (the q186 contract).
   *  - `vocab` (term, freq): the zipf-slope term table
   *    ([[TextStats.termFrequencies]], whitespace tokens) — additive,
-  *    subtractable, vocabulary-sized (corpus-sublinear).
+  *    subtractable, vocabulary-sized: the only UNBOUNDED part, but
+  *    Heaps-law sublinear in corpus tokens and garbage-token-inclusive
+  *    by necessity (measured: PROBE_INCREMENTAL_PROFILE.md artifact-
+  *    footprint section; pinned sublinear in ScaleCurveSpec). A
+  *    df-floor tail tier is DELIBERATELY absent: `Main profile` and
+  *    q190 serve the zipf slope from this part against the
+  *    full-recompute oracle VERBATIM, and dropping tail terms changes
+  *    the slope — the exactness contract forbids lossy compaction.
   *  - `cms`   (j, bucket, cnt): the Count-Min sketch over the `\W+`
   *    lowercase token model — additive, subtractable, d·w rows
   *    forever; serves `--token=` point estimates (the q187 contract).
-  *  - `regs`  (strategy, bucket, m_reg, occ): the HLL register state
-  *    ([[Profile.sketchState]]) behind the distinct-token estimate.
-  *    Registers merge by MAX — idempotent under re-ingest but NOT
-  *    subtractable (HLL deletion is impossible in general), so this
-  *    part is HISTORY-MONOTONE: after a demotion the served estimate
-  *    is an upper bound on a live-store recount (estimate monotone in
-  *    pointwise registers) until a `--rebuild` resets it. DECIDED
-  *    demotion semantics, spec-pinned in E2eMainSpec: the additive
-  *    report lines stay bit-identical to a rescan through demotions;
-  *    the register line reads "distinct tokens ever kept".
+  *  - `regs`  (shard, strategy, bucket, m_reg, occ): the HLL register
+  *    state ([[Profile.sketchStateBy]]) behind the distinct-token
+  *    estimate, SHARDED by the doc-id hash bucket ([[RegShards]] ways)
+  *    so deletion has a bounded exact path. Registers merge by MAX —
+  *    idempotent under re-ingest but NOT subtractable (HLL deletion is
+  *    impossible in general). The shard dimension is the workaround:
+  *    a takedown ([[commitAfterDelete]]) REBUILDS only the deleted
+  *    docs' shards from those shards' surviving chunks — post-delete
+  *    the served registers are bit-identical to a full rescan at
+  *    1/[[RegShards]] of the tokenize cost per touched shard. Ingest
+  *    DEMOTIONS stay HISTORY-MONOTONE by decision (rebuilding every
+  *    shard a batch's stale docs touch would turn routine ingest into
+  *    a near-rescan; demotion is a dedup side effect, not an erasure
+  *    obligation): after a demotion the estimate is an upper bound
+  *    until a `--rebuild` — spec-pinned in E2eMainSpec. Serving
+  *    collapses the shard dimension by register-wise max
+  *    ([[registersAcrossShards]]), which equals the unsharded state
+  *    exactly (max is associative over any partition of the docs).
   *
   * Consistency across crash windows is by FINGERPRINT, the vector
   * index's reconcile philosophy applied to a sketch that cannot diff
@@ -58,6 +73,25 @@ object ProfileState {
 
   def artifactPath(storeDir: String): String = s"$storeDir/$ArtifactName"
 
+  /** Shard count for the register part's doc-id dimension: a delete
+    * rebuilds its touched shards' registers from 1/32 of the corpus
+    * per shard. 32 keeps the part tiny (≤ 32·strategies·256 rows)
+    * while making a single-doc takedown a ~3% tokenize, not a rescan.
+    */
+  val RegShards = 32
+
+  /** Driver-side twin of `Dedup.hashBucket(doc_id, RegShards)` — the
+    * first 8 md5 hex digits of the id as an integer, mod the shard
+    * count. A delete computes its touched shards from the id list
+    * without a scan.
+    */
+  def shardOf(docId: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % RegShards
+  }
+
   /** The four stored parts as frames (see the object doc for schemas
     * and merge laws).
     */
@@ -66,28 +100,38 @@ object ProfileState {
 
   /** The `\W+` lowercase token model the regs/cms parts share —
     * [[Profile.distinctTokenProfile]]'s convention, and the one
-    * `--token=` probes are normalized into.
+    * `--token=` probes are normalized into. Carries the doc shard for
+    * the register part; inputs must expose `doc_id`.
     */
   private def sketchTokens(chunks: DataFrame): DataFrame =
     chunks.select(
       col("strategy"),
+      graft.dedup.Dedup.hashBucket(col("doc_id"), RegShards).as("shard"),
       explode(filter(split(lower(coalesce(col("content"), lit(""))), "\\W+"),
                      t => t =!= "")).as("__tok"))
 
   /** Build all four parts from a chunks frame — the one-shot form
     * (a full-table rebuild) AND the per-batch delta (the same code on
     * the batch's kept chunks): one definition, so the fold and the
-    * rescan cannot drift.
+    * rescan cannot drift. `chunks` must carry (doc_id, strategy,
+    * content).
     */
   def fromChunks(chunks: DataFrame): Parts = {
     val toks = sketchTokens(chunks)
     Parts(
       hist = Profile.lengthHistogram(
         chunks.withColumn("len", length(col("content"))), "strategy", "len"),
-      regs = Profile.sketchState(toks, "strategy", "__tok"),
+      regs = Profile.sketchStateBy(toks, Seq("shard", "strategy"), "__tok"),
       cms = Profile.cmsSketch(toks.select(col("__tok").as("token")), "token"),
       vocab = TextStats.termFrequencies(chunks, "content"))
   }
+
+  /** Collapse the register part's shard dimension for serving:
+    * register-wise max across shards equals the unsharded state
+    * bit-for-bit (max is associative over any partition of the docs).
+    */
+  def registersAcrossShards(regs: DataFrame): DataFrame =
+    Profile.mergeSketchStates("strategy", regs.drop("shard"))
 
   /** The additive parts with their counts NEGATED — the exact-
     * subtraction side of a fold (demoted / re-ingested docs' stored
@@ -109,7 +153,8 @@ object ProfileState {
   def merge(parts: Parts*): Parts = Parts(
     hist = Profile.mergeHistograms("strategy", parts.map(_.hist): _*)
       .filter(col("cnt") =!= 0L),
-    regs = Profile.mergeSketchStates("strategy", parts.map(_.regs): _*),
+    regs = Profile.mergeSketchStatesBy(Seq("shard", "strategy"),
+                                       parts.map(_.regs): _*),
     cms = Profile.mergeCmsSketches(parts.map(_.cms): _*)
       .filter(col("cnt") =!= 0L),
     vocab = parts.map(_.vocab).reduce(_.unionByName(_))
@@ -152,12 +197,13 @@ object ProfileState {
                         subChunks: Option[DataFrame],
                         rebuildFrom: => DataFrame): Unit = {
     val newFp = dirFingerprint(chunksDir)
-    // pin the (strategy, content) input ONCE: the four part writes are
-    // four actions, and an unpinned input would re-chunk/re-tokenize
-    // per part (4 batch passes on the fold path, 4 table scans on the
-    // rebuild path); the pin is released with the commit
+    // pin the (doc_id, strategy, content) input ONCE: the four part
+    // writes are four actions, and an unpinned input would re-chunk/
+    // re-tokenize per part (4 batch passes on the fold path, 4 table
+    // scans on the rebuild path); the pin is released with the commit
     val base = (if (foldable) addChunks else rebuildFrom)
-      .select(col("strategy"), col("content")).localCheckpoint(true)
+      .select(col("doc_id"), col("strategy"), col("content"))
+      .localCheckpoint(true)
     try {
       val parts =
         if (foldable) fold(oldParts, base, subChunks)
@@ -165,6 +211,60 @@ object ProfileState {
       graft.io.Faults.point("profileState.before-commit")
       write(spark, storeDir, parts, newFp)
     } finally graft.io.Pins.release(base)
+  }
+
+  /** The DELETE-side commit: the additive parts fold the exact
+    * subtraction (as [[commitAfterChunks]] would), and the register
+    * part — which cannot subtract — is made EXACT anyway by rebuilding
+    * only the deleted docs' shards from those shards' surviving rows
+    * in the freshly-pruned table: post-delete the served registers
+    * equal a full rescan's, at touched-shards tokenize cost instead of
+    * the corpus (the IO is one column-pruned pass over the table; the
+    * tokenize — the dominant cost — is shard-bounded). An out-of-sync
+    * artifact rebuilds wholesale, exactly like the ingest path.
+    *
+    * Returns the number of live chunk rows re-tokenized for the
+    * register rebuild (None on the wholesale-rebuild path) so the
+    * caller can runlog the bound a spec asserts.
+    */
+  def commitAfterDelete(spark: SparkSession, storeDir: String,
+                        chunksDir: java.io.File, foldable: Boolean,
+                        oldParts: Option[Parts], subChunks: DataFrame,
+                        deletedIds: Seq[String],
+                        liveChunks: => DataFrame): Option[Long] = {
+    val newFp = dirFingerprint(chunksDir)
+    if (!foldable || oldParts.isEmpty) {
+      val base = liveChunks
+        .select(col("doc_id"), col("strategy"), col("content"))
+        .localCheckpoint(true)
+      try {
+        graft.io.Faults.point("profileState.before-commit")
+        write(spark, storeDir, fromChunks(base), newFp)
+        None
+      } finally graft.io.Pins.release(base)
+    } else {
+      val touched = deletedIds.map(shardOf).distinct
+      // pinned: the shard-bounded survivor slice is counted (the
+      // runlog's scan-bound evidence) AND tokenized for the register
+      // rebuild — one scan of the touched shards, not two
+      val touchedLive = liveChunks
+        .filter(graft.dedup.Dedup.hashBucket(col("doc_id"), RegShards)
+                  .isin(touched: _*))
+        .select(col("doc_id"), col("strategy"), col("content"))
+        .localCheckpoint(true)
+      try {
+        val nRescanned = touchedLive.count()
+        val rebuilt = fromChunks(touchedLive).regs
+        val regs = oldParts.get.regs
+          .filter(!col("shard").isin(touched: _*))
+          .unionByName(rebuilt)
+        val parts = merge(oldParts.get, negate(fromChunks(subChunks)))
+          .copy(regs = regs)
+        graft.io.Faults.point("profileState.before-commit")
+        write(spark, storeDir, parts, newFp)
+        Some(nRescanned)
+      } finally graft.io.Pins.release(touchedLive)
+    }
   }
 
   /** Deterministic identity of a table directory: md5 over the sorted
@@ -221,13 +321,20 @@ object ProfileState {
       Seq("hist", "regs", "cms", "vocab")
         .forall(p => new java.io.File(f, p).isDirectory)
     if (!complete) None
-    else Some((
-      Parts(
-        hist = spark.read.parquet(s"$f/hist"),
-        regs = spark.read.parquet(s"$f/regs"),
-        cms = spark.read.parquet(s"$f/cms"),
-        vocab = spark.read.parquet(s"$f/vocab")),
-      new String(java.nio.file.Files.readAllBytes(sync.toPath), "UTF-8").trim))
+    else {
+      val regs = spark.read.parquet(s"$f/regs")
+      // a pre-shard artifact (regs without the doc-shard column) cannot
+      // fold or serve under the current laws — read as "absent", so the
+      // next touch rebuilds it in the sharded layout
+      if (!regs.columns.contains("shard")) None
+      else Some((
+        Parts(
+          hist = spark.read.parquet(s"$f/hist"),
+          regs = regs,
+          cms = spark.read.parquet(s"$f/cms"),
+          vocab = spark.read.parquet(s"$f/vocab")),
+        new String(java.nio.file.Files.readAllBytes(sync.toPath), "UTF-8").trim))
+    }
   }
 
   /** The stored parts ONLY IF their recorded fingerprint matches the

@@ -825,6 +825,62 @@ object Probe {
     }
   }
 
+  case class ProfileArtifactPoint(factor: Int, nTokens: Long,
+                                  vocabRows: Long, regsRows: Long,
+                                  cmsRows: Long, histRows: Long,
+                                  artifactBytes: Long)
+
+  /** Measured footprint of the stored profile artifact
+    * ([[graft.text.ProfileState]]) as the corpus grows 1×/10×/100× in
+    * tokens. Three of the four parts are BOUNDED by construction
+    * (regs ≤ shards·strategies·256 registers, cms = d·w counters,
+    * hist ≤ 64 bins per strategy); the `vocab` part is the only
+    * unbounded one — vocabulary-sized, which Heaps' law makes
+    * SUBLINEAR in corpus tokens (the fixture plants β = 0.5: the
+    * vocabulary universe grows as √tokens, the empirical mid-range).
+    * Claim under test: vocab rows and artifact bytes grow ~√(token
+    * growth) while the bounded parts stay flat — the artifact a
+    * 100 TB store rewrites per ingest stays index-card-sized relative
+    * to the corpus. A df-floor tail tier for vocab is deliberately
+    * ABSENT: q190 serves the zipf slope from this part against q169's
+    * full-recompute SQL verbatim, and dropping tail terms would change
+    * the slope — the exactness contract forbids lossy compaction.
+    */
+  def profileArtifactCurve(spark: SparkSession, base: Long = 20000L,
+                           factors: Seq[Int] = Seq(1, 10, 100),
+                           wordsPerDoc: Int = 50)
+      : Seq[ProfileArtifactPoint] = {
+    import org.apache.spark.sql.functions._
+    import graft.text.ProfileState
+    factors.map { fac =>
+      val nDocs = base * fac
+      val nTokens = nDocs * wordsPerDoc
+      // Heaps' law with β=0.5: the vocabulary universe available to a
+      // corpus of T tokens is ~√T
+      val vocab = math.max(100, math.ceil(math.sqrt(nTokens.toDouble)).toInt)
+      val chunks = syntheticWordDocs(spark, nDocs, wordsPerDoc, vocab)
+        .select(col("doc_id").cast("string").as("doc_id"),
+                lit("hybrid").as("strategy"), col("text").as("content"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_profile_artifact").toString
+      val store = new java.io.File(dir)
+      try {
+        ProfileState.write(spark, dir, ProfileState.fromChunks(chunks),
+                           fingerprint = "probe")
+        val parts = ProfileState.read(spark, dir).get._1
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(f)
+        ProfileArtifactPoint(fac, nTokens,
+          parts.vocab.count(), parts.regs.count(), parts.cms.count(),
+          parts.hist.count(),
+          walk(new java.io.File(ProfileState.artifactPath(dir)))
+            .map(_.length()).sum)
+      } finally graft.io.Tables.rmTree(store)
+    }
+  }
+
   case class SkewPoint(factor: Int, nRows: Long, tNaive: Double,
                        tAqe: Double, tSalted: Double)
 
@@ -1324,6 +1380,37 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_INCREMENTAL_PROFILE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("profile-artifact")) {
+      val pts = profileArtifactCurve(spark, base = 20000L)
+      val sb = new StringBuilder
+      sb ++= "\n## Artifact footprint vs corpus growth\n\n"
+      sb ++= "The stored artifact's only unbounded part is `vocab`\n"
+      sb ++= "(vocabulary-sized — Heaps-law sublinear; the fixture plants\n"
+      sb ++= "beta = 0.5, vocabulary universe ~ sqrt(tokens)). regs/cms/hist are\n"
+      sb ++= "bounded by construction (shards x strategies x 256 registers /\n"
+      sb ++= "d x w counters / <= 64 bins). No df-floor tail tier for vocab, by\n"
+      sb ++= "decision: q190 serves the zipf slope from it against q169's\n"
+      sb ++= "full-recompute SQL verbatim — lossy compaction would change the\n"
+      sb ++= "slope. Claim: vocab rows + artifact bytes grow ~ sqrt(token\n"
+      sb ++= "growth); bounded parts flat.\n\n"
+      sb ++= "| factor | corpus tokens | vocab rows | regs rows | cms rows | hist rows | artifact bytes |\n"
+      sb ++= "|---|---|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.factor}%d× | ${p.nTokens} | ${p.vocabRows} | ${p.regsRows} | ${p.cmsRows} | ${p.histRows} | ${p.artifactBytes} |%n"
+      }
+      val a = pts.head; val z = pts.last
+      sb ++= f"%n${z.nTokens.toDouble / a.nTokens}%.0f× tokens → vocab rows "
+      sb ++= f"${z.vocabRows.toDouble / a.vocabRows}%.1f×, artifact bytes "
+      sb ++= f"${z.artifactBytes.toDouble / a.artifactBytes}%.1f×; the bounded parts stay flat.%n"
+      println(sb)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("PROBE_INCREMENTAL_PROFILE.md"),
+        sb.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       spark.stop(); return
     }
 

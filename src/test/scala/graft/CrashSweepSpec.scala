@@ -252,6 +252,50 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("batch delete: a mid-batch crash at every commit step converges by re-running the SAME batch") {
+    // four docs in, two deleted — survivors keep the search surface
+    // (and the state() twin) meaningful after the batch takedown
+    val in1 = mkInputs(batch1 ++ batch2: _*)
+    def targets(store: String): Seq[String] =
+      spark.read.parquet(s"$store/documents.parquet")
+        .filter(col("filename").isin("a.md", "c.md"))
+        .select("doc_id").as[String].collect().toSeq.sorted
+    val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
+    val control = Files.createTempDirectory("graft_sweep_bdctl").toString
+    Main.runIngest(spark, in1, control, "nomic", now)
+    Main.runBuildPostings(spark, control, 8)
+    Main.runDelete(spark, control, targets(control), delAt,
+                   purgeSnapshots = false)
+    val want = state(control)
+    for (pt <- Seq("writeTable.after-tmp", "writeTable.after-aside",
+                   "writeTable.after-commit", "profileState.before-commit",
+                   "commitArtifact.after-aside")) {
+      val store = Files.createTempDirectory("graft_sweep_bdel").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      Main.runBuildPostings(spark, store, 8)
+      val ids = targets(store)
+      assert(ids.size == 2, s"fixture must resolve both targets: $ids")
+      Faults.arm(pt)
+      val e = intercept[Faults.InjectedCrash] {
+        Main.runDelete(spark, store, ids, delAt, purgeSnapshots = false)
+      }
+      assert(e.point == pt)
+      Faults.reset()
+      // everything before the single documents flip is idempotent
+      // set-valued maintenance: the SAME batch re-runs and converges —
+      // no id is half-deleted, no id needs a different command
+      Main.runDelete(spark, store, ids, delAt, purgeSnapshots = false)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+      assert(state(store) == want,
+        s"$pt diverged from the never-crashed batch twin")
+      ids.foreach(id =>
+        assert(spark.read.parquet(s"$store/postings.idx")
+          .filter(col("chunk_id").startsWith(id)).count() == 0L,
+          s"$pt: $id postings must leave"))
+    }
+  }
+
   test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
     val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
     val store = Files.createTempDirectory("graft_sweep_snap").toString

@@ -483,6 +483,225 @@ class E2eMainSpec extends SparkSpec {
       "a timestamp-tied delete must still win the upsert")
   }
 
+  test("batch delete: one transaction over an id set leaves every tier clean with ONE runlog entry; a bad id fails the whole batch pre-commit") {
+    val in = Files.createTempDirectory("graft_bdel_in").toFile
+    val store = Files.createTempDirectory("graft_bdel_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("d1.md", "alpha takedown subject one zebra spark engine tuning text")
+    put("d2.md", "beta takedown subject two watermark checkpoint recovery notes")
+    put("d3.md", "gamma takedown subject three vector probes and cell balancing")
+    put("keep.md", "survivor document about cooking pasta with butter and flour")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store, 8)
+    Main.runBuildVectorIndex(spark, store, "nomic", 2)
+    val byName = spark.read.parquet(s"$store/documents.parquet")
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val ids = Seq(byName("d1.md"), byName("d2.md"), byName("d3.md"))
+
+    // BATCH CONTRACT: an unknown id anywhere fails the whole set
+    // loudly BEFORE any mutation — nothing is half-deleted
+    intercept[IllegalArgumentException] {
+      Main.runDelete(spark, store, ids :+ "no-such-doc",
+                     Timestamp.from(now.toInstant.plusMillis(40)),
+                     purgeSnapshots = false)
+    }
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"status" === "removed").count() === 0,
+      "a failed batch must not have removed anything")
+
+    val report = Main.runDelete(spark, store, ids,
+                                Timestamp.from(now.toInstant.plusMillis(50)),
+                                purgeSnapshots = false)
+    assert(report.size === 3, report.mkString("\n"))
+    ids.foreach(id =>
+      assert(report.exists(_.contains(s""""deleted":"$id"""")), report.mkString("\n")))
+    // every serving tier clean for every id, survivor untouched
+    val chunks = spark.read.parquet(s"$store/chunks.parquet")
+    val embs = spark.read.parquet(s"$store/embeddings.parquet")
+    val sigs = spark.read.parquet(s"$store/signatures.parquet")
+    val posts = spark.read.parquet(s"$store/postings.idx")
+    val vec = spark.read.parquet(graft.search.VectorIndex.indexPath(store))
+    ids.foreach { id =>
+      assert(chunks.filter($"doc_id" === id).count() === 0, s"chunks of $id")
+      assert(embs.filter($"chunk_id".startsWith(id)).count() === 0, s"embs of $id")
+      assert(sigs.filter($"doc" === id).count() === 0, s"sigs of $id")
+      assert(posts.filter($"chunk_id".startsWith(id)).count() === 0, s"postings of $id")
+      assert(vec.filter($"chunk_id".startsWith(id)).count() === 0, s"vec rows of $id")
+    }
+    val keepId = byName("keep.md")
+    assert(chunks.filter($"doc_id" === keepId).count() > 0, "survivor keeps its chunks")
+    assert(Main.runSearch(spark, store, "cooking pasta", "nomic", 3)
+      .exists(_.contains("pasta")), "survivor still serves")
+    // ONE runlog entry for the whole batch — the set-valued transaction
+    // ran the stage order once, not once per id
+    val delLog = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "delete" && $"metric" === "n_docs_deleted")
+      .select($"value").as[Double].collect().toSeq
+    assert(delLog === Seq(3.0), s"one batch entry expected: $delLog")
+    // per-doc report counts sum to the aggregate the runlog recorded
+    val chunksRemoved = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "delete" && $"metric" === "n_chunks_removed")
+      .select($"value").as[Double].head()
+    val perDocSum = report.flatMap(
+      """"chunks_removed":(\d+)""".r.findFirstMatchIn(_)).map(_.group(1).toLong).sum
+    assert(perDocSum.toDouble === chunksRemoved, s"$perDocSum vs $chunksRemoved")
+    // the store audits clean after the batch takedown
+    val (fsckLines, nViol) = Main.runFsck(spark, store)
+    assert(nViol === 0L, fsckLines.mkString("\n"))
+    // re-upload of any batch member is tombstone-blocked
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(100)))
+    ids.foreach(id =>
+      assert(spark.read.parquet(s"$store/chunks.parquet")
+        .filter($"doc_id" === id).count() === 0, s"resurrection of $id"))
+  }
+
+  test("delete --purge-snapshots: erasure completes in one command (rollback cannot resurrect); a failed drop is loud while the committed delete stands") {
+    val in = Files.createTempDirectory("graft_purge_in").toFile
+    val store = Files.createTempDirectory("graft_purge_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("target.md", "confidential zebra purge subject spark engine text")
+    put("keep.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    graft.io.Snapshots.create(store, "s2")
+    // s2's documents table becomes UNREADABLE — REPLACED, never written
+    // in place (the files are hardlinks shared with the live store):
+    // the audit must treat it as conservatively holding, and the purge
+    // must still complete the erasure
+    val s2docs = new java.io.File(s"$store/.snapshots/s2/documents.parquet")
+    graft.io.Tables.rmTree(s2docs)
+    Files.write(s2docs.toPath, "garbage, not parquet".getBytes("UTF-8"))
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+
+    val report = Main.runDelete(spark, store, Seq(id),
+                                Timestamp.from(now.toInstant.plusMillis(50)),
+                                purgeSnapshots = true)
+    assert(report.head.contains(""""snapshots_holding":[]"""), report.head)
+    assert(report.last.contains(""""snapshots_purged":["s1","s2"]"""), report.last)
+    assert(graft.io.Snapshots.list(store).isEmpty,
+      "both holding snapshots must be gone")
+    // a rollback to the purged history is impossible — erasure complete
+    intercept[IllegalArgumentException] {
+      graft.io.Snapshots.restore(store, "s1")
+    }
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === id).select($"status").as[String].head() === "removed")
+
+    // a drop that FAILS mid-purge: loud, names the survivor, and the
+    // committed delete stands (retry = dropsnapshot by hand)
+    val store2 = Files.createTempDirectory("graft_purge_store2").toString
+    Main.runIngest(spark, in.toString, store2, "nomic", now)
+    graft.io.Snapshots.create(store2, "p1")
+    val id2 = spark.read.parquet(s"$store2/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    graft.io.Faults.arm("snapshot.drop.before-rm")
+    val e = intercept[IllegalStateException] {
+      Main.runDelete(spark, store2, Seq(id2),
+                     Timestamp.from(now.toInstant.plusMillis(60)),
+                     purgeSnapshots = true)
+    }
+    graft.io.Faults.reset()
+    assert(e.getMessage.contains("COMMITTED") && e.getMessage.contains("p1"),
+      e.getMessage)
+    assert(spark.read.parquet(s"$store2/documents.parquet")
+      .filter($"doc_id" === id2).select($"status").as[String].head() === "removed",
+      "the base delete must stand behind a failed purge")
+    // the documented retry completes the erasure
+    graft.io.Snapshots.drop(store2, "p1")
+    assert(graft.io.Snapshots.list(store2).isEmpty)
+  }
+
+  test("delete: the distinct-token register line serves ≡ rebuild afterwards, at shard-bounded rescan cost") {
+    import graft.text.ProfileState
+    val in = Files.createTempDirectory("graft_rexact_in").toFile
+    val store = Files.createTempDirectory("graft_rexact_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    val words = Seq("zebra", "walrus", "falcon", "otter", "lynx", "heron",
+                    "badger", "stoat")
+    words.zipWithIndex.foreach { case (w, i) =>
+      put(s"doc$i.md", s"unique animal subject $w with carrier text $i") }
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    val byName = spark.read.parquet(s"$store/documents.parquet")
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val victim = byName("doc0.md")
+
+    Main.runDelete(spark, store, victim,
+                   Timestamp.from(now.toInstant.plusMillis(50)))
+    // the history-monotone carve-out is CLOSED for deletes: the served
+    // report — register lines INCLUDED — is bit-identical to a full
+    // rebuild, because the victim's shard was rebuilt from survivors
+    val served = Main.runProfile(spark, store)
+    val rebuilt = Main.runProfile(spark, store, rebuild = true)
+    assert(served === rebuilt,
+      s"post-delete profile must equal a rescan:\n${served.mkString("\n")}\n--\n${rebuilt.mkString("\n")}")
+    // ...and at SHARD-BOUNDED cost: the runlog records exactly the
+    // surviving rows of the victim's shard, not the corpus
+    val postChunks = spark.read.parquet(s"$store/chunks.parquet")
+      .select($"doc_id").as[String].collect().toSeq
+    val expected = postChunks
+      .count(id => ProfileState.shardOf(id) == ProfileState.shardOf(victim)).toLong
+    val rescanned = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "delete" && $"metric" === "n_chunks_rescanned_for_regs")
+      .select($"value").as[Double].collect().toSeq
+    assert(rescanned === Seq(expected.toDouble),
+      s"rescan bound: $rescanned vs expected $expected")
+    assert(expected < postChunks.size,
+      s"fixture must leave survivors outside the victim's shard: " +
+        s"$expected of ${postChunks.size}")
+  }
+
+  test("re-ingest with a changed chunking: orphaned chunk_ids leave the chunks table, embeddings, and profile with the commit") {
+    import graft.ingest.Ingest
+    import graft.text.ProfileState
+    val store = Files.createTempDirectory("graft_rechunk_store").toString
+    // 600 DISTINCT words: periodic text would trip the hybrid
+    // chunker's repeated-window containment guard and pack to 1 chunk
+    val long = (0 until 600).map(i => s"w$i").mkString(" ")
+    val t1 = Timestamp.from(now.toInstant.plusMillis(10))
+    val raw = Seq(("/a/doc.md", long.getBytes("UTF-8"))).toDF("path", "content")
+    val batch1 = Ingest.convertDocuments(Ingest.toDocuments(raw, lit(now)))
+    Main.ingestBatch(spark, batch1, store, "nomic", now)
+    val id = batch1.select($"doc_id").as[String].head()
+    val before = spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === id).count()
+    assert(before >= 2, s"fixture must chunk to 2+: $before")
+    // the same doc_id re-delivered with DIFFERENT text (the id is
+    // bytes-keyed; a changed converter or chunker config changes the
+    // text the chunker sees) — the new chunking reproduces only
+    // chunk_0, and the upsert alone would orphan the higher ids
+    val batch2 = Ingest.convertDocuments(Ingest.toDocuments(raw, lit(t1)))
+      .withColumn("text", lit("short replacement text"))
+    Main.ingestBatch(spark, batch2, store, "nomic", t1)
+    val after = spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === id)
+    assert(after.count() === 1,
+      s"orphaned chunk ids must leave with the commit: ${after.count()}")
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(id)).select($"chunk_id").distinct().count() === 1,
+      "orphaned chunk embeddings must leave too")
+    // the profile artifact stayed synced through the fold and its
+    // ADDITIVE lines serve ≡ rescan — the divergence the stale rows
+    // would have caused is structurally impossible now. The register
+    // line stays history-monotone through an ingest-path re-delivery
+    // (the documented demotion-class decision; exact registers are the
+    // DELETE path's contract), resetting on rebuild.
+    assert(ProfileState.readSynced(spark, store,
+      new java.io.File(s"$store/chunks.parquet")).isDefined)
+    def additive(ls: Seq[String]) = ls.filterNot(_.contains("\"est_distinct\":"))
+    val sv = Main.runProfile(spark, store)
+    val rs = Main.runProfile(spark, store, rebuild = true)
+    assert(additive(sv) === additive(rs),
+      s"additive lines must fold exactly:\n${sv.mkString("\n")}\n--\n${rs.mkString("\n")}")
+    assert(Main.runProfile(spark, store) ===
+           Main.runProfile(spark, store, rebuild = true),
+      "after the rebuild reset, served ≡ rescan entirely")
+  }
+
   test("--snapshot queries: read-only time travel answers from history while the live store answers fresh; the snapshot stays byte-untouched") {
     val in1 = Files.createTempDirectory("graft_tt_in1").toFile
     val in2 = Files.createTempDirectory("graft_tt_in2").toFile

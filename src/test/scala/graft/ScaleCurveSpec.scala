@@ -116,6 +116,32 @@ class ScaleCurveSpec extends SparkSpec {
            s"tail tokens must never be reported: ${pts.map(_.nHitters)}")
   }
 
+  test("profile artifact: vocab part sublinear (Heaps), bounded parts flat, across 100× corpus tokens") {
+    val pts = Probe.profileArtifactCurve(spark, base = 200L,
+                                         factors = Seq(1, 10, 100))
+    val a = pts.head; val z = pts.last
+    assert(z.nTokens == 100L * a.nTokens,
+           s"fixture must grow 100×: ${a.nTokens} -> ${z.nTokens}")
+    // the unbounded part: vocabulary-sized, Heaps-sublinear — the
+    // beta=0.5 fixture should land near sqrt(100)=10×; 20× is the
+    // generous regression bound (linear growth would read 100×)
+    assert(z.vocabRows <= 20L * a.vocabRows,
+           s"vocab rows must stay sublinear: ${a.vocabRows} -> ${z.vocabRows}")
+    // artifact bytes are vocab-dominated — same sublinearity bound
+    // (plus a fixed-overhead pad for the parquet footers at 1×)
+    assert(z.artifactBytes <= 25L * a.artifactBytes + (64L << 10),
+           s"artifact bytes must stay sublinear: ${a.artifactBytes} -> ${z.artifactBytes}")
+    // the bounded parts, by construction: shards×strategies×256
+    // registers, d·w counter rows, ≤64 bins per strategy
+    import graft.text.ProfileState
+    pts.foreach { p =>
+      assert(p.regsRows <= ProfileState.RegShards.toLong * 256L,
+             s"regs rows bounded: ${p.regsRows}")
+      assert(p.cmsRows <= 4L * 1024L, s"cms rows bounded: ${p.cmsRows}")
+      assert(p.histRows <= 64L, s"hist rows bounded: ${p.histRows}")
+    }
+  }
+
   test("training tier: 100× rows within the linearity bound for all three trainers") {
     val pts = Probe.learnScaleCurve(spark, base = 2000L,
                                     factors = Seq(1, 100), reps = 1)

@@ -53,6 +53,31 @@ class StoreBucketingSpec extends SparkSpec {
     assert(Tables.looksBucketed(s"$store/chunks.parquet"), "bucketing survives upsert")
   }
 
+  test("openTable: snapshot and live roots register DISTINCT catalog entries; a held live frame never re-resolves to the snapshot") {
+    val in1 = Files.createTempDirectory("graft_cat_in1").toFile
+    val in2 = Files.createTempDirectory("graft_cat_in2").toFile
+    val store = Files.createTempDirectory("graft_cat_store").toString
+    Files.write(new java.io.File(in1, "one.txt").toPath,
+      "first document about spark shuffle partitioning".getBytes("UTF-8"))
+    Files.write(new java.io.File(in2, "two.txt").toPath,
+      "second later document about broadcast joins".getBytes("UTF-8"))
+    Main.runIngest(spark, in1.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    Main.runIngest(spark, in2.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(10)))
+    // open LIVE first, snapshot second: with a shared catalog name the
+    // snapshot open's DROP/CREATE would re-point the live frame's
+    // relation — the path-hashed names keep the two resolutions apart
+    val live = Main.openTable(spark, store, "documents".replace("documents", "chunks"))
+    val snapRoot = graft.io.Snapshots.openRoot(store, "s1")
+    val snap = Main.openTable(spark, snapRoot, "chunks")
+    val nSnap = snap.count()
+    val nLive = live.count() // collected AFTER the snapshot open
+    assert(nLive > nSnap,
+      s"live ($nLive) must outcount the snapshot ($nSnap) — a shared " +
+        "catalog name would have re-resolved the held frame")
+  }
+
   test("export: JSONL shards round-trip the deduped training surface") {
     val in = Files.createTempDirectory("graft_exp_in").toFile
     val store = Files.createTempDirectory("graft_exp_store").toString

@@ -112,6 +112,24 @@ class StreamingSpec extends SparkSpec {
            distinctLines.head.contains(s""""est_distinct":$wantDistinct""") &&
            distinctLines.head.contains("\"n_seen\":10"), distinctLines.head)
 
+    // the monitor lines SURVIVE the console: each micro-batch's
+    // distinct/hitter estimates land in the store runlog under
+    // monitor-scoped metric keys — "was the inbox spamming us last
+    // Tuesday" is answerable from the table, with the same batch-sketch
+    // values the lines printed
+    val monLog = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "watch_monitor")
+      .select($"metric", $"value").as[(String, Double)].collect().toSeq
+    assert(monLog.exists(p => p._1.startsWith("hitter:") &&
+                              p._1.endsWith(plantedSha) &&
+                              p._2 == wantEst.toDouble),
+      s"runlog must carry the planted hitter: $monLog")
+    assert(monLog.exists(p => p._1.startsWith("distinct:") &&
+                              p._2 == wantDistinct.toDouble),
+      s"runlog must carry the distinct estimate: $monLog")
+    // bounded rows per batch: scopes × (1 + capped candidates)
+    assert(monLog.size < 20, s"monitor runlog rows must stay bounded: ${monLog.size}")
+
     // a SECOND drain of new files folds onto the checkpointed state:
     // n_seen grows past the first batch, the planted hitter persists
     // in the candidate set (it is still ≥ 2% of all arrivals)

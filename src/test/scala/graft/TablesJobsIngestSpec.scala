@@ -33,6 +33,22 @@ class TablesJobsIngestSpec extends SparkSpec {
     assert(got == Map("d1" -> "new", "d2" -> "fresh"))
   }
 
+  test("upsert: an update WINS a version tie (ES replace semantics — a re-delivered key must never serve its stale row)") {
+    val existing = Seq(("d1", "stale", ts("2025-01-01 00:00:00")))
+      .toDF("id", "s", "updated_at")
+    val updates = Seq(("d1", "fresh", ts("2025-01-01 00:00:00"))) // SAME version
+      .toDF("id", "s", "updated_at")
+    val got = Tables.upsert(existing, updates, Seq("id"), Seq(col("updated_at")))
+      .select("id", "s").as[(String, String)].collect().toMap
+    assert(got == Map("d1" -> "fresh"),
+      "a version tie must resolve to the update, deterministically")
+    // constant-version tables (the chunks/signatures convention) are
+    // exactly this tie on every re-delivery
+    val gotConst = Tables.upsert(existing, updates, Seq("id"), Seq(lit(1)))
+      .select("id", "s").as[(String, String)].collect().toMap
+    assert(gotConst == Map("d1" -> "fresh"))
+  }
+
   test("events ts normalization: nanos long → micros timestamp") {
     val ev = Tables.load(spark, Sf001, "events")
     assert(ev.schema("ts").dataType.typeName == "timestamp")
