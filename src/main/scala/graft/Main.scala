@@ -538,8 +538,10 @@ object Main {
     // has — and diverging from the profile artifact, which subtracts the
     // doc's ENTIRE stored chunk set. Pinned: consumed by two table
     // prunes below, and the anti-join's chunker re-run must not outlive
-    // the table swap.
-    val staleDropIds = staleStored.map(_.select($"chunk_id")
+    // the table swap. Skipped when the batch touches no stored doc (the
+    // common append-only ingest — isEmpty on the pinned capture is
+    // cheap), so fresh batches never pay the second chunker pass.
+    val staleDropIds = staleStored.filter(!_.isEmpty).map(_.select($"chunk_id")
       .join(chunked.select($"chunk_id"), Seq("chunk_id"), "left_anti")
       .localCheckpoint(true))
 

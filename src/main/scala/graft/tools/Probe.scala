@@ -881,6 +881,63 @@ object Probe {
     }
   }
 
+  case class DeleteBatchPoint(nIds: Int, nDocs: Int, tBatch: Double,
+                              tSingles: Double, runlogBatch: Long,
+                              runlogSingles: Long)
+
+  /** Measured evidence for the SET-VALUED takedown
+    * ([[graft.Main.runDelete]]): delete k ids as ONE batch vs k
+    * single-id transactions over identical stores. Each single-id
+    * delete is a full read-merge-swap of every store table plus its
+    * own postings pass, profile fold, and vector-index reconcile — the
+    * batch runs that stage order ONCE, so wall time and commit count
+    * should scale with ~1 store rewrite instead of k. Both paths must
+    * land the IDENTICAL final store (the sequential-equivalence law
+    * E2eMainSpec pins row-for-row); this probe records the COST gap.
+    */
+  def deleteBatchCurve(spark: SparkSession, nDocs: Int = 24,
+                       ks: Seq[Int] = Seq(2, 8)): Seq[DeleteBatchPoint] = {
+    val now = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    def mkStore(): (String, Seq[String]) = {
+      val in = java.nio.file.Files.createTempDirectory("graft_delprobe_in")
+      (0 until nDocs).foreach { i =>
+        java.nio.file.Files.write(in.resolve(s"doc$i.md"),
+          (0 until 40).map(j => s"w${i}_$j").mkString(" ").getBytes("UTF-8"))
+      }
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_delprobe_store").toString
+      graft.Main.runIngest(spark, in.toString, store, "nomic", now)
+      graft.Main.runBuildPostings(spark, store, 8)
+      val ids = spark.read.parquet(s"$store/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(_.getString(0)).toSeq.sorted
+      (store, ids)
+    }
+    def runlogDeletes(store: String): Long =
+      spark.read.parquet(s"$store/runlog.parquet")
+        .filter(org.apache.spark.sql.functions.col("metric") === "n_docs_deleted")
+        .count()
+    ks.map { k =>
+      val (sA, idsA) = mkStore()
+      val (sB, idsB) = mkStore()
+      require(idsA == idsB, "deterministic ids expected")
+      val victims = idsA.take(k)
+      val t0 = System.nanoTime()
+      graft.Main.runDelete(spark, sA, victims, delAt, purgeSnapshots = false)
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      victims.foreach(id => graft.Main.runDelete(spark, sB, id, delAt))
+      val tSingles = (System.nanoTime() - t1) / 1e9
+      val p = DeleteBatchPoint(k, nDocs, tBatch, tSingles,
+                               runlogDeletes(sA), runlogDeletes(sB))
+      graft.io.Tables.rmTree(new java.io.File(sA))
+      graft.io.Tables.rmTree(new java.io.File(sB))
+      graft.io.Pins.sweepAll(spark)
+      p
+    }
+  }
+
   case class SkewPoint(factor: Int, nRows: Long, tNaive: Double,
                        tAqe: Double, tSalted: Double)
 
@@ -1411,6 +1468,30 @@ object Probe {
         sb.toString.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("delete-batch")) {
+      val pts = deleteBatchCurve(spark)
+      val sb = new StringBuilder
+      sb ++= "# PROBE — set-valued takedown vs k single-id transactions\n\n"
+      sb ++= "Identical stores (24 docs, postings built); delete k ids as ONE\n"
+      sb ++= "batch vs k sequential single-id deletes. Both land the identical\n"
+      sb ++= "final store (E2eMainSpec pins the sequential-equivalence law\n"
+      sb ++= "row-for-row); the cost gap is the point: each single-id delete\n"
+      sb ++= "pays a full read-merge-swap of every table + its own postings\n"
+      sb ++= "pass, profile fold, and reconcile — the batch pays ONCE.\n\n"
+      sb ++= "| k ids | batch s | k singles s | singles/batch | runlog entries (batch vs singles) |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      pts.foreach { p =>
+        sb ++= f"| ${p.nIds} | ${p.tBatch}%.2f | ${p.tSingles}%.2f | ${p.tSingles / p.tBatch}%.1f× | ${p.runlogBatch} vs ${p.runlogSingles} |%n"
+      }
+      val z = pts.last
+      sb ++= f"%nk=${z.nIds}: the batch is ${z.tSingles / z.tBatch}%.1f× cheaper — "
+      sb ++= "takedown cost scales with the id set's data, not the id count.\n"
+      println(sb)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("PROBE_DELETE.md"), sb.toString)
       spark.stop(); return
     }
 

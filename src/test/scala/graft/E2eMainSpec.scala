@@ -557,6 +557,48 @@ class E2eMainSpec extends SparkSpec {
         .filter($"doc_id" === id).count() === 0, s"resurrection of $id"))
   }
 
+  test("batch delete ≡ the same ids deleted one by one: identical final store, ONE commit instead of k") {
+    val in = Files.createTempDirectory("graft_beq_in").toFile
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    (0 until 6).foreach(i =>
+      put(s"doc$i.md", (0 until 30).map(j => s"v${i}_$j").mkString(" ")))
+    def mkStore(): String = {
+      val s = Files.createTempDirectory("graft_beq_store").toString
+      Main.runIngest(spark, in.toString, s, "nomic", now)
+      Main.runBuildPostings(spark, s, 8)
+      s
+    }
+    val (sA, sB) = (mkStore(), mkStore())
+    val ids = spark.read.parquet(s"$sA/documents.parquet")
+      .select($"doc_id").as[String].collect().toSeq.sorted.take(3)
+    val delAt = Timestamp.from(now.toInstant.plusMillis(50))
+    Main.runDelete(spark, sA, ids, delAt, purgeSnapshots = false)
+    ids.foreach(id => Main.runDelete(spark, sB, id, delAt))
+    // every table's CONTENT identical — the set-valued transaction is
+    // the sequential composition, fused into one commit per table
+    // (per-shard register independence makes even the profile state
+    // order-free: a shard rebuilds only from ITS surviving docs)
+    def rows(store: String, table: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$store/$table")
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    for ((t, cs) <- Seq(
+      "documents.parquet" -> Seq("doc_id", "status", "content_b64", "updated_at"),
+      "chunks.parquet" -> Seq("chunk_id", "content"),
+      "embeddings.parquet" -> Seq("chunk_id", "embedding_provider"),
+      "signatures.parquet" -> Seq("doc", "band", "sig"),
+      "postings.idx" -> Seq("chunk_id")))
+      assert(rows(sA, t, cs) === rows(sB, t, cs), s"$t diverged")
+    assert(Main.runProfile(spark, sA) === Main.runProfile(spark, sB),
+      "the profile artifact must serve identically under either path")
+    // ...but the batch paid ONE transaction, the singles paid k
+    def nDeleteCommits(s: String): Long =
+      spark.read.parquet(s"$s/runlog.parquet")
+        .filter($"metric" === "n_docs_deleted").count()
+    assert(nDeleteCommits(sA) === 1L && nDeleteCommits(sB) === 3L)
+  }
+
   test("delete --purge-snapshots: erasure completes in one command (rollback cannot resurrect); a failed drop is loud while the committed delete stands") {
     val in = Files.createTempDirectory("graft_purge_in").toFile
     val store = Files.createTempDirectory("graft_purge_store").toString
