@@ -204,6 +204,12 @@ object Main {
       spark.stop()
     case "delete" :: store :: rest if rest.exists(!_.startsWith("--")) ||
         rest.exists(_.startsWith("--ids-file=")) =>
+      // unknown flags fail LOUDLY: a mistyped --purge-snapshot (or
+      // --idsfile=) silently ignored would commit the takedown WITHOUT
+      // the requested purge — a partial compliance action with no error
+      rest.filter(_.startsWith("--")).foreach(f =>
+        require(f == "--purge-snapshots" || f.startsWith("--ids-file="),
+          s"unknown delete flag: $f (expected --ids-file=F or --purge-snapshots)"))
       val spark = session()
       val fromFile = rest.collectFirst {
         case a if a.startsWith("--ids-file=") =>
@@ -536,14 +542,33 @@ object Main {
     // but would silently RETAIN the orphans, leaving the table (and the
     // embeddings keyed on those ids) serving chunks their doc no longer
     // has — and diverging from the profile artifact, which subtracts the
-    // doc's ENTIRE stored chunk set. Pinned: consumed by two table
-    // prunes below, and the anti-join's chunker re-run must not outlive
-    // the table swap. Skipped when the batch touches no stored doc (the
-    // common append-only ingest — isEmpty on the pinned capture is
-    // cheap), so fresh batches never pay the second chunker pass.
-    val staleDropIds = staleStored.filter(!_.isEmpty).map(_.select($"chunk_id")
-      .join(chunked.select($"chunk_id"), Seq("chunk_id"), "left_anti")
-      .localCheckpoint(true))
+    // doc's ENTIRE stored chunk set. The same single probe also finds
+    // CHANGED ids — reproduced chunk_ids whose replaced content differs
+    // from the stored row's (a changed converter/chunker): their cached
+    // embeddings are STALE and must be excluded from the cache-aside
+    // probe below, or the store serves a vector of text it no longer
+    // holds (stored chunk content is immutable outside a re-ingest, so
+    // this batch-sized set is the ONLY staleness source — the cache
+    // probe itself stays id-keyed and never reads corpus content).
+    // Both sets can only come from KEPT re-ingested docs (a demoted
+    // doc's rows leave wholesale via the dupIds doc_id anti-join), so
+    // the probe restricts to kept ids — append-only batches AND
+    // pure-demotion overlaps skip the probe's second chunker pass
+    // (isEmpty on the pinned capture's semi-join is cheap). Pinned:
+    // consumed by table prunes below, and the chunker re-run must not
+    // outlive the table swap.
+    val staleKeptChunks = staleStored.map(
+      _.join(kept.select($"doc_id"), Seq("doc_id"), "left_semi"))
+    val staleProbe = staleKeptChunks.filter(!_.isEmpty).map(sk =>
+      sk.select($"chunk_id", $"content".as("__old"))
+        .join(chunked.select($"chunk_id", $"content".as("__new")),
+              Seq("chunk_id"), "left_outer")
+        .select($"chunk_id", $"__new".isNull.as("__orphan"),
+                ($"__new".isNotNull && !($"__new" <=> $"__old")).as("__changed"))
+        .filter($"__orphan" || $"__changed")
+        .localCheckpoint(true))
+    val staleDropIds = staleProbe.map(_.filter($"__orphan").select($"chunk_id"))
+    val changedChunkIds = staleProbe.map(_.filter($"__changed").select($"chunk_id"))
 
     val chunkObs = new Observation("chunks")
     val embedObs = new Observation("embeddings")
@@ -604,10 +629,18 @@ object Main {
     val storedChunks = openTable(spark, storeDir, "chunks")
     val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
     val embeddedRaw =
-      if (embPath.exists())
-        Embedding.embedWithCache(storedChunks,
-          openTable(spark, storeDir, "embeddings"), providerName, now = now)
-      else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
+      if (embPath.exists()) {
+        // STALENESS GUARD: ids whose content this commit just REPLACED
+        // (changedChunkIds) must not hit the id-keyed cache — their
+        // stored vectors embed text the store no longer holds. The
+        // exclusion is a batch-sized anti-join on the existing side; the
+        // corpus-sized hit path stays content-IO-free (content is
+        // immutable per chunk_id outside exactly this window).
+        val usable = changedChunkIds.foldLeft(
+          openTable(spark, storeDir, "embeddings"))(
+          (e, ci) => e.join(ci, Seq("chunk_id"), "left_anti"))
+        Embedding.embedWithCache(storedChunks, usable, providerName, now = now)
+      } else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
     val embedded =
       if (streaming) embeddedRaw.localCheckpoint(true) // see chunksObserved
       else Metrics.observeEmbedding(embeddedRaw, embedObs)
@@ -620,9 +653,23 @@ object Main {
                                       "left_anti")
                    // embeddings of chunk_ids the re-chunking dropped
                    // leave with their chunks (same staleDropIds set)
-                   staleDropIds.map(sd =>
+                   val noOrphan = staleDropIds.map(sd =>
                        noDup.join(sd, Seq("chunk_id"), "left_anti"))
                      .getOrElse(noDup)
+                   // OTHER providers' rows for changed ids embed text
+                   // the store no longer holds, and no later ingest of
+                   // that provider would know to recompute them (the
+                   // changed-id set is only visible in THIS batch) —
+                   // prune them now so a future provider-backfill
+                   // probe misses and re-embeds the current text; the
+                   // CURRENT provider's fresh row (in the updates)
+                   // survives the provider-scoped condition
+                   changedChunkIds.map(ci =>
+                       noOrphan.join(ci.select($"chunk_id".as("__chg")),
+                         col("chunk_id") === col("__chg") &&
+                           col("embedding_provider") =!= providerName,
+                         "left_anti"))
+                     .getOrElse(noOrphan)
                  })
     }
     // A stored vector index (built by `Main index`) is maintained
@@ -640,7 +687,11 @@ object Main {
       search.VectorIndex.reconcile(spark, vecPath,
         openTable(spark, storeDir, "embeddings")
           .filter($"embedding_provider" === idxProvider),
-        "chunk_id", "embedding")
+        "chunk_id", "embedding",
+        // replaced-in-place vectors (a re-ingest that changed a
+        // reproduced chunk's content) are invisible to the id diff —
+        // force their codes to re-encode
+        forceRefresh = changedChunkIds)
     }
     // duplicates point at the KEPT doc (not the cluster label — the
     // keeper is the best-scored member, not necessarily the min id)
@@ -1489,16 +1540,62 @@ object Main {
     * (stranding the live table in `.trash`) or lands its rows in the
     * aside copy the compact then deletes.
     */
+  /** The lease-held inner append BOTH runlog writers share: trash
+    * recovery (a compact that died mid-swap parked the only complete
+    * runlog in .trash; appending first would recreate the dir and
+    * orphan it), then the append. Callers hold the runlog lease —
+    * one copy of the recovery invariant, two lock scopes
+    * (withTableLock is deliberately non-reentrant).
+    */
+  private def appendRunlogLocked(path: String, frame: DataFrame): Unit = {
+    val dir = new java.io.File(path)
+    val trash = new java.io.File(s"$path.trash")
+    if (!dir.exists() && trash.exists())
+      require(trash.renameTo(dir), s"recovering $path from trash failed")
+    frame.write.mode(SaveMode.Append).parquet(path)
+  }
+
   private[graft] def appendRunlogFrame(storeDir: String, frame: DataFrame): Unit = {
     val path = s"$storeDir/runlog.parquet"
     Tables.withTableLock(path) {
-      val dir = new java.io.File(path)
-      val trash = new java.io.File(s"$path.trash")
-      // a compact that died mid-swap parked the only complete runlog in
-      // .trash; appending first would recreate the dir and orphan it
-      if (!dir.exists() && trash.exists())
-        require(trash.renameTo(dir), s"recovering $path from trash failed")
-      frame.write.mode(SaveMode.Append).parquet(path)
+      appendRunlogLocked(path, frame)
+    }
+  }
+
+  /** [[appendRunlogFrame]] made IDEMPOTENT for streaming foreachBatch
+    * emitters: Structured Streaming replays a micro-batch whose sink
+    * work succeeded but whose checkpoint commit did not, so a plain
+    * append would double-count that batch's rows after every such
+    * restart. A marker file records the last appended batchId —
+    * checked and advanced under the SAME runlog lease as the append,
+    * written via tmp+checked-rename strictly AFTER the rows land (the
+    * one remaining crash window — between append and marker — costs at
+    * most one duplicated batch, never a lost one). Keep the marker
+    * INSIDE the stream's checkpoint dir: batchIds restart from 0 when
+    * a checkpoint is deleted, and a marker that outlived its
+    * checkpoint would silently skip the fresh stream's batches.
+    */
+  private[graft] def appendRunlogFrameOnce(storeDir: String, frame: DataFrame,
+                                           markerPath: String,
+                                           batchId: Long): Unit = {
+    val path = s"$storeDir/runlog.parquet"
+    Tables.withTableLock(path) {
+      val marker = new java.io.File(markerPath)
+      val last =
+        if (marker.isFile)
+          scala.util.Try(new String(
+            java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+            .trim.toLong).getOrElse(-1L)
+        else -1L
+      if (batchId > last) {
+        appendRunlogLocked(path, frame)
+        Option(marker.getParentFile).foreach(_.mkdirs())
+        val tmp = new java.io.File(s"$markerPath.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          batchId.toString.getBytes("UTF-8"))
+        if (marker.exists()) marker.delete()
+        require(tmp.renameTo(marker), s"runlog batch marker rename failed")
+      }
     }
   }
 

@@ -145,6 +145,16 @@ object Embedding {
     * fresh. The TTL tier (`cache_ttl=86400`) is the `maxAge` filter on
     * the probe side.
     *
+    * CALLER CONTRACT — the cache is ID-keyed, deliberately: the hit
+    * path reads only the chunk_id column (no corpus content IO), which
+    * is sound because stored chunk content is immutable per chunk_id
+    * outside ONE window — a re-ingest that replaces a reproduced id
+    * with different text. The caller owns that window: it must exclude
+    * the replaced-and-changed ids from `existing` before probing
+    * ([[graft.Main.ingestBatch]] anti-joins its batch-sized
+    * changed-id set), or the cache serves a vector of text the store
+    * no longer holds.
+    *
     * At scale both sides should be bucketed by chunk_id so the semi/
     * anti joins are shuffle-free (SURVEY §4.1 partitioning note).
     */

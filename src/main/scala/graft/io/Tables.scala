@@ -281,8 +281,18 @@ object Tables {
     * reader concurrent with the swap window may need a retry; writers
     * are the ones that must never interleave.
     */
+  /** `heartbeatMs` > 0 keeps the lease FRESH while `body` runs: a
+    * daemon thread touches the lock's mtime on that cadence, so a
+    * holder legitimately running past `staleMs` (a 100 TB export) is
+    * never mistaken for a crashed one and taken over mid-job — while a
+    * truly crashed holder's lease still goes stale within `staleMs` of
+    * its last beat. The touch is conditionally token-checked: if the lease
+    * was already taken over (we stalled PAST staleMs between beats),
+    * the beat must not refresh the successor's lease.
+    */
   def withTableLock[A](path: String, staleMs: Long = 30 * 60 * 1000L,
-                       timeoutMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+                       timeoutMs: Long = 10 * 60 * 1000L,
+                       heartbeatMs: Long = 0L)(body: => A): A = {
     val lock = new java.io.File(s"$path.lock")
     Option(lock.getParentFile).foreach(_.mkdirs())
     val token = java.util.UUID.randomUUID().toString
@@ -310,17 +320,43 @@ object Tables {
         Thread.sleep(50)
       }
     }
+    val beat: Option[Thread] =
+      if (heartbeatMs <= 0) None
+      else {
+        val t = new Thread(() => {
+          try while (!Thread.interrupted()) {
+            Thread.sleep(heartbeatMs)
+            // guarded + token-checked: never refresh a successor's
+            // lease. A FAILED beat (guard contended past its deadline,
+            // transient I/O on the guard channel) must not kill the
+            // loop — a silently dead heartbeat is exactly the
+            // mid-job-takeover failure this thread exists to prevent;
+            // skip the beat and try again next tick.
+            try underLockGuard(path, System.currentTimeMillis() + heartbeatMs) {
+              val mine = scala.util.Try(new String(
+                java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
+              if (mine.contains(token))
+                lock.setLastModified(System.currentTimeMillis())
+            } catch { case scala.util.control.NonFatal(_) => () }
+          } catch { case _: InterruptedException => () }
+        }, s"graft-lease-heartbeat-${lock.getName}")
+        t.setDaemon(true)
+        t.start()
+        Some(t)
+      }
     // release gets its own fresh deadline: the acquire deadline may be
     // long past after a slow body. If the guard stays busy even then,
     // the loud failure leaves our lease in place and staleMs recovery
     // eventually clears it — never delete unguarded.
-    try body finally underLockGuard(path,
-        System.currentTimeMillis() + timeoutMs) {
-      val mine = scala.util.Try(new String(
-        java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
-      // token mismatch = our lease expired and was taken over while we
-      // ran; the successor's lease is not ours to delete
-      if (mine.contains(token)) lock.delete()
+    try body finally {
+      beat.foreach { t => t.interrupt(); t.join(1000) }
+      underLockGuard(path, System.currentTimeMillis() + timeoutMs) {
+        val mine = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
+        // token mismatch = our lease expired and was taken over while we
+        // ran; the successor's lease is not ours to delete
+        if (mine.contains(token)) lock.delete()
+      }
     }
   }
 

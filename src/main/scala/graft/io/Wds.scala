@@ -120,9 +120,12 @@ object Wds {
     // concurrent exports sharing an outDir would sweep each other and
     // fail at commit rename — the lease makes "no concurrent export
     // shares an outDir mid-job" an enforced invariant, not an
-    // assumption (a crashed holder's lease goes stale and is taken
-    // over, same as every table lease)
-    Tables.withTableLock(outDir) {
+    // assumption. HEARTBEAT-kept: a 100 TB export legitimately runs
+    // past the 30-min staleness window, and without the beat a second
+    // export would judge the live lease crashed, take it over, and
+    // sweep the first's in-flight tmp files; a truly crashed export
+    // still goes stale within staleMs of its last beat.
+    Tables.withTableLock(outDir, heartbeatMs = 60 * 1000L) {
       writeShardsLocked(spark, rows, shardCol, keyCol, entryCols, outDir,
                         nShards)
     }

@@ -88,21 +88,34 @@ object Inbox {
     val q = InboxMonitor.run(arrivals).writeStream
       .option("checkpointLocation", s"$storeDir/_monitor_checkpoint")
       .outputMode("update").trigger(trigger)
-      .foreachBatch { (ds: Dataset[InboxMonitor.MonitorLine], _: Long) =>
+      .foreachBatch { (ds: Dataset[InboxMonitor.MonitorLine], batchId: Long) =>
         val rows = ds.collect().sortBy(_.sortKey)
         rows.foreach(r => emit(r.line))
         // persist each micro-batch's monitor lines to the store runlog
         // (the appendRunlog discipline, monitor-scoped metric keys) —
         // "was the inbox spamming us last Tuesday" must survive the
         // console. Bounded rows per batch: scopes × (1 + candidate cap).
-        if (rows.nonEmpty) {
-          val sess = ds.sparkSession
-          import sess.implicits._
-          Main.appendRunlogFrame(storeDir,
-            rows.toSeq.map(r => ("watch_monitor", r.metric, r.value))
-              .toDF("stage", "metric", "value")
-              .withColumn("run_at", current_timestamp()))
-        }
+        // IDEMPOTENT on replay (batchId-markered — a restart that
+        // re-executes a committed batch must not double-count it), and
+        // BEST-EFFORT: a failed append (runlog lease held past timeout
+        // by a concurrent compact, transient I/O) is emitted as a line,
+        // never allowed to kill the monitor stream — the live emission
+        // is the primary surface, the runlog a durable convenience.
+        if (rows.nonEmpty)
+          try {
+            val sess = ds.sparkSession
+            import sess.implicits._
+            Main.appendRunlogFrameOnce(storeDir,
+              rows.toSeq.map(r => ("watch_monitor", r.metric, r.value))
+                .toDF("stage", "metric", "value")
+                .withColumn("run_at", current_timestamp()),
+              s"$storeDir/_monitor_checkpoint/_runlog_committed", batchId)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              emit(s"""{"monitor":"runlog_append_failed","batch":$batchId,""" +
+                s""""detail":"${Main.jsonEscape(
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+          }
         ()
       }.start()
     Seq(q)

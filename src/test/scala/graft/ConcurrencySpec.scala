@@ -171,4 +171,43 @@ class ConcurrencySpec extends SparkSpec {
     assert(System.currentTimeMillis() - t0 >= 500L, "must wait out the timeout")
     lock.delete()
   }
+
+  test("withTableLock heartbeat: a slow-but-live holder outlasts staleMs and is never taken over; without the beat it is") {
+    val path = Files.createTempDirectory("graft_lock_beat").toString + "/tbl"
+    // WITH heartbeat: the holder runs 4× past staleMs, beats keep the
+    // lease fresh, so a contender arriving mid-body times out loudly
+    // instead of stealing the lease (the long-export contract)
+    @volatile var stolen = false
+    val holder = new Thread(() =>
+      Tables.withTableLock(path, staleMs = 400L, timeoutMs = 2000L,
+                           heartbeatMs = 100L) {
+        Thread.sleep(1600L)
+      })
+    holder.start()
+    Thread.sleep(300L) // the holder owns the lease by now
+    try
+      Tables.withTableLock(path, staleMs = 400L, timeoutMs = 700L) {
+        stolen = true
+      }
+    catch { case _: IllegalStateException => () }
+    holder.join(5000L)
+    assert(!stolen, "a heartbeat-fresh lease must never be taken over")
+    assert(!new java.io.File(s"$path.lock").exists(),
+      "the holder must release its own lease on exit")
+    // WITHOUT heartbeat the same timings DO hand the lease over — the
+    // staleness recovery the beat deliberately suspends
+    val path2 = Files.createTempDirectory("graft_lock_beat2").toString + "/tbl"
+    @volatile var took = false
+    val holder2 = new Thread(() =>
+      Tables.withTableLock(path2, staleMs = 400L, timeoutMs = 2000L) {
+        Thread.sleep(1600L)
+      })
+    holder2.start()
+    Thread.sleep(600L) // past staleMs with no beat
+    Tables.withTableLock(path2, staleMs = 400L, timeoutMs = 2000L) {
+      took = true
+    }
+    holder2.join(5000L)
+    assert(took, "a beat-less lease past staleMs is taken over (crash recovery)")
+  }
 }

@@ -655,6 +655,14 @@ class E2eMainSpec extends SparkSpec {
     // the documented retry completes the erasure
     graft.io.Snapshots.drop(store2, "p1")
     assert(graft.io.Snapshots.list(store2).isEmpty)
+
+    // a MISTYPED flag fails loudly BEFORE anything runs: a silently
+    // ignored --purge-snapshot (no 's') would commit the takedown
+    // without the requested purge — a partial compliance action
+    val e2 = intercept[IllegalArgumentException] {
+      Main.main(Array("delete", store2, "someid", "--purge-snapshot"))
+    }
+    assert(e2.getMessage.contains("unknown delete flag"), e2.getMessage)
   }
 
   test("delete: the distinct-token register line serves ≡ rebuild afterwards, at shard-bounded rescan cost") {
@@ -712,6 +720,22 @@ class E2eMainSpec extends SparkSpec {
     val before = spark.read.parquet(s"$store/chunks.parquet")
       .filter($"doc_id" === id).count()
     assert(before >= 2, s"fixture must chunk to 2+: $before")
+    // a stored vector index must FOLLOW the replacement too (the id
+    // diff alone cannot see a vector swapped under a live id)
+    Main.runBuildVectorIndex(spark, store, "nomic", 2)
+    val vecPath = graft.search.VectorIndex.indexPath(store)
+    def codesOf(chunkId: String): Seq[String] =
+      spark.read.parquet(vecPath).filter($"chunk_id" === chunkId)
+        .drop("cell").collect().map(_.toString).toSeq.sorted
+    val codesBefore = codesOf(s"${id}_chunk_1")
+    // a SECOND provider embeds the same store — its rows for the
+    // soon-to-be-replaced id must leave with the replacement (no later
+    // granite ingest could know the content changed under the id)
+    Main.ingestBatch(spark, batch1, store, "granite",
+                     Timestamp.from(now.toInstant.plusMillis(5)))
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id" === s"${id}_chunk_1" &&
+              $"embedding_provider" === "granite").count() === 1)
     // the same doc_id re-delivered with DIFFERENT text (the id is
     // bytes-keyed; a changed converter or chunker config changes the
     // text the chunker sees) — the new chunking reproduces only
@@ -726,6 +750,42 @@ class E2eMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/embeddings.parquet")
       .filter($"chunk_id".startsWith(id)).select($"chunk_id").distinct().count() === 1,
       "orphaned chunk embeddings must leave too")
+    // the surviving chunk_id's CONTENT changed, so its id-keyed cache
+    // entry was stale — the commit must have re-embedded the new text,
+    // not served the old vector behind the new content
+    val newContent = after.select($"content").as[String].head()
+    val storedVec = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(id) && $"embedding_provider" === "nomic")
+      .select($"embedding").as[Array[Float]].head()
+    assert(storedVec.sameElements(
+             graft.embed.Embedding.provider("nomic").embedOne(newContent)),
+      "a replaced chunk's embedding must embed the REPLACED content")
+    // ...and the stored index re-encoded the replaced vector: exactly
+    // one index row for the doc (orphans reconciled away), with codes
+    // that differ from the old content's
+    val codesAfter = codesOf(s"${id}_chunk_1")
+    assert(codesAfter.size === 1 &&
+             spark.read.parquet(vecPath)
+               .filter($"chunk_id".startsWith(id)).count() === 1,
+      "the index must hold exactly the surviving chunk")
+    assert(codesAfter !== codesBefore,
+      "a replaced-in-place vector must re-encode in the stored index")
+    // the OTHER provider's row left with the replacement — a stale
+    // cross-provider vector must never outlive its text — and the next
+    // granite ingest re-embeds the current content from scratch
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id" === s"${id}_chunk_1" &&
+              $"embedding_provider" === "granite").count() === 0,
+      "a second provider's stale row must leave with the replacement")
+    Main.ingestBatch(spark, batch2, store, "granite",
+                     Timestamp.from(now.toInstant.plusMillis(20)))
+    val graniteVec = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id" === s"${id}_chunk_1" &&
+              $"embedding_provider" === "granite")
+      .select($"embedding").as[Array[Float]].head()
+    assert(graniteVec.sameElements(
+             graft.embed.Embedding.provider("granite").embedOne(newContent)),
+      "the backfilled provider must embed the CURRENT content")
     // the profile artifact stayed synced through the fold and its
     // ADDITIVE lines serve ≡ rescan — the divergence the stale rows
     // would have caused is structurally impossible now. The register

@@ -129,6 +129,26 @@ class StreamingSpec extends SparkSpec {
       s"runlog must carry the distinct estimate: $monLog")
     // bounded rows per batch: scopes × (1 + capped candidates)
     assert(monLog.size < 20, s"monitor runlog rows must stay bounded: ${monLog.size}")
+    // REPLAY idempotence: re-appending an already-committed batchId is
+    // a no-op (the restart-after-crash window Structured Streaming
+    // re-executes), while a NEW batchId appends — the marker advances
+    // under the runlog lease
+    val marker = s"$store/_monitor_checkpoint/_runlog_committed"
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(marker)).trim.toLong
+    val nBefore = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "watch_monitor").count()
+    val replay = Seq(("watch_monitor", "distinct:replayed", 1.0))
+      .toDF("stage", "metric", "value")
+      .withColumn("run_at", org.apache.spark.sql.functions.current_timestamp())
+    Main.appendRunlogFrameOnce(store, replay, marker, committed) // replayed id
+    assert(spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"stage" === "watch_monitor").count() === nBefore,
+      "a replayed batchId must not append again")
+    Main.appendRunlogFrameOnce(store, replay, marker, committed + 1) // fresh id
+    assert(spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"metric" === "distinct:replayed").count() === 1L,
+      "a fresh batchId must append exactly once")
 
     // a SECOND drain of new files folds onto the checkpointed state:
     // n_seen grows past the first batch, the planted hitter persists
