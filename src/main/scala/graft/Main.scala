@@ -545,11 +545,10 @@ object Main {
     // doc's ENTIRE stored chunk set. The same single probe also finds
     // CHANGED ids — reproduced chunk_ids whose replaced content differs
     // from the stored row's (a changed converter/chunker): their cached
-    // embeddings are STALE and must be excluded from the cache-aside
-    // probe below, or the store serves a vector of text it no longer
-    // holds (stored chunk content is immutable outside a re-ingest, so
-    // this batch-sized set is the ONLY staleness source — the cache
-    // probe itself stays id-keyed and never reads corpus content).
+    // embeddings and index codes embed text the commit is about to
+    // replace (stored chunk content is immutable outside a re-ingest,
+    // so this batch-sized set is the ONLY staleness source — the
+    // id-keyed cache probe never reads corpus content).
     // Both sets can only come from KEPT re-ingested docs (a demoted
     // doc's rows leave wholesale via the dupIds doc_id anti-join), so
     // the probe restricts to kept ids — append-only batches AND
@@ -568,7 +567,45 @@ object Main {
         .filter($"__orphan" || $"__changed")
         .localCheckpoint(true))
     val staleDropIds = staleProbe.map(_.filter($"__orphan").select($"chunk_id"))
-    val changedChunkIds = staleProbe.map(_.filter($"__changed").select($"chunk_id"))
+
+    // STALE-VECTOR ERASURE leaves BEFORE the chunks commit — the
+    // postings ordering argument one tier down: BOTH stale classes
+    // (orphaned ids AND changed ids) are DERIVED by comparing stored
+    // content against the batch's, so once the new content commits, a
+    // crashed run's re-delivery reads back its own committed text, the
+    // comparison shows nothing stale, and no re-run would ever evict
+    // the stale vectors again. Erasing first is idempotent (absent
+    // rows erase to a no-op), leaves at worst an embedding-coverage
+    // gap (the documented drift class the next batch heals — fsck
+    // reports it, never a wrong answer), and makes the post-commit
+    // recompute the ordinary cache-miss path — every crash window
+    // converges by re-running the same batch. ALL providers' rows go
+    // (no later backfill ingest could know the content changed), and
+    // the vector index's rows go with them (the id-diff reconcile
+    // below cannot see a vector swapped under a live id; an absent id
+    // re-appends as the new vector).
+    val staleVectorIds = staleProbe.map(_.select($"chunk_id")).filter(!_.isEmpty)
+    staleVectorIds.foreach { ci =>
+      if (new java.io.File(s"$storeDir/embeddings.parquet").exists())
+        writeTable(spark, openTable(spark, storeDir, "embeddings").limit(0),
+                   storeDir, "embeddings",
+                   keys = Seq("chunk_id", "embedding_provider"),
+                   version = Seq(lit(1)),
+                   prune = m => m.join(ci, Seq("chunk_id"), "left_anti"))
+      if (search.VectorIndex.exists(storeDir)) {
+        val vecPath = search.VectorIndex.indexPath(storeDir)
+        Tables.withTableLock(vecPath) {
+          val idxRows = spark.read.parquet(vecPath)
+            .withColumn("cell", col("cell").cast("long"))
+            .join(ci, Seq("chunk_id"), "left_semi")
+            .select($"chunk_id", $"cell")
+            .localCheckpoint(true)
+          try search.Ann.ivfPqRemoveFromIndex(spark, vecPath, idxRows,
+                                              "chunk_id")
+          finally graft.io.Pins.release(idxRows)
+        }
+      }
+    }
 
     val chunkObs = new Observation("chunks")
     val embedObs = new Observation("embeddings")
@@ -629,18 +666,14 @@ object Main {
     val storedChunks = openTable(spark, storeDir, "chunks")
     val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
     val embeddedRaw =
-      if (embPath.exists()) {
-        // STALENESS GUARD: ids whose content this commit just REPLACED
-        // (changedChunkIds) must not hit the id-keyed cache — their
-        // stored vectors embed text the store no longer holds. The
-        // exclusion is a batch-sized anti-join on the existing side; the
-        // corpus-sized hit path stays content-IO-free (content is
-        // immutable per chunk_id outside exactly this window).
-        val usable = changedChunkIds.foldLeft(
-          openTable(spark, storeDir, "embeddings"))(
-          (e, ci) => e.join(ci, Seq("chunk_id"), "left_anti"))
-        Embedding.embedWithCache(storedChunks, usable, providerName, now = now)
-      } else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
+      if (embPath.exists())
+        // changed ids were ERASED from the cache pre-commit (see the
+        // stale-vector erasure above), so they arrive here as ordinary
+        // misses and recompute from the committed NEW content — the
+        // corpus-sized hit path stays content-IO-free
+        Embedding.embedWithCache(storedChunks,
+          openTable(spark, storeDir, "embeddings"), providerName, now = now)
+      else Embedding.embedChunksDistinct(storedChunks, providerName, now = now)
     val embedded =
       if (streaming) embeddedRaw.localCheckpoint(true) // see chunksObserved
       else Metrics.observeEmbedding(embeddedRaw, embedObs)
@@ -651,25 +684,12 @@ object Main {
                    val noDup = m.join(dupIds.select($"doc_id".as("__dup")),
                                       substring(col("chunk_id"), 1, 64) === col("__dup"),
                                       "left_anti")
-                   // embeddings of chunk_ids the re-chunking dropped
-                   // leave with their chunks (same staleDropIds set)
-                   val noOrphan = staleDropIds.map(sd =>
-                       noDup.join(sd, Seq("chunk_id"), "left_anti"))
-                     .getOrElse(noDup)
-                   // OTHER providers' rows for changed ids embed text
-                   // the store no longer holds, and no later ingest of
-                   // that provider would know to recompute them (the
-                   // changed-id set is only visible in THIS batch) —
-                   // prune them now so a future provider-backfill
-                   // probe misses and re-embeds the current text; the
-                   // CURRENT provider's fresh row (in the updates)
-                   // survives the provider-scoped condition
-                   changedChunkIds.map(ci =>
-                       noOrphan.join(ci.select($"chunk_id".as("__chg")),
-                         col("chunk_id") === col("__chg") &&
-                           col("embedding_provider") =!= providerName,
-                         "left_anti"))
-                     .getOrElse(noOrphan)
+                   // orphaned and changed ids' stale rows are already
+                   // gone (erased pre-commit, all providers); changed
+                   // ids' recomputed rows ride in the updates, orphans
+                   // stay gone (their chunks left the table) — only
+                   // the demotion prune remains here
+                   noDup
                  })
     }
     // A stored vector index (built by `Main index`) is maintained
@@ -687,11 +707,7 @@ object Main {
       search.VectorIndex.reconcile(spark, vecPath,
         openTable(spark, storeDir, "embeddings")
           .filter($"embedding_provider" === idxProvider),
-        "chunk_id", "embedding",
-        // replaced-in-place vectors (a re-ingest that changed a
-        // reproduced chunk's content) are invisible to the id diff —
-        // force their codes to re-encode
-        forceRefresh = changedChunkIds)
+        "chunk_id", "embedding")
     }
     // duplicates point at the KEPT doc (not the cluster label — the
     // keeper is the best-scored member, not necessarily the min id)

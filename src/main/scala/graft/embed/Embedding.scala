@@ -149,11 +149,13 @@ object Embedding {
     * path reads only the chunk_id column (no corpus content IO), which
     * is sound because stored chunk content is immutable per chunk_id
     * outside ONE window — a re-ingest that replaces a reproduced id
-    * with different text. The caller owns that window: it must exclude
-    * the replaced-and-changed ids from `existing` before probing
-    * ([[graft.Main.ingestBatch]] anti-joins its batch-sized
-    * changed-id set), or the cache serves a vector of text the store
-    * no longer holds.
+    * with different text. The writer that opens that window owns it:
+    * [[graft.Main.ingestBatch]] ERASES the replaced-and-changed ids'
+    * rows (all providers) BEFORE its chunks commit, so they reach this
+    * probe as ordinary misses and recompute from the new text — and
+    * the erasure-first ordering is what keeps every crash window
+    * convergent (the changed-id set is derived from pre-commit content
+    * and is unrecoverable after the commit).
     *
     * At scale both sides should be bucketed by chunk_id so the semi/
     * anti joins are shuffle-free (SURVEY §4.1 partitioning note).

@@ -250,18 +250,19 @@ object VectorIndex {
     * side one slice scan), then per-cell writes sized by the diff —
     * never a rebuild. Returns (appended, removed) row counts.
     */
-  /** `forceRefresh` — ids whose vectors were REPLACED IN PLACE under an
-    * unchanged id (a re-ingest that changed a reproduced chunk's
-    * content): the id-set diff below cannot see them (present on both
-    * sides), so they are explicitly removed-then-re-appended and the
-    * index re-encodes the new vector under the frozen quantizers.
-    * Without this, an index row keeps serving the code of text the
-    * store no longer holds. Batch-sized; None for the common callers
-    * (build, delete) whose vectors never mutate in place.
+  /** NOTE on in-place vector replacements: the id-set diff below
+    * cannot see a vector swapped under a LIVE id (present on both
+    * sides), so the writer that replaces vectors —
+    * [[graft.Main.ingestBatch]]'s changed-content path — ERASES those
+    * ids from the index BEFORE its store commit; they then arrive
+    * here as ordinary appends and re-encode the new vector. Keeping
+    * the erasure writer-side (rather than a refresh parameter here)
+    * is what makes the window crash-safe: the changed-id set is
+    * derived by comparing pre-commit content and is unrecoverable
+    * after the commit, so it must act before it.
     */
   def reconcile(spark: SparkSession, path: String, storeSlice: DataFrame,
-                idCol: String, vecCol: String,
-                forceRefresh: Option[DataFrame] = None): (Long, Long) =
+                idCol: String, vecCol: String): (Long, Long) =
     graft.io.Tables.withTableLock(path) {
     val meta = readMeta(path)
     val slice = storeSlice.select(col(idCol), col(vecCol))
@@ -270,29 +271,12 @@ object VectorIndex {
         Some(spark.read.parquet(path)
           .select(col(idCol), col("cell").cast("long").as("cell")))
       else None
-    val removals = idx.map { i =>
-      val gone = i.join(slice.select(col(idCol)), Seq(idCol), "left_anti")
-      // a refresh id ALSO absent from the slice is already in `gone` —
-      // exclude it from the refresh union or nRemoved double-counts it
-      forceRefresh.map(r =>
-          gone.unionByName(
-            i.join(r.select(col(idCol)), Seq(idCol), "left_semi")
-              .join(slice.select(col(idCol)), Seq(idCol), "left_semi")))
-        .getOrElse(gone)
-        .localCheckpoint(true)
-    }
+    val removals = idx.map(
+      _.join(slice.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true))
     val appends = (idx match {
-      case Some(i) =>
-        val base = slice.join(i.select(col(idCol)), Seq(idCol), "left_anti")
-        // refresh appends restrict to ids the index actually held —
-        // an id absent from the index is already in `base`, and adding
-        // it twice would double its rows
-        forceRefresh.map(r =>
-            base.unionByName(slice
-              .join(r.select(col(idCol)), Seq(idCol), "left_semi")
-              .join(i.select(col(idCol)), Seq(idCol), "left_semi")))
-          .getOrElse(base)
-      case None => slice
+      case Some(i) => slice.join(i.select(col(idCol)), Seq(idCol), "left_anti")
+      case None    => slice
     }).localCheckpoint(true)
     try {
       val nRemoved = removals.map(_.count()).getOrElse(0L)

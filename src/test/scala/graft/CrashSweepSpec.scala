@@ -252,6 +252,53 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("changed-content re-ingest: a crash AFTER the chunks commit still converges — the stale-vector erasure ran before it") {
+    import graft.ingest.Ingest
+    import org.apache.spark.sql.functions.lit
+    val store = Files.createTempDirectory("graft_sweep_chg").toString
+    val longText = (0 until 600).map(i => s"w$i").mkString(" ")
+    val raw = Seq(("/a/doc.md", longText.getBytes("UTF-8"))).toDF("path", "content")
+    val b1 = Ingest.convertDocuments(Ingest.toDocuments(raw, lit(now)))
+    Main.ingestBatch(spark, b1, store, "nomic", now)
+    Main.runBuildVectorIndex(spark, store, "nomic", 2)
+    val id = b1.select(col("doc_id")).as[String].head()
+    // the changed re-delivery: same doc_id, different text — crash in
+    // the WORST window (chunks committed, embeddings not yet
+    // recomputed): a design that detected staleness by comparing
+    // against stored content would re-read its OWN committed text on
+    // the re-run, see "unchanged", and serve the stale vector forever
+    val newText = "short replacement text"
+    def b2 = Ingest.convertDocuments(Ingest.toDocuments(raw,
+        lit(java.sql.Timestamp.valueOf("2025-06-03 12:00:00"))))
+      .withColumn("text", lit(newText))
+    Faults.arm("profileState.before-commit") // fires AFTER the chunks swap
+    val e = intercept[Faults.InjectedCrash] {
+      Main.ingestBatch(spark, b2, store, "nomic", later)
+    }
+    assert(e.point == "profileState.before-commit")
+    Faults.reset()
+    // mid-window state: new content committed, stale vectors ERASED —
+    // at worst an embedding-coverage gap, never a wrong vector
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter(col("chunk_id") === s"${id}_chunk_1").count() == 0,
+      "the stale vector must be gone BEFORE the crash window")
+    // the SAME batch re-runs and converges: embedding + index codes of
+    // the surviving chunk embed the NEW text
+    Main.ingestBatch(spark, b2, store, "nomic", later)
+    val vec = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter(col("chunk_id") === s"${id}_chunk_1" &&
+              col("embedding_provider") === "nomic")
+      .select(col("embedding")).as[Array[Float]].head()
+    assert(vec.sameElements(
+             graft.embed.Embedding.provider("nomic").embedOne(newText)),
+      "post-convergence the embedding must be of the replaced content")
+    assert(spark.read.parquet(graft.search.VectorIndex.indexPath(store))
+      .filter(col("chunk_id").startsWith(id)).count() == 1,
+      "the index converges to exactly the surviving chunk")
+    val (post, nViol) = Main.runFsck(spark, store)
+    assert(nViol == 0L, post.mkString("\n"))
+  }
+
   test("batch delete: a mid-batch crash at every commit step converges by re-running the SAME batch") {
     // four docs in, two deleted — survivors keep the search surface
     // (and the state() twin) meaningful after the batch takedown
