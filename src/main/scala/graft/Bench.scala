@@ -175,8 +175,14 @@ object Bench {
     // final line is a short, self-contained JSON object (headline +
     // error summary + the r01-comparable q01–q20 map, bounded at 20
     // entries ≈ 300 chars) that ALWAYS fits the tail window whole.
+    // load-normalized headline: total scaled by the calibration ratio
+    // (q01's median vs its r01 recording) so round-over-round compares
+    // subtract shared-box load instead of adjudicating it by hand;
+    // -1 when the calibration sentinel itself could not run
+    val normalized = if (calibration > 0) total / calibration else -1.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
+            s""""normalized":${r3(normalized)},""" +
             s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
             s""""sf":"$sfDir"}""")
@@ -191,6 +197,7 @@ object Bench {
       _._1.matches("^q(0[1-9]|1[0-9]|20)_.*")))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration_vs_r01":${r3(calibration)},""" +
+            s""""normalized":${r3(normalized)},""" +
             s""""n_queries":${results.size},"n_errors":${errors.size},""" +
             s""""queries_q01_q20":$relQs,""" +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +

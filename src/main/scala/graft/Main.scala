@@ -208,8 +208,10 @@ object Main {
       // --idsfile=) silently ignored would commit the takedown WITHOUT
       // the requested purge — a partial compliance action with no error
       rest.filter(_.startsWith("--")).foreach(f =>
-        require(f == "--purge-snapshots" || f.startsWith("--ids-file="),
-          s"unknown delete flag: $f (expected --ids-file=F or --purge-snapshots)"))
+        require(f == "--purge-snapshots" || f == "--scrub-snapshots" ||
+            f.startsWith("--ids-file="),
+          s"unknown delete flag: $f (expected --ids-file=F, " +
+            "--purge-snapshots or --scrub-snapshots)"))
       val spark = session()
       val fromFile = rest.collectFirst {
         case a if a.startsWith("--ids-file=") =>
@@ -221,7 +223,8 @@ object Main {
       val ids = rest.filterNot(_.startsWith("--")) ++ fromFile
       runDelete(spark, store, ids,
                 new Timestamp(System.currentTimeMillis()),
-                purgeSnapshots = rest.contains("--purge-snapshots"))
+                purgeSnapshots = rest.contains("--purge-snapshots"),
+                scrubSnapshots = rest.contains("--scrub-snapshots"))
         .foreach(println)
       spark.stop()
     case "dupreport" :: inDir :: rest =>
@@ -306,7 +309,7 @@ object Main {
         "curate <store> <outDir> [provider] [--decon=<dir>] [--embdecon=<dir>] " +
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
-        "delete <store> <docId> [docId ...] [--ids-file=F] [--purge-snapshots] | " +
+        "delete <store> <docId> [docId ...] [--ids-file=F] [--purge-snapshots|--scrub-snapshots] | " +
         "fsck <store> [--repair] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> [--rebuild] [--token=<t> ...] [--snapshot=<name>] | dupreport <inDir> [topK] | " +
@@ -656,10 +659,20 @@ object Main {
     // divergence the fingerprint gate detected). The artifact records
     // the POST-commit fingerprint, so `Main profile` serves from it
     // only while it is provably in sync.
-    graft.text.ProfileState.commitAfterChunks(spark, storeDir, chunksDirF,
+    // the subtracted docs' ids (demotions + re-ingested replacements)
+    // gate the EXACT register rebuild: few touched shards → the
+    // register line serves ≡ rescan at shard-bounded cost; a wide
+    // batch keeps the documented monotone fold (ProfileState
+    // .MaxExactShards)
+    val profSubIds: Seq[String] = staleStored
+      .map(_.select($"doc_id").distinct().as[String].collect().toSeq)
+      .getOrElse(Nil)
+    val regsRescanned = graft.text.ProfileState.commitAfterChunks(
+      spark, storeDir, chunksDirF,
       profileFoldable, oldProfile, addChunks = chunked,
       subChunks = staleStored,
-      rebuildFrom = openTable(spark, storeDir, "chunks"))
+      rebuildFrom = openTable(spark, storeDir, "chunks"),
+      subDocIds = profSubIds)
     // cache-aside: on re-ingest only chunks without a fresh stored
     // embedding are computed (anti-join probe — the E6 operator); the
     // alternative recomputes the whole corpus every run.
@@ -804,7 +817,16 @@ object Main {
         ("ingest", m, Option(v).map(_.toString.toDouble).getOrElse(0.0))
       } ++ Seq(("chunk_write", "seconds", tChunks),
                ("embed_write", "seconds", tEmbed),
-               ("ingest", "n_tombstoned", nTombstoned.toDouble)))
+               ("ingest", "n_tombstoned", nTombstoned.toDouble))
+        // the register-rebuild scan bound (shard-sized, spec-asserted)
+        // when the exact path ran; an explicit monotone marker when a
+        // wide subtraction kept the documented upper-bound behavior —
+        // the report SAYS which registers it is serving
+        ++ regsRescanned.map(n =>
+             ("ingest", "n_chunks_rescanned_for_regs", n.toDouble)).toSeq
+        ++ (if (profileFoldable && profSubIds.nonEmpty && regsRescanned.isEmpty)
+              Seq(("ingest", "regs_monotone_after_demotion", 1.0))
+            else Nil))
       .toDF("stage", "metric", "value")
       .withColumn("run_at", lit(now))
     appendRunlogFrame(storeDir, runLog)
@@ -1609,8 +1631,12 @@ object Main {
         val tmp = new java.io.File(s"$markerPath.tmp")
         java.nio.file.Files.write(tmp.toPath,
           batchId.toString.getBytes("UTF-8"))
-        if (marker.exists()) marker.delete()
-        require(tmp.renameTo(marker), s"runlog batch marker rename failed")
+        // ATOMIC_MOVE replaces the marker in one step: a delete-then-
+        // rename would open a second duplicate-append crash window (no
+        // marker at all) beyond the documented append→marker gap
+        java.nio.file.Files.move(tmp.toPath, marker.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }
@@ -2556,8 +2582,12 @@ object Main {
     * token (normalized into the sketch's lowercase token model; ≥ the
     * true count, one-sided). The report is BIT-IDENTICAL between the
     * state-served and rescan paths — except the register line after a
-    * demotion, which reads "distinct tokens ever kept" until a
-    * rebuild (the documented HLL no-deletion trade; spec-pinned).
+    * WIDE demotion batch (more touched shards than
+    * [[graft.text.ProfileState.MaxExactShards]]), which reads
+    * "distinct tokens ever kept" until a rebuild (the documented HLL
+    * no-deletion trade, announced in the runlog; spec-pinned). Small
+    * subtractions rebuild their shards exactly at ingest, so the
+    * common case is bit-identical everywhere.
     */
   def runProfile(spark: SparkSession, storeDir: String,
                  rebuild: Boolean = false,
@@ -2674,38 +2704,74 @@ object Main {
     * hardlinks keep pre-delete files alive — `--snapshot=` reads still
     * serve the docs and a `rollback` resurrects them (the gate guards
     * ingest, not time travel). Each report line NAMES the snapshots
-    * still holding that doc (`snapshots_holding`). With
-    * `--purge-snapshots` the erasure completes in one command: AFTER
-    * the commit point (and outside the store lease — [[graft.io
-    * .Snapshots.drop]] takes it itself), every named snapshot is
-    * dropped; a snapshot whose drop fails is reported loudly while the
-    * committed delete stands (retry = `dropsnapshot` by hand — the
-    * failure message names the survivors).
+    * still holding that doc (`snapshots_holding`). Two erasure
+    * completions, mutually exclusive:
+    *
+    *  - `--scrub-snapshots` (SURGICAL, the default recommendation):
+    *    AFTER the commit point, each holding snapshot is rewritten IN
+    *    PLACE minus the ids — literally [[deleteTransaction]] at the
+    *    snapshot's root (a snapshot is a complete store), so the stage
+    *    order, the tombstone commit point, and the crash convergence
+    *    are the live transaction's own. Other docs' time travel
+    *    SURVIVES: the snapshot still serves every other doc, and a
+    *    `rollback` to it cannot resurrect the scrubbed ids (their
+    *    tombstones roll back WITH it, so the ingest gate holds). All
+    *    writes are fresh-file + swap-rename — shared hardlinked inodes
+    *    are never modified, so the live store and sibling snapshots
+    *    are untouched. A crash mid-scrub converges by re-running the
+    *    SAME command: already-removed live ids are tolerated under
+    *    this flag (the live store is not touched again), fully-
+    *    scrubbed snapshots no longer audit as holding, and a half-
+    *    scrubbed one re-runs its idempotent stages. A snapshot whose
+    *    scrub fails — or whose documents table is UNREADABLE (scrub
+    *    needs to read what it rewrites) — is reported loudly while the
+    *    committed delete stands: inspect it, then `dropsnapshot` or
+    *    re-run with `--purge-snapshots`.
+    *  - `--purge-snapshots` (WHOLESALE): every holding snapshot is
+    *    dropped entirely — [[graft.io.Snapshots.drop]] outside the
+    *    store lease (it takes it itself); a failed drop is loud while
+    *    the committed delete stands (retry = `dropsnapshot` by hand —
+    *    the failure message names the survivors). DOCUMENTED TRADEOFF:
+    *    a snapshot whose documents table is unreadable even after a
+    *    retry is dropped WHOLESALE under this flag — erasure must not
+    *    be blocked by a damaged backup — so if its other contents
+    *    might matter, inspect it first (`snapshot` list + a
+    *    `--snapshot=` read) or use `--scrub-snapshots`, which refuses
+    *    unreadable snapshots instead of destroying them.
     */
   def runDelete(spark: SparkSession, storeDir: String, docId: String,
-                now: Timestamp = new Timestamp(System.currentTimeMillis()))
-      : Seq[String] =
+                now: Timestamp): Seq[String] =
     runDelete(spark, storeDir, Seq(docId), now, purgeSnapshots = false)
 
   def runDelete(spark: SparkSession, storeDir: String, docIds: Seq[String],
-                now: Timestamp, purgeSnapshots: Boolean): Seq[String] = {
+                now: Timestamp, purgeSnapshots: Boolean,
+                scrubSnapshots: Boolean = false): Seq[String] = {
     require(docIds.nonEmpty, "delete needs at least one docId")
+    require(!(purgeSnapshots && scrubSnapshots),
+      "--purge-snapshots and --scrub-snapshots are mutually exclusive")
     val ids = docIds.distinct
-    // (per-doc counts, per-doc holding snapshots) out of the lease-held
-    // transaction; the purge below must run OUTSIDE the .store lease
-    val (counts, holding) = Tables.withTableLock(s"$storeDir/.store") {
-      // this transaction's scratch pins (the id set, the chunk capture)
-      // are freed before returning — repeated takedowns in a long-lived
-      // session must not accumulate pinned RDDs (the ingestBatch
-      // convention)
-      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      try deleteTransaction(spark, storeDir, ids, now)
-      finally spark.sparkContext.getPersistentRDDs
-        .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
-        .values.foreach(_.unpersist(blocking = false))
-    }
+    // (per-doc counts, per-doc holding snapshots, unreadable snapshot
+    // names) out of the lease-held transaction; the purge/scrub below
+    // must run OUTSIDE the .store lease
+    val (counts, holding, unreadable) =
+      Tables.withTableLock(s"$storeDir/.store") {
+        // this transaction's scratch pins (the id set, the chunk capture)
+        // are freed before returning — repeated takedowns in a long-lived
+        // session must not accumulate pinned RDDs (the ingestBatch
+        // convention)
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        try deleteTransaction(spark, storeDir, ids, now,
+                              tolerateRemoved = scrubSnapshots)
+        finally spark.sparkContext.getPersistentRDDs
+          .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
+    // WHOLESALE completion: drop every holding snapshot, unreadable
+    // ones included (the scaladoc'd tradeoff — erasure over history)
     val toPurge =
-      if (purgeSnapshots) ids.flatMap(holding(_)).distinct.sorted else Nil
+      if (purgeSnapshots)
+        (ids.flatMap(holding(_)) ++ unreadable).distinct.sorted
+      else Nil
     val failed = toPurge.flatMap { n =>
       scala.util.Try(graft.io.Snapshots.drop(storeDir, n)) match {
         case scala.util.Success(_) => None
@@ -2720,27 +2786,98 @@ object Main {
           s"(purged ok: [${purgedSet.toSeq.sorted.mkString(", ")}]): " +
           s"${failed.head._2.getMessage}; drop the survivors with dropsnapshot",
         failed.head._2)
+    // SURGICAL completion: the same transaction at each holding
+    // snapshot's root, every snapshot attempted before any failure is
+    // raised (maximize completed erasure; the message names survivors)
+    val toScrub =
+      if (scrubSnapshots) ids.flatMap(holding(_)).distinct.sorted else Nil
+    val scrubFailed = toScrub.flatMap { name =>
+      val snapRoot = s"$storeDir/.snapshots/$name"
+      val heldHere = ids.filter(holding(_).contains(name))
+      scala.util.Try {
+        // the LIVE store lease serializes each snapshot's rewrite
+        // against concurrent snapshot create/restore/drop (all take
+        // it) — a restore must never relink a half-scrubbed snapshot;
+        // the snapshot-root lease additionally excludes a concurrent
+        // scrub of the SAME snapshot. Acquired in this fixed order
+        // only here, so no inversion exists.
+        Tables.withTableLock(s"$storeDir/.store") {
+        Tables.withTableLock(s"$snapRoot/.store") {
+          val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+          try deleteTransaction(spark, snapRoot, heldHere, now,
+                                tolerateRemoved = true)
+          finally spark.sparkContext.getPersistentRDDs
+            .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
+            .values.foreach(_.unpersist(blocking = false))
+        }
+        }
+      } match {
+        case scala.util.Success(_) => None
+        case scala.util.Failure(e) => Some(name -> e)
+      }
+    }
+    val scrubbedSet = toScrub.toSet -- scrubFailed.map(_._1)
+    if (scrubFailed.nonEmpty)
+      throw new IllegalStateException(
+        s"delete of ${ids.size} doc(s) COMMITTED, but scrubbing snapshots " +
+          s"failed for [${scrubFailed.map(_._1).mkString(", ")}] " +
+          s"(scrubbed ok: [${scrubbedSet.toSeq.sorted.mkString(", ")}]): " +
+          s"${scrubFailed.head._2.getMessage}; re-run delete " +
+          s"--scrub-snapshots to retry, or dropsnapshot the damaged ones",
+        scrubFailed.head._2)
+    if (scrubSnapshots && unreadable.nonEmpty)
+      throw new IllegalStateException(
+        s"delete of ${ids.size} doc(s) COMMITTED and readable snapshots " +
+          s"scrubbed [${scrubbedSet.toSeq.sorted.mkString(", ")}], but " +
+          s"snapshots [${unreadable.sorted.mkString(", ")}] are UNREADABLE " +
+          s"and may still hold the docs — inspect and dropsnapshot them, " +
+          s"or re-run with --purge-snapshots")
+    val gone = purgedSet ++ scrubbedSet
     val lines = ids.map { id =>
       val (nChunks, nEmb, nSigs) = counts(id)
-      val held = holding(id).filterNot(purgedSet).sorted
+      val held = holding(id).filterNot(gone).sorted
       s"""{"deleted":"${jsonEscape(id)}","chunks_removed":$nChunks,""" +
         s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs,""" +
         s""""snapshots_holding":[${held.map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}"""
     }
-    if (purgeSnapshots)
-      lines :+ s"""{"snapshots_purged":[${purgedSet.toSeq.sorted
-        .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}"""
-    else lines
+    val summary =
+      (if (purgeSnapshots)
+         Seq(s"""{"snapshots_purged":[${purgedSet.toSeq.sorted
+           .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
+       else Nil) ++
+      (if (scrubSnapshots)
+         Seq(s"""{"snapshots_scrubbed":[${scrubbedSet.toSeq.sorted
+           .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
+       else Nil) ++
+      (if (!purgeSnapshots && unreadable.nonEmpty)
+         Seq(s"""{"snapshots_unreadable":[${unreadable.sorted
+           .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
+       else Nil)
+    lines ++ summary
   }
 
   /** The lease-held body of [[runDelete]]: every stage is one
     * DataFrame operation over the id set. Returns per-doc
-    * (chunks, embeddings, signatures) counts and the per-doc
-    * snapshots-holding map.
+    * (chunks, embeddings, signatures) counts, the per-doc
+    * snapshots-holding map (readable snapshots only), and the names of
+    * UNREADABLE snapshots (documents table fails to read even after a
+    * retry — reported separately, never silently merged into holding).
+    *
+    * `tolerateRemoved` (the scrub / crash-retry path): already-removed
+    * ids are excluded from the mutation set instead of failing the
+    * batch — when EVERY id is already removed the live tables are not
+    * touched at all (no swap, no runlog line) and only the snapshot
+    * audit runs, so a re-run after a crash mid-scrub converges without
+    * re-mutating a committed store. The same body also runs against a
+    * SNAPSHOT root for `--scrub-snapshots`: a snapshot is a complete
+    * store, so the scrub is literally this transaction at that root —
+    * same stage order, same commit point, same crash convergence.
     */
   private def deleteTransaction(spark: SparkSession, storeDir: String,
-                                ids: Seq[String], now: Timestamp)
-      : (Map[String, (Long, Long, Long)], Map[String, Seq[String]]) = {
+                                ids: Seq[String], now: Timestamp,
+                                tolerateRemoved: Boolean = false)
+      : (Map[String, (Long, Long, Long)], Map[String, Seq[String]],
+         Seq[String]) = {
     import spark.implicits._
     import graft.text.ProfileState
     // writer-crash preamble (the shared reader idiom): a prior
@@ -2760,9 +2897,14 @@ object Main {
     // BATCH CONTRACT: any bad id fails the whole set before mutation
     ids.filterNot(stored.contains).headOption.foreach(id =>
       throw new IllegalArgumentException(s"no document $id under $storeDir"))
-    ids.filter(stored(_) == Schemas.DocumentStatus.Removed).headOption
+    val removedAlready =
+      ids.filter(stored(_) == Schemas.DocumentStatus.Removed).toSet
+    if (!tolerateRemoved) removedAlready.headOption
       .foreach(id => throw new IllegalArgumentException(
         s"document $id is already removed"))
+    // the ids this run actually mutates; under tolerateRemoved the
+    // already-removed rest still participates in the snapshot audit
+    val liveIds = ids.filterNot(removedAlready)
 
     // Snapshot audit BEFORE the commit point: snapshots are immutable,
     // so the set cannot change mid-transaction, and a failure reading a
@@ -2772,26 +2914,49 @@ object Main {
     // tombstones (an earlier delete+rollback cycle) does not count.
     // An UNREADABLE snapshot must not block the erasure (the whole
     // command exists to remove content — "content retained because a
-    // backup is damaged" is the worst outcome): treat it as holding
-    // EVERY id, conservatively, and let the operator inspect/drop it.
-    val holdingPairs: Seq[(String, Seq[String])] =
+    // backup is damaged" is the worst outcome). The read is retried
+    // ONCE — a transient I/O blip must not condemn healthy immutable
+    // history — and a snapshot still failing is classified UNREADABLE,
+    // a verdict the caller reports separately: purge drops it
+    // wholesale (documented tradeoff), scrub refuses it loudly.
+    val snapAudit: Seq[(String, Option[Seq[String]])] =
       graft.io.Snapshots.list(storeDir).flatMap { name =>
         val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
         if (!f.exists()) None
-        else scala.util.Try(
-          spark.read.parquet(f.toString)
-            .join(idsDf, Seq("doc_id"), "left_semi")
-            .filter($"status" =!= Schemas.DocumentStatus.Removed)
-            .select($"doc_id").as[String].collect().toSeq
-        ) match {
-          case scala.util.Success(held) if held.nonEmpty => Some(name -> held)
-          case scala.util.Success(_) => None
-          case scala.util.Failure(_) => Some(name -> ids)
+        else {
+          def readHeld() = scala.util.Try(
+            spark.read.parquet(f.toString)
+              .join(idsDf, Seq("doc_id"), "left_semi")
+              .filter($"status" =!= Schemas.DocumentStatus.Removed)
+              .select($"doc_id").as[String].collect().toSeq)
+          readHeld().orElse(readHeld()) match {
+            case scala.util.Success(held) if held.nonEmpty =>
+              Some(name -> Some(held))
+            case scala.util.Success(_) => None
+            case scala.util.Failure(_) => Some(name -> None)
+          }
         }
       }
+    val holdingPairs: Seq[(String, Seq[String])] =
+      snapAudit.collect { case (n, Some(held)) => n -> held }
+    val unreadable: Seq[String] = snapAudit.collect { case (n, None) => n }
+    // per-snapshot Sets first: a 10,000-id GDPR batch against a
+    // snapshot holding most ids would otherwise pay ids × snapshots ×
+    // |held| linear scans on the driver — quadratic in the id count
+    // the batch form exists to make cheap
+    val heldSets = holdingPairs.map { case (n, h) => (n, h.toSet) }
     val holding: Map[String, Seq[String]] = ids.map { id =>
-      id -> holdingPairs.collect { case (n, held) if held.contains(id) => n }
+      id -> heldSets.collect { case (n, held) if held(id) => n }
     }.toMap
+
+    // every id already removed (a scrub retry after a crash, or a
+    // scrub whose live half completed in an earlier run): the LIVE
+    // store is untouched — no swap, no cache drop, no runlog line
+    if (liveIds.isEmpty)
+      return (ids.map(_ -> ((0L, 0L, 0L))).toMap, holding, unreadable)
+    val delDf =
+      if (liveIds == ids) idsDf
+      else liveIds.toDF("doc_id").localCheckpoint(true)
 
     val chunksDirF = new java.io.File(s"$storeDir/chunks.parquet")
     // profile-state sync gate + the docs' stored chunks, captured
@@ -2801,7 +2966,7 @@ object Main {
     val docChunks =
       if (chunksDirF.exists())
         Some(openTable(spark, storeDir, "chunks")
-          .join(idsDf, Seq("doc_id"), "left_semi")
+          .join(delDf, Seq("doc_id"), "left_semi")
           .select($"doc_id", $"chunk_id", $"content", $"strategy")
           .localCheckpoint(true))
       else None
@@ -2828,10 +2993,10 @@ object Main {
       writeTable(spark, openTable(spark, storeDir, "chunks").limit(0),
                  storeDir, "chunks", keys = Seq("chunk_id"),
                  version = Seq(lit(1)),
-                 prune = m => m.join(idsDf, Seq("doc_id"), "left_anti"))
+                 prune = m => m.join(delDf, Seq("doc_id"), "left_anti"))
       regsRescanned = ProfileState.commitAfterDelete(spark, storeDir,
         chunksDirF, profileFoldable, oldProfile,
-        subChunks = docChunks.get, deletedIds = ids,
+        subChunks = docChunks.get, deletedIds = liveIds,
         liveChunks = openTable(spark, storeDir, "chunks"))
     }
     val embPath = new java.io.File(s"$storeDir/embeddings.parquet")
@@ -2839,7 +3004,7 @@ object Main {
       if (embPath.exists())
         openTable(spark, storeDir, "embeddings")
           .select(substring($"chunk_id", 1, 64).as("doc_id"))
-          .join(idsDf, Seq("doc_id"), "left_semi")
+          .join(delDf, Seq("doc_id"), "left_semi")
           .groupBy($"doc_id").agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect().toMap
       else Map.empty
@@ -2849,7 +3014,7 @@ object Main {
                  keys = Seq("chunk_id", "embedding_provider"),
                  version = Seq(lit(1)),
                  prune = m => m.join(
-                   idsDf.select($"doc_id".as("__dd")),
+                   delDf.select($"doc_id".as("__dd")),
                    substring(col("chunk_id"), 1, 64) === col("__dd"),
                    "left_anti"))
       if (search.VectorIndex.exists(storeDir)) {
@@ -2865,7 +3030,7 @@ object Main {
     val sigsByDoc: Map[String, Long] =
       if (sigPath.exists())
         spark.read.parquet(sigPath.toString)
-          .join(idsDf.select($"doc_id".as("doc")), Seq("doc"), "left_semi")
+          .join(delDf.select($"doc_id".as("doc")), Seq("doc"), "left_semi")
           .groupBy($"doc").agg(count(lit(1)).as("n"))
           .as[(String, Long)].collect().toMap
       else Map.empty
@@ -2874,7 +3039,7 @@ object Main {
                  spark.read.parquet(sigPath.toString).limit(0),
                  storeDir, "signatures", keys = Seq("doc", "band"),
                  version = Seq(lit(1)),
-                 prune = m => m.join(idsDf.select($"doc_id".as("doc")),
+                 prune = m => m.join(delDf.select($"doc_id".as("doc")),
                                      Seq("doc"), "left_anti"))
     invalidateSearchCache(spark, storeDir, None)
     // THE COMMIT POINT: the tombstone rows — status flipped, content
@@ -2884,7 +3049,7 @@ object Main {
     // upsert's latest-per-key merge and leave content live behind a
     // "deleted" report).
     val tombstone = spark.read.parquet(docsPath.toString)
-      .join(idsDf, Seq("doc_id"), "left_semi")
+      .join(delDf, Seq("doc_id"), "left_semi")
       .withColumn("status", lit(Schemas.DocumentStatus.Removed))
       .withColumn("content_b64", lit(null).cast("string"))
       .withColumn("error_message", lit(null).cast("string"))
@@ -2899,7 +3064,7 @@ object Main {
     // ProfileState.commitAfterDelete — shard-bounded, asserted < the
     // live table in E2eMainSpec).
     appendRunlog(spark, storeDir, "delete",
-                 Seq("n_docs_deleted" -> ids.size.toLong,
+                 Seq("n_docs_deleted" -> liveIds.size.toLong,
                      "n_chunks_removed" -> chunksByDoc.values.sum,
                      "n_embeddings_removed" -> embByDoc.values.sum,
                      "n_signatures_removed" -> sigsByDoc.values.sum,
@@ -2908,7 +3073,7 @@ object Main {
     val counts = ids.map(id => id -> ((chunksByDoc.getOrElse(id, 0L),
                                        embByDoc.getOrElse(id, 0L),
                                        sigsByDoc.getOrElse(id, 0L)))).toMap
-    (counts, holding)
+    (counts, holding, unreadable)
   }
 
   /** `exportwds <store> <outDir> [nShards]`: MULTIMODAL training

@@ -128,8 +128,11 @@ object Snapshots {
       .filter(s => s.isDirectory && new File(s, ManifestFile).exists())
     val result = target match {
       case Some(snap) =>
+        // transient entries (lease/guard files a snapshot SCRUB leaves
+        // behind) are not snapshot state — never relink them
         val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-          .filterNot(_.getName == ManifestFile).toSeq
+          .filterNot(e => e.getName == ManifestFile || isTransient(e.getName))
+          .toSeq
         val liveNow = Option(root.listFiles()).getOrElse(Array.empty)
           .filterNot(e => isTransient(e.getName)).toSeq
         val leases = (restored.map(e => new File(root, e.getName).getPath) ++
@@ -269,8 +272,12 @@ object Snapshots {
       val trash = new File(root, ".rollback_trash")
       val current = Option(root.listFiles()).getOrElse(Array.empty)
         .filterNot(e => isTransient(e.getName)).toSeq
+      // a scrubbed snapshot may hold transient lease/guard files —
+      // those are not state, and relinking one into the live root
+      // would collide with the live lease machinery
       val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-        .filterNot(_.getName == ManifestFile).toSeq
+        .filterNot(e => e.getName == ManifestFile || isTransient(e.getName))
+        .toSeq
       // hold every affected entry's lease (current AND restored names)
       // for the whole park-and-relink — a single-table maintenance op
       // must never find its directory parked out from under its lease

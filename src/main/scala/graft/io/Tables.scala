@@ -335,8 +335,15 @@ object Tables {
             try underLockGuard(path, System.currentTimeMillis() + heartbeatMs) {
               val mine = scala.util.Try(new String(
                 java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")).toOption
-              if (mine.contains(token))
-                lock.setLastModified(System.currentTimeMillis())
+              // setLastModified's return is CHECKED: on a filesystem
+              // that refuses mtime touches every beat would silently
+              // no-op and the lease would go stale mid-job — exactly
+              // the takeover this thread exists to prevent. Fall back
+              // to rewriting the token bytes (a write updates mtime);
+              // still guarded + token-checked, so never a successor's.
+              if (mine.contains(token) &&
+                  !lock.setLastModified(System.currentTimeMillis()))
+                java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
             } catch { case scala.util.control.NonFatal(_) => () }
           } catch { case _: InterruptedException => () }
         }, s"graft-lease-heartbeat-${lock.getName}")

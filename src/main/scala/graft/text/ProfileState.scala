@@ -46,11 +46,16 @@ import graft.io.Tables
   *    docs' shards from those shards' surviving chunks — post-delete
   *    the served registers are bit-identical to a full rescan at
   *    1/[[RegShards]] of the tokenize cost per touched shard. Ingest
-  *    DEMOTIONS stay HISTORY-MONOTONE by decision (rebuilding every
-  *    shard a batch's stale docs touch would turn routine ingest into
+  *    subtractions (demotions, re-ingested replacements) reuse the
+  *    SAME shard rebuild behind a COST GATE ([[MaxExactShards]]): a
+  *    small-overlap batch — the common case — serves an EXACT register
+  *    line too, while a WIDE demotion batch stays HISTORY-MONOTONE by
+  *    decision (rebuilding most shards would turn routine ingest into
   *    a near-rescan; demotion is a dedup side effect, not an erasure
-  *    obligation): after a demotion the estimate is an upper bound
-  *    until a `--rebuild` — spec-pinned in E2eMainSpec. Serving
+  *    obligation) and says so in the runlog
+  *    (`regs_monotone_after_demotion`): the estimate is then an upper
+  *    bound until a `--rebuild` — both paths spec-pinned in
+  *    E2eMainSpec. Serving
   *    collapses the shard dimension by register-wise max
   *    ([[registersAcrossShards]]), which equals the unsharded state
   *    exactly (max is associative over any partition of the docs).
@@ -191,11 +196,26 @@ object ProfileState {
     * fingerprint — one definition, so ingest's and delete's fold
     * semantics cannot drift.
     */
+  /** Cost gate for the ingest-side EXACT register rebuild: when the
+    * subtracted docs (demotions + re-ingested replacements) touch at
+    * most this many of the [[RegShards]] shards, their shards'
+    * registers rebuild from the committed table's survivors — the
+    * post-ingest register line then serves ≡ rescan at shard-bounded
+    * tokenize cost, ending the history-monotone carve-out for the
+    * common small-overlap batch. A wide-demotion batch (more touched
+    * shards than this) keeps the documented monotone behavior: the
+    * rebuild there approaches a full rescan, and demotion is a dedup
+    * side effect, not an erasure obligation (`Main delete` rebuilds
+    * its shards UNCONDITIONALLY — erasure pays whatever it costs).
+    */
+  val MaxExactShards = 8
+
   def commitAfterChunks(spark: SparkSession, storeDir: String,
                         chunksDir: java.io.File, foldable: Boolean,
                         oldParts: Option[Parts], addChunks: DataFrame,
                         subChunks: Option[DataFrame],
-                        rebuildFrom: => DataFrame): Unit = {
+                        rebuildFrom: => DataFrame,
+                        subDocIds: Seq[String] = Nil): Option[Long] = {
     val newFp = dirFingerprint(chunksDir)
     // pin the (doc_id, strategy, content) input ONCE: the four part
     // writes are four actions, and an unpinned input would re-chunk/
@@ -205,11 +225,32 @@ object ProfileState {
       .select(col("doc_id"), col("strategy"), col("content"))
       .localCheckpoint(true)
     try {
-      val parts =
+      val folded =
         if (foldable) fold(oldParts, base, subChunks)
         else fromChunks(base)
-      graft.io.Faults.point("profileState.before-commit")
-      write(spark, storeDir, parts, newFp)
+      val touched = subDocIds.map(shardOf).distinct
+      if (foldable && touched.nonEmpty && touched.size <= MaxExactShards) {
+        // demotion-exact registers behind the cost gate: the touched
+        // shards' registers rebuild from the COMMITTED table (the
+        // delete path's mechanism), every other shard keeps its fold
+        val touchedLive = rebuildFrom
+          .filter(graft.dedup.Dedup.hashBucket(col("doc_id"), RegShards)
+                    .isin(touched: _*))
+          .select(col("doc_id"), col("strategy"), col("content"))
+          .localCheckpoint(true)
+        try {
+          val nRescanned = touchedLive.count()
+          val regs = folded.regs.filter(!col("shard").isin(touched: _*))
+            .unionByName(fromChunks(touchedLive).regs)
+          graft.io.Faults.point("profileState.before-commit")
+          write(spark, storeDir, folded.copy(regs = regs), newFp)
+          Some(nRescanned)
+        } finally graft.io.Pins.release(touchedLive)
+      } else {
+        graft.io.Faults.point("profileState.before-commit")
+        write(spark, storeDir, folded, newFp)
+        None
+      }
     } finally graft.io.Pins.release(base)
   }
 

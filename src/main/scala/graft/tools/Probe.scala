@@ -938,6 +938,59 @@ object Probe {
     }
   }
 
+  case class DeleteScalePoint(nDocs: Int, kSmall: Int, kBig: Int,
+                              tBatchSmall: Double, tBatchBig: Double,
+                              nSampledSingles: Int, tSampledSingles: Double)
+
+  /** The flat-in-k evidence at probe-corpus scale: one 1000-doc store
+    * per measurement, (a) a k=10 batch, (b) a k=100 batch, (c) 10
+    * SAMPLED single-id deletes of the k=100 victim set (extrapolated
+    * ×10 — running 100 singles measures patience, not the claim).
+    * Claim under test: batch cost scales with the DELETED DATA (k=100
+    * deletes 10× the rows of k=10, so some growth is honest), never
+    * with the id count the way k singles do — tBatchBig/tBatchSmall
+    * must sit far below both 10× and the extrapolated singles line.
+    */
+  def deleteBatchScaled(spark: SparkSession, nDocs: Int = 1000,
+                        kSmall: Int = 10, kBig: Int = 100,
+                        nSampled: Int = 10): DeleteScalePoint = {
+    val now = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    def mkStore(): (String, Seq[String]) = {
+      val in = java.nio.file.Files.createTempDirectory("graft_delscale_in")
+      (0 until nDocs).foreach { i =>
+        java.nio.file.Files.write(in.resolve(s"doc$i.md"),
+          (0 until 40).map(j => s"w${i}_$j").mkString(" ").getBytes("UTF-8"))
+      }
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_delscale_store").toString
+      graft.Main.runIngest(spark, in.toString, store, "nomic", now)
+      graft.Main.runBuildPostings(spark, store, 8)
+      graft.io.Tables.rmTree(new java.io.File(in.toString))
+      val ids = spark.read.parquet(s"$store/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(_.getString(0)).toSeq.sorted
+      (store, ids)
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val (sA, idsA) = mkStore()
+    val tSmall = timed(graft.Main.runDelete(spark, sA, idsA.take(kSmall),
+                                            delAt, purgeSnapshots = false))
+    graft.io.Tables.rmTree(new java.io.File(sA))
+    val (sB, idsB) = mkStore()
+    val tBig = timed(graft.Main.runDelete(spark, sB, idsB.take(kBig),
+                                          delAt, purgeSnapshots = false))
+    graft.io.Tables.rmTree(new java.io.File(sB))
+    val (sC, idsC) = mkStore()
+    val tSampled = timed(idsC.take(nSampled).foreach(id =>
+      graft.Main.runDelete(spark, sC, id, delAt)))
+    graft.io.Tables.rmTree(new java.io.File(sC))
+    graft.io.Pins.sweepAll(spark)
+    DeleteScalePoint(nDocs, kSmall, kBig, tSmall, tBig, nSampled, tSampled)
+  }
+
   case class SkewPoint(factor: Int, nRows: Long, tNaive: Double,
                        tAqe: Double, tSalted: Double)
 
@@ -1492,6 +1545,32 @@ object Probe {
       println(sb)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("PROBE_DELETE.md"), sb.toString)
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("delete-batch-scale")) {
+      val p = deleteBatchScaled(spark)
+      val singlesExtrapolated = p.tSampledSingles * p.kBig / p.nSampledSingles
+      val sb = new StringBuilder
+      sb ++= "\n## At probe-corpus scale: flat in k, scales with data\n\n"
+      sb ++= f"One ${p.nDocs}%d-doc store per measurement (fresh each time);\n"
+      sb ++= f"singles are ${p.nSampledSingles}%d SAMPLED transactions of the "
+      sb ++= f"k=${p.kBig}%d victim set,\nextrapolated x${p.kBig / p.nSampledSingles}%d "
+      sb ++= "(running all of them measures patience, not the claim).\n\n"
+      sb ++= "| store docs | k | batch s | singles s (extrapolated) | singles/batch |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      sb ++= f"| ${p.nDocs} | ${p.kSmall} | ${p.tBatchSmall}%.2f | — | — |%n"
+      sb ++= f"| ${p.nDocs} | ${p.kBig} | ${p.tBatchBig}%.2f | ${singlesExtrapolated}%.0f | ${singlesExtrapolated / p.tBatchBig}%.0fx |%n"
+      sb ++= f"%n${p.kBig / p.kSmall}%dx the ids -> the batch paid ${p.tBatchBig / p.tBatchSmall}%.2fx the time "
+      sb ++= f"(the extra is the 10x deleted DATA, not the id count);\n"
+      sb ++= f"k=${p.kBig}%d singles extrapolate to ${singlesExtrapolated / p.tBatchBig}%.0fx the batch. "
+      sb ++= "Takedown cost is flat in k, linear in the deleted rows.\n"
+      println(sb)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("PROBE_DELETE.md"),
+        sb.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       spark.stop(); return
     }
 

@@ -103,6 +103,67 @@ class ConcurrencySpec extends SparkSpec {
     assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
   }
 
+  test("a delete racing a re-ingest of the SAME doc id: exactly the serial outcomes — ingested-then-deleted, or deleted-then-blocked by the tombstone gate — fsck clean either way") {
+    // both commands serialize on the .store lease (Main.scala ingest +
+    // runDelete); this pins that the race has NO third outcome: no
+    // half-deleted doc, no resurrected content, no wedged lease
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val now2 = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
+    val in = Files.createTempDirectory("graft_dirace_in").toFile
+    Seq("a.txt" -> "spark query engine performance tuning guide",
+        "b.txt" -> "watermark lateness checkpoint recovery streaming")
+      .foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8")) }
+    val store = Files.createTempDirectory("graft_dirace_store").toString
+    Main.runIngest(spark, in.toString, store, "nomic", now1)
+    val byName = spark.read.parquet(s"$store/documents.parquet")
+      .select($"filename", $"doc_id").as[(String, String)].collect().toMap
+    val (aId, bId) = (byName("a.md"), byName("b.md"))
+
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.execute { () =>
+      try { start.await(); Main.runIngest(spark, in.toString, store, "nomic", now2) }
+      catch { case t: Throwable => failures.add(t) }
+    }
+    pool.execute { () =>
+      try { start.await(); Main.runDelete(spark, store, aId, delAt) }
+      catch { case t: Throwable => failures.add(t) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "race hung")
+    assert(failures.isEmpty, s"racer failed: ${failures.peek()}")
+    // BOTH serial orders converge on the same observable state:
+    // ingest-then-delete re-lands the doc and then tombstones it;
+    // delete-then-ingest tombstones it and the gate drops the upload
+    val a = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === aId).select($"status", $"content_b64").collect()
+    assert(a.length == 1 && a.head.getString(0) == "removed"
+             && a.head.isNullAt(1),
+      s"deleted doc must end tombstoned either way: ${a.toSeq}")
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === aId).count() == 0L)
+    assert(spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"chunk_id".startsWith(aId)).count() == 0L)
+    // the undeleted doc survives whichever order won
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === bId).select($"status").as[String].head()
+      == "completed")
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(nViol == 0L, lines.mkString("\n"))
+    val locks = new java.io.File(store).list().filter(_.endsWith(".lock"))
+    assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
+    // the tombstone gate keeps holding after the race
+    Main.runIngest(spark, in.toString, store, "nomic",
+                   java.sql.Timestamp.valueOf("2025-06-04 12:00:00"))
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === aId).select($"status").as[String].head()
+      == "removed", "resurrection blocked after the race")
+  }
+
   test("withTableLock: mutual exclusion, queued contender proceeds on release") {
     val path = Files.createTempDirectory("graft_lock_prim").toString + "/tbl"
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -343,6 +343,69 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("scrub snapshots: a crash at every commit step inside the snapshot converges by re-running the SAME command; the live store is never re-touched") {
+    // the live half runs FIRST as its own command, so every armed
+    // point fires inside the SNAPSHOT's transaction — the window under
+    // test is the scrub's, not the (already-swept) live delete's
+    val in1 = mkInputs(batch1 ++ batch2: _*)
+    def target(store: String): String =
+      spark.read.parquet(s"$store/documents.parquet")
+        .filter(col("filename") === "a.md")
+        .select("doc_id").as[String].head()
+    val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
+    def setup(): String = {
+      val store = Files.createTempDirectory("graft_sweep_scr").toString
+      Main.runIngest(spark, in1, store, "nomic", now)
+      Main.runBuildPostings(spark, store, 8)
+      graft.io.Snapshots.create(store, "s1")
+      Main.runDelete(spark, store, target(store), delAt)
+      store
+    }
+    def scrub(store: String): Seq[String] =
+      Main.runDelete(spark, store, Seq(target(store)), delAt,
+                     purgeSnapshots = false, scrubSnapshots = true)
+    val control = setup()
+    scrub(control)
+    val wantSnap = state(s"$control/.snapshots/s1")
+    val wantLive = state(control)
+    val wantSnapProfile = Main.runProfile(spark, s"$control/.snapshots/s1",
+      rebuild = true, readOnly = true)
+    for (pt <- Seq("writeTable.after-tmp", "writeTable.after-aside",
+                   "writeTable.after-commit", "profileState.before-commit",
+                   "commitArtifact.after-aside")) {
+      val store = setup()
+      val snapRoot = s"$store/.snapshots/s1"
+      Faults.arm(pt)
+      // the scrub loop catches per-snapshot failures to maximize
+      // completed erasure, then raises the loud COMMITTED-but message
+      // (the purge path's convention) — the injected crash travels as
+      // its cause, and the snapshot is left mid-protocol exactly as a
+      // kill -9 at that line would leave it
+      val e = intercept[IllegalStateException] { scrub(store) }
+      assert(e.getMessage.contains("scrubbing snapshots failed"), s"$pt: $e")
+      assert(e.getCause.isInstanceOf[Faults.InjectedCrash] &&
+        e.getCause.asInstanceOf[Faults.InjectedCrash].point == pt, s"$pt: $e")
+      Faults.reset()
+      // convergence = the SAME command again: the live half tolerates
+      // the already-removed id (and does not re-mutate), the snapshot
+      // re-runs its idempotent stages to the tombstone commit point
+      val report = scrub(store)
+      assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""),
+        s"$pt: $report")
+      assert(state(snapRoot) == wantSnap,
+        s"$pt: snapshot diverged from the never-crashed twin")
+      assert(Main.runProfile(spark, snapRoot, rebuild = true, readOnly = true)
+               == wantSnapProfile, s"$pt: snapshot profile (rebuilt)")
+      assert(state(store) == wantLive, s"$pt: live store must be untouched")
+      // exactly ONE live delete commit — the crashed scrub and its
+      // retry never re-ran the live transaction
+      assert(spark.read.parquet(s"$store/runlog.parquet")
+        .filter(col("metric") === "n_docs_deleted").count() == 1L, pt)
+      val (post, nViol) = Main.runFsck(spark, store)
+      assert(nViol == 0L, s"$pt: ${post.mkString("\n")}")
+    }
+  }
+
   test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
     val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
     val store = Files.createTempDirectory("graft_sweep_snap").toString

@@ -330,10 +330,12 @@ class E2eMainSpec extends SparkSpec {
     assert(est(sp, "zebra") >= 1L)
 
     // batch 3 DEMOTES the stored a.md (longer near-dup wins keep-one):
-    // the additive report lines — quantiles, zipf, CMS probes — must
-    // still be BIT-IDENTICAL to a rescan (exact subtraction of the
-    // demoted chunks), while the register line is history-monotone:
-    // est_distinct(state) ≥ est_distinct(rescan) until a rebuild
+    // the additive report lines — quantiles, zipf, CMS probes — still
+    // subtract exactly, and the demotion touching ≤ MaxExactShards
+    // register shards means the register line is now EXACT too (the
+    // touched shards rebuilt from the committed table's survivors) —
+    // the WHOLE report serves ≡ rescan bit-for-bit. The monotone
+    // carve-out survives only for wide demotions (next test).
     Main.runIngest(spark, in3.toString, store, "nomic",
                    Timestamp.from(now.toInstant.plusMillis(15)))
     val aId = spark.read.parquet(s"$store/documents.parquet")
@@ -341,31 +343,73 @@ class E2eMainSpec extends SparkSpec {
     assert(aId === "duplicate", "fixture must actually demote the stored doc")
     val sv = served(probes)
     val rs = rescan(probes) // NOTE: also rebuilds the state from the live store
-    def splitLines(ls: Seq[String]) = {
-      val (regLines, rest) = ls.partition(_.contains("\"est_distinct\":"))
-      (rest, regLines)
-    }
-    val (svAdd, svReg) = splitLines(sv)
-    val (rsAdd, rsReg) = splitLines(rs)
+    assert(sv === rs,
+      "a small-demotion ingest's profile — register line included — " +
+        "must serve ≡ rescan bit-for-bit")
+    assert(est(sv, "zebra") === est(rs, "zebra"))
+    // the scan bound rode the runlog: the exact rebuild re-tokenized
+    // only the touched shards' surviving rows, strictly under the table
+    val bound = spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"metric" === "n_chunks_rescanned_for_regs")
+      .orderBy($"run_at".desc).select($"value").as[Double].head()
+    assert(bound < spark.read.parquet(s"$store/chunks.parquet").count().toDouble,
+      "the register rebuild must be shard-bounded, not a corpus rescan")
+    assert(spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"metric" === "regs_monotone_after_demotion").count() === 0L,
+      "the exact path must not claim the monotone carve-out")
+    assert(served(probes) === rescan(probes))
+  }
+
+  test("ingest: a WIDE demotion batch keeps the history-monotone registers — and says so in the runlog") {
+    import graft.text.ProfileState
+    val in1 = Files.createTempDirectory("graft_wide_in1").toFile
+    val in2 = Files.createTempDirectory("graft_wide_in2").toFile
+    val store = Files.createTempDirectory("graft_wide_store").toString
+    def put(dir: java.io.File, name: String, text: String): Unit =
+      Files.write(new java.io.File(dir, name).toPath, text.getBytes("UTF-8"))
+    // 24 stored docs, each with its own shingle space (no cross-pair
+    // similarity), each later demoted by a longer near-dup — the
+    // demoted set spans more register shards than the exactness gate
+    val bases = (0 until 24).map(i =>
+      (0 until 40).map(j => s"tok${i}x$j").mkString(" ") + s" zeb$i")
+    bases.zipWithIndex.foreach { case (b, i) => put(in1, s"d$i.md", b) }
+    // the near-dup tail is per-pair unique too: ANY token shared
+    // across pairs risks cross-pair LSH collisions that merge the
+    // clusters and break the one-demotion-per-pair fixture
+    bases.zipWithIndex.foreach { case (b, i) =>
+      put(in2, s"d${i}b.md", b.replace(s"zeb$i", s"alp$i") +
+        s" extra${i}a extra${i}b extra${i}c extra${i}d extra${i}e") }
+    Main.runIngest(spark, in1.toString, store, "nomic", now)
+    Main.runIngest(spark, in2.toString, store, "nomic",
+                   Timestamp.from(now.toInstant.plusMillis(5)))
+    val demoted = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"status" === "duplicate").select($"doc_id").as[String]
+      .collect().toSeq
+    assert(demoted.size === 24, s"fixture must demote all stored docs: ${demoted.size}")
+    assert(demoted.map(ProfileState.shardOf).distinct.size
+             > ProfileState.MaxExactShards,
+      "fixture must span more shards than the gate")
+    // the runlog SAYS the registers stayed monotone…
+    assert(spark.read.parquet(s"$store/runlog.parquet")
+      .filter($"metric" === "regs_monotone_after_demotion").count() === 1L)
+    // …and they do: additive lines ≡ rescan, registers upper-bound it
+    val sv = Main.runProfile(spark, store)
+    val rs = Main.runProfile(spark, store, rebuild = true)
+    def splitLines(ls: Seq[String]) = ls.partition(_.contains("\"est_distinct\":"))
+    val (svReg, svAdd) = splitLines(sv)
+    val (rsReg, rsAdd) = splitLines(rs)
     assert(svAdd === rsAdd,
-      "additive profile lines must survive a demotion bit-identically")
-    // zebra left the live store and its CMS/vocab counts subtracted
-    // exactly: the probe line agrees between state and rescan
-    assert(est(svAdd, "zebra") === est(rsAdd, "zebra"))
+      "additive profile lines must survive a wide demotion bit-identically")
     def field(ls: Seq[String], name: String) = ls.map { l =>
       s""""$name":(\\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
     }
     assert(field(svReg, "est_distinct").zip(field(rsReg, "est_distinct"))
-             .forall { case (s, r) => s >= r },
+             .forall { case (a, r) => a >= r },
       s"history registers must upper-bound the live store: $svReg vs $rsReg")
-    // the estimate's truncating integer algebra can absorb a one-
-    // register delta; the occupancy count cannot (unless the removed
-    // token's register collides with a live token's — this fixture's
-    // does not, pinned by md5 determinism)
     assert(field(svReg, "registers_used").sum > field(rsReg, "registers_used").sum,
-      "the demoted doc's unique token must show as strict register history")
-    // after the rebuild the register history is reset: served == rescan
-    assert(served(probes) === rescan(probes))
+      "24 demoted unique markers must show as strict register history")
+    // rebuild resets the history, as documented
+    assert(Main.runProfile(spark, store) === rs)
   }
 
   test("delete: a takedown removes the doc from every serving tier, tombstones it, and blocks re-upload; a second delete fails loudly") {
@@ -449,7 +493,8 @@ class E2eMainSpec extends SparkSpec {
     assert(e.getMessage.contains("already removed"))
     // and an unknown id fails loudly too
     intercept[IllegalArgumentException] {
-      Main.runDelete(spark, store, "no-such-doc")
+      Main.runDelete(spark, store, "no-such-doc",
+        Timestamp.from(now.toInstant.plusMillis(60)))
     }
 
     // resurrection blocked: re-uploading the same file is dropped by
@@ -663,6 +708,161 @@ class E2eMainSpec extends SparkSpec {
       Main.main(Array("delete", store2, "someid", "--purge-snapshot"))
     }
     assert(e2.getMessage.contains("unknown delete flag"), e2.getMessage)
+  }
+
+  test("delete --scrub-snapshots: surgical erasure — other docs' time travel survives row-for-row, rollback cannot resurrect, unreadable snapshots are refused") {
+    val in = Files.createTempDirectory("graft_scrub_in").toFile
+    val store = Files.createTempDirectory("graft_scrub_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("target.md", "confidential quagga scrub subject spark engine text")
+    put("keep.md", "watermark lateness checkpoint recovery for streaming")
+    put("keep2.md", "vector index probes and cell balancing maintenance notes")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildPostings(spark, store, 8)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    // pre-scrub snapshot rows for the OTHER docs: the row-for-row
+    // survival contract compares these exact rows after the scrub
+    def others(table: String, docOf: org.apache.spark.sql.Column): Seq[String] =
+      spark.read.parquet(s"$snapRoot/$table")
+        .filter(docOf =!= id)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val tables = Seq(
+      "documents.parquet" -> col("doc_id"),
+      "chunks.parquet" -> col("doc_id"),
+      "embeddings.parquet" -> substring(col("chunk_id"), 1, 64),
+      "signatures.parquet" -> col("doc"),
+      "postings.idx" -> substring(col("chunk_id"), 1, 64))
+    val before = tables.map { case (t, c) => t -> others(t, c) }.toMap
+
+    val report = Main.runDelete(spark, store, Seq(id),
+      Timestamp.from(now.toInstant.plusMillis(50)),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(report.head.contains(""""snapshots_holding":[]"""), report.head)
+    assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""), report.last)
+    // the snapshot SURVIVES — surgical, not wholesale
+    assert(graft.io.Snapshots.list(store) === Seq("s1"))
+    // every other doc's history serves identically, row for row
+    tables.foreach { case (t, c) =>
+      assert(others(t, c) === before(t), s"$t: other docs' rows must survive") }
+    // the scrubbed id inside the snapshot: tombstoned docs row, every
+    // serving tier empty
+    val snapRow = spark.read.parquet(s"$snapRoot/documents.parquet")
+      .filter($"doc_id" === id).select($"status", $"content_b64").collect()
+    assert(snapRow.length === 1 && snapRow.head.getString(0) === "removed")
+    assert(snapRow.head.isNullAt(1), "snapshot content must be nulled")
+    Seq("chunks.parquet" -> (col("doc_id") === id),
+        "embeddings.parquet" -> col("chunk_id").startsWith(id),
+        "signatures.parquet" -> (col("doc") === id),
+        "postings.idx" -> col("chunk_id").startsWith(id)).foreach {
+      case (t, pred) =>
+        assert(spark.read.parquet(s"$snapRoot/$t").filter(pred).count() === 0L,
+          s"$t must not hold the scrubbed id") }
+    // byte-level absence: the unique token appears in NO file under the
+    // snapshot (or the live store) after the scrub
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def bytesHold(root: String, needle: String): Boolean =
+      walk(new java.io.File(root)).exists { f =>
+        // latin-1 is byte-transparent: every byte maps to one char, so
+        // a UTF-8 ascii needle greps raw bytes exactly
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
+          .contains(needle)
+      }
+    assert(!bytesHold(snapRoot, "quagga"), "snapshot bytes must be scrubbed")
+    assert(!bytesHold(store, "quagga"), "live bytes must be scrubbed")
+    // rollback to the scrubbed snapshot CANNOT resurrect: the
+    // tombstone rolls back with it, so content stays gone and the
+    // ingest gate still blocks a re-upload
+    graft.io.Snapshots.restore(store, "s1")
+    val liveRow = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === id).select($"status", $"content_b64").collect()
+    assert(liveRow.head.getString(0) === "removed" && liveRow.head.isNullAt(1),
+      "rollback must not resurrect the scrubbed doc")
+    Main.runIngest(spark, in.toString, store, "nomic",
+      Timestamp.from(now.toInstant.plusMillis(100)))
+    assert(spark.read.parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === id).select($"status").as[String].head() === "removed",
+      "re-upload must stay blocked after rollback")
+    val (_, nViol) = Main.runFsck(spark, store)
+    assert(nViol === 0L)
+    // other docs still serve from the rolled-back store
+    assert(Main.runSearch(spark, store, "watermark lateness", "nomic", 3)
+      .exists(_.contains("watermark")))
+
+    // an UNREADABLE snapshot is REFUSED by scrub (purge is the
+    // documented wholesale path): loud, names it, the delete stands
+    val store2 = Files.createTempDirectory("graft_scrub_store2").toString
+    Main.runIngest(spark, in.toString, store2, "nomic", now)
+    graft.io.Snapshots.create(store2, "u1")
+    val u1docs = new java.io.File(s"$store2/.snapshots/u1/documents.parquet")
+    graft.io.Tables.rmTree(u1docs)
+    Files.write(u1docs.toPath, "garbage, not parquet".getBytes("UTF-8"))
+    val id2 = spark.read.parquet(s"$store2/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    val e = intercept[IllegalStateException] {
+      Main.runDelete(spark, store2, Seq(id2),
+        Timestamp.from(now.toInstant.plusMillis(50)),
+        purgeSnapshots = false, scrubSnapshots = true)
+    }
+    assert(e.getMessage.contains("UNREADABLE") && e.getMessage.contains("u1"),
+      e.getMessage)
+    assert(new java.io.File(s"$store2/.snapshots/u1").isDirectory,
+      "scrub must never destroy a snapshot it cannot read")
+    assert(spark.read.parquet(s"$store2/documents.parquet")
+      .filter($"doc_id" === id2).select($"status").as[String].head() === "removed",
+      "the committed delete stands behind the refused scrub")
+  }
+
+  test("delete --scrub-snapshots: already-removed ids are tolerated — the LIVE store is byte-untouched when only snapshots need scrubbing") {
+    import graft.text.ProfileState
+    val in = Files.createTempDirectory("graft_scrub2_in").toFile
+    val store = Files.createTempDirectory("graft_scrub2_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("target.md", "confidential wisent retry subject spark engine text")
+    put("keep.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "h1")
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    // the live half completed in an EARLIER command (no snapshot flag):
+    // the snapshot still holds the doc, and a plain re-delete would
+    // fail loudly with "already removed"
+    val r1 = Main.runDelete(spark, store, id,
+      Timestamp.from(now.toInstant.plusMillis(50)))
+    assert(r1.head.contains(""""snapshots_holding":["h1"]"""), r1.head)
+    intercept[IllegalArgumentException] {
+      Main.runDelete(spark, store, id,
+        Timestamp.from(now.toInstant.plusMillis(60)))
+    }
+    // every live table's identity before the scrub retry…
+    val liveTables = Seq("documents.parquet", "chunks.parquet",
+      "embeddings.parquet", "signatures.parquet", "runlog.parquet")
+    def fps() = liveTables.map(t =>
+      ProfileState.dirFingerprint(new java.io.File(s"$store/$t")))
+    val before = fps()
+    // …survives it bit-for-bit: the retry only touches the snapshot
+    val r2 = Main.runDelete(spark, store, Seq(id),
+      Timestamp.from(now.toInstant.plusMillis(70)),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(r2.last.contains(""""snapshots_scrubbed":["h1"]"""), r2.last)
+    assert(fps() === before,
+      "the live store must be untouched when only snapshots needed work")
+    assert(spark.read.parquet(s"$store/.snapshots/h1/documents.parquet")
+      .filter($"doc_id" === id).select($"status").as[String].head() === "removed")
+    // a third run: nothing holds any more, nothing to scrub, still not
+    // an error under the flag (idempotent compliance retry)
+    val r3 = Main.runDelete(spark, store, Seq(id),
+      Timestamp.from(now.toInstant.plusMillis(80)),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(r3.last.contains(""""snapshots_scrubbed":[]"""), r3.last)
+    assert(fps() === before)
   }
 
   test("delete: the distinct-token register line serves ≡ rebuild afterwards, at shard-bounded rescan cost") {
