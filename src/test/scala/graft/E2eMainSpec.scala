@@ -710,6 +710,32 @@ class E2eMainSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown delete flag"), e2.getMessage)
   }
 
+  test("delete without snapshot flags: an unreadable snapshot is reported on its own summary line, never silently merged into holding") {
+    val in = Files.createTempDirectory("graft_unrd_in").toFile
+    val store = Files.createTempDirectory("graft_unrd_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("target.md", "confidential okapi audit subject spark engine text")
+    put("keep.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "good")
+    graft.io.Snapshots.create(store, "bad")
+    val badDocs = new java.io.File(s"$store/.snapshots/bad/documents.parquet")
+    graft.io.Tables.rmTree(badDocs)
+    Files.write(badDocs.toPath, "garbage, not parquet".getBytes("UTF-8"))
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "target.md").select($"doc_id").as[String].head()
+    val report = Main.runDelete(spark, store, id,
+      Timestamp.from(now.toInstant.plusMillis(50)))
+    // the readable snapshot audits as holding; the unreadable one is a
+    // DISTINCT verdict with its own line — an operator can tell "this
+    // snapshot holds the doc" from "this snapshot cannot be audited"
+    assert(report.head.contains(""""snapshots_holding":["good"]"""), report.head)
+    assert(report.last === """{"snapshots_unreadable":["bad"]}""", report.last)
+    // both snapshots survive a flag-less delete untouched
+    assert(graft.io.Snapshots.list(store) === Seq("bad", "good"))
+  }
+
   test("delete --scrub-snapshots: surgical erasure — other docs' time travel survives row-for-row, rollback cannot resurrect, unreadable snapshots are refused") {
     val in = Files.createTempDirectory("graft_scrub_in").toFile
     val store = Files.createTempDirectory("graft_scrub_store").toString
