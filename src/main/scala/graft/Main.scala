@@ -2753,18 +2753,18 @@ object Main {
     // (per-doc counts, per-doc holding snapshots, unreadable snapshot
     // names) out of the lease-held transaction; the purge/scrub below
     // must run OUTSIDE the .store lease
+    // heartbeat: a GDPR-scale batch can legitimately outlast staleMs,
+    // and a taken-over lease mid-delete is exactly the lost-update the
+    // lease exists to prevent (the Wds export convention)
     val (counts, holding, unreadable) =
-      Tables.withTableLock(s"$storeDir/.store") {
-        // this transaction's scratch pins (the id set, the chunk capture)
-        // are freed before returning — repeated takedowns in a long-lived
-        // session must not accumulate pinned RDDs (the ingestBatch
-        // convention)
-        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        try deleteTransaction(spark, storeDir, ids, now,
-                              tolerateRemoved = scrubSnapshots)
-        finally spark.sparkContext.getPersistentRDDs
-          .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
-          .values.foreach(_.unpersist(blocking = false))
+      Tables.withTableLock(s"$storeDir/.store", heartbeatMs = 60000L) {
+        // this transaction's scratch pins (the id set, the chunk
+        // capture) are freed before returning — repeated takedowns in
+        // a long-lived session must not accumulate pinned RDDs
+        graft.io.Pins.sweepingNew(spark) {
+          deleteTransaction(spark, storeDir, ids, now,
+                            tolerateRemoved = scrubSnapshots)
+        }
       }
     // WHOLESALE completion: drop every holding snapshot, unreadable
     // ones included (the scaladoc'd tradeoff — erasure over history)
@@ -2800,15 +2800,15 @@ object Main {
         // it) — a restore must never relink a half-scrubbed snapshot;
         // the snapshot-root lease additionally excludes a concurrent
         // scrub of the SAME snapshot. Acquired in this fixed order
-        // only here, so no inversion exists.
-        Tables.withTableLock(s"$storeDir/.store") {
-        Tables.withTableLock(s"$snapRoot/.store") {
-          val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-          try deleteTransaction(spark, snapRoot, heldHere, now,
-                                tolerateRemoved = true)
-          finally spark.sparkContext.getPersistentRDDs
-            .filterNot { case (rid, _) => pinnedBefore.contains(rid) }
-            .values.foreach(_.unpersist(blocking = false))
+        // only here, so no inversion exists. Both heartbeat: a big
+        // snapshot's rewrite outlasting staleMs must not let a
+        // contender take over and relink mid-scrub.
+        Tables.withTableLock(s"$storeDir/.store", heartbeatMs = 60000L) {
+        Tables.withTableLock(s"$snapRoot/.store", heartbeatMs = 60000L) {
+          graft.io.Pins.sweepingNew(spark) {
+            deleteTransaction(spark, snapRoot, heldHere, now,
+                              tolerateRemoved = true)
+          }
         }
         }
       } match {
@@ -2884,7 +2884,16 @@ object Main {
     // crashed commit may have parked a table's only copy in .trash —
     // restore BEFORE the exists() checks below decide which tiers to
     // prune, or a re-run delete would silently skip a parked tier
-    StoreTables.foreach(t => Tables.restoreFromTrash(s"$storeDir/$t.parquet"))
+    StoreTables.foreach { t =>
+      Tables.restoreFromTrash(s"$storeDir/$t.parquet")
+      // and the STALE aside of a writer that crashed between its
+      // commit rename and cleanup: a re-run of a committed delete
+      // fails loudly pre-commit ("already removed") and so never
+      // reaches the writeTable that would sweep it — without this,
+      // the documented "re-run the same delete" recovery could leave
+      // pre-delete content bytes in documents.parquet.trash forever
+      Tables.sweepStaleTrash(s"$storeDir/$t.parquet")
+    }
     val docsPath = new java.io.File(s"$storeDir/documents.parquet")
     require(docsPath.exists(), s"no documents table under $storeDir")
     // the id set as a (tiny, broadcast) join side — an isin literal of
@@ -2922,6 +2931,16 @@ object Main {
     val snapAudit: Seq[(String, Option[Seq[String]])] =
       graft.io.Snapshots.list(storeDir).flatMap { name =>
         val f = new java.io.File(s"$storeDir/.snapshots/$name/documents.parquet")
+        // scrub-crash preamble: a scrub that died inside THIS
+        // snapshot's documents swap left either the only copy parked
+        // at `.trash` (heal it BEFORE the exists() decision below, or
+        // the snapshot silently audits as neither holding nor
+        // unreadable and the re-run skips it) or a stale pre-delete
+        // aside behind a committed tombstone flip (sweep it — create()
+        // never captures trash, so any trash here is crash residue
+        // whose bytes a completed erasure must not retain)
+        Tables.restoreFromTrash(f.toString)
+        Tables.sweepStaleTrash(f.toString)
         if (!f.exists()) None
         else {
           def readHeld() = scala.util.Try(

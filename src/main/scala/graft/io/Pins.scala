@@ -33,6 +33,20 @@ object Pins {
       case _ => ()
     }
 
+  /** Run `body`, then unpersist every RDD pinned DURING it — the
+    * transaction-scratch sweep the ingest and delete paths share: a
+    * long-lived session running repeated store transactions must not
+    * accumulate their localCheckpoint pins (each transaction's scratch
+    * — id sets, pre-prune captures — is dead once it returns).
+    */
+  def sweepingNew[A](spark: SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Unpersist everything pinned in the session — the between-queries
     * sweep for harnesses (Verify/Bench) whose queries are isolated and
     * fully consumed before the next starts. Pass `blocking = true` from

@@ -38,6 +38,18 @@ object Snapshots {
     * ".." would otherwise resolve `.snapshots/<name>` to the store
     * root itself, turning `dropsnapshot` into "delete the store".
     */
+  /** Entries inside a SNAPSHOT that are never state: lease/guard
+    * files and half-written tmps a `--scrub-snapshots` rewrite may
+    * leave behind. `.trash` is deliberately NOT here — a scrub that
+    * crashed mid-swap parks a table's ONLY copy at `<table>.trash`,
+    * and restore/recover must carry it into the live tree so the
+    * reader preambles can heal it (dropping it would roll back to a
+    * store with no documents table at all).
+    */
+  private def isEphemeral(name: String): Boolean =
+    name.endsWith(".lock") || name.endsWith(".lock.guard") ||
+      name.endsWith(".tmp")
+
   private def checkName(name: String): Unit =
     require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
       s"snapshot name must be a plain identifier: $name")
@@ -128,10 +140,11 @@ object Snapshots {
       .filter(s => s.isDirectory && new File(s, ManifestFile).exists())
     val result = target match {
       case Some(snap) =>
-        // transient entries (lease/guard files a snapshot SCRUB leaves
-        // behind) are not snapshot state — never relink them
+        // ephemeral entries (lease/guard/tmp files a snapshot SCRUB
+        // leaves behind) are not snapshot state — never relink them;
+        // `.trash` asides DO relink (see isEphemeral)
         val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-          .filterNot(e => e.getName == ManifestFile || isTransient(e.getName))
+          .filterNot(e => e.getName == ManifestFile || isEphemeral(e.getName))
           .toSeq
         val liveNow = Option(root.listFiles()).getOrElse(Array.empty)
           .filterNot(e => isTransient(e.getName)).toSeq
@@ -221,6 +234,13 @@ object Snapshots {
       if (snap.exists() && !new File(snap, ManifestFile).exists())
         Tables.rmTree(snap)
       require(!snap.exists(), s"snapshot $name already exists — immutable")
+      // a writer that crashed mid-swap parked a table's ONLY copy at
+      // `<table>.trash`; the walk below excludes trash (isTransient),
+      // so snapshotting without healing first would capture a store
+      // MISSING that table — and a later rollback would serve it
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".trash"))
+        .foreach(t => Tables.restoreFromTrash(t.getPath.stripSuffix(".trash")))
       Files.createDirectories(snap.toPath)
       // exclusion is two-level: the `.store` lease serializes against
       // the MULTI-table writers that honor it (the ingest transaction,
@@ -272,11 +292,13 @@ object Snapshots {
       val trash = new File(root, ".rollback_trash")
       val current = Option(root.listFiles()).getOrElse(Array.empty)
         .filterNot(e => isTransient(e.getName)).toSeq
-      // a scrubbed snapshot may hold transient lease/guard files —
+      // a scrubbed snapshot may hold ephemeral lease/guard/tmp files —
       // those are not state, and relinking one into the live root
-      // would collide with the live lease machinery
+      // would collide with the live lease machinery; `.trash` asides
+      // DO relink (a crashed scrub's parked only-copy — the live
+      // reader preamble heals it after the rollback)
       val restored = Option(snap.listFiles()).getOrElse(Array.empty)
-        .filterNot(e => e.getName == ManifestFile || isTransient(e.getName))
+        .filterNot(e => e.getName == ManifestFile || isEphemeral(e.getName))
         .toSeq
       // hold every affected entry's lease (current AND restored names)
       // for the whole park-and-relink — a single-table maintenance op

@@ -522,6 +522,23 @@ object Tables {
     live.exists()
   }
 
+  /** Sweep a STALE aside — live path present AND `.trash` present, a
+    * writer that crashed between its commit rename and the trailing
+    * cleanup: the trash is a superseded copy whose bytes an erasure
+    * must not retain. No-op when the live path is missing (the trash
+    * is then the ONLY copy — [[restoreFromTrash]]'s case, never
+    * deleted here). Double-checked under the table lease so an active
+    * swap (which holds it) is never raced.
+    */
+  def sweepStaleTrash(path: String): Unit = {
+    val live = new java.io.File(path)
+    val trash = new java.io.File(s"$path.trash")
+    if (live.exists() && trash.exists())
+      withTableLock(path) {
+        if (live.exists() && trash.exists()) rmTree(trash)
+      }
+  }
+
   /** tmp + aside-rename(.trash) + checked-renames commit of a small
     * store artifact under its table lease — the tokenizer.parquet
     * protocol, shared by every trained/derived-artifact writer. NOT

@@ -406,6 +406,112 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("scrub: a crash inside the snapshot's DOCUMENTS swap — either window — still converges and still erases the bytes") {
+    val in = mkInputs("t.txt" -> "confidential gharial scrub subject engine text",
+                      "k.txt" -> "watermark lateness checkpoint recovery streaming")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-03 12:00:00")
+    val store = Files.createTempDirectory("graft_sweep_sdw").toString
+    Main.runIngest(spark, in, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter(col("filename") === "t.md").select("doc_id").as[String].head()
+    // keep a BYTE COPY of the pre-delete snapshot documents dir to
+    // plant window B later (a hardlink copy would share the inodes)
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        Files.createDirectories(dst.toPath)
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    val saved = Files.createTempDirectory("graft_sweep_sdw_save").toFile
+    val snapDocs = new java.io.File(s"$snapRoot/documents.parquet")
+    copyTree(snapDocs, new java.io.File(saved, "docs"))
+    Main.runDelete(spark, store, id, delAt) // live half committed
+    def bytesHold(root: String, needle: String): Boolean = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).exists(f =>
+        new String(Files.readAllBytes(f.toPath), "ISO-8859-1").contains(needle))
+    }
+    // WINDOW A — the aside-crash state: the scrub died between the
+    // documents aside-rename and its commit, the snapshot's only copy
+    // parked at .trash, the live name GONE. Without the audit preamble
+    // the snapshot audits as neither holding nor unreadable and the
+    // re-run skips it while the content survives.
+    val trash = new java.io.File(s"$snapRoot/documents.parquet.trash")
+    require(snapDocs.renameTo(trash), "window-A setup rename failed")
+    val rA = Main.runDelete(spark, store, Seq(id), delAt,
+                            purgeSnapshots = false, scrubSnapshots = true)
+    assert(rA.last.contains(""""snapshots_scrubbed":["s1"]"""), rA.mkString("\n"))
+    assert(snapDocs.isDirectory && !trash.exists(),
+      "the parked copy must be healed and the swap completed")
+    assert(spark.read.parquet(snapDocs.toString)
+      .filter(col("doc_id") === id).select("status").as[String].head()
+      == "removed")
+    assert(!bytesHold(snapRoot, "gharial"), "window A: bytes must be erased")
+    // WINDOW B — the stale-aside state: a scrub crashed between the
+    // documents commit rename and its trash cleanup, leaving the
+    // PRE-DELETE rows at .trash behind a committed tombstone flip. The
+    // snapshot no longer audits as holding, so only the audit's stale-
+    // trash sweep can retire those bytes.
+    copyTree(new java.io.File(saved, "docs"), trash)
+    // the documents table stores content BASE64-encoded — grep for the
+    // encoded form (short content, so Spark's MIME-chunked base64 has
+    // no \r\n line breaks to split the needle)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "confidential gharial scrub subject engine text".getBytes("UTF-8"))
+    assert(bytesHold(snapRoot, b64), "window-B planting must hold the bytes")
+    val rB = Main.runDelete(spark, store, Seq(id), delAt,
+                            purgeSnapshots = false, scrubSnapshots = true)
+    assert(rB.last.contains(""""snapshots_scrubbed":[]"""), rB.mkString("\n"))
+    assert(!trash.exists(), "window B: the stale aside must be swept")
+    assert(!bytesHold(snapRoot, b64), "window B: bytes must be erased")
+    assert(!bytesHold(snapRoot, "gharial"))
+    graft.io.Tables.rmTree(saved)
+  }
+
+  test("rollback to a half-scrubbed snapshot carries the parked table; the reader preamble heals the live store") {
+    val in = mkInputs(batch1: _*)
+    val store = Files.createTempDirectory("graft_sweep_hsr").toString
+    Main.runIngest(spark, in, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val want = state(store)
+    // simulate a scrub that died inside s1's documents swap (aside
+    // window): the snapshot's only documents copy sits at .trash
+    val snapDocs = new java.io.File(s"$store/.snapshots/s1/documents.parquet")
+    require(snapDocs.renameTo(
+      new java.io.File(s"$store/.snapshots/s1/documents.parquet.trash")))
+    graft.io.Snapshots.restore(store, "s1")
+    // the parked aside MUST have been carried into the live tree —
+    // filtering it with the ephemeral lease files would roll back to a
+    // store with no documents table at all, its only copy stranded
+    val (lines, nViol) = Main.runFsck(spark, store)
+    assert(new java.io.File(s"$store/documents.parquet").isDirectory,
+      s"the reader preamble must heal the carried aside:\n${lines.mkString("\n")}")
+    assert(nViol == 0L, lines.mkString("\n"))
+    assert(state(store) == want, "the healed rollback serves the snapshot state")
+  }
+
+  test("snapshot create heals a parked table first: captured history is complete") {
+    val in = mkInputs(batch1: _*)
+    val store = Files.createTempDirectory("graft_sweep_chp").toString
+    Main.runIngest(spark, in, store, "nomic", now)
+    val want = state(store)
+    // a writer crashed between aside-rename and commit: the live
+    // documents name is gone, the only copy parked at .trash
+    val docs = new java.io.File(s"$store/documents.parquet")
+    require(docs.renameTo(new java.io.File(s"$store/documents.parquet.trash")))
+    graft.io.Snapshots.create(store, "s1")
+    assert(new java.io.File(s"$store/.snapshots/s1/documents.parquet").isDirectory,
+      "create must heal the parked table before walking, or history is missing it")
+    // and the healed capture round-trips
+    graft.io.Snapshots.restore(store, "s1")
+    assert(state(store) == want)
+  }
+
   test("snapshot restore: a crash at every step converges to the snapshot via fsck") {
     val in1 = mkInputs(batch1: _*); val in2 = mkInputs(batch2: _*)
     val store = Files.createTempDirectory("graft_sweep_snap").toString
