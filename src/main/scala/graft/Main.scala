@@ -96,13 +96,19 @@ object Main {
       val spark = session()
       runGetEmbeddings(spark, store, docId, rest.headOption).foreach(println)
       spark.stop()
-    case "fsck" :: store :: rest if rest.forall(_ == "--repair") =>
+    case "fsck" :: store :: rest
+        if rest.forall(f => f == "--repair" || f == "--snapshots") =>
       val spark = session()
-      val (lines, nViol) = runFsck(spark, store)
+      val snaps = rest.contains("--snapshots")
+      val (lines, nViol) = runFsck(spark, store, snapshots = snaps)
       lines.foreach(println)
-      if (rest.contains("--repair") && nViol > 0) {
-        runFsckRepair(spark, store).foreach(println)
-        val (after, nAfter) = runFsck(spark, store)
+      // --repair runs even with zero violations: the stale-aside
+      // sweep targets DRIFT (violation=false) that nothing else
+      // cleans outside a delete path, and a clean store's repair is
+      // a handful of counts — cheaper than a second operator visit
+      if (rest.contains("--repair")) {
+        runFsckRepair(spark, store, snapshots = snaps).foreach(println)
+        val (after, nAfter) = runFsck(spark, store, snapshots = snaps)
         after.foreach(println)
         spark.stop()
         if (nAfter > 0) sys.exit(1)
@@ -310,7 +316,7 @@ object Main {
         "[--target=<dir>] [--gopher[=minWords]] [--semdedup] [--pack=<tokens>] " +
         "[--redact] | " +
         "delete <store> <docId> [docId ...] [--ids-file=F] [--purge-snapshots|--scrub-snapshots] | " +
-        "fsck <store> [--repair] | compact <store> [targetBytes] | " +
+        "fsck <store> [--repair] [--snapshots] | compact <store> [targetBytes] | " +
         "snapshot <store> <name> | rollback <store> <name> | snapshots <store> | dropsnapshot <store> <name> | " +
         "profile <store> [--rebuild] [--token=<t> ...] [--snapshot=<name>] | dupreport <inDir> [topK] | " +
         "postings <store> [nBuckets] | phrase <store> <phrase> | " +
@@ -663,10 +669,15 @@ object Main {
     // gate the EXACT register rebuild: few touched shards → the
     // register line serves ≡ rescan at shard-bounded cost; a wide
     // batch keeps the documented monotone fold (ProfileState
-    // .MaxExactShards)
-    val profSubIds: Seq[String] = staleStored
-      .map(_.select($"doc_id").distinct().as[String].collect().toSeq)
-      .getOrElse(Nil)
+    // .MaxExactShards). Collected ONLY on the fold path —
+    // commitAfterChunks reads subDocIds only when foldable, so on the
+    // out-of-sync/rebuild path the distinct+collect would be pure
+    // wasted driver work (and memory, on a large re-ingest batch).
+    val profSubIds: Seq[String] =
+      if (profileFoldable) staleStored
+        .map(_.select($"doc_id").distinct().as[String].collect().toSeq)
+        .getOrElse(Nil)
+      else Nil
     val regsRescanned = graft.text.ProfileState.commitAfterChunks(
       spark, storeDir, chunksDirF,
       profileFoldable, oldProfile, addChunks = chunked,
@@ -1657,7 +1668,15 @@ object Main {
     *    lag between batches because the next ingest reconciles them
     *    (the postings index and the vector index vs the store slice),
     *    plus coverage infos (chunks lacking an embedding for a stored
-    *    provider, kept docs too short to carry signatures).
+    *    provider, kept docs too short to carry signatures), plus
+    *    STALE asides (live + `.trash` both present — a writer that
+    *    crashed between commit and cleanup; `--repair` sweeps them).
+    *
+    * `snapshots = true` (`--snapshots`) additionally runs the same
+    * audit at every snapshot root — the cron-able detector for
+    * half-scrubbed history now that `--scrub-snapshots` rewrites
+    * snapshots in place; each snapshot's lines carry a `"snapshot"`
+    * field and its violations count toward the exit code.
     *
     * Every check is one anti-join/aggregate over a pinned snapshot of
     * the tables (counts, never row collects); the audit itself never
@@ -1670,11 +1689,43 @@ object Main {
     * line. Returns (one JSON line per check, violation total) — the
     * CLI exits nonzero on violations so cron can page on it.
     */
-  def runFsck(spark: SparkSession, storeDir: String): (Seq[String], Long) = {
-    import graft.search.VectorIndex
+  def runFsck(spark: SparkSession, storeDir: String,
+              snapshots: Boolean = false): (Seq[String], Long) = {
     val converged = graft.io.Snapshots.recover(storeDir).map { action =>
       s"""{"check":"interrupted_restore_converged","count":1,"violation":false,"action":"$action"}"""
-    }.toSeq ++ {
+    }.toSeq
+    val (liveLines, liveViol) = fsckRoot(spark, storeDir, tag = "")
+    // `--snapshots`: the SAME audit at each snapshot root — a snapshot
+    // is a complete store, and since `--scrub-snapshots` ended
+    // snapshot immutability a crashed scrub can leave one
+    // half-rewritten. Each snapshot's lines carry a "snapshot" field;
+    // its violations count toward the exit code. This is the cron-able
+    // detector for half-scrubbed history: a scrub killed inside a
+    // snapshot's documents swap shows up here (table restored from
+    // trash / stale aside / orphan tiers) BEFORE the operator re-runs
+    // the delete that converges it.
+    val snapResults =
+      if (snapshots)
+        graft.io.Snapshots.list(storeDir).map { name =>
+          fsckRoot(spark, s"$storeDir/.snapshots/$name",
+                   tag = s""","snapshot":"${jsonEscape(name)}"""")
+        }
+      else Nil
+    val nViol = liveViol + snapResults.map(_._2).sum
+    (converged ++ liveLines ++ snapResults.flatMap(_._1) :+
+       s"""{"violations":$nViol}""", nViol)
+  }
+
+  /** One root's worth of [[runFsck]] checks (the live store, or — for
+    * `--snapshots` — each snapshot root, which is a complete store).
+    * `tag` is appended verbatim inside every emitted JSON line.
+    * Returns (lines, violation count); the caller owns the
+    * `{"violations":N}` trailer.
+    */
+  private def fsckRoot(spark: SparkSession, storeDir: String,
+                       tag: String): (Seq[String], Long) = {
+    import graft.search.VectorIndex
+    val converged = {
       // table-level twin of the writer preamble: a writeTable that died
       // between aside-rename and commit parked the only complete copy
       // in <table>.parquet.trash — the next WRITE would heal it, but an
@@ -1691,9 +1742,27 @@ object Main {
               require(trash.renameTo(live),
                 s"restoring ${live.getName} from trash failed")
               Some(s"""{"check":"table_restored_from_trash","count":1,""" +
-                s""""violation":false,"table":"${live.getName}"}""")
+                s""""violation":false,"table":"${live.getName}"$tag}""")
             } else None
           }
+        }.toSeq
+    } ++ {
+      // STALE asides — live AND trash both present, a writer that
+      // crashed between its commit rename and the trailing cleanup.
+      // The live copy is the committed one, so this is DRIFT, not a
+      // violation — but the trash retains superseded bytes (on a
+      // delete path, pre-delete content) until something sweeps it.
+      // The delete/scrub preambles sweep their own tables; a crashed
+      // NON-delete writer's aside waits for `fsck --repair`, which
+      // sweeps exactly these (the audit itself only counts).
+      Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".trash") &&
+          new java.io.File(storeDir,
+            f.getName.stripSuffix(".trash")).exists())
+        .sortBy(_.getName)
+        .map { trash =>
+          s"""{"check":"stale_aside","count":1,"violation":false,""" +
+            s""""table":"${trash.getName.stripSuffix(".trash")}"$tag}"""
         }.toSeq
     }
     def tbl(name: String): Option[DataFrame] = {
@@ -1703,7 +1772,7 @@ object Main {
     val docsOpt = tbl("documents")
     if (docsOpt.isEmpty)
       return (converged :+
-        """{"check":"documents_table_present","count":1,"violation":true}""", 1L)
+        s"""{"check":"documents_table_present","count":1,"violation":true$tag}""", 1L)
     // pin one snapshot per table — EVERY table the audit reads, not
     // just the big three: each feeds several checks, the audit must
     // judge a single consistent state of the store, and fsck takes no
@@ -1816,10 +1885,10 @@ object Main {
         vecOpt.flatMap(_._2)).foreach(_.unpersist(false))
     }
     val lines = checks.toSeq.map { case (name, n, viol) =>
-      s"""{"check":"$name","count":$n,"violation":$viol}"""
+      s"""{"check":"$name","count":$n,"violation":$viol$tag}"""
     }
     val nViol = checks.collect { case (_, n, true) => n }.sum
-    (converged ++ lines :+ s"""{"violations":$nViol}""", nViol)
+    (converged ++ lines, nViol)
   }
 
   // ------------------------------------------------------------- fsck repair
@@ -1832,15 +1901,52 @@ object Main {
     * store's aside-rename swap under the writer lease; the derived
     * tiers are untouched — a prune widens their drift and the next
     * ingest reconcile heals it, exactly the contract fsck documents.
-    * Returns per-table pruned counts; re-run `fsck` after to confirm.
+    * Also sweeps STALE asides (live + `.trash` both present — the
+    * audit's `stale_aside` drift): the live copy is the committed
+    * one, so the superseded trash bytes (on a delete path,
+    * pre-delete content) are removed under each table lease. With
+    * `snapshots = true` the stale-aside sweep ONLY also runs at each
+    * snapshot root — snapshot trash is always scrub-crash residue
+    * (create() never captures trash), never snapshot content, and
+    * row pruning at a snapshot root stays the scrub transaction's
+    * job. Returns per-table pruned/swept counts; re-run `fsck` after
+    * to confirm.
     */
-  def runFsckRepair(spark: SparkSession, storeDir: String): Seq[String] =
+  def runFsckRepair(spark: SparkSession, storeDir: String,
+                    snapshots: Boolean = false): Seq[String] =
     // multi-table writer: same store-level transaction lease as the
     // ingest commit (see ingestBatch) so a snapshot never captures a
-    // half-repaired cross-table state
+    // half-repaired cross-table state — and, for the snapshot sweep,
+    // so a concurrent snapshot restore/drop (which takes it) is
+    // excluded while crash residue is removed from a snapshot root
     Tables.withTableLock(s"$storeDir/.store") {
-      runFsckRepairInner(spark, storeDir)
+      val live = runFsckRepairInner(spark, storeDir)
+      val snapLines =
+        if (snapshots)
+          graft.io.Snapshots.list(storeDir).flatMap { name =>
+            sweepStaleAsides(s"$storeDir/.snapshots/$name").map(t =>
+              s"""{"table":"$t","stale_aside_swept":true,""" +
+                s""""snapshot":"${jsonEscape(name)}"}""")
+          }
+        else Nil
+      live ++ snapLines
     }
+
+  /** Sweep every stale aside (live + `.trash` both present) directly
+    * under `root`, returning the swept live names. [[Tables.sweepStaleTrash]]
+    * double-checks under the table lease, so an in-flight swap —
+    * which holds it — is never raced.
+    */
+  private def sweepStaleAsides(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".trash") &&
+        new java.io.File(root, f.getName.stripSuffix(".trash")).exists())
+      .sortBy(_.getName).toSeq
+      .map { trash =>
+        val name = trash.getName.stripSuffix(".trash")
+        Tables.sweepStaleTrash(s"$root/$name")
+        name
+      }
 
   private def runFsckRepairInner(spark: SparkSession,
                                  storeDir: String): Seq[String] = {
@@ -1879,6 +1985,13 @@ object Main {
       }
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
+    // stale-aside sweep (the audit's `stale_aside` drift → zero):
+    // restore-from-trash above handled the live-missing case; what
+    // remains in .trash beside a live table is a superseded copy a
+    // crashed writer never cleaned up — swept here so an erasure's
+    // bytes don't outlive the committed delete in a trash dir
+    out ++= sweepStaleAsides(storeDir).map(t =>
+      s"""{"table":"$t","stale_aside_swept":true}""")
     val docs = spark.read.parquet(tblFile("documents").toString)
     val liveIds = docs.filter(!col("status").isin(Schemas.DocumentStatus.Dead: _*))
       .select(col("doc_id")).localCheckpoint(true)
@@ -2726,7 +2839,11 @@ object Main {
     *    scrub fails — or whose documents table is UNREADABLE (scrub
     *    needs to read what it rewrites) — is reported loudly while the
     *    committed delete stands: inspect it, then `dropsnapshot` or
-    *    re-run with `--purge-snapshots`.
+    *    re-run with `--purge-snapshots`. SCHEDULING NOTE: each
+    *    snapshot's rewrite holds the live `.store` lease (a restore
+    *    must never relink a half-scrubbed snapshot), so a store with
+    *    many large holding snapshots serializes ingest/delete writers
+    *    behind the compliance pass — schedule big scrubs off-peak.
     *  - `--purge-snapshots` (WHOLESALE): every holding snapshot is
     *    dropped entirely — [[graft.io.Snapshots.drop]] outside the
     *    store lease (it takes it itself); a failed drop is loud while
@@ -2737,7 +2854,17 @@ object Main {
     *    be blocked by a damaged backup — so if its other contents
     *    might matter, inspect it first (`snapshot` list + a
     *    `--snapshot=` read) or use `--scrub-snapshots`, which refuses
-    *    unreadable snapshots instead of destroying them.
+    *    unreadable snapshots instead of destroying them. The summary
+    *    line's `purged_for_unreadability` names exactly the snapshots
+    *    dropped for that reason (vs provably holding the ids).
+    *
+    * Both completions end with a ROLLBACK-RACE POSTCHECK: the per-
+    * snapshot loops re-acquire the live lease between snapshots, so a
+    * concurrent `rollback` to a not-yet-processed holding snapshot
+    * could relink pre-delete content live mid-command — the command
+    * re-reads the live documents table under the lease after the last
+    * snapshot and fails loudly if any id is no longer tombstoned
+    * (recovery: re-run the same command).
     */
   def runDelete(spark: SparkSession, storeDir: String, docId: String,
                 now: Timestamp): Seq[String] =
@@ -2832,6 +2959,35 @@ object Main {
           s"snapshots [${unreadable.sorted.mkString(", ")}] are UNREADABLE " +
           s"and may still hold the docs — inspect and dropsnapshot them, " +
           s"or re-run with --purge-snapshots")
+    // ROLLBACK-RACE POSTCHECK (erasure completions only): the purge/
+    // scrub loops above re-acquire the live .store lease per snapshot,
+    // so between the committed live delete and a given snapshot's turn
+    // a concurrent `rollback` to a NOT-YET-PROCESSED holding snapshot
+    // can relink pre-delete content into the live store — and without
+    // this check the command would still end reporting the docs
+    // deleted and every snapshot handled. Re-read the live documents
+    // table under the lease and fail loudly if any id is no longer
+    // tombstoned; the recovery is re-running the SAME command (the
+    // rolled-back-to snapshot is a complete store, so the re-run
+    // deletes from it like any live store and re-completes erasure).
+    if (purgeSnapshots || scrubSnapshots) {
+      val resurrected = Tables.withTableLock(s"$storeDir/.store") {
+        import spark.implicits._
+        val f = new java.io.File(s"$storeDir/documents.parquet")
+        Tables.restoreFromTrash(f.toString)
+        if (!f.exists()) Nil
+        else spark.read.parquet(f.toString)
+          .join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+          .filter(col("status") =!= lit(Schemas.DocumentStatus.Removed))
+          .select(col("doc_id")).as[String].collect().toSeq.sorted
+      }
+      if (resurrected.nonEmpty)
+        throw new IllegalStateException(
+          s"delete COMMITTED and snapshots handled, but a concurrent " +
+            s"rollback mid-command resurrected [${resurrected.mkString(", ")}] " +
+            s"in the live store — re-run the same delete command to " +
+            s"re-complete the erasure")
+    }
     val gone = purgedSet ++ scrubbedSet
     val lines = ids.map { id =>
       val (nChunks, nEmb, nSigs) = counts(id)
@@ -2840,10 +2996,18 @@ object Main {
         s""""embeddings_removed":$nEmb,"signatures_removed":$nSigs,""" +
         s""""snapshots_holding":[${held.map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}"""
     }
+    // names dropped ONLY for unreadability (the audit could not know
+    // whether they held the ids) reported apart from the holding ones,
+    // so the operator can see which purged history was destroyed as a
+    // side effect of the damaged-backup tradeoff rather than because
+    // it provably held the docs
+    val purgedUnreadable = unreadable.filter(purgedSet).sorted
     val summary =
       (if (purgeSnapshots)
          Seq(s"""{"snapshots_purged":[${purgedSet.toSeq.sorted
-           .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
+             .map(n => s""""${jsonEscape(n)}"""").mkString(",")}],""" +
+           s""""purged_for_unreadability":[${purgedUnreadable
+             .map(n => s""""${jsonEscape(n)}"""").mkString(",")}]}""")
        else Nil) ++
       (if (scrubSnapshots)
          Seq(s"""{"snapshots_scrubbed":[${scrubbedSet.toSeq.sorted

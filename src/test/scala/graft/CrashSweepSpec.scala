@@ -748,6 +748,45 @@ class CrashSweepSpec extends SparkSpec {
     assert(ann.nonEmpty, "the rebuilt index must serve")
   }
 
+  test("fsck: a stale aside (live + trash both present) is counted as drift; --repair sweeps exactly it and nothing else") {
+    val in = mkInputs(batch1: _*)
+    val store = Files.createTempDirectory("graft_sweep_sta").toString
+    Main.runIngest(spark, in, store, "nomic", now)
+    val want = state(store)
+    // a NON-delete writer crashed between its commit rename and the
+    // trailing cleanup: the committed table and its superseded aside
+    // are BOTH present. No delete/scrub path ever visits this store,
+    // so before r17 only the next writer of this exact table would
+    // ever retire the aside's bytes.
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        Files.createDirectories(dst.toPath)
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    val docs = new java.io.File(s"$store/documents.parquet")
+    val trash = new java.io.File(s"$store/documents.parquet.trash")
+    copyTree(docs, trash)
+    // the audit COUNTS it as drift (violation=false — the live copy is
+    // the committed one) and touches nothing
+    val (pre, preViol) = Main.runFsck(spark, store)
+    assert(preViol == 0L, pre.mkString("\n"))
+    assert(pre.exists(l => l.contains(""""check":"stale_aside"""") &&
+      l.contains("documents.parquet")), pre.mkString("\n"))
+    assert(trash.isDirectory, "the audit itself must not sweep")
+    // --repair sweeps exactly the aside: trash gone, committed tables
+    // byte-identical, restore-from-trash behavior (live missing)
+    // untouched by construction — it is a different branch
+    val rep = Main.runFsckRepair(spark, store)
+    assert(rep.exists(l => l.contains("stale_aside_swept") &&
+      l.contains("documents.parquet")), rep.mkString("\n"))
+    assert(!trash.exists() && docs.isDirectory)
+    assert(state(store) == want, "repair must not touch committed tables")
+    val (post, postViol) = Main.runFsck(spark, store)
+    assert(postViol == 0L, post.mkString("\n"))
+    assert(!post.exists(_.contains("stale_aside")), post.mkString("\n"))
+  }
+
   test("table compaction: an after-aside crash restores from trash on the re-run") {
     val dir = Files.createTempDirectory("graft_sweep_cmp").toString
     val path = s"$dir/t.parquet"

@@ -669,6 +669,12 @@ class E2eMainSpec extends SparkSpec {
                                 purgeSnapshots = true)
     assert(report.head.contains(""""snapshots_holding":[]"""), report.head)
     assert(report.last.contains(""""snapshots_purged":["s1","s2"]"""), report.last)
+    // the damaged-backup tradeoff is itemized: s2 was dropped because
+    // it could not be audited, NOT because it provably held the id —
+    // the summary names it apart so the operator knows which purged
+    // history was destroyed as a side effect
+    assert(report.last.contains(""""purged_for_unreadability":["s2"]"""),
+      report.last)
     assert(graft.io.Snapshots.list(store).isEmpty,
       "both holding snapshots must be gone")
     // a rollback to the purged history is impossible — erasure complete
@@ -889,6 +895,109 @@ class E2eMainSpec extends SparkSpec {
       purgeSnapshots = false, scrubSnapshots = true)
     assert(r3.last.contains(""""snapshots_scrubbed":[]"""), r3.last)
     assert(fps() === before)
+  }
+
+  test("fsck --snapshots: a planted half-scrub is counted before the re-run and clean after; the scrubbed store audits all-zero including its snapshots") {
+    val in = Files.createTempDirectory("graft_fsnap_in").toFile
+    val store = Files.createTempDirectory("graft_fsnap_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("t.md", "confidential okapi scrub subject engine text")
+    put("k.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "t.md").select($"doc_id").as[String].head()
+    Main.runDelete(spark, store, id, Timestamp.from(now.toInstant.plusMillis(50)))
+    // plant the half-scrub: a scrub died inside s1's documents swap
+    // (aside window) — the snapshot's only documents copy parked at
+    // .trash, the live name gone
+    val snapDocs = new java.io.File(s"$snapRoot/documents.parquet")
+    require(snapDocs.renameTo(
+      new java.io.File(s"$snapRoot/documents.parquet.trash")))
+    // the live-only audit is clean — it cannot see snapshot damage
+    val (liveLines, liveViol) = Main.runFsck(spark, store)
+    assert(liveViol === 0L, liveLines.mkString("\n"))
+    assert(!liveLines.exists(_.contains(""""snapshot":"s1"""")))
+    // fsck --snapshots COUNTS it (and heals the parked copy — the
+    // shared reader-preamble convention), tagged with the snapshot name
+    val (pre, _) = Main.runFsck(spark, store, snapshots = true)
+    assert(pre.exists(l =>
+      l.contains(""""check":"table_restored_from_trash"""") &&
+        l.contains(""""snapshot":"s1"""")), pre.mkString("\n"))
+    assert(snapDocs.isDirectory, "the audit heals the parked snapshot table")
+    // the documented convergence: re-run the delete under the flag
+    val report = Main.runDelete(spark, store, Seq(id),
+      Timestamp.from(now.toInstant.plusMillis(60)),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""), report.last)
+    // post-scrub: all-zero including the snapshot — zero violations and
+    // zero crash-residue lines anywhere, with the snapshot audited
+    val (post, postViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(postViol === 0L, post.mkString("\n"))
+    assert(!post.exists(l => l.contains("table_restored_from_trash") ||
+      l.contains("stale_aside")), post.mkString("\n"))
+    assert(post.exists(_.contains(""""snapshot":"s1"""")),
+      "the snapshot root must actually have been audited")
+    // per-snapshot evidence: the scrub is the snapshot's OWN delete
+    // transaction, so its runlog carries exactly one delete entry —
+    // the auditable trace PROBE_DELETE's scrub-cost row relies on
+    assert(spark.read.parquet(s"$snapRoot/runlog.parquet")
+      .filter($"metric" === "n_docs_deleted").count() === 1L,
+      "the scrubbed snapshot's runlog must evidence its own delete")
+  }
+
+  test("scrub with a vector index: the snapshot's index is reconciled to its embeddings slice; --snapshot --ann serving excludes the scrubbed id") {
+    import graft.search.VectorIndex
+    val in = Files.createTempDirectory("graft_scrvi_in").toFile
+    val store = Files.createTempDirectory("graft_scrvi_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("t.md", "confidential markhor spark query engine performance text")
+    put("k.md", "watermark lateness checkpoint recovery for streaming")
+    put("k2.md", "vector index probes and cell balancing maintenance notes")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    Main.runBuildVectorIndex(spark, store, "nomic", nlist = 2)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    val id = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "t.md").select($"doc_id").as[String].head()
+    assert(spark.read.parquet(VectorIndex.indexPath(snapRoot))
+      .filter($"chunk_id".startsWith(id)).count() > 0L,
+      "precondition: the snapshot's index holds the target")
+    val report = Main.runDelete(spark, store, Seq(id),
+      Timestamp.from(now.toInstant.plusMillis(50)),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""), report.last)
+    // the reconcile invariant INSIDE the snapshot: its index mirrors
+    // its own post-scrub embeddings slice exactly (the same invariant
+    // ingest maintains live), with the scrubbed id gone from both
+    def ids(path: String) = spark.read.parquet(path)
+      .select($"chunk_id").as[String].collect().toSet
+    val snapSlice = spark.read.parquet(s"$snapRoot/embeddings.parquet")
+      .filter($"embedding_provider" ===
+        VectorIndex.readMeta(VectorIndex.indexPath(snapRoot)).provider)
+      .select($"chunk_id").as[String].collect().toSet
+    assert(ids(VectorIndex.indexPath(snapRoot)) === snapSlice,
+      "the snapshot's index must mirror its embeddings slice")
+    assert(!snapSlice.exists(_.startsWith(id)))
+    // --snapshot= --ann serving (the CLI's openRoot path): the stored
+    // index inside the snapshot answers, and never cites the scrubbed id
+    val served = Main.runSearchAnn(spark,
+      graft.io.Snapshots.openRoot(store, "s1"),
+      "spark query engine performance", k = 3, nprobe = 2)
+    assert(served.nonEmpty, "the snapshot's index must serve")
+    assert(!served.exists(_.contains(id)),
+      "--snapshot --ann must not cite the scrubbed id")
+    // and the sibling live index still mirrors the live slice
+    val liveSlice = spark.read.parquet(s"$store/embeddings.parquet")
+      .filter($"embedding_provider" ===
+        VectorIndex.readMeta(VectorIndex.indexPath(store)).provider)
+      .select($"chunk_id").as[String].collect().toSet
+    assert(ids(VectorIndex.indexPath(store)) === liveSlice)
+    val (post, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol === 0L, post.mkString("\n"))
   }
 
   test("delete: the distinct-token register line serves ≡ rebuild afterwards, at shard-bounded rescan cost") {
