@@ -1676,7 +1676,12 @@ object Main {
     * audit at every snapshot root — the cron-able detector for
     * half-scrubbed history now that `--scrub-snapshots` rewrites
     * snapshots in place; each snapshot's lines carry a `"snapshot"`
-    * field and its violations count toward the exit code.
+    * field and its violations count toward the exit code. A snapshot
+    * whose audit itself DIES (corrupt parquet footer, truncated file)
+    * is counted as a `snapshot_audit_failed` violation for that name
+    * and the walk continues — surfacing exactly such damage is the
+    * detector's job, and crashing on the first broken root would
+    * silently skip the rest of the history it was asked to check.
     *
     * Every check is one anti-join/aggregate over a pinned snapshot of
     * the tables (counts, never row collects); the audit itself never
@@ -1704,11 +1709,25 @@ object Main {
     // snapshot's documents swap shows up here (table restored from
     // trash / stale aside / orphan tiers) BEFORE the operator re-runs
     // the delete that converges it.
+    // one damaged snapshot must not kill the cron: a root whose audit
+    // itself dies (corrupt parquet footer, truncated file) is COUNTED
+    // as a violation for that snapshot and the walk continues — the
+    // detector's whole job is surfacing exactly such damage, and an
+    // audit that crashes on the first broken root silently skips the
+    // rest of the history it was asked to check
     val snapResults =
       if (snapshots)
         graft.io.Snapshots.list(storeDir).map { name =>
-          fsckRoot(spark, s"$storeDir/.snapshots/$name",
-                   tag = s""","snapshot":"${jsonEscape(name)}"""")
+          try fsckRoot(spark, s"$storeDir/.snapshots/$name",
+                       tag = s""","snapshot":"${jsonEscape(name)}"""")
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              val why = jsonEscape(
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+              (Seq(s"""{"check":"snapshot_audit_failed","count":1,""" +
+                s""""violation":true,"snapshot":"${jsonEscape(name)}",""" +
+                s""""error":"$why"}"""), 1L)
+          }
         }
       else Nil
     val nViol = liveViol + snapResults.map(_._2).sum
@@ -2893,6 +2912,11 @@ object Main {
                             tolerateRemoved = scrubSnapshots)
         }
       }
+    // the live delete is COMMITTED and the lease released; the
+    // completion loops below re-acquire it per snapshot — the window
+    // the rollback-race postcheck (end of this method) guards, and
+    // where ConcurrencySpec interleaves a rollback deterministically
+    graft.io.Faults.point("delete.after-live-commit")
     // WHOLESALE completion: drop every holding snapshot, unreadable
     // ones included (the scaladoc'd tradeoff — erasure over history)
     val toPurge =

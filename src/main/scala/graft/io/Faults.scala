@@ -26,16 +26,33 @@ object Faults {
       extends RuntimeException(s"injected crash at $point")
 
   private val armed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val hooks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
 
-  /** Declare a crash point. No-op (one set-emptiness check) unless a
-    * spec armed exactly this name.
+  /** Declare a crash point. No-op (two map-emptiness checks) unless a
+    * spec armed or hooked exactly this name.
     */
-  def point(name: String): Unit =
+  def point(name: String): Unit = {
     if (!armed.isEmpty && armed.remove(name)) throw new InjectedCrash(name)
+    if (!hooks.isEmpty) {
+      val h = hooks.remove(name)
+      if (h != null) h()
+    }
+  }
 
   /** Arm `name` to crash on its next occurrence. Test-only. */
   def arm(name: String): Unit = armed.add(name)
 
+  /** Run `body` once when `name` is next reached — the RACE twin of
+    * [[arm]]: instead of dying at the point, the operation pauses on
+    * its own thread while a concurrent actor's work (a rollback, an
+    * ingest) lands, then continues — deterministic interleaving for
+    * race specs, no sleeps or real threads. Auto-removes after
+    * firing, like [[arm]]. Test-only.
+    */
+  def hookOnce(name: String)(body: => Unit): Unit =
+    hooks.put(name, () => body)
+
   /** Disarm everything (spec cleanup). */
-  def reset(): Unit = armed.clear()
+  def reset(): Unit = { armed.clear(); hooks.clear() }
 }

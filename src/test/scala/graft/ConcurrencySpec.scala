@@ -164,6 +164,114 @@ class ConcurrencySpec extends SparkSpec {
       == "removed", "resurrection blocked after the race")
   }
 
+  test("delete --scrub-snapshots racing a rollback: the postcheck detects the resurrected id and fails loudly; re-running the same command completes erasure") {
+    // the per-snapshot completion loop re-acquires the live .store
+    // lease between snapshots, so a rollback can land pre-delete
+    // content live MID-COMMAND — the exact window runDelete's
+    // rollback-race postcheck guards. Interleaved deterministically:
+    // Faults.hookOnce runs the rollback at the committed-live-delete
+    // point on the command's own thread (no sleeps, no real threads).
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    val in = Files.createTempDirectory("graft_rbrace_in").toFile
+    Seq("a.txt" -> "confidential saiga rollback race subject text",
+        "b.txt" -> "watermark lateness checkpoint recovery streaming")
+      .foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8")) }
+    val store = Files.createTempDirectory("graft_rbrace_store").toString
+    Main.runIngest(spark, in.toString, store, "nomic", now1)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    val aId = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "a.md").select($"doc_id").as[String].head()
+    def status(root: String): String = spark.read
+      .parquet(s"$root/documents.parquet")
+      .filter($"doc_id" === aId).select($"status").as[String].head()
+    graft.io.Faults.hookOnce("delete.after-live-commit") {
+      graft.io.Snapshots.restore(store, "s1")
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        Main.runDelete(spark, store, Seq(aId), delAt,
+                       purgeSnapshots = false, scrubSnapshots = true)
+      }
+      assert(e.getMessage.contains("resurrected") &&
+        e.getMessage.contains(aId), e.getMessage)
+    } finally graft.io.Faults.reset()
+    // the command did NOT end silently green: the snapshot's own scrub
+    // landed (its root is erased), while the live store carries the
+    // rolled-back pre-delete copy the postcheck detected
+    assert(status(snapRoot) == "removed", "the snapshot scrub itself landed")
+    assert(status(store) != "removed", "the rollback won the live store")
+    // the documented recovery: the SAME command re-run. The live
+    // transaction re-deletes; the scrubbed snapshot no longer holds
+    // the id, so the completion has nothing left to do.
+    val report = Main.runDelete(spark, store, Seq(aId),
+      java.sql.Timestamp.valueOf("2025-06-03 12:00:00"),
+      purgeSnapshots = false, scrubSnapshots = true)
+    assert(report.last.contains(""""snapshots_scrubbed":[]"""), report.last)
+    assert(status(store) == "removed")
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === aId).count() == 0L)
+    val (lines, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol == 0L, lines.mkString("\n"))
+    val locks = new java.io.File(store).list().filter(_.endsWith(".lock"))
+    assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
+  }
+
+  test("delete --purge-snapshots racing a rollback: the postcheck detects the resurrected id; re-running completes erasure with no snapshots left") {
+    // the purge twin of the scrub race above: the rollback lands after
+    // the live commit, the purge loop still drops the snapshot, and
+    // without the postcheck the command would end green over a live
+    // store carrying the rolled-back pre-delete copy.
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    val in = Files.createTempDirectory("graft_prace_in").toFile
+    Seq("a.txt" -> "confidential markhor purge rollback race subject text",
+        "b.txt" -> "watermark lateness checkpoint recovery streaming")
+      .foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8")) }
+    val store = Files.createTempDirectory("graft_prace_store").toString
+    Main.runIngest(spark, in.toString, store, "nomic", now1)
+    graft.io.Snapshots.create(store, "s1")
+    val aId = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "a.md").select($"doc_id").as[String].head()
+    def liveStatus(): String = spark.read
+      .parquet(s"$store/documents.parquet")
+      .filter($"doc_id" === aId).select($"status").as[String].head()
+    graft.io.Faults.hookOnce("delete.after-live-commit") {
+      graft.io.Snapshots.restore(store, "s1")
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        Main.runDelete(spark, store, Seq(aId), delAt,
+                       purgeSnapshots = true)
+      }
+      assert(e.getMessage.contains("resurrected") &&
+        e.getMessage.contains(aId), e.getMessage)
+    } finally graft.io.Faults.reset()
+    // the purge itself landed (erasure of history completed) while the
+    // live store carries the rolled-back pre-delete copy the postcheck
+    // refused to end green over
+    assert(graft.io.Snapshots.list(store).isEmpty,
+      "the purge dropped the snapshot before the postcheck fired")
+    assert(liveStatus() != "removed", "the rollback won the live store")
+    // the documented recovery: the SAME command re-run. The live
+    // transaction re-deletes the rolled-back copy; no snapshots remain
+    // to hold anything.
+    val report = Main.runDelete(spark, store, Seq(aId),
+      java.sql.Timestamp.valueOf("2025-06-03 12:00:00"),
+      purgeSnapshots = true)
+    assert(report.last.contains(""""snapshots_purged":[]"""), report.last)
+    assert(liveStatus() == "removed")
+    assert(spark.read.parquet(s"$store/chunks.parquet")
+      .filter($"doc_id" === aId).count() == 0L)
+    val (lines, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol == 0L, lines.mkString("\n"))
+    val locks = new java.io.File(store).list().filter(_.endsWith(".lock"))
+    assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
+  }
+
   test("withTableLock: mutual exclusion, queued contender proceeds on release") {
     val path = Files.createTempDirectory("graft_lock_prim").toString + "/tbl"
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)

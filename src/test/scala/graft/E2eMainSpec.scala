@@ -948,6 +948,93 @@ class E2eMainSpec extends SparkSpec {
       "the scrubbed snapshot's runlog must evidence its own delete")
   }
 
+  test("fsck --repair --snapshots: a stale aside inside a snapshot root is swept only under the flag, with the snapshot's committed tables untouched") {
+    val in = Files.createTempDirectory("graft_fsnaprep_in").toFile
+    val store = Files.createTempDirectory("graft_fsnaprep_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("t.md", "confidential ibex scrub residue subject text")
+    put("k.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    // plant scrub-crash residue INSIDE the snapshot: a scrub died
+    // between its commit rename and the trailing cleanup, leaving the
+    // committed table and its superseded aside both present. No later
+    // scrub of this snapshot ever runs, so before r17 the aside's
+    // bytes were retained forever.
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        Files.createDirectories(dst.toPath)
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    val snapDocs = new java.io.File(s"$snapRoot/documents.parquet")
+    val snapTrash = new java.io.File(s"$snapRoot/documents.parquet.trash")
+    copyTree(snapDocs, snapTrash)
+    def fp() = graft.text.ProfileState.dirFingerprint(snapDocs)
+    val want = fp()
+    // the --snapshots audit COUNTS it as drift, tagged with the name
+    val (pre, preViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(preViol === 0L, pre.mkString("\n"))
+    assert(pre.exists(l => l.contains(""""check":"stale_aside"""") &&
+      l.contains(""""snapshot":"s1"""")), pre.mkString("\n"))
+    assert(snapTrash.isDirectory, "the audit itself must not sweep")
+    // a flag-less repair stays OUT of snapshot roots by contract —
+    // snapshot mutation is opt-in even for crash residue
+    Main.runFsckRepair(spark, store)
+    assert(snapTrash.isDirectory,
+      "repair without --snapshots must not enter snapshot roots")
+    // --repair --snapshots sweeps exactly the aside, reports it under
+    // the snapshot's name, and leaves the committed table byte-identical
+    val rep = Main.runFsckRepair(spark, store, snapshots = true)
+    assert(rep.exists(l => l.contains("stale_aside_swept") &&
+      l.contains(""""snapshot":"s1"""")), rep.mkString("\n"))
+    assert(!snapTrash.exists() && snapDocs.isDirectory)
+    assert(fp() === want, "sweep must not touch the committed snapshot table")
+    val (post, postViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(postViol === 0L, post.mkString("\n"))
+    assert(!post.exists(_.contains("stale_aside")), post.mkString("\n"))
+  }
+
+  test("fsck --snapshots: a snapshot whose audit dies is counted as snapshot_audit_failed and the walk continues to the rest") {
+    val in = Files.createTempDirectory("graft_fsnapbad_in").toFile
+    val store = Files.createTempDirectory("graft_fsnapbad_store").toString
+    def put(name: String, text: String): Unit =
+      Files.write(new java.io.File(in, name).toPath, text.getBytes("UTF-8"))
+    put("t.md", "confidential okapi damaged snapshot subject text")
+    put("k.md", "watermark lateness checkpoint recovery for streaming")
+    Main.runIngest(spark, in.toString, store, "nomic", now)
+    graft.io.Snapshots.create(store, "s1")
+    graft.io.Snapshots.create(store, "s2")
+    // corrupt s2's documents table WITHOUT touching the shared inodes:
+    // unlinking the snapshot's dir entries leaves the live tree's own
+    // hardlinks intact, then a garbage part file takes their place —
+    // an existing-but-unreadable table, the shape a truncated disk or
+    // botched copy produces (a MISSING table is the already-covered
+    // documents_table_present violation; this is the audit ITSELF dying)
+    val s2docs = new java.io.File(s"$store/.snapshots/s2/documents.parquet")
+    graft.io.Tables.rmTree(s2docs)
+    Files.createDirectories(s2docs.toPath)
+    Files.write(new java.io.File(s2docs, "part-00000.parquet").toPath,
+      "not a parquet footer".getBytes("UTF-8"))
+    val (lines, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol === 1L, lines.mkString("\n"))
+    assert(lines.exists(l => l.contains(""""check":"snapshot_audit_failed"""") &&
+      l.contains(""""snapshot":"s2"""") && l.contains(""""violation":true""")),
+      lines.mkString("\n"))
+    // the damaged root did NOT kill the walk: the healthy snapshot was
+    // still fully audited (its tagged check lines are present, all at
+    // count 0 — nViol===1 above proves neither it nor the live root
+    // contributed a counted violation)
+    assert(lines.exists(l => l.contains(""""snapshot":"s1"""") &&
+      !l.contains("audit_failed")), lines.mkString("\n"))
+    assert(!lines.exists(l => l.contains(""""snapshot":"s1"""") &&
+      l.contains("audit_failed")), lines.mkString("\n"))
+    val (_, liveViol) = Main.runFsck(spark, store)
+    assert(liveViol === 0L, "the live-only audit must be unaffected")
+  }
+
   test("scrub with a vector index: the snapshot's index is reconciled to its embeddings slice; --snapshot --ann serving excludes the scrubbed id") {
     import graft.search.VectorIndex
     val in = Files.createTempDirectory("graft_scrvi_in").toFile
