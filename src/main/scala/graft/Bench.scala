@@ -221,8 +221,7 @@ object Bench {
     // subset map travels under its OWN key ("queries_q01_q20", never
     // "queries") so a key-based parser of the prior contract can't
     // mistake the 20-entry r01-comparable slice for the full suite.
-    val relQs = fmtMap(results.toSeq.filter(
-      _._1.matches("^q(0[1-9]|1[0-9]|20)_.*")))
+    val relQs = fmtMap(results.toSeq.filter(_._1.matches(relPat)))
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
             s""""calibration":${r3(calibration)},""" +
             s""""calibration_basis":"$calibrationBasis",""" +

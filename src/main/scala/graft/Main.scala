@@ -102,11 +102,16 @@ object Main {
       val snaps = rest.contains("--snapshots")
       val (lines, nViol) = runFsck(spark, store, snapshots = snaps)
       lines.foreach(println)
-      // --repair runs even with zero violations: the stale-aside
-      // sweep targets DRIFT (violation=false) that nothing else
-      // cleans outside a delete path, and a clean store's repair is
-      // a handful of counts — cheaper than a second operator visit
-      if (rest.contains("--repair")) {
+      // --repair runs when the audit found anything IT CAN FIX:
+      // violations (row prunes) or stale-aside drift (the sweep —
+      // nothing else cleans a crashed non-delete writer's aside). A
+      // clean store skips the repair pass entirely: its full-table
+      // anti-join re-audit under writer leases is not free, and a
+      // cron'd `--repair` on a healthy 100 TB store must cost one
+      // audit, not three.
+      val repairable =
+        nViol > 0 || lines.exists(_.contains(""""check":"stale_aside""""))
+      if (rest.contains("--repair") && repairable) {
         runFsckRepair(spark, store, snapshots = snaps).foreach(println)
         val (after, nAfter) = runFsck(spark, store, snapshots = snaps)
         after.foreach(println)
@@ -1773,16 +1778,18 @@ object Main {
       // delete path, pre-delete content) until something sweeps it.
       // The delete/scrub preambles sweep their own tables; a crashed
       // NON-delete writer's aside waits for `fsck --repair`, which
-      // sweeps exactly these (the audit itself only counts).
-      Option(new java.io.File(storeDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".trash") &&
-          new java.io.File(storeDir,
-            f.getName.stripSuffix(".trash")).exists())
-        .sortBy(_.getName)
-        .map { trash =>
+      // sweeps exactly these (the audit itself only counts). A pair
+      // whose table lease is LIVE is a healthy writer sitting in its
+      // commit window, not crash residue — skipped, or a lock-free
+      // audit racing a big ingest would report phantom drift (the
+      // repair side needs no such gate: sweepStaleTrash re-checks
+      // under the lease it must first win from any in-flight writer).
+      listAsidePairs(storeDir)
+        .filterNot(name => leaseIsLive(s"$storeDir/$name"))
+        .map { name =>
           s"""{"check":"stale_aside","count":1,"violation":false,""" +
-            s""""table":"${trash.getName.stripSuffix(".trash")}"$tag}"""
-        }.toSeq
+            s""""table":"$name"$tag}"""
+        }
     }
     def tbl(name: String): Option[DataFrame] = {
       val f = new java.io.File(s"$storeDir/$name.parquet")
@@ -1951,21 +1958,40 @@ object Main {
       live ++ snapLines
     }
 
+  /** Live-entry names with BOTH a live copy and a `.trash` aside
+    * directly under `root` — the one definition of a stale-aside
+    * candidate, shared by the audit (which additionally skips pairs
+    * whose table lease is live) and the repair sweep.
+    */
+  private def listAsidePairs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".trash") &&
+        new java.io.File(root, f.getName.stripSuffix(".trash")).exists())
+      .map(_.getName.stripSuffix(".trash")).sorted.toSeq
+
+  /** Whether `path`'s table lease is held by a LIVE writer (lock file
+    * present and fresher than the default staleness horizon) — the
+    * lock-free way to tell an in-flight swap's commit window from a
+    * crashed writer's residue, per the [[Tables.withTableLock]]
+    * convention (a crashed holder's lease goes stale; a live one
+    * heartbeats or finishes).
+    */
+  private def leaseIsLive(path: String): Boolean = {
+    val lock = new java.io.File(s"$path.lock")
+    lock.exists() && lock.lastModified() > 0 &&
+      System.currentTimeMillis() - lock.lastModified() <= Tables.DefaultStaleMs
+  }
+
   /** Sweep every stale aside (live + `.trash` both present) directly
     * under `root`, returning the swept live names. [[Tables.sweepStaleTrash]]
     * double-checks under the table lease, so an in-flight swap —
     * which holds it — is never raced.
     */
   private def sweepStaleAsides(root: String): Seq[String] =
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".trash") &&
-        new java.io.File(root, f.getName.stripSuffix(".trash")).exists())
-      .sortBy(_.getName).toSeq
-      .map { trash =>
-        val name = trash.getName.stripSuffix(".trash")
-        Tables.sweepStaleTrash(s"$root/$name")
-        name
-      }
+    listAsidePairs(root).map { name =>
+      Tables.sweepStaleTrash(s"$root/$name")
+      name
+    }
 
   private def runFsckRepairInner(spark: SparkSession,
                                  storeDir: String): Seq[String] = {
@@ -2994,7 +3020,13 @@ object Main {
     // tombstoned; the recovery is re-running the SAME command (the
     // rolled-back-to snapshot is a complete store, so the re-run
     // deletes from it like any live store and re-completes erasure).
-    if (purgeSnapshots || scrubSnapshots) {
+    // Gated on a completion having had WORK: with no holding and no
+    // unreadable snapshots there is no rollback target containing the
+    // ids (a restore from a non-holding snapshot cannot produce a
+    // live non-removed copy), so the common snapshot-less delete
+    // skips the extra documents scan entirely.
+    if ((purgeSnapshots || scrubSnapshots) &&
+        (toPurge.nonEmpty || toScrub.nonEmpty)) {
       val resurrected = Tables.withTableLock(s"$storeDir/.store") {
         import spark.implicits._
         val f = new java.io.File(s"$storeDir/documents.parquet")

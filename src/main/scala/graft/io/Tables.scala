@@ -248,6 +248,13 @@ object Tables {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** The lease staleness horizon [[withTableLock]] defaults to — a
+    * lock untouched for this long belongs to a crashed holder. Public
+    * so lock-free observers (the fsck stale-aside audit) judge
+    * liveness by the same clock the takeover does.
+    */
+  val DefaultStaleMs: Long = 30 * 60 * 1000L
+
   /** Serialize a table's read-merge-swap critical section across
     * concurrent WRITERS with a lease file (`$path.lock`).
     *
@@ -290,7 +297,7 @@ object Tables {
     * was already taken over (we stalled PAST staleMs between beats),
     * the beat must not refresh the successor's lease.
     */
-  def withTableLock[A](path: String, staleMs: Long = 30 * 60 * 1000L,
+  def withTableLock[A](path: String, staleMs: Long = DefaultStaleMs,
                        timeoutMs: Long = 10 * 60 * 1000L,
                        heartbeatMs: Long = 0L)(body: => A): A = {
     val lock = new java.io.File(s"$path.lock")

@@ -418,12 +418,6 @@ class CrashSweepSpec extends SparkSpec {
       .filter(col("filename") === "t.md").select("doc_id").as[String].head()
     // keep a BYTE COPY of the pre-delete snapshot documents dir to
     // plant window B later (a hardlink copy would share the inodes)
-    def copyTree(src: java.io.File, dst: java.io.File): Unit =
-      if (src.isDirectory) {
-        Files.createDirectories(dst.toPath)
-        Option(src.listFiles()).getOrElse(Array.empty)
-          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-      } else Files.copy(src.toPath, dst.toPath)
     val saved = Files.createTempDirectory("graft_sweep_sdw_save").toFile
     val snapDocs = new java.io.File(s"$snapRoot/documents.parquet")
     copyTree(snapDocs, new java.io.File(saved, "docs"))
@@ -758,12 +752,6 @@ class CrashSweepSpec extends SparkSpec {
     // are BOTH present. No delete/scrub path ever visits this store,
     // so before r17 only the next writer of this exact table would
     // ever retire the aside's bytes.
-    def copyTree(src: java.io.File, dst: java.io.File): Unit =
-      if (src.isDirectory) {
-        Files.createDirectories(dst.toPath)
-        Option(src.listFiles()).getOrElse(Array.empty)
-          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-      } else Files.copy(src.toPath, dst.toPath)
     val docs = new java.io.File(s"$store/documents.parquet")
     val trash = new java.io.File(s"$store/documents.parquet.trash")
     copyTree(docs, trash)

@@ -963,12 +963,6 @@ class E2eMainSpec extends SparkSpec {
     // committed table and its superseded aside both present. No later
     // scrub of this snapshot ever runs, so before r17 the aside's
     // bytes were retained forever.
-    def copyTree(src: java.io.File, dst: java.io.File): Unit =
-      if (src.isDirectory) {
-        Files.createDirectories(dst.toPath)
-        Option(src.listFiles()).getOrElse(Array.empty)
-          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-      } else Files.copy(src.toPath, dst.toPath)
     val snapDocs = new java.io.File(s"$snapRoot/documents.parquet")
     val snapTrash = new java.io.File(s"$snapRoot/documents.parquet.trash")
     copyTree(snapDocs, snapTrash)

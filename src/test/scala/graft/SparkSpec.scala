@@ -27,6 +27,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(f => base.toPath.relativize(f.toPath).toString -> f.length()).toMap
   }
 
+  /** Recursive file-tree copy — the fixture-planting twin of
+    * `Tables.rmTree`, shared by the crash/stale-aside specs that
+    * stage a table's duplicate (e.g. a `.trash` aside) without
+    * touching the original's inodes.
+    */
+  protected def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      java.nio.file.Files.createDirectories(dst.toPath)
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+
   /** Driver-side twin of `Dedup.hashBucket`/`splitAssign` (md5 hex
     * prefix → 80/10/10), for specs that need to know a fixture id's
     * split without running Spark.
