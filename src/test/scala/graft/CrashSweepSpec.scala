@@ -775,6 +775,36 @@ class CrashSweepSpec extends SparkSpec {
     assert(!post.exists(_.contains("stale_aside")), post.mkString("\n"))
   }
 
+  test("fsck stale-aside audit: a pair under a LIVE table lease is an in-flight swap, not drift; a stale lease does not suppress the count") {
+    val in = mkInputs(batch1: _*)
+    val store = Files.createTempDirectory("graft_sweep_stl").toString
+    Main.runIngest(spark, in, store, "nomic", now)
+    val docs = new java.io.File(s"$store/documents.parquet")
+    val trash = new java.io.File(s"$store/documents.parquet.trash")
+    copyTree(docs, trash)
+    // a healthy writer sits in its commit window: its table lease is
+    // FRESH. The lock-free audit must not report its aside as drift —
+    // before this gate a fsck racing a big ingest produced phantom
+    // stale_aside lines that round-over-round diff tooling chased.
+    val lock = new java.io.File(s"$store/documents.parquet.lock")
+    Files.write(lock.toPath, "in-flight-writer-token".getBytes("UTF-8"))
+    val (live, liveViol) = Main.runFsck(spark, store)
+    assert(liveViol == 0L, live.mkString("\n"))
+    assert(!live.exists(_.contains("stale_aside")),
+      "a live lease means an in-flight swap, not crash residue: " +
+        live.mkString("\n"))
+    // the same pair under a STALE lease (crashed holder — mtime past
+    // the takeover horizon) is genuinely residue and must be counted;
+    // liveness is judged by the same clock the lock takeover uses
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - graft.io.Tables.DefaultStaleMs - 60000L))
+    val (stale, staleViol) = Main.runFsck(spark, store)
+    assert(staleViol == 0L, stale.mkString("\n"))
+    assert(stale.exists(l => l.contains(""""check":"stale_aside"""") &&
+      l.contains("documents.parquet")), stale.mkString("\n"))
+    lock.delete()
+  }
+
   test("table compaction: an after-aside crash restores from trash on the re-run") {
     val dir = Files.createTempDirectory("graft_sweep_cmp").toString
     val path = s"$dir/t.parquet"
