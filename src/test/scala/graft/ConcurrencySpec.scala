@@ -272,6 +272,99 @@ class ConcurrencySpec extends SparkSpec {
     assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
   }
 
+  test("delete --scrub-snapshots with a concurrent ingest landing after the live commit: the completion preserves the new doc and ends green") {
+    // the benign twin of the rollback races above: the completion
+    // loops re-acquire the live lease per snapshot, so OTHER writers
+    // legitimately interleave mid-command — a new doc landing in that
+    // window must survive the completion (the loops touch only
+    // snapshot roots; the postcheck is read-only) and must not trip
+    // the resurrection detector (it is a different id).
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    val in = Files.createTempDirectory("graft_irace_in").toFile
+    Seq("a.txt" -> "confidential serow ingest race completion subject",
+        "b.txt" -> "watermark lateness checkpoint recovery streaming")
+      .foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8")) }
+    val store = Files.createTempDirectory("graft_irace_store").toString
+    Main.runIngest(spark, in.toString, store, "nomic", now1)
+    graft.io.Snapshots.create(store, "s1")
+    val snapRoot = s"$store/.snapshots/s1"
+    def docRow(root: String, fn: String) = spark.read
+      .parquet(s"$root/documents.parquet").filter($"filename" === fn)
+    val aId = docRow(store, "a.md").select($"doc_id").as[String].head()
+    graft.io.Faults.hookOnce("delete.after-live-commit") {
+      val in2 = Files.createTempDirectory("graft_irace_in2").toFile
+      Files.write(new java.io.File(in2, "c.txt").toPath,
+        "fresh arrival during the completion window".getBytes("UTF-8"))
+      Main.runIngest(spark, in2.toString, store, "nomic",
+        java.sql.Timestamp.valueOf("2025-06-02 12:30:00"))
+    }
+    try {
+      val report = Main.runDelete(spark, store, Seq(aId), delAt,
+                                  purgeSnapshots = false,
+                                  scrubSnapshots = true)
+      assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""),
+        report.last)
+    } finally graft.io.Faults.reset()
+    // the command ended green AND the mid-command ingest survives it
+    assert(docRow(store, "a.md").select($"status").as[String].head()
+      == "removed")
+    assert(docRow(store, "c.md").select($"status").as[String].head()
+      == "completed", "the concurrent ingest's doc must survive the completion")
+    // the snapshot predates the new doc: scrubbed of a, no trace of c
+    assert(docRow(snapRoot, "a.md").select($"status").as[String].head()
+      == "removed")
+    assert(docRow(snapRoot, "c.md").count() == 0L)
+    val (lines, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol == 0L, lines.mkString("\n"))
+    val locks = new java.io.File(store).list().filter(_.endsWith(".lock"))
+    assert(locks.isEmpty, s"leaked leases: ${locks.mkString(",")}")
+  }
+
+  test("a snapshot created between the live commit and the completion captures only post-delete state and cannot resurrect") {
+    // the other benign interleave: `snapshot` lands mid-command. The
+    // holding audit was computed under the transaction lease, so the
+    // new snapshot is invisible to the completion loop — and correctly
+    // so: created after the commit point it holds only the tombstone,
+    // so it needs no scrub and a rollback to it cannot resurrect.
+    val now1 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val delAt = java.sql.Timestamp.valueOf("2025-06-02 12:00:00")
+    val in = Files.createTempDirectory("graft_srace_in").toFile
+    Seq("a.txt" -> "confidential takin snapshot race completion subject",
+        "b.txt" -> "watermark lateness checkpoint recovery streaming")
+      .foreach { case (n, t) =>
+        Files.write(new java.io.File(in, n).toPath, t.getBytes("UTF-8")) }
+    val store = Files.createTempDirectory("graft_srace_store").toString
+    Main.runIngest(spark, in.toString, store, "nomic", now1)
+    graft.io.Snapshots.create(store, "s1")
+    val aId = spark.read.parquet(s"$store/documents.parquet")
+      .filter($"filename" === "a.md").select($"doc_id").as[String].head()
+    def status(root: String): String = spark.read
+      .parquet(s"$root/documents.parquet")
+      .filter($"doc_id" === aId).select($"status").as[String].head()
+    graft.io.Faults.hookOnce("delete.after-live-commit") {
+      graft.io.Snapshots.create(store, "s2")
+    }
+    try {
+      val report = Main.runDelete(spark, store, Seq(aId), delAt,
+                                  purgeSnapshots = false,
+                                  scrubSnapshots = true)
+      // only the PRE-delete snapshot needed scrubbing
+      assert(report.last.contains(""""snapshots_scrubbed":["s1"]"""),
+        report.last)
+    } finally graft.io.Faults.reset()
+    assert(status(s"$store/.snapshots/s1") == "removed")
+    assert(status(s"$store/.snapshots/s2") == "removed",
+      "a snapshot created after the commit captures the tombstone")
+    // a rollback to the mid-command snapshot cannot resurrect: the
+    // tombstone rode into it
+    graft.io.Snapshots.restore(store, "s2")
+    assert(status(store) == "removed")
+    val (lines, nViol) = Main.runFsck(spark, store, snapshots = true)
+    assert(nViol == 0L, lines.mkString("\n"))
+  }
+
   test("withTableLock: mutual exclusion, queued contender proceeds on release") {
     val path = Files.createTempDirectory("graft_lock_prim").toString + "/tbl"
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
