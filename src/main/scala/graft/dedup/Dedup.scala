@@ -741,40 +741,39 @@ object Dedup {
     * reads before setting per-source weights (two crawls of the same
     * site, a mirror, a re-hosted dump).
     *
-    * Scale shape: per-doc DISTINCT shingles (one explode), a
-    * df-capped hash set (2..dfCap distinct docs — drops unshared
-    * hashes AND stop-phrases before any pairing, the
-    * [[ngramJaccardPairs]] guard), then the pair expansion runs on the
-    * DISTINCT (source, hash) table — groups per hash are bounded by
-    * the source count, never the corpus, so the self-join on the hash
-    * is one linear shuffle.
+    * Scale shape: per-doc DISTINCT shingles (one explode), then ONE
+    * hash-keyed aggregation producing both the df cap (2..dfCap
+    * distinct docs — drops unshared hashes AND stop-phrases before
+    * any pairing, the [[ngramJaccardPairs]] guard) and the distinct
+    * source set per hash; pair counts come from exploding each
+    * per-hash source set's (a < b) combinations — bounded by the
+    * source count, never the corpus. Two shuffles end to end.
     */
   def sourceOverlapMatrix(df: DataFrame, groupCol: String, idCol: String,
                           textCol: String, shingleK: Int = 3,
                           dfCap: Int = 100): DataFrame = {
-    // hashes materialize ONCE (localCheckpoint, the q24 signature
-    // pattern): the df-cap aggregate and the pair probe both read this
-    // table, and without the checkpoint the whole tokenize+shingle+md5
-    // pass runs twice. At production scale this is "write the shingle
-    // table, then cap and pair it".
-    val f = df
+    // ONE aggregation carries both the df cap (distinct docs per hash)
+    // and the distinct source set per hash, so the pair expansion is
+    // the LSH bucket-combination kernel over the per-hash source sets
+    // — no materialized occurrence table, no semi-join back, no
+    // distinct pass, no self-join (r17: was localCheckpoint + 4
+    // shuffles; now 2 shuffles end to end). Per-hash source sets are
+    // bounded by the source count, never the corpus, so collect_set
+    // stays group-bounded at any scale.
+    val occ = df
       .select(col(groupCol), col(idCol),
               TextStats.tokens(lower(col(textCol))).as("__toks"))
       .select(col(groupCol), col(idCol),
               explode(array_distinct(
                 graft.functions.ShingleExpressions
                   .shingleMd5Col(col("__toks"), shingleK))).as("h"))
-      .localCheckpoint()
-    val capped = f.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    val buckets = occ.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"),
+           sort_array(collect_set(col(groupCol))).as("ds"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select(col("h"))
-    val sf = f.join(capped, Seq("h"), "left_semi")
-      .select(col(groupCol), col("h")).distinct()
-    sf.toDF("source_a", "h")
-      .join(sf.toDF("source_b", "h"), Seq("h"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .select(col("h"), col("ds"))
+    bucketPairs(buckets)
+      .groupBy(col("a_id").as("source_a"), col("b_id").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -871,26 +870,44 @@ object Dedup {
     // free a round's storage AND its reliable-checkpoint files —
     // without the file cleanup, iterated runs accumulate one
     // checkpoint per round on disk for the app's lifetime
-    def free(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
+    def free(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
       rdd.unpersist(blocking = false)
       if (cpEnabled) rdd.getCheckpointFile.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
-    // Pin = flat plan + explicit free handle. Only the loop inputs are
-    // materialized eagerly; each round's pin is computed by that
-    // round's single convergence-count action (a full count over the
-    // filtered pin scans every partition, so the cache is complete
-    // before the previous round is unpersisted) — one job per round,
-    // not two.
+    // Pin = flat plan + explicit free handle, via Dataset.checkpoint/
+    // localCheckpoint so the pinned rows stay in Spark's INTERNAL row
+    // format end to end. The previous `df.rdd` + `createDataFrame`
+    // roundtrip paid an InternalRow→Row deserializer on write and an
+    // interpreted Row→InternalRow converter on every downstream read
+    // of the pin (2-3 reads per round), plus a second driver-side
+    // planning pass — measured ~0.45 s/round vs ~0.13 s for the round's
+    // actual job at sf0.1 (r17). The explicit free handle is the
+    // LogicalRDD's internal RDD (the same handle Pins.release targets).
+    // Only the loop inputs are materialized eagerly; each round's pin
+    // is computed by that round's single convergence-count action (a
+    // full count over the filtered pin scans every partition, so the
+    // cache is complete before the previous round is unpersisted) —
+    // one job per round, not two.
     def pin(df: DataFrame, eager: Boolean)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (cpEnabled) rdd.checkpoint()
+        : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      // eager = false always: materialization belongs to the caller's
+      // next action. localCheckpoint persists MEMORY_AND_DISK itself;
+      // the reliable path persists here (checkpoint() alone would
+      // re-read files on every downstream scan of the round).
+      val pinned =
+        if (cpEnabled) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      val rdd = pinned.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.getOrElse(throw new IllegalStateException(
+        "checkpointed plan did not produce a LogicalRDD"))
+      if (cpEnabled)
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (eager) rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (pinned, rdd)
     }
     // pin the DIRECTED edges first: a union of two branches over the
     // raw `edges` would evaluate the (md5-heavy) upstream candidate
@@ -1145,11 +1162,18 @@ object Dedup {
                thresholdNum: Long = 81, thresholdDen: Long = 100,
                checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = embeddingNearDupPairs(assigned, idCol, vecCol, cellCol,
+    // the assigned frame (quantizer E-step: per-vector argmin over k
+    // centroids) is read FOUR times below — both sides of the
+    // within-cell pair join, the keep projection, and the cluster
+    // left-join's id side. Pin it once (r17): at production scale this
+    // is "write the assignment table, then pair it" — the quantizer
+    // never re-scores the corpus per consumer.
+    val pinned = assigned.localCheckpoint()
+    val edges = embeddingNearDupPairs(pinned, idCol, vecCol, cellCol,
                                       thresholdNum, thresholdDen)
-    val labeled = assigned
+    val labeled = pinned
       .select(col(idCol), col(cellCol), col(cdotCol))
-      .join(dupClusters(assigned, idCol, edges, "a_id", "b_id",
+      .join(dupClusters(pinned, idCol, edges, "a_id", "b_id",
                         checkpointDir), Seq(idCol))
     val w = Window.partitionBy(col("comp"))
       .orderBy(col(cdotCol).asc, col(idCol).asc)

@@ -1985,7 +1985,10 @@ object Pipeline {
     // against cos², exact integers end to end.
     "q149_embedding_decon" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // pinned: the corpus (bkt < 90) and benchmark (bkt >= 90) sides
+      // both read the quantizer E-step — one assignment pass, not two
       val assigned = Ann.ivfAssignInt(e, "embedding", labelCentroids(e))
+        .localCheckpoint()
       val bkt = Dedup.hashBucket(col("vec_id"), 100)
       Dedup.embeddingDecontaminate(
           assigned.filter(bkt < 90), assigned.filter(bkt >= 90),
