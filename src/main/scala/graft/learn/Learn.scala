@@ -190,11 +190,17 @@ object Learn {
     require(rounds >= 1)
     val sp = df.sparkSession
     import sp.implicits._
+    // pinned: the boosting loop drives 1 + 3·rounds driver actions
+    // (global mean, then per round stump train / leaf means / SSE)
+    // over this frame — unpinned, every action re-runs the caller's
+    // whole feature pipeline (r17). At 100 TB this is "write the
+    // training table once"; the loop then scans it.
     val clean = df.select(
         features.map(f => col(f).cast("long").as(f)) :+
           col(targetCol).cast("long").as("__y"): _*)
       .filter(features.map(f => col(f).isNotNull).reduce(_ && _) &&
               col("__y").isNotNull)
+      .localCheckpoint()
     val first = clean.agg(sum(col("__y")).as("s"), count(lit(1)).as("n")).head()
     require(first.getLong(1) > 0, "boostStumps needs at least one row")
     val p0 = first.getLong(0) / first.getLong(1) // truncating, = div / //

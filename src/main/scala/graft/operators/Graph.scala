@@ -41,9 +41,14 @@ object Graph {
     // aggregate and EVERY power-iteration join read it — without the
     // pin each round re-runs the whole upstream edge construction. At
     // production scale this is "write the adjacency table, then
-    // iterate over it" — the standard Pregel layout.
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // iterate over it" — the standard Pregel layout. The DIRECTED
+    // edges pin first (the connectedComponents pattern): a union of
+    // two branches over raw `edges` would evaluate the caller's whole
+    // edge pipeline twice in one job.
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -164,8 +169,12 @@ object Graph {
                      seeds: DataFrame, idCol: String, labelCol: String,
                      iters: Int = 2): DataFrame = {
     require(iters >= 1)
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // directed edges pin first — see pageRank: the two union branches
+    // must not evaluate the caller's edge pipeline twice
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var lab = seeds
