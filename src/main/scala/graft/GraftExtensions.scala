@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.CdcExpressions.CdcCuts
+import graft.functions.FixedPoint.Log2Fp
 import graft.functions.NormalizeExpressions.NfcNormalize
 import graft.functions.ShingleExpressions.ShingleMd5Prefixes
 import graft.functions.VectorExpressions.{CosineSimilarity, LongVecDot}
@@ -76,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "shingle_md5(tokens, k, hexLen) takes an array<string> and two int literals")
         ShingleMd5Prefixes(args(0), intLit(args(1), "shingle_md5", "k"),
                            intLit(args(2), "shingle_md5", "hexLen"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("log2fp"),
+      new ExpressionInfo(classOf[Log2Fp].getName, "log2fp"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 1, "log2fp(x) takes one bigint arg")
+        Log2Fp(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

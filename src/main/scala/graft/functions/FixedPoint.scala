@@ -1,7 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Exact fixed-point log₂ as pure integer column algebra — the bridge
   * between "rankings that need a logarithm" (BM25 IDF, entropy,
@@ -29,15 +33,20 @@ import org.apache.spark.sql.functions._
   * Overflow: m < 2^(S+1) so m² < 2^(2S+2) = 2^42 — comfortably inside
   * BIGINT in both engines for any BIGINT input x.
   *
-  * PLAN SHAPE — the reason this is a DataFrame transform and not a
-  * Column: the recurrence references m twice per step (m·m) and the
-  * step result three times. Built as one nested Column expression the
-  * tree would grow 3^F nodes; built as CHAINED PROJECTIONS each step
-  * is a NAMED column evaluated once, the tree stays linear in F, and
-  * Catalyst's CollapseProject keeps the non-cheap squares from being
-  * inlined (multiple references to a non-trivial producer block the
-  * collapse). F=12 steps ≈ 40 narrow integer ops per row, all inside
-  * whole-stage codegen.
+  * PLAN SHAPE — the recurrence references m twice per step (m·m) and
+  * the step result three times, so built as one nested Column
+  * expression the tree would grow 3^F nodes. The original shipped
+  * form was F·cols CHAINED PROJECTIONS (each step a named column) —
+  * linear in F, but each `withColumn` is a full analyzer pass over
+  * the whole plan, and the BM25 family calls this with up to 5
+  * column pairs (~200 driver-side analysis passes per query,
+  * measured as the dominant cost of every log-scored query at sf0.1,
+  * r17). Now the loop runs inside ONE native codegen expression
+  * ([[Log2Fp]], registered as `log2fp` via [[graft.GraftExtensions]]):
+  * a single plan node, F=12 iterations of narrow integer ops in a
+  * generated `while` loop — same bits, same whole-stage codegen, no
+  * projection chain ([[graft.FixedPointSpec]] pins bit-equality
+  * against the BigInt recurrence and the plan shape).
   */
 object FixedPoint {
 
@@ -52,44 +61,67 @@ object FixedPoint {
 
   private val Two = 1L << (S + 1) // mantissa ≥ this ⟺ integer bit set
 
+  /** The recurrence as a static kernel — the single entry point for
+    * both interpreted eval and generated code ([[Log2Fp]]). Values < 1
+    * clamp to 1 → 0 (the quarantine-not-abort convention); e via
+    * numberOfLeadingZeros ≡ length(bin(x)) − 1 for x ≥ 1.
+    */
+  def log2fp(x0: Long): Long = {
+    val x = if (x0 < 1L) 1L else x0
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e > S) x >> (e - S) else x << (S - e)
+    var acc = 0L
+    var i = 0
+    while (i < F) {
+      val mp = (m * m) >> S
+      if (mp >= Two) { acc = acc * 2 + 1; m = mp >> 1 }
+      else { acc = acc * 2; m = mp }
+      i += 1
+    }
+    e * Scale + acc
+  }
+
+  /** log2fp(x) over a bigint column — one codegen'd plan node running
+    * the F-step loop per row. Null-safe: callers wrap the input in
+    * `greatest(cast, 1)` ([[withLog2]]) so nulls never reach it, but a
+    * null input yields null like any unary expression.
+    */
+  case class Log2Fp(child: Expression)
+      extends UnaryExpression with Serializable {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      GraftTypeChecks.expect(prettyName, child.dataType, LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "log2fp"
+
+    override protected def nullSafeEval(t: Any): Any =
+      log2fp(t.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        s"""
+           |${ev.value} = graft.functions.FixedPoint.log2fp($t);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** For each (srcCol, outCol): adds outCol = floor-ish(2^F · log₂(src))
     * per the recurrence above. srcCol must be a non-null integral
     * column ≥ 1 (callers pass 2df+1-style odd constructions; values < 1
     * are clamped to 1 → 0, the quarantine-not-abort convention).
-    * Temp columns are dropped; input columns pass through untouched.
+    * Input columns pass through untouched; outputs append in caller
+    * order (or replace, the withColumn contract). The greatest() clamp
+    * also absorbs nulls (greatest skips them), matching the original
+    * chained-projection form exactly.
     */
-  def withLog2(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
-    val js = cols.indices
-    // e = ⌊log₂ x⌋ via bit length; m₀ = x normalized to [2^S, 2^(S+1))
-    var d = cols.zip(js).foldLeft(df) { case (acc, ((src, _), j)) =>
-      acc
-        .withColumn(s"__x$j", greatest(col(src).cast("long"), lit(1L)))
-        .withColumn(s"__e$j", (length(bin(col(s"__x$j"))) - 1).cast("long"))
-        .withColumn(s"__m$j", expr(
-          s"CASE WHEN __e$j > $S THEN shiftright(__x$j, CAST(__e$j - $S AS INT))" +
-          s" ELSE shiftleft(__x$j, CAST($S - __e$j AS INT)) END"))
-        .withColumn(s"__a$j", lit(0L))
+  def withLog2(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    cols.foldLeft(df) { case (acc, (src, out)) =>
+      acc.withColumn(out, call_function(
+        "log2fp", greatest(col(src).cast("long"), lit(1L))))
     }
-    (1 to F).foreach { _ =>
-      // mp must be its own projection step: it is referenced three
-      // times below, which is exactly what keeps CollapseProject from
-      // inlining the square per reference
-      d = js.foldLeft(d) { (acc, j) =>
-        acc.withColumn(s"__mp$j", expr(s"shiftright(__m$j * __m$j, $S)"))
-      }
-      d = js.foldLeft(d) { (acc, j) =>
-        acc
-          .withColumn(s"__a$j", expr(
-            s"__a$j * 2 + CASE WHEN __mp$j >= $Two THEN 1 ELSE 0 END"))
-          .withColumn(s"__m$j", expr(
-            s"CASE WHEN __mp$j >= $Two THEN shiftright(__mp$j, 1) ELSE __mp$j END"))
-      }
-    }
-    d = cols.zip(js).foldLeft(d) { case (acc, ((_, out), j)) =>
-      acc.withColumn(out, expr(s"__e$j * $Scale + __a$j"))
-    }
-    d.drop(js.flatMap(j => Seq(s"__x$j", s"__e$j", s"__m$j", s"__a$j", s"__mp$j")): _*)
-  }
 
   /** The SAME recurrence as DuckDB SQL, for oracle builders: given a
     * relation `srcRel` with columns (`keyCol`, `xCol`), returns a CTE
