@@ -936,7 +936,18 @@ object Dedup {
         .select(col("id"), col("old"),
                 least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"))
       // pointer jumping: follow one parent hop (comp values are ids)
-      val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      // through the PINNED previous round, not through `stepped` —
+      // the un-pinned stepped subtree (labels⋈msgs + the aggregate)
+      // would otherwise evaluate twice per round, once per side of
+      // this join (r17: measured ~11% of the loop at sf0.1, and at
+      // production scale a full duplicate label-table pass per
+      // round). The one-half-step-staler hop can cost one extra
+      // verification round (4→5 at sf0.1), still strictly less work:
+      // 5 single evaluations < 4 double ones. Fixpoint unchanged —
+      // the hop only ever takes least() over labels already reachable
+      // in the component, and convergence is still "a full round
+      // changed nothing".
+      val parents = labels.select(col("id").as("pid"), col("comp").as("pcomp"))
       val (next, nextRdd) = pin(
         stepped.join(parents, stepped("comp") === parents("pid"), "left")
           .select(stepped("id"), stepped("old"),
